@@ -1,0 +1,170 @@
+package graft
+
+import graft.functions.Geo
+import graft.sources.SpotSynth
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[SparkEntry.queries]].
+  *
+  * Each fragment textually mirrors the corresponding Spark column expression
+  * (graft.functions.Geo / graft.operators.*) operation-for-operation, so that
+  * pure-arithmetic paths are bit-identical and libm-dependent paths (trig)
+  * agree after the %.3f / round-6 output formatting both sides apply.
+  *
+  * Dialect notes pinned by local tests:
+  *  - DuckDB CAST(double AS INT) rounds; Python/Spark truncate => use trunc();
+  *  - plain decimal literals parse as DECIMAL => use e0 exponent form for DOUBLE;
+  *  - list slicing `l[1:5]` is 1-based inclusive (= Spark slice(l,1,5));
+  *  - list_reduce seeds from the first element => list_prepend the zero;
+  *  - `%` on DOUBLE is C fmod (= Java %); NaN compares greater than all values
+  *    in both engines (unlike Python, where NaN comparisons are false — the
+  *    consequence is a deterministic off-track vertex fallback, documented in
+  *    graft.functions.Geo).
+  */
+object OracleSql {
+
+  // ---- shared scalar fragments -------------------------------------------
+
+  /** Java-Formatter-compatible %.3f: Java rounds HALF_UP on the exact decimal
+    * value; C printf (DuckDB) rounds half-even. Locator-derived coordinates are
+    * multiples of 1/48, which include binary-exact .xxx5 ties (e.g. 48.5625),
+    * so the tie rule is observable. DuckDB round() is half-away-from-zero =
+    * HALF_UP for all signs; scale via *1000 is exact for the tie values. */
+  def fmt3(x: String): String =
+    s"printf('%.3f', round(($x) * 1000.0e0) / 1000.0e0)"
+
+  /** Python-style positive fmod, mirroring Geo.posMod. */
+  private def mod360(x: String): String =
+    s"(CASE WHEN ($x) % 360.0e0 < 0 THEN ($x) % 360.0e0 + 360.0e0 ELSE ($x) % 360.0e0 END)"
+
+  private def ascAt(g: String, i: Int): String = s"ascii(substr(trim($g), $i, 1))"
+
+  private def base(g: String): String =
+    s"(CASE WHEN ${ascAt(g, 5)} > 88 THEN 96 ELSE 64 END)"
+
+  /** Mirrors Geo.locLat. */
+  def locLat(g: String): String = {
+    val lat4 = s"((${ascAt(g, 2)} - 65) * 10 + (${ascAt(g, 4)} - 48) + 0.5e0 - 90)"
+    val lat6 = s"($lat4 - 0.5e0 + (${ascAt(g, 6)} - ${base(g)}) / 24.0e0 - 1.0e0/48)"
+    s"(CASE WHEN length(trim($g)) = 6 THEN $lat6 ELSE $lat4 END)"
+  }
+
+  /** Mirrors Geo.locLon. */
+  def locLon(g: String): String = {
+    val lon4 = s"((${ascAt(g, 1)} - 65) * 20 + (${ascAt(g, 3)} - 48) * 2 + 1.0e0 - 180)"
+    val lon6 = s"($lon4 - 1.0e0 + (${ascAt(g, 5)} - ${base(g)}) / 12.0e0 - 1.0e0/24)"
+    s"(CASE WHEN length(trim($g)) = 6 THEN $lon6 ELSE $lon4 END)"
+  }
+
+  /** Mirrors Geo.rxAzimuth(txLat,txLon,rxLat,rxLon) with column-name args. */
+  private def fwdAzimuth(toLat: String, toLon: String, fromLat: String,
+      fromLon: String): String = {
+    val dLam = s"(radians($toLon) - radians($fromLon))"
+    val y = s"(sin($dLam) * cos(radians($toLat)))"
+    val x = s"(cos(radians($fromLat)) * sin(radians($toLat)) - " +
+      s"sin(radians($fromLat)) * cos(radians($toLat)) * cos($dLam))"
+    mod360(s"degrees(atan2($y, $x))")
+  }
+
+  /** Mirrors Geo.bandOf: CASE over trunc(10*MHz). */
+  def bandSql(mhz: String): String = {
+    val arms = Geo.freqToBand.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $k THEN $v" }.mkString(" ")
+    s"(CASE CAST(trunc(10.0e0 * $mhz) AS INT) $arms ELSE 9999 END)"
+  }
+
+  def wdTime(dateCol: String): String =
+    s"strftime(make_timestamp(CAST($dateCol AS BIGINT) * 1000000), '%Y-%m-%d:%H:%M')"
+
+  // ---- spot CTE chain -----------------------------------------------------
+
+  /** `WITH spots AS (...)` — the shared events->spots derivation. */
+  val spotsWith: String = s"WITH spots AS (\n${SpotSynth.sqlCte})"
+
+  /** Full enrichment chain, ending in CTE `vx` with columns: all spot columns +
+    * tx_lat tx_lon rx_lat rx_lon rx_azi tx_azi max_abs v_lat v_lon. */
+  val enrichedWith: String = {
+    val g = "\"Grid\""; val rg = "\"ReporterGrid\""
+    s"""$spotsWith,
+       |loc AS (SELECT *,
+       |  ${locLat(g)} AS tx_lat, ${locLon(g)} AS tx_lon,
+       |  ${locLat(rg)} AS rx_lat, ${locLon(rg)} AS rx_lon
+       |FROM spots),
+       |az AS (SELECT *,
+       |  ${fwdAzimuth("tx_lat", "tx_lon", "rx_lat", "rx_lon")} AS rx_azi,
+       |  ${fwdAzimuth("rx_lat", "rx_lon", "tx_lat", "tx_lon")} AS tx_azi,
+       |  (CASE WHEN abs(tx_lat) >= abs(rx_lat) THEN tx_lat ELSE rx_lat END) AS max_abs
+       |FROM loc),
+       |v0 AS (SELECT *,
+       |  (CASE WHEN tx_lon = rx_lon THEN max_abs
+       |        ELSE degrees(acos(sin(radians(rx_azi)) * cos(radians(rx_lat)))) END) AS v_lat0
+       |FROM az),
+       |v1 AS (SELECT *,
+       |  (CASE WHEN v_lat0 > 90.0e0 THEN 180.0e0 - v_lat0 ELSE v_lat0 END) AS v_lat1
+       |FROM v0),
+       |v2 AS (SELECT *,
+       |  degrees(acos(tan(radians(rx_lat)) / tan(radians(v_lat1)))) AS arc
+       |FROM v1),
+       |v3 AS (SELECT *,
+       |  (CASE WHEN rx_azi < 180 THEN ${mod360("rx_lon + arc")}
+       |        ELSE ${mod360("rx_lon - arc")} END) AS v_lon0
+       |FROM v2),
+       |v4 AS (SELECT *,
+       |  (CASE WHEN v_lon0 > 180 THEN -(360.0e0 - v_lon0) ELSE v_lon0 END) AS v_lon1
+       |FROM v3),
+       |v5 AS (SELECT *,
+       |  (v_lon1 < least(tx_lon, rx_lon) OR v_lon1 > greatest(tx_lon, rx_lon)) AS off_track
+       |FROM v4),
+       |vx AS (SELECT *,
+       |  (CASE WHEN off_track THEN max_abs ELSE v_lat1 END) AS v_lat,
+       |  (CASE WHEN off_track THEN (CASE WHEN max_abs = tx_lat THEN tx_lon ELSE rx_lon END)
+       |        ELSE v_lon1 END) AS v_lon
+       |FROM v5)""".stripMargin
+  }
+
+  // ---- text fragments -----------------------------------------------------
+
+  private val toks = "string_split(text, ' ')"
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+  val nTokens = s"CAST(len($toks) AS BIGINT)"
+  val nDistinct = s"CAST(len(list_distinct($toks)) AS BIGINT)"
+  private def countInSql(words: Seq[String]): String =
+    s"CAST(len(list_filter($toks, t -> t IN ${inList(words)})) AS BIGINT)"
+  val nStopwords: String = countInSql(graft.operators.TextAnalysis.Stopwords)
+
+  /** Mirrors TextAnalysis.qualityScore. */
+  val qualitySql: String = {
+    val n = s"CAST($nTokens AS DOUBLE)"
+    val stop = s"CAST($nStopwords AS DOUBLE)"
+    val dist = s"CAST($nDistinct AS DOUBLE)"
+    s"round(0.4e0 * least(1.0e0, $n / 100) + 0.3e0 * (1.0e0 - $stop / $n) + 0.3e0 * ($dist / $n), 6)"
+  }
+
+  /** Mirrors TextAnalysis.langPredict (alphabetical-first tie-break). */
+  val langPredictSql: String = {
+    val scored = graft.operators.TextAnalysis.LangMarkers
+      .map { case (lang, words) => (lang, countInSql(words)) }
+    val best = scored.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val arms = scored.map { case (lang, s) => s"WHEN $s = $best THEN '$lang'" }.mkString(" ")
+    s"(CASE $arms END)"
+  }
+
+  /** Mirrors TextAnalysis.fingerprint. */
+  val fingerprintSql: String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, x) -> (acc * 131 + x) % 2147483647)"
+
+  /** Sequential-fold cosine over DOUBLE lists (mirrors ArrayMath.cosine:
+    * list_dot_product folds left-to-right, verified bit-equal). */
+  def cosineSql(a: String, b: String): String =
+    s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+
+  /** Word 3-grams, distinct (mirrors Dedup.wordNGrams for n=3). */
+  def grams3(textCol: String): String =
+    s"(CASE WHEN len(string_split($textCol, ' ')) >= 3 THEN " +
+      s"list_distinct([string_split($textCol, ' ')[i] || ' ' || string_split($textCol, ' ')[i+1] || ' ' || string_split($textCol, ' ')[i+2] " +
+      s"for i in range(1, len(string_split($textCol, ' ')) - 1)]) ELSE [] END)"
+}

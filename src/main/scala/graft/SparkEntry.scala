@@ -1,13 +1,361 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.SpotSynth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §7 + OracleSql for the DuckDB mirrors.
+  *
+  * Naming: q0x/q1x = the reference's spot-pipeline operators (SURVEY.md §2)
+  * over the deterministic events->spots synthesis (SpotSynth); q2x = general
+  * relational capability; q3x/q4x = large-scale training-data extensions
+  * (dedup, similarity, text analysis, multimodal).
+  *
+  * Column names are aligned with the oracle SQL (the driver's compare sorts
+  * columns by name), every aggregate over doubles goes through DECIMAL so the
+  * result is association-order-independent, and every query is deterministically
+  * ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events fixture carries TIMESTAMP(NANOS), which Spark 4 only reads
+    // as a raw long (SPARK-40819); all ts arithmetic is integer ns from there.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private def spots(spark: SparkSession, dir: String): DataFrame =
+    SpotSynth.fromEvents(t(spark, dir, "events"))
+
+  /** Decimal-exact sum of a double expression, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Flagship query on sf=0.001: the reference's whole enrichment pipeline
+    * (E2, wsprnet_azi_calc.py) as one plan. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Enrich.formatted(spots(spark, "/root/testdata/sf0.001")).orderBy("Spotnum")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference spot-pipeline operators --------------------------------
+    "q01_pricing" -> ((s, dir) => {
+      // All money math in DECIMAL (cast the 2-decimal inputs first, multiply
+      // exactly, sum exactly) so the result is bit-identical to the oracle
+      // regardless of aggregation order — double sums are association-sensitive
+      // and double->decimal conversion of *products* differs across engines.
+      val ext = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
+      val tax = lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum(ext * disc).cast("double").as("sum_disc"),
+          sum(ext * disc * tax).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_top1" -> ((s, dir) =>
+      spots(s, dir).orderBy(col("Spotnum").desc).limit(1)
+        .select(col("Spotnum"), col("Reporter"), col("CallSign"), col("MHz"))),
+    "q03_cursor_filter" -> ((s, dir) => {
+      val sp = spots(s, dir)
+      val cursor = sp.agg((max("Spotnum") - 500).as("cursor"))
+      sp.crossJoin(cursor).filter(col("Spotnum") > col("cursor"))
+        .select(col("Spotnum"), col("CallSign"), col("MHz")).orderBy("Spotnum")
+    }),
+    "q04_batch_stats" -> ((s, dir) =>
+      spots(s, dir).agg(
+        count(lit(1)).as("n_spots"),
+        min("Spotnum").as("first_spotnum"),
+        max("Spotnum").as("last_spotnum"),
+        countDistinct("Date").as("n_cycles"))),
+    "q05_gap_audit" -> ((s, dir) =>
+      Audit.gapAudit(
+        t(s, dir, "events").filter(col("event_type") =!= "error"), "event_id", 1024)),
+    "q06_gap_details" -> ((s, dir) =>
+      Audit.gapDetails(
+        t(s, dir, "events").filter(col("event_type") =!= "error"), "event_id", 1024)
+        .orderBy("gap_after")),
+    "q07_dedup_union" -> ((s, dir) => {
+      val sp = spots(s, dir)
+      val b1 = sp.filter(col("Spotnum") % 3 =!= 0)
+      val b2 = sp.filter(col("Spotnum") % 2 =!= 0)
+      b1.union(b2).select("Spotnum").distinct()
+        .agg(count(lit(1)).as("n"), sum("Spotnum").as("sum_id"),
+          min("Spotnum").as("min_id"), max("Spotnum").as("max_id"))
+    }),
+    "q08_wd_time" -> ((s, dir) =>
+      spots(s, dir).select(col("Spotnum"),
+        from_unixtime(col("Date"), graft.spots.SpotSchema.WdTimeFormat).as("wd_time"))
+        .orderBy("Spotnum")),
+    "q09_locator" -> ((s, dir) => {
+      import graft.functions.Geo
+      spots(s, dir).select(col("Spotnum"), col("Grid"), col("ReporterGrid"),
+        format_string("%.3f", Geo.locLat(col("Grid"))).as("tx_lat"),
+        format_string("%.3f", Geo.locLon(col("Grid"))).as("tx_lon"),
+        format_string("%.3f", Geo.locLat(col("ReporterGrid"))).as("rx_lat"),
+        format_string("%.3f", Geo.locLon(col("ReporterGrid"))).as("rx_lon"))
+        .orderBy("Spotnum")
+    }),
+    "q10_azimuth" -> ((s, dir) =>
+      Enrich.enrich(spots(s, dir))
+        .select(col("Spotnum"), col("wd_rx_az").cast("long").as("wd_rx_az"),
+          col("wd_tx_az").cast("long").as("wd_tx_az"))
+        .orderBy("Spotnum")),
+    "q11_vertex" -> ((s, dir) =>
+      Enrich.formatted(spots(s, dir))
+        .select(col("Spotnum"), col("wd_v_lat"), col("wd_v_lon")).orderBy("Spotnum")),
+    "q12_band" -> ((s, dir) =>
+      Enrich.enrich(spots(s, dir)).select(col("MHz"), col("wd_band")).distinct()
+        .orderBy("MHz")),
+    "q13_enrich" -> ((s, dir) =>
+      Enrich.formatted(spots(s, dir)).orderBy("Spotnum")),
+    "q14_reconcile" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+      val sp = spots(s, dir)
+      val enriched = Enrich.enrich(sp).filter(col("wd_band") =!= 9999)
+      Audit.reconcile(Seq("n_raw" -> raw, "n_parsed" -> sp, "n_known_band" -> enriched))
+    }),
+    // ---- general relational ----------------------------------------------
+    "q20_join_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q21_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("o_custkey", "rank")
+    }),
+    "q22_time_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_format(date_trunc("hour", col("ts_ts")), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("hour", "event_type")),
+    // ---- extension: dedup -------------------------------------------------
+    "q30_dedup_exact" -> ((s, dir) => {
+      val key = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+      Dedup.exactGroups(t(s, dir, "documents"), key)
+        .filter(col("n_dups") > 1).orderBy("dup_key")
+    }),
+    "q31_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.5)
+        .orderBy("a_id", "b_id")),
+    "q32_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")),
+    "q33_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")),
+    "q34_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .orderBy("a_id", "b_id")),
+    // ---- extension: similarity search -------------------------------------
+    "q35_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+        .orderBy("q_id", "rank")
+    }),
+    "q36_sim_topk_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 10)
+        .orderBy("q_id", "rank")
+    }),
+    // ---- extension: text analysis -----------------------------------------
+    "q37_text_stats" -> ((s, dir) =>
+      TextAnalysis.docStats(t(s, dir, "documents"))
+        .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          sum(col("quality").cast("decimal(18,6)")).cast("double").as("sum_quality"))
+        .orderBy("source")),
+    "q38_text_quality" -> ((s, dir) =>
+      TextAnalysis.docStats(t(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "n_distinct", "n_stopwords", "quality")
+        .orderBy("doc_id")),
+    "q39_text_langid" -> ((s, dir) =>
+      TextAnalysis.docStats(t(s, dir, "documents"))
+        .select("doc_id", "lang_pred").orderBy("doc_id")),
+    "q40_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.docStats(t(s, dir, "documents"))
+        .select("doc_id", "fp").orderBy("doc_id")),
+    // ---- extension: multimodal --------------------------------------------
+    "q41_multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
+        .toDF().orderBy("doc_id"))
+  )
+
+  /** DuckDB oracles; keys must match [[queries]]. Queries absent here
+    * (q32/q33/q36: LSH internals with engine-specific hashing) get the
+    * driver's weaker rows-only check and are instead cross-checked against
+    * exact variants in the ScalaTest suites. */
+  def oracleSql: Map[String, String] = {
+    import OracleSql._
+    Map(
+      "q01_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+          |  CAST(count(*) AS BIGINT) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q02_top1" ->
+        s"""$spotsWith SELECT "Spotnum", "Reporter", "CallSign", "MHz"
+           |FROM spots ORDER BY "Spotnum" DESC LIMIT 1""".stripMargin,
+      "q03_cursor_filter" ->
+        s"""$spotsWith SELECT "Spotnum", "CallSign", "MHz" FROM spots
+           |WHERE "Spotnum" > (SELECT max("Spotnum") - 500 FROM spots)
+           |ORDER BY "Spotnum"""".stripMargin,
+      "q04_batch_stats" ->
+        s"""$spotsWith SELECT CAST(count(*) AS BIGINT) AS n_spots,
+           |  min("Spotnum") AS first_spotnum, max("Spotnum") AS last_spotnum,
+           |  CAST(count(DISTINCT "Date") AS BIGINT) AS n_cycles FROM spots""".stripMargin,
+      "q05_gap_audit" ->
+        """WITH ids AS (SELECT event_id AS id FROM events WHERE event_type <> 'error'),
+          |g AS (SELECT id - lag(id) OVER (ORDER BY id) - 1 AS miss FROM ids)
+          |SELECT CAST(count(*) AS BIGINT) AS total_gaps,
+          |  CAST(coalesce(sum(miss), 0) AS BIGINT) AS total_missing,
+          |  CAST(coalesce(max(miss), 0) AS BIGINT) AS max_gap
+          |FROM g WHERE miss > 0""".stripMargin,
+      "q06_gap_details" ->
+        """WITH ids AS (SELECT event_id AS id FROM events WHERE event_type <> 'error'),
+          |g AS (SELECT lag(id) OVER (ORDER BY id) AS gap_after, id AS next_present,
+          |             id - lag(id) OVER (ORDER BY id) - 1 AS missing FROM ids)
+          |SELECT gap_after, next_present, missing FROM g WHERE missing > 0
+          |ORDER BY gap_after""".stripMargin,
+      "q07_dedup_union" ->
+        s"""$spotsWith, u AS (
+           |  SELECT DISTINCT "Spotnum" FROM (
+           |    SELECT "Spotnum" FROM spots WHERE "Spotnum" % 3 <> 0
+           |    UNION ALL SELECT "Spotnum" FROM spots WHERE "Spotnum" % 2 <> 0))
+           |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum("Spotnum") AS BIGINT) AS sum_id,
+           |  min("Spotnum") AS min_id, max("Spotnum") AS max_id FROM u""".stripMargin,
+      "q08_wd_time" ->
+        s"""$spotsWith SELECT "Spotnum", ${wdTime("\"Date\"")} AS wd_time
+           |FROM spots ORDER BY "Spotnum"""".stripMargin,
+      "q09_locator" ->
+        s"""$spotsWith SELECT "Spotnum", "Grid", "ReporterGrid",
+           |  ${fmt3(locLat("\"Grid\""))} AS tx_lat,
+           |  ${fmt3(locLon("\"Grid\""))} AS tx_lon,
+           |  ${fmt3(locLat("\"ReporterGrid\""))} AS rx_lat,
+           |  ${fmt3(locLon("\"ReporterGrid\""))} AS rx_lon
+           |FROM spots ORDER BY "Spotnum"""".stripMargin,
+      "q10_azimuth" ->
+        s"""$enrichedWith SELECT "Spotnum",
+           |  CAST(round(rx_azi) AS BIGINT) AS wd_rx_az,
+           |  CAST(round(tx_azi) AS BIGINT) AS wd_tx_az
+           |FROM vx ORDER BY "Spotnum"""".stripMargin,
+      "q11_vertex" ->
+        s"""$enrichedWith SELECT "Spotnum",
+           |  ${fmt3("v_lat")} AS wd_v_lat, ${fmt3("v_lon")} AS wd_v_lon
+           |FROM vx ORDER BY "Spotnum"""".stripMargin,
+      "q12_band" ->
+        s"""$spotsWith SELECT DISTINCT "MHz", CAST(${bandSql("\"MHz\"")} AS INT) AS wd_band
+           |FROM spots ORDER BY "MHz"""".stripMargin,
+      "q13_enrich" ->
+        s"""$enrichedWith SELECT ${wdTime("\"Date\"")} AS wd_time,
+           |  "Spotnum", "Date", "Reporter", "ReporterGrid", "dB", "MHz", "CallSign",
+           |  "Grid", "Power", "Drift", "distance", "azimuth", "Band", "version", "code",
+           |  CAST(${bandSql("\"MHz\"")} AS INT) AS wd_band,
+           |  '-999.9' AS wd_c2_noise, '-999.9' AS wd_rms_noise,
+           |  CAST(round(rx_azi) AS INT) AS wd_rx_az,
+           |  ${fmt3("rx_lat")} AS wd_rx_lat, ${fmt3("rx_lon")} AS wd_rx_lon,
+           |  CAST(round(tx_azi) AS INT) AS wd_tx_az,
+           |  ${fmt3("tx_lat")} AS wd_tx_lat, ${fmt3("tx_lon")} AS wd_tx_lon,
+           |  ${fmt3("v_lat")} AS wd_v_lat, ${fmt3("v_lon")} AS wd_v_lon
+           |FROM vx ORDER BY "Spotnum"""".stripMargin,
+      "q14_reconcile" ->
+        s"""$spotsWith SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_raw,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM spots) AS n_parsed,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM spots
+           |     WHERE ${bandSql("\"MHz\"")} <> 9999) AS n_known_band""".stripMargin,
+      "q20_join_agg" ->
+        """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+      "q21_window_topk" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+          |        row_number() OVER (PARTITION BY o_custkey
+          |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          |      FROM orders) _r
+          |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+      "q22_time_window" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q30_dedup_exact" ->
+        """SELECT array_to_string((string_split(text, ' '))[1:5], ' ') AS dup_key,
+          |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+          |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
+      "q31_dedup_ngram" -> {
+        s"""WITH g AS (SELECT doc_id, unnest(${grams3("text")}) AS gram FROM documents),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+           |gs AS (SELECT g.doc_id, g.gram, sizes.n_grams FROM g JOIN sizes ON g.doc_id = sizes.doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_grams AS a_n, b.n_grams AS b_n,
+           |         CAST(count(*) AS BIGINT) AS common
+           |  FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT a_id, b_id, common,
+           |  round(CAST(common AS DOUBLE) / (a_n + b_n - common), 6) AS jaccard
+           |FROM pairs WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      "q34_dedup_embed" ->
+        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |  ${cosineSql("a.embedding", "b.embedding")} AS cos
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4e0
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q35_sim_topk" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+           |scored AS (SELECT q.q_id, c.vec_id, ${cosineSql("q.q_emb", "c.embedding")} AS cos
+           |  FROM embeddings c JOIN q ON q.q_id <> c.vec_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+      "q37_text_stats" ->
+        s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum($nTokens) AS BIGINT) AS total_tokens,
+           |  CAST(sum(CAST($qualitySql AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q38_text_quality" ->
+        s"""SELECT doc_id, $nTokens AS n_tokens, $nDistinct AS n_distinct,
+           |  $nStopwords AS n_stopwords, $qualitySql AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q39_text_langid" ->
+        s"""SELECT doc_id, $langPredictSql AS lang_pred FROM documents ORDER BY doc_id""",
+      "q40_text_fingerprint" ->
+        s"""SELECT doc_id, $fingerprintSql AS fp FROM documents ORDER BY doc_id""",
+      "q41_multimodal_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+          |  CAST(1 + ascii(substr(text, 2, 1)) % 64 AS BIGINT) AS height,
+          |  CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

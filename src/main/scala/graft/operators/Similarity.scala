@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.ArrayMath
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set against
+  * the corpus, rank per query. Exact; the ranking key is cosine rounded to 6
+  * decimals with vec_id tiebreak, so results are stable across engines.
+  *
+  * Scale path: random-hyperplane LSH — bucket corpus and queries by sign
+  * signature, search only same-bucket (or near-bucket) candidates. The
+  * hyperplanes are derived deterministically from xxhash64 so the operator
+  * needs no driver-side randomness.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (self excluded).
+    * Output: (q_id, vec_id, cos, rank), rank 1..k. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * uniform in [-1, 1) from xxhash64. */
+  private def planeComponent(p: Int, d: org.apache.spark.sql.Column) =
+    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 500000.0) - 1.0
+
+  /** Sign-signature bucket id from `nPlanes` deterministic hyperplanes. */
+  def lshBucket(emb: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column = {
+    val v = emb.cast("array<double>")
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, transform(sequence(lit(0), size(v) - 1), d => planeComponent(p, d)),
+          (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates share the query's LSH bucket; exact re-rank
+    * within candidates. Recall < 1 by design; the operator trades it for a
+    * bucket-local join instead of a full cross product. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+  }
+}

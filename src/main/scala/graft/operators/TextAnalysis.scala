@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, quality scoring, heuristic language scoring, and
+  * rolling-hash document fingerprinting. All pure narrow column expressions —
+  * no shuffle except the explicit aggregations — so they scale linearly.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Marker-word profiles for heuristic language scoring. (The fixture corpus
+    * shares one vocabulary across langs, so this scores style markers
+    * deterministically rather than recovering the fixture's lang label.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("batch", "window"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "query"),
+    "fr" -> Seq("fast", "slow"),
+    "zh" -> Seq("join", "merge"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def countIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Composite quality score in [0,1]:
+    * 0.4 * min(1, tokens/100) + 0.3 * (1 - stopword_ratio) + 0.3 * distinct_ratio.
+    * Mirrored verbatim in the DuckDB oracle. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stop = countIn(text, Stopwords).cast("double")
+    val dist = distinctTokenCount(text).cast("double")
+    round(lit(0.4) * least(lit(1.0), n / 100) +
+      lit(0.3) * (lit(1.0) - stop / n) + lit(0.3) * (dist / n), 6)
+  }
+
+  /** Deterministic argmax over marker-hit counts; ties resolve to the
+    * alphabetically-first language (LangMarkers is alphabetical). */
+  def langPredict(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, words) => (lang, countIn(text, words)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.reverse.tail.foldLeft(lit(scored.reverse.head._1)) {
+      case (acc, (lang, score)) => when(score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling hash over the document's characters:
+    * h = fold(chars, 0, (acc, c) => (acc*131 + ascii(c)) mod (2^31-1)).
+    * Stable across engines (pure integer arithmetic). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 131 + x) % 2147483647L)
+
+  /** Per-document stats frame. */
+  def docStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("n_distinct"),
+      countIn(col("text"), Stopwords).as("n_stopwords"),
+      qualityScore(col("text")).as("quality"),
+      langPredict(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fp"))
+}
