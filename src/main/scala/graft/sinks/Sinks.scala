@@ -1,0 +1,39 @@
+package graft.sinks
+
+import graft.spots.SpotSchema
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Output boundaries of the pipeline (reference: K2 csv, K3 TimescaleDB
+  * batch INSERT, K5 multi-sink fan-out).
+  */
+object Sinks {
+
+  /** K2: 27-column enriched CSV, canonical order, no header, minimal quoting
+    * (Spark's csv writer quotes only when needed = csv.QUOTE_MINIMAL,
+    * wsprnet_azi_calc.py:227). */
+  def writeCsv27(df: DataFrame, path: String): Unit =
+    df.select(SpotSchema.enriched27Columns.map(col): _*)
+      .write.mode("overwrite").option("header", value = false).csv(path)
+
+  /** K3: transactional batched JDBC append. One transaction per partition
+    * with `batchsize`-row execute batches — the Spark-native equivalent of
+    * psycopg2 execute_batch + single commit (ts_upload_batch.py:37-41).
+    * Spark's JDBC writer quotes mixed-case identifiers via the dialect,
+    * matching insert-spots.sql:1-2. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties(),
+      batchSize: Int = 1000): Unit =
+    df.write.mode("append")
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+
+  /** K5 shape: fan a single materialized batch out to several sinks without
+    * recomputing the plan (the reference re-reads the CSV per mirror; here we
+    * cache the batch once). */
+  def fanOut(df: DataFrame, sinks: Seq[DataFrame => Unit]): Unit = {
+    df.persist()
+    try sinks.foreach(s => s(df))
+    finally df.unpersist()
+  }
+}

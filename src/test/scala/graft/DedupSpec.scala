@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 near-identical, 2 identical to 0, 3/4 share half,
+  // 5.. unrelated, 9 short.
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "one two three four five sixx seven eight nine ten"),
+    (5L, "red orange yellow green blue indigo violet purple pink white"),
+    (6L, "spark catalyst tungsten shuffle partition broadcast join agg scan sort"),
+    (7L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+    (8L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+    (9L, "tiny doc here")
+  ).toDF("doc_id", "text")
+
+  private def grams3(s: String): Set[String] =
+    s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+
+  private def jaccard(a: String, b: String): Double = {
+    val (ga, gb) = (grams3(a), grams3(b))
+    ga.intersect(gb).size.toDouble / (ga.size + gb.size - ga.intersect(gb).size)
+  }
+
+  private val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  private def brutePairs(thr: Double): Set[(Long, Long)] =
+    (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      if jaccard(texts(a), texts(b)) >= thr
+    } yield (a, b)).toSet
+
+  test("exact dedup groups by key") {
+    val groups = Dedup.exactGroups(docs, col("text")).filter(col("n_dups") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getLong(1) == 0L && groups.head.getLong(2) == 2L) // keep 0, count 2
+  }
+
+  test("ngram jaccard pairs match brute force") {
+    val got = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brutePairs(0.5), s"got=$got expected=${brutePairs(0.5)}")
+    // and the jaccard values themselves
+    Dedup.ngramJaccardPairs(docs, 3, 0.1).collect().foreach { r =>
+      val expected = jaccard(texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(math.abs(r.getDouble(3) - expected) < 1e-6)
+    }
+  }
+
+  test("minhash LSH finds all high-similarity pairs, verified exactly") {
+    val got = Dedup.minhashLshPairs(docs, 3, 64, 16, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: every pair with true jaccard >= 0.8 must be found
+    assert(brutePairs(0.8).subsetOf(got), s"missed: ${brutePairs(0.8) -- got}")
+    // precision is exact by construction (candidates re-verified): no pair
+    // below the 0.35 verify threshold may appear
+    got.foreach { case (a, b) => assert(jaccard(texts(a), texts(b)) >= 0.35) }
+  }
+
+  test("simhash chunk-join finds exactly the hamming<=3 pairs of its signatures") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    // identical docs must collide at hamming 0
+    assert(got.contains((0L, 2L)))
+  }
+
+  test("embedding near-dup pairs: exact pairwise on planted vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+}

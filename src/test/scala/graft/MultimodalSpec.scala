@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload metadata extraction through the batched decoder") {
+    val docs = Seq((0L, "hello world"), (1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs), batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    assert(meta(0).n_bytes == 11)
+    assert(meta(0).width == 1 + 'h' % 64 && meta(0).height == 1 + 'e' % 64)
+    assert(meta(0).n_frames == 1 + 11 % 8)
+    assert(meta(1).n_bytes == 1 && meta(1).height == 1) // missing 2nd byte -> b1=0
+    assert(meta(2).n_bytes == 0 && meta(2).width == 1)  // empty payload
+  }
+
+  test("decoder batching: batches never exceed batchSize and cover all rows") {
+    val docs = (0L until 103L).map(i => (i, "t" * (i.toInt % 5 + 1))).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs).repartition(3)
+    import spark.implicits._
+    val batchSizes = media.as[Multimodal.MediaRow].mapPartitions { it =>
+      it.grouped(8).map(_.size)
+    }.collect()
+    assert(batchSizes.sum == 103)
+    assert(batchSizes.forall(_ <= 8))
+    val meta = Multimodal.decodeMeta(spark, media, batchSize = 8).collect()
+    assert(meta.length == 103)
+  }
+}

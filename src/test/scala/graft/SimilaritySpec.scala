@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import java.math.RoundingMode
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 deterministic 8-dim vectors
+  private val vecs: Seq[(Long, Array[Float])] = (0 until 40).map { i =>
+    (i.toLong, Array.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9).toFloat))
+  }
+  private lazy val emb = vecs.toDF("vec_id", "embedding")
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+  // Spark round(): BigDecimal.valueOf (shortest repr) HALF_UP
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  private def bruteTopK(qId: Long, k: Int): Seq[(Long, Double, Long)] = {
+    val q = vecs.find(_._1 == qId).get._2
+    vecs.filter(_._1 != qId)
+      .map { case (id, v) => (id, r6(cos(q, v))) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).zipWithIndex.map { case ((id, c), i) => (id, c, i + 1L) }
+  }
+
+  test("brute-force top-k matches local computation incl. rounding/tie rules") {
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    for (q <- 0L until 3L) {
+      val expected = bruteTopK(q, 5)
+      val mine = got.filter(_._1 == q).sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
+      assert(mine == expected, s"q=$q\n got=$mine\n exp=$expected")
+    }
+  }
+
+  test("LSH top-k returns exact cosines, valid ranks, nonempty for self-bucket") {
+    val got = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty) // query shares its own bucket with at least itself-neighbors? at minimum runs
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq, s"ranks consecutive for q=$q")
+      sorted.foreach { case (qid, vid, c, _) =>
+        val expected = r6(cos(vecs(qid.toInt)._2, vecs(vid.toInt)._2))
+        assert(c == expected, s"cos mismatch q=$qid v=$vid")
+      }
+      // candidates are a subset => per-query results never exceed k
+      assert(rows.length <= 5)
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Enrich
+import graft.sinks.Sinks
+import graft.sources.{SpotSource, SpotSynth}
+import java.nio.file.Files
+
+class SourceSinkSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val jsonFixture =
+    """[
+      |  {"Spotnum": 100, "Date": 1614159000, "Reporter": "KD2OM", "ReporterGrid": "FN12gx",
+      |   "dB": -21, "MHz": 7.040172, "CallSign": "N6GN\/P", "Grid": "DN70", "Power": 23,
+      |   "Drift": 0, "distance": 2543, "azimuth": 68, "Band": 7, "version": "2.3.0",
+      |   "code": 1, "UnknownKey": "drop-me"},
+      |  {"Spotnum": 99, "Date": 1614159000, "Reporter": "W1AW", "ReporterGrid": "FN31",
+      |   "dB": -10, "MHz": 14.097100, "CallSign": "K1JT", "Grid": "FN20", "Power": 30,
+      |   "Drift": 1, "distance": 100, "azimuth": 10, "Band": 14, "version": "2.3.0", "code": 0}
+      |]""".stripMargin
+
+  test("JSON source: schema-on-read drops unknown keys, unescapes callsigns (S5/P1/P2)") {
+    val dir = tmp("json-src")
+    Files.writeString(java.nio.file.Path.of(dir, "batch.json"), jsonFixture)
+    val df = SpotSource.fromJson(spark, s"$dir/batch.json")
+    assert(df.columns.toSeq == graft.spots.SpotSchema.apiColumns)
+    val rows = SpotSource.sorted(df).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(99L, 100L)) // numeric sort (O1)
+    assert(rows(1).getString(6) == "N6GN/P") // JSON reader resolved \/
+  }
+
+  test("CSV source: malformed rows silently dropped (S4/F2)") {
+    val dir = tmp("csv-src")
+    val csv =
+      """2021-02-24:09:30,100,1614159000,KD2OM,FN12gx,-21,7.040172,N6GN/P,DN70,23,0,2543,68,7,2.3.0,1
+        |THIS,ROW,IS,MALFORMED
+        |2021-02-24:09:30,101,1614159000,W1AW,FN31,-10,14.0971,K1JT,FN20,30,1,100,10,14,2.3.0,0""".stripMargin
+    Files.writeString(java.nio.file.Path.of(dir, "spots.csv"), csv)
+    val df = SpotSource.fromCsv16(spark, s"$dir/spots.csv")
+    assert(df.count() == 2)
+    // dispatch by extension (S6)
+    assert(SpotSource.load(spark, s"$dir/spots.csv").count() == 2)
+  }
+
+  test("CSV 27-col sink roundtrip (K2) keeps values and order") {
+    val dir = tmp("csv-sink")
+    val enriched = Enrich.formatted(
+      SpotSynth.fromDir(spark, "/root/testdata/sf0.001").limit(50))
+    Sinks.writeCsv27(enriched, s"$dir/out")
+    val back = SpotSource.fromCsv27(spark, s"$dir/out")
+    assert(back.count() == 50)
+    val a = enriched.orderBy("Spotnum").collect().map(_.toSeq.map(String.valueOf))
+    val b = back.orderBy("Spotnum").collect().map(_.toSeq.map(String.valueOf))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("JDBC sink (K3): batched append into Derby with mixed-case identifiers") {
+    val url = "jdbc:derby:memory:spotsdb;create=true"
+    val enriched = Enrich.formatted(
+      SpotSynth.fromDir(spark, "/root/testdata/sf0.001").limit(30))
+    Sinks.jdbcAppend(enriched, url, "spots", batchSize = 10)
+    val back = spark.read.jdbc(url, "spots", new java.util.Properties())
+    assert(back.count() == 30)
+    assert(back.columns.toSeq == graft.spots.SpotSchema.enriched27Columns)
+    // append again: INSERT-only at-least-once parity (no upsert), count doubles
+    Sinks.jdbcAppend(enriched, url, "spots", batchSize = 10)
+    assert(spark.read.jdbc(url, "spots", new java.util.Properties()).count() == 60)
+  }
+
+  test("multi-sink fan-out (K5) writes the same batch to both sinks") {
+    val dir = tmp("fanout")
+    val enriched = Enrich.formatted(
+      SpotSynth.fromDir(spark, "/root/testdata/sf0.001").limit(20))
+    Sinks.fanOut(enriched, Seq(
+      df => Sinks.writeCsv27(df, s"$dir/a"),
+      df => df.write.mode("overwrite").parquet(s"$dir/b")))
+    assert(SpotSource.fromCsv27(spark, s"$dir/a").count() == 20)
+    assert(spark.read.parquet(s"$dir/b").count() == 20)
+  }
+}

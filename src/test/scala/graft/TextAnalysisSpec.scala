@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats and quality on hand-computed docs") {
+    val docs = Seq(
+      (0L, "the a the b"),
+      (1L, "x y z"),
+      (2L, "the the the the")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.docStats(docs).collect().sortBy(_.getLong(0))
+    // doc 0: 4 tokens, 3 distinct (the,a,b), 3 stopwords
+    assert(rows(0).getLong(1) == 4 && rows(0).getLong(2) == 3 && rows(0).getLong(3) == 3)
+    val q0 = 0.4 * math.min(1.0, 4.0 / 100) + 0.3 * (1 - 3.0 / 4) + 0.3 * (3.0 / 4)
+    assert(math.abs(rows(0).getDouble(4) - q0) < 1e-6)
+    // doc 1: no stopwords, all distinct
+    assert(rows(1).getLong(1) == 3 && rows(1).getLong(2) == 3 && rows(1).getLong(3) == 0)
+    // doc 2: all stopwords, 1 distinct
+    assert(rows(2).getLong(2) == 1 && rows(2).getLong(3) == 4)
+  }
+
+  test("fingerprint is the documented rolling hash") {
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text")
+    val fp = TextAnalysis.docStats(docs).collect().head.getLong(6)
+    val expected = (('a'.toInt.toLong * 131) + 'b'.toInt) % 2147483647L
+    assert(fp == expected)
+  }
+
+  test("lang prediction: marker hits win; ties resolve alphabetically") {
+    val docs = Seq(
+      (0L, "join merge join"),      // zh markers
+      (1L, "the batch"),            // tie de/en -> de
+      (2L, "data query data fast")  // es 3 vs fr 1 -> es
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docStats(docs).collect().sortBy(_.getLong(0)).map(_.getString(5))
+    assert(got.toSeq == Seq("zh", "de", "es"))
+  }
+}
