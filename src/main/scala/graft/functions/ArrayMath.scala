@@ -3,16 +3,22 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> embedding columns, as built-in
-  * higher-order functions (codegen-capable, no UDF round-trips).
+/** Vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> embedding columns.
   *
   * Fold order is sequential left-to-right — bit-identical to DuckDB's
-  * list_dot_product / list_sum, which the oracle SQL mirrors.
+  * list_dot_product / list_sum, which the oracle SQL mirrors. The hot path
+  * is a native codegen expression (expressions.DotProduct); [[dotHof]] keeps
+  * the built-in higher-order-function formulation as a semantic cross-check
+  * (it is CodegenFallback — interpreted — and ~an order of magnitude slower).
   */
 object ArrayMath {
 
-  /** Sequential-fold dot product of two equal-length numeric arrays (as double). */
+  /** Sequential-fold dot product of two numeric arrays (as double). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorFunctions.vec_dot(a, b)
+
+  /** Built-in HOF formulation of [[dot]] — same bits, interpreted eval. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)

@@ -21,7 +21,9 @@ object Audit {
     * (gap_after, next_present) are absent. Input ids must be distinct and >= 0. */
   def gapDetails(df: DataFrame, idCol: String, bucketWidth: Long = 1L << 20): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("id"))
-      .withColumn("bucket", (col("id") / bucketWidth).cast("long"))
+      // integer `div`, not `/`: double division would corrupt bucket ids
+      // beyond 2^53 — real at 100 TB sequence scales
+      .withColumn("bucket", expr(s"id div ${bucketWidth}L"))
     val wIntra = Window.partitionBy("bucket").orderBy("id")
     val intra = ids
       .withColumn("prev", lag("id", 1).over(wIntra))

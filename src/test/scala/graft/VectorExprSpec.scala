@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.ArrayMath
+import graft.functions.expressions.VectorFunctions
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** The native DotProduct expression must be bit-identical to the built-in
+  * HOF formulation in both interpreted and codegen paths. */
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(7)
+  private val data: Seq[(Long, Array[Float], Array[Float])] = (0 until 200).map { i =>
+    (i.toLong,
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1))
+  }
+
+  test("native vec_dot == HOF dot, bitwise, on float arrays") {
+    val df = data.toDF("id", "a", "b")
+      .withColumn("native", ArrayMath.dot(col("a"), col("b")))
+      .withColumn("hof", ArrayMath.dotHof(col("a"), col("b")))
+    val rows = df.collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("vec_dot matches local sequential fold and handles double arrays") {
+    val df = data.toDF("id", "a", "b")
+      .withColumn("d", ArrayMath.dot(col("a").cast("array<double>"), col("b").cast("array<double>")))
+    val got = df.select("id", "d").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    data.foreach { case (id, a, b) =>
+      val expected = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      assert(got(id) == expected, s"id=$id")
+    }
+  }
+
+  test("vec_dot: null array -> null; null element -> null; length mismatch -> min-length fold") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (2L, null.asInstanceOf[Array[Float]], Array(1.0f))
+    ).toDF("id", "a", "b")
+      .withColumn("d", ArrayMath.dot(col("a"), col("b")))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDouble(3) == 11.0)
+    assert(rows(1).isNullAt(3))
+    VectorFunctions.register(spark)
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d, 9.0d), array(3.0d, 4.0d)) d")
+      .collect().head.getDouble(0) == 11.0)
+    assert(spark.sql("SELECT vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 1.0d)) d")
+      .collect().head.isNullAt(0))
+  }
+
+  test("SQL registration via extensions-style registry works") {
+    VectorFunctions.register(spark)
+    val d = spark.sql("SELECT vec_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) d")
+      .collect().head.getDouble(0)
+    assert(d == 3.0)
+  }
+}
