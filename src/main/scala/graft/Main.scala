@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Audit, Enrich}
+import graft.sinks.Sinks
+import graft.sources.{SpotSource, WsprNetClient}
+import graft.streaming.Ingest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI driver (reference: T2 scrape-once, T3 daemon loop, T6 getopts surface;
+  * wsprnet-scraper.sh:409-442, :615-683). Process management (T4 pidfile,
+  * T5 systemd) is subsumed by the streaming checkpoint's exactly-one-writer
+  * lock and the host's service manager.
+  *
+  * Usage:
+  *   graft.Main enrich  <in.json|in.csv> <outDir>          # E2: one batch through the enricher
+  *   graft.Main stream  <inDir> <checkpointDir> <outDir>   # file-drop daemon (T3)
+  *   graft.Main scrape  <outDir> [--once] [--no-upload]    # HTTP poll loop (T1 cadence)
+  */
+object Main {
+
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "enrich" :: in :: out :: Nil =>
+      val spark = session()
+      val batch = SpotSource.sorted(SpotSource.load(spark, in))
+      val enriched = Enrich.formatted(batch)
+      Sinks.writeCsv27(enriched, out)
+      val audit = Audit.gapAudit(batch, "Spotnum").collect().head
+      println(s"enriched=${enriched.count()} gaps=${audit.getLong(0)} missing=${audit.getLong(1)}")
+      spark.stop()
+
+    case "stream" :: in :: ckpt :: out :: Nil =>
+      val spark = session()
+      val q = Ingest.start(spark, in, ckpt, out)
+      q.awaitTermination()
+
+    case "scrape" :: out :: flags =>
+      val spark = session()
+      val cfg = WsprNetClient.Config(
+        user = sys.env.getOrElse("WSPRNET_USER", ""),
+        password = sys.env.getOrElse("WSPRNET_PASSWORD", ""))
+      val transport = new WsprNetClient.JdkTransport(cfg.fetchTimeoutSeconds)
+      var sessionOpt: Option[WsprNetClient.Session] = None
+      var cursor = Ingest.bootstrapCursor(spark, out)
+      val upload = !flags.contains("--no-upload")
+      var continue = true
+      while (continue) {
+        val (batch, s) = WsprNetClient.scrapeOnce(spark, transport, cfg, sessionOpt, cursor)
+        sessionOpt = Some(s)
+        val enriched = Enrich.formatted(SpotSource.sorted(batch))
+        enriched.persist()
+        try {
+          val n = enriched.count()
+          if (n > 0) {
+            if (upload) enriched.write.mode("append").parquet(out)
+            cursor = enriched.agg(max(col("Spotnum").cast("long"))).first().getLong(0)
+          }
+          println(s"scrape: $n spots, cursor=$cursor")
+        } finally enriched.unpersist()
+        if (flags.contains("--once")) continue = false
+        else Thread.sleep(Ingest.secondsToNextOffset(System.currentTimeMillis() / 1000) * 1000)
+      }
+      spark.stop()
+
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("usage: enrich <in> <outDir> | stream <in> <ckpt> <out> | scrape <out> [--once] [--no-upload]")
+      sys.exit(2)
+  }
+}
