@@ -175,6 +175,11 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 10)
         .orderBy("q_id", "rank")
     }),
+    "q42_sim_topk_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, 10, nlist = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
     // ---- extension: text analysis -----------------------------------------
     "q37_text_stats" -> ((s, dir) =>
       TextAnalysis.docStats(t(s, dir, "documents"))

@@ -48,6 +48,59 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF coarse quantizer: nlist deterministic seed centroids (hash-ordered
+    * sample of the corpus) refined by `iters` Lloyd steps, all as DataFrame
+    * plans: assignment is a broadcast cross-join + per-row argmax, the
+    * centroid update is `dim` codegen'd avg() aggregates. Returns
+    * (cid, center: array<double>). */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, dim: Int, iters: Int = 1): DataFrame = {
+    val seeds = corpus
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(nlist)
+      .select(row_number().over(Window.orderBy(col("vec_id"))).cast("long").as("cid"),
+        col("embedding").cast("array<double>").as("center"))
+    (0 until iters).foldLeft(seeds) { (centroids, _) =>
+      assignToCentroids(corpus, centroids)
+        .join(corpus, "vec_id")
+        .groupBy("cid")
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col("embedding").cast("array<double>"), i + 1))): _*).as("center"))
+    }
+  }
+
+  /** Per-vector nearest centroid by cosine (deterministic tie-break on cid). */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", ArrayMath.cosineKey(col("embedding"), col("center")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+
+  /** IVF top-k: probe the `nprobe` nearest centroids per query, exact-rerank
+    * only vectors in probed cells. With nprobe == nlist this degenerates to
+    * exact brute force (tested); smaller nprobe trades recall for touching
+    * nprobe/nlist of the corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, dim)
+    val assigned = corpus.join(assignToCentroids(corpus, centroids), "vec_id")
+    val qProbes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", ArrayMath.cosineKey(col("q_emb"), col("center")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    val scored = assigned.join(broadcast(qProbes), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket; exact re-rank
     * within candidates. Recall < 1 by design; the operator trades it for a
     * bucket-local join instead of a full cross product. */

@@ -77,6 +77,19 @@ object Ingest {
       .start()
   }
 
+  /** Watermarked per-band spot-rate aggregation — the robust form of the
+    * reference's per-cycle stats line (A5) under late/out-of-order arrivals
+    * (the reference assumes in-order arrival, SURVEY.md §2 T7): tumbling
+    * 2-minute windows (one WSPR cycle) with bounded lateness state. */
+  def windowedSpotStats(spots: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    spots
+      .withColumn("event_time", to_timestamp(from_unixtime(col("Date"))))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "2 minutes"), col("Band"))
+      .agg(count(lit(1)).as("n_spots"), avg(col("dB")).as("avg_snr"))
+      .select(col("window.start").as("cycle_start"), col("Band"),
+        col("n_spots"), col("avg_snr"))
+
   /** WSPR cycle alignment (T1): seconds to sleep until the next scrape offset
     * within the 120 s cycle (offsets 55/85/115, wsprnet-scraper.sh:344-376).
     * Exposed for a driver loop around Trigger.AvailableNow. */

@@ -50,6 +50,31 @@ class StreamingSpec extends SparkSpec {
     assert(Ingest.bootstrapCursor(spark, dir) == 7L)
   }
 
+  test("watermarked windowed stats emit finalized cycles, drop too-late rows (T7)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Long, Int, Int)] // (Spotnum, Date, Band, dB)
+    val spots = source.toDF().toDF("Spotnum", "Date", "Band", "dB")
+    val q = Ingest.windowedSpotStats(spots, "4 minutes")
+      .writeStream.format("memory").queryName("cycles").outputMode(OutputMode.Append).start()
+    val t0 = 1614159000L - 1614159000L % 120 // cycle-aligned
+    // cycle 1 rows + a slightly-late row, then advance far beyond the watermark
+    source.addData((1L, t0 + 10, 7, -20), (2L, t0 + 60, 7, -10), (3L, t0 + 130, 14, -5))
+    q.processAllAvailable()
+    source.addData((4L, t0 + 3600, 7, -1)) // advances watermark, finalizes old windows
+    q.processAllAvailable()
+    source.addData((5L, t0 + 20, 7, -30))  // too late: beyond watermark, dropped
+    q.processAllAvailable()
+    val rows = spark.table("cycles").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.contains((t0, 7, 2L, -15.0)), s"got ${rows.toSeq}")
+    assert(rows.contains((t0 + 120, 14, 1L, -5.0)))
+    assert(!rows.exists(r => r._1 == t0 && r._3 == 3L), "late row must not reopen the window")
+    q.stop()
+  }
+
   test("cycle-offset alignment (T1)") {
     assert(Ingest.secondsToNextOffset(0) == 55)
     assert(Ingest.secondsToNextOffset(60) == 25)
