@@ -66,10 +66,18 @@ object Ingest {
         val out = processBatch(batch, cursor)
         out.persist()
         try {
-          val stats = out.agg(count(lit(1)), max(col("Spotnum").cast("long"))).first()
+          val stats = out.agg(count(lit(1)),
+            min(col("Spotnum").cast("long")), max(col("Spotnum").cast("long"))).first()
           if (stats.getLong(0) > 0) { // F5: skip empty cycles
+            // A2: cross-batch sequence gap against the previous batch's max
+            // (wsprnet-scraper.sh:335-339 — logged, never re-fetched)
+            val crossGap = stats.getLong(1) - cursor - 1
+            if (cursor > 0 && crossGap > 1) {
+              System.err.println(
+                s"[ingest] batch $batchId: cross-batch gap of $crossGap spotnums after $cursor")
+            }
             out.write.mode("append").parquet(outputDir)
-            cursor = math.max(cursor, stats.getLong(1))
+            cursor = math.max(cursor, stats.getLong(2))
           }
         } finally out.unpersist()
         ()
