@@ -198,6 +198,12 @@ object SparkEntry {
     "q40_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.docStats(t(s, dir, "documents"))
         .select("doc_id", "fp").orderBy("doc_id")),
+    "q43_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.normalizeText(concat(col("text"), lit("  MIXED-Case!! 42 "))).as("norm_text"),
+        TextAnalysis.subwordCount(concat(col("text"), lit(" x9z."))).as("n_subwords"))
+        .orderBy("doc_id")),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -355,6 +361,11 @@ object SparkEntry {
         s"""SELECT doc_id, $langPredictSql AS lang_pred FROM documents ORDER BY doc_id""",
       "q40_text_fingerprint" ->
         s"""SELECT doc_id, $fingerprintSql AS fp FROM documents ORDER BY doc_id""",
+      "q43_text_normalize" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text || '  MIXED-Case!! 42 '), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+          |  CAST(len(regexp_extract_all(lower(text || ' x9z.'), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subwords
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q41_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,

@@ -61,6 +61,20 @@ object TextAnalysis {
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L), (acc, x) => (acc * 131 + x) % 2147483647L)
 
+  /** Canonical text normalization for dedup keys: lowercase, strip everything
+    * but [a-z0-9 ], collapse whitespace runs, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** BPE-ish subword count: tokens are runs of letters, runs of digits, or
+    * single other non-space characters — the usual pre-tokenizer shape, a
+    * deterministic stand-in for a learned BPE vocab. Counted via
+    * regexp_count (mirrored with DuckDB's regexp_extract_all length). */
+  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(SubwordPattern), lit(0))).cast("long")
+
   /** Per-document stats frame. */
   def docStats(docs: DataFrame): DataFrame =
     docs.select(

@@ -28,6 +28,36 @@ object Sinks {
       .option("batchsize", batchSize)
       .jdbc(url, table, props)
 
+  /** Idempotent variant of [[jdbcAppend]]: stage the batch, then MERGE on the
+    * key — re-delivered batches (at-least-once upstream) become no-ops, giving
+    * exactly-once warehouse contents without coordinating with the cursor.
+    * The reference is INSERT-only and duplicates on replay (SURVEY.md §3 E3);
+    * this is the documented robustness upgrade. */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, keyCol: String,
+      props: java.util.Properties = new java.util.Properties(),
+      batchSize: Int = 1000): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    val exists =
+      try { conn.createStatement().executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
+      catch { case _: java.sql.SQLException => false }
+    if (!exists) {
+      conn.close()
+      jdbcAppend(df, url, table, props, batchSize) // first batch creates the table
+    } else {
+      try {
+        val staging = s"${table}_staging"
+        df.write.mode("overwrite").option("batchsize", batchSize).jdbc(url, staging, props)
+        val cols = df.columns
+        val quoted = cols.map(c => s""""$c"""").mkString(", ")
+        val values = cols.map(c => s"""s."$c"""").mkString(", ")
+        val merge =
+          s"""MERGE INTO $table t USING $staging s ON t."$keyCol" = s."$keyCol"
+             |WHEN NOT MATCHED THEN INSERT ($quoted) VALUES ($values)""".stripMargin
+        conn.createStatement().executeUpdate(merge)
+      } finally conn.close()
+    }
+  }
+
   /** K5 shape: fan a single materialized batch out to several sinks without
     * recomputing the plan (the reference re-reads the CSV per mirror; here we
     * cache the batch once). */

@@ -69,6 +69,20 @@ class SourceSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "spots", new java.util.Properties()).count() == 60)
   }
 
+  test("JDBC upsert: replayed batches are no-ops (exactly-once contents)") {
+    val url = "jdbc:derby:memory:upsertdb;create=true"
+    val enriched = Enrich.formatted(
+      SpotSynth.fromDir(spark, "/root/testdata/sf0.001").limit(20))
+    Sinks.jdbcUpsert(enriched, url, "spots_u", "Spotnum")        // creates
+    Sinks.jdbcUpsert(enriched, url, "spots_u", "Spotnum")        // replay: no-op
+    val overlap = Enrich.formatted(
+      SpotSynth.fromDir(spark, "/root/testdata/sf0.001").limit(30)) // 10 new
+    Sinks.jdbcUpsert(overlap, url, "spots_u", "Spotnum")
+    val back = spark.read.jdbc(url, "spots_u", new java.util.Properties())
+    assert(back.count() == 30)
+    assert(back.select("Spotnum").distinct().count() == 30)
+  }
+
   test("multi-sink fan-out (K5) writes the same batch to both sinks") {
     val dir = tmp("fanout")
     val enriched = Enrich.formatted(

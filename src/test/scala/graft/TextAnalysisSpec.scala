@@ -29,6 +29,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp == expected)
   }
 
+  test("normalization and BPE-ish subword counting") {
+    val docs = Seq((0L, "Hello,  WORLD!! x9z"), (1L, "")).toDF("doc_id", "text")
+    val rows = docs.select(
+      TextAnalysis.normalizeText($"text").as("n"),
+      TextAnalysis.subwordCount($"text").as("c")).collect()
+    assert(rows(0).getString(0) == "hello world x9z")
+    // hello , world ! ! x 9 z -> 8 subwords
+    assert(rows(0).getLong(1) == 8)
+    assert(rows(1).getString(0) == "" && rows(1).getLong(1) == 0)
+  }
+
   test("lang prediction: marker hits win; ties resolve alphabetically") {
     val docs = Seq(
       (0L, "join merge join"),      // zh markers
