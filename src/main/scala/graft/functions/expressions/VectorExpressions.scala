@@ -88,12 +88,98 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH sign signature as one codegen loop.
+  *
+  * Semantics identical to the HOF formulation in Similarity.lshBucket's
+  * original form: plane component for (plane p, dim d) is
+  * `pmod(xxhash64(p, d), 1e6)/5e5 - 1` (xxhash64 = seed-42 hashInt chain over
+  * the two ints), bit p of the signature = sign of the projection. The HOF version
+  * materializes a component array per row per plane (interpreted);
+  * this evaluates nPlanes x dim hash+multiply in-register.
+  */
+case class HyperplaneSignature(child: Expression, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case _ => DoubleType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig requires array<float|double>, got $other")
+  }
+
+  @inline private def component(p: Int, d: Int): Double = {
+    // xxhash64(lit(p), d) hashes INT inputs via hashInt — match exactly
+    var h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L)
+    h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(d, h)
+    val r = h % 1000000L
+    val m = if (r < 0) r + 1000000L else r
+    m.toDouble / 500000.0 - 1.0
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        if (a.isNullAt(d)) return null
+        val x = if (elemType == FloatType) a.getFloat(d).toDouble else a.getDouble(d)
+        proj += x * component(p, d)
+        d += 1
+      }
+      if (proj >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val acc = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig"); val p = ctx.freshName("p")
+      val d = ctx.freshName("d"); val proj = ctx.freshName("proj")
+      val h = ctx.freshName("h"); val r = ctx.freshName("r")
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $nPlanes && !${ev.isNull}; $p++) {
+         |  double $proj = 0.0;
+         |  for (int $d = 0; $d < $a.numElements(); $d++) {
+         |    if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }
+         |    long $h = $xxh.hashInt($d, $xxh.hashInt($p, 42L));
+         |    long $r = $h % 1000000L; if ($r < 0) $r += 1000000L;
+         |    $proj += ((double) $a.$acc($d)) * (((double) $r) / 500000.0 - 1.0);
+         |  }
+         |  if ($proj >= 0) $sig |= 1L << $p;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $sig; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column API + SQL registration for the vector expressions. */
 object VectorFunctions {
 
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def hyperplane_sig(emb: Column, nPlanes: Int): Column =
+    ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(emb), nPlanes))
 
   /** Register `vec_dot` into a session's function registry (idempotent) so
     * `spark.sql("... vec_dot(a, b) ...")` works without extensions wiring. */

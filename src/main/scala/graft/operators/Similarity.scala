@@ -36,8 +36,14 @@ object Similarity {
   private def planeComponent(p: Int, d: org.apache.spark.sql.Column) =
     (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 500000.0) - 1.0
 
-  /** Sign-signature bucket id from `nPlanes` deterministic hyperplanes. */
-  def lshBucket(emb: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column = {
+  /** Sign-signature bucket id from `nPlanes` deterministic hyperplanes
+    * (native codegen expression; see HyperplaneSignature). */
+  def lshBucket(emb: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column =
+    graft.functions.expressions.VectorFunctions.hyperplane_sig(emb, nPlanes)
+
+  /** HOF formulation of [[lshBucket]] — same bits, interpreted; kept as a
+    * semantic cross-check for the native expression. */
+  def lshBucketHof(emb: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column = {
     val v = emb.cast("array<double>")
     (0 until nPlanes).map { p =>
       val proj = aggregate(

@@ -55,6 +55,18 @@ class VectorExprSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("native hyperplane signature == HOF lshBucket, all rows") {
+    import graft.operators.Similarity
+    val df = data.toDF("id", "a", "b")
+      .withColumn("native", Similarity.lshBucket(col("a"), 8))
+      .withColumn("hof", Similarity.lshBucketHof(col("a"), 8))
+    val rows = df.select("id", "native", "hof").collect()
+    assert(rows.length == 200)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}"))
+    // signatures spread across buckets (not degenerate)
+    assert(rows.map(_.getLong(1)).distinct.length > 10)
+  }
+
   test("SQL registration via extensions-style registry works") {
     VectorFunctions.register(spark)
     val d = spark.sql("SELECT vec_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) d")
