@@ -34,6 +34,18 @@ object Dedup {
     docs.groupBy(key.as("dup_key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Skew-safe variant of [[exactGroups]]: pre-aggregate on (key, salt) so a
+    * hot normalization key (e.g. empty/boilerplate text at web scale) spreads
+    * across `salts` reducers before the final per-key combine. Identical
+    * results to exactGroups for any salts >= 1. */
+  def exactGroupsSalted(docs: DataFrame, key: Column, salts: Int = 64): DataFrame =
+    docs
+      .withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      .groupBy(key.as("dup_key"), col("_salt"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .groupBy("dup_key")
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n_dups")).as("n_dups"))
+
   /** Word n-grams over a materialized token-array column (no text re-split
     * per gram), distinct. */
   private def gramsOfToks(toks: Column, n: Int): Column = {

@@ -28,6 +28,16 @@ object Sinks {
       .option("batchsize", batchSize)
       .jdbc(url, table, props)
 
+  /** At-rest layout for the 100 TB spot corpus: parquet partitioned by UTC
+    * day (derived from Date). Day partitions turn the cursor/time filters
+    * into partition pruning, and within-file min/max Spotnum stats prune
+    * row groups for id-range scans. */
+  def writeSpotsPartitioned(df: DataFrame, path: String): Unit =
+    df.withColumn("wd_date", to_date(from_unixtime(col("Date"))))
+      .repartition(col("wd_date"))
+      .sortWithinPartitions("Spotnum")
+      .write.mode("append").partitionBy("wd_date").parquet(path)
+
   /** Idempotent variant of [[jdbcAppend]]: stage the batch, then MERGE on the
     * key — re-delivered batches (at-least-once upstream) become no-ops, giving
     * exactly-once warehouse contents without coordinating with the cursor.
