@@ -25,16 +25,20 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").limit(1).collect()
       catch { case _: Throwable => () }
     }
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
-          .agg(sum("h")).collect()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (0 until benchRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+            .agg(sum("h")).collect()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min // min-of-N: steady-state cost, not GC/JIT noise
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

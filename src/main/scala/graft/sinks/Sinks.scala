@@ -68,6 +68,18 @@ object Sinks {
     }
   }
 
+  /** K4 shape: compressed spool-queue mirror. The reference queues bzip2'd
+    * CSVs with unique epoch-suffixed names into a directory that an
+    * independent uploader daemon drains (wsprnet-scraper.sh:94-141); the
+    * engine's side of that contract is the atomic spool write — the uploader
+    * stays a separate process. `batchTag` plays the epoch-suffix role
+    * (unique per batch, monotonic). */
+  def spoolCompressed(df: DataFrame, spoolDir: String, batchTag: Long): Unit =
+    df.select(SpotSchema.enriched27Columns.map(col): _*)
+      .write.mode("errorifexists")
+      .option("header", value = false).option("compression", "bzip2")
+      .csv(s"$spoolDir/batch_$batchTag")
+
   /** K5 shape: fan a single materialized batch out to several sinks without
     * recomputing the plan (the reference re-reads the CSV per mirror; here we
     * cache the batch once). */

@@ -83,6 +83,24 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.select("Spotnum").distinct().count() == 30)
   }
 
+  test("compressed spool queue (K4): unique batch dirs, bz2 payload, no overwrite") {
+    val dir = tmp("spool")
+    val enriched = Enrich.formatted(
+      SpotSynth.fromDir(spark, "/root/testdata/sf0.001").limit(10))
+    Sinks.spoolCompressed(enriched, dir, batchTag = 1700000001L)
+    Sinks.spoolCompressed(enriched, dir, batchTag = 1700000002L)
+    val files = java.nio.file.Files.walk(java.nio.file.Path.of(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".csv.bz2"))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("batch_1700000001") || f.contains("batch_1700000002")))
+    // same tag again must refuse (queue entries are immutable)
+    intercept[Exception] {
+      Sinks.spoolCompressed(enriched, dir, batchTag = 1700000001L)
+    }
+    // payload is readable back as the 27-col format
+    assert(SpotSource.fromCsv27(spark, s"$dir/batch_1700000001").count() == 10)
+  }
+
   test("multi-sink fan-out (K5) writes the same batch to both sinks") {
     val dir = tmp("fanout")
     val enriched = Enrich.formatted(
