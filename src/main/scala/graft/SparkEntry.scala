@@ -148,6 +148,12 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("hour", "event_type")),
+    "q23_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000000000").as("ts_sec"), col("value")),
+        gapSeconds = 1800)
+        .orderBy("user_id", "session_start")),
     // ---- extension: dedup -------------------------------------------------
     "q30_dedup_exact" -> ((s, dir) => {
       val key = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
@@ -316,6 +322,20 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q23_sessionize" ->
+        """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec, value FROM events),
+          |f AS (SELECT *,
+          |    CASE WHEN lag(ts_sec) OVER w IS NULL
+          |           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+          |g AS (SELECT *, sum(new_session) OVER
+          |    (PARTITION BY user_id ORDER BY ts_sec ROWS UNBOUNDED PRECEDING) AS session_idx
+          |  FROM f)
+          |SELECT user_id, min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM g GROUP BY user_id, session_idx
+          |ORDER BY user_id, session_start""".stripMargin,
       "q30_dedup_exact" ->
         """SELECT array_to_string((string_split(text, ' '))[1:5], ' ') AS dup_key,
           |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
