@@ -148,6 +148,32 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("hour", "event_type")),
+    "q24_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with_orders"))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_orders"))
+      withO.crossJoin(withoutO)
+    }),
+    "q25_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+    "q26_above_cust_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .withColumn("cust_avg",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+        .orderBy("o_orderkey")
+    }),
     "q23_sessionize" -> ((s, dir) =>
       Sessionize.sessions(
         t(s, dir, "events").select(col("user_id"),
@@ -184,6 +210,26 @@ object SparkEntry {
     "q42_sim_topk_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, 10, nlist = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+    "q44_sim_topk_agg" -> ((s, dir) => {
+      // same contract as q35, computed with the bounded-heap TopKAggregator
+      // (k rows per group through partial agg instead of a full window sort)
+      import graft.functions.{ArrayMath, TopKAggregator}
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = emb.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .select(col("q_id"),
+          ArrayMath.cosineKey(col("q_emb"), col("embedding")).as("cos"), col("vec_id"))
+        .as[(Long, Double, Long)]
+      scored.groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(new TopKAggregator(10).toColumn)
+        .toDF("q_id", "topk")
+        .select(col("q_id"), posexplode(col("topk")))
+        .select(col("q_id"), col("col._2").as("vec_id"), col("col._1").as("cos"),
+          (col("pos") + 1).cast("long").as("rank"))
         .orderBy("q_id", "rank")
     }),
     // ---- extension: text analysis -----------------------------------------
@@ -322,6 +368,27 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q24_semi_anti" ->
+        """SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+          |     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+          |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders""".stripMargin,
+      "q25_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS linestatus,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY returnflag, linestatus""".stripMargin,
+      "q26_above_cust_avg" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+          |  SELECT o_orderkey, o_custkey, o_totalprice,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |           OVER (PARTITION BY o_custkey) AS DOUBLE)
+          |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+          |  FROM orders) _w
+          |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
       "q23_sessionize" ->
         """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec, value FROM events),
           |f AS (SELECT *,
@@ -360,6 +427,14 @@ object SparkEntry {
            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4e0
            |ORDER BY a_id, b_id""".stripMargin,
+      "q44_sim_topk_agg" -> // identical contract to q35, different physical op
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+           |scored AS (SELECT q.q_id, c.vec_id, ${cosineSql("q.q_emb", "c.embedding")} AS cos
+           |  FROM embeddings c JOIN q ON q.q_id <> c.vec_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
       "q35_sim_topk" ->
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
            |scored AS (SELECT q.q_id, c.vec_id, ${cosineSql("q.q_emb", "c.embedding")} AS cos

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k aggregate: keeps the k best (score desc, id asc) pairs per
+  * group in a fixed-size buffer.
+  *
+  * This is the scale-correct alternative to `row_number().over(Window)` for
+  * top-k: the window form sorts every candidate row within each partition key;
+  * this aggregator carries at most k entries per group through partial
+  * aggregation (map-side combine), so shuffle volume is k rows per group
+  * instead of all rows. Same contract as the window form — used by
+  * q44, which must hash-match q35's window-based oracle.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (score, id) => (-score, id) }
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    s.sorted(ord).take(k)
+
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    trim(buf :+ in)
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(a ++ b)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf.sorted(ord)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+}
