@@ -16,6 +16,9 @@ object Engine {
 
   def register(spark: SparkSession, sfDir: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // wd_time and day-partition derivations are session-TZ-dependent
+    // (from_unixtime); the reference mandates UTC (wsprnet-scraper.sh:17)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tableNames.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }

@@ -21,16 +21,18 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
+  // buffer invariant: always sorted best-first, size <= k
   private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
     s.sorted(ord).take(k)
 
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    trim(buf :+ in)
+    if (buf.size == k && ord.compare(in, buf.last) >= 0) buf // common case: O(1) reject
+    else trim(buf :+ in)
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
 
-  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf.sorted(ord)
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()

@@ -19,11 +19,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   * This expression generates a tight primitive loop inside whole-stage
   * codegen: no allocation, no boxing.
   *
-  * Semantics are BIT-IDENTICAL to the built-in formulation (and to DuckDB's
-  * list_dot_product, which the oracle uses): sequential left-to-right fold of
-  * double products, each float element widened exactly before multiplying.
-  * Returns null if either array is null or any touched element is null;
-  * folds over min(len(a), len(b)) elements.
+  * For equal-length arrays the result is BIT-IDENTICAL to the built-in
+  * formulation (and to DuckDB's list_dot_product, which the oracle uses):
+  * sequential left-to-right fold of double products, each float element
+  * widened exactly before multiplying. Returns null if either array is null
+  * or any touched element is null. On UNEQUAL lengths the semantics
+  * deliberately diverge from the HOF form: this folds over min(len(a),
+  * len(b)), whereas zip_with null-pads the shorter side and the aggregate
+  * collapses to null — a ragged pair yields a value here and null there.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

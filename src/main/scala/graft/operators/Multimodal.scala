@@ -24,15 +24,19 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB decoder: deterministic fake feature extraction from the first bytes.
-    * A real build replaces this body with the actual codec call; signature and
-    * batch shape stay identical. */
+  /** STUB decoder: deterministic fake feature extraction — the fake features
+    * derive from the first two Unicode code points of the UTF-8 payload (not
+    * raw bytes, so the DuckDB oracle's ascii() mirror holds for non-ASCII
+    * payloads too). A real build replaces this body with the actual codec
+    * call; signature and batch shape stay identical. */
   def stubDecode(batch: Seq[MediaRow]): Seq[MediaMeta] =
     batch.map { r =>
-      val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xFF else 0
-      val b1 = if (r.payload.length > 1) r.payload(1) & 0xFF else 0
+      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val c0 = if (text.nonEmpty) text.codePointAt(0) else 0
+      val c1 = if (text.codePointCount(0, text.length) > 1)
+        text.codePointAt(text.offsetByCodePoints(0, 1)) else 0
       MediaMeta(r.doc_id, r.payload.length.toLong,
-        1L + b0 % 64, 1L + b1 % 64, 1L + r.payload.length % 8)
+        1L + c0 % 64, 1L + c1 % 64, 1L + r.payload.length % 8)
     }
 
   /** Batched per-partition decode: groups rows into fixed-size batches inside

@@ -37,44 +37,49 @@ object Sessionize {
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
-  /** Streaming: session rows are emitted once closed (gap elapsed in event
-    * time). Input must carry an `event_time` timestamp column with a
-    * watermark at least as large as the gap. */
+  /** Streaming: session rows are emitted once closed — and a session closes
+    * ONLY when the watermark passes its gap, never eagerly on a later event:
+    * within the watermark's lateness bound an out-of-order event may still
+    * extend a session backward or bridge two sessions, so the state is the
+    * full list of open sessions and inserts merge by interval
+    * ([start-gap, last+gap]), coalescing neighbors an event bridges.
+    * Input must carry an `event_time` column with a watermark at least as
+    * large as the gap; results then match the batch [[sessions]] over the
+    * same closed input even under reordering within the lateness bound. */
   def sessionsStreaming(spark: SparkSession, events: Dataset[Ev],
       gapSeconds: Long): Dataset[SessionOut] = {
     import spark.implicits._
+
+    def insert(open: List[SessionState], ts: Long): List[SessionState] = {
+      val (touching, rest) = open.partition(s =>
+        ts >= s.start - gapSeconds && ts <= s.last + gapSeconds)
+      val merged = touching.foldLeft(SessionState(ts, ts, 1)) { (acc, s) =>
+        SessionState(math.min(acc.start, s.start), math.max(acc.last, s.last), acc.n + s.n)
+      }
+      (merged :: rest).sortBy(_.start)
+    }
+
+    def closeRipe(open: List[SessionState], watermarkMs: Long):
+        (List[SessionState], List[SessionState]) =
+      open.partition(s => (s.last + gapSeconds) * 1000L < watermarkMs)
+
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          if (state.hasTimedOut) {
-            // watermark passed: every open session is closed by definition
-            val out = state.getOption.getOrElse(Nil).map(s =>
-              SessionOut(userId, s.start, s.last, s.n))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = batch.toSeq.sortBy(_.ts_sec)
-            var open = state.getOption.getOrElse(Nil).sortBy(_.start)
-            var closed = List.empty[SessionState]
-            sorted.foreach { e =>
-              open match {
-                case cur :: rest if e.ts_sec - cur.last <= gapSeconds =>
-                  open = cur.copy(last = math.max(cur.last, e.ts_sec), n = cur.n + 1) :: rest
-                case cur :: rest =>
-                  closed = cur :: closed
-                  open = SessionState(e.ts_sec, e.ts_sec, 1) :: rest
-                case Nil =>
-                  open = List(SessionState(e.ts_sec, e.ts_sec, 1))
-              }
-            }
-            state.update(open)
-            // keep state alive until the open session's gap can elapse
-            open.headOption.foreach { s =>
-              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000L + 1000L)
-            }
-            closed.reverseIterator.map(s => SessionOut(userId, s.start, s.last, s.n))
+          val wm = state.getCurrentWatermarkMs()
+          val open0 = state.getOption.getOrElse(Nil)
+          val open1 =
+            if (state.hasTimedOut) open0
+            else batch.foldLeft(open0)((acc, e) => insert(acc, e.ts_sec))
+          val (ripe, stillOpen) = closeRipe(open1, wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(stillOpen)
+            state.setTimeoutTimestamp(
+              (stillOpen.map(_.last).min + gapSeconds) * 1000L + 1000L)
           }
+          ripe.sortBy(_.start).iterator.map(s => SessionOut(userId, s.start, s.last, s.n))
       }
   }
 }

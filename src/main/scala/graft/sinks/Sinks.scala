@@ -54,9 +54,11 @@ object Sinks {
       conn.close()
       jdbcAppend(df, url, table, props, batchSize) // first batch creates the table
     } else {
+      // unique per-call staging table: concurrent upserts into the same target
+      // must not share (and overwrite) one staging name; dropped when done
+      val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       try {
-        val staging = s"${table}_staging"
-        df.write.mode("overwrite").option("batchsize", batchSize).jdbc(url, staging, props)
+        df.write.mode("errorifexists").option("batchsize", batchSize).jdbc(url, staging, props)
         val cols = df.columns
         val quoted = cols.map(c => s""""$c"""").mkString(", ")
         val values = cols.map(c => s"""s."$c"""").mkString(", ")
@@ -64,7 +66,11 @@ object Sinks {
           s"""MERGE INTO $table t USING $staging s ON t."$keyCol" = s."$keyCol"
              |WHEN NOT MATCHED THEN INSERT ($quoted) VALUES ($values)""".stripMargin
         conn.createStatement().executeUpdate(merge)
-      } finally conn.close()
+      } finally {
+        try conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => () }
+        conn.close()
+      }
     }
   }
 

@@ -21,11 +21,12 @@ object WsprNetClient {
   }
 
   /** java.net.http implementation for production use (S1/S2 timeouts:
-    * login 60 s, fetch 120 s — wsprnet-scraper.sh:171, :233). */
+    * login 60 s, fetch 120 s — wsprnet-scraper.sh:171, :233). One client per
+    * transport: keep-alive connections are reused across the poll loop. */
   final class JdkTransport(timeoutSeconds: Long) extends HttpTransport {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
     def post(url: String, body: String, headers: Map[String, String]): String = {
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
       val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
@@ -49,9 +50,17 @@ object WsprNetClient {
 
   final class AuthFailure(msg: String) extends RuntimeException(msg)
 
+  /** Minimal JSON string escape — credentials are user input. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** S1: POST credentials to the Drupal REST login; parse sessid/session_name. */
   def login(transport: HttpTransport, cfg: Config): Session = {
-    val body = s"""{"name":"${cfg.user}","pass":"${cfg.password}"}"""
+    val body = s"""{"name":"${jsonEscape(cfg.user)}","pass":"${jsonEscape(cfg.password)}"}"""
     val resp = transport.post(s"${cfg.baseUrl}/drupal/rest/user/login",
       body, Map("Content-Type" -> "application/json"))
     val sessid = """"sessid"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp).map(_.group(1))

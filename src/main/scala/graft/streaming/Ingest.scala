@@ -37,16 +37,19 @@ object Ingest {
   /** Bootstrap the cursor from the sink's max Spotnum (S3 semantics,
     * wsprnet-scraper.sh:211-229) — 0 on cold start instead of the reference's
     * abort (:223-226). */
-  def bootstrapCursor(spark: SparkSession, sinkParquetDir: String): Long =
-    try {
-      val files = new java.io.File(sinkParquetDir).listFiles()
-      if (files == null || files.isEmpty) 0L
-      else spark.read.parquet(sinkParquetDir)
-        .agg(max(col("Spotnum"))).first() match {
+  def bootstrapCursor(spark: SparkSession, sinkParquetDir: String): Long = {
+    val files = new java.io.File(sinkParquetDir).listFiles()
+    if (files == null || files.isEmpty) 0L // genuine cold start
+    else {
+      // an EXISTING non-empty sink that fails to read must abort, not silently
+      // restart from 0 — cursor 0 re-ingests the whole history as duplicates
+      spark.read.parquet(sinkParquetDir)
+        .agg(max(col("Spotnum").cast("long"))).first() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-    } catch { case _: Throwable => 0L }
+    }
+  }
 
   /** Start the streaming ingest: JSON file-drop -> enrich -> parquet append.
     * The cross-batch cursor survives restarts by re-bootstrapping from the

@@ -6,14 +6,18 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   test("payload metadata extraction through the batched decoder") {
-    val docs = Seq((0L, "hello world"), (1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val docs = Seq((0L, "hello world"), (1L, "x"), (2L, ""), (3L, "émoji"))
+      .toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs), batchSize = 2)
       .collect().sortBy(_.doc_id)
     assert(meta(0).n_bytes == 11)
     assert(meta(0).width == 1 + 'h' % 64 && meta(0).height == 1 + 'e' % 64)
     assert(meta(0).n_frames == 1 + 11 % 8)
-    assert(meta(1).n_bytes == 1 && meta(1).height == 1) // missing 2nd byte -> b1=0
+    assert(meta(1).n_bytes == 1 && meta(1).height == 1) // missing 2nd char -> c1=0
     assert(meta(2).n_bytes == 0 && meta(2).width == 1)  // empty payload
+    // non-ASCII: features come from code points (= DuckDB ascii()), bytes from UTF-8
+    assert(meta(3).n_bytes == 6)
+    assert(meta(3).width == 1 + 0xE9 % 64 && meta(3).height == 1 + 'm' % 64)
   }
 
   test("decoder batching: batches never exceed batchSize and cover all rows") {
