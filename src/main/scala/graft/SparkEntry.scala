@@ -148,6 +148,24 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("hour", "event_type")),
+    "q27_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .withColumn("day", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_total"),
+          types.map(ty =>
+            count(when(col("event_type") === ty, 1)).as(s"n_$ty")): _*)
+        .orderBy("day")
+    }),
+    "q28_quantiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          min("value").cast("double").as("vmin"),
+          max("value").cast("double").as("vmax"))
+        .orderBy("event_type")),
     "q24_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
       val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
@@ -368,6 +386,21 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q27_pivot" ->
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |  CAST(count(*) AS BIGINT) AS n_total,
+          |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+          |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+          |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+          |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+          |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+          |FROM events GROUP BY day ORDER BY day""".stripMargin,
+      "q28_quantiles" ->
+        """SELECT event_type,
+          |  round(quantile_cont(value, 0.5e0), 4) AS p50,
+          |  round(quantile_cont(value, 0.9e0), 4) AS p90,
+          |  min(value) AS vmin, max(value) AS vmax
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q24_semi_anti" ->
         """SELECT
           |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
