@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Audit
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-hygiene guards: the physical-plan properties the scale design relies
+  * on, asserted so a refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==" — keep
+    // only the final section or every node is counted twice
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q01: filter pushed to parquet, columns pruned, partial aggregation") {
+    val p = plan(SparkEntry.queries("q01_pricing")(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"), "map-side combine must precede the exchange")
+    assert(!p.contains("l_orderkey"), "untouched columns must not be read")
+  }
+
+  test("q20: dimension joins broadcast, no shuffle join") {
+    val p = plan(SparkEntry.queries("q20_join_agg")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q13 enrichment: narrow plan — only the final sort exchanges") {
+    val p = plan(SparkEntry.queries("q13_enrich")(spark, dir))
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1
+      && !p.contains("Exchange hashpartitioning"), s"enrichment must not shuffle:\n$p")
+    assert(p.contains("*(1) Project"), "geo math must stay inside a codegen stage")
+  }
+
+  test("gap audit: intra window is bucket-partitioned, not global") {
+    val ids = spark.read.parquet(s"$dir/events.parquet").select("event_id")
+    val p = plan(Audit.gapDetails(ids, "event_id", 1024))
+    // two Window nodes: one partitioned by bucket, one over bucket aggregates
+    assert("Window ".r.findAllIn(p).size == 2)
+    assert(p.contains("hashpartitioning(bucket"),
+      "intra-bucket lag must partition by bucket (parallel), not sort globally")
+  }
+
+  test("q35 similarity: query side broadcast against the corpus") {
+    val p = plan(SparkEntry.queries("q35_sim_topk")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q03 cursor filter: scalar cursor broadcast, corpus scan stays streamed") {
+    val p = plan(SparkEntry.queries("q03_cursor_filter")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row cursor side must broadcast")
+  }
+}

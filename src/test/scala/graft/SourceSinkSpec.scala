@@ -31,6 +31,17 @@ class SourceSinkSpec extends SparkSpec {
     assert(rows(1).getString(6) == "N6GN/P") // JSON reader resolved \/
   }
 
+  test("typed Dataset[Spot] surface: encode, filter, and map with field checks") {
+    import graft.spots.SpotSchema.Spot
+    import spark.implicits._
+    val dir = tmp("typed")
+    Files.writeString(java.nio.file.Path.of(dir, "batch.json"), jsonFixture)
+    val ds = SpotSource.fromJson(spark, s"$dir/batch.json").as[Spot]
+    val strong = ds.filter(_.dB > -15).map(s => (s.CallSign, s.MHz)).collect()
+    assert(strong.toSeq == Seq(("K1JT", 14.0971)))
+    assert(ds.map(_.Spotnum).collect().sorted.toSeq == Seq(99L, 100L))
+  }
+
   test("CSV source: malformed rows silently dropped (S4/F2)") {
     val dir = tmp("csv-src")
     val csv =
