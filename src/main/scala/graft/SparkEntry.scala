@@ -214,6 +214,15 @@ object SparkEntry {
     "q34_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), 0.4)
         .orderBy("a_id", "b_id")),
+    "q45_dedup_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), 0.4)
+        .orderBy("a_id", "b_id")),
+    "q46_text_hash_neardup" -> ((s, dir) => {
+      // text -> hashed vectors -> cosine near-dup: the cross-modality bridge
+      val vecs = TextAnalysis.hashingVectorize(t(s, dir, "documents"), 64)
+        .withColumnRenamed("doc_id", "vec_id")
+      Dedup.embeddingNearDupPairs(vecs, 0.95).orderBy("a_id", "b_id")
+    }),
     // ---- extension: similarity search -------------------------------------
     "q35_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

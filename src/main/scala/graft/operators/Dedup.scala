@@ -186,4 +186,21 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
+
+  /** Scale path for [[embeddingNearDupPairs]]: only pairs sharing a
+    * hyperplane-LSH bucket are scored — the join is bucket-local instead of a
+    * full cross product. Recall < 1 (a cos>=threshold pair on opposite sides
+    * of some plane is missed); precision is exact (candidates re-scored). */
+  def embeddingNearDupPairsLsh(emb: DataFrame, threshold: Double,
+      nPlanes: Int = 8): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      Similarity.lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", ArrayMath.cosineKey(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+      .dropDuplicates("a_id", "b_id")
+  }
 }

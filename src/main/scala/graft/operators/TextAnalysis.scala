@@ -75,6 +75,21 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(SubwordPattern), lit(0))).cast("long")
 
+  /** Feature-hashing vectorizer: token counts hashed into a fixed `dim`-wide
+    * dense double array (the hashing trick) — turns text into an embedding
+    * column compatible with every vector operator (cosine near-dup, ANN,
+    * vec_dot), with no vocabulary to build or broadcast. One explode + one
+    * groupBy; the array assembles from a per-doc index->count map. */
+  def hashingVectorize(docs: DataFrame, dim: Int): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), pmod(xxhash64(col("token")), lit(dim.toLong)).as("idx"))
+      .groupBy("doc_id", "idx").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim.toLong - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("embedding"))
+
   /** Per-document stats frame. */
   def docStats(docs: DataFrame): DataFrame =
     docs.select(

@@ -77,6 +77,31 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 2L)))
   }
 
+  test("LSH embedding near-dup: subset of exact pairs, exact cosines") {
+    val rnd = new scala.util.Random(3)
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.sin((i % 6) * 2.1 + d * 0.8) + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, 0.9, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH precision must be exact (candidates re-scored)")
+    assert(lsh.nonEmpty && lsh.size.toDouble / exact.size >= 0.5,
+      s"clustered data should keep recall: ${lsh.size}/${exact.size}")
+  }
+
+  test("hashing vectorizer: deterministic dims, counts land in hashed slots") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((0L, "a b a"), (1L, "a b a"), (2L, "z z z z")).toDF("doc_id", "text")
+    val vecs = TextAnalysis.hashingVectorize(docs, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs(0).length == 16 && vecs(0).sum == 3.0) // 3 tokens counted
+    assert(vecs(0) == vecs(1), "identical text -> identical vector")
+    assert(vecs(2).sum == 4.0 && vecs(2).count(_ > 0) == 1) // one token type
+  }
+
   test("embedding near-dup pairs: exact pairwise on planted vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
