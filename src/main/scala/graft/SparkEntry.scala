@@ -148,6 +148,15 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("hour", "event_type")),
+    "q29_setops" -> ((s, dir) => {
+      val sp = spots(s, dir).select("Spotnum", "CallSign")
+      val evens = sp.filter(col("Spotnum") % 2 === 0)
+      val thirds = sp.filter(col("Spotnum") % 3 === 0)
+      val inter = evens.intersect(thirds).agg(count(lit(1)).as("n_intersect"))
+      val except = evens.except(thirds).agg(count(lit(1)).as("n_except"))
+      val union = evens.union(thirds).distinct().agg(count(lit(1)).as("n_union"))
+      inter.crossJoin(except).crossJoin(union)
+    }),
     "q27_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       t(s, dir, "events")
@@ -395,6 +404,14 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q29_setops" ->
+        s"""$spotsWith, sp AS (SELECT "Spotnum", "CallSign" FROM spots),
+           |e AS (SELECT * FROM sp WHERE "Spotnum" % 2 = 0),
+           |t3 AS (SELECT * FROM sp WHERE "Spotnum" % 3 = 0)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM e INTERSECT SELECT * FROM t3)) AS n_intersect,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM e EXCEPT SELECT * FROM t3)) AS n_except,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM e UNION SELECT * FROM t3)) AS n_union""".stripMargin,
       "q27_pivot" ->
         """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
           |  CAST(count(*) AS BIGINT) AS n_total,
