@@ -75,6 +75,28 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup with bounded state (dropDuplicatesWithinWatermark)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{from_unixtime, to_timestamp}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Long)] // (Spotnum, Date)
+    val deduped = source.toDF().toDF("Spotnum", "Date")
+      .withColumn("event_time", to_timestamp(from_unixtime($"Date")))
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("Spotnum")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    source.addData((1L, 1000L), (2L, 1060L), (1L, 1000L)) // in-batch dup
+    q.processAllAvailable()
+    source.addData((2L, 1060L), (3L, 1120L))              // cross-batch replay
+    q.processAllAvailable()
+    val ids = spark.table("dedup_stream").select("Spotnum")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"replays must be dropped while state is live: $ids")
+    q.stop()
+  }
+
   test("cycle-offset alignment (T1)") {
     assert(Ingest.secondsToNextOffset(0) == 55)
     assert(Ingest.secondsToNextOffset(60) == 25)
