@@ -26,7 +26,8 @@ class TopKAggregator(k: Int)
     s.sorted(ord).take(k)
 
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    if (buf.size == k && ord.compare(in, buf.last) >= 0) buf // common case: O(1) reject
+    if (k <= 0) buf
+    else if (buf.size == k && ord.compare(in, buf.last) >= 0) buf // common case: O(1) reject
     else trim(buf :+ in)
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =

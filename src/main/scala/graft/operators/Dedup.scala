@@ -197,10 +197,10 @@ object Dedup {
       Similarity.lshBucket(col("embedding"), nPlanes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    // one bucket per vector => each pair can appear at most once; no dedup pass
     a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .withColumn("cos", ArrayMath.cosineKey(col("a_emb"), col("b_emb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
-      .dropDuplicates("a_id", "b_id")
   }
 }

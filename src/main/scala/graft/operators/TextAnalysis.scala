@@ -80,15 +80,20 @@ object TextAnalysis {
     * column compatible with every vector operator (cosine near-dup, ANN,
     * vec_dot), with no vocabulary to build or broadcast. One explode + one
     * groupBy; the array assembles from a per-doc index->count map. */
-  def hashingVectorize(docs: DataFrame, dim: Int): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+  def hashingVectorize(docs: DataFrame, dim: Int): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "") // split artifacts: empty/whitespace-only text
       .select(col("doc_id"), pmod(xxhash64(col("token")), lit(dim.toLong)).as("idx"))
       .groupBy("doc_id", "idx").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("idx"), col("c")))).as("m"))
+    // left join keeps token-less docs as zero vectors (element_at(null,_) -> 0)
+    docs.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         transform(sequence(lit(0L), lit(dim.toLong - 1)),
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("embedding"))
+  }
 
   /** Per-document stats frame. */
   def docStats(docs: DataFrame): DataFrame =

@@ -55,8 +55,10 @@ object Sinks {
       jdbcAppend(df, url, table, props, batchSize) // first batch creates the table
     } else {
       // unique per-call staging table: concurrent upserts into the same target
-      // must not share (and overwrite) one staging name; dropped when done
-      val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // must not share (and overwrite) one staging name; dropped when done.
+      // Short suffix — long names get identifier-truncated (e.g. Postgres 63
+      // bytes), which would silently re-collide concurrent stagings
+      val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.take(8)}"
       try {
         df.write.mode("errorifexists").option("batchsize", batchSize).jdbc(url, staging, props)
         val cols = df.columns
@@ -68,7 +70,10 @@ object Sinks {
         conn.createStatement().executeUpdate(merge)
       } finally {
         try conn.createStatement().executeUpdate(s"DROP TABLE $staging")
-        catch { case _: java.sql.SQLException => () }
+        catch {
+          case e: java.sql.SQLException =>
+            System.err.println(s"[sink] leaked staging table $staging: ${e.getMessage}")
+        }
         conn.close()
       }
     }

@@ -50,17 +50,11 @@ object WsprNetClient {
 
   final class AuthFailure(msg: String) extends RuntimeException(msg)
 
-  /** Minimal JSON string escape — credentials are user input. */
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-
-  /** S1: POST credentials to the Drupal REST login; parse sessid/session_name. */
+  /** S1: POST credentials to the Drupal REST login; parse sessid/session_name.
+    * Credentials are user input — escaped (graft.util.Json). */
   def login(transport: HttpTransport, cfg: Config): Session = {
-    val body = s"""{"name":"${jsonEscape(cfg.user)}","pass":"${jsonEscape(cfg.password)}"}"""
+    val body =
+      s"""{"name":${graft.util.Json.quote(cfg.user)},"pass":${graft.util.Json.quote(cfg.password)}}"""
     val resp = transport.post(s"${cfg.baseUrl}/drupal/rest/user/login",
       body, Map("Content-Type" -> "application/json"))
     val sessid = """"sessid"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp).map(_.group(1))

@@ -38,8 +38,11 @@ object Ingest {
     * wsprnet-scraper.sh:211-229) — 0 on cold start instead of the reference's
     * abort (:223-226). */
   def bootstrapCursor(spark: SparkSession, sinkParquetDir: String): Long = {
-    val files = new java.io.File(sinkParquetDir).listFiles()
-    if (files == null || files.isEmpty) 0L // genuine cold start
+    // cold start = no COMMITTED data; a crashed first write leaves only
+    // _temporary/_SUCCESS debris, which must still count as cold
+    val files = Option(new java.io.File(sinkParquetDir).listFiles()).getOrElse(Array.empty)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    if (files.isEmpty) 0L
     else {
       // an EXISTING non-empty sink that fails to read must abort, not silently
       // restart from 0 — cursor 0 re-ingests the whole history as duplicates

@@ -100,6 +100,11 @@ class DedupSpec extends SparkSpec {
     assert(vecs(0).length == 16 && vecs(0).sum == 3.0) // 3 tokens counted
     assert(vecs(0) == vecs(1), "identical text -> identical vector")
     assert(vecs(2).sum == 4.0 && vecs(2).count(_ > 0) == 1) // one token type
+    // empty / whitespace-only docs stay present with true zero vectors
+    val edge = Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text")
+    val zeros = TextAnalysis.hashingVectorize(edge, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(zeros(9L).forall(_ == 0.0) && zeros(10L).forall(_ == 0.0))
   }
 
   test("embedding near-dup pairs: exact pairwise on planted vectors") {
