@@ -148,6 +148,17 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("hour", "event_type")),
+    "q47_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("ts_sec"), col("value"))
+      val upd = ev.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_sec").agg(max("value").as("profile_value"))
+      val l = ev.filter(col("event_id") % 10 =!= 0)
+      AsOfJoin.asOf(l, upd, "user_id", "ts_sec", Seq("profile_value"))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          col("asof_profile_value"))
+        .orderBy("event_id")
+    }),
     "q29_setops" -> ((s, dir) => {
       val sp = spots(s, dir).select("Spotnum", "CallSign")
       val evens = sp.filter(col("Spotnum") % 2 === 0)
@@ -404,6 +415,14 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q47_asof_join" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value FROM events),
+          |upd AS (SELECT user_id, ts_sec, max(value) AS profile_value
+          |        FROM ev WHERE event_id % 10 = 0 GROUP BY 1, 2),
+          |l AS (SELECT * FROM ev WHERE event_id % 10 <> 0)
+          |SELECT l.event_id, l.user_id, l.ts_sec, u.profile_value AS asof_profile_value
+          |FROM l ASOF LEFT JOIN upd u ON l.user_id = u.user_id AND l.ts_sec >= u.ts_sec
+          |ORDER BY event_id""".stripMargin,
       "q29_setops" ->
         s"""$spotsWith, sp AS (SELECT "Spotnum", "CallSign" FROM spots),
            |e AS (SELECT * FROM sp WHERE "Spotnum" % 2 = 0),
