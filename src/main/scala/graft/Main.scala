@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   graft.Main enrich  <in.json|in.csv> <outDir>          # E2: one batch through the enricher
+  *   graft.Main audit   <in.json|in.csv|parquetDir>        # A1 gap audit as one JSON line
   *   graft.Main stream  <inDir> <checkpointDir> <outDir>   # file-drop daemon (T3)
   *   graft.Main scrape  <outDir> [--once] [--no-upload]    # HTTP poll loop (T1 cadence)
   */
@@ -39,6 +40,16 @@ object Main {
       Sinks.writeCsv27(enriched, out)
       val audit = Audit.gapAudit(batch, "Spotnum").collect().head
       println(s"enriched=${enriched.count()} gaps=${audit.getLong(0)} missing=${audit.getLong(1)}")
+      spark.stop()
+
+    case "audit" :: in :: Nil =>
+      val spark = session()
+      val batch =
+        if (in.endsWith(".json") || in.endsWith(".csv")) SpotSource.load(spark, in)
+        else spark.read.parquet(in)
+      val a = Audit.gapAudit(batch, "Spotnum").collect().head
+      val n = batch.count()
+      println(s"""{"rows":$n,"total_gaps":${a.getLong(0)},"total_missing":${a.getLong(1)},"max_gap":${a.getLong(2)}}""")
       spark.stop()
 
     case "stream" :: in :: ckpt :: out :: Nil =>
@@ -76,7 +87,7 @@ object Main {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: enrich <in> <outDir> | stream <in> <ckpt> <out> | scrape <out> [--once] [--no-upload]")
+      System.err.println("usage: enrich <in> <outDir> | audit <in> | stream <in> <ckpt> <out> | scrape <out> [--once] [--no-upload]")
       sys.exit(2)
   }
 }
