@@ -162,6 +162,19 @@ object OracleSql {
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
 
+  /** CTE chain ending in `pairs(a_id, b_id, a_n, b_n, common)` — the
+    * inverted-index 3-gram pair counts over `documents` (mirrors
+    * Dedup.ngramJaccardPairs' shape; threshold applied by the caller). */
+  val ngramPairsWith: String =
+    s"""WITH g AS (SELECT doc_id, unnest(${grams3("text")}) AS gram FROM documents),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+       |gs AS (SELECT g.doc_id, g.gram, sizes.n_grams FROM g JOIN sizes ON g.doc_id = sizes.doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_grams AS a_n, b.n_grams AS b_n,
+       |         CAST(count(*) AS BIGINT) AS common
+       |  FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** Word 3-grams, distinct (mirrors Dedup.wordNGrams for n=3). */
   def grams3(textCol: String): String =
     s"(CASE WHEN len(string_split($textCol, ' ')) >= 3 THEN " +

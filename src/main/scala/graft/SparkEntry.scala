@@ -303,6 +303,16 @@ object SparkEntry {
         TextAnalysis.normalizeText(concat(col("text"), lit("  MIXED-Case!! 42 "))).as("norm_text"),
         TextAnalysis.subwordCount(concat(col("text"), lit(" x9z."))).as("n_subwords"))
         .orderBy("doc_id")),
+    "q48_curation" -> ((s, dir) => {
+      // the composed training-data curation pipeline: quality gate + near-dup
+      // removal (later doc of each >=0.8-jaccard pair dropped, min-id kept)
+      val docs = t(s, dir, "documents")
+      val stats = TextAnalysis.docStats(docs).select("doc_id", "n_tokens", "quality")
+      val dupB = Dedup.ngramJaccardPairs(docs, 3, 0.8).select(col("b_id")).distinct()
+      stats.filter(col("quality") >= 0.55)
+        .join(dupB, col("doc_id") === col("b_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -486,19 +496,21 @@ object SparkEntry {
           |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
           |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
       "q31_dedup_ngram" -> {
-        s"""WITH g AS (SELECT doc_id, unnest(${grams3("text")}) AS gram FROM documents),
-           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
-           |gs AS (SELECT g.doc_id, g.gram, sizes.n_grams FROM g JOIN sizes ON g.doc_id = sizes.doc_id),
-           |pairs AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_grams AS a_n, b.n_grams AS b_n,
-           |         CAST(count(*) AS BIGINT) AS common
-           |  FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2, 3, 4)
+        s"""$ngramPairsWith
            |SELECT a_id, b_id, common,
            |  round(CAST(common AS DOUBLE) / (a_n + b_n - common), 6) AS jaccard
            |FROM pairs WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0
            |ORDER BY a_id, b_id""".stripMargin
       },
+      "q48_curation" ->
+        s"""$ngramPairsWith,
+           |dup_b AS (SELECT DISTINCT b_id FROM pairs
+           |          WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.8e0)
+           |SELECT doc_id, $nTokens AS n_tokens, $qualitySql AS quality
+           |FROM documents
+           |WHERE $qualitySql >= 0.55e0
+           |  AND doc_id NOT IN (SELECT b_id FROM dup_b)
+           |ORDER BY doc_id""".stripMargin,
       "q34_dedup_embed" ->
         s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |  ${cosineSql("a.embedding", "b.embedding")} AS cos
