@@ -32,6 +32,15 @@ object IngestSmoke {
     val df = spark.read.parquet(out)
     println("AFTER_WAVE2=" + df.count())
     df.orderBy("Spotnum").show(3, truncate = false)
+
+    // freshness check: the reference's batch-size envelope is <=9999 spots per
+    // scrape (wsprnet-scraper.sh:333) and the cadence budget is 30 s
+    Files.writeString(Path.of(in, "b3.json"), batch(100L until 10100L))
+    val t0 = System.nanoTime()
+    Ingest.start(spark, in, ckpt, out, Trigger.AvailableNow()).awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"FRESHNESS_10K_SPOTS=$secs%.2f s (budget: 30 s cadence)")
+    println("AFTER_WAVE3=" + spark.read.parquet(out).count())
     spark.stop()
   }
 }
