@@ -148,6 +148,19 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("hour", "event_type")),
+    "q49_sample_split" -> ((s, dir) => {
+      // reproducible stratified sampling + train/val/test assignment
+      val fr = Map("click" -> 0.1, "error" -> 1.0, "purchase" -> 0.5,
+        "signup" -> 0.25, "view" -> 0.05)
+      Sampling.sampleStratified(
+        t(s, dir, "events").select(col("event_id"), col("event_type")),
+        "event_id", "event_type", fr)
+        .withColumn("split", Sampling.splitColumn(col("event_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("event_type", "split")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_checksum"))
+        .orderBy("event_type", "split")
+    }),
     "q47_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
         expr("ts div 1000000000").as("ts_sec"), col("value"))
@@ -425,6 +438,17 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q49_sample_split" -> {
+        val u = graft.operators.Sampling.unitHashSql("event_id")
+        s"""WITH h AS (SELECT event_id, event_type, $u AS u FROM events),
+           |f AS (SELECT *, CASE event_type WHEN 'click' THEN 0.1e0 WHEN 'error' THEN 1.0e0
+           |  WHEN 'purchase' THEN 0.5e0 WHEN 'signup' THEN 0.25e0 WHEN 'view' THEN 0.05e0
+           |  ELSE 0.0e0 END AS frac FROM h)
+           |SELECT event_type,
+           |  CASE WHEN u < 0.8e0 THEN 'train' WHEN u < 0.9e0 THEN 'val' ELSE 'test' END AS split,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS id_checksum
+           |FROM f WHERE u < frac GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin
+      },
       "q47_asof_join" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value FROM events),
           |upd AS (SELECT user_id, ts_sec, max(value) AS profile_value

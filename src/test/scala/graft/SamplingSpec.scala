@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 20000L).toDF("id")
+
+  test("deterministic: same input -> identical sample, any partitioning") {
+    val a = Sampling.sample(ids, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(ids.repartition(13), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // approximate proportion
+    assert(math.abs(a.size / 20000.0 - 0.3) < 0.02, s"${a.size}")
+  }
+
+  test("splits are exhaustive, disjoint, and near the requested weights") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = ids.withColumn("s", Sampling.splitColumn(col("id"), splits))
+    val counts = assigned.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000L)
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02, counts.toString)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.02)
+    // sample-of-sample nesting: a 0.1 sample is a subset of the 0.3 sample
+    val s01 = Sampling.sample(ids, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val s03 = Sampling.sample(ids, "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s01.subsetOf(s03), "fractions must nest for reproducible curricula")
+  }
+
+  test("stratified fractions apply per stratum") {
+    val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val out = Sampling.sampleStratified(df, "id", "grp", Map("a" -> 1.0, "b" -> 0.0))
+    assert(out.filter(col("grp") === "b").count() == 0)
+    assert(out.filter(col("grp") === "a").count() == 5000)
+  }
+}
