@@ -76,8 +76,8 @@ class GeoSpec extends SparkSpec {
     checkAgainstRef(edgePairs)
   }
 
-  test("enrichment matches reference math on 120 random locator pairs") {
-    val pairs = Gen.listOfN(120, Gen.zip(locGen, locGen)).sample.get
+  test("enrichment matches reference math on 400 random locator pairs") {
+    val pairs = Gen.listOfN(400, Gen.zip(locGen, locGen)).sample.get
     checkAgainstRef(pairs)
   }
 
