@@ -148,6 +148,26 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("hour", "event_type")),
+    "q50_histogram" -> ((s, dir) =>
+      // fixed-width value histogram per event_type (distribution profiling)
+      t(s, dir, "events")
+        .withColumn("bucket", floor(col("value") / 5.0).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("bucket_sum"))
+        .orderBy("event_type", "bucket")),
+    "q51_vocab" -> ((s, dir) => {
+      // vocabulary building: top-50 tokens by document frequency, then total
+      // frequency, with deterministic rank
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val w = Window.orderBy(col("df").desc, col("tf").desc, col("token").asc)
+      tok.groupBy("token")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 50)
+        .orderBy("rank")
+    }),
     "q49_sample_split" -> ((s, dir) => {
       // reproducible stratified sampling + train/val/test assignment
       val fr = Map("click" -> 0.1, "error" -> 1.0, "purchase" -> 0.5,
@@ -438,6 +458,19 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q50_histogram" ->
+        """SELECT event_type, CAST(floor(value / 5.0e0) AS BIGINT) AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+      "q51_vocab" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |v AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+          |             CAST(count(*) AS BIGINT) AS tf
+          |      FROM tok GROUP BY token),
+          |r AS (SELECT *, row_number() OVER (ORDER BY df DESC, tf DESC, token ASC) AS rank FROM v)
+          |SELECT token, df, tf, CAST(rank AS BIGINT) AS rank FROM r
+          |WHERE rank <= 50 ORDER BY rank""".stripMargin,
       "q49_sample_split" -> {
         val u = graft.operators.Sampling.unitHashSql("event_id")
         s"""WITH h AS (SELECT event_id, event_type, $u AS u FROM events),
