@@ -45,8 +45,8 @@ object Main {
     case "audit" :: in :: Nil =>
       val spark = session()
       val batch =
-        if (in.endsWith(".json") || in.endsWith(".csv")) SpotSource.load(spark, in)
-        else spark.read.parquet(in)
+        (if (in.endsWith(".json") || in.endsWith(".csv")) SpotSource.load(spark, in)
+         else spark.read.parquet(in)).cache() // two actions below, one read
       val a = Audit.gapAudit(batch, "Spotnum").collect().head
       val n = batch.count()
       println(s"""{"rows":$n,"total_gaps":${a.getLong(0)},"total_missing":${a.getLong(1)},"max_gap":${a.getLong(2)}}""")

@@ -161,6 +161,7 @@ object SparkEntry {
       // frequency, with deterministic rank
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "") // split artifacts from ragged whitespace
       val w = Window.orderBy(col("df").desc, col("tf").desc, col("token").asc)
       tok.groupBy("token")
         .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
@@ -464,7 +465,8 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
           |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
       "q51_vocab" ->
-        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        """WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |tok AS (SELECT * FROM tok0 WHERE token <> ''),
           |v AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
           |             CAST(count(*) AS BIGINT) AS tf
           |      FROM tok GROUP BY token),
@@ -472,15 +474,16 @@ object SparkEntry {
           |SELECT token, df, tf, CAST(rank AS BIGINT) AS rank FROM r
           |WHERE rank <= 50 ORDER BY rank""".stripMargin,
       "q49_sample_split" -> {
-        val u = graft.operators.Sampling.unitHashSql("event_id")
-        s"""WITH h AS (SELECT event_id, event_type, $u AS u FROM events),
+        val u0 = graft.operators.Sampling.unitHashSql("event_id", salt = 0)
+        val u1 = graft.operators.Sampling.unitHashSql("event_id", salt = 1)
+        s"""WITH h AS (SELECT event_id, event_type, $u0 AS u0, $u1 AS u1 FROM events),
            |f AS (SELECT *, CASE event_type WHEN 'click' THEN 0.1e0 WHEN 'error' THEN 1.0e0
            |  WHEN 'purchase' THEN 0.5e0 WHEN 'signup' THEN 0.25e0 WHEN 'view' THEN 0.05e0
            |  ELSE 0.0e0 END AS frac FROM h)
            |SELECT event_type,
-           |  CASE WHEN u < 0.8e0 THEN 'train' WHEN u < 0.9e0 THEN 'val' ELSE 'test' END AS split,
+           |  CASE WHEN u1 < 0.8e0 THEN 'train' WHEN u1 < 0.9e0 THEN 'val' ELSE 'test' END AS split,
            |  CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS id_checksum
-           |FROM f WHERE u < frac GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin
+           |FROM f WHERE u0 < frac GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin
       },
       "q47_asof_join" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value FROM events),

@@ -5,26 +5,47 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and splitting for training-data pipelines.
   *
-  * Everything derives from one arithmetic hash of the row id — no RNG state,
+  * Everything derives from an arithmetic hash of the row id — no RNG state,
   * no seed plumbing, identical results on every engine, every partitioning,
   * and every rerun (the properties a 100 TB train/val/test split needs).
-  * The hash is a 31-bit LCG step applied to `id mod 2^31`, kept in the range
-  * where BIGINT arithmetic cannot overflow in engines that trap overflow
-  * (DuckDB) — which makes it oracle-expressible, unlike xxhash64.
+  *
+  * Hash design (all constraints matter):
+  *  - both 31-bit halves of the id feed the hash (lo XOR lcg(hi)), so ids
+  *    beyond 2^31 do NOT alias — plain `id mod 2^31` would correlate row i
+  *    with row i + 2^31 forever;
+  *  - a `salt` selects independent hash streams: the sampling decision and
+  *    the split assignment use different salts, otherwise every sampled row
+  *    with u < fraction <= 0.8 would land in "train" (fully correlated);
+  *  - every intermediate stays < 2^31 * 1103515245 < 2^63, so the identical
+  *    formula runs in DuckDB (which traps BIGINT overflow) — see
+  *    [[unitHashSql]], the oracle mirror. Ids must be non-negative.
   */
 object Sampling {
 
   private val M = 2147483648L // 2^31
+  private val Mask = M - 1
 
-  /** Uniform-ish u(id) in [0, 1): ((id mod M) * 1103515245 + 12345) mod M / M. */
-  def unitHash(id: Column): Column =
-    ((pmod(id, lit(M)) * 1103515245L + 12345L) % M).cast("double") / M.toDouble
+  private def lcg(x: Column): Column = (x * 1103515245L + 12345L) % M
 
-  /** SQL mirror of [[unitHash]] (DuckDB dialect). */
-  def unitHashSql(id: String): String =
-    s"(CAST((($id % $M + $M) % $M * 1103515245 + 12345) % $M AS DOUBLE) / $M)"
+  /** Uniform-ish u(id, salt) in [0, 1). */
+  def unitHash(id: Column, salt: Int = 0): Column = {
+    val lo = id.bitwiseAND(lit(Mask))
+    val hi = shiftright(id, 31).bitwiseAND(lit(Mask))
+    val mixed = (0 to salt).foldLeft(lo.bitwiseXOR(lcg(hi)))((h, _) => lcg(h))
+    mixed.cast("double") / M.toDouble
+  }
 
-  /** Keep rows with u(id) < fraction. Deterministic Bernoulli sampling. */
+  /** SQL mirror of [[unitHash]] (DuckDB dialect) — keep textually parallel. */
+  def unitHashSql(id: String, salt: Int = 0): String = {
+    def lcgSql(x: String): String = s"((($x) * 1103515245 + 12345) % $M)"
+    val lo = s"(($id) & $Mask)"
+    val hi = s"(((($id) >> 31)) & $Mask)"
+    val mixed = (0 to salt).foldLeft(s"xor($lo, ${lcgSql(hi)})")((h, _) => lcgSql(h))
+    s"(CAST($mixed AS DOUBLE) / $M)"
+  }
+
+  /** Keep rows with u(id) < fraction. Deterministic Bernoulli sampling;
+    * fractions nest (a 0.1 sample is a subset of a 0.3 sample). */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(unitHash(col(idCol)) < fraction)
 
@@ -38,11 +59,13 @@ object Sampling {
   }
 
   /** Assign each row to a named split by cumulative weight thresholds, e.g.
-    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Weights must sum to 1;
-    * the last split also absorbs any floating residue. */
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Uses salt 1 — an
+    * independent hash stream from [[sample]], so sampling then splitting
+    * gives each stratum the full split mix. The last split absorbs any
+    * floating residue. */
   def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {
     val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
-    val u = unitHash(id)
+    val u = unitHash(id, salt = 1)
     splits.zip(cum).dropRight(1).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
         when(u < hi, name).otherwise(acc)

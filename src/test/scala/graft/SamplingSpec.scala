@@ -31,6 +31,29 @@ class SamplingSpec extends SparkSpec {
     assert(s01.subsetOf(s03), "fractions must nest for reproducible curricula")
   }
 
+  test("sampling and splitting are independent hash streams") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // inside a 0.3 sample, the split mix must still be ~80/10/10 — with a
+    // shared hash every sampled row would have u < 0.3 < 0.8 => all "train"
+    val sampled = Sampling.sample(ids, "id", 0.3)
+      .withColumn("s", Sampling.splitColumn(col("id"), splits))
+    val counts = sampled.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0,
+      s"degenerate split inside sample: $counts")
+    assert(math.abs(counts("train") / total - 0.8) < 0.03, counts.toString)
+  }
+
+  test("ids beyond 2^31 do not alias their low-31-bit twins") {
+    val big = (0L until 4000L).flatMap(i => Seq(i, i + (1L << 31))).toDF("id")
+    val sampled = Sampling.sample(big, "id", 0.5).collect().map(_.getLong(0)).toSet
+    val pairsAgreeing = (0L until 4000L).count(i =>
+      sampled.contains(i) == sampled.contains(i + (1L << 31)))
+    assert(pairsAgreeing < 2600, // ~50% expected under independence, 100% under aliasing
+      s"$pairsAgreeing/4000 low/high pairs agree — hash ignores high bits")
+  }
+
   test("stratified fractions apply per stratum") {
     val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "grp")
