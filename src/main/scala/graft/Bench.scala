@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Each query is forced end-to-end by hashing every
   * output column (a bare count() would let Spark prune the computed columns
-  * out of projection-only plans, timing nothing). */
+  * out of projection-only plans, timing nothing). The forcing aggregate is
+  * bit_xor — closed over Long, so it can never overflow under ANSI mode the
+  * way sum(xxhash64) does on full-range 64-bit hashes. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,9 +18,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Pin ANSI explicitly (Spark 4 default = true) so bench behavior never
+      // shifts with a deployment-level default.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    /** Force full execution of df: hash every output column per row, then
+      * bit_xor all row hashes into one Long. Overflow-free by construction. */
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+    }
     // Warm the JVM/codegen paths once on the smallest SF so per-query numbers
     // measure execution, not first-call JIT + plan-compile overhead.
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -27,23 +38,25 @@ object Bench {
     }
     val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until benchRuns).map { _ =>
+      val times = (0 until benchRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          val df = fn(spark, sfDir)
-          df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
-            .agg(sum("h")).collect()
+          force(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None // a failed run must not produce a timing
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min // min-of-N: steady-state cost, not GC/JIT noise
+      name -> (if (times.isEmpty) None else Some(times.min)) // min-of-N: steady-state cost
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

@@ -28,6 +28,7 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "true") // pin, don't inherit
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
