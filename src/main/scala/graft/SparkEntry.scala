@@ -158,15 +158,27 @@ object SparkEntry {
         .orderBy("event_type", "bucket")),
     "q51_vocab" -> ((s, dir) => {
       // vocabulary building: top-50 tokens by document frequency, then total
-      // frequency, with deterministic rank
+      // frequency, with deterministic rank. Ranked through the bounded-heap
+      // RowTopKAggregator (k rows per partition through partial agg) rather
+      // than a global row_number() window, which would sort the ENTIRE
+      // distinct-token set on one partition — a scale-killer for a web-scale
+      // vocabulary. The DuckDB oracle keeps the window form as a cross-check.
+      import graft.functions.RowTopKAggregator
+      import s.implicits._
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "") // split artifacts from ragged whitespace
-      val w = Window.orderBy(col("df").desc, col("tf").desc, col("token").asc)
+      val vocabOrd: Ordering[(Long, Long, String)] =
+        Ordering.by { case (df, tf, token) => (-df, -tf, token) }
       tok.groupBy("token")
         .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 50)
+        .select(col("df"), col("tf"), col("token")).as[(Long, Long, String)]
+        .groupByKey(_ => true)
+        .agg(new RowTopKAggregator(50, vocabOrd).toColumn)
+        .toDF("g", "topk")
+        .select(posexplode(col("topk")))
+        .select(col("col._3").as("token"), col("col._1").as("df"),
+          col("col._2").as("tf"), (col("pos") + 1).cast("long").as("rank"))
         .orderBy("rank")
     }),
     "q49_sample_split" -> ((s, dir) => {

@@ -39,3 +39,34 @@ class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
 }
+
+/** Bounded top-k over arbitrary rows with a caller-supplied ordering — the
+  * generalization of [[TopKAggregator]] for ranking keys that aren't a
+  * (score, id) pair. Used by q51's vocabulary ranking, where the key is
+  * (df desc, tf desc, token asc): the global `row_number()` window form sorts
+  * EVERY distinct token on one partition, while this carries at most k rows
+  * per partition through partial aggregation, so a web-scale vocabulary never
+  * concentrates on a single task.
+  */
+class RowTopKAggregator[T: scala.reflect.runtime.universe.TypeTag](
+    k: Int, ord: Ordering[T])
+    extends Aggregator[T, Seq[T], Seq[T]] {
+
+  override def zero: Seq[T] = Vector.empty
+
+  // buffer invariant: always sorted best-first, size <= k
+  private def trim(s: Seq[T]): Seq[T] = s.sorted(ord).take(k)
+
+  override def reduce(buf: Seq[T], in: T): Seq[T] =
+    if (k <= 0) buf
+    else if (buf.size == k && ord.compare(in, buf.last) >= 0) buf // O(1) reject
+    else trim(buf :+ in)
+
+  override def merge(a: Seq[T], b: Seq[T]): Seq[T] = trim(a ++ b)
+
+  override def finish(buf: Seq[T]): Seq[T] = buf
+
+  override def bufferEncoder: Encoder[Seq[T]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[T]]()
+  override def outputEncoder: Encoder[Seq[T]] = bufferEncoder
+}

@@ -67,20 +67,27 @@ object Dedup {
       .select(col("doc_id"), explode(gramsOfToks(col("toks"), n)).as("gram"))
 
   /** Exact n-gram Jaccard similar pairs (jaccard >= threshold).
-    * Inverted index as one groupBy(gram) -> per-bucket pair explosion -> pair
-    * count: a single wide shuffle instead of a two-sided self-join, and the
-    * gram table is computed once. `maxGramDocs` drops grams present in more
-    * than that many docs (stopword shingles) to bound the quadratic bucket
-    * blowup at scale — mandatory at 100 TB, a no-op on the fixtures. */
+    * Inverted index as a doc-frequency gate + gram-local self-join: grams with
+    * df == 1 (no pair) or df > `maxGramDocs` (stopword shingles) are dropped
+    * BEFORE any pairing, then the surviving (doc_id, gram) rows self-join on
+    * gram. No per-gram doc array is ever materialized in one task's heap (the
+    * earlier collect_list formulation died exactly that way on the 100x
+    * duplicate-heavy probe), and a residual hot gram is a skewed join key that
+    * AQE's skew-join split can spread across tasks. The cap bounds the
+    * quadratic term at maxGramDocs^2/2 pairs per gram — mandatory at 100 TB,
+    * a no-op on the fixtures (df there never exceeds the corpus size ~5000).
+    * Results are exact over the df-filtered gram space. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-      maxGramDocs: Int = 1000000): DataFrame = {
+      maxGramDocs: Int = 10000): DataFrame = {
     val g = gramRows(docs, n)
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val buckets = g.groupBy("gram").agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxGramDocs)
-    val pairs = buckets
-      .select(explode(col("ds")).as("a_id"), col("ds"))
-      .select(col("a_id"), explode(col("ds")).as("b_id"))
+    // gramRows is distinct-per-doc, so count(*) per gram == doc frequency
+    val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > 1 && col("gdf") <= maxGramDocs)
+      .select("gram")
+    val gf = g.join(keep, "gram")
+    val pairs = gf.select(col("gram"), col("doc_id").as("a_id"))
+      .join(gf.select(col("gram"), col("doc_id").as("b_id")), "gram")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
     val withSizes = pairs

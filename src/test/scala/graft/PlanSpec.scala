@@ -55,4 +55,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q03_cursor_filter")(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"), "1-row cursor side must broadcast")
   }
+
+  test("q51 vocab: bounded top-k aggregation, no global window sort") {
+    val p = plan(SparkEntry.queries("q51_vocab")(spark, dir))
+    assert(!p.contains("Window"),
+      s"vocab ranking must not sort all distinct tokens on one partition:\n$p")
+    assert(p.contains("partial_"), "top-k must combine map-side before the exchange")
+  }
 }
