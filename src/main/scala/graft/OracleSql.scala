@@ -149,11 +149,14 @@ object OracleSql {
     s"(CASE $arms END)"
   }
 
-  /** Mirrors TextAnalysis.fingerprint. */
-  val fingerprintSql: String =
+  /** Mirrors graft.functions.expressions.PolyHash over any string column. */
+  def polyHashSql(c: String): String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
       "(acc, x) -> (acc * 131 + x) % 2147483647)"
+
+  /** Mirrors TextAnalysis.fingerprint. */
+  val fingerprintSql: String = polyHashSql("text")
 
   /** Sequential-fold cosine over DOUBLE lists (mirrors ArrayMath.cosine:
     * list_dot_product folds left-to-right, verified bit-equal). */

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.PortableHashes
 import graft.operators._
 import graft.sources.SpotSynth
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -273,19 +274,30 @@ object SparkEntry {
     "q31_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.5)
         .orderBy("a_id", "b_id")),
+    // q32/q33/q45/q46 plug in the portable hash families so the DuckDB
+    // oracle can mirror the full approximate pipeline bit-for-bit (the
+    // xxhash64 defaults stay the library defaults and are spec-covered).
     "q32_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")),
+      Dedup.minhashLshPairs(t(s, dir, "documents"),
+          gramHashes = PortableHashes.minhashGramHashes,
+          bandBucket = PortableHashes.minhashBandBucket)
+        .orderBy("a_id", "b_id")),
     "q33_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")),
+      Dedup.simhashPairs(t(s, dir, "documents"),
+          tokenHash = graft.functions.expressions.TextFunctions.poly_hash,
+          bitOf = PortableHashes.simhashBit)
+        .orderBy("a_id", "b_id")),
     "q34_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), 0.4)
         .orderBy("a_id", "b_id")),
     "q45_dedup_embed_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), 0.4)
+      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), 0.4,
+          bucket = Some(e => PortableHashes.lshBucket(e, 8, 64)))
         .orderBy("a_id", "b_id")),
     "q46_text_hash_neardup" -> ((s, dir) => {
       // text -> hashed vectors -> cosine near-dup: the cross-modality bridge
-      val vecs = TextAnalysis.hashingVectorize(t(s, dir, "documents"), 64)
+      val vecs = TextAnalysis.hashingVectorize(t(s, dir, "documents"), 64,
+          tokenHash = PortableHashes.tokenSlot)
         .withColumnRenamed("doc_id", "vec_id")
       Dedup.embeddingNearDupPairs(vecs, 0.95).orderBy("a_id", "b_id")
     }),
@@ -366,9 +378,14 @@ object SparkEntry {
   )
 
   /** DuckDB oracles; keys must match [[queries]]. Queries absent here
-    * (q32/q33/q36: LSH internals with engine-specific hashing) get the
-    * driver's weaker rows-only check and are instead cross-checked against
-    * exact variants in the ScalaTest suites. */
+    * (q36/q42: ANN top-k rankings over engine-internal xxhash64 buckets /
+    * IVF cells) get the driver's weaker rows-only check and are instead
+    * cross-checked in ScalaTest (recall vs brute force; nprobe=nlist
+    * exactness). The other approximate ops (q32 MinHash, q33 SimHash,
+    * q45 hyperplane LSH, q46 feature hashing) use the portable hash
+    * families (graft.functions.PortableHashes), so their oracles below
+    * mirror the full pipeline — signatures, banding, bucketing, exact
+    * verification — bit-for-bit in SQL. */
   def oracleSql: Map[String, String] = {
     import OracleSql._
     Map(
@@ -583,6 +600,69 @@ object SparkEntry {
            |WHERE $qualitySql >= 0.55e0
            |  AND doc_id NOT IN (SELECT b_id FROM dup_b)
            |ORDER BY doc_id""".stripMargin,
+      "q32_dedup_minhash" -> // full mirror of the portable-hash MinHash-LSH pipeline
+        s"""WITH g AS (SELECT doc_id, unnest(${grams3("text")}) AS gram FROM documents),
+           |gh AS (SELECT doc_id, gram, ${polyHashSql("gram")} AS ph FROM g),
+           |sigs AS (SELECT doc_id, r.i AS i,
+           |         min((ph * (2*r.i + 3) + r.i) % 2147483647) AS s
+           |         FROM gh CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+           |bands AS (SELECT doc_id, i // 4 AS band,
+           |          list_reduce(list_prepend(CAST(0 AS BIGINT), list(s ORDER BY i)),
+           |                      (acc, x) -> (acc * 131 + x) % 2147483647) AS bucket
+           |          FROM sigs GROUP BY doc_id, i // 4),
+           |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |         FROM bands x JOIN bands y
+           |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+           |cm AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS common
+           |       FROM cand c JOIN g ga ON ga.doc_id = c.a_id
+           |       JOIN g gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+           |       GROUP BY 1, 2)
+           |SELECT cm.a_id, cm.b_id, cm.common,
+           |  round(CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common), 6) AS jaccard
+           |FROM cm JOIN sizes sa ON sa.doc_id = cm.a_id JOIN sizes sb ON sb.doc_id = cm.b_id
+           |WHERE CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) >= 0.35e0
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q33_dedup_simhash" -> // full mirror of the portable-hash SimHash pipeline
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |th AS (SELECT doc_id, ${polyHashSql("token")} AS h FROM tok),
+           |votes AS (SELECT doc_id, r.b AS b,
+           |          sum(CASE WHEN ((h * (2*r.b + 3)) % 2147483647) % 2 = 1 THEN 1 ELSE -1 END) AS v
+           |          FROM th CROSS JOIN range(0, 64) r(b) GROUP BY 1, 2),
+           |bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+           |ham AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+           |        CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+           |        FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+           |        GROUP BY 1, 2)
+           |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q45_dedup_embed_lsh" -> // full mirror of the portable hyperplane-LSH bucketing
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |bk AS (SELECT vec_id, emb,
+           |       list_sum(list_transform(generate_series(0, 7), p ->
+           |         CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
+           |           emb[d+1] * (CAST(((p*64 + d + 1) * 2654435761) % 2147483647 AS DOUBLE)
+           |                       / 1073741823.5e0 - 1.0e0))) >= 0
+           |         THEN CAST(1 << p AS BIGINT) ELSE 0 END)) AS bucket
+           |       FROM v),
+           |scored AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |           ${cosineSql("a.emb", "b.emb")} AS cos
+           |           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4e0
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q46_text_hash_neardup" -> // full mirror: poly_hash vectorizer + exact cosine pairs
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |tf AS (SELECT doc_id, ${polyHashSql("token")} % 64 AS idx, CAST(count(*) AS BIGINT) AS c
+           |       FROM tok WHERE token <> '' GROUP BY 1, 2),
+           |slots AS (SELECT d.doc_id, r.i AS i, CAST(coalesce(tf.c, 0) AS DOUBLE) AS v
+           |          FROM documents d CROSS JOIN range(0, 64) r(i)
+           |          LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.idx = r.i),
+           |vecs AS (SELECT doc_id, list(v ORDER BY i) AS emb FROM slots GROUP BY doc_id),
+           |scored AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |           ${cosineSql("a.emb", "b.emb")} AS cos
+           |           FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.95e0
+           |ORDER BY a_id, b_id""".stripMargin,
       "q34_dedup_embed" ->
         s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |  ${cosineSql("a.embedding", "b.embedding")} AS cos

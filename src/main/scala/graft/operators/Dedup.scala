@@ -100,23 +100,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash-LSH near-dup pairs: numHashes seeded-xxhash64 min-aggregates
-    * build the signature (codegen'd, one pass over gram rows), the signature
-    * is banded (bands x rowsPerBand = numHashes), candidates bucket-join on
+  /** MinHash-LSH near-dup pairs: numHashes min-aggregates build the
+    * signature (codegen'd, one pass over gram rows), the signature is banded
+    * (bands x rowsPerBand = numHashes), candidates bucket-join on
     * (band, band-hash), and exact jaccard is verified on candidates only.
-    * Output: pairs with exact jaccard >= threshold among LSH candidates. */
+    * Output: pairs with exact jaccard >= threshold among LSH candidates.
+    *
+    * `gramHashes` supplies the numHashes per-gram hash columns (default
+    * seeded xxhash64; [[graft.functions.PortableHashes.minhashGramHashes]]
+    * for the SQL-mirrorable family the oracle reproduces) and `bandBucket`
+    * combines a band's signature values into its bucket key. The hashes are
+    * projected BEFORE the min aggregates so a shared base hash is computed
+    * once per gram row (subexpression elimination). */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.35): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.35,
+      gramHashes: (Column, Int) => Seq[Column] =
+        (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
     val rowsPer = numHashes / bands
     val g = gramRows(docs, n)
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("gram"), lit(i))).as(s"h$i"))
-    val sigs = g.groupBy("doc_id")
+    val hashed = g.select(col("doc_id") +:
+      gramHashes(col("gram"), numHashes).zipWithIndex
+        .map { case (c, i) => c.as(s"gh$i") }: _*)
+    val sigCols = (0 until numHashes).map(i => min(col(s"gh$i")).as(s"h$i"))
+    val sigs = hashed.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("n_grams"): _*)
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64((b * rowsPer until (b + 1) * rowsPer).map(i => col(s"h$i")): _*)
+          bandBucket((b * rowsPer until (b + 1) * rowsPer).map(i => col(s"h$i")))
             .as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val cand = banded.as("x").join(banded.as("y"),
@@ -152,13 +164,23 @@ object Dedup {
   }
 
   /** SimHash signatures via exploded token rows + 64 codegen'd sum aggregates
-    * (identical values to [[simhash]]; integer sums are order-independent). */
-  def simhashSigs(docs: DataFrame): DataFrame = {
+    * (identical values to [[simhash]] for the default family; integer sums
+    * are order-independent).
+    *
+    * `tokenHash` hashes each token once (projected, shared across the 64
+    * votes); `bitOf(h, b)` extracts vote bit b as a 0/1 column. Defaults are
+    * xxhash64 + plain bit extraction; the portable family
+    * ([[graft.functions.PortableHashes.simhashBit]]) makes the signatures
+    * reproducible by the DuckDB oracle. */
+  def simhashSigs(docs: DataFrame,
+      tokenHash: Column => Column = xxhash64(_),
+      bitOf: (Column, Int) => Column =
+        (h, b) => shiftright(h, b).bitwiseAND(1)): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", tokenHash(col("token")))
     val voteCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b"))
+      sum(when(bitOf(col("h"), b) === 1, 1L).otherwise(-1L)).as(s"v$b"))
     tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(b =>
@@ -169,8 +191,11 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4), via
     * pigeonhole chunk bucketing: any pair within distance 3 agrees on at
     * least one of the four 16-bit chunks. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSigs(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_),
+      bitOf: (Column, Int) => Column =
+        (h, b) => shiftright(h, b).bitwiseAND(1)): DataFrame = {
+    val sigs = simhashSigs(docs, tokenHash, bitOf)
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(cNo => struct(lit(cNo).as("c"),
         shiftright(col("sig"), cNo * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("ch"))
@@ -226,11 +251,13 @@ object Dedup {
     * full cross product. Recall < 1 (a cos>=threshold pair on opposite sides
     * of some plane is missed); precision is exact (candidates re-scored). */
   def embeddingNearDupPairsLsh(emb: DataFrame, threshold: Double,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8,
+      bucket: Option[Column => Column] = None): DataFrame = {
+    val bucketFn = bucket.getOrElse((e: Column) => Similarity.lshBucket(e, nPlanes))
     // norms precomputed per side, same rationale as embeddingNearDupPairs
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       ArrayMath.norm(col("embedding")).as("nrm"),
-      Similarity.lshBucket(col("embedding"), nPlanes).as("bucket"))
+      bucketFn(col("embedding")).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_norm"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),

@@ -55,8 +55,14 @@ object TextAnalysis {
 
   /** Polynomial rolling hash over the document's characters:
     * h = fold(chars, 0, (acc, c) => (acc*131 + ascii(c)) mod (2^31-1)).
-    * Stable across engines (pure integer arithmetic). */
+    * Stable across engines (pure integer arithmetic); native codegen loop
+    * (graft.functions.expressions.PolyHash). */
   def fingerprint(text: Column): Column =
+    graft.functions.expressions.TextFunctions.poly_hash(text)
+
+  /** Built-in HOF formulation of [[fingerprint]] — same values, interpreted
+    * eval; kept as a semantic cross-check for the native expression. */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L), (acc, x) => (acc * 131 + x) % 2147483647L)
@@ -79,12 +85,18 @@ object TextAnalysis {
     * dense double array (the hashing trick) — turns text into an embedding
     * column compatible with every vector operator (cosine near-dup, ANN,
     * vec_dot), with no vocabulary to build or broadcast. One explode + one
-    * groupBy; the array assembles from a per-doc index->count map. */
-  def hashingVectorize(docs: DataFrame, dim: Int): DataFrame = {
+    * groupBy; the array assembles from a per-doc index->count map.
+    *
+    * `tokenHash` picks the slotting hash: xxhash64 (default, fastest mixing)
+    * or [[graft.functions.expressions.TextFunctions.poly_hash]] when the
+    * result must be reproducible by an external SQL engine (the DuckDB
+    * oracle mirrors the poly_hash variant bit-for-bit). */
+  def hashingVectorize(docs: DataFrame, dim: Int,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val counts = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "") // split artifacts: empty/whitespace-only text
-      .select(col("doc_id"), pmod(xxhash64(col("token")), lit(dim.toLong)).as("idx"))
+      .select(col("doc_id"), pmod(tokenHash(col("token")), lit(dim.toLong)).as("idx"))
       .groupBy("doc_id", "idx").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("idx"), col("c")))).as("m"))

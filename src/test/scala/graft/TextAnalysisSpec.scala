@@ -29,6 +29,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp == expected)
   }
 
+  test("native poly_hash matches the interpreted HOF fold on fixture text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      TextAnalysis.fingerprint($"text").as("nat"),
+      TextAnalysis.fingerprintHof($"text").as("hof"))
+      .filter($"nat" =!= $"hof").count()
+    assert(diff == 0)
+    // edge cases: empty string and a single char
+    val edge = Seq((0L, ""), (1L, "z")).toDF("doc_id", "text")
+    val rows = edge.select(TextAnalysis.fingerprint($"text"),
+      TextAnalysis.fingerprintHof($"text")).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(rows(1).getLong(0) == 'z'.toInt.toLong)
+  }
+
   test("normalization and BPE-ish subword counting") {
     val docs = Seq((0L, "Hello,  WORLD!! x9z"), (1L, "")).toDF("doc_id", "text")
     val rows = docs.select(
