@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * The checkpoint plays the role of both the pidfile mutex (exactly one
   * writer, wsprnet-scraper.sh:452-460) and the WSPRNET_LAST_SPOTNUM cursor
   * file: file-source offsets are checkpointed, so a restart resumes without
-  * refetching processed batches.
+  * refetching processed batches, and the cross-batch cursor itself is
+  * persisted in the checkpoint directory (graft-cursor, [[Ingest.commitBatch]])
+  * with per-batch idempotent sink writes, so replays after a crash
+  * reconverge without consulting the sink.
   *
   * Robustness beyond parity (SURVEY.md §2 T7): `dropDuplicates("Spotnum")`
   * within the batch plus a monotonic cursor filter across batches gives
@@ -36,17 +39,24 @@ object Ingest {
 
   /** Bootstrap the cursor from the sink's max Spotnum (S3 semantics,
     * wsprnet-scraper.sh:211-229) — 0 on cold start instead of the reference's
-    * abort (:223-226). */
+    * abort (:223-226). Used only when no checkpointed cursor exists (cold
+    * start or a legacy sink written before cursor checkpointing). */
   def bootstrapCursor(spark: SparkSession, sinkParquetDir: String): Long = {
-    // cold start = no COMMITTED data; a crashed first write leaves only
-    // _temporary/_SUCCESS debris, which must still count as cold
-    val files = Option(new java.io.File(sinkParquetDir).listFiles()).getOrElse(Array.empty)
-      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-    if (files.isEmpty) 0L
+    // cold start = no COMMITTED data; a crashed write leaves only
+    // _temporary/_SUCCESS debris (possibly nested in a batch-N subdirectory),
+    // which must still count as cold
+    def hasData(f: java.io.File): Boolean =
+      if (!f.exists()) false
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .exists(hasData)
+      else true
+    if (!hasData(new java.io.File(sinkParquetDir))) 0L
     else {
       // an EXISTING non-empty sink that fails to read must abort, not silently
       // restart from 0 — cursor 0 re-ingests the whole history as duplicates
-      spark.read.parquet(sinkParquetDir)
+      readSink(spark, sinkParquetDir)
         .agg(max(col("Spotnum").cast("long"))).first() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
@@ -54,13 +64,82 @@ object Ingest {
     }
   }
 
-  /** Start the streaming ingest: JSON file-drop -> enrich -> parquet append.
-    * The cross-batch cursor survives restarts by re-bootstrapping from the
-    * sink itself, so duplicates in re-dropped files are filtered even across
-    * process restarts. */
+  /** Read the ingest sink (flat legacy layout or the per-batch subdirectory
+    * layout [[commitBatch]] writes). */
+  def readSink(spark: SparkSession, outputDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(outputDir)
+
+  /** Cursor state persisted next to the stream checkpoint: the last batch
+    * that ran and the cursor value before and after it. `before` exists so a
+    * REPLAY of that same batch (crash between sink write and source commit)
+    * filters with the same cursor the first attempt used. */
+  private[graft] case class CursorState(batchId: Long, before: Long, after: Long)
+
+  private def cursorPath(checkpointDir: String) =
+    java.nio.file.Path.of(checkpointDir, "graft-cursor")
+
+  private[graft] def readCursor(checkpointDir: String): Option[CursorState] = {
+    val p = cursorPath(checkpointDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).trim.split(",") match {
+      case Array(b, before, after) => Some(CursorState(b.toLong, before.toLong, after.toLong))
+      case _ => None // unreadable state falls back to the sink-max bootstrap
+    }
+  }
+
+  private[graft] def writeCursor(checkpointDir: String, st: CursorState): Unit = {
+    java.nio.file.Files.createDirectories(cursorPath(checkpointDir).getParent)
+    val tmp = cursorPath(checkpointDir).resolveSibling("graft-cursor.tmp")
+    java.nio.file.Files.writeString(tmp, s"${st.batchId},${st.before},${st.after}")
+    java.nio.file.Files.move(tmp, cursorPath(checkpointDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Commit one micro-batch idempotently (the reference's
+    * WSPRNET_LAST_SPOTNUM cursor file, wsprnet-scraper.sh:341, made
+    * crash-safe): the batch writes to its own `batch-<id>` subdirectory with
+    * overwrite semantics, and the cursor advances through an atomically
+    * renamed state file in the checkpoint directory. A crash at ANY point —
+    * before, during, or after the sink write — replays the batch into the
+    * same subdirectory with the same `before` cursor, reconverging to
+    * identical sink contents instead of appending duplicates, and without
+    * consulting the sink's max Spotnum. Returns the cursor after the batch. */
+  def commitBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      outputDir: String, checkpointDir: String): Long = {
+    val cursor = readCursor(checkpointDir) match {
+      case Some(s) if s.batchId == batchId => s.before // replay of an in-flight batch
+      case Some(s) => s.after
+      case None => bootstrapCursor(spark, outputDir) // cold start / legacy sink
+    }
+    val out = processBatch(batch, cursor)
+    out.persist()
+    try {
+      val stats = out.agg(count(lit(1)),
+        min(col("Spotnum").cast("long")), max(col("Spotnum").cast("long"))).first()
+      val newCursor =
+        if (stats.getLong(0) > 0) { // F5: skip empty cycles
+          // A2: cross-batch sequence gap against the previous batch's max
+          // (wsprnet-scraper.sh:335-339 — logged, never re-fetched)
+          val crossGap = stats.getLong(1) - cursor - 1
+          if (cursor > 0 && crossGap > 1) {
+            System.err.println(
+              s"[ingest] batch $batchId: cross-batch gap of $crossGap spotnums after $cursor")
+          }
+          out.write.mode("overwrite").parquet(s"$outputDir/batch-$batchId")
+          math.max(cursor, stats.getLong(2))
+        } else cursor
+      writeCursor(checkpointDir, CursorState(batchId, cursor, newCursor))
+      newCursor
+    } finally out.unpersist()
+  }
+
+  /** Start the streaming ingest: JSON file-drop -> enrich -> parquet.
+    * The cross-batch cursor is checkpointed ([[commitBatch]]): restarts
+    * resume from the persisted cursor state, replays reconverge, and
+    * duplicates in re-dropped files are filtered across process restarts. */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       outputDir: String, trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
-    var cursor = bootstrapCursor(spark, outputDir)
     val stream = spark.readStream
       .schema(SpotSchema.apiSchema)
       .option("multiLine", value = true)
@@ -69,23 +148,7 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = processBatch(batch, cursor)
-        out.persist()
-        try {
-          val stats = out.agg(count(lit(1)),
-            min(col("Spotnum").cast("long")), max(col("Spotnum").cast("long"))).first()
-          if (stats.getLong(0) > 0) { // F5: skip empty cycles
-            // A2: cross-batch sequence gap against the previous batch's max
-            // (wsprnet-scraper.sh:335-339 — logged, never re-fetched)
-            val crossGap = stats.getLong(1) - cursor - 1
-            if (cursor > 0 && crossGap > 1) {
-              System.err.println(
-                s"[ingest] batch $batchId: cross-batch gap of $crossGap spotnums after $cursor")
-            }
-            out.write.mode("append").parquet(outputDir)
-            cursor = math.max(cursor, stats.getLong(2))
-          }
-        } finally out.unpersist()
+        commitBatch(spark, batch, batchId, outputDir, checkpointDir)
         ()
       }
       .start()

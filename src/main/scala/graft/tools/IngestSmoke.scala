@@ -25,11 +25,11 @@ object IngestSmoke {
 
     Files.writeString(Path.of(in, "b1.json"), batch(1L to 10L))
     Ingest.start(spark, in, ckpt, out, Trigger.AvailableNow()).awaitTermination()
-    println("AFTER_WAVE1=" + spark.read.parquet(out).count())
+    println("AFTER_WAVE1=" + Ingest.readSink(spark, out).count())
 
     Files.writeString(Path.of(in, "b2.json"), batch(5L to 15L))
     Ingest.start(spark, in, ckpt, out, Trigger.AvailableNow()).awaitTermination()
-    val df = spark.read.parquet(out)
+    val df = Ingest.readSink(spark, out)
     println("AFTER_WAVE2=" + df.count())
     df.orderBy("Spotnum").show(3, truncate = false)
 
@@ -40,7 +40,7 @@ object IngestSmoke {
     Ingest.start(spark, in, ckpt, out, Trigger.AvailableNow()).awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"FRESHNESS_10K_SPOTS=$secs%.2f s (budget: 30 s cadence)")
-    println("AFTER_WAVE3=" + spark.read.parquet(out).count())
+    println("AFTER_WAVE3=" + Ingest.readSink(spark, out).count())
     spark.stop()
   }
 }

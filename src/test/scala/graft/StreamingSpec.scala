@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpec {
     Files.writeString(Path.of(in, "b1.json"), spotJson((1L to 10L) :+ 5L))
     val q1 = Ingest.start(spark, in, ckpt, out, Trigger.AvailableNow())
     q1.awaitTermination()
-    val after1 = spark.read.parquet(out)
+    val after1 = Ingest.readSink(spark, out)
     assert(after1.count() == 10)
     assert(after1.columns.length == 27)
 
@@ -31,7 +31,7 @@ class StreamingSpec extends SparkSpec {
     Files.writeString(Path.of(in, "b2.json"), spotJson(5L to 15L))
     val q2 = Ingest.start(spark, in, ckpt, out, Trigger.AvailableNow())
     q2.awaitTermination()
-    val after2 = spark.read.parquet(out)
+    val after2 = Ingest.readSink(spark, out)
     assert(after2.count() == 15, "restart must not reprocess checkpointed files, cursor drops overlap")
     assert(after2.select("Spotnum").collect().map(_.getLong(0)).sorted.toSeq == (1L to 15L))
 
@@ -39,7 +39,45 @@ class StreamingSpec extends SparkSpec {
     Files.writeString(Path.of(in, "b3.json"), "[]")
     val q3 = Ingest.start(spark, in, ckpt, out, Trigger.AvailableNow())
     q3.awaitTermination()
-    assert(spark.read.parquet(out).count() == 15)
+    assert(Ingest.readSink(spark, out).count() == 15)
+  }
+
+  test("checkpointed cursor: crash replays reconverge, no sink-max reliance (S3/T7)") {
+    import graft.spots.SpotSchema
+    def mkBatch(ids: Seq[Long]) = {
+      val f = Files.createTempFile("batch", ".json")
+      Files.writeString(f, spotJson(ids))
+      spark.read.schema(SpotSchema.apiSchema).option("multiLine", value = true)
+        .json(f.toString)
+    }
+    val ckpt = Files.createTempDirectory("cursor-ckpt").toString
+    val out = Files.createTempDirectory("cursor-out").toString + "/sink"
+
+    // batch 0 commits; cursor state records before=0, after=10
+    assert(Ingest.commitBatch(spark, mkBatch(1L to 10L), 0, out, ckpt) == 10L)
+    assert(Ingest.readCursor(ckpt).contains(Ingest.CursorState(0, 0, 10)))
+    assert(Ingest.readSink(spark, out).count() == 10)
+
+    // crash between sink write and source commit => same batch id replays:
+    // the overwrite into batch-0 and the `before` cursor reconverge the sink
+    assert(Ingest.commitBatch(spark, mkBatch(1L to 10L), 0, out, ckpt) == 10L)
+    assert(Ingest.readSink(spark, out).count() == 10, "replay must not append duplicates")
+
+    // prove the cursor comes from the checkpoint, NOT from max(sink): empty
+    // the sink, then commit an overlapping batch — 5..10 must still be
+    // filtered even though the sink no longer knows about them
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    assert(Ingest.commitBatch(spark, mkBatch(5L to 15L), 1, out, ckpt) == 15L)
+    val ids = Ingest.readSink(spark, out).select("Spotnum")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (11L to 15L), s"cursor must persist independently of the sink: $ids")
+
+    // an empty batch advances the state file but not the cursor value
+    assert(Ingest.commitBatch(spark, mkBatch(Nil), 2, out, ckpt) == 15L)
+    assert(Ingest.readCursor(ckpt).contains(Ingest.CursorState(2, 15, 15)))
   }
 
   test("cursor bootstrap from sink (S3): cold start = 0, warm = max Spotnum") {
