@@ -38,17 +38,54 @@ object Sinks {
       .sortWithinPartitions("Spotnum")
       .write.mode("append").partitionBy("wd_date").parquet(path)
 
+  /** Quote a COLUMN name for hand-built SQL with the same dialect rules
+    * Spark's JDBC writer uses in CREATE TABLE, so the MERGE references
+    * resolve to the writer-created (case-exact) columns. Table names are the
+    * opposite contract: Spark's writer passes them VERBATIM and lets the
+    * database apply its own case normalization, so quoting a table here
+    * would miss the table the writer created — [[sqlTableName]] instead
+    * validates and passes through. */
+  private def quoteColumn(url: String, name: String): String =
+    org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(name)
+
+  /** Validate a table name for verbatim interpolation (Spark's own .jdbc
+    * contract: pre-quote it yourself if you need case-sensitivity or a
+    * reserved word). Rejects anything that could smuggle SQL out of the
+    * identifier position when the name comes from untrusted config. */
+  private def sqlTableName(name: String): String = {
+    require(name.matches("""[A-Za-z0-9_.$"]+"""),
+      s"illegal characters in table name: $name")
+    name
+  }
+
   /** Idempotent variant of [[jdbcAppend]]: stage the batch, then MERGE on the
     * key — re-delivered batches (at-least-once upstream) become no-ops, giving
     * exactly-once warehouse contents without coordinating with the cursor.
     * The reference is INSERT-only and duplicates on replay (SURVEY.md §3 E3);
-    * this is the documented robustness upgrade. */
+    * this is the documented robustness upgrade.
+    *
+    * Identifier contract: `table` is interpreted exactly as Spark's own
+    * `.jdbc(url, table)` writer interprets it — verbatim, with the database
+    * applying its case rules — so the MERGE always hits the writer-created
+    * table (pre-quote the name yourself for case-sensitive or reserved-word
+    * targets, as you would with Spark). Column names (including `keyCol`)
+    * are dialect-quoted to match the writer's case-exact CREATE TABLE.
+    * Names are validated before interpolation, so an untrusted-config value
+    * cannot smuggle SQL out of the identifier position.
+    *
+    * Concurrency caveat: idempotence is per re-delivered BATCH. Two upserts
+    * of the same key running concurrently under READ COMMITTED can both pass
+    * their WHEN NOT MATCHED probe and both insert; serialize writers per
+    * target table (the ingest pipeline does — one foreachBatch writer), or
+    * put a unique constraint on the key so the second MERGE fails instead of
+    * duplicating. */
   def jdbcUpsert(df: DataFrame, url: String, table: String, keyCol: String,
       props: java.util.Properties = new java.util.Properties(),
       batchSize: Int = 1000): Unit = {
+    val target = sqlTableName(table)
     val conn = java.sql.DriverManager.getConnection(url, props)
     val exists =
-      try { conn.createStatement().executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
+      try { conn.createStatement().executeQuery(s"SELECT 1 FROM $target WHERE 1=0"); true }
       catch { case _: java.sql.SQLException => false }
     if (!exists) {
       conn.close()
@@ -62,14 +99,16 @@ object Sinks {
       try {
         df.write.mode("errorifexists").option("batchsize", batchSize).jdbc(url, staging, props)
         val cols = df.columns
-        val quoted = cols.map(c => s""""$c"""").mkString(", ")
-        val values = cols.map(c => s"""s."$c"""").mkString(", ")
+        val quoted = cols.map(quoteColumn(url, _)).mkString(", ")
+        val values = cols.map(c => s"s.${quoteColumn(url, c)}").mkString(", ")
+        val key = quoteColumn(url, keyCol)
         val merge =
-          s"""MERGE INTO $table t USING $staging s ON t."$keyCol" = s."$keyCol"
+          s"""MERGE INTO $target t USING ${sqlTableName(staging)} s
+             |ON t.$key = s.$key
              |WHEN NOT MATCHED THEN INSERT ($quoted) VALUES ($values)""".stripMargin
         conn.createStatement().executeUpdate(merge)
       } finally {
-        try conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+        try conn.createStatement().executeUpdate(s"DROP TABLE ${sqlTableName(staging)}")
         catch {
           case e: java.sql.SQLException =>
             System.err.println(s"[sink] leaked staging table $staging: ${e.getMessage}")

@@ -56,6 +56,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), "1-row cursor side must broadcast")
   }
 
+  test("at-rest partitioned layout: date predicate prunes PARTITIONS, id range row groups") {
+    val sink = java.nio.file.Files.createTempDirectory("atrest").toString + "/spots"
+    val enriched = graft.operators.Enrich.formatted(
+      graft.sources.SpotSynth.fromDir(spark, dir))
+    graft.sinks.Sinks.writeSpotsPartitioned(enriched, sink)
+    val q = spark.read.parquet(sink)
+      .filter(col("wd_date") === to_date(lit("2024-01-01")) && col("Spotnum") > 100)
+    val p = plan(q)
+    assert("PartitionFilters: \\[[^\\]]*wd_date".r.findFirstIn(p).isDefined,
+      s"the date filter must reach PartitionFilters (directory pruning), not just data filters:\n$p")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(Spotnum,100\\)".r.findFirstIn(p).isDefined,
+      s"the id-range filter must push to the scan for row-group min/max pruning:\n$p")
+  }
+
   test("q34 embed dedup: one vec_dot per pair, norms precomputed per side") {
     val p = plan(SparkEntry.queries("q34_dedup_embed")(spark, dir))
     val joinLine = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))

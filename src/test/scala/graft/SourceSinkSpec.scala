@@ -94,6 +94,17 @@ class SourceSinkSpec extends SparkSpec {
     assert(back.select("Spotnum").distinct().count() == 30)
   }
 
+  test("JDBC upsert quotes identifiers: mixed-case table and key survive MERGE/DROP") {
+    val url = "jdbc:derby:memory:quotedb;create=true"
+    val enriched = Enrich.formatted(
+      SpotSynth.fromDir(spark, "/root/testdata/sf0.001").limit(10))
+    Sinks.jdbcUpsert(enriched, url, "SpotsMixed", "Spotnum")     // creates
+    Sinks.jdbcUpsert(enriched, url, "SpotsMixed", "Spotnum")     // replay via MERGE
+    val back = spark.read.jdbc(url, "SpotsMixed", new java.util.Properties())
+    assert(back.count() == 10)
+    assert(back.select("Spotnum").distinct().count() == 10)
+  }
+
   test("compressed spool queue (K4): unique batch dirs, bz2 payload, no overwrite") {
     val dir = tmp("spool")
     val enriched = Enrich.formatted(
