@@ -3,19 +3,22 @@ package graft
 import graft.operators.{Audit, Enrich}
 import graft.sinks.Sinks
 import graft.sources.{SpotSource, WsprNetClient}
-import graft.streaming.Ingest
+import graft.streaming.{DaemonControl, Ingest}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** CLI driver (reference: T2 scrape-once, T3 daemon loop, T6 getopts surface;
-  * wsprnet-scraper.sh:409-442, :615-683). Process management (T4 pidfile,
-  * T5 systemd) is subsumed by the streaming checkpoint's exactly-one-writer
-  * lock and the host's service manager.
+/** CLI driver (reference: T2 scrape-once, T3 daemon loop, T4 pidfile,
+  * T6 getopts surface; wsprnet-scraper.sh:409-442, :446-524, :615-683).
+  * Daemon process management is the pidfile protocol in
+  * [[graft.streaming.DaemonControl]]; T5 systemd boot stays with the host's
+  * service manager.
   *
   * Usage:
   *   graft.Main enrich  <in.json|in.csv> <outDir>          # E2: one batch through the enricher
   *   graft.Main audit   <in.json|in.csv|parquetDir>        # A1 gap audit as one JSON line
-  *   graft.Main stream  <inDir> <checkpointDir> <outDir>   # file-drop daemon (T3)
+  *   graft.Main stream  <inDir> <checkpointDir> <outDir>   # file-drop daemon (T3/T4)
+  *   graft.Main status  <checkpointDir>                    # T6 -s: pid + cursor position
+  *   graft.Main stop    <checkpointDir>                    # T6 -z: terminate the daemon
   *   graft.Main scrape  <outDir> [--once] [--no-upload]    # HTTP poll loop (T1 cadence)
   */
 object Main {
@@ -54,9 +57,34 @@ object Main {
       spark.stop()
 
     case "stream" :: in :: ckpt :: out :: Nil =>
+      // T4 pidfile mutex: refuse to start a second daemon on this checkpoint
+      if (!DaemonControl.acquirePidfile(ckpt)) {
+        System.err.println(s"stream daemon already running (see $ckpt/graft.pid)")
+        sys.exit(1)
+      }
       val spark = session()
       val q = Ingest.start(spark, in, ckpt, out)
       q.awaitTermination()
+
+    case "status" :: ckpt :: Nil => // T6 -s
+      DaemonControl.status(ckpt) match {
+        case DaemonControl.Running(pid, cur) =>
+          val pos = cur.map(c => s" last_batch=${c.batchId} cursor=${c.after}").getOrElse("")
+          println(s"daemon running pid=$pid$pos")
+        case DaemonControl.DeadPidFile(pid) =>
+          println(s"found dead pid file (pid=$pid), removed")
+          sys.exit(1)
+        case DaemonControl.NotRunning => println("no daemon running")
+      }
+
+    case "stop" :: ckpt :: Nil => // T6 -z
+      DaemonControl.stop(ckpt) match {
+        case DaemonControl.Running(pid, _) => println(s"stopped daemon pid=$pid")
+        case DaemonControl.DeadPidFile(pid) =>
+          println(s"found dead pid file (pid=$pid), removed")
+          sys.exit(1)
+        case DaemonControl.NotRunning => println("no daemon to stop")
+      }
 
     case "scrape" :: out :: flags =>
       val spark = session()
@@ -88,7 +116,7 @@ object Main {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: enrich <in> <outDir> | audit <in> | stream <in> <ckpt> <out> | scrape <out> [--once] [--no-upload]")
+      System.err.println("usage: enrich <in> <outDir> | audit <in> | stream <in> <ckpt> <out> | status <ckpt> | stop <ckpt> | scrape <out> [--once] [--no-upload]")
       sys.exit(2)
   }
 }
