@@ -34,8 +34,12 @@ object Sessionize {
   }
 
   case class Ev(user_id: Long, ts_sec: Long, value: Double)
-  case class SessionState(start: Long, last: Long, n: Long)
-  case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+  /** `total` accumulates per-event values rounded to 2 decimals as exact
+    * decimals (order-independent addition), matching the batch form's
+    * sum(cast(value as decimal(18,2))). */
+  case class SessionState(start: Long, last: Long, n: Long, total: BigDecimal)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, total_value: Double)
 
   /** Streaming: session rows are emitted once closed — and a session closes
     * ONLY when the watermark passes its gap, never eagerly on a later event:
@@ -50,11 +54,13 @@ object Sessionize {
       gapSeconds: Long): Dataset[SessionOut] = {
     import spark.implicits._
 
-    def insert(open: List[SessionState], ts: Long): List[SessionState] = {
+    def insert(open: List[SessionState], ts: Long, value: Double): List[SessionState] = {
       val (touching, rest) = open.partition(s =>
         ts >= s.start - gapSeconds && ts <= s.last + gapSeconds)
-      val merged = touching.foldLeft(SessionState(ts, ts, 1)) { (acc, s) =>
-        SessionState(math.min(acc.start, s.start), math.max(acc.last, s.last), acc.n + s.n)
+      val v = BigDecimal(value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val merged = touching.foldLeft(SessionState(ts, ts, 1, v)) { (acc, s) =>
+        SessionState(math.min(acc.start, s.start), math.max(acc.last, s.last),
+          acc.n + s.n, acc.total + s.total)
       }
       (merged :: rest).sortBy(_.start)
     }
@@ -71,7 +77,7 @@ object Sessionize {
           val open0 = state.getOption.getOrElse(Nil)
           val open1 =
             if (state.hasTimedOut) open0
-            else batch.foldLeft(open0)((acc, e) => insert(acc, e.ts_sec))
+            else batch.foldLeft(open0)((acc, e) => insert(acc, e.ts_sec, e.value))
           val (ripe, stillOpen) = closeRipe(open1, wm)
           if (stillOpen.isEmpty) state.remove()
           else {
@@ -79,7 +85,8 @@ object Sessionize {
             state.setTimeoutTimestamp(
               (stillOpen.map(_.last).min + gapSeconds) * 1000L + 1000L)
           }
-          ripe.sortBy(_.start).iterator.map(s => SessionOut(userId, s.start, s.last, s.n))
+          ripe.sortBy(_.start).iterator.map(s =>
+            SessionOut(userId, s.start, s.last, s.n, s.total.toDouble))
       }
   }
 }

@@ -51,15 +51,18 @@ class SessionizeSpec extends SparkSpec {
     q.processAllAvailable()
 
     val got = spark.table("sessions").as[SessionOut].collect()
-      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
-    assert(got.contains((1L, 1000L, 1120L, 3L)), s"got $got")
-    assert(got.contains((1L, 1400L, 1400L, 1L)))
-    assert(got.contains((2L, 1010L, 1010L, 1L)))
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+    assert(got.contains((1L, 1000L, 1120L, 3L, 6.0)), s"got $got")
+    assert(got.contains((1L, 1400L, 1400L, 1L, 4.0)))
+    assert(got.contains((2L, 1010L, 1010L, 1L, 5.0)))
     q.stop()
-    // streaming results agree with batch over the same closed input
+    // streaming results agree with batch over the same closed input on EVERY
+    // emitted field, including the decimal-summed total_value
     val batch = Sessionize.sessions(
       (batchEvents :+ ((3L, 5000L, 0.0))).toDF("user_id", "ts_sec", "value"), gap)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
     assert(got.filter(_._1 != 3L).subsetOf(batch))
   }
 }
