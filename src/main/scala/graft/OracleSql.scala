@@ -167,11 +167,18 @@ object OracleSql {
 
   /** CTE chain ending in `pairs(a_id, b_id, a_n, b_n, common)` — the
     * inverted-index 3-gram pair counts over `documents` (mirrors
-    * Dedup.ngramJaccardPairs' shape; threshold applied by the caller). */
+    * Dedup.ngramJaccardPairs' shape; threshold applied by the caller).
+    * The `keep` gate mirrors the operator's doc-frequency filter INCLUDING
+    * the default maxGramDocs=10000 cap, so the oracle stays faithful on any
+    * corpus where a stopword shingle exceeds the cap (q31/q48 use the
+    * operator default; a caller overriding the cap needs its own SQL). */
   val ngramPairsWith: String =
     s"""WITH g AS (SELECT doc_id, unnest(${grams3("text")}) AS gram FROM documents),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
-       |gs AS (SELECT g.doc_id, g.gram, sizes.n_grams FROM g JOIN sizes ON g.doc_id = sizes.doc_id),
+       |keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1 AND count(*) <= 10000),
+       |gs AS (SELECT g.doc_id, g.gram, sizes.n_grams FROM g
+       |       JOIN keep ON g.gram = keep.gram
+       |       JOIN sizes ON g.doc_id = sizes.doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_grams AS a_n, b.n_grams AS b_n,
        |         CAST(count(*) AS BIGINT) AS common

@@ -13,6 +13,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * instead of all rows. Same contract as the window form — used by
   * q44, which must hash-match q35's window-based oracle.
   */
+private[functions] object TopK {
+  /** Insert into an already-sorted (best-first) bounded buffer: binary-search
+    * the insertion point after any equal elements (matching what a stable
+    * re-sort of buf :+ in produced before), splice, cap at k. Replaces the
+    * former O(k log k) full re-sort per accepted element. */
+  def insertSorted[T](buf: Seq[T], in: T, k: Int, ord: Ordering[T]): Seq[T] = {
+    var lo = 0
+    var hi = buf.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.compare(buf(mid), in) <= 0) lo = mid + 1 else hi = mid
+    }
+    val (pre, post) = buf.splitAt(lo)
+    ((pre :+ in) ++ post).take(k)
+  }
+}
+
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
@@ -28,7 +45,7 @@ class TopKAggregator(k: Int)
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
     if (k <= 0) buf
     else if (buf.size == k && ord.compare(in, buf.last) >= 0) buf // common case: O(1) reject
-    else trim(buf :+ in)
+    else TopK.insertSorted(buf, in, k, ord) // O(log k) search + O(k) splice
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
@@ -60,7 +77,7 @@ class RowTopKAggregator[T: scala.reflect.runtime.universe.TypeTag](
   override def reduce(buf: Seq[T], in: T): Seq[T] =
     if (k <= 0) buf
     else if (buf.size == k && ord.compare(in, buf.last) >= 0) buf // O(1) reject
-    else trim(buf :+ in)
+    else TopK.insertSorted(buf, in, k, ord) // O(log k) search + O(k) splice
 
   override def merge(a: Seq[T], b: Seq[T]): Seq[T] = trim(a ++ b)
 
