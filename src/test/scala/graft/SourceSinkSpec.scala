@@ -123,6 +123,39 @@ class SourceSinkSpec extends SparkSpec {
     assert(SpotSource.fromCsv27(spark, s"$dir/batch_1700000001").count() == 10)
   }
 
+  test("spool drain (K4): retries failures, drains committed batches in order") {
+    import java.nio.file.{Files, Path}
+    val dir = tmp("drain")
+    val enriched = Enrich.formatted(
+      SpotSynth.fromDir(spark, "/root/testdata/sf0.001").limit(10))
+    Sinks.spoolCompressed(enriched, dir, batchTag = 1L)
+    Sinks.spoolCompressed(enriched, dir, batchTag = 2L)
+    // an UNCOMMITTED batch (no _SUCCESS) must be skipped by the drain
+    val inflight = Path.of(dir, "batch_3")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("part-x.csv.bz2"), "partial")
+
+    // first sweep: transport rejects batch_2's payloads — they are retained
+    var seen = Vector.empty[String]
+    val (up1, fail1) = graft.sinks.SpoolDrain.drainOnce(dir, p => {
+      seen :+= p.toString
+      !p.toString.contains("batch_2")
+    })
+    assert(up1 >= 1 && fail1 >= 1)
+    assert(seen == seen.sorted, "payloads must drain in deterministic order")
+    assert(!Files.exists(Path.of(dir, "batch_1")), "drained batch dir is removed")
+    assert(Files.exists(Path.of(dir, "batch_2")), "failed payloads are retained")
+    assert(Files.exists(inflight.resolve("part-x.csv.bz2")), "uncommitted batch untouched")
+
+    // second sweep with a working transport drains the retained batch
+    val (up2, fail2) = graft.sinks.SpoolDrain.drainOnce(dir, _ => true)
+    assert(up2 == fail1 && fail2 == 0)
+    assert(!Files.exists(Path.of(dir, "batch_2")))
+
+    // empty queue: clean no-op
+    assert(graft.sinks.SpoolDrain.drainOnce(dir, _ => true) == ((0, 0)))
+  }
+
   test("multi-sink fan-out (K5) writes the same batch to both sinks") {
     val dir = tmp("fanout")
     val enriched = Enrich.formatted(
