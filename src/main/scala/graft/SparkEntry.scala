@@ -640,9 +640,11 @@ object SparkEntry {
         s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
            |bk AS (SELECT vec_id, emb,
            |       list_sum(list_transform(generate_series(0, 7), p ->
-           |         CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
-           |           emb[d+1] * (CAST(((p*64 + d + 1) * 2654435761) % 2147483647 AS DOUBLE)
-           |                       / 1073741823.5e0 - 1.0e0))) >= 0
+           |         CASE WHEN list_reduce(list_prepend(0.0e0,
+           |           list_transform(generate_series(0, 63), d ->
+           |             emb[d+1] * (CAST(((p*64 + d + 1) * 2654435761) % 2147483647 AS DOUBLE)
+           |                         / 1073741823.5e0 - 1.0e0))),
+           |           (acc, x) -> acc + x) >= 0
            |         THEN CAST(1 << p AS BIGINT) ELSE 0 END)) AS bucket
            |       FROM v),
            |scored AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -36,7 +36,13 @@ object Sessionize {
   case class Ev(user_id: Long, ts_sec: Long, value: Double)
   /** `total` accumulates per-event values rounded to 2 decimals as exact
     * decimals (order-independent addition), matching the batch form's
-    * sum(cast(value as decimal(18,2))). */
+    * sum(cast(value as decimal(18,2))).
+    *
+    * State-schema note: adding this field changed the streaming state
+    * encoding — a query restarted from a checkpoint written by the previous
+    * (start,last,n) shape fails Spark's state-store schema check and needs a
+    * fresh checkpoint (sessions are reconstructible by re-running the batch
+    * form over the closed input). */
   case class SessionState(start: Long, last: Long, n: Long, total: BigDecimal)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long, total_value: Double)

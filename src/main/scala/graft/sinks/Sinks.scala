@@ -94,8 +94,12 @@ object Sinks {
       // unique per-call staging table: concurrent upserts into the same target
       // must not share (and overwrite) one staging name; dropped when done.
       // Short suffix — long names get identifier-truncated (e.g. Postgres 63
-      // bytes), which would silently re-collide concurrent stagings
-      val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.take(8)}"
+      // bytes), which would silently re-collide concurrent stagings. The base
+      // strips quotes and schema qualifiers from the target so a pre-quoted
+      // or qualified `table` still yields a plain valid staging identifier
+      // (its own case/schema don't matter — it only lives for this call).
+      val stagingBase = table.replace("\"", "").replace(".", "_")
+      val staging = s"${stagingBase}_stg_${java.util.UUID.randomUUID().toString.take(8)}"
       try {
         df.write.mode("errorifexists").option("batchsize", batchSize).jdbc(url, staging, props)
         val cols = df.columns

@@ -22,18 +22,25 @@ import scala.jdk.CollectionConverters._
   */
 object SpoolDrain {
 
+  /** Materialized directory listing — Files.list streams hold an open file
+    * descriptor until closed, which a long-running daemon cannot leave to GC. */
+  private def children(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** One sweep over the queue. Returns (uploaded, failed) payload counts. */
   def drainOnce(spoolDir: String, transport: Path => Boolean): (Int, Int) = {
     val root = Path.of(spoolDir)
     if (!Files.isDirectory(root)) return (0, 0)
     var uploaded = 0
     var failed = 0
-    val batches = Files.list(root).iterator().asScala.toSeq
+    val batches = children(root)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("batch_"))
       .filter(p => Files.exists(p.resolve("_SUCCESS"))) // committed batches only
       .sortBy(_.getFileName.toString)
     batches.foreach { batch =>
-      val payloads = Files.list(batch).iterator().asScala.toSeq
+      val payloads = children(batch)
         .filter(p => p.getFileName.toString.endsWith(".bz2"))
         .sortBy(_.getFileName.toString)
       payloads.foreach { file =>
@@ -44,26 +51,36 @@ object SpoolDrain {
               System.err.println(s"[spool] upload of $file failed: ${e.getMessage}")
               false
           }
-        if (ok) { Files.delete(file); uploaded += 1 }
+        if (ok) { Files.deleteIfExists(file); uploaded += 1 }
         else failed += 1 // retained; retried on the next sweep
       }
       // the batch is done only when no payload remains
-      val remaining = Files.list(batch).iterator().asScala
-        .count(_.getFileName.toString.endsWith(".bz2"))
-      if (remaining == 0) {
-        Files.list(batch).iterator().asScala.toSeq.foreach(Files.delete)
-        Files.delete(batch)
+      val rest = children(batch)
+      if (!rest.exists(_.getFileName.toString.endsWith(".bz2"))) {
+        rest.filterNot(Files.isDirectory(_)).foreach(Files.deleteIfExists(_))
+        if (children(batch).isEmpty) Files.deleteIfExists(batch)
       }
     }
     (uploaded, failed)
   }
 
   /** The daemon loop: sweep while `running()`, sleeping `idleSleepMs`
-    * (reference: 10 s) after a sweep that found nothing to upload. */
+    * (reference: 10 s) after a sweep that found nothing to upload. A sweep
+    * that throws (transient filesystem error, concurrent operator cleanup)
+    * is logged and retried on the next cycle — one bad sweep must not kill
+    * the uploader while the queue backs up. */
   def run(spoolDir: String, transport: Path => Boolean,
       running: () => Boolean, idleSleepMs: Long = 10000L): Unit =
     while (running()) {
-      val (up, fail) = drainOnce(spoolDir, transport)
-      if (up == 0 || fail > 0) Thread.sleep(idleSleepMs)
+      val quiet =
+        try {
+          val (up, fail) = drainOnce(spoolDir, transport)
+          up == 0 || fail > 0
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[spool] sweep failed, will retry: ${e.getMessage}")
+            true
+        }
+      if (quiet) Thread.sleep(idleSleepMs)
     }
 }

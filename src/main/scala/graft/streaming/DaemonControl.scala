@@ -20,8 +20,12 @@ object DaemonControl {
 
   private def readPid(checkpointDir: String): Option[Long] = {
     val p = pidPath(checkpointDir)
+    // the daemon may delete its pidfile between our exists check and the
+    // read (shutdown race) — that is simply "not running"
     if (!Files.exists(p)) None
-    else Files.readString(p).trim.toLongOption
+    else
+      try Files.readString(p).trim.toLongOption
+      catch { case _: java.io.IOException => None }
   }
 
   private def alive(pid: Long): Boolean =
@@ -29,15 +33,33 @@ object DaemonControl {
 
   /** Claim the daemon pidfile for this JVM (T4 mutex, :452-460): refuses if a
     * live daemon holds it, replaces a dead pidfile, registers cleanup at JVM
-    * exit. Returns false (no side effects) when another daemon is running. */
-  def acquirePidfile(checkpointDir: String): Boolean = readPid(checkpointDir) match {
-    case Some(pid) if alive(pid) && pid != ProcessHandle.current().pid() => false
-    case other =>
-      if (other.isDefined) Files.delete(pidPath(checkpointDir)) // dead pidfile
-      Files.createDirectories(pidPath(checkpointDir).getParent)
-      Files.writeString(pidPath(checkpointDir), ProcessHandle.current().pid().toString)
-      sys.addShutdownHook { Files.deleteIfExists(pidPath(checkpointDir)); () }
-      true
+    * exit. Returns false (no side effects) when another daemon is running.
+    * The claim itself is atomic (CREATE_NEW): two daemons racing through the
+    * liveness check cannot both write the pidfile — the loser of the create
+    * re-examines the winner's pid and backs off. */
+  def acquirePidfile(checkpointDir: String): Boolean = {
+    val p = pidPath(checkpointDir)
+    val self = ProcessHandle.current().pid()
+    var attempts = 0
+    while (attempts < 2) {
+      attempts += 1
+      readPid(checkpointDir) match {
+        case Some(pid) if alive(pid) && pid != self => return false
+        case other =>
+          if (other.isDefined) Files.deleteIfExists(p) // dead (or our own) pidfile
+          Files.createDirectories(p.getParent)
+          try {
+            Files.writeString(p, self.toString,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            sys.addShutdownHook { Files.deleteIfExists(p); () }
+            return true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => () // lost the race; re-check
+          }
+      }
+    }
+    false
   }
 
   /** -s equivalent (:479-494): liveness from the pidfile; a dead pidfile is
@@ -45,7 +67,7 @@ object DaemonControl {
     * the checkpointed cursor state — no Spark session needed. */
   def status(checkpointDir: String): Status = readPid(checkpointDir) match {
     case Some(pid) if alive(pid) => Running(pid, Ingest.readCursor(checkpointDir))
-    case Some(pid) => Files.delete(pidPath(checkpointDir)); DeadPidFile(pid)
+    case Some(pid) => Files.deleteIfExists(pidPath(checkpointDir)); DeadPidFile(pid)
     case None => NotRunning
   }
 

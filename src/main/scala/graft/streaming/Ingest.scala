@@ -80,10 +80,22 @@ object Ingest {
 
   private[graft] def readCursor(checkpointDir: String): Option[CursorState] = {
     val p = cursorPath(checkpointDir)
+    // unreadable/corrupt state falls back to the sink-max bootstrap (None);
+    // the read race (file deleted between exists and read) likewise
     if (!java.nio.file.Files.exists(p)) None
-    else java.nio.file.Files.readString(p).trim.split(",") match {
-      case Array(b, before, after) => Some(CursorState(b.toLong, before.toLong, after.toLong))
-      case _ => None // unreadable state falls back to the sink-max bootstrap
+    else {
+      val content =
+        try java.nio.file.Files.readString(p).trim
+        catch { case _: java.io.IOException => return None }
+      content.split(",") match {
+        case Array(b, before, after) =>
+          for {
+            bi <- b.toLongOption
+            bef <- before.toLongOption
+            aft <- after.toLongOption
+          } yield CursorState(bi, bef, aft)
+        case _ => None
+      }
     }
   }
 
@@ -110,7 +122,18 @@ object Ingest {
     val cursor = readCursor(checkpointDir) match {
       case Some(s) if s.batchId == batchId => s.before // replay of an in-flight batch
       case Some(s) => s.after
-      case None => bootstrapCursor(spark, outputDir) // cold start / legacy sink
+      case None =>
+        // Cold start. A sink that already holds batch-N subdirectories with
+        // NO cursor state means the checkpoint was reset while the sink was
+        // kept — the new stream's batch ids restart at 0 and the overwrite
+        // below would silently destroy the old batch-0. Refuse loudly; the
+        // operator must restore the checkpoint or move the old sink aside.
+        val stale = Option(new java.io.File(outputDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+        require(stale.isEmpty,
+          s"$outputDir contains ${stale.length} batch-* directories but $checkpointDir has no " +
+            "cursor state: refusing to overwrite an existing sink with recycled batch ids")
+        bootstrapCursor(spark, outputDir) // legacy flat sink or truly cold
     }
     val out = processBatch(batch, cursor)
     out.persist()
@@ -122,7 +145,7 @@ object Ingest {
           // A2: cross-batch sequence gap against the previous batch's max
           // (wsprnet-scraper.sh:335-339 — logged, never re-fetched)
           val crossGap = stats.getLong(1) - cursor - 1
-          if (cursor > 0 && crossGap > 1) {
+          if (cursor > 0 && crossGap >= 1) {
             System.err.println(
               s"[ingest] batch $batchId: cross-batch gap of $crossGap spotnums after $cursor")
           }

@@ -78,6 +78,18 @@ class StreamingSpec extends SparkSpec {
     // an empty batch advances the state file but not the cursor value
     assert(Ingest.commitBatch(spark, mkBatch(Nil), 2, out, ckpt) == 15L)
     assert(Ingest.readCursor(ckpt).contains(Ingest.CursorState(2, 15, 15)))
+
+    // checkpoint reset with the sink kept: recycled batch ids would overwrite
+    // committed batch-N data — the commit must refuse, not destroy
+    val ckpt2 = Files.createTempDirectory("cursor-ckpt2").toString
+    val e = intercept[IllegalArgumentException] {
+      Ingest.commitBatch(spark, mkBatch(16L to 20L), 0, out, ckpt2)
+    }
+    assert(e.getMessage.contains("refusing"))
+
+    // a corrupt cursor file falls back to the bootstrap path, not an exception
+    Files.writeString(Path.of(ckpt, "graft-cursor"), "a,b,c")
+    assert(Ingest.readCursor(ckpt).isEmpty)
   }
 
   test("cursor bootstrap from sink (S3): cold start = 0, warm = max Spotnum") {
