@@ -107,6 +107,51 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
   }
 
+  /** Materialize the IVF index at rest: the corpus parquet-partitioned BY
+    * CELL (cid=... directories) plus the centroid table. This is the 100 TB
+    * layout the probe path needs — reading a cell becomes directory-level
+    * partition pruning instead of a filter over the full corpus. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      dim: Int = 64): Unit = {
+    val centroids = ivfCentroids(corpus, nlist, dim)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCentroids(corpus, centroids)
+      .join(corpus, "vec_id")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
+  }
+
+  /** IVF top-k over a materialized [[writeIvfIndex]] index: probe cells are
+    * chosen per query against the (tiny, broadcast) centroid table, and the
+    * vector scan touches ONLY the probed cid partitions — the probed-cell set
+    * (at most nlist values) is collected to the driver and pushed as an IN
+    * filter, which the reader turns into PartitionFilters (asserted in
+    * SimilaritySpec). Same contract and same results as [[ivfTopK]] with
+    * equal parameters. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val qProbes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", ArrayMath.cosineKey(col("q_emb"), col("center")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    // <= nlist longs: a legitimate driver-side value list (dynamic partition
+    // pruning by hand), NOT a data collect
+    val probed = qProbes.select("cid").distinct().collect().map(_.getLong(0)).sorted
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(probed: _*))
+    val scored = vectors.join(broadcast(qProbes), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket; exact re-rank
     * within candidates. Recall < 1 by design; the operator trades it for a
     * bucket-local join instead of a full cross product. */

@@ -38,6 +38,23 @@ class IvfSpec extends SparkSpec {
     assert(sameCluster.toDouble / ivf.size >= 0.9)
   }
 
+  test("at-rest cid-partitioned index: pruned probe reads match in-memory ivf") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-index").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path, nlist = 6, dim = 16)
+    val q = emb.filter(col("vec_id") < 4)
+    val fromIndex = Similarity.ivfTopKIndexed(spark, path, q, 5, nprobe = 2)
+    val inMemory = Similarity.ivfTopK(q, emb, 5, nlist = 6, nprobe = 2, dim = 16)
+    val a = fromIndex.collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+    val b = inMemory.collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+    assert(a == b, "indexed probe must return exactly the in-memory ivf results")
+    // the probe scan must prune at the DIRECTORY level: PartitionFilters on
+    // cid, not a post-scan filter over all cells
+    val plan = fromIndex.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"probed cells must reach PartitionFilters:\n$plan")
+  }
+
   test("centroid assignment is total and deterministic") {
     val centroids = Similarity.ivfCentroids(emb, 4, 16)
     val a1 = Similarity.assignToCentroids(emb, centroids).collect()
