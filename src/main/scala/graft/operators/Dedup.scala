@@ -176,16 +176,31 @@ object Dedup {
       tokenHash: Column => Column = xxhash64(_),
       bitOf: (Column, Int) => Column =
         (h, b) => shiftright(h, b).bitwiseAND(1)): DataFrame = {
+    // Vote packing: bit b's ones-count c_b fits in a 20-bit field, and
+    // sign(sum of +-1 votes) == (2*c_b > n), so THREE bit-counters ride in
+    // one 64-bit sum (fields never interact: each stays < 2^20 for docs
+    // under 2^20 tokens, and the packed per-token value x token count stays
+    // < 2^61 — no ANSI overflow). 22 sum aggregates instead of 64.
+    val Width = 20
+    val PerLong = 3
+    val nLongs = (64 + PerLong - 1) / PerLong
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
       .withColumn("h", tokenHash(col("token")))
-    val voteCols = (0 until 64).map(b =>
-      sum(when(bitOf(col("h"), b) === 1, 1L).otherwise(-1L)).as(s"v$b"))
-    tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val packedCols = (0 until nLongs).map { l =>
+      val bits = l * PerLong until math.min(64, (l + 1) * PerLong)
+      sum(bits.zipWithIndex.map { case (b, i) =>
+        bitOf(col("h"), b).cast("long") * lit(1L << (Width * i))
+      }.reduce(_ + _)).as(s"p$l")
+    }
+    tok.groupBy("doc_id")
+      .agg(packedCols.head, packedCols.tail :+ count(lit(1)).as("n"): _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
+        (0 until 64).map { b =>
+          val c = shiftright(col(s"p${b / PerLong}"), Width * (b % PerLong))
+            .bitwiseAND((1L << Width) - 1)
+          when(c * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce((a, c) => a.bitwiseOR(c)).as("sig"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4), via
@@ -200,13 +215,16 @@ object Dedup {
       explode(array((0 until 4).map(cNo => struct(lit(cNo).as("c"),
         shiftright(col("sig"), cNo * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("ch"))
       .select(col("doc_id"), col("sig"), col("ch.c"), col("ch.v"))
+    // hamming filter BEFORE the duplicate drop: hamming is deterministic per
+    // pair, so filtering first is equivalent — and the dedup exchange then
+    // shuffles only matching pairs instead of every chunk-collision candidate
     chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** Exact embedding cosine near-dup pairs (cos >= threshold). O(n^2) baseline.

@@ -39,8 +39,16 @@ object Probe {
     val vecs = graft.operators.TextAnalysis.hashingVectorize(docs, 64)
       .withColumnRenamed("doc_id", "vec_id")
     val pairs = graft.operators.Dedup.embeddingNearDupPairs(vecs, 0.95)
-    for (i <- 1 to 4) println(s"vectorize run $i: ${force(vecs)} ms")
-    for (i <- 1 to 4) println(s"q46 run $i: ${force(pairs)} ms")
+    for (i <- 1 to 2) println(s"vectorize run $i: ${force(vecs)} ms")
+    for (i <- 1 to 2) println(s"q46 run $i: ${force(pairs)} ms")
+    // q33 decomposition: signature build vs chunk join
+    import graft.functions.PortableHashes
+    val sigs = graft.operators.Dedup.simhashSigs(docs,
+      graft.functions.expressions.TextFunctions.poly_hash, PortableHashes.simhashBit)
+    val sp = graft.operators.Dedup.simhashPairs(docs, 3,
+      graft.functions.expressions.TextFunctions.poly_hash, PortableHashes.simhashBit)
+    force(sigs); println(s"q33 sigs: ${force(sigs)} ms  rows=${sigs.count()}")
+    force(sp); println(s"q33 pairs: ${force(sp)} ms  rows=${sp.count()}")
     spark.stop()
   }
 }
