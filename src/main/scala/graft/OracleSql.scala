@@ -185,9 +185,14 @@ object OracleSql {
        |  FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** Word 3-grams, all occurrences in order (mirrors the non-distinct gram
+    * pass in TextAnalysis.repetitionStats). */
+  def grams3All(textCol: String): String =
+    s"(CASE WHEN len(string_split($textCol, ' ')) >= 3 THEN " +
+      s"[string_split($textCol, ' ')[i] || ' ' || string_split($textCol, ' ')[i+1] || ' ' || string_split($textCol, ' ')[i+2] " +
+      s"for i in range(1, len(string_split($textCol, ' ')) - 1)] ELSE [] END)"
+
   /** Word 3-grams, distinct (mirrors Dedup.wordNGrams for n=3). */
   def grams3(textCol: String): String =
-    s"(CASE WHEN len(string_split($textCol, ' ')) >= 3 THEN " +
-      s"list_distinct([string_split($textCol, ' ')[i] || ' ' || string_split($textCol, ' ')[i+1] || ' ' || string_split($textCol, ' ')[i+2] " +
-      s"for i in range(1, len(string_split($textCol, ' ')) - 1)]) ELSE [] END)"
+    s"list_distinct(${grams3All(textCol)})"
 }

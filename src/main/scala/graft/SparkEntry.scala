@@ -371,6 +371,9 @@ object SparkEntry {
         .join(dupB, col("doc_id") === col("b_id"), "left_anti")
         .orderBy("doc_id")
     }),
+    "q52_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), 3)
+        .filter(col("doc_id") < 500).orderBy("doc_id")),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -700,6 +703,20 @@ object SparkEntry {
         s"""SELECT doc_id, $langPredictSql AS lang_pred FROM documents ORDER BY doc_id""",
       "q40_text_fingerprint" ->
         s"""SELECT doc_id, $fingerprintSql AS fp FROM documents ORDER BY doc_id""",
+      "q52_text_repetition" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |            FROM documents WHERE doc_id < 500),
+           |tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+           |top AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6)
+           |               AS top_token_ratio FROM tc GROUP BY doc_id),
+           |gr AS (SELECT doc_id, ${grams3All("text")} AS grams
+           |       FROM documents WHERE doc_id < 500),
+           |rep AS (SELECT doc_id,
+           |        CASE WHEN len(grams) > 0
+           |             THEN round(1.0e0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+           |             ELSE 0.0e0 END AS ngram_repetition FROM gr)
+           |SELECT r.doc_id, r.ngram_repetition, t.top_token_ratio
+           |FROM rep r JOIN top t ON r.doc_id = t.doc_id ORDER BY r.doc_id""".stripMargin,
       "q43_text_normalize" ->
         """SELECT doc_id,
           |  trim(regexp_replace(regexp_replace(lower(text || '  MIXED-Case!! 42 '), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,

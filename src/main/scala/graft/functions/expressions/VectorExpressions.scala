@@ -184,11 +184,20 @@ object VectorFunctions {
   def hyperplane_sig(emb: Column, nPlanes: Int): Column =
     ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(emb), nPlanes))
 
-  /** Register `vec_dot` into a session's function registry (idempotent) so
-    * `spark.sql("... vec_dot(a, b) ...")` works without extensions wiring. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register the custom expressions into a session's function registry
+    * (idempotent) so `spark.sql("... vec_dot(a, b) ...")`,
+    * `hyperplane_sig(v, n)` and `poly_hash(s)` work without extensions
+    * wiring. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_sig", exprs => HyperplaneSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+  }
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or
@@ -199,5 +208,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
+      (exprs: Seq[Expression]) => HyperplaneSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
   }
 }

@@ -107,6 +107,34 @@ object TextAnalysis {
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("embedding"))
   }
 
+  /** Within-document repetition profile — the standard pretraining-corpus
+    * repetition filters (boilerplate/template detection): the fraction of
+    * word n-gram OCCURRENCES that are repeats of an earlier n-gram in the
+    * same document, and the share of tokens taken by the single most
+    * frequent token. Both are integer-ratio deterministic, so the DuckDB
+    * oracle reproduces them exactly. Linear: one narrow per-row gram pass
+    * plus one token-count aggregation keyed by doc_id. */
+  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    val top = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mx"), sum(col("c")).as("n_tok"))
+      .select(col("doc_id"),
+        round(col("mx").cast("double") / col("n_tok"), 6).as("top_token_ratio"))
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val rep = docs.select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"),
+        when(size(col("grams")) > 0,
+          round(lit(1.0) -
+            size(array_distinct(col("grams"))).cast("double") / size(col("grams")), 6))
+          .otherwise(lit(0.0)).as("ngram_repetition"))
+    rep.join(top, Seq("doc_id"))
+  }
+
   /** Per-document stats frame. */
   def docStats(docs: DataFrame): DataFrame =
     docs.select(

@@ -55,6 +55,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getString(0) == "" && rows(1).getLong(1) == 0)
   }
 
+  test("repetition stats: hand-computed ngram-repeat and top-token ratios") {
+    val docs = Seq(
+      (0L, "a b c a b c a b"),   // grams: abc bca cab abc bca cab = 6, 3 distinct
+      (1L, "x x x x"),            // grams: xxx xxx = 2, 1 distinct; top token 4/4
+      (2L, "u v")                 // too short for 3-grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got(0) == ((0L, 0.5, 0.375)))  // 1 - 3/6; 'a' 3 of 8
+    assert(got(1) == ((1L, 0.5, 1.0)))    // 1 - 1/2; 'x' 4 of 4
+    assert(got(2) == ((2L, 0.0, 0.5)))    // no grams
+  }
+
   test("lang prediction: marker hits win; ties resolve alphabetically") {
     val docs = Seq(
       (0L, "join merge join"),      // zh markers
