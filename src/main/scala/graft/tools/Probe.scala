@@ -41,14 +41,17 @@ object Probe {
     val pairs = graft.operators.Dedup.embeddingNearDupPairs(vecs, 0.95)
     for (i <- 1 to 2) println(s"vectorize run $i: ${force(vecs)} ms")
     for (i <- 1 to 2) println(s"q46 run $i: ${force(pairs)} ms")
-    // q33 decomposition: signature build vs chunk join
-    import graft.functions.PortableHashes
-    val sigs = graft.operators.Dedup.simhashSigs(docs,
-      graft.functions.expressions.TextFunctions.poly_hash, PortableHashes.simhashBit)
-    val sp = graft.operators.Dedup.simhashPairs(docs, 3,
-      graft.functions.expressions.TextFunctions.poly_hash, PortableHashes.simhashBit)
-    force(sigs); println(s"q33 sigs: ${force(sigs)} ms  rows=${sigs.count()}")
-    force(sp); println(s"q33 pairs: ${force(sp)} ms  rows=${sp.count()}")
+    // q13 decomposition: synth -> enrich (trig) -> formatted
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val spots = graft.sources.SpotSynth.fromEvents(events)
+    val enriched = graft.operators.Enrich.enrich(spots)
+    val formatted = graft.operators.Enrich.formatted(spots)
+    val sortedF = graft.sources.SpotSource.sorted(formatted)
+    for ((n, df) <- Seq("spots" -> spots, "enrich(trig)" -> enriched,
+        "formatted" -> formatted, "formatted+sort" -> sortedF)) {
+      force(df); force(df); println(s"$n: ${force(df)} ms")
+    }
     spark.stop()
   }
 }

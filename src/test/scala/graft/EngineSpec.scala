@@ -18,6 +18,12 @@ class EngineSpec extends SparkSpec {
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
       .first().getDouble(0)
     assert(!d.isNaN)
+    // the full custom-expression surface is SQL-reachable
+    assert(spark.sql("SELECT poly_hash('abc') h").first().getLong(0) == 1677554L)
+    val sig = spark.sql(
+      "SELECT hyperplane_sig(embedding, 8) s FROM embeddings WHERE vec_id = 0")
+      .first().getLong(0)
+    assert(sig >= 0L && sig < 256L)
   }
 
   test("salted exact dedup equals unsalted") {

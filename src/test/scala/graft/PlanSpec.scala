@@ -82,6 +82,12 @@ class PlanSpec extends SparkSpec {
       s"cheap id conjunct must precede the dot product so it short-circuits:\n$joinLine")
   }
 
+  test("q46 vectorize-then-self-join: upstream evaluated once via exchange reuse") {
+    val p = plan(SparkEntry.queries("q46_text_hash_neardup")(spark, dir))
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      s"both join sides must reuse one vectorizer evaluation, not recompute it:\n$p")
+  }
+
   test("q51 vocab: bounded top-k aggregation, no global window sort") {
     val p = plan(SparkEntry.queries("q51_vocab")(spark, dir))
     assert(!p.contains("Window"),
