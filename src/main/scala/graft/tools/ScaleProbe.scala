@@ -56,6 +56,14 @@ object ScaleProbe {
     time("simhash") {
       Dedup.simhashPairs(docs).count()
     }
+    val emb = amplify(spark.read.parquet(s"$dir/embeddings.parquet"),
+      Seq("vec_id"), 1000000L)
+    time("embed_exact_pairs") {
+      Dedup.embeddingNearDupPairs(emb, 0.4).count()
+    }
+    time("embed_lsh_pairs") {
+      Dedup.embeddingNearDupPairsLsh(emb, 0.4).count()
+    }
     spark.stop()
   }
 }
