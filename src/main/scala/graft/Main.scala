@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Audit, Enrich}
-import graft.sinks.Sinks
+import graft.sinks.{Sinks, SpoolDrain}
 import graft.sources.{SpotSource, WsprNetClient}
 import graft.streaming.{DaemonControl, Ingest}
 import org.apache.spark.sql.SparkSession
@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *   graft.Main stream  <inDir> <checkpointDir> <outDir>   # file-drop daemon (T3/T4)
   *   graft.Main status  <checkpointDir>                    # T6 -s: pid + cursor position
   *   graft.Main stop    <checkpointDir>                    # T6 -z: terminate the daemon
+  *   graft.Main drain   <spoolDir> <destDir> [--once]      # K4 uploader daemon
   *   graft.Main scrape  <outDir> [--once] [--no-upload]    # HTTP poll loop (T1 cadence)
   */
 object Main {
@@ -86,6 +87,25 @@ object Main {
         case DaemonControl.NotRunning => println("no daemon to stop")
       }
 
+    case "drain" :: spool :: dest :: flags => // K4 uploader daemon (second pidfile)
+      if (!DaemonControl.acquirePidfile(spool)) {
+        System.err.println(s"drain daemon already running (see $spool/graft.pid)")
+        sys.exit(1)
+      }
+      // local-mirror transport: "upload" = copy into dest (a remote client —
+      // FTP/HTTP/object store — drops in here in a networked deployment)
+      java.nio.file.Files.createDirectories(java.nio.file.Path.of(dest))
+      val transport = (p: java.nio.file.Path) => {
+        java.nio.file.Files.copy(p,
+          java.nio.file.Path.of(dest, s"${p.getParent.getFileName}_${p.getFileName}"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        true
+      }
+      if (flags.contains("--once")) {
+        val (up, fail) = SpoolDrain.drainOnce(spool, transport)
+        println(s"drained=$up failed=$fail")
+      } else SpoolDrain.run(spool, transport, () => true)
+
     case "scrape" :: out :: flags =>
       val spark = session()
       val cfg = WsprNetClient.Config(
@@ -116,7 +136,7 @@ object Main {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: enrich <in> <outDir> | audit <in> | stream <in> <ckpt> <out> | status <ckpt> | stop <ckpt> | scrape <out> [--once] [--no-upload]")
+      System.err.println("usage: enrich <in> <outDir> | audit <in> | stream <in> <ckpt> <out> | status <ckpt> | stop <ckpt> | drain <spool> <dest> [--once] | scrape <out> [--once] [--no-upload]")
       sys.exit(2)
   }
 }
