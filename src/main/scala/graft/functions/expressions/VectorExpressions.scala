@@ -184,6 +184,18 @@ object VectorFunctions {
   def hyperplane_sig(emb: Column, nPlanes: Int): Column =
     ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(emb), nPlanes))
 
+  /** The SQL form's nPlanes must be a foldable integer (the plane count is a
+    * plan-time constant baked into codegen); fail analysis with a clear
+    * message instead of an opaque eval error on a column argument. */
+  private[expressions] def nPlanesArg(e: Expression): Int = {
+    require(e.foldable, "hyperplane_sig: nPlanes must be an integer literal, not a column")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_sig: nPlanes must be an integer literal, got $other")
+    }
+  }
+
   /** Register the custom expressions into a session's function registry
     * (idempotent) so `spark.sql("... vec_dot(a, b) ...")`,
     * `hyperplane_sig(v, n)` and `poly_hash(s)` work without extensions
@@ -194,7 +206,7 @@ object VectorFunctions {
       "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        VectorFunctions.nPlanesArg(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
   }
@@ -212,7 +224,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
       (exprs: Seq[Expression]) => HyperplaneSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        VectorFunctions.nPlanesArg(exprs(1)))))
     e.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

@@ -196,11 +196,19 @@ object Dedup {
     tok.groupBy("doc_id")
       .agg(packedCols.head, packedCols.tail :+ count(lit(1)).as("n"): _*)
       .select(col("doc_id"),
-        (0 until 64).map { b =>
-          val c = shiftright(col(s"p${b / PerLong}"), Width * (b % PerLong))
-            .bitwiseAND((1L << Width) - 1)
-          when(c * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
-        }.reduce((a, c) => a.bitwiseOR(c)).as("sig"))
+        // fail LOUDLY past the packing capacity instead of silently carrying
+        // a counter into the neighboring bit's field (split such documents
+        // upstream, or lower n via normalization)
+        when(col("n") >= lit(1L << Width), raise_error(concat(
+          lit(s"simhashSigs: document exceeds 2^$Width tokens, packed "),
+          lit("vote counters would overflow: doc_id="),
+          col("doc_id").cast("string"))))
+          .otherwise(
+            (0 until 64).map { b =>
+              val c = shiftright(col(s"p${b / PerLong}"), Width * (b % PerLong))
+                .bitwiseAND((1L << Width) - 1)
+              when(c * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+            }.reduce((a, c) => a.bitwiseOR(c))).as("sig"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4), via

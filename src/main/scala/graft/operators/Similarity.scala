@@ -113,9 +113,14 @@ object Similarity {
     * partition pruning instead of a filter over the full corpus. */
   def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
       dim: Int = 64): Unit = {
-    val centroids = ivfCentroids(corpus, nlist, dim)
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    assignToCentroids(corpus, centroids)
+    ivfCentroids(corpus, nlist, dim).write.mode("overwrite").parquet(s"$path/centroids")
+    // Assign against the WRITTEN centroid table, not the live Lloyd plan:
+    // re-evaluating the (uncached) plan could schedule its avg() reductions
+    // differently and flip a boundary vector's cell, leaving stored cells
+    // inconsistent with the stored centroids — and would run the full Lloyd
+    // pass a second time.
+    val persisted = corpus.sparkSession.read.parquet(s"$path/centroids")
+    assignToCentroids(corpus, persisted)
       .join(corpus, "vec_id")
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
@@ -138,12 +143,18 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cid"))
-    // <= nlist longs: a legitimate driver-side value list (dynamic partition
-    // pruning by hand), NOT a data collect
-    val probed = qProbes.select("cid").distinct().collect().map(_.getLong(0)).sorted
+    // Evaluate the probe plan ONCE: the collected rows feed both the
+    // probed-cell list (<= nlist longs — dynamic partition pruning by hand,
+    // not a data collect; queries are small by this operator's contract) and
+    // the broadcast join side, instead of re-running the centroid read +
+    // cross join + window a second time.
+    val probeRows = qProbes.collect()
+    val probed = probeRows.map(_.getLong(2)).distinct.sorted
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), qProbes.schema)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cid").isin(probed: _*))
-    val scored = vectors.join(broadcast(qProbes), Seq("cid"))
+    val scored = vectors.join(broadcast(qLocal), Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)

@@ -91,6 +91,12 @@ private[graft] class WsprNetMicroBatchStream(options: CaseInsensitiveStringMap)
   private val transport = WsprNetSourceProvider.transportFor(
     options.getOrDefault("transportId", "jdk"), cfg.fetchTimeoutSeconds)
   private val startSpotnum = options.getLong("startSpotnum", 0L)
+  // minimum ms between HTTP polls (0 = poll every trigger). With the default
+  // ProcessingTime(0) trigger the engine re-asks for offsets continuously, so
+  // a production deployment should set this to the scrape cadence (the
+  // reference's is 30 s) or use an explicit trigger.
+  private val pollIntervalMs = options.getLong("pollIntervalMs", 0L)
+  private var lastPollNanos = Long.MinValue
 
   private var session: Option[WsprNetClient.Session] = None
   // driver-side buffer of fetched-but-uncommitted rows, keyed by Spotnum;
@@ -100,10 +106,18 @@ private[graft] class WsprNetMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def initialOffset(): Offset = SpotnumOffset(startSpotnum)
 
-  override def deserializeOffset(json: String): Offset =
-    SpotnumOffset(""""spotnum"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+  override def deserializeOffset(json: String): Offset = {
+    val off = SpotnumOffset(""""spotnum"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+    // Seed the poll cursor from restored offsets so a restart (a) never
+    // reports a latest offset BELOW the checkpointed one and (b) does not
+    // refetch the full already-committed history into the buffer. Replay of
+    // an uncommitted batch is unaffected: planInputPartitions refetches its
+    // own range on demand.
+    fetchedThrough = math.max(fetchedThrough, off.spotnum)
+    off
+  }
 
   /** Fetch everything past `cursor` into the buffer, with one re-login on an
     * invalidated session (F4). */
@@ -128,21 +142,28 @@ private[graft] class WsprNetMicroBatchStream(options: CaseInsensitiveStringMap)
     }
   }
 
-  /** One poll per trigger (the reference's one scrape per cycle). */
+  /** One poll per trigger (the reference's one scrape per cycle), rate-capped
+    * by `pollIntervalMs` so a fast engine trigger cannot hammer the endpoint
+    * beyond the configured cadence. */
   override def latestOffset(): Offset = {
-    poll(fetchedThrough)
+    val now = System.nanoTime()
+    if (lastPollNanos == Long.MinValue || (now - lastPollNanos) / 1000000L >= pollIntervalMs) {
+      lastPollNanos = now
+      poll(fetchedThrough)
+    }
     SpotnumOffset(fetchedThrough)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[SpotnumOffset].spotnum
     val hi = end.asInstanceOf[SpotnumOffset].spotnum
+    if (hi <= lo) return Array.empty // empty or regressed range: nothing to plan
     // Replay after restart: the engine re-executes the last uncommitted
     // (start, end] from the offset log, but the buffer lived in the previous
     // JVM — refetch past `lo` on demand (the API retains spots, so the
     // replayed range is re-servable; anything past `hi` stays buffered for
     // the next trigger).
-    if (hi > lo && pending.subMap(lo, false, hi, true).isEmpty) poll(lo)
+    if (pending.subMap(lo, false, hi, true).isEmpty) poll(lo)
     val rows = pending.subMap(lo, false, hi, true).values.asScala.toArray
     if (rows.isEmpty) Array.empty else Array(SpotRowsPartition(rows))
   }
