@@ -29,6 +29,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp == expected)
   }
 
+  test("native poly_hash == HOF fold on generated strings (property)") {
+    import org.scalacheck.Gen
+    // printable-ASCII strings incl. empties and runs of the same char
+    val gen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val samples = Gen.listOfN(300, gen).sample.get
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val diff = df.select(
+      TextAnalysis.fingerprint($"text").as("nat"),
+      TextAnalysis.fingerprintHof($"text").as("hof"))
+      .filter($"nat" =!= $"hof").count()
+    assert(diff == 0)
+    // and both equal the reference fold computed in plain Scala
+    val direct = samples.map(s =>
+      s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % 2147483647L))
+    val got = df.orderBy("doc_id").select(TextAnalysis.fingerprint($"text"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == direct)
+  }
+
   test("native poly_hash matches the interpreted HOF fold on fixture text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val diff = docs.select(
