@@ -143,9 +143,11 @@ object Ingest {
       val newCursor =
         if (stats.getLong(0) > 0) { // F5: skip empty cycles
           // A2: cross-batch sequence gap against the previous batch's max
-          // (wsprnet-scraper.sh:335-339 — logged, never re-fetched)
+          // (wsprnet-scraper.sh:335-339 — logged, never re-fetched). The
+          // reference logs only when first - last > 2, i.e. at least TWO
+          // missing ids — a one-id skip between scrapes is normal noise.
           val crossGap = stats.getLong(1) - cursor - 1
-          if (cursor > 0 && crossGap >= 1) {
+          if (cursor > 0 && crossGap >= 2) {
             System.err.println(
               s"[ingest] batch $batchId: cross-batch gap of $crossGap spotnums after $cursor")
           }
