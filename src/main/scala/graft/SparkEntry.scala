@@ -362,12 +362,18 @@ object SparkEntry {
         TextAnalysis.subwordCount(concat(col("text"), lit(" x9z."))).as("n_subwords"))
         .orderBy("doc_id")),
     "q48_curation" -> ((s, dir) => {
-      // the composed training-data curation pipeline: quality gate + near-dup
-      // removal (later doc of each >=0.8-jaccard pair dropped, min-id kept)
+      // the composed training-data curation pipeline: quality gate +
+      // repetition gate (boilerplate/template docs) + near-dup removal
+      // (later doc of each >=0.8-jaccard pair dropped, min-id kept)
       val docs = t(s, dir, "documents")
       val stats = TextAnalysis.docStats(docs).select("doc_id", "n_tokens", "quality")
+      val rep = TextAnalysis.repetitionStats(docs, 3)
+        .select(col("doc_id"), col("ngram_repetition"))
       val dupB = Dedup.ngramJaccardPairs(docs, 3, 0.8).select(col("b_id")).distinct()
       stats.filter(col("quality") >= 0.55)
+        .join(rep, Seq("doc_id"))
+        .filter(col("ngram_repetition") < 0.05)
+        .select("doc_id", "n_tokens", "quality")
         .join(dupB, col("doc_id") === col("b_id"), "left_anti")
         .orderBy("doc_id")
     }),
@@ -597,10 +603,16 @@ object SparkEntry {
       "q48_curation" ->
         s"""$ngramPairsWith,
            |dup_b AS (SELECT DISTINCT b_id FROM pairs
-           |          WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.8e0)
+           |          WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.8e0),
+           |rep AS (SELECT doc_id,
+           |        CASE WHEN len(grams) > 0
+           |             THEN round(1.0e0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+           |             ELSE 0.0e0 END AS r
+           |        FROM (SELECT doc_id, ${grams3All("text")} AS grams FROM documents))
            |SELECT doc_id, $nTokens AS n_tokens, $qualitySql AS quality
            |FROM documents
            |WHERE $qualitySql >= 0.55e0
+           |  AND doc_id IN (SELECT doc_id FROM rep WHERE r < 0.05e0)
            |  AND doc_id NOT IN (SELECT b_id FROM dup_b)
            |ORDER BY doc_id""".stripMargin,
       "q32_dedup_minhash" -> // full mirror of the portable-hash MinHash-LSH pipeline
