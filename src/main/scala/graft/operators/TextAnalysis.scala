@@ -121,18 +121,27 @@ object TextAnalysis {
       .groupBy("doc_id").agg(max(col("c")).as("mx"), sum(col("c")).as("n_tok"))
       .select(col("doc_id"),
         round(col("mx").cast("double") / col("n_tok"), 6).as("top_token_ratio"))
+    // gram pass as explode + codegen aggregates: the scalar formulation
+    // (size(array_distinct(grams))/size(grams) per row) re-evaluates the
+    // interpreted gram-building lambda per referencing expression and runs
+    // it all on the scan's partitioning; exploding builds each doc's gram
+    // array once and pushes the counting into a shuffled hash aggregate
     val toks = split(col("text"), " ")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val rep = docs.select(col("doc_id"), grams.as("grams"))
+    val gramRows = docs
+      .select(col("doc_id"), explode(when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val rep = gramRows.groupBy("doc_id")
+      .agg(count(lit(1)).as("total"), count_distinct(col("gram")).as("dist"))
       .select(col("doc_id"),
-        when(size(col("grams")) > 0,
-          round(lit(1.0) -
-            size(array_distinct(col("grams"))).cast("double") / size(col("grams")), 6))
-          .otherwise(lit(0.0)).as("ngram_repetition"))
-    rep.join(top, Seq("doc_id"))
+        round(lit(1.0) - col("dist").cast("double") / col("total"), 6)
+          .as("ngram_repetition"))
+    // docs too short for any n-gram produce no gram rows -> repetition 0
+    docs.select(col("doc_id")).join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ngram_repetition"), lit(0.0)).as("ngram_repetition"))
+      .join(top, Seq("doc_id"))
   }
 
   /** Per-document stats frame. */
