@@ -28,8 +28,20 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Fixture scan, fanned out across the cluster. The sf fixtures are
+    * single-row-group parquet files — ONE input split — so every narrow
+    * CPU-heavy stage downstream (trig enrichment, n-gram explode, %.3f
+    * formatting) would otherwise run in a single task. A round-robin
+    * repartition (which AQE never re-coalesces) spreads that work for the
+    * cost of shuffling the raw scan (a few MB here). On a production table
+    * the scan has thousands of splits and the library operators stay
+    * shuffle-free by design; this adapter lives at the harness boundary,
+    * not inside the operators. */
+  private def tp(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   private def spots(spark: SparkSession, dir: String): DataFrame =
-    SpotSynth.fromEvents(t(spark, dir, "events"))
+    SpotSynth.fromEvents(tp(spark, dir, "events"))
 
   /** Decimal-exact sum of a double expression, returned as double. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
@@ -166,7 +178,7 @@ object SparkEntry {
       // vocabulary. The DuckDB oracle keeps the window form as a cross-check.
       import graft.functions.RowTopKAggregator
       import s.implicits._
-      val tok = t(s, dir, "documents")
+      val tok = tp(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "") // split artifacts from ragged whitespace
       val vocabOrd: Ordering[(Long, Long, String)] =
@@ -272,18 +284,18 @@ object SparkEntry {
         .filter(col("n_dups") > 1).orderBy("dup_key")
     }),
     "q31_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.5)
+      Dedup.ngramJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
         .orderBy("a_id", "b_id")),
     // q32/q33/q45/q46 plug in the portable hash families so the DuckDB
     // oracle can mirror the full approximate pipeline bit-for-bit (the
     // xxhash64 defaults stay the library defaults and are spec-covered).
     "q32_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"),
+      Dedup.minhashLshPairs(tp(s, dir, "documents"),
           gramHashes = PortableHashes.minhashGramHashes,
           bandBucket = PortableHashes.minhashBandBucket)
         .orderBy("a_id", "b_id")),
     "q33_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"),
+      Dedup.simhashPairs(tp(s, dir, "documents"),
           tokenHash = graft.functions.expressions.TextFunctions.poly_hash,
           bitOf = PortableHashes.simhashBit)
         .orderBy("a_id", "b_id")),
@@ -296,7 +308,7 @@ object SparkEntry {
         .orderBy("a_id", "b_id")),
     "q46_text_hash_neardup" -> ((s, dir) => {
       // text -> hashed vectors -> cosine near-dup: the cross-modality bridge
-      val vecs = TextAnalysis.hashingVectorize(t(s, dir, "documents"), 64,
+      val vecs = TextAnalysis.hashingVectorize(tp(s, dir, "documents"), 64,
           tokenHash = PortableHashes.tokenSlot)
         .withColumnRenamed("doc_id", "vec_id")
       Dedup.embeddingNearDupPairs(vecs, 0.95).orderBy("a_id", "b_id")
@@ -339,24 +351,24 @@ object SparkEntry {
     }),
     // ---- extension: text analysis -----------------------------------------
     "q37_text_stats" -> ((s, dir) =>
-      TextAnalysis.docStats(t(s, dir, "documents"))
+      TextAnalysis.docStats(tp(s, dir, "documents"))
         .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
           sum(col("quality").cast("decimal(18,6)")).cast("double").as("sum_quality"))
         .orderBy("source")),
     "q38_text_quality" -> ((s, dir) =>
-      TextAnalysis.docStats(t(s, dir, "documents"))
+      TextAnalysis.docStats(tp(s, dir, "documents"))
         .select("doc_id", "n_tokens", "n_distinct", "n_stopwords", "quality")
         .orderBy("doc_id")),
     "q39_text_langid" -> ((s, dir) =>
-      TextAnalysis.docStats(t(s, dir, "documents"))
+      TextAnalysis.docStats(tp(s, dir, "documents"))
         .select("doc_id", "lang_pred").orderBy("doc_id")),
     "q40_text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.docStats(t(s, dir, "documents"))
+      TextAnalysis.docStats(tp(s, dir, "documents"))
         .select("doc_id", "fp").orderBy("doc_id")),
     "q43_text_normalize" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      tp(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.normalizeText(concat(col("text"), lit("  MIXED-Case!! 42 "))).as("norm_text"),
         TextAnalysis.subwordCount(concat(col("text"), lit(" x9z."))).as("n_subwords"))
@@ -365,7 +377,7 @@ object SparkEntry {
       // the composed training-data curation pipeline: quality gate +
       // repetition gate (boilerplate/template docs) + near-dup removal
       // (later doc of each >=0.8-jaccard pair dropped, min-id kept)
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val stats = TextAnalysis.docStats(docs).select("doc_id", "n_tokens", "quality")
       val rep = TextAnalysis.repetitionStats(docs, 3)
         .select(col("doc_id"), col("ngram_repetition"))
@@ -378,7 +390,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q52_text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionStats(t(s, dir, "documents"), 3)
+      TextAnalysis.repetitionStats(tp(s, dir, "documents"), 3)
         .filter(col("doc_id") < 500).orderBy("doc_id")),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>

@@ -48,8 +48,16 @@ object Probe {
     val enriched = graft.operators.Enrich.enrich(spots)
     val formatted = graft.operators.Enrich.formatted(spots)
     val sortedF = graft.sources.SpotSource.sorted(formatted)
+    // Parallelized variant: the sf fixtures are single-row-group parquet, so
+    // the narrow enrich stage otherwise runs in ONE task.
+    val eventsPar = events.repartition(32)
+    val spotsPar = graft.sources.SpotSynth.fromEvents(eventsPar)
+    val formattedPar = graft.operators.Enrich.formatted(spotsPar)
+    val sortedPar = graft.sources.SpotSource.sorted(formattedPar)
     for ((n, df) <- Seq("spots" -> spots, "enrich(trig)" -> enriched,
-        "formatted" -> formatted, "formatted+sort" -> sortedF)) {
+        "formatted" -> formatted, "formatted+sort" -> sortedF,
+        "spotsPar" -> spotsPar, "formattedPar" -> formattedPar,
+        "formattedPar+sort" -> sortedPar)) {
       force(df); force(df); println(s"$n: ${force(df)} ms")
     }
     spark.stop()
