@@ -30,11 +30,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
   }
 
-  test("q13 enrichment: narrow plan — only the final sort exchanges") {
+  test("q13 enrichment: narrow plan — only scan fan-out and the final sort exchange") {
     val p = plan(SparkEntry.queries("q13_enrich")(spark, dir))
+    // one round-robin exchange (the single-split fixture scan fanned across
+    // cores), one range exchange (the final sort) — and never a hash shuffle:
+    // the enrichment itself is narrow.
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1
+      && "(?i)Exchange roundrobinpartitioning".r.findAllIn(p).size == 1
       && !p.contains("Exchange hashpartitioning"), s"enrichment must not shuffle:\n$p")
-    assert(p.contains("*(1) Project"), "geo math must stay inside a codegen stage")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      "geo math must stay inside a codegen stage")
   }
 
   test("gap audit: intra window is bucket-partitioned, not global") {
