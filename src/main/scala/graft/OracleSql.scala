@@ -185,14 +185,36 @@ object OracleSql {
        |  FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
-  /** Word 3-grams, all occurrences in order (mirrors the non-distinct gram
-    * pass in TextAnalysis.repetitionStats). */
-  def grams3All(textCol: String): String =
-    s"(CASE WHEN len(string_split($textCol, ' ')) >= 3 THEN " +
-      s"[string_split($textCol, ' ')[i] || ' ' || string_split($textCol, ' ')[i+1] || ' ' || string_split($textCol, ' ')[i+2] " +
-      s"for i in range(1, len(string_split($textCol, ' ')) - 1)] ELSE [] END)"
+  /** Word n-grams, all occurrences in order (mirrors the non-distinct gram
+    * pass in TextAnalysis.repetitionStats; Dedup.gramsOfToks before its
+    * distinct). DuckDB list slicing is 1-based inclusive, so toks[i:i+n-1]
+    * is the n tokens starting at i, and i ranges over 1..len-n+1
+    * (range() excludes its upper bound). */
+  def gramsNAll(textCol: String, n: Int): String =
+    s"(CASE WHEN len(string_split($textCol, ' ')) >= $n THEN " +
+      s"[array_to_string(string_split($textCol, ' ')[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, len(string_split($textCol, ' ')) - ${n - 2})] ELSE [] END)"
+
+  /** Word 3-grams, all occurrences in order. */
+  def grams3All(textCol: String): String = gramsNAll(textCol, 3)
+
+  /** Word n-grams, distinct (mirrors Dedup.wordNGrams). */
+  def gramsN(textCol: String, n: Int): String =
+    s"list_distinct(${gramsNAll(textCol, n)})"
 
   /** Word 3-grams, distinct (mirrors Dedup.wordNGrams for n=3). */
-  def grams3(textCol: String): String =
-    s"list_distinct(${grams3All(textCol)})"
+  def grams3(textCol: String): String = gramsN(textCol, 3)
+
+  /** Mirrors graft.functions.PortableHashes.lshBucket: sign-signature bucket
+    * over nPlanes portable hyperplanes; each component is integer arithmetic
+    * then one exact double division, so the SQL value is bit-identical to the
+    * plan-time literal on the Spark side. */
+  def lshBucketSql(emb: String, nPlanes: Int = 8, dim: Int = 64): String =
+    s"""list_sum(list_transform(generate_series(0, ${nPlanes - 1}), p ->
+       |  CASE WHEN list_reduce(list_prepend(0.0e0,
+       |    list_transform(generate_series(0, ${dim - 1}), d ->
+       |      $emb[d+1] * (CAST(((p*$dim + d + 1) * 2654435761) % 2147483647 AS DOUBLE)
+       |                   / 1073741823.5e0 - 1.0e0))),
+       |    (acc, x) -> acc + x) >= 0
+       |  THEN CAST(1 << p AS BIGINT) ELSE 0 END))""".stripMargin
 }

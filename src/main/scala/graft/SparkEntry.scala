@@ -320,8 +320,12 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
     "q36_sim_topk_lsh" -> ((s, dir) => {
+      // portable hyperplane family -> the DuckDB oracle mirrors the full
+      // bucket-then-rerank pipeline (the xxhash64 codegen default stays the
+      // library default, spec-covered)
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 10,
+          bucket = Some(e => PortableHashes.lshBucket(e, 8, 64)))
         .orderBy("q_id", "rank")
     }),
     "q42_sim_topk_ivf" -> ((s, dir) => {
@@ -392,20 +396,39 @@ object SparkEntry {
     "q52_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(tp(s, dir, "documents"), 3)
         .filter(col("doc_id") < 500).orderBy("doc_id")),
+    "q53_dedup_clusters" -> ((s, dir) => {
+      // near-dup pairs -> connected components -> canonical representative
+      val pairs = Dedup.ngramJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
+        .select("a_id", "b_id")
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
+    "q54_decontaminate" -> ((s, dir) => {
+      // train/eval overlap: training docs sharing any distinct 5-gram with
+      // the (tiny, broadcast) eval set
+      val docs = tp(s, dir, "documents")
+      Dedup.contaminatedBy(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), 5)
+        .orderBy("doc_id")
+    }),
+    "q55_quota_sample" -> ((s, dir) =>
+      // cap every source at 30 docs, deterministic unit-hash order
+      Sampling.quotaPerGroup(tp(s, dir, "documents"), "source", "doc_id", 30)
+        .orderBy("source", "rank")),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
         .toDF().orderBy("doc_id"))
   )
 
-  /** DuckDB oracles; keys must match [[queries]]. Queries absent here
-    * (q36/q42: ANN top-k rankings over engine-internal xxhash64 buckets /
-    * IVF cells) get the driver's weaker rows-only check and are instead
-    * cross-checked in ScalaTest (recall vs brute force; nprobe=nlist
-    * exactness). The other approximate ops (q32 MinHash, q33 SimHash,
-    * q45 hyperplane LSH, q46 feature hashing) use the portable hash
-    * families (graft.functions.PortableHashes), so their oracles below
-    * mirror the full pipeline — signatures, banding, bucketing, exact
+  /** DuckDB oracles; keys must match [[queries]]. The ONLY query absent here
+    * is q42 (IVF top-k: mirroring the Lloyd-iteration centroids in SQL is
+    * not reasonable), which gets the driver's weaker rows-only check and is
+    * instead cross-checked in ScalaTest (IvfSpec: nprobe=nlist ⇒ exact).
+    * Every other approximate op (q32 MinHash, q33 SimHash, q36/q45
+    * hyperplane LSH, q46 feature hashing) plugs in the portable hash
+    * families (graft.functions.PortableHashes), so its oracle below mirrors
+    * the full pipeline — signatures, banding, bucketing, exact
     * verification — bit-for-bit in SQL. */
   def oracleSql: Map[String, String] = {
     import OracleSql._
@@ -665,20 +688,22 @@ object SparkEntry {
            |ORDER BY a_id, b_id""".stripMargin,
       "q45_dedup_embed_lsh" -> // full mirror of the portable hyperplane-LSH bucketing
         s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-           |bk AS (SELECT vec_id, emb,
-           |       list_sum(list_transform(generate_series(0, 7), p ->
-           |         CASE WHEN list_reduce(list_prepend(0.0e0,
-           |           list_transform(generate_series(0, 63), d ->
-           |             emb[d+1] * (CAST(((p*64 + d + 1) * 2654435761) % 2147483647 AS DOUBLE)
-           |                         / 1073741823.5e0 - 1.0e0))),
-           |           (acc, x) -> acc + x) >= 0
-           |         THEN CAST(1 << p AS BIGINT) ELSE 0 END)) AS bucket
-           |       FROM v),
+           |bk AS (SELECT vec_id, emb, ${lshBucketSql("emb")} AS bucket FROM v),
            |scored AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |           ${cosineSql("a.emb", "b.emb")} AS cos
            |           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
            |SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4e0
            |ORDER BY a_id, b_id""".stripMargin,
+      "q36_sim_topk_lsh" -> // full mirror: portable buckets + exact rerank
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |bk AS (SELECT vec_id, emb, ${lshBucketSql("emb")} AS bucket FROM v),
+           |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM bk WHERE vec_id < 5),
+           |scored AS (SELECT q.q_id, c.vec_id, ${cosineSql("q.q_emb", "c.emb")} AS cos
+           |           FROM bk c JOIN q ON c.bucket = q.bucket AND q.q_id <> c.vec_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |             ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+           |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
       "q46_text_hash_neardup" -> // full mirror: poly_hash vectorizer + exact cosine pairs
         s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
            |tf AS (SELECT doc_id, ${polyHashSql("token")} % 64 AS idx, CAST(count(*) AS BIGINT) AS c
@@ -741,6 +766,35 @@ object SparkEntry {
            |             ELSE 0.0e0 END AS ngram_repetition FROM gr)
            |SELECT r.doc_id, r.ngram_repetition, t.top_token_ratio
            |FROM rep r JOIN top t ON r.doc_id = t.doc_id ORDER BY r.doc_id""".stripMargin,
+      "q53_dedup_clusters" -> // recursive min-label reachability = the CC fixpoint
+        s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |pe AS (SELECT a_id, b_id FROM pairs
+           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |e AS (SELECT a_id AS s, b_id AS d FROM pe
+           |      UNION ALL SELECT b_id, a_id FROM pe),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+           |SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
+           |ORDER BY doc_id""".stripMargin,
+      "q54_decontaminate" ->
+        s"""WITH tg AS (SELECT doc_id, unnest(${gramsN("text", 5)}) AS gram
+           |            FROM documents WHERE doc_id % 10 <> 0),
+           |eg AS (SELECT DISTINCT gram FROM (
+           |        SELECT unnest(${gramsN("text", 5)}) AS gram
+           |        FROM documents WHERE doc_id % 10 = 0))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+           |FROM tg JOIN eg USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q55_quota_sample" -> {
+        val u = graft.operators.Sampling.unitHashSql("doc_id", salt = 0)
+        s"""WITH h AS (SELECT source, doc_id, $u AS u FROM documents),
+           |r AS (SELECT source, doc_id, row_number() OVER (
+           |        PARTITION BY source ORDER BY u, doc_id) AS rank FROM h)
+           |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r
+           |WHERE rank <= 30 ORDER BY source, rank""".stripMargin
+      },
       "q43_text_normalize" ->
         """SELECT doc_id,
           |  trim(regexp_replace(regexp_replace(lower(text || '  MIXED-Case!! 42 '), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,

@@ -272,6 +272,71 @@ object Dedup {
       .select(col("a_id"), col("b_id"), cos.as("cos"))
   }
 
+  /** Connected components over an undirected near-dup pair set: every doc
+    * that appears in `pairs` is labeled with the minimum doc_id reachable
+    * through shared pairs (`rep_id`) — the canonical representative of its
+    * duplicate cluster. Output: (doc_id, rep_id), one row per distinct doc
+    * in `pairs`.
+    *
+    * Physical shape: iterative min-label propagation. Each round is one
+    * shuffle join (edge src -> current label) + one min-aggregate, and the
+    * loop stops at the first round that changes nothing; rounds needed =
+    * the largest cluster DIAMETER, not its size. Near-dup clusters are
+    * dense (a template and its variants all pair with each other), so
+    * diameters stay small; for adversarial chain-shaped graphs the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce") converges in O(log n) rounds and
+    * would slot into the same loop. Labels persist per round and the
+    * previous round is unpersisted, so lineage never re-runs earlier
+    * rounds. `maxIters` bounds the loop; hitting it raises rather than
+    * silently emitting unconverged clusters. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // min label among each node's neighbors, then fold into its own label
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min("rep").as("nbr_rep"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.alias("n")
+        .join(labels.select(col("id"), col("rep").as("old")).alias("o"), "id")
+        .filter(col("rep") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+  }
+
+  /** Train/eval decontamination: training docs sharing at least one distinct
+    * word n-gram with any eval doc, with the count of shared distinct grams.
+    * Output: (doc_id, n_shared_grams) over the TRAIN side only.
+    *
+    * Scale shape: the eval set is tiny relative to a 100 TB training corpus
+    * (benchmarks, not crawls), so its distinct gram set is collected into a
+    * broadcast hash join — the training side streams through map-side
+    * filtering with NO shuffle of the corpus; the only exchange left is the
+    * per-doc count aggregate over matching grams. */
+  def contaminatedBy(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    val evalGrams = gramRows(eval, n).select("gram").distinct()
+    gramRows(train, n).join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Scale path for [[embeddingNearDupPairs]]: only pairs sharing a
     * hyperplane-LSH bucket are scored — the join is bucket-local instead of a
     * full cross product. Recall < 1 (a cos>=threshold pair on opposite sides

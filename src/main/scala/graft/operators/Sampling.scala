@@ -58,6 +58,34 @@ object Sampling {
     df.filter(unitHash(col(idCol)) < frac)
   }
 
+  /** Deterministic per-group quota: keep the `quota` rows of each group with
+    * the smallest (unitHash(id), id) key — reproducible source balancing for
+    * training mixtures (cap every source at N docs). Output:
+    * (groupCol, idCol, rank), rank 1..quota in selection order.
+    *
+    * Scale shape: the bounded-heap [[graft.functions.RowTopKAggregator]]
+    * carries at most `quota` rows per group through partial aggregation
+    * (map-side combine), so the shuffle moves quota rows per group instead
+    * of the whole corpus — the window-function formulation
+    * (`row_number() OVER (PARTITION BY group ORDER BY u)`) would sort every
+    * row of every group and is kept only as the DuckDB oracle mirror. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val ord: Ordering[(Double, Long)] = Ordering.Tuple2(
+      Ordering.Double.TotalOrdering, Ordering.Long)
+    df.select(col(groupCol).cast("string").as("g"),
+        unitHash(col(idCol)).as("u"), col(idCol).cast("long").as("id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.RowTopKAggregator(quota, ord).toColumn)
+      .toDF("g", "topk")
+      .select(col("g").as(groupCol), posexplode(col("topk")))
+      .select(col(groupCol), col("col._2").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Assign each row to a named split by cumulative weight thresholds, e.g.
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Uses salt 1 — an
     * independent hash stream from [[sample]], so sampling then splitting

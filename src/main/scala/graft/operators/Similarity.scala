@@ -165,12 +165,20 @@ object Similarity {
 
   /** Approximate top-k: candidates share the query's LSH bucket; exact re-rank
     * within candidates. Recall < 1 by design; the operator trades it for a
-    * bucket-local join instead of a full cross product. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    * bucket-local join instead of a full cross product.
+    *
+    * `bucket` overrides the signature function (default: the native
+    * xxhash64-plane codegen expression; pass
+    * [[graft.functions.PortableHashes.lshBucket]] for the SQL-mirrorable
+    * family the DuckDB oracle reproduces bit-for-bit). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
+      bucket: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+        None): DataFrame = {
+    val bucketFn = bucket.getOrElse((e: org.apache.spark.sql.Column) => lshBucket(e, nPlanes))
     val c = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+      bucketFn(col("embedding")).as("bucket"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+      bucketFn(col("embedding")).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))

@@ -118,4 +118,48 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((0L, 1L)))
   }
+
+  test("connected components: chains, separate clusters, canonical min labels") {
+    val pairs = Seq(
+      (1L, 0L), (1L, 2L),                      // triangle-ish cluster -> rep 0
+      (5L, 6L),                                // pair cluster -> rep 5
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L) // chain, diameter 4 -> rep 10
+    ).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L,
+      5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    assert(got == expected, s"got=$got")
+  }
+
+  test("connected components raises instead of emitting unconverged labels") {
+    val chain = (0L until 6L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 1).collect()
+    }
+  }
+
+  test("decontamination: shared distinct 5-grams against a broadcast eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words nothing shared with anything else here"),
+      (3L, "the quick brown fox jumps high above everything else now")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix tokens the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminatedBy(train, eval, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: distinct 5-grams of each train doc vs the eval gram set
+    def g5(t: String) = t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    val eg = g5("prefix tokens the quick brown fox jumps over the lazy dog")
+    val expected = Map(1L -> g5("the quick brown fox jumps over the lazy dog today"),
+        3L -> g5("the quick brown fox jumps high above everything else now"))
+      .view.mapValues(_.intersect(eg).size.toLong).filter(_._2 > 0).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(!got.contains(2L))
+  }
 }

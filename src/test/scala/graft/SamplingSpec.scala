@@ -61,4 +61,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(col("grp") === "b").count() == 0)
     assert(out.filter(col("grp") === "a").count() == 5000)
   }
+
+  test("per-group quota matches the window formulation and caps group size") {
+    val df = (0L until 3000L).map(i => (i, s"src${i % 7}")).toDF("id", "grp")
+    val got = Sampling.quotaPerGroup(df, "grp", "id", 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // brute force: rank by (unitHash(id), id) within each group
+    val u = df.select(col("id"), Sampling.unitHash(col("id")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = (0L until 3000L).groupBy(i => s"src${i % 7}").toSeq.flatMap {
+      case (g, ids) =>
+        ids.sortBy(i => (u(i), i)).take(25).zipWithIndex
+          .map { case (id, rk) => (g, id, rk + 1L) }
+    }.toSet
+    assert(got.toSet == expected)
+    assert(got.groupBy(_._1).values.forall(_.size == 25))
+    // a group smaller than the quota keeps all members, ranked
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    val caps = Sampling.quotaPerGroup(small, "grp", "id", 10)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(caps == Map("a" -> 2L, "b" -> 1L))
+  }
 }
