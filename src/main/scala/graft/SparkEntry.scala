@@ -415,6 +415,30 @@ object SparkEntry {
       // cap every source at 30 docs, deterministic unit-hash order
       Sampling.quotaPerGroup(tp(s, dir, "documents"), "source", "doc_id", 30)
         .orderBy("source", "rank")),
+    "q56_pack_sequences" -> ((s, dir) => {
+      // greedy context-window packing; pack groups = (source, id-shard) so
+      // the sequential fold stays bounded and groups pack in parallel
+      val docs = tp(s, dir, "documents").select(
+        concat(col("source"), lit("#"), expr("doc_id div 100").cast("string"))
+          .as("pack_group"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Packing.packGreedy(docs, "pack_group", "doc_id", "n_tokens", 512)
+        .orderBy("pack_group", "doc_id")
+    }),
+    "q57_pii_redact" -> ((s, dir) => {
+      // plant a deterministic email + phone per doc (the fixture corpus has
+      // none), then profile and scrub
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555 000 "),
+        pmod(col("doc_id"), lit(10000)).cast("string"), lit(" now"))
+      val (nEmails, nPhones) = TextAnalysis.piiCounts(planted)
+      tp(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(planted).as("redacted"),
+        nEmails.as("n_emails"), nPhones.as("n_phones"))
+        .orderBy("doc_id")
+    }),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -794,6 +818,38 @@ object SparkEntry {
            |        PARTITION BY source ORDER BY u, doc_id) AS rank FROM h)
            |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r
            |WHERE rank <= 30 ORDER BY source, rank""".stripMargin
+      },
+      "q56_pack_sequences" -> // the greedy fold as per-group row recursion
+        """WITH RECURSIVE d AS (
+          |  SELECT source || '#' || CAST(doc_id // 100 AS VARCHAR) AS pack_group,
+          |         doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |         row_number() OVER (PARTITION BY source || '#' || CAST(doc_id // 100 AS VARCHAR)
+          |                            ORDER BY doc_id) AS rn
+          |  FROM documents),
+          |pack(pack_group, doc_id, n_tokens, rn, bin_id, used) AS (
+          |  SELECT pack_group, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+          |  FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.pack_group, d.doc_id, d.n_tokens, d.rn,
+          |         CASE WHEN p.used + d.n_tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+          |         CASE WHEN p.used + d.n_tokens > 512 THEN d.n_tokens ELSE p.used + d.n_tokens END
+          |  FROM d JOIN pack p ON d.pack_group = p.pack_group AND d.rn = p.rn + 1)
+          |SELECT pack_group, doc_id, n_tokens, bin_id FROM pack
+          |ORDER BY pack_group, doc_id""".stripMargin,
+      "q57_pii_redact" -> {
+        val email = graft.operators.TextAnalysis.EmailPattern
+        val phone = graft.operators.TextAnalysis.PhonePattern
+        s"""WITH p AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           |  '@example.com or +1 555 000 ' || CAST(doc_id % 10000 AS VARCHAR) ||
+           |  ' now' AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+           |                 '$phone', '<PHONE>', 'g') AS redacted,
+           |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones
+           |FROM p ORDER BY doc_id""".stripMargin
       },
       "q43_text_normalize" ->
         """SELECT doc_id,

@@ -81,6 +81,27 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(SubwordPattern), lit(0))).cast("long")
 
+  /** PII scrubbing patterns: email addresses and international-ish phone
+    * numbers. Deliberately restricted to the regex subset where Java
+    * (Spark codegen) and RE2 (DuckDB) agree — character classes,
+    * alternation, bounded repetition; no lookaround, no backreferences. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+  /** Redact emails then phones with typed placeholder tokens. Narrow,
+    * codegen'd regexp_replace (global) — linear in characters, no shuffle.
+    * Email runs first so a phone-like digit run inside an address can't be
+    * half-redacted. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of PII matches per kind (profiling / gating before redaction). */
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long"))
+
   /** Feature-hashing vectorizer: token counts hashed into a fixed `dim`-wide
     * dense double array (the hashing trick) — turns text into an embedding
     * column compatible with every vector operator (cosine near-dup, ANN,

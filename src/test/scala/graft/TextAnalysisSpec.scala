@@ -96,4 +96,23 @@ class TextAnalysisSpec extends SparkSpec {
     val got = TextAnalysis.docStats(docs).collect().sortBy(_.getLong(0)).map(_.getString(5))
     assert(got.toSeq == Seq("zh", "de", "es"))
   }
+
+  test("PII redaction scrubs emails then phones; counts match") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "reach me at alice.smith+spam@sub.example.org or +1 555 123 4567 thanks"),
+      (2L, "no pii here just words and the number 42"),
+      (3L, "two mails a@b.io c@d.co and digits 123-456-7890")
+    ).toDF("doc_id", "text")
+    val (ne, np) = TextAnalysis.piiCounts(col("text"))
+    val got = df.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("r"), ne.as("ne"), np.as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._1 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(got(1L)._2 == 1L && got(1L)._3 == 1L)
+    assert(got(2L)._1 == "no pii here just words and the number 42")
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0L)
+    assert(got(3L)._1 == "two mails <EMAIL> <EMAIL> and digits <PHONE>")
+    assert(got(3L)._2 == 2L && got(3L)._3 == 1L)
+  }
 }
