@@ -36,21 +36,39 @@ object SparkEntry {
     * cost of shuffling the raw scan (a few MB here). On a production table
     * the scan has thousands of splits and the library operators stay
     * shuffle-free by design; this adapter lives at the harness boundary,
-    * not inside the operators. */
+    * not inside the operators. Opt-in per pipeline: only the per-row
+    * CPU-heavy chains use it — a pure aggregate gains nothing from the
+    * extra exchange and would pay ~1 s of shuffle for a one-row answer. */
   private def tp(spark: SparkSession, dir: String, name: String): DataFrame =
     t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 
+  /** Spot synthesis over a direct scan — for aggregate-shaped consumers
+    * (counts, top-1, set ops) where the work after synthesis is trivial. */
   private def spots(spark: SparkSession, dir: String): DataFrame =
+    SpotSynth.fromEvents(t(spark, dir, "events"))
+
+  /** Spot synthesis fanned out across cores — for the trig/format-heavy
+    * enrichment chains (q09–q14) that do real per-row CPU downstream. */
+  private def spotsFan(spark: SparkSession, dir: String): DataFrame =
     SpotSynth.fromEvents(tp(spark, dir, "events"))
 
   /** Decimal-exact sum of a double expression, returned as double. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Where q42 materializes its IVF index for the scale factor at `dir` —
+    * keyed by the fixture dir's basename so verify (sf0.01), local checks
+    * (sf0.001) and bench (sf0.1) never clobber each other's index while the
+    * DuckDB compare is in flight. Lives under target/ (gitignored); the
+    * oracle reads the same path via the `graft.ivf.path` property Verify
+    * pins at dump time. */
+  def ivfIndexPath(dir: String): String =
+    s"/root/repo/target/ivf_index/${new java.io.File(dir).getName}"
+
   /** Flagship query on sf=0.001: the reference's whole enrichment pipeline
     * (E2, wsprnet_azi_calc.py) as one plan. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Enrich.formatted(spots(spark, "/root/testdata/sf0.001")).orderBy("Spotnum")
+    Enrich.formatted(spotsFan(spark, "/root/testdata/sf0.001")).orderBy("Spotnum")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference spot-pipeline operators --------------------------------
@@ -109,7 +127,7 @@ object SparkEntry {
         .orderBy("Spotnum")),
     "q09_locator" -> ((s, dir) => {
       import graft.functions.Geo
-      spots(s, dir).select(col("Spotnum"), col("Grid"), col("ReporterGrid"),
+      spotsFan(s, dir).select(col("Spotnum"), col("Grid"), col("ReporterGrid"),
         format_string("%.3f", Geo.locLat(col("Grid"))).as("tx_lat"),
         format_string("%.3f", Geo.locLon(col("Grid"))).as("tx_lon"),
         format_string("%.3f", Geo.locLat(col("ReporterGrid"))).as("rx_lat"),
@@ -117,21 +135,21 @@ object SparkEntry {
         .orderBy("Spotnum")
     }),
     "q10_azimuth" -> ((s, dir) =>
-      Enrich.enrich(spots(s, dir))
+      Enrich.enrich(spotsFan(s, dir))
         .select(col("Spotnum"), col("wd_rx_az").cast("long").as("wd_rx_az"),
           col("wd_tx_az").cast("long").as("wd_tx_az"))
         .orderBy("Spotnum")),
     "q11_vertex" -> ((s, dir) =>
-      Enrich.formatted(spots(s, dir))
+      Enrich.formatted(spotsFan(s, dir))
         .select(col("Spotnum"), col("wd_v_lat"), col("wd_v_lon")).orderBy("Spotnum")),
     "q12_band" -> ((s, dir) =>
-      Enrich.enrich(spots(s, dir)).select(col("MHz"), col("wd_band")).distinct()
+      Enrich.enrich(spotsFan(s, dir)).select(col("MHz"), col("wd_band")).distinct()
         .orderBy("MHz")),
     "q13_enrich" -> ((s, dir) =>
-      Enrich.formatted(spots(s, dir)).orderBy("Spotnum")),
+      Enrich.formatted(spotsFan(s, dir)).orderBy("Spotnum")),
     "q14_reconcile" -> ((s, dir) => {
       val raw = t(s, dir, "events")
-      val sp = spots(s, dir)
+      val sp = spotsFan(s, dir)
       val enriched = Enrich.enrich(sp).filter(col("wd_band") =!= 9999)
       Audit.reconcile(Seq("n_raw" -> raw, "n_parsed" -> sp, "n_known_band" -> enriched))
     }),
@@ -329,8 +347,15 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
     "q42_sim_topk_ivf" -> ((s, dir) => {
+      // Build the at-rest IVF index (centroids + cid-partitioned cells),
+      // then answer through the indexed probe path. The oracle reads the
+      // SAME centroid/cell parquet, so the Lloyd iteration happens before
+      // the oracle boundary and DuckDB mirrors only probe-selection +
+      // exact re-rank — plain window/join SQL over stored doubles.
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, 10, nlist = 16, nprobe = 4)
+      val path = ivfIndexPath(dir)
+      Similarity.writeIvfIndex(emb, path, nlist = 16)
+      Similarity.ivfTopKIndexed(s, path, emb.filter(col("vec_id") < 5), 10, nprobe = 4)
         .orderBy("q_id", "rank")
     }),
     "q44_sim_topk_agg" -> ((s, dir) => {
@@ -445,15 +470,15 @@ object SparkEntry {
         .toDF().orderBy("doc_id"))
   )
 
-  /** DuckDB oracles; keys must match [[queries]]. The ONLY query absent here
-    * is q42 (IVF top-k: mirroring the Lloyd-iteration centroids in SQL is
-    * not reasonable), which gets the driver's weaker rows-only check and is
-    * instead cross-checked in ScalaTest (IvfSpec: nprobe=nlist ⇒ exact).
-    * Every other approximate op (q32 MinHash, q33 SimHash, q36/q45
-    * hyperplane LSH, q46 feature hashing) plugs in the portable hash
-    * families (graft.functions.PortableHashes), so its oracle below mirrors
-    * the full pipeline — signatures, banding, bucketing, exact
-    * verification — bit-for-bit in SQL. */
+  /** DuckDB oracles; keys must match [[queries]]. Every approximate op is
+    * fully mirrored: q32 MinHash, q33 SimHash, q36/q45 hyperplane LSH and
+    * q46 feature hashing plug in the portable hash families
+    * (graft.functions.PortableHashes) so the oracle replays signatures,
+    * banding, bucketing and exact verification bit-for-bit in SQL; q42 (IVF)
+    * routes through the materialized index, so the oracle reads the SAME
+    * stored centroid/cell parquet and replays probe-selection + exact
+    * re-rank — the Lloyd iteration happens before the oracle boundary.
+    * IvfSpec additionally pins nprobe=nlist ⇒ exact. */
   def oracleSql: Map[String, String] = {
     import OracleSql._
     Map(
@@ -747,6 +772,32 @@ object SparkEntry {
            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4e0
            |ORDER BY a_id, b_id""".stripMargin,
+      "q42_sim_topk_ivf" -> {
+        // Reads the index q42's query materialized (same scale factor: the
+        // path is pinned by Verify via -Dgraft.ivf.path at dump time, so the
+        // SQL always points at the index built from the verified sfDir).
+        // Probe selection and re-rank mirror ivfTopKIndexed exactly; both
+        // sides rank by round(cos, 6) computed from the SAME stored doubles
+        // with the same sequential fold, so rankings cannot diverge.
+        val p = sys.props.getOrElse("graft.ivf.path",
+          ivfIndexPath("/root/testdata/sf0.01"))
+        s"""WITH cent AS (SELECT cid, center FROM read_parquet('$p/centroids/*.parquet')),
+           |vec AS (SELECT CAST(cid AS BIGINT) AS cid, vec_id, embedding::DOUBLE[] AS emb
+           |        FROM read_parquet('$p/vectors/*/*.parquet', hive_partitioning=1)),
+           |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           |      FROM embeddings WHERE vec_id < 5),
+           |probes AS (SELECT q_id, q_emb, cid FROM (
+           |    SELECT q.q_id, q.q_emb, c.cid,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${cosineSql("q.q_emb", "c.center")} DESC, c.cid ASC) AS prn
+           |    FROM q CROSS JOIN cent c) _p WHERE prn <= 4),
+           |scored AS (SELECT p.q_id, v.vec_id, ${cosineSql("p.q_emb", "v.emb")} AS cos
+           |           FROM vec v JOIN probes p ON v.cid = p.cid AND p.q_id <> v.vec_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |             ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+           |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      },
       "q44_sim_topk_agg" -> // identical contract to q35, different physical op
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
            |scored AS (SELECT q.q_id, c.vec_id, ${cosineSql("q.q_emb", "c.embedding")} AS cos
