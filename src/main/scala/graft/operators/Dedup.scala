@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.ArrayMath
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale corpus:
@@ -278,48 +279,109 @@ object Dedup {
     * duplicate cluster. Output: (doc_id, rep_id), one row per distinct doc
     * in `pairs`.
     *
-    * Physical shape: iterative min-label propagation. Each round is one
-    * shuffle join (edge src -> current label) + one min-aggregate, and the
-    * loop stops at the first round that changes nothing; rounds needed =
-    * the largest cluster DIAMETER, not its size. Near-dup clusters are
-    * dense (a template and its variants all pair with each other), so
-    * diameters stay small; for adversarial chain-shaped graphs the
-    * alternating large-star/small-star algorithm (Kiveris et al.,
-    * "Connected Components in MapReduce") converges in O(log n) rounds and
-    * would slot into the same loop. Labels persist per round and the
-    * previous round is unpersisted, so lineage never re-runs earlier
-    * rounds. `maxIters` bounds the loop; hitting it raises rather than
-    * silently emitting unconverged clusters. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * Physical shape: alternating large-star/small-star edge contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — re-derived here as DataFrame plans). Each round rewrites
+    * the EDGE SET, not per-node labels: large-star connects every neighbor
+    * larger than a node to the minimum of its neighborhood, small-star
+    * connects the smaller neighbors; the fixpoint is a forest of stars
+    * centered at each component's minimum id. Rounds needed = O(log n) even
+    * on adversarial chain graphs (min-label propagation, the obvious
+    * alternative, needs DIAMETER rounds — a 1M-node chain would need 1M
+    * joins). Each round shuffles only the current edge set, which shrinks
+    * monotonically toward one edge per non-root node; edges persist per
+    * round and the previous round is unpersisted, so lineage never re-runs
+    * earlier rounds. `maxIters` bounds the loop; hitting it raises rather
+    * than silently emitting unconverged clusters. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of star rounds executed —
+    * exposed so specs can pin the O(log n) convergence bound. */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val spark = pairs.sparkSession
+    // Canonicalize (hi >= lo) and cache ONCE: `pairs` is typically the
+    // output of an (expensive) LSH/ngram pair pipeline, and both the node
+    // set and the edge set derive from it — without this cache the upstream
+    // pipeline would re-run once per reference.
+    val canon = pairs.select(
+        greatest(col("a_id"), col("b_id")).as("hi"),
+        least(col("a_id"), col("b_id")).as("lo"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
+    // Every input node is remembered up front so the final labeling covers
+    // docs whose edges contract away (or were self-pairs).
+    val nodes = canon.select(col("hi").as("id"))
+      .union(canon.select(col("lo").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      // min label among each node's neighbors, then fold into its own label
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst")).agg(min("rep").as("nbr_rep"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.alias("n")
-        .join(labels.select(col("id"), col("rep").as("old")).alias("o"), "id")
-        .filter(col("rep") < col("old")).isEmpty
-      labels.unpersist()
-      labels = next
-      iter += 1
+    // Each round derives the next edge set from the previous one several
+    // times over (neighborhood union + two joins), so composing rounds
+    // multiplies the LOGICAL plan ~5x per round — by round ~10 the analyzer
+    // itself OOMs on the plan tree. Re-wrapping the persisted RDD as a
+    // LogicalRDD leaf is a hard lineage barrier: the plan stays O(1) per
+    // round and the scheduler never walks past the previous round's cache.
+    var cached = canon.filter(col("hi") =!= col("lo")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // One job materializes a round's cache AND yields its change signature:
+    // (row count, order-free xor of row hashes). A signature match is only a
+    // HINT — the exact `except` confirmation below runs once, at the
+    // suspected fixpoint, so a hash collision can delay termination by a
+    // round but never terminate it early.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
     }
-    edges.unpersist()
-    if (!converged)
+    var sig = signature(cached) // materializes canon + the first edge set
+    nodes.count()               // off the canon cache, before dropping it
+    canon.unpersist()
+    var edges = spark.createDataFrame(cached.rdd, cached.schema)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      // Large-star: every neighbor v > u re-attaches to m = min(N(u) ∪ {u}).
+      // m comes from an unordered window over u — ONE shuffle, no agg+join
+      // round trip — and emitted edges keep hi > lo by construction
+      // (v > u >= m). Duplicate emissions (same v reached from two u's with
+      // one m) ride through to the end-of-round distinct instead of paying
+      // their own exchange here; the small-star min is insensitive to them.
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val large = nbrs
+        .withColumn("m", least(min("v").over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+      // Small-star: group by the larger endpoint; every smaller neighbor
+      // re-attaches to the group minimum, and the node itself links to it.
+      val next = large
+        .withColumn("m", min("lo").over(Window.partitionBy("hi")))
+        .select(
+          when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
+          col("m").as("lo"))
+        .distinct()
+      val nextCached = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSig = signature(nextCached)
+      // Fixpoint = the edge set is unchanged: cheap signature gate first,
+      // exact set-difference check (distinct sets + equal counts) to confirm.
+      converged = nextSig == sig && nextCached.except(edges).isEmpty
+      cached.unpersist()
+      cached = nextCached
+      sig = nextSig
+      edges = spark.createDataFrame(cached.rdd, cached.schema)
+      rounds += 1
+    }
+    if (!converged) {
+      cached.unpersist(); nodes.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds")
-    labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+    }
+    // At the fixpoint every component is a star: lo is the component min.
+    val reps = edges.groupBy("hi").agg(min("lo").as("rep"))
+    val labels = nodes.join(reps, nodes("id") === reps("hi"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("rep"), col("id")).as("rep_id"))
+    (labels, rounds)
   }
 
   /** Train/eval decontamination: training docs sharing at least one distinct

@@ -134,6 +134,20 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"got=$got")
   }
 
+  test("connected components: 64-node chain converges in O(log n) star rounds") {
+    // A path graph is the adversarial case for min-label propagation
+    // (diameter rounds = n); the large-star/small-star contraction must
+    // close it in ~2*log2(n) rounds, +1 to observe the fixpoint.
+    val n = 64L
+    val chain = (0L until n).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
   test("connected components raises instead of emitting unconverged labels") {
     val chain = (0L until 6L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("a_id", "b_id")
