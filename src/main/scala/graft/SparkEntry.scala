@@ -65,6 +65,11 @@ object SparkEntry {
   def ivfIndexPath(dir: String): String =
     s"/root/repo/target/ivf_index/${new java.io.File(dir).getName}"
 
+  /** Where q58 persists its trained BPE merges table — same per-SF keying
+    * and Verify-pinned oracle path contract as [[ivfIndexPath]]. */
+  def bpeMergesPath(dir: String): String =
+    s"/root/repo/target/bpe_merges/${new java.io.File(dir).getName}"
+
   /** Flagship query on sf=0.001: the reference's whole enrichment pipeline
     * (E2, wsprnet_azi_calc.py) as one plan. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -463,6 +468,18 @@ object SparkEntry {
         TextAnalysis.redactPii(planted).as("redacted"),
         nEmails.as("n_emails"), nPhones.as("n_phones"))
         .orderBy("doc_id")
+    }),
+    "q58_bpe_subwords" -> ((s, dir) => {
+      // Real learned tokenizer as data: train a BPE merges table on the
+      // corpus word-frequency dictionary (deterministic), persist it as
+      // parquet, and account tokens/subwords per document through it. The
+      // oracle replays merge application over the SAME merges parquet, so
+      // the full apply path is verified bit-for-bit; training happens
+      // before the oracle boundary (like q42's centroids).
+      val docs = tp(s, dir, "documents")
+      val merges = Bpe.fitMerges(docs, numMerges = 200)
+      Bpe.writeMerges(s, merges, bpeMergesPath(dir))
+      Bpe.subwordCounts(docs, merges).orderBy("doc_id")
     }),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
@@ -901,6 +918,45 @@ object SparkEntry {
            |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
            |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones
            |FROM p ORDER BY doc_id""".stripMargin
+      },
+      "q58_bpe_subwords" -> {
+        // Replays the one-at-a-time leftmost/lowest-rank merge application
+        // (Bpe.encode's exact algorithm) as a recursive CTE over the merges
+        // parquet q58 trained: each step rewrites one token's symbol list,
+        // and a token is done when no adjacent pair is in the table (its
+        // final state is its minimum-length row). Pair keys are
+        // lhs||chr(1)||rhs — fine for any corpus without control chars.
+        val p = sys.props.getOrElse("graft.bpe.path",
+          bpeMergesPath("/root/testdata/sf0.01"))
+        s"""WITH RECURSIVE
+           |mm AS (SELECT map(list(lhs || chr(1) || rhs ORDER BY rank),
+           |                  list(rank ORDER BY rank)) AS mp
+           |       FROM read_parquet('$p/*.parquet')),
+           |tok AS (SELECT DISTINCT token FROM (
+           |          SELECT unnest(string_split(text, ' ')) AS token
+           |          FROM documents) _t WHERE token <> ''),
+           |enc(token, syms) AS (
+           |  SELECT token, string_split(token, '') FROM tok
+           |  UNION ALL
+           |  SELECT token,
+           |    syms[1:(b.i)-1] || [syms[b.i] || syms[b.i+1]] || syms[(b.i)+2:]
+           |  FROM (
+           |    SELECT e.token, e.syms,
+           |      list_sort(list_filter(
+           |        list_transform(range(1, len(e.syms)), i ->
+           |          {'r': map_extract(mm.mp, e.syms[i] || chr(1) || e.syms[i+1])[1],
+           |           'i': i}),
+           |        s -> s.r IS NOT NULL))[1] AS b
+           |    FROM enc e, mm) _s
+           |  WHERE b IS NOT NULL),
+           |pc AS (SELECT token, CAST(min(len(syms)) AS BIGINT) AS n_pieces
+           |       FROM enc GROUP BY token),
+           |dt AS (SELECT doc_id, token FROM (
+           |         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |         FROM documents) _d WHERE token <> '')
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(n_pieces) AS BIGINT) AS n_subwords
+           |FROM dt JOIN pc USING (token) GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
       "q43_text_normalize" ->
         """SELECT doc_id,

@@ -6,10 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // Pin the IVF index location to THIS run's scale factor before the
-    // oracle SQL is rendered: q42's oracle reads the index parquet q42's
-    // query materialized, and the path is keyed by the fixture basename.
+    // Pin the materialized-artifact locations to THIS run's scale factor
+    // before the oracle SQL is rendered: q42's oracle reads the IVF index
+    // parquet and q58's the BPE merges parquet that their queries
+    // materialized, keyed by the fixture basename.
     System.setProperty("graft.ivf.path", SparkEntry.ivfIndexPath(sfDir))
+    System.setProperty("graft.bpe.path", SparkEntry.bpeMergesPath(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
