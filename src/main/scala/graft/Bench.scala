@@ -35,35 +35,67 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Warm the JVM/codegen paths once on the smallest SF so per-query numbers
-    // measure execution, not first-call JIT + plan-compile overhead.
-    selected.foreach { case (_, fn) =>
+    // measure execution, not first-call JIT + plan-compile overhead. A query
+    // that fails warmup runs cold (its first timed run absorbs JIT +
+    // plan-compile), so the failure must be loud, not silent.
+    selected.foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").limit(1).collect()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP failed for $name (first timed run " +
+          s"will be cold): ${e.getMessage}")
+      }
     }
     val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = selected.map { case (name, fn) =>
-      val times = (0 until benchRuns).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          force(fn(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None // a failed run must not produce a timing
-        }
+    // The candidate-pair dedup family showed the largest ambient-load
+    // sensitivity round over round (BENCH_r05 vs quiet re-runs diverged up
+    // to 5.6x on unchanged code); give those queries extra runs so one
+    // contaminated pair can't define their number.
+    val noisy = Set("q31_dedup_ngram", "q32_dedup_minhash", "q33_dedup_simhash",
+      "q34_dedup_embed", "q45_dedup_embed_lsh", "q46_text_hash_neardup",
+      "q48_curation", "q53_dedup_clusters")
+    def runsFor(name: String): Int =
+      if (noisy(name)) math.max(benchRuns, 3) else benchRuns
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        force(fn(spark, sfDir))
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None // a failed run must not produce a timing
       }
-      name -> times
     }
-    // A query only counts when EVERY run succeeded: an intermittent failure
-    // must not read as a trustworthy min-of-N timing.
-    val ok = results.collect { case (k, ts) if ts.size == benchRuns => k -> ts.min }
-    val flaky = results.collect { case (k, ts) if ts.nonEmpty && ts.size < benchRuns => k }
-    val failed = results.collect { case (k, ts) if ts.isEmpty => k }
+    val firstPass = selected.map { case (name, fn) =>
+      (name, fn, (0 until runsFor(name)).flatMap(_ => timeOne(name, fn)))
+    }
+    // Ambient-load guard: the min of N back-to-back runs still lies when the
+    // whole window was contaminated, so re-time the slowest queries once
+    // more at the END of the bench — a different wall-clock slot — and fold
+    // the extra run in. Per-run times are emitted so a contaminated run
+    // stays visible in the artifact instead of being hidden by the min.
+    val tailN = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL", "5").toInt
+    val slowest = firstPass.filter(_._3.nonEmpty).sortBy(-_._3.min).take(tailN)
+      .map(_._1).toSet
+    val results = firstPass.map { case (name, fn, ts) =>
+      val tailScheduled = ts.nonEmpty && slowest(name)
+      val tail = if (tailScheduled) Seq(timeOne(name, fn)) else Seq.empty
+      val expected = runsFor(name) + tail.size
+      (name, ts ++ tail.flatten, expected)
+    }
+    // A query only counts when EVERY scheduled run (tail included)
+    // succeeded: an intermittent failure must not read as a trustworthy
+    // min-of-N timing.
+    val ok = results.collect { case (k, ts, exp) if ts.size >= exp => k -> ts.min }
+    val flaky = results.collect { case (k, ts, exp) if ts.nonEmpty && ts.size < exp => k }
+    val failed = results.collect { case (k, ts, _) if ts.isEmpty => k }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val runsJson = results.collect { case (k, ts, _) if ts.nonEmpty =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
     println(line)
     // Also write the metric line to a file: sbt wraps stdout in [info]
     // prefixes, so a driver parsing the raw line needs a clean artifact.

@@ -19,8 +19,18 @@ import org.apache.spark.sql.functions._
   *    merge loop runs once per DISTINCT token with the merges map broadcast
   *    (this is the flatMapGroups/mapPartitions exception case: a data-
   *    dependent sequential fold no Catalyst expression expresses), and the
-  *    corpus-scale path is a broadcast join of token -> piece count plus one
-  *    aggregate — the corpus itself never carries per-character state.
+  *    corpus-scale path joins token -> piece count plus one aggregate — the
+  *    corpus itself never carries per-character state. The join side is the
+  *    DISTINCT-token dictionary, which unlike the `maxVocab`-capped training
+  *    dict is unbounded (typos, URLs, numbers): at web-corpus scale it is
+  *    billions of rows, so blindly broadcasting it is a driver/executor OOM.
+  *    `subwordCounts` therefore size-gates the strategy with a one-pass
+  *    `approx_count_distinct` probe (partial HLL sketches, map-side
+  *    combined — a narrow scan, no wide shuffle): dictionaries under
+  *    `maxBroadcastTokens` get the broadcast hint, larger ones fall back to
+  *    a plain shuffle join on `token` (the explode side already pays its
+  *    shuffle for the groupBy, so the extra exchange is the dictionary's
+  *    only cost). Both paths produce identical rows.
   */
 object Bpe {
 
@@ -126,9 +136,17 @@ object Bpe {
   }
 
   /** APPLY: per-document token and subword counts under a merges table.
-    * Output: (doc_id, n_tokens, n_subwords). */
+    * Output: (doc_id, n_tokens, n_subwords).
+    *
+    * `maxBroadcastTokens` is the size gate for the token->piece-count
+    * dictionary join (see the class scaladoc): estimated distinct-token
+    * counts at or under it take the broadcast-hash path, anything larger a
+    * shuffle join on `token`. 0 forces the shuffle path (used by the scale
+    * probe), `Long.MaxValue` forces broadcast. The default keeps the
+    * dictionary comfortably under Spark's broadcast limits at ~tens of MB. */
   def subwordCounts(docs: DataFrame, merges: Seq[(Int, String, String)],
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBroadcastTokens: Long = 1000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranksB = spark.sparkContext.broadcast(
@@ -141,7 +159,17 @@ object Bpe {
         val m = ranksB.value
         it.map(t => (t, encode(t, m).length.toLong))
       }.toDF("token", "n_pieces")
-    toks.join(broadcast(pieceCounts), "token")
+    // Narrow one-pass cardinality probe: partial HLL per scan task, tiny
+    // combine — never materializes the distinct set on the driver.
+    val estDistinct =
+      if (maxBroadcastTokens == 0L || maxBroadcastTokens == Long.MaxValue) 0L
+      else toks.agg(approx_count_distinct("token")).first().getLong(0)
+    val dict =
+      if (maxBroadcastTokens != 0L &&
+          (maxBroadcastTokens == Long.MaxValue || estDistinct <= maxBroadcastTokens))
+        broadcast(pieceCounts)
+      else pieceCounts
+    toks.join(dict, "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("n_pieces").as("n_subwords"))
   }

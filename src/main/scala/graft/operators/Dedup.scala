@@ -378,9 +378,23 @@ object Dedup {
     }
     // At the fixpoint every component is a star: lo is the component min.
     val reps = edges.groupBy("hi").agg(min("lo").as("rep"))
-    val labels = nodes.join(reps, nodes("id") === reps("hi"), "left")
+    val labelPlan = nodes.join(reps, nodes("id") === reps("hi"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("rep"), col("id")).as("rep_id"))
+    // Materialize the labels OFF the round caches via a reliable checkpoint
+    // (files, not block-manager memory) so both persisted inputs can be
+    // freed HERE — otherwise `nodes` and the final round's edge cache leak
+    // for the life of the session (per batch, in a daemon). The checkpoint
+    // write is one extra pass over the (cheap, still-cached) final join; on
+    // a cluster set `spark.sparkContext.setCheckpointDir` to durable
+    // storage and `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    // so files are reclaimed when the result is GC'd.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    val labels = labelPlan.checkpoint(eager = true)
+    cached.unpersist()
+    nodes.unpersist()
     (labels, rounds)
   }
 

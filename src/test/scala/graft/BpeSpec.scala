@@ -73,6 +73,32 @@ class BpeSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 4L), (2L, 1L, 3L)))
   }
 
+  test("subwordCounts: size gate flips broadcast to shuffle join, rows identical") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "abcd"), (3L, "cd x abx"))
+      .toDF("doc_id", "text")
+    val merges = Seq((0, "a", "b"))
+    // disable stats-based auto-broadcast so the gate's hint is the only
+    // possible broadcast source in the static plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bc = Bpe.subwordCounts(docs, merges, maxBroadcastTokens = Long.MaxValue)
+      val sh = Bpe.subwordCounts(docs, merges, maxBroadcastTokens = 0L)
+      assert(bc.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      assert(!sh.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // doc 3: cd->[c,d], x->[x], abx->[ab,x] => 3 tokens, 5 subwords
+      val expect = Set((1L, 3L, 4L), (2L, 1L, 3L), (3L, 3L, 5L))
+      assert(rows(bc) == expect)
+      assert(rows(sh) == expect)
+      // auto gate on a tiny dictionary lands on the broadcast side
+      val auto = Bpe.subwordCounts(docs, merges)
+      assert(auto.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      assert(rows(auto) == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fitMerges is deterministic end-to-end on a DataFrame corpus") {
     val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "the the cat"))
       .toDF("doc_id", "text")

@@ -148,6 +148,17 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= bound, s"took $rounds rounds, bound $bound")
   }
 
+  test("connected components frees every persisted RDD on the success path") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 0L), (1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs)
+    assert(labels.count() == 5)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+    // the checkpointed result stays consumable after cleanup
+    assert(labels.filter($"doc_id" === 2L).collect().head.getLong(1) == 0L)
+  }
+
   test("connected components raises instead of emitting unconverged labels") {
     val chain = (0L until 6L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("a_id", "b_id")
