@@ -487,6 +487,31 @@ object SparkEntry {
         .toDF().orderBy("doc_id"))
   )
 
+  /** Bench-only twins of the LSH queries running the NATIVE codegen hash
+    * families — the library defaults (seeded xxhash64 signatures,
+    * HyperplaneSignature buckets) that production uses. The oracle-verified
+    * forms in [[queries]] substitute the portable families so DuckDB can
+    * replay them bit-for-bit; these entries exist so the production path
+    * has a tracked timing too (value agreement between the families is
+    * spec-covered: DedupSpec / VectorExprSpec). NOT part of the correctness
+    * contract — graft.Verify never runs them. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x32_minhash_native" -> ((s, dir) =>
+      Dedup.minhashLshPairs(tp(s, dir, "documents"))
+        .orderBy("a_id", "b_id")),
+    "x33_simhash_native" -> ((s, dir) =>
+      Dedup.simhashPairs(tp(s, dir, "documents"))
+        .orderBy("a_id", "b_id")),
+    "x36_lsh_topk_native" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 10)
+        .orderBy("q_id", "rank")
+    }),
+    "x45_embed_lsh_native" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), 0.4)
+        .orderBy("a_id", "b_id"))
+  )
+
   /** DuckDB oracles; keys must match [[queries]]. Every approximate op is
     * fully mirrored: q32 MinHash, q33 SimHash, q36/q45 hyperplane LSH and
     * q46 feature hashing plug in the portable hash families

@@ -14,22 +14,31 @@ class AuditSpec extends SparkSpec {
     (gaps.size.toLong, gaps.map(_._3).sum, if (gaps.isEmpty) 0L else gaps.map(_._3).max, gaps)
   }
 
-  private def check(ids: Seq[Long], width: Long): Unit = {
+  private def check(ids: Seq[Long], width: Long, levels: Int = 2): Unit = {
     val df = ids.toDF("id")
     val (nGaps, missing, maxGap, detail) = bruteForce(ids)
-    val audit = Audit.gapAudit(df, "id", width).collect().head
-    assert(audit.getLong(0) == nGaps, s"width=$width total_gaps")
-    assert(audit.getLong(1) == missing, s"width=$width total_missing")
-    assert(audit.getLong(2) == maxGap, s"width=$width max_gap")
-    val details = Audit.gapDetails(df, "id", width).collect()
+    val audit = Audit.gapAudit(df, "id", width, levels).collect().head
+    assert(audit.getLong(0) == nGaps, s"width=$width levels=$levels total_gaps")
+    assert(audit.getLong(1) == missing, s"width=$width levels=$levels total_missing")
+    assert(audit.getLong(2) == maxGap, s"width=$width levels=$levels max_gap")
+    val details = Audit.gapDetails(df, "id", width, levels).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    assert(details.toSeq == detail, s"width=$width details")
+    assert(details.toSeq == detail, s"width=$width levels=$levels details")
   }
 
   test("gap audit matches brute force across bucket widths") {
     val rnd = new Random(42)
     val ids = (0L until 5000L).filter(_ => rnd.nextDouble() > 0.3)
     for (w <- Seq(1L, 7L, 64L, 1L << 20)) check(ids, w)
+  }
+
+  test("gap audit: every recursion depth agrees with the global walk") {
+    val rnd = new Random(7)
+    // sparse over a wide id space so deep levels see non-trivial super-buckets
+    val ids = (0 until 2000).map(_ => (rnd.nextDouble() * 1e7).toLong).distinct
+    for (levels <- 1 to 4; w <- Seq(8L, 64L)) check(ids, w, levels)
+    // fully-empty super-bucket spans survive deep recursion
+    check(Seq(3L, 70000000L, 70000001L), 16L, levels = 4)
   }
 
   test("gap audit: no gaps and empty-ish inputs") {

@@ -47,8 +47,16 @@ class PlanSpec extends SparkSpec {
     val p = plan(Audit.gapDetails(ids, "event_id", 1024))
     // two Window nodes: one partitioned by bucket, one over bucket aggregates
     assert("Window ".r.findAllIn(p).size == 2)
-    assert(p.contains("hashpartitioning(bucket"),
+    assert(p.contains("hashpartitioning(bkt"),
       "intra-bucket lag must partition by bucket (parallel), not sort globally")
+  }
+
+  test("gap audit: 3-level recursion keeps every lag window but the residual partitioned") {
+    val ids = spark.read.parquet(s"$dir/events.parquet").select("event_id")
+    val p = plan(Audit.gapDetails(ids, "event_id", 64, levels = 3))
+    assert("Window ".r.findAllIn(p).size == 3)
+    assert("hashpartitioning\\(bkt".r.findAllIn(p).size >= 2,
+      "both non-residual lag windows must partition by their level's bucket")
   }
 
   test("q35 similarity: query side broadcast against the corpus") {
