@@ -47,4 +47,74 @@ object Multimodal {
       it.grouped(batchSize).flatMap(g => stubDecode(g.toSeq))
     }
   }
+
+  /** COLUMNAR decoder over one Arrow batch (`VectorSchemaRoot` — the exact
+    * object a `mapInArrow` decoder receives): payloads arrive as one
+    * contiguous data buffer + offsets (VarBinaryVector), the zero-copy
+    * layout a real vectorized codec (or a C-Data-handed native library)
+    * reads directly. This stub mirrors [[stubDecode]] value-for-value; only
+    * the access path differs. Returns a STRICT Seq — callers reuse the
+    * root's buffers for the next batch. */
+  def stubDecodeArrow(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[MediaMeta] = {
+    val ids = root.getVector("doc_id")
+      .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+    val pay = root.getVector("payload")
+      .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
+    (0 until root.getRowCount).map { i =>
+      // pay.get(i) materializes the slice only because the stub needs a
+      // String; a real codec would read the ArrowBuf range in place
+      stubDecode(Seq(MediaRow(ids.get(i), pay.get(i)))).head
+    }
+  }
+
+  /** Arrow-columnar variant of [[decodeMeta]]: inside each partition, rows
+    * are transposed into Arrow `VectorSchemaRoot` batches (BigIntVector ids +
+    * VarBinaryVector payloads — the very batch a `mapInArrow` decoder would
+    * receive) and decoded column-wise. Same results as the row-batched form
+    * for every batchSize (spec-pinned); the reason this path exists is the
+    * handoff shape: a real codec consumes the Arrow buffers without
+    * per-row JVM object materialization, and the same root can cross the
+    * C Data Interface to a native decoder. Allocator lifecycle is per
+    * partition (one allocator, one root reused across batches), freed when
+    * the partition drains and on failure. */
+  def decodeMetaArrow(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[MediaMeta] = {
+    import spark.implicits._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+    media.as[MediaRow].mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val alloc = new RootAllocator()
+        val ids = new BigIntVector("doc_id", alloc)
+        val pay = new VarBinaryVector("payload", alloc)
+        val root = VectorSchemaRoot.of(ids, pay)
+        var closed = false
+        def closeAll(): Unit = if (!closed) {
+          closed = true; root.close(); alloc.close()
+        }
+        val out = it.grouped(batchSize).flatMap { rows =>
+          try {
+            ids.allocateNew(rows.size)
+            pay.allocateNew()
+            rows.zipWithIndex.foreach { case (r, i) =>
+              ids.setSafe(i, r.doc_id)
+              pay.setSafe(i, r.payload)
+            }
+            root.setRowCount(rows.size)
+            stubDecodeArrow(root)
+          } catch { case e: Throwable => closeAll(); throw e }
+        }
+        // free the partition's Arrow memory after the last batch drains
+        new Iterator[MediaMeta] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) closeAll()
+            h
+          }
+          def next(): MediaMeta = out.next()
+        }
+      }
+    }
+  }
 }

@@ -20,6 +20,21 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(3).width == 1 + 0xE9 % 64 && meta(3).height == 1 + 'm' % 64)
   }
 
+  test("arrow-columnar decode matches the row-batched decoder exactly") {
+    // mixed sizes, empty payloads, non-ASCII, multiple partitions, and
+    // batch sizes that do / don't divide the partition sizes
+    val docs = ((0L until 97L).map(i => (i, ("wörd" + i + " ") * (i.toInt % 7)))
+      :+ (97L -> "")).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs).repartition(5)
+    for (bs <- Seq(1, 3, 64, 1024)) {
+      val rowPath = Multimodal.decodeMeta(spark, media, batchSize = bs)
+        .collect().sortBy(_.doc_id).toSeq
+      val arrowPath = Multimodal.decodeMetaArrow(spark, media, batchSize = bs)
+        .collect().sortBy(_.doc_id).toSeq
+      assert(arrowPath == rowPath, s"batchSize=$bs")
+    }
+  }
+
   test("decoder batching: batches never exceed batchSize and cover all rows") {
     val docs = (0L until 103L).map(i => (i, "t" * (i.toInt % 5 + 1))).toDF("doc_id", "text")
     val media = Multimodal.withPayload(docs).repartition(3)
