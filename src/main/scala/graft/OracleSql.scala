@@ -185,6 +185,27 @@ object OracleSql {
        |  FROM gs a JOIN gs b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** Recursive-CTE replay of Packing.packGreedy over `documents` with the
+    * q56 pack-group design ((source, id-shard), capacity 512): the greedy
+    * fold as per-group row recursion, ending in
+    * `pack(pack_group, doc_id, n_tokens, rn, bin_id, used)`. Shared by the
+    * q56 (row-level) and q60 (per-group stats) oracles. */
+  val packWith: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT source || '#' || CAST(doc_id // 100 AS VARCHAR) AS pack_group,
+      |         doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         row_number() OVER (PARTITION BY source || '#' || CAST(doc_id // 100 AS VARCHAR)
+      |                            ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack(pack_group, doc_id, n_tokens, rn, bin_id, used) AS (
+      |  SELECT pack_group, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.pack_group, d.doc_id, d.n_tokens, d.rn,
+      |         CASE WHEN p.used + d.n_tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+      |         CASE WHEN p.used + d.n_tokens > 512 THEN d.n_tokens ELSE p.used + d.n_tokens END
+      |  FROM d JOIN pack p ON d.pack_group = p.pack_group AND d.rn = p.rn + 1)""".stripMargin
+
   /** Word n-grams, all occurrences in order (mirrors the non-distinct gram
     * pass in TextAnalysis.repetitionStats; Dedup.gramsOfToks before its
     * distinct). DuckDB list slicing is 1-based inclusive, so toks[i:i+n-1]

@@ -47,4 +47,24 @@ object Packing {
       }
       .toDF(groupCol, idCol, "n_tokens", "bin_id")
   }
+
+  /** Packing-efficiency report over [[packGreedy]] output, per pack group:
+    * bin count, doc count, token total, and fill ratio against `capacity`
+    * in exact parts-per-million (can exceed 1e6 when a single oversize doc
+    * overflows its bin — greedy packing never splits documents). The number
+    * a capacity sweep optimizes: utilization near 1e6 means few padding
+    * tokens wasted per context window. Integer ppm, not a rounded double,
+    * because fill ratios are small binary fractions (denominator
+    * n_bins * capacity) that land EXACTLY on decimal rounding ties, where
+    * round-half-up and round-half-even engines disagree; floor division is
+    * identical everywhere. One partial-agg shuffle; one row per group. */
+  def packStats(packed: DataFrame, groupCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    packed.groupBy(groupCol).agg(
+        (max("bin_id") + 1).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("utilization_ppm",
+        expr(s"(n_tokens * 1000000L) div (n_bins * ${capacity}L)"))
+  }
 }

@@ -86,6 +86,33 @@ object Sampling {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Deterministic training-mixture draw: for each source named in
+    * `weights`, keep its floor(weight * total) smallest-(unitHash, id) rows —
+    * the absolute-count form of the "60% web / 30% code / 10% wiki" data
+    * mixture every pretraining run specifies. Sources absent from `weights`
+    * contribute nothing. Output: (groupCol, idCol, rank), rank 1..quota_g.
+    *
+    * Degenerate quotas are well-defined: a quota larger than a source keeps
+    * the whole source, weight 0 drops it. Scale shape: identical to
+    * [[quotaPerGroup]] — the bounded top-k aggregate carries max-quota rows
+    * per source through partial aggregation, and `weights` is a tiny
+    * driver-side literal (the mixture spec, not data). */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], total: Long): DataFrame = {
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    require(weights.values.forall(w => w >= 0.0 && !w.isNaN),
+      s"mixture weights must be >= 0: $weights")
+    val quotas = weights.map { case (g, w) => g -> math.floor(w * total).toLong }
+    // all-zero quotas degrade to an empty result through the k=0 aggregate
+    val kMax = math.max(0L, math.min(quotas.values.max, Int.MaxValue.toLong)).toInt
+    val inMix = df.filter(col(groupCol).isin(quotas.keys.toSeq: _*))
+    val quotaOf = quotas.foldLeft(lit(0L)) { case (acc, (g, q)) =>
+      when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    quotaPerGroup(inMix, groupCol, idCol, kMax)
+      .filter(col("rank") <= quotaOf)
+  }
+
   /** Assign each row to a named split by cumulative weight thresholds, e.g.
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Uses salt 1 — an
     * independent hash stream from [[sample]], so sampling then splitting

@@ -63,4 +63,16 @@ class PackingSpec extends SparkSpec {
     assert(out.orderBy("g", "id").collect().toSeq ==
       out2.orderBy("g", "id").collect().toSeq)
   }
+
+  test("packStats reports bins, totals, and exact integer ppm utilization") {
+    // group a: docs 3+3 tokens cap 5 -> two bins of 3 -> util 6/(2*5) = 600000 ppm
+    // group b: one 7-token doc (oversize) -> one bin -> 7/5 = 1400000 ppm
+    val packed = Seq(
+      ("a", 1L, 3L, 0L), ("a", 2L, 3L, 1L),
+      ("b", 3L, 7L, 0L)).toDF("g", "id", "n_tokens", "bin_id")
+    val got = Packing.packStats(packed, "g", 5L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(("a", 2L, 2L, 6L, 600000L), ("b", 1L, 1L, 7L, 1400000L)))
+  }
 }

@@ -82,4 +82,29 @@ class SamplingSpec extends SparkSpec {
       .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(caps == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("mixture draws floor(weight*total) per source, unlisted sources excluded") {
+    val df = (0L until 900L).map(i => (i, s"s${i % 3}")).toDF("id", "grp")
+    val out = Sampling.mixtureSample(df, "grp", "id",
+      Map("s0" -> 0.5, "s1" -> 0.25), 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sizes = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes == Map("s0" -> 50, "s1" -> 25)) // s2 absent from weights
+    // the draw is the quota draw: smallest (unitHash, id) first, ranked
+    val u = df.select(col("id"), Sampling.unitHash(col("id")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = (0L until 900L).groupBy(i => s"s${i % 3}")
+      .filterKeys(Set("s0", "s1")).toSeq.flatMap { case (g, ids) =>
+        val quota = if (g == "s0") 50 else 25
+        ids.sortBy(i => (u(i), i)).take(quota).zipWithIndex
+          .map { case (id, rk) => (g, id, rk + 1L) }
+      }.toSet
+    assert(out.toSet == expected)
+    // quota above group size keeps the whole source; weight 0 drops it
+    val degenerate = Sampling.mixtureSample(df, "grp", "id",
+      Map("s0" -> 10.0, "s1" -> 0.0), 1000L)
+    val dSizes = degenerate.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dSizes == Map("s0" -> 300L))
+  }
 }
