@@ -499,6 +499,11 @@ object SparkEntry {
           "pack_group", 512)
         .orderBy("pack_group")
     }),
+    "q61_chunk" -> ((s, dir) =>
+      // retrieval/context-window chunking: 64-token windows every 48 tokens
+      // (16-token overlap), final partial window kept
+      TextAnalysis.chunkTokens(tp(s, dir, "documents"), 64, 48)
+        .orderBy("doc_id", "chunk_id")),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -947,6 +952,18 @@ object SparkEntry {
            |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r
            |WHERE rank <= 30 ORDER BY source, rank""".stripMargin
       },
+      "q61_chunk" -> // same slicing: DuckDB lists are 1-based inclusive, so
+        // window start i (0-based, multiples of 48) covers toks[i+1 : i+64]
+        """SELECT doc_id, CAST(r.cid AS BIGINT) AS chunk_id, r.txt AS chunk,
+          |       CAST(r.n AS BIGINT) AS n_tokens
+          |FROM (SELECT doc_id,
+          |        unnest([struct_pack(cid := i // 48,
+          |                            txt := array_to_string(toks[i+1:i+64], ' '),
+          |                            n := len(toks[i+1:i+64]))
+          |                for i in range(0, len(toks), 48)]) AS r
+          |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          |            FROM documents))
+          |ORDER BY doc_id, chunk_id""".stripMargin,
       "q59_mixture" -> { // mixtureSample = quotaPerGroup with per-source quotas
         val u = graft.operators.Sampling.unitHashSql("doc_id", salt = 0)
         s"""WITH h AS (SELECT source, doc_id, $u AS u FROM documents

@@ -165,6 +165,33 @@ object TextAnalysis {
       .join(top, Seq("doc_id"))
   }
 
+  /** Token-window chunking with overlap — the standard context-window /
+    * retrieval chunker: windows of `chunkSize` tokens starting every
+    * `stride` tokens (overlap = chunkSize - stride; stride = chunkSize means
+    * disjoint windows), the final window shorter when the document runs out.
+    * Output: (doc_id, chunk_id, chunk, n_tokens), chunk_id 0-based in
+    * document order.
+    *
+    * Scale shape: pure narrow codegen — one `sequence`/`transform`/`slice`
+    * expression per row then a posexplode; no shuffle at all, so it
+    * pipelines into whatever consumes the chunks (embedding, packing,
+    * dedup). Chunk counts are data-dependent but bounded per row by
+    * n_tokens / stride + 1. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int,
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in 1..chunkSize: $stride")
+    docs
+      .select(col("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - 1, $stride),
+           |  s -> struct(array_join(slice(toks, s + 1, $chunkSize), ' ') AS txt,
+           |              size(slice(toks, s + 1, $chunkSize)) AS n))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.txt").as("chunk"), col("col.n").cast("long").as("n_tokens"))
+  }
+
   /** Per-document stats frame. */
   def docStats(docs: DataFrame): DataFrame =
     docs.select(

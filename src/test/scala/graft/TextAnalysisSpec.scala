@@ -115,4 +115,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._1 == "two mails <EMAIL> <EMAIL> and digits <PHONE>")
     assert(got(3L)._2 == 2L && got(3L)._3 == 1L)
   }
+
+  test("token chunking: overlap, tail window, and degenerate docs") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
+      (2L, "only"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    // chunkSize 4, stride 3 -> doc 1 windows start at 0, 3, 6
+    val got = TextAnalysis.chunkTokens(df, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t6", 1L)))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "only", 1L)))
+    // split("", " ") yields one empty token -> one empty chunk (both engines)
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 1L)))
+    // stride == chunkSize -> disjoint cover, every token exactly once
+    val disjoint = TextAnalysis.chunkTokens(df, 3, 3)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => r.getString(2)).mkString(" ")
+    assert(disjoint == "t0 t1 t2 t3 t4 t5 t6")
+  }
 }
