@@ -70,6 +70,11 @@ object SparkEntry {
   def bpeMergesPath(dir: String): String =
     s"/root/repo/target/bpe_merges/${new java.io.File(dir).getName}"
 
+  /** Where q62 persists the MinHash-LSH dedup index — same per-SF keying
+    * and Verify-pinned oracle path contract as [[ivfIndexPath]]. */
+  def lshIndexPath(dir: String): String =
+    s"/root/repo/target/lsh_index/${new java.io.File(dir).getName}"
+
   /** Flagship query on sf=0.001: the reference's whole enrichment pipeline
     * (E2, wsprnet_azi_calc.py) as one plan. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -498,6 +503,23 @@ object SparkEntry {
           Packing.packGreedy(docs, "pack_group", "doc_id", "n_tokens", 512),
           "pack_group", 512)
         .orderBy("pack_group")
+    }),
+    "q62_dedup_incremental" -> ((s, dir) => {
+      // incremental ingest dedup: index the existing corpus once at rest,
+      // then check the new batch against STORED bands + grams — the corpus
+      // is never re-hashed. Portable family so DuckDB replays the batch
+      // side bit-for-bit and reads the same index parquet.
+      val docs = tp(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 10 === 0)
+      val path = lshIndexPath(dir)
+      Dedup.writeLshIndex(existing, path,
+        gramHashes = PortableHashes.minhashGramHashes,
+        bandBucket = PortableHashes.minhashBandBucket)
+      Dedup.minhashLshAgainstIndex(s, path, incoming,
+          gramHashes = PortableHashes.minhashGramHashes,
+          bandBucket = PortableHashes.minhashBandBucket)
+        .orderBy("a_id", "b_id")
     }),
     "q61_chunk" -> ((s, dir) =>
       // retrieval/context-window chunking: 64-token windows every 48 tokens
@@ -951,6 +973,41 @@ object SparkEntry {
            |        PARTITION BY source ORDER BY u, doc_id) AS rank FROM h)
            |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r
            |WHERE rank <= 30 ORDER BY source, rank""".stripMargin
+      },
+      "q62_dedup_incremental" -> {
+        // Batch side: the q32 portable MinHash pipeline restricted to the
+        // incoming docs. Corpus side: read DIRECTLY from the materialized
+        // index parquet (bands/grams/sizes) the query wrote — the oracle
+        // never re-hashes the corpus either, so it verifies the stored
+        // index end-to-end (path pinned by Verify via -Dgraft.lsh.path).
+        val p = sys.props.getOrElse("graft.lsh.path",
+          lshIndexPath("/root/testdata/sf0.01"))
+        s"""WITH g AS (SELECT doc_id, unnest(${grams3("text")}) AS gram
+           |           FROM documents WHERE doc_id % 10 = 0),
+           |gh AS (SELECT doc_id, gram, ${polyHashSql("gram")} AS ph FROM g),
+           |sigs AS (SELECT doc_id, r.i AS i,
+           |         min((ph * (2*r.i + 3) + r.i) % 2147483647) AS s
+           |         FROM gh CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+           |nb AS (SELECT doc_id, i // 4 AS band,
+           |       list_reduce(list_prepend(CAST(0 AS BIGINT), list(s ORDER BY i)),
+           |                   (acc, x) -> (acc * 131 + x) % 2147483647) AS bucket
+           |       FROM sigs GROUP BY doc_id, i // 4),
+           |sn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+           |ob AS (SELECT doc_id, band, bucket FROM read_parquet('$p/bands/*.parquet')),
+           |og AS (SELECT doc_id, gram FROM read_parquet('$p/grams/*.parquet')),
+           |os AS (SELECT doc_id, n_grams FROM read_parquet('$p/sizes/*.parquet')),
+           |cand AS (SELECT DISTINCT nb.doc_id AS a_id, ob.doc_id AS b_id
+           |         FROM nb JOIN ob ON nb.band = ob.band AND nb.bucket = ob.bucket
+           |          AND nb.doc_id <> ob.doc_id),
+           |cm AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS common
+           |       FROM cand c JOIN g ON g.doc_id = c.a_id
+           |       JOIN og ON og.doc_id = c.b_id AND og.gram = g.gram
+           |       GROUP BY 1, 2)
+           |SELECT cm.a_id, cm.b_id, cm.common,
+           |       round(CAST(cm.common AS DOUBLE) / (sn.n + os.n_grams - cm.common), 6) AS jaccard
+           |FROM cm JOIN sn ON sn.doc_id = cm.a_id JOIN os ON os.doc_id = cm.b_id
+           |WHERE CAST(cm.common AS DOUBLE) / (sn.n + os.n_grams - cm.common) >= 0.35e0
+           |ORDER BY a_id, b_id""".stripMargin
       },
       "q61_chunk" -> // same slicing: DuckDB lists are 1-based inclusive, so
         // window start i (0-based, multiples of 48) covers toks[i+1 : i+64]

@@ -12,6 +12,7 @@ object Verify {
     // materialized, keyed by the fixture basename.
     System.setProperty("graft.ivf.path", SparkEntry.ivfIndexPath(sfDir))
     System.setProperty("graft.bpe.path", SparkEntry.bpeMergesPath(sfDir))
+    System.setProperty("graft.lsh.path", SparkEntry.lshIndexPath(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.ArrayMath
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,13 +113,13 @@ object Dedup {
     * combines a band's signature values into its bucket key. The hashes are
     * projected BEFORE the min aggregates so a shared base hash is computed
     * once per gram row (subexpression elimination). */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.35,
-      gramHashes: (Column, Int) => Seq[Column] =
-        (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
-      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
+  /** Shared MinHash signature stage: from exploded gram rows to
+    * ((doc_id, band, bucket) band rows, (doc_id, h0..h63, n_grams) sigs).
+    * Used by the in-memory pair join and the at-rest incremental index. */
+  private def bandSignatures(g: DataFrame, numHashes: Int, bands: Int,
+      gramHashes: (Column, Int) => Seq[Column],
+      bandBucket: Seq[Column] => Column): (DataFrame, DataFrame) = {
     val rowsPer = numHashes / bands
-    val g = gramRows(docs, n)
     val hashed = g.select(col("doc_id") +:
       gramHashes(col("gram"), numHashes).zipWithIndex
         .map { case (c, i) => c.as(s"gh$i") }: _*)
@@ -132,6 +132,16 @@ object Dedup {
           bandBucket((b * rowsPer until (b + 1) * rowsPer).map(i => col(s"h$i")))
             .as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    (banded, sigs)
+  }
+
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.35,
+      gramHashes: (Column, Int) => Seq[Column] =
+        (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
+    val g = gramRows(docs, n)
+    val (banded, sigs) = bandSignatures(g, numHashes, bands, gramHashes, bandBucket)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -146,6 +156,73 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "a_n"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "b_n"), "b_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Materialize the MinHash-LSH dedup index AT REST: `bands/` (doc_id,
+    * band, bucket), `grams/` (doc_id, gram — the distinct word n-grams, for
+    * exact verification of probe candidates), `sizes/` (doc_id, n_grams).
+    *
+    * This is the operational shape incremental ingest needs at 100 TB: the
+    * corpus's signatures are computed ONCE and stored; each new batch joins
+    * against the stored bands instead of re-scanning (or re-hashing) the
+    * corpus. The index is corpus-derived data sized like the corpus's gram
+    * set — an index you store next to the data, not a broadcast. */
+  def writeLshIndex(docs: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      gramHashes: (Column, Int) => Seq[Column] =
+        (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): Unit = {
+    val g = gramRows(docs, n)
+    val (banded, sigs) = bandSignatures(g, numHashes, bands, gramHashes, bandBucket)
+    banded.write.mode("overwrite").parquet(s"$path/bands")
+    g.write.mode("overwrite").parquet(s"$path/grams")
+    sigs.select(col("doc_id"), col("n_grams"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+  }
+
+  /** Incremental near-dup check of a NEW batch against a [[writeLshIndex]]
+    * index: band signatures of the batch join the STORED bands (band,
+    * bucket); candidates are verified exactly against the STORED gram rows.
+    * Output: (a_id = new doc, b_id = indexed doc, common, jaccard >=
+    * threshold) — same contract as [[minhashLshPairs]] restricted to
+    * new-x-indexed pairs.
+    *
+    * Scale shape: the corpus side is touched only through the index — the
+    * bands join shuffles batch-bands x matching stored bands, and the gram
+    * verify shuffles only candidate docs' gram rows (the candidate semi-join
+    * happens before any corpus-sized gram movement). The batch is the small
+    * side throughout; nothing rehashes the corpus. The same (gramHashes,
+    * bandBucket) family MUST be passed as at index-build time — signatures
+    * are data, the family is their schema. */
+  def minhashLshAgainstIndex(spark: SparkSession, path: String,
+      newDocs: DataFrame, threshold: Double = 0.35, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      gramHashes: (Column, Int) => Seq[Column] =
+        (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
+    val gNew = gramRows(newDocs, n)
+    val (bandedNew, sigsNew) =
+      bandSignatures(gNew, numHashes, bands, gramHashes, bandBucket)
+    val storedBands = spark.read.parquet(s"$path/bands")
+      .select(col("doc_id").as("b_id"), col("band"), col("bucket"))
+    val cand = bandedNew.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .join(storedBands, Seq("band", "bucket"))
+      .filter(col("a_id") =!= col("b_id")) // re-ingest of an indexed id
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val storedGrams = spark.read.parquet(s"$path/grams")
+      .select(col("doc_id").as("b_id"), col("gram"))
+    val common = cand
+      .join(gNew.select(col("doc_id").as("a_id"), col("gram")), "a_id")
+      .join(storedGrams, Seq("b_id", "gram"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    val newSizes = sigsNew.select(col("doc_id").as("a_id"), col("n_grams").as("a_n"))
+    val storedSizes = spark.read.parquet(s"$path/sizes")
+      .select(col("doc_id").as("b_id"), col("n_grams").as("b_n"))
+    common.join(newSizes, "a_id").join(storedSizes, "b_id")
       .withColumn("jaccard",
         col("common").cast("double") / (col("a_n") + col("b_n") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -63,6 +63,27 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (a, b) => assert(jaccard(texts(a), texts(b)) >= 0.35) }
   }
 
+  test("incremental probe against the stored LSH index = in-memory cross pairs") {
+    // "existing corpus" = even ids, "incoming batch" = odd ids
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("lsh-idx").toString
+    Dedup.writeLshIndex(existing, path)
+    val got = Dedup.minhashLshAgainstIndex(spark, path, incoming, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // reference: the full in-memory join over everything, keeping only
+    // (new, existing) pairs, reoriented to (a = new, b = indexed)
+    val all = Dedup.minhashLshPairs(docs, 3, 64, 16, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = all.collect {
+      case (a, b, c, j) if a % 2 != 0 && b % 2 == 0 => (a, b, c, j)
+      case (a, b, c, j) if a % 2 == 0 && b % 2 != 0 => (b, a, c, j)
+    }.toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.nonEmpty) // 1 (new) collides with 0/2/8 (indexed)
+  }
+
   test("simhash chunk-join finds exactly the hamming<=3 pairs of its signatures") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
