@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Audit, Bpe, Dedup, Enrich, Packing, Sampling}
+import graft.operators.{Audit, Bpe, Dedup, Enrich, Packing, Sampling, TextAnalysis}
 import graft.sources.SpotSynth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -99,6 +99,24 @@ object ScaleProbe {
       // groups grow k-fold while the quota stays 30: exactly the bounded
       // top-k aggregate's scale case
       Sampling.quotaPerGroup(docs, "source", "doc_id", 30).count()
+    }
+    time("chunk_tokens") {
+      TextAnalysis.chunkTokens(docs, 64, 48).count()
+    }
+    locally {
+      // incremental LSH dedup: the index scales with the corpus (built once,
+      // amortized); the probe is a FIXED base-corpus batch — its cost should
+      // track batch size + collision count, never the corpus rescan
+      val path = s"/tmp/graft_scaleprobe_lsh_x$k"
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val incoming = baseDocs.filter(col("doc_id") % 10 === 0)
+      time("lsh_index_build") {
+        Dedup.writeLshIndex(existing, path)
+        spark.read.parquet(s"$path/bands").count()
+      }
+      time("lsh_index_probe") {
+        Dedup.minhashLshAgainstIndex(spark, path, incoming).count()
+      }
     }
     locally {
       // BPE apply: merges trained once on the base corpus (merges are data,

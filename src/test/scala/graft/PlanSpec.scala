@@ -59,6 +59,15 @@ class PlanSpec extends SparkSpec {
       "both non-residual lag windows must partition by their level's bucket")
   }
 
+  test("q61 chunking: narrow codegen — no hash shuffle anywhere") {
+    val p = plan(SparkEntry.queries("q61_chunk")(spark, dir))
+    // only the scan fan-out (round-robin) and the final sort (range) may
+    // exchange; the chunker itself must stay shuffle-free
+    assert(!p.contains("hashpartitioning"),
+      "chunking must not introduce a hash shuffle")
+    assert(p.contains("Generate posexplode"), "posexplode drives the fan-out")
+  }
+
   test("q35 similarity: query side broadcast against the corpus") {
     val p = plan(SparkEntry.queries("q35_sim_topk")(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
