@@ -204,29 +204,55 @@ object Dedup {
       gramHashes: (Column, Int) => Seq[Column] =
         (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
       bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
+    // recursive lookup: the index may hold the base build's flat files plus
+    // per-batch subdirectories from [[appendToLshIndex]]
+    def stored(sub: String): DataFrame = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$path/$sub")
     val gNew = gramRows(newDocs, n)
     val (bandedNew, sigsNew) =
       bandSignatures(gNew, numHashes, bands, gramHashes, bandBucket)
-    val storedBands = spark.read.parquet(s"$path/bands")
+    val storedBands = stored("bands")
       .select(col("doc_id").as("b_id"), col("band"), col("bucket"))
     val cand = bandedNew.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
       .join(storedBands, Seq("band", "bucket"))
       .filter(col("a_id") =!= col("b_id")) // re-ingest of an indexed id
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
-    val storedGrams = spark.read.parquet(s"$path/grams")
+    val storedGrams = stored("grams")
       .select(col("doc_id").as("b_id"), col("gram"))
     val common = cand
       .join(gNew.select(col("doc_id").as("a_id"), col("gram")), "a_id")
       .join(storedGrams, Seq("b_id", "gram"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
     val newSizes = sigsNew.select(col("doc_id").as("a_id"), col("n_grams").as("a_n"))
-    val storedSizes = spark.read.parquet(s"$path/sizes")
+    val storedSizes = stored("sizes")
       .select(col("doc_id").as("b_id"), col("n_grams").as("b_n"))
     common.join(newSizes, "a_id").join(storedSizes, "b_id")
       .withColumn("jaccard",
         col("common").cast("double") / (col("a_n") + col("b_n") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Admit a (probed, accepted) batch into a [[writeLshIndex]] index:
+    * write its band rows, gram rows, and sizes into `batchTag`
+    * subdirectories with OVERWRITE semantics — a replayed batch rewrites
+    * the same directories with the same content instead of appending
+    * duplicates (the [[graft.streaming.Ingest.commitBatch]] idempotence
+    * pattern). With [[minhashLshAgainstIndex]] this closes the ingest
+    * loop — probe → drop/keep → admit — without ever touching the corpus
+    * itself. Per-batch files compact on the storage layer's schedule like
+    * any streaming sink. Same-family requirement as the probe. */
+  def appendToLshIndex(docs: DataFrame, path: String, batchTag: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      gramHashes: (Column, Int) => Seq[Column] =
+        (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): Unit = {
+    val g = gramRows(docs, n)
+    val (banded, sigs) = bandSignatures(g, numHashes, bands, gramHashes, bandBucket)
+    banded.write.mode("overwrite").parquet(s"$path/bands/$batchTag")
+    g.write.mode("overwrite").parquet(s"$path/grams/$batchTag")
+    sigs.select(col("doc_id"), col("n_grams"))
+      .write.mode("overwrite").parquet(s"$path/sizes/$batchTag")
   }
 
   /** 64-bit SimHash over the token multiset: bit b of the signature is the

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming document ingest with incremental near-dup gating — the
+  * LLM-corpus counterpart of [[Ingest]]: a file-drop of JSONL document
+  * batches, each micro-batch near-dup-checked WITHIN itself and against the
+  * at-rest MinHash-LSH index ([[Dedup.writeLshIndex]] layout); only novel
+  * documents are appended to the corpus sink AND admitted into the index,
+  * so every batch dedups against everything admitted before it.
+  *
+  * Scale shape, per batch: batch hashing + bands join + candidate verify
+  * (the audited [[Dedup.minhashLshAgainstIndex]] plan) + one per-batch
+  * write. The corpus is never rescanned and never re-hashed.
+  *
+  * Crash posture — the [[Ingest.commitBatch]] idempotence argument, restated
+  * for dedup: every write is a `batch-<id>` directory with overwrite
+  * semantics, so a replayed batch rewrites the same directories. The
+  * admitted set reconverges on replay even though the index already
+  * contains the batch's own first attempt:
+  *   - self-matches are id-filtered (a probed doc never pairs with its own
+  *     stored copy);
+  *   - the within-batch drop list is a deterministic function of the batch
+  *     alone, so it is identical on replay;
+  *   - two admitted docs are never near-dups of each other (else the
+  *     higher id would have been within-batch-dropped), so probing against
+  *     the first attempt's admissions adds no new drops.
+  */
+object DocIngest {
+
+  /** Fixture-parquet-compatible document schema for the JSONL drop. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Per-batch admission counts, for the audit log line. */
+  final case class BatchResult(admitted: Long, droppedWithinBatch: Long,
+      droppedVsIndex: Long)
+
+  /** Commit one document micro-batch idempotently: self-dedup, probe the
+    * index (if one exists yet), write admitted docs to
+    * `corpusDir/batch-<id>`, admit them into `indexPath` under the same
+    * batch tag. Within-batch rule: for every near-dup pair (a < b), b is
+    * dropped — deterministic under replay and partitioning. */
+  def commitDocBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      corpusDir: String, indexPath: String, threshold: Double = 0.35,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      gramHashes: (Column, Int) => Seq[Column] =
+        (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): BatchResult = {
+    val b = batch.persist()
+    try {
+      val withinDrops = Dedup
+        .minhashLshPairs(b, n, numHashes, bands, threshold, gramHashes, bandBucket)
+        .select(col("b_id").as("doc_id")).distinct().persist()
+      val indexExists = new java.io.File(s"$indexPath/bands").exists()
+      val indexDrops = (if (indexExists)
+        Dedup.minhashLshAgainstIndex(spark, indexPath, b, threshold, n,
+            numHashes, bands, gramHashes, bandBucket)
+          .select(col("a_id").as("doc_id")).distinct()
+      else withinDrops.limit(0)).persist()
+      val admitted = b
+        .join(withinDrops.union(indexDrops).distinct(), Seq("doc_id"), "left_anti")
+        .persist()
+      val nAdmitted = admitted.count() // materialize before the writes reuse it
+      admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
+      Dedup.appendToLshIndex(admitted, indexPath, s"batch-$batchId",
+        n, numHashes, bands, gramHashes, bandBucket)
+      val r = BatchResult(nAdmitted, withinDrops.count(), indexDrops.count())
+      System.err.println(s"[docingest] batch $batchId: admitted=${r.admitted} " +
+        s"dropped_within=${r.droppedWithinBatch} dropped_vs_index=${r.droppedVsIndex}")
+      withinDrops.unpersist(); indexDrops.unpersist(); admitted.unpersist()
+      r
+    } finally b.unpersist()
+  }
+
+  /** Read the admitted corpus back (all batch directories). */
+  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(corpusDir)
+
+  /** Start the streaming ingest: JSONL file-drop -> dedup gate -> per-batch
+    * parquet + index admission. File-source offsets checkpoint the stream;
+    * batch writes are idempotent per the class scaladoc. */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+      corpusDir: String, indexPath: String,
+      threshold: Double = 0.35,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
+    val stream = spark.readStream.schema(docSchema).json(inputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitDocBatch(spark, batch, batchId, corpusDir, indexPath, threshold)
+        ()
+      }
+      .start()
+  }
+}

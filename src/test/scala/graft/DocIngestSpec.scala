@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.DocIngest
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Path}
+
+class DocIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Texts with CERTAIN LSH outcomes: identical copies always collide,
+  // the distinct texts share no 3-grams at all.
+  private val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val tB = "one two three four five six seven eight nine ten"
+  private val tC = "red orange yellow green blue indigo violet purple pink white"
+  private val tD = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+  private val tE = "spark catalyst tungsten shuffle partition broadcast join agg scan sort"
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", s"src${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def corpusIds(corpusDir: String): Set[Long] =
+    DocIngest.readCorpus(spark, corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("commitDocBatch: within-batch and vs-index gating, idempotent replay") {
+    val corpus = Files.createTempDirectory("doc-corpus").toString
+    val index = Files.createTempDirectory("doc-index").toString
+
+    // batch 0 (cold start, no index yet): 1 is an exact copy of 0 -> dropped
+    val b0 = docsDf(0L -> tA, 1L -> tA, 3L -> tB, 5L -> tC)
+    val r0 = DocIngest.commitDocBatch(spark, b0, 0L, corpus, index)
+    assert(r0 == DocIngest.BatchResult(3, 1, 0), s"r0=$r0")
+    assert(corpusIds(corpus) == Set(0L, 3L, 5L))
+
+    // batch 1: 2 copies indexed 0, 8 copies indexed 3 -> dropped vs index;
+    // 10 copies in-batch 7 -> dropped within; 6, 7 novel -> admitted
+    val b1 = docsDf(2L -> tA, 6L -> tE, 7L -> tD, 8L -> tB, 10L -> tD)
+    val r1 = DocIngest.commitDocBatch(spark, b1, 1L, corpus, index)
+    assert(r1 == DocIngest.BatchResult(2, 1, 2), s"r1=$r1")
+    assert(corpusIds(corpus) == Set(0L, 3L, 5L, 6L, 7L))
+
+    // crash replay of batch 1: the index already holds its first attempt;
+    // the admitted set and every stored table must reconverge unchanged
+    val sizesBefore = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$index/sizes").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val r1b = DocIngest.commitDocBatch(spark, b1, 1L, corpus, index)
+    assert(r1b.admitted == r1.admitted, s"replay diverged: $r1b vs $r1")
+    assert(corpusIds(corpus) == Set(0L, 3L, 5L, 6L, 7L))
+    val sizesAfter = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$index/sizes").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(sizesAfter == sizesBefore, "index must not grow on replay")
+
+    // batch 2 still dedups against batches 0 AND 1
+    val b2 = docsDf(11L -> tE, 12L -> tC)
+    val r2 = DocIngest.commitDocBatch(spark, b2, 2L, corpus, index)
+    assert(r2 == DocIngest.BatchResult(0, 0, 2), s"r2=$r2")
+    assert(corpusIds(corpus) == Set(0L, 3L, 5L, 6L, 7L))
+  }
+
+  test("streaming JSONL file-drop end-to-end with the dedup gate") {
+    val in = Files.createTempDirectory("doc-in").toString
+    val ckpt = Files.createTempDirectory("doc-ckpt").toString
+    val corpus = Files.createTempDirectory("doc-corpus2").toString + "/sink"
+    val index = Files.createTempDirectory("doc-index2").toString + "/idx"
+
+    def jsonl(rows: (Long, String)*): String = rows.map { case (id, t) =>
+      s"""{"doc_id": $id, "text": "$t", "lang": "en", "source": "s", "n_chars": ${t.length}}"""
+    }.mkString("\n")
+
+    Files.writeString(Path.of(in, "w1.jsonl"), jsonl(0L -> tA, 1L -> tA, 3L -> tB))
+    val q1 = DocIngest.start(spark, in, ckpt, corpus, index,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(corpusIds(corpus) == Set(0L, 3L))
+
+    // second drop: a dup of an admitted doc and a novel one; the restarted
+    // stream must not reprocess w1 (checkpointed offsets)
+    Files.writeString(Path.of(in, "w2.jsonl"), jsonl(2L -> tA, 4L -> tC))
+    val q2 = DocIngest.start(spark, in, ckpt, corpus, index,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(corpusIds(corpus) == Set(0L, 3L, 4L))
+  }
+}
