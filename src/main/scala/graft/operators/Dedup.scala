@@ -191,19 +191,24 @@ object Dedup {
     * threshold) — same contract as [[minhashLshPairs]] restricted to
     * new-x-indexed pairs.
     *
-    * Scale shape: the corpus side is touched only through the index — the
-    * bands join shuffles batch-bands x matching stored bands, and the gram
-    * verify shuffles only candidate docs' gram rows (the candidate semi-join
-    * happens before any corpus-sized gram movement). The batch is the small
-    * side throughout; nothing rehashes the corpus. The same (gramHashes,
-    * bandBucket) family MUST be passed as at index-build time — signatures
-    * are data, the family is their schema. */
+    * Scale shape: the corpus side is touched only through the index, and
+    * with `broadcastBatch` (the default) it is never SHUFFLED either: the
+    * batch-derived sides — band signatures, then candidates x batch grams —
+    * carry broadcast hints, so both joins stream map-side over the stored
+    * parquet scans. An ingest batch is orders of magnitude smaller than the
+    * corpus, which is exactly the broadcast regime; pass
+    * `broadcastBatch = false` for corpus-scale backfills, where the joins
+    * degrade to plain shuffles. Nothing rehashes the corpus either way.
+    * The same (gramHashes, bandBucket) family MUST be passed as at
+    * index-build time — signatures are data, the family is their schema. */
   def minhashLshAgainstIndex(spark: SparkSession, path: String,
       newDocs: DataFrame, threshold: Double = 0.35, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       gramHashes: (Column, Int) => Seq[Column] =
         (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
-      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*),
+      broadcastBatch: Boolean = true): DataFrame = {
+    def maybeBc(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
     // recursive lookup: the index may hold the base build's flat files plus
     // per-batch subdirectories from [[appendToLshIndex]]
     def stored(sub: String): DataFrame = spark.read
@@ -213,20 +218,21 @@ object Dedup {
       bandSignatures(gNew, numHashes, bands, gramHashes, bandBucket)
     val storedBands = stored("bands")
       .select(col("doc_id").as("b_id"), col("band"), col("bucket"))
-    val cand = bandedNew.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+    val cand = maybeBc(
+        bandedNew.select(col("doc_id").as("a_id"), col("band"), col("bucket")))
       .join(storedBands, Seq("band", "bucket"))
       .filter(col("a_id") =!= col("b_id")) // re-ingest of an indexed id
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     val storedGrams = stored("grams")
       .select(col("doc_id").as("b_id"), col("gram"))
-    val common = cand
-      .join(gNew.select(col("doc_id").as("a_id"), col("gram")), "a_id")
+    val common = maybeBc(cand
+        .join(gNew.select(col("doc_id").as("a_id"), col("gram")), "a_id"))
       .join(storedGrams, Seq("b_id", "gram"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
     val newSizes = sigsNew.select(col("doc_id").as("a_id"), col("n_grams").as("a_n"))
     val storedSizes = stored("sizes")
       .select(col("doc_id").as("b_id"), col("n_grams").as("b_n"))
-    common.join(newSizes, "a_id").join(storedSizes, "b_id")
+    maybeBc(common.join(maybeBc(newSizes), "a_id")).join(storedSizes, "b_id")
       .withColumn("jaccard",
         col("common").cast("double") / (col("a_n") + col("b_n") - col("common")))
       .filter(col("jaccard") >= threshold)

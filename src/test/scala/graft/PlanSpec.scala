@@ -68,6 +68,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate posexplode"), "posexplode drives the fan-out")
   }
 
+  test("incremental LSH probe: batch side broadcast, stored index never shuffled") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("plan-lsh").toString
+    graft.operators.Dedup.writeLshIndex(docs.filter(col("doc_id") % 10 =!= 0), path)
+    val probe = graft.operators.Dedup.minhashLshAgainstIndex(
+      spark, path, docs.filter(col("doc_id") % 10 === 0))
+    val p = plan(probe)
+    // every join against a stored table must take the batch side as the
+    // broadcast build: a sort-merge/shuffled-hash join there would shuffle
+    // the whole index (corpus-sized at scale) once per ingest batch
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "stored index tables must never be shuffled by the probe")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
   test("q35 similarity: query side broadcast against the corpus") {
     val p = plan(SparkEntry.queries("q35_sim_topk")(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
