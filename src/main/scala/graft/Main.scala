@@ -67,6 +67,18 @@ object Main {
       val q = Ingest.start(spark, in, ckpt, out)
       q.awaitTermination()
 
+    case "docs" :: in :: ckpt :: corpus :: index :: Nil =>
+      // LLM-corpus ingest daemon: JSONL drop -> dedup gate -> corpus+index.
+      // Same pidfile mutex discipline as the spot stream (one writer per
+      // checkpoint); status/stop work against the same checkpoint dir.
+      if (!DaemonControl.acquirePidfile(ckpt)) {
+        System.err.println(s"docs daemon already running (see $ckpt/graft.pid)")
+        sys.exit(1)
+      }
+      val spark = session()
+      val q = streaming.DocIngest.start(spark, in, ckpt, corpus, index)
+      q.awaitTermination()
+
     case "status" :: ckpt :: Nil => // T6 -s
       DaemonControl.status(ckpt) match {
         case DaemonControl.Running(pid, cur) =>
@@ -136,7 +148,7 @@ object Main {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: enrich <in> <outDir> | audit <in> | stream <in> <ckpt> <out> | status <ckpt> | stop <ckpt> | drain <spool> <dest> [--once] | scrape <out> [--once] [--no-upload]")
+      System.err.println("usage: enrich <in> <outDir> | audit <in> | stream <in> <ckpt> <out> | docs <in> <ckpt> <corpus> <index> | status <ckpt> | stop <ckpt> | drain <spool> <dest> [--once] | scrape <out> [--once] [--no-upload]")
       sys.exit(2)
   }
 }

@@ -571,7 +571,16 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s, ivfIndexPath(dir),
           emb.filter(col("vec_id") < 5), 10, nprobe = 4)
         .orderBy("q_id", "rank")
-    })
+    }),
+    // q62 end-to-end rebuilds the index every run; this twin isolates the
+    // steady-state cost — the per-batch probe against an existing index
+    // (q62 runs earlier in the bench and leaves the index in place)
+    "x62_lsh_probe" -> ((s, dir) =>
+      Dedup.minhashLshAgainstIndex(s, lshIndexPath(dir),
+          tp(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          gramHashes = PortableHashes.minhashGramHashes,
+          bandBucket = PortableHashes.minhashBandBucket)
+        .orderBy("a_id", "b_id"))
   )
 
   /** DuckDB oracles; keys must match [[queries]]. Every approximate op is
