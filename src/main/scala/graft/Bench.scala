@@ -104,7 +104,11 @@ object Bench {
       .mkString("{", ",", "}")
     val runsJson = (results.map(r => r._1 -> r._2) ++ extraResults)
       .collect { case (k, ts) if ts.nonEmpty =>
-        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+        // Locale.ROOT: the default-locale %.3f renders a decimal COMMA on
+        // comma-decimal JVMs, which would corrupt the JSON artifact
+        "\"" + k + "\":" + ts.map(t =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+          .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum

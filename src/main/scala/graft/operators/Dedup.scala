@@ -101,18 +101,6 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash-LSH near-dup pairs: numHashes min-aggregates build the
-    * signature (codegen'd, one pass over gram rows), the signature is banded
-    * (bands x rowsPerBand = numHashes), candidates bucket-join on
-    * (band, band-hash), and exact jaccard is verified on candidates only.
-    * Output: pairs with exact jaccard >= threshold among LSH candidates.
-    *
-    * `gramHashes` supplies the numHashes per-gram hash columns (default
-    * seeded xxhash64; [[graft.functions.PortableHashes.minhashGramHashes]]
-    * for the SQL-mirrorable family the oracle reproduces) and `bandBucket`
-    * combines a band's signature values into its bucket key. The hashes are
-    * projected BEFORE the min aggregates so a shared base hash is computed
-    * once per gram row (subexpression elimination). */
   /** Shared MinHash signature stage: from exploded gram rows to
     * ((doc_id, band, bucket) band rows, (doc_id, h0..h63, n_grams) sigs).
     * Used by the in-memory pair join and the at-rest incremental index. */
@@ -135,6 +123,18 @@ object Dedup {
     (banded, sigs)
   }
 
+  /** MinHash-LSH near-dup pairs: numHashes min-aggregates build the
+    * signature (codegen'd, one pass over gram rows), the signature is banded
+    * (bands x rowsPerBand = numHashes), candidates bucket-join on
+    * (band, band-hash), and exact jaccard is verified on candidates only.
+    * Output: pairs with exact jaccard >= threshold among LSH candidates.
+    *
+    * `gramHashes` supplies the numHashes per-gram hash columns (default
+    * seeded xxhash64; [[graft.functions.PortableHashes.minhashGramHashes]]
+    * for the SQL-mirrorable family the oracle reproduces) and `bandBucket`
+    * combines a band's signature values into its bucket key. The hashes are
+    * projected BEFORE the min aggregates so a shared base hash is computed
+    * once per gram row (subexpression elimination). */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.35,
       gramHashes: (Column, Int) => Seq[Column] =
@@ -175,13 +175,31 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       gramHashes: (Column, Int) => Seq[Column] =
         (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
-      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): Unit = {
-    val g = gramRows(docs, n)
-    val (banded, sigs) = bandSignatures(g, numHashes, bands, gramHashes, bandBucket)
-    banded.write.mode("overwrite").parquet(s"$path/bands")
-    g.write.mode("overwrite").parquet(s"$path/grams")
-    sigs.select(col("doc_id"), col("n_grams"))
-      .write.mode("overwrite").parquet(s"$path/sizes")
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): Unit =
+    writeIndexTables(docs, n, numHashes, bands, gramHashes, bandBucket,
+      sub => s"$path/$sub")
+
+  /** The three index writes, sharing one computation of the gram explode
+    * and the 64-min signature aggregate: without the persist, each write
+    * would re-run the heavy signature pipeline from scratch (the bands
+    * write and the sizes write both sit on top of `sigs`, and the grams
+    * write re-explodes the corpus). */
+  private def writeIndexTables(docs: DataFrame, n: Int, numHashes: Int,
+      bands: Int, gramHashes: (Column, Int) => Seq[Column],
+      bandBucket: Seq[Column] => Column, dest: String => String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val g = gramRows(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (banded, sigs) =
+        bandSignatures(g, numHashes, bands, gramHashes, bandBucket)
+      val sigsCached = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        banded.write.mode("overwrite").parquet(dest("bands"))
+        g.write.mode("overwrite").parquet(dest("grams"))
+        sigsCached.select(col("doc_id"), col("n_grams"))
+          .write.mode("overwrite").parquet(dest("sizes"))
+      } finally sigsCached.unpersist()
+    } finally g.unpersist()
   }
 
   /** Incremental near-dup check of a NEW batch against a [[writeLshIndex]]
@@ -252,14 +270,9 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       gramHashes: (Column, Int) => Seq[Column] =
         (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
-      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): Unit = {
-    val g = gramRows(docs, n)
-    val (banded, sigs) = bandSignatures(g, numHashes, bands, gramHashes, bandBucket)
-    banded.write.mode("overwrite").parquet(s"$path/bands/$batchTag")
-    g.write.mode("overwrite").parquet(s"$path/grams/$batchTag")
-    sigs.select(col("doc_id"), col("n_grams"))
-      .write.mode("overwrite").parquet(s"$path/sizes/$batchTag")
-  }
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): Unit =
+    writeIndexTables(docs, n, numHashes, bands, gramHashes, bandBucket,
+      sub => s"$path/$sub/$batchTag")
 
   /** 64-bit SimHash over the token multiset: bit b of the signature is the
     * sign of sum over tokens of +-1 according to bit b of xxhash64(token).
@@ -498,9 +511,21 @@ object Dedup {
     // a cluster set `spark.sparkContext.setCheckpointDir` to durable
     // storage and `spark.cleaner.referenceTracking.cleanCheckpoints=true`
     // so files are reclaimed when the result is GC'd.
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // When WE create the (local) checkpoint root, also reclaim it at JVM
+      // exit — otherwise every session leaves a labels-sized directory in
+      // /tmp forever. A cluster deployment sets its own durable checkpoint
+      // dir (and cleanCheckpoints=true) and never enters this branch.
+      val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+      spark.sparkContext.setCheckpointDir(dir.toString)
+    }
     val labels = labelPlan.checkpoint(eager = true)
     cached.unpersist()
     nodes.unpersist()

@@ -93,6 +93,12 @@ object Multimodal {
         def closeAll(): Unit = if (!closed) {
           closed = true; root.close(); alloc.close()
         }
+        // Native Arrow memory must be freed even when the iterator is never
+        // drained (limit/take, a downstream failure mid-partition): the
+        // task-completion listener fires on every exit path. The drain-time
+        // close below stays as the eager fast path.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
         val out = it.grouped(batchSize).flatMap { rows =>
           try {
             ids.allocateNew(rows.size)

@@ -102,7 +102,12 @@ object Sampling {
     require(weights.nonEmpty, "mixture weights must be non-empty")
     require(weights.values.forall(w => w >= 0.0 && !w.isNaN),
       s"mixture weights must be >= 0: $weights")
-    val quotas = weights.map { case (g, w) => g -> math.floor(w * total).toLong }
+    // The epsilon keeps decimal weights on their mathematical floor: 0.29 *
+    // 100 is 28.999999999999996 in binary doubles, and a bare floor would
+    // silently under-fill that source by one row.
+    val quotas = weights.map { case (g, w) =>
+      g -> math.floor(w * total + 1e-9).toLong
+    }
     // all-zero quotas degrade to an empty result through the k=0 aggregate
     val kMax = math.max(0L, math.min(quotas.values.max, Int.MaxValue.toLong)).toInt
     val inMix = df.filter(col(groupCol).isin(quotas.keys.toSeq: _*))

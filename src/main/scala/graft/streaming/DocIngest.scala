@@ -56,19 +56,24 @@ object DocIngest {
         (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
       bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): BatchResult = {
     val b = batch.persist()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
+    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
     try {
-      val withinDrops = Dedup
+      val withinDrops = cache(Dedup
         .minhashLshPairs(b, n, numHashes, bands, threshold, gramHashes, bandBucket)
-        .select(col("b_id").as("doc_id")).distinct().persist()
-      val indexExists = new java.io.File(s"$indexPath/bands").exists()
-      val indexDrops = (if (indexExists)
+        .select(col("b_id").as("doc_id")).distinct())
+      // existence through the path's own filesystem — a java.io.File check
+      // would silently disable the gate on hdfs:// / s3:// deployments
+      val bandsPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+      val indexExists = bandsPath
+        .getFileSystem(spark.sessionState.newHadoopConf()).exists(bandsPath)
+      val indexDrops = cache(if (indexExists)
         Dedup.minhashLshAgainstIndex(spark, indexPath, b, threshold, n,
             numHashes, bands, gramHashes, bandBucket)
           .select(col("a_id").as("doc_id")).distinct()
-      else withinDrops.limit(0)).persist()
-      val admitted = b
-        .join(withinDrops.union(indexDrops).distinct(), Seq("doc_id"), "left_anti")
-        .persist()
+      else withinDrops.limit(0))
+      val admitted = cache(b
+        .join(withinDrops.union(indexDrops).distinct(), Seq("doc_id"), "left_anti"))
       val nAdmitted = admitted.count() // materialize before the writes reuse it
       admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
       Dedup.appendToLshIndex(admitted, indexPath, s"batch-$batchId",
@@ -76,9 +81,10 @@ object DocIngest {
       val r = BatchResult(nAdmitted, withinDrops.count(), indexDrops.count())
       System.err.println(s"[docingest] batch $batchId: admitted=${r.admitted} " +
         s"dropped_within=${r.droppedWithinBatch} dropped_vs_index=${r.droppedVsIndex}")
-      withinDrops.unpersist(); indexDrops.unpersist(); admitted.unpersist()
       r
-    } finally b.unpersist()
+    } finally cached.foreach(_.unpersist()) // also on a mid-batch failure:
+    // the streaming engine retries the batch, and leaked caches would
+    // accumulate in the block manager for the daemon's lifetime
   }
 
   /** Read the admitted corpus back (all batch directories). */

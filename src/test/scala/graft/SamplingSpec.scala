@@ -106,5 +106,9 @@ class SamplingSpec extends SparkSpec {
     val dSizes = degenerate.groupBy("grp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dSizes == Map("s0" -> 300L))
+    // binary-float quota edge: 0.29 * 100 = 28.999999999999996 in doubles;
+    // the quota must still be the mathematical floor, 29
+    val edge = Sampling.mixtureSample(df, "grp", "id", Map("s0" -> 0.29), 100L)
+    assert(edge.count() == 29)
   }
 }
