@@ -526,6 +526,11 @@ object SparkEntry {
       // (16-token overlap), final partial window kept
       TextAnalysis.chunkTokens(tp(s, dir, "documents"), 64, 48)
         .orderBy("doc_id", "chunk_id")),
+    "q63_tfidf" -> ((s, dir) =>
+      // per-doc keyword extraction; ranked through the bounded top-k
+      // aggregate, window form kept as the oracle
+      TextAnalysis.tfidfTopK(tp(s, dir, "documents"), 5)
+        .orderBy("doc_id", "rank")),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -1030,6 +1035,21 @@ object SparkEntry {
           |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
           |            FROM documents))
           |ORDER BY doc_id, chunk_id""".stripMargin,
+      "q63_tfidf" -> // tfidfTopK's window-form cross-check; identical
+        // smoothing, identical 6-decimal rounding before ranking
+        """WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |tok AS (SELECT * FROM tok0 WHERE token <> ''),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          |       FROM tok GROUP BY 1, 2),
+          |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |s AS (SELECT tf.doc_id, tf.token, tf.tf,
+          |             round(tf.tf * ln((n.n + 1.0e0) / (df.df + 1.0e0)), 6) AS score
+          |      FROM tf JOIN df USING (token) CROSS JOIN n),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, token ASC) AS rank FROM s)
+          |SELECT doc_id, token, tf, score, CAST(rank AS BIGINT) AS rank FROM r
+          |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
       "q59_mixture" -> { // mixtureSample = quotaPerGroup with per-source quotas
         val u = graft.operators.Sampling.unitHashSql("doc_id", salt = 0)
         s"""WITH h AS (SELECT source, doc_id, $u AS u FROM documents

@@ -192,6 +192,45 @@ object TextAnalysis {
         col("col.txt").as("chunk"), col("col.n").cast("long").as("n_tokens"))
   }
 
+  /** Per-document top-k keywords by smoothed TF-IDF:
+    * score = tf * ln((N + 1) / (df + 1)), rounded to 6 decimals so rank
+    * order can't flip on libm ulp differences (rank ties break by token).
+    * Output: (doc_id, token, tf, score, rank), rank 1..k.
+    *
+    * Scale shape: two corpus aggregates (tf by (doc, token), df by token)
+    * plus a bounded top-k per document through the partial-agg
+    * [[graft.functions.RowTopKAggregator]] — k rows per doc cross the
+    * shuffle instead of every scored token (the window formulation is kept
+    * only as the DuckDB oracle). N is one scalar count job — a dimension
+    * of the formula, not data movement. */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.count()
+    val scored = tf.join(dfreq, "token")
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * log((lit(n.toDouble) + 1.0) /
+          (col("df").cast("double") + 1.0)), 6).as("score"))
+    val ord: Ordering[(Double, String, Long)] =
+      Ordering.by[(Double, String, Long), (Double, String)] {
+        case (s, t, _) => (-s, t)
+      }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+    scored.select(col("doc_id"), col("score"), col("token"), col("tf"))
+      .as[(Long, Double, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+      .agg(new graft.functions.RowTopKAggregator(k, ord).toColumn)
+      .toDF("doc_id", "topk")
+      .select(col("doc_id"), posexplode(col("topk")))
+      .select(col("doc_id"), col("col._2").as("token"), col("col._3").as("tf"),
+        col("col._1").as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Per-document stats frame. */
   def docStats(docs: DataFrame): DataFrame =
     docs.select(

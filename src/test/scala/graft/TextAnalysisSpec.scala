@@ -116,6 +116,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._2 == 2L && got(3L)._3 == 1L)
   }
 
+  test("tfidf top-k: hand-computed scores, rank by rounded score then token") {
+    val df = Seq(
+      (1L, "cat cat dog"),   // cat tf=2 df=1, dog tf=1 df=2
+      (2L, "dog bird"),      // bird tf=1 df=1
+      (3L, "fish")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(df, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toList.sortBy(t => (t._1, t._5))
+    def s(tf: Long, dfq: Long) =
+      BigDecimal(tf * math.log(4.0 / (dfq + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == List(
+      (1L, "cat", 2L, s(2, 1), 1L),  // 2*ln(2) > 1*ln(4/3)
+      (1L, "dog", 1L, s(1, 2), 2L),
+      (2L, "bird", 1L, s(1, 1), 1L), // ln(2) > ln(4/3)
+      (2L, "dog", 1L, s(1, 2), 2L),
+      (3L, "fish", 1L, s(1, 1), 1L)), s"got=$got")
+    // k bounds the per-doc output
+    assert(TextAnalysis.tfidfTopK(df, 1).groupBy("doc_id").count()
+      .collect().forall(_.getLong(1) == 1L))
+  }
+
   test("token chunking: overlap, tail window, and degenerate docs") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
