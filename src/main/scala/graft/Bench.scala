@@ -21,6 +21,9 @@ object Bench {
       // Pin ANSI explicitly (Spark 4 default = true) so bench behavior never
       // shifts with a deployment-level default.
       .config("spark.sql.ansi.enabled", "true")
+      // files-based checkpoints (connected components) are reclaimed when
+      // their RDD is GC'd, instead of accumulating for the session lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -99,27 +102,40 @@ object Bench {
       name -> (0 until benchRuns).flatMap(_ => timeOne(name, fn))
     }
     val extraOk = extraResults.collect { case (k, ts) if ts.nonEmpty => k -> ts.min }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val extraJson = extraOk.map { case (k, v) => "\"" + k + "\":" + v }
+    // Locale.ROOT: the default-locale %.3f renders a decimal COMMA on
+    // comma-decimal JVMs, which would corrupt the JSON artifact
+    def f3(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val extraJson = extraOk.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val runsJson = (results.map(r => r._1 -> r._2) ++ extraResults)
       .collect { case (k, ts) if ts.nonEmpty =>
-        // Locale.ROOT: the default-locale %.3f renders a decimal COMMA on
-        // comma-decimal JVMs, which would corrupt the JSON artifact
-        "\"" + k + "\":" + ts.map(t =>
-          String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-          .mkString("[", ",", "]")
+        "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+    // The driver captures only a bounded TAIL of stdout and parses the final
+    // JSON line out of it. BENCH_r06 came back "parsed": null because the
+    // per-run arrays pushed that single line past the capture window and its
+    // head was truncated. So: per-run detail (contamination visibility) goes
+    // on an EARLIER line + a detail file, and the LAST line stays compact —
+    // headline total + per-query mins only.
+    val detail =
+      s"""{"metric":"detail","runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bench_only":$extraJson,"runs":$runsJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"bench_only":$extraJson,"sf":"$sfDir"}"""
+    println(detail)
     println(line)
-    // Also write the metric line to a file: sbt wraps stdout in [info]
-    // prefixes, so a driver parsing the raw line needs a clean artifact.
+    // Also write both lines to files: sbt wraps stdout in [info] prefixes,
+    // so a driver parsing the raw line needs a clean artifact.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_detail.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (failed.nonEmpty || flaky.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

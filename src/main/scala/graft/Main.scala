@@ -33,6 +33,9 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "true") // pin, don't inherit
+      // files-based checkpoints (connected components) are reclaimed when
+      // their RDD is GC'd, instead of accumulating for the session lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

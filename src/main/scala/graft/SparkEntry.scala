@@ -1007,9 +1007,12 @@ object SparkEntry {
            |                   (acc, x) -> (acc * 131 + x) % 2147483647) AS bucket
            |       FROM sigs GROUP BY doc_id, i // 4),
            |sn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
-           |ob AS (SELECT doc_id, band, bucket FROM read_parquet('$p/bands/*.parquet')),
-           |og AS (SELECT doc_id, gram FROM read_parquet('$p/grams/*.parquet')),
-           |os AS (SELECT doc_id, n_grams FROM read_parquet('$p/sizes/*.parquet')),
+           |-- '**' mirrors the probe's recursiveFileLookup: an index holding
+           |-- appendToLshIndex batch-<id> subdirectories alongside the base
+           |-- build's flat files is verified in FULL, not against a subset
+           |ob AS (SELECT doc_id, band, bucket FROM read_parquet('$p/bands/**/*.parquet')),
+           |og AS (SELECT doc_id, gram FROM read_parquet('$p/grams/**/*.parquet')),
+           |os AS (SELECT doc_id, n_grams FROM read_parquet('$p/sizes/**/*.parquet')),
            |cand AS (SELECT DISTINCT nb.doc_id AS a_id, ob.doc_id AS b_id
            |         FROM nb JOIN ob ON nb.band = ob.band AND nb.bucket = ob.bucket
            |          AND nb.doc_id <> ob.doc_id),

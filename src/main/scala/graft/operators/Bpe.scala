@@ -143,10 +143,19 @@ object Bpe {
     * counts at or under it take the broadcast-hash path, anything larger a
     * shuffle join on `token`. 0 forces the shuffle path (used by the scale
     * probe), `Long.MaxValue` forces broadcast. The default keeps the
-    * dictionary comfortably under Spark's broadcast limits at ~tens of MB. */
+    * dictionary comfortably under Spark's broadcast limits at ~tens of MB.
+    *
+    * `distinctTokens`: caller-supplied distinct-token cardinality. The
+    * default (-1 = unknown) runs a one-pass approx_count_distinct probe,
+    * which tokenizes the corpus an extra time before the real apply — fine
+    * for one-shot jobs, wasteful for a steady-state daemon applying the
+    * same merges per batch. A daemon that tracks its dictionary size (or
+    * knows its batch bound) passes the estimate and skips the probe job
+    * entirely. */
   def subwordCounts(docs: DataFrame, merges: Seq[(Int, String, String)],
       textCol: String = "text",
-      maxBroadcastTokens: Long = 1000000L): DataFrame = {
+      maxBroadcastTokens: Long = 1000000L,
+      distinctTokens: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranksB = spark.sparkContext.broadcast(
@@ -160,9 +169,11 @@ object Bpe {
         it.map(t => (t, encode(t, m).length.toLong))
       }.toDF("token", "n_pieces")
     // Narrow one-pass cardinality probe: partial HLL per scan task, tiny
-    // combine — never materializes the distinct set on the driver.
+    // combine — never materializes the distinct set on the driver. Skipped
+    // when the caller supplied the cardinality or a forced strategy.
     val estDistinct =
-      if (maxBroadcastTokens == 0L || maxBroadcastTokens == Long.MaxValue) 0L
+      if (distinctTokens >= 0L) distinctTokens
+      else if (maxBroadcastTokens == 0L || maxBroadcastTokens == Long.MaxValue) 0L
       else toks.agg(approx_count_distinct("token")).first().getLong(0)
     val dict =
       if (maxBroadcastTokens != 0L &&

@@ -509,8 +509,10 @@ object Dedup {
     // for the life of the session (per batch, in a daemon). The checkpoint
     // write is one extra pass over the (cheap, still-cached) final join; on
     // a cluster set `spark.sparkContext.setCheckpointDir` to durable
-    // storage and `spark.cleaner.referenceTracking.cleanCheckpoints=true`
-    // so files are reclaimed when the result is GC'd.
+    // storage. The graft entrypoints (Main/Verify/Bench) all set
+    // `spark.cleaner.referenceTracking.cleanCheckpoints=true` so each
+    // call's checkpoint files are reclaimed when its labels RDD is GC'd —
+    // a per-batch daemon doesn't accumulate labels-sized directories.
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
       // When WE create the (local) checkpoint root, also reclaim it at JVM
       // exit — otherwise every session leaves a labels-sized directory in

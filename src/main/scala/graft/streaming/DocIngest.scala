@@ -29,6 +29,15 @@ import org.apache.spark.sql.types._
   *   - two admitted docs are never near-dups of each other (else the
   *     higher id would have been within-batch-dropped), so probing against
   *     the first attempt's admissions adds no new drops.
+  *
+  * Cross-batch re-delivery: the probe's self-id filter (required for the
+  * replay argument above) would also exempt a doc whose only stored
+  * near-dup is its own earlier copy — a doc_id admitted in batch 3 and
+  * re-delivered in batch 7 must NOT ride that exemption back into the
+  * corpus. So, before probing, already-admitted doc_ids are dropped
+  * outright via an anti-join against the stored `sizes/` table — excluding
+  * the current batch's own tag, so a replayed batch still reconverges
+  * instead of anti-joining itself away.
   */
 object DocIngest {
 
@@ -40,9 +49,11 @@ object DocIngest {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Per-batch admission counts, for the audit log line. */
+  /** Per-batch admission counts, for the audit log line. The three drop
+    * counts can overlap (a re-delivered doc may also near-dup something);
+    * they are audit tallies, not a partition of the batch. */
   final case class BatchResult(admitted: Long, droppedWithinBatch: Long,
-      droppedVsIndex: Long)
+      droppedVsIndex: Long, droppedRedelivered: Long = 0L)
 
   /** Commit one document micro-batch idempotently: self-dedup, probe the
     * index (if one exists yet), write admitted docs to
@@ -67,20 +78,38 @@ object DocIngest {
       val bandsPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
       val indexExists = bandsPath
         .getFileSystem(spark.sessionState.newHadoopConf()).exists(bandsPath)
+      // Re-delivery gate (class scaladoc): a doc_id already admitted by an
+      // EARLIER batch is dropped before the near-dup probe even runs — the
+      // probe's self-id filter must never re-admit it. The current batch's
+      // own subdirectory is excluded via the file-path metadata column so a
+      // replayed batch doesn't anti-join its first attempt away.
+      val redelivered = cache(if (indexExists)
+        b.join(
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(s"$indexPath/sizes")
+            .select(col("doc_id"), col("_metadata.file_path").as("fp"))
+            .filter(!col("fp").contains(s"/batch-$batchId/"))
+            .select("doc_id").distinct(),
+          Seq("doc_id"), "left_semi").select("doc_id").distinct()
+      else withinDrops.limit(0))
       val indexDrops = cache(if (indexExists)
         Dedup.minhashLshAgainstIndex(spark, indexPath, b, threshold, n,
             numHashes, bands, gramHashes, bandBucket)
           .select(col("a_id").as("doc_id")).distinct()
       else withinDrops.limit(0))
       val admitted = cache(b
-        .join(withinDrops.union(indexDrops).distinct(), Seq("doc_id"), "left_anti"))
+        .join(withinDrops.union(indexDrops).union(redelivered).distinct(),
+          Seq("doc_id"), "left_anti"))
       val nAdmitted = admitted.count() // materialize before the writes reuse it
       admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
       Dedup.appendToLshIndex(admitted, indexPath, s"batch-$batchId",
         n, numHashes, bands, gramHashes, bandBucket)
-      val r = BatchResult(nAdmitted, withinDrops.count(), indexDrops.count())
+      val r = BatchResult(nAdmitted, withinDrops.count(), indexDrops.count(),
+        redelivered.count())
       System.err.println(s"[docingest] batch $batchId: admitted=${r.admitted} " +
-        s"dropped_within=${r.droppedWithinBatch} dropped_vs_index=${r.droppedVsIndex}")
+        s"dropped_within=${r.droppedWithinBatch} " +
+        s"dropped_vs_index=${r.droppedVsIndex} " +
+        s"dropped_redelivered=${r.droppedRedelivered}")
       r
     } finally cached.foreach(_.unpersist()) // also on a mid-batch failure:
     // the streaming engine retries the batch, and leaked caches would

@@ -113,15 +113,24 @@ object ScaleProbe {
       // incremental LSH dedup: the index scales with the corpus (built once,
       // amortized); the probe is a FIXED base-corpus batch — its cost should
       // track batch size + collision count, never the corpus rescan
-      val path = s"/tmp/graft_scaleprobe_lsh_x$k"
-      val existing = docs.filter(col("doc_id") % 10 =!= 0)
-      val incoming = baseDocs.filter(col("doc_id") % 10 === 0)
-      time("lsh_index_build") {
-        Dedup.writeLshIndex(existing, path)
-        spark.read.parquet(s"$path/bands").count()
-      }
-      time("lsh_index_probe") {
-        Dedup.minhashLshAgainstIndex(spark, path, incoming).count()
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_scaleprobe_lsh_x$k")
+      val path = dir.toString
+      try {
+        val existing = docs.filter(col("doc_id") % 10 =!= 0)
+        val incoming = baseDocs.filter(col("doc_id") % 10 === 0)
+        time("lsh_index_build") {
+          Dedup.writeLshIndex(existing, path)
+          spark.read.parquet(s"$path/bands").count()
+        }
+        time("lsh_index_probe") {
+          Dedup.minhashLshAgainstIndex(spark, path, incoming).count()
+        }
+      } finally { // a corpus-scale parquet tree must not outlive the probe
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir.toFile)
       }
     }
     locally {

@@ -58,6 +58,18 @@ class DocIngestSpec extends SparkSpec {
     val r2 = DocIngest.commitDocBatch(spark, b2, 2L, corpus, index)
     assert(r2 == DocIngest.BatchResult(0, 0, 2), s"r2=$r2")
     assert(corpusIds(corpus) == Set(0L, 3L, 5L, 6L, 7L))
+
+    // batch 3 RE-DELIVERS already-admitted doc_ids (0 verbatim, 6 with
+    // different text). The probe's self-id filter must not let either back
+    // in: both drop via the redelivered gate, the novel doc is admitted.
+    val tF = "mercury venus earth mars jupiter saturn uranus neptune pluto ceres"
+    val b3 = docsDf(0L -> tA, 6L -> tB, 20L -> tF)
+    val r3 = DocIngest.commitDocBatch(spark, b3, 3L, corpus, index)
+    assert(r3.admitted == 1 && r3.droppedRedelivered == 2, s"r3=$r3")
+    assert(corpusIds(corpus) == Set(0L, 3L, 5L, 6L, 7L, 20L))
+    // ...and doc_id 0 appears in the corpus exactly once (batch 0's copy)
+    assert(DocIngest.readCorpus(spark, corpus)
+      .filter($"doc_id" === 0L).count() == 1L)
   }
 
   test("streaming JSONL file-drop end-to-end with the dedup gate") {
