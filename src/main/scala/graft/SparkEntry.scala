@@ -75,6 +75,13 @@ object SparkEntry {
   def lshIndexPath(dir: String): String =
     s"/root/repo/target/lsh_index/${new java.io.File(dir).getName}"
 
+  /** Where q66 persists its SemDeDup cluster layout (an [[ivfIndexPath]]
+    * sibling — derived, so the oracle needs no fourth pinned property). */
+  def semIndexPath(dir: String): String = ivfIndexPath(dir) + "_sem"
+
+  /** q64's fixed retrieval terms (chosen from the fixture vocabulary). */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "stream")
+
   /** Flagship query on sf=0.001: the reference's whole enrichment pipeline
     * (E2, wsprnet_azi_calc.py) as one plan. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -531,6 +538,32 @@ object SparkEntry {
       // aggregate, window form kept as the oracle
       TextAnalysis.tfidfTopK(tp(s, dir, "documents"), 5)
         .orderBy("doc_id", "rank")),
+    "q64_bm25" -> ((s, dir) =>
+      // lexical retrieval: BM25 top-20 for a fixed query-term set; the
+      // term filter dies at the scan, corpus stats fold in as literals
+      Retrieval.bm25TopK(tp(s, dir, "documents"), Bm25Terms, 20)
+        .orderBy("rank")),
+    "q65_lm_score" -> ((s, dir) =>
+      // perplexity-style quality filter: add-one bigram LM trained on the
+      // corpus, each doc scored by average negative log-likelihood
+      LangModel.bigramNll(tp(s, dir, "documents")).orderBy("doc_id")),
+    "q66_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means cells (the materialized IVF layout, own path so
+      // q42's concurrently-verified index is never clobbered) + cell-local
+      // exact cosine pairs
+      val emb = t(s, dir, "embeddings")
+      val path = semIndexPath(dir)
+      Similarity.writeIvfIndex(emb, path, nlist = 16)
+      Dedup.semanticNearDupPairs(s, path, 0.4).orderBy("a_id", "b_id")
+    }),
+    "q67_cms_topk" -> ((s, dir) =>
+      // count-min-sketch heavy hitters with exact counts alongside
+      Sketches.cmsTopK(tp(s, dir, "documents"), 4, 1024, 20)
+        .orderBy("rank")),
+    "q68_dup_windows" -> ((s, dir) =>
+      // duplicate-span coverage: positional 8-token windows occurring
+      // elsewhere in the corpus, exact integer ppm per doc
+      Dedup.dupWindowStats(tp(s, dir, "documents"), 8).orderBy("doc_id")),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -1053,6 +1086,95 @@ object SparkEntry {
           |        ORDER BY score DESC, token ASC) AS rank FROM s)
           |SELECT doc_id, token, tf, score, CAST(rank AS BIGINT) AS rank FROM r
           |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+      "q64_bm25" -> {
+        // Every IEEE step mirrors Retrieval.bm25TopK's exact
+        // parenthesization; corpus constants are recomputed in SQL with the
+        // same integer aggregates + one division the Spark driver folded
+        // into literals. Per-term scores round to 6 decimals and sum as
+        // DECIMAL(38,6) on both sides (order-independent).
+        val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |consts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl FROM documents),
+           |qt AS (SELECT * FROM tok WHERE token IN ($terms)),
+           |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+           |dfr AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+           |s AS (SELECT tf.doc_id,
+           |      round((ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+           |                / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+           |             * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)))
+           |            / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0)
+           |               + 0.75e0 * (CAST(dl AS DOUBLE)
+           |                           / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))), 6) AS ts
+           |      FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN consts),
+           |sc AS (SELECT doc_id, CAST(sum(CAST(ts AS DECIMAL(38,6))) AS DOUBLE) AS score
+           |       FROM s GROUP BY doc_id),
+           |r AS (SELECT doc_id, score,
+           |      row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+           |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM r
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
+      "q65_lm_score" -> // LangModel.bigramNll's exact arithmetic: per-position
+        // ln p rounds to 6 decimals, sums as DECIMAL(38,6); range(1, len)
+        // yields positions 1..len-1 (empty when len < 2, like the filter)
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |u AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+          |bg AS (SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+          |       FROM u),
+          |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+          |c1 AS (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents),
+          |c1c AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM c1 GROUP BY 1),
+          |v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM c1),
+          |p AS (SELECT doc_id,
+          |      round(ln((CAST(c12 AS DOUBLE) + 1.0e0)
+          |               / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))), 6) AS lnp
+          |      FROM bg JOIN c12 USING (w1, w2) JOIN c1c USING (w1) CROSS JOIN v)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |       round(-(CAST(sum(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE))
+          |             / CAST(count(*) AS DOUBLE), 6) AS nll
+          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q66_semdedup" -> {
+        // Pairing + cosine replayed off the SAME stored cell layout the
+        // query materialized (q42's read pattern, sibling path)
+        val p = sys.props.getOrElse("graft.ivf.path",
+          ivfIndexPath("/root/testdata/sf0.01")) + "_sem"
+        s"""WITH v AS (SELECT CAST(cid AS BIGINT) AS cid, vec_id, embedding::DOUBLE[] AS emb
+           |           FROM read_parquet('$p/vectors/*/*.parquet', hive_partitioning=1)),
+           |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cid AS cid,
+           |       ${cosineSql("a.emb", "b.emb")} AS cos
+           |       FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+           |SELECT a_id, b_id, cid, cos FROM pr WHERE cos >= 0.4e0
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      "q67_cms_topk" -> // Sketches.cmsTopK's grid replayed with the portable
+        // row-hash family (the q62 band formula): h_i = (poly*(2i+3)+i) mod p,
+        // cell = h_i mod width; estimate = min over the token's 4 cells
+        s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+           |th AS (SELECT token, ${polyHashSql("token")} AS ph FROM tok),
+           |cells AS (SELECT r.i AS hr, ((ph * (2*r.i + 3) + r.i) % 2147483647) % 1024 AS hb
+           |          FROM th CROSS JOIN range(0, 4) r(i)),
+           |sketch AS (SELECT hr, hb, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+           |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY 1),
+           |probe AS (SELECT token, exact, r.i AS hr,
+           |          ((${polyHashSql("token")} * (2*r.i + 3) + r.i) % 2147483647) % 1024 AS hb
+           |          FROM ex CROSS JOIN range(0, 4) r(i)),
+           |est AS (SELECT token, exact, min(cnt) AS est
+           |        FROM probe JOIN sketch USING (hr, hb) GROUP BY 1, 2),
+           |rk AS (SELECT token, est, exact,
+           |       row_number() OVER (ORDER BY est DESC, token) AS rank FROM est)
+           |SELECT token, est, exact, CAST(rank AS BIGINT) AS rank FROM rk
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+      "q68_dup_windows" -> // positional 8-token windows; dup iff the window
+        // text occurs more than once corpus-wide; exact integer ppm
+        s"""WITH w AS (SELECT doc_id, unnest(${gramsNAll("text", 8)}) AS win FROM documents),
+           |cc AS (SELECT win, CAST(count(*) AS BIGINT) AS total FROM w GROUP BY 1),
+           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           |      CAST(sum(CASE WHEN total > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+           |      FROM w JOIN cc USING (win) GROUP BY 1)
+           |SELECT doc_id, n_windows, n_dup_windows,
+           |       CAST((n_dup_windows * 1000000) // n_windows AS BIGINT) AS dup_ppm
+           |FROM d ORDER BY doc_id""".stripMargin,
       "q59_mixture" -> { // mixtureSample = quotaPerGroup with per-source quotas
         val u = graft.operators.Sampling.unitHashSql("doc_id", salt = 0)
         s"""WITH h AS (SELECT source, doc_id, $u AS u FROM documents

@@ -549,6 +549,37 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Exact duplicate-window statistics (the window-granular form of
+    * suffix-array substring dedup, Lee et al., ACL 2022 — "Deduplicating
+    * Training Data Makes Language Models Better"): a document's POSITIONAL
+    * `n`-token windows, flagged when the identical window text occurs
+    * anywhere else in the corpus (another doc, or again in the same doc).
+    * Output per doc with >= n tokens: (doc_id, n_windows, n_dup_windows,
+    * dup_ppm) where dup_ppm = floor(n_dup * 1e6 / n_windows) — exact
+    * integer ppm, not a rounded double, because window counts routinely
+    * produce small-power-of-2 ratios that land on decimal rounding ties.
+    *
+    * Scale shape: one explode + two hash aggregates (window counts per
+    * corpus, then per doc) joined on the window text — the word-count
+    * shuffle family, linear in corpus size. The corpus-wide count aggregate
+    * collapses map-side; no pairing, no quadratic term anywhere (this flags
+    * COVERAGE by duplicated spans; the pairing operators say which docs
+    * match). */
+  def dupWindowStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toks = split(col("text"), " ")
+    val wins = docs.select(col("doc_id"), explode(when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))).as("win"))
+    val corpusCounts = wins.groupBy("win").agg(count(lit(1)).as("total"))
+    wins.join(corpusCounts, "win")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("total") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        expr("(n_dup_windows * 1000000L) div n_windows").as("dup_ppm"))
+  }
+
   /** Scale path for [[embeddingNearDupPairs]]: only pairs sharing a
     * hyperplane-LSH bucket are scored — the join is bucket-local instead of a
     * full cross product. Recall < 1 (a cos>=threshold pair on opposite sides
@@ -573,5 +604,41 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id") && cos >= threshold)
       .select(col("a_id"), col("b_id"), cos.as("cos"))
+  }
+
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic near-dup
+    * pairs found by clustering embeddings (k-means cells) and scoring
+    * cosine only WITHIN each cluster — the third bucketing family next to
+    * hyperplane LSH ([[embeddingNearDupPairsLsh]], data-independent planes)
+    * and IVF probing: data-adapted cells concentrate semantically close
+    * vectors, so a lower-recall-per-bucket structure needs fewer buckets.
+    *
+    * Operates over a materialized [[Similarity.writeIvfIndex]] layout: the
+    * cell assignment is stored data, so the pair join is cid-local over the
+    * cid-partitioned vectors parquet — each cell joins against itself
+    * (corpus/nlist rows a side on balanced data), never across cells, and
+    * the DuckDB oracle replays pairing + cosine off the same parquet.
+    * Recall < 1 (a near-dup pair split across a cell boundary is missed);
+    * precision exact (every emitted cosine is re-scored, same 6-decimal
+    * key as the exact operator). Keep-rule downstream: per pair (a < b)
+    * drop b — identical to the other pair operators, so
+    * [[connectedComponents]] composes unchanged. */
+  def semanticNearDupPairs(spark: SparkSession, indexPath: String,
+      threshold: Double): DataFrame = {
+    // cid arrives via partition-directory inference (int) — pin to long so
+    // the output schema matches the oracle's CAST(cid AS BIGINT)
+    val cells = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("cid").cast("long").as("cid"), col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", ArrayMath.norm(col("emb")))
+    val a = cells.select(col("cid"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_norm"))
+    val b = cells.select(col("cid"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_norm"))
+    val cos = round(
+      ArrayMath.dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6)
+    a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id") && cos >= threshold)
+      .select(col("a_id"), col("b_id"), col("cid"), cos.as("cos"))
   }
 }

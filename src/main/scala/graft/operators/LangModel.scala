@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model quality scoring: train an add-one-smoothed
+  * bigram model ON the corpus, then score every document by its average
+  * negative log-likelihood under that model. The classic cheap perplexity
+  * filter for pretraining data (a KenLM stand-in that needs no external
+  * artifacts): natural text scores low, token soup and boilerplate score
+  * high, and the score is comparable across documents of different lengths.
+  *
+  * p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+  *   with c(w1 w2) = corpus bigram count, c(w1) = corpus unigram count,
+  *   V = distinct-token count (the add-one mass).
+  * nll(d) = -(1/|bigrams(d)|) * sum over positions ln p(w2 | w1)
+  *
+  * Scale shape: two linear aggregates over the exploded corpus (bigram
+  * counts, unigram counts) joined back to the per-position bigram rows on
+  * their natural keys — the same shuffle family as a word-count; V is one
+  * scalar. Per-position ln p rounds to 6 decimals and sums as
+  * DECIMAL(38,6), so the per-doc sum is order-independent (bit-reproducible
+  * under any partitioning, and by the DuckDB oracle). No driver-side state:
+  * the "model" never materializes — it IS the joined aggregates.
+  */
+object LangModel {
+
+  /** Per-position bigram rows "(w1, w2)" of a space-tokenized text column;
+    * docs with fewer than 2 tokens contribute no rows. */
+  private def bigramRows(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 2) // sequence(1, 0) would run DOWNWARD
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', element_at(toks, i), " +
+          "'w2', element_at(toks, i + 1)))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Train-and-score in one plan. Output: (doc_id, n_bigrams, nll), docs
+    * with >= 2 tokens only, nll rounded to 6 decimals. */
+  def bigramNll(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bg = bigramRows(docs, textCol)
+    val cBigram = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cUnigram = docs.select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("t"))
+      .agg(count_distinct(col("t"))).collect()(0).getLong(0)
+    // ln p per position: exact-integer inputs -> one IEEE division -> ln,
+    // identical in any engine; rounded so the decimal sum is portable
+    val lnP = round(log((col("c12").cast("double") + lit(1.0)) /
+      (col("c1").cast("double") + lit(vocab.toDouble))), 6)
+    bg.join(cBigram, Seq("w1", "w2")).join(cUnigram, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lnP.cast("decimal(38,6)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("s").cast("double")) / col("n_bigrams").cast("double"), 6)
+          .as("nll"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus: BM25 scoring of a fixed
+  * query-term set with a global top-k. The text-side counterpart of the
+  * embedding ANN operators ([[Similarity]]) — a training-data pipeline uses
+  * it for targeted corpus slicing ("pull the k docs most about X") and for
+  * retrieval-based eval-set construction.
+  *
+  * Scale shape, by construction:
+  *   - the query-term set is a literal IN-filter on the exploded token rows,
+  *     so the corpus-wide term-frequency aggregate only ever shuffles rows
+  *     matching the handful of query terms — everything else dies at the
+  *     scan;
+  *   - document lengths are a narrow per-doc aggregate over the same scan
+  *     (no second pass over `text`);
+  *   - corpus constants (N, total token count) are two scalars collected
+  *     driver-side and folded into the scoring expression as plan-time
+  *     literals — the 100 TB analogue is a catalog statistic, not a join.
+  *     The oracle recomputes them in SQL with the same integer sum/count +
+  *     one IEEE division, which is bit-identical to the driver-side fold;
+  *   - per-term partial scores round to 6 decimals and sum as DECIMAL(38,6)
+  *     (order-independent), so the score is bit-reproducible regardless of
+  *     partitioning — and by the DuckDB oracle;
+  *   - the global top-k is orderBy+limit = TakeOrderedAndProject: each
+  *     partition keeps k candidates, the driver merges k*partitions rows.
+  *     The rank window after it runs over k rows, not the corpus.
+  */
+object Retrieval {
+
+  /** Okapi BM25 (Lucene's +1 idf form, always positive):
+    * idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+    * score(d) = sum_t idf(t) * (tf * (k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+    * Output: (doc_id, score, rank) for the top `k` docs, ties broken by
+    * doc_id. Operation ORDER is part of the contract — the oracle mirrors
+    * this exact parenthesization so every IEEE step agrees bit-for-bit. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    // corpus constants, folded in as literals (catalog statistics at scale)
+    val consts = docs
+      .agg(count(lit(1)).as("n"), sum(size(split(col(textCol), " "))).as("sdl"))
+      .collect()(0)
+    val nDocs = consts.getLong(0)
+    val avgdl = consts.getLong(1).toDouble / nDocs.toDouble
+    val qToks = toks.filter(col("token").isin(terms: _*))
+    val tf = qToks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = qToks.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    val idf = log((lit(nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5))
+      + lit(1.0))
+    val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / lit(avgdl)))
+    val termScore = round((idf * (tfD * lit(k1 + 1.0))) / denom, 6)
+    val scored = tf.join(dfreq, "token").join(dl, "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(termScore.cast("decimal(38,6)")).cast("double").as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    // rank over <= k rows — the single-partition window is bounded by k
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "score", "rank")
+  }
+}

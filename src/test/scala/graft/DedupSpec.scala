@@ -208,4 +208,52 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
     assert(!got.contains(2L))
   }
+
+  test("dup windows: positional 8-token spans shared across (or within) docs") {
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8" // one exact 8-token window
+    val docs = Seq(
+      (0L, s"$span unique0 tail0 a b c"),     // shares `span` with doc 1
+      (1L, s"lead1 $span unique1 x"),
+      (2L, s"$span other $span"),             // repeats `span` WITHIN itself
+      (3L, "no shared eight token window here at all exists truly"),
+      (4L, "short doc")                        // < 8 tokens -> no rows
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupWindowStats(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute force over sliding windows
+    def wins(t: String) = t.split(" ").sliding(8).map(_.mkString(" ")).toSeq
+    val all = docs.collect().map(r => r.getLong(0) -> wins(r.getString(1))).toMap
+      .filter(_._2.head.split(" ").length == 8)
+    val counts = all.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    all.foreach { case (id, ws) =>
+      val dup = ws.count(w => counts(w) > 1).toLong
+      val exp = (ws.size.toLong, dup, dup * 1000000L / ws.size)
+      assert(got(id) == exp, s"doc $id: got ${got(id)} expected $exp")
+    }
+    assert(!got.contains(4L), "sub-window docs contribute no rows")
+    assert(got(2L)._2 > 0, "within-doc repetition must count as duplication")
+  }
+
+  test("semantic near-dup: cell-local pairs are a subset of exact, cosines exact") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    // 6 tight clusters of 10 vectors: near-dups concentrate within clusters,
+    // which is exactly the regime SemDeDup's cell bucketing exploits
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.sin((i % 6) * 2.1 + d * 0.8) + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    Similarity.writeIvfIndex(emb, dir, nlist = 6, dim = 16)
+    val sem = Dedup.semanticNearDupPairs(spark, dir, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val exact = Dedup.embeddingNearDupPairs(emb, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sem.keySet.subsetOf(exact.keySet),
+      "precision must be exact (pairs re-scored within cells)")
+    sem.foreach { case (k, c) =>
+      assert(c == exact(k), s"cosine diverged for $k") }
+    assert(sem.nonEmpty && sem.size.toDouble / exact.size >= 0.5,
+      s"clustered data should keep recall: ${sem.size}/${exact.size}")
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.LangModel
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramNll: matches a hand-rolled add-one bigram model") {
+    val corpus = Seq(
+      0L -> "a b a b",
+      1L -> "a b c",
+      2L -> "c c")
+    val got = LangModel.bigramNll(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val uni = toks.values.flatten.groupBy(identity).map { case (w, o) => w -> o.size }
+    val bis = toks.values.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).map { case (p, o) => p -> o.size }
+    val v = uni.size
+    def nll(id: Long): (Long, Double) = {
+      val pairs = toks(id).zip(toks(id).tail)
+      val s = pairs.map { case (w1, w2) =>
+        BigDecimal(math.log((bis((w1, w2)) + 1.0) / (uni(w1) + v.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (pairs.size.toLong,
+        BigDecimal(-s.toDouble / pairs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = Seq(0L, 1L, 2L).map { id =>
+      val (nb, x) = nll(id); (id, nb, x)
+    }
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("bigramNll: repetitive text scores lower nll than novel text") {
+    val rep = (0 until 50).map(_ => "x y").mkString(" ")
+    val novel = (0 until 100).map(i => s"w$i").mkString(" ")
+    val df = Seq(0L -> rep, 1L -> novel).toDF("doc_id", "text")
+    val m = LangModel.bigramNll(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(0L) < m(1L), s"repetitive should be more predictable: $m")
+  }
+
+  test("bigramNll: docs with fewer than 2 tokens are excluded") {
+    val df = Seq(0L -> "solo", 1L -> "two tokens").toDF("doc_id", "text")
+    val ids = LangModel.bigramNll(df).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+}
