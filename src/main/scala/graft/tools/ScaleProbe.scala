@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Audit, Bpe, Dedup, Enrich, Packing, Sampling, TextAnalysis}
+import graft.operators.{Audit, Bpe, Dedup, Enrich, LangModel, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.SpotSynth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -143,6 +143,44 @@ object ScaleProbe {
       }
       time("bpe_apply_shuffle") {
         Bpe.subwordCounts(docs, merges, maxBroadcastTokens = 0L).count()
+      }
+    }
+    // -- round-7 additions ---------------------------------------------------
+    // same scan fan-out as the bench queries (tp): a raw one-file sf0.1 scan
+    // is a single input partition, and without the repartition the x1 probe
+    // measures partition starvation, not operator work (x1 dup_windows: 16 s
+    // starved vs 1.4 s fanned — the bench number)
+    val docsP = docs.repartition(spark.sparkContext.defaultParallelism)
+    time("bm25_topk") {
+      Retrieval.bm25TopK(docsP, graft.SparkEntry.Bm25Terms, 20).count()
+    }
+    time("bigram_lm_score") {
+      LangModel.bigramNll(docsP).count()
+    }
+    time("cms_topk") {
+      Sketches.cmsTopK(docsP, 4, 1024, 20).count()
+    }
+    time("dup_windows") {
+      Dedup.dupWindowStats(docsP, 8).count()
+    }
+    locally {
+      // SemDeDup: cell build (one-time, corpus-scale, amortized) vs the
+      // cell-local pair scan — the analogue of the LSH index build/probe split
+      val dir2 = java.nio.file.Files.createTempDirectory(s"graft_scaleprobe_sem_x$k")
+      try {
+        time("semdedup_cell_build") {
+          Similarity.writeIvfIndex(emb, dir2.toString, nlist = 16)
+          spark.read.parquet(s"${dir2.toString}/vectors").count()
+        }
+        time("semdedup_pairs") {
+          Dedup.semanticNearDupPairs(spark, dir2.toString, 0.4).count()
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir2.toFile)
       }
     }
     spark.stop()

@@ -131,4 +131,37 @@ class PlanSpec extends SparkSpec {
       s"vocab ranking must not sort all distinct tokens on one partition:\n$p")
     assert(p.contains("partial_"), "top-k must combine map-side before the exchange")
   }
+
+  test("q64 bm25: term filter precedes the aggregate, global top-k is bounded") {
+    val p = plan(SparkEntry.queries("q64_bm25")(spark, dir))
+    // non-matching tokens die before any shuffle — the tf/df aggregates
+    // only ever see query-term rows
+    assert("Filter token#\\d+ IN \\(spark,vector,stream\\)".r.findFirstIn(p).isDefined,
+      s"term IN-filter must sit directly on the exploded tokens:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      "global top-k must be partial per partition, never a full sort")
+    assert(p.contains("partial_sum(cast(round("),
+      "decimal score sum must combine map-side")
+    assert(p.contains("ReusedExchange"), "the documents scan feeds tf, df and dl once")
+  }
+
+  test("q67 cms: sketch side broadcast, grid collapses map-side") {
+    val p = plan(SparkEntry.queries("q67_cms_topk")(spark, dir))
+    // the depth x width grid is sketch-sized by construction — it must be
+    // the broadcast build side, and its aggregate must combine BEFORE the
+    // exchange (the sketch property: the shuffle carries <= depth*width
+    // rows per partition, not the token stream)
+    assert(p.contains("BroadcastHashJoin"), s"sketch join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    assert(p.contains("partial_count"), "grid must combine map-side")
+    assert(p.contains("TakeOrderedAndProject(limit=20"))
+  }
+
+  test("q66 semdedup: cell-partitioned scan, pair join keyed on cid") {
+    val p = plan(SparkEntry.queries("q66_semdedup")(spark, dir))
+    assert(p.contains("PartitionFilters: [isnotnull(cid"),
+      s"the stored layout must be read as cid partitions:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pairing must be keyed on cid, never a cross product")
+  }
 }
