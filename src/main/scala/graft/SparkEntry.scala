@@ -564,6 +564,11 @@ object SparkEntry {
       // duplicate-span coverage: positional 8-token windows occurring
       // elsewhere in the corpus, exact integer ppm per doc
       Dedup.dupWindowStats(tp(s, dir, "documents"), 8).orderBy("doc_id")),
+    "q70_hll_distinct" -> ((s, dir) =>
+      // HyperLogLog distinct-shingle estimate per source with the exact
+      // count alongside; the register exchange carries <= 64 rows per
+      // group at any corpus size (and registers merge across batches)
+      Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -1175,6 +1180,35 @@ object SparkEntry {
            |SELECT doc_id, n_windows, n_dup_windows,
            |       CAST((n_dup_windows * 1000000) // n_windows AS BIGINT) AS dup_ppm
            |FROM d ORDER BY doc_id""".stripMargin,
+      "q70_hll_distinct" -> {
+        // Sketches.hllDistinct's register file replayed bit-for-bit: the
+        // portable poly hash splits into bucket (mod 64) and a 25-bit rank
+        // field; 2^-r terms are exact (1.0 / (1 << r)), so the register sum
+        // is exact and order-independent on both engines; the bias constant
+        // and linear-counting branch are the same IEEE expression Spark
+        // constant-folds.
+        val rho = (1 to 25)
+          .map(j => s"WHEN (ph // 64) >= ${1L << (25 - j)} THEN $j").mkString(" ")
+        s"""WITH g AS (SELECT source AS grp, unnest(${gramsN("text", 3)}) AS gram FROM documents),
+           |h AS (SELECT grp, ${polyHashSql("gram")} AS ph FROM g),
+           |hb AS (SELECT grp, ph % 64 AS bucket, (CASE $rho ELSE 26 END) AS rho FROM h),
+           |reg AS (SELECT grp, bucket, max(rho) AS r FROM hb GROUP BY 1, 2),
+           |pg AS (SELECT grp,
+           |       sum(1.0e0 / CAST(CAST(1 AS BIGINT) << r AS DOUBLE)) AS sip,
+           |       count(*) AS present FROM reg GROUP BY 1),
+           |es AS (SELECT grp,
+           |  ((0.7213e0 / (1.0e0 + 1.079e0 / 64.0e0)) * 64.0e0 * 64.0e0)
+           |    / (sip + (64.0e0 - CAST(present AS DOUBLE))) AS raw,
+           |  64 - present AS zeros FROM pg),
+           |ex AS (SELECT grp, CAST(count(DISTINCT gram) AS BIGINT) AS exact_distinct
+           |       FROM g GROUP BY 1)
+           |SELECT es.grp AS source,
+           |  round(CASE WHEN raw <= 2.5e0 * 64.0e0 AND zeros > 0
+           |             THEN 64.0e0 * ln(64.0e0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4)
+           |    AS est_distinct,
+           |  exact_distinct
+           |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
+      },
       "q59_mixture" -> { // mixtureSample = quotaPerGroup with per-source quotas
         val u = graft.operators.Sampling.unitHashSql("doc_id", salt = 0)
         s"""WITH h AS (SELECT source, doc_id, $u AS u FROM documents

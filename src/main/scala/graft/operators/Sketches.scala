@@ -40,6 +40,76 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** HyperLogLog register count: m = 2^P buckets. P=6 keeps the whole
+    * register file at 64 rows per group — the shuffle payload — while the
+    * portable hash's 31 bits leave 25 for the rank pattern. */
+  val HllP = 6
+  val HllM: Int = 1 << HllP // 64
+
+  /** HLL rank of the non-bucket hash bits: leading-zero count within the
+    * 25-bit field + 1 (1..25; 26 when the field is all zeros). A when-chain
+    * over the 25 power-of-two thresholds — ordered evaluation, identical to
+    * the SQL CASE the oracle replays. */
+  private def hllRho(w: Column): Column = {
+    val bits = 31 - HllP // 25
+    (1 to bits).foldLeft(lit(null).cast("long"): Column) { (acc, j) =>
+      if (j == 1) when(w >= lit(1L << (bits - 1)), lit(1L))
+      else acc.when(w >= lit(1L << (bits - j)), lit(j.toLong))
+    }.otherwise(lit((bits + 1).toLong))
+  }
+
+  /** Approximate distinct n-gram count per group via HyperLogLog, exact
+    * count alongside. The sketch answer to "how many distinct shingles /
+    * urls / keys per source" when the exact count-distinct's key space is
+    * the thing that doesn't fit.
+    *
+    * Scale shape: the register file is groupBy(group, bucket) max(rho) —
+    * max() partial-aggregates map-side, so the exchange carries at most
+    * m = 64 rows per group REGARDLESS of corpus size (count_distinct, by
+    * contrast, shuffles every distinct key at least once). Registers are
+    * also mergeable across corpora/batches by the same max — the property
+    * that makes HLL the standard distributed-distinct sketch.
+    *
+    * Bit-stability for the oracle: bucket/rank come from the portable
+    * polynomial hash (pure small-integer arithmetic); 2^-rho terms are
+    * exact powers of two whose per-group sum spans < 53 mantissa bits, so
+    * the double sum is EXACT and order-independent; the bias constant and
+    * the linear-counting branch use the same IEEE expression both sides.
+    * Estimate standard error is 1.04/sqrt(m) ~ 13% (spec-pinned at 3 sigma).
+    * Output: (group, est_distinct, exact_distinct). */
+  def hllDistinct(docs: DataFrame, n: Int = 3, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(groupCol).as("grp"),
+      explode(graft.operators.Dedup.wordNGrams(col(textCol), n)).as("gram"))
+    val ph = graft.functions.expressions.TextFunctions.poly_hash(col("gram"))
+    // integer `div`, not `/`: the hash is a 31-bit long and double division
+    // would be exact here, but the integer form is the one the oracle mirrors
+    val hashed = grams
+      .select(col("grp"), ph.as("ph"))
+      .select(col("grp"),
+        (col("ph") % lit(HllM.toLong)).as("bucket"),
+        hllRho(expr(s"ph div ${HllM}L")).as("rho"))
+    val registers = hashed.groupBy("grp", "bucket").agg(max(col("rho")).as("r"))
+    // 2^-r as 1.0 / (1 << r): division by a power of two is exact in IEEE,
+    // so the per-group sum (span < 53 mantissa bits) is exact and therefore
+    // order-independent under any partial-aggregation schedule
+    val invR = lit(1.0) / expr("shiftleft(1L, cast(r as int))").cast("double")
+    val perGroup = registers.groupBy("grp").agg(
+      sum(invR).as("sum_inv_present"),
+      count(lit(1)).as("present"))
+    val mD = lit(HllM.toDouble)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / mD)
+    val sumInv = col("sum_inv_present") + (mD - col("present").cast("double"))
+    val zeros = lit(HllM.toLong) - col("present")
+    val raw = alpha * mD * mD / sumInv
+    val est = when(raw <= lit(2.5) * mD && zeros > 0,
+      mD * log(mD / zeros.cast("double"))).otherwise(raw)
+    val exact = grams.groupBy("grp")
+      .agg(count_distinct(col("gram")).as("exact_distinct"))
+    perGroup.select(col("grp").as(groupCol), round(est, 4).as("est_distinct"))
+      .join(exact.withColumnRenamed("grp", groupCol), groupCol)
+  }
+
   /** Heavy hitters: top `k` candidate tokens by CMS-estimated count, with
     * the exact count alongside (est >= exact always; equality when none of
     * the token's depth cells collided). Candidates here are the corpus's

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Sketches
+import org.apache.spark.sql.functions.col
 
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
@@ -33,6 +34,34 @@ class SketchesSpec extends SparkSpec {
     val totalToks = 16L
     val perRow = grid.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
     assert(perRow.toMap == Map(0L -> totalToks, 1L -> totalToks, 2L -> totalToks))
+  }
+
+  test("hll estimate lands within 3 sigma of exact, duplicates ignored") {
+    // ~3k distinct 3-grams in one group; HLL with m=64 has standard error
+    // 1.04/sqrt(64) ~ 13%, so 3 sigma ~ 39%
+    val many = (0 until 400)
+      .map(i => (i.toLong, "src0", (0 until 10).map(j => s"w${i * 7 + j}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val Array((est, exact)) = Sketches.hllDistinct(many)
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(exact > 2000, s"fixture too small: $exact")
+    assert(math.abs(est - exact) / exact < 0.39, s"est=$est exact=$exact")
+    // duplicated corpus (fresh doc_ids, same text): identical registers,
+    // identical estimate, identical exact count
+    val dup = many.union(many.withColumn("doc_id", col("doc_id") + 1000000L))
+    val Array((est2, exact2)) = Sketches.hllDistinct(dup)
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(est2 == est && exact2 == exact)
+  }
+
+  test("hll estimate is partitioning-independent (exact register sums)") {
+    val many = (0 until 300)
+      .map(i => (i.toLong, s"src${i % 3}", (0 until 8).map(j => s"t${i * 5 + j}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val a = Sketches.hllDistinct(many.repartition(1)).orderBy("source").collect()
+    val b = Sketches.hllDistinct(many.repartition(13)).orderBy("source").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 3)
   }
 
   test("cms top-k ordering: est desc, token asc, dense ranks") {
