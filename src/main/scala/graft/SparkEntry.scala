@@ -564,6 +564,10 @@ object SparkEntry {
       // duplicate-span coverage: positional 8-token windows occurring
       // elsewhere in the corpus, exact integer ppm per doc
       Dedup.dupWindowStats(tp(s, dir, "documents"), 8).orderBy("doc_id")),
+    "q71_span_removal" -> ((s, dir) =>
+      // the remove phase of window-granular substring dedup: tokens under
+      // non-canonical duplicated 8-token windows dropped, text reassembled
+      Dedup.removeDupSpans(tp(s, dir, "documents"), 8).orderBy("doc_id")),
     "q70_hll_distinct" -> ((s, dir) =>
       // HyperLogLog distinct-shingle estimate per source with the exact
       // count alongside; the register exchange carries <= 64 rows per
@@ -1180,6 +1184,35 @@ object SparkEntry {
            |SELECT doc_id, n_windows, n_dup_windows,
            |       CAST((n_dup_windows * 1000000) // n_windows AS BIGINT) AS dup_ppm
            |FROM d ORDER BY doc_id""".stripMargin,
+      "q71_span_removal" -> // Dedup.removeDupSpans replayed positionally:
+        // canonical occurrence = row_number 1 by (doc_id, pos) per window
+        // text (same order as Spark's min(struct)); covered positions via
+        // a range cross join; survivors reassembled with an ordered
+        // string_agg. NOT EXISTS mirrors the left_anti join.
+        """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |t0 AS (SELECT doc_id, unnest([struct_pack(p := i - 1, tok := toks[i])
+          |                              for i in range(1, len(toks) + 1)]) AS s FROM tk),
+          |tok AS (SELECT doc_id, s.p AS pos, s.tok AS token FROM t0),
+          |w0 AS (SELECT doc_id, unnest([struct_pack(p := i - 1,
+          |                                          win := array_to_string(toks[i:i+7], ' '))
+          |                              for i in range(1, len(toks) - 6)]) AS s FROM tk),
+          |w AS (SELECT doc_id, s.p AS pos, s.win AS win FROM w0),
+          |wr AS (SELECT doc_id, pos,
+          |       count(*) OVER (PARTITION BY win) AS total,
+          |       row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+          |cov AS (SELECT DISTINCT doc_id, pos + r.i AS cpos
+          |        FROM wr CROSS JOIN range(0, 8) r(i) WHERE total > 1 AND rn > 1),
+          |kept AS (SELECT tok.doc_id, tok.pos, tok.token FROM tok
+          |         WHERE NOT EXISTS (SELECT 1 FROM cov
+          |           WHERE cov.doc_id = tok.doc_id AND cov.cpos = tok.pos)),
+          |rb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+          |       CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+          |base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |         FROM documents)
+          |SELECT base.doc_id, coalesce(clean_text, '') AS clean_text,
+          |       coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+          |       n_tokens - coalesce(n_kept, CAST(0 AS BIGINT)) AS n_removed
+          |FROM base LEFT JOIN rb USING (doc_id) ORDER BY base.doc_id""".stripMargin,
       "q70_hll_distinct" -> {
         // Sketches.hllDistinct's register file replayed bit-for-bit: the
         // portable poly hash splits into bucket (mod 64) and a 25-bit rank

@@ -580,6 +580,55 @@ object Dedup {
         expr("(n_dup_windows * 1000000L) div n_windows").as("dup_ppm"))
   }
 
+  /** The REMOVE phase of window-granular substring dedup (the actionable
+    * counterpart of [[dupWindowStats]], which only measures): every
+    * positional `n`-token window whose text occurs elsewhere in the corpus
+    * is resolved to one canonical occurrence — the globally first by
+    * (doc_id, pos) — and the tokens covered by every OTHER occurrence are
+    * removed; each document's surviving tokens are reassembled in order.
+    * Output: (doc_id, clean_text, n_kept, n_removed) for every input doc
+    * (clean_text = "" when everything was removed).
+    *
+    * Scale shape: the window count + canonical pick is one word-count-shaped
+    * aggregate on the window text (min(struct(doc_id,pos)) rides the same
+    * partial agg as the count); duplicate occurrences explode to at most n
+    * covered positions each; the coverage anti-join shuffles tokens once on
+    * (doc_id, pos). All linear — no pairing, no quadratic term. Reassembly
+    * is a per-doc collect_list bounded by document length, the same
+    * single-doc-fits-in-an-executor contract as chunking and packing.
+    * Canonicalization is deterministic under any partitioning (global
+    * (doc_id, pos) minimum), so retries/AQE cannot flip which copy
+    * survives. */
+  def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val toks = docs.select(col("doc_id"),
+      posexplode(toksCol).as(Seq("pos", "token")))
+    val wins = docs.select(col("doc_id"), posexplode(when(size(toksCol) >= n,
+        transform(sequence(lit(0), size(toksCol) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toksCol, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
+    val canon = wins.groupBy("win").agg(count(lit(1)).as("total"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dupOcc = wins.join(canon, "win")
+      .filter(col("total") > 1 &&
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+    val covered = dupOcc.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cpos")).distinct()
+    val kept = toks.join(covered,
+      toks("doc_id") === covered("doc_id") && toks("pos") === covered("cpos"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+        x => x.getField("token")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(toksCol).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Scale path for [[embeddingNearDupPairs]]: only pairs sharing a
     * hyperplane-LSH bucket are scored — the join is bucket-local instead of a
     * full cross product. Recall < 1 (a cos>=threshold pair on opposite sides

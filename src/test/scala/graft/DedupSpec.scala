@@ -256,4 +256,28 @@ class DedupSpec extends SparkSpec {
     assert(sem.nonEmpty && sem.size.toDouble / exact.size >= 0.5,
       s"clustered data should keep recall: ${sem.size}/${exact.size}")
   }
+
+  test("removeDupSpans: canonical copy survives, later copies stripped") {
+    val corpus = Seq(
+      // 10 (lowest id) holds the canonical window; 11 repeats it with a tail
+      (10L, "a b c d e f g h x y z"),
+      (11L, "a b c d e f g h p q r"),
+      (12L, "k l m"),                          // shorter than the window: untouched
+      (13L, "s1 s2 s3 s4 s5 s6 s7 s8 s1 s2 s3 s4 s5 s6 s7 s8"), // self-repeat
+      (14L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (15L, "w1 w2 w3 w4 w5 w6 w7 w8")         // exact dup of 14: fully removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(corpus, 8).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == (("a b c d e f g h x y z", 11L, 0L)), s"canonical kept: ${out(10L)}")
+    assert(out(11L) == (("p q r", 3L, 8L)), s"later copy stripped: ${out(11L)}")
+    assert(out(12L) == (("k l m", 3L, 0L)))
+    assert(out(13L) == (("s1 s2 s3 s4 s5 s6 s7 s8", 8L, 8L)), s"self-repeat: ${out(13L)}")
+    assert(out(14L) == (("w1 w2 w3 w4 w5 w6 w7 w8", 8L, 0L)))
+    assert(out(15L) == (("", 0L, 8L)), s"full removal: ${out(15L)}")
+    // removal is idempotent: a clean corpus passes through unchanged
+    val again = Dedup.removeDupSpans(
+      corpus.filter(col("doc_id") isin (10L, 12L, 13L)), 8)
+    assert(again.filter(col("n_removed") > 0).count() == 1) // only 13's self-repeat
+  }
 }
