@@ -564,6 +564,16 @@ object SparkEntry {
       // duplicate-span coverage: positional 8-token windows occurring
       // elsewhere in the corpus, exact integer ppm per doc
       Dedup.dupWindowStats(tp(s, dir, "documents"), 8).orderBy("doc_id")),
+    "q69_pagerank" -> ((s, dir) => {
+      // entity importance over the customer–supplier order graph: 5
+      // power-iteration rounds in 1e-15 fixed-point integer units so the
+      // whole iteration is bit-reproducible under any partitioning
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      Graph.pageRank(Graph.symmetrize(base), 5).orderBy("node")
+    }),
     "q71_span_removal" -> ((s, dir) =>
       // the remove phase of window-granular substring dedup: tokens under
       // non-canonical duplicated 8-token windows dropped, text reassembled
@@ -1184,6 +1194,34 @@ object SparkEntry {
            |SELECT doc_id, n_windows, n_dup_windows,
            |       CAST((n_dup_windows * 1000000) // n_windows AS BIGINT) AS dup_ppm
            |FROM d ORDER BY doc_id""".stripMargin,
+      "q69_pagerank" -> {
+        // Graph.pageRank unrolled: one CTE per power-iteration round, each
+        // mirroring the Spark round's exact FIXED-POINT steps — rank as a
+        // BIGINT count of 1e-15 units, per-edge contribution = ru // deg
+        // (integer floor, both engines), exact integer SUM, damping as
+        // (85*sc)//100 plus the floored (1-d)/N base. Zero IEEE rounding
+        // until the single final units/1e15 division. The bipartite node
+        // ids (2*custkey / 2*suppkey+1) keep the two key spaces disjoint;
+        // UNION (dedup) mirrors Graph.symmetrize.
+        val iterCtes = (1 to 5).map { k =>
+          s"""r$k AS (SELECT e.dst AS node, d.deg,
+             |  CAST((15 * 1000000000000000) // (100 * n.n)
+             |       + (85 * sum(p.ru // p.deg)) // 100 AS BIGINT) AS ru
+             |  FROM e JOIN r${k - 1} p ON e.src = p.node
+             |         JOIN deg d ON e.dst = d.node CROSS JOIN n
+             |  GROUP BY e.dst, d.deg, n.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |                            CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT node, deg, CAST(1000000000000000 // n.n AS BIGINT) AS ru
+           |       FROM deg CROSS JOIN n),
+           |$iterCtes
+           |SELECT node, deg, CAST(ru AS DOUBLE) / 1.0e15 AS rank FROM r5 ORDER BY node""".stripMargin
+      },
       "q71_span_removal" -> // Dedup.removeDupSpans replayed positionally:
         // canonical occurrence = row_number 1 by (doc_id, pos) per window
         // text (same order as Spark's min(struct)); covered positions via

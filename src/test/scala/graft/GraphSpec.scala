@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("symmetrize dedups directed duplicates and emits both directions once") {
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val sym = Graph.symmetrize(e).as[(Long, Long)].collect().toSet
+    assert(sym == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("uniform rank on a symmetric cycle, mass conserved within floor loss") {
+    // 4-cycle symmetrized: every node deg 2, perfectly regular => the
+    // uniform distribution is the fixed point; fixed-point floors may shave
+    // at most a few units per node per round
+    val e = Graph.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst"))
+    val rows = Graph.pageRank(e, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.forall(_._2 == 2L))
+    val ranks = rows.map(_._3)
+    // all four identical by symmetry, each ~0.25
+    assert(ranks.distinct.length == 1)
+    assert(math.abs(ranks.head - 0.25) < 1e-9)
+    val mass = ranks.sum
+    assert(mass <= 1.0 + 1e-12 && mass > 1.0 - 1e-9, s"mass=$mass")
+  }
+
+  test("hub outranks leaves on a symmetrized star") {
+    val e = Graph.symmetrize(
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst"))
+    val byNode = Graph.pageRank(e, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val leaves = (1L to 4L).map(byNode)
+    assert(leaves.distinct.length == 1) // symmetry among leaves
+    assert(byNode(0L) > leaves.head * 2,
+      s"hub ${byNode(0L)} should dominate leaf ${leaves.head}")
+  }
+
+  test("fixed-point iteration is bit-identical across partitionings") {
+    val edges = (0 until 400).map { i =>
+      (i.toLong % 37, (i.toLong * 7 + 3) % 37)
+    }
+    val a = Graph.pageRank(Graph.symmetrize(edges.toDF("src", "dst").repartition(1)), 5)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(Graph.symmetrize(edges.toDF("src", "dst").repartition(13)), 5)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  test("damping outside (0,1) hundredths is rejected") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(e, 1, damping = 1.0))
+    intercept[IllegalArgumentException](Graph.pageRank(e, 1, damping = 0.0))
+  }
+}
