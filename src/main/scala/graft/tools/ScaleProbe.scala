@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Audit, Bpe, Dedup, Enrich, LangModel, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Audit, Bpe, Dedup, Enrich, Graph, LangModel, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.SpotSynth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -162,6 +162,23 @@ object ScaleProbe {
     }
     time("dup_windows") {
       Dedup.dupWindowStats(docsP, 8).count()
+    }
+    time("span_removal") {
+      Dedup.removeDupSpans(docsP, 8).count()
+    }
+    time("hll_distinct") {
+      Sketches.hllDistinct(docsP, 3, "source").count()
+    }
+    time("pagerank_5rounds") {
+      // random graph growing WITH the amplification: ~1M·k edges over
+      // 100k·k nodes (avg degree ~20 after symmetrize) — node AND edge
+      // count scale linearly in k, so this measures the per-round
+      // edges⋈ranks join + contribution aggregate at growing graph size
+      val nNodes = 100000L * k
+      val edges = Graph.symmetrize(events.select(
+        pmod(xxhash64(col("event_id"), lit(1)), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("event_id"), lit(2)), lit(nNodes)).as("dst")))
+      Graph.pageRank(edges, 5).count()
     }
     locally {
       // SemDeDup: cell build (one-time, corpus-scale, amortized) vs the
