@@ -513,21 +513,7 @@ object Dedup {
     // `spark.cleaner.referenceTracking.cleanCheckpoints=true` so each
     // call's checkpoint files are reclaimed when its labels RDD is GC'd —
     // a per-batch daemon doesn't accumulate labels-sized directories.
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      // When WE create the (local) checkpoint root, also reclaim it at JVM
-      // exit — otherwise every session leaves a labels-sized directory in
-      // /tmp forever. A cluster deployment sets its own durable checkpoint
-      // dir (and cleanCheckpoints=true) and never enters this branch.
-      val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(dir.toFile)
-      }
-      spark.sparkContext.setCheckpointDir(dir.toString)
-    }
+    graft.util.Checkpoints.ensureDir(spark)
     val labels = labelPlan.checkpoint(eager = true)
     cached.unpersist()
     nodes.unpersist()

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Graph centrality over an edge list — the quality-propagation primitive a
   * training-data pipeline uses to rank entities (hosts by link graph,
@@ -20,11 +21,17 @@ import org.apache.spark.sql.functions._
   * (partition, dst). Rounds are fixed (power iteration converges
   * geometrically in the damping factor; 5 rounds ≈ 0.85^5 = 44% residual,
   * the standard "importance sketch" regime — callers wanting convergence
-  * raise `iters`). The iteration plan composes ~4 operators per round, so
-  * 5..20 rounds stay well under the analyzer blowup that forced the
-  * connected-components lineage barrier; identical edge-scan subtrees are
-  * deduplicated by ReuseExchange instead of a persisted cache that would
-  * outlive the call (the q53 leak lesson).
+  * raise `iters`).
+  *
+  * The edge list and the degree table are each computed ONCE: persisted,
+  * then re-wrapped as a LogicalRDD lineage barrier, so every round's join
+  * reads the cache instead of re-deriving the caller's (possibly expensive)
+  * edge plan — without the barrier the fold embeds that subtree 2x per
+  * round (44 parquet scans at iters=5 on the q69 pipeline). The round fold
+  * itself stays composed (~4 ops per round, no analyzer blowup through 20
+  * rounds), and the result is materialized off the caches via a reliable
+  * checkpoint so both persisted inputs are freed on return — nothing
+  * outlives the call (the q53 leak lesson).
   *
   * Bit-stability for the oracle: rank is FIXED-POINT — a long count of
   * 1e-15 units. Every step is integer arithmetic (integer division for the
@@ -66,18 +73,28 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val dPct = math.round(damping * 100).toInt
     require(dPct > 0 && dPct < 100, s"damping must quantize into (0,1) hundredths, got $damping")
-    val deg = edges.groupBy(col("src").as("node"))
+    val spark = edges.sparkSession
+    val eCache = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degCache = eCache.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // N via one scalar collect — the catalog-statistic analogue (same
     // pattern as BM25's corpus constants); folded into the per-round
-    // expression as a plan-time literal
-    val n = deg.count()
-    require(n > 0, "pageRank on an empty edge list")
+    // expression as a plan-time literal. This one job also materializes
+    // both caches (deg derives from the edge cache).
+    val n = degCache.count()
+    if (n == 0) { // empty graph: free the (empty) caches before failing
+      eCache.unpersist(); degCache.unpersist()
+      throw new IllegalArgumentException("pageRank on an empty edge list")
+    }
+    val e = spark.createDataFrame(eCache.rdd, eCache.schema)
+    val deg = spark.createDataFrame(degCache.rdd, degCache.schema)
     val baseU = (100L - dPct) * Scale / (100L * n) // (1-d)/N in units, floored
     val r0 = deg.select(col("node"), col("deg"), lit(Scale / n).as("ru"))
-    (1 to iters).foldLeft(r0) { (ranks, _) =>
-      val contrib = edges.join(ranks, edges("src") === ranks("node"))
-        .select(edges("dst").as("node"), expr("ru div deg").as("c"))
+    val ranked = (1 to iters).foldLeft(r0) { (ranks, _) =>
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(e("dst").as("node"), expr("ru div deg").as("c"))
       val sums = contrib.groupBy("node").agg(sum(col("c")).as("sc"))
       // every node has an in-edge under the dangling-free contract, so the
       // join on deg is complete — no node silently loses its rank row
@@ -85,5 +102,13 @@ object Graph {
         (lit(baseU) + expr(s"($dPct * sc) div 100")).as("ru"))
     }.select(col("node"), col("deg"),
       (col("ru").cast("double") / lit(Scale.toDouble)).as("rank"))
+    // Materialize the (node-sized) result OFF the caches so both persisted
+    // inputs can be freed here — a per-batch caller must not accumulate
+    // edge-sized caches for the life of the session.
+    graft.util.Checkpoints.ensureDir(spark)
+    val out = ranked.checkpoint(eager = true)
+    eCache.unpersist()
+    degCache.unpersist()
+    out
   }
 }

@@ -52,6 +52,16 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRank frees its edge and degree caches on return") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = Graph.symmetrize(
+      (0 until 100).map(i => (i.toLong % 11, (i.toLong * 3 + 1) % 11)).toDF("src", "dst"))
+    val out = Graph.pageRank(e, 3)
+    assert(out.count() == 11)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
   test("damping outside (0,1) hundredths is rejected") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, 1, damping = 1.0))
