@@ -583,6 +583,20 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q72_range_join" -> ((s, dir) => {
+      // events within deterministic maintenance windows (every 100th event
+      // opens a 1..7-hour window): the bucketized range join — an equi join
+      // on hour buckets, never a nested loop — then per-window stats
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("t_us"), col("value"))
+      val iv = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("interval_id"), col("t_us").as("start_us"),
+          (col("t_us") + (col("event_id") % 7 + 1) * lit(3600000000L)).as("end_us"))
+      RangeJoin.pointInInterval(ev, "t_us", iv, "start_us", "end_us", 3600000000L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("interval_id")
+    }),
     // ---- extension: multimodal --------------------------------------------
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
@@ -1280,6 +1294,18 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
+      "q72_range_join" ->
+        // RangeJoin.pointInInterval is an exact rewrite of the non-equi
+        // BETWEEN join, so the oracle uses the plain range predicate — the
+        // strongest check: DuckDB never sees the bucketization at all
+        """WITH p AS (SELECT event_id, epoch_us(ts) AS t_us, value FROM events),
+          |iv AS (SELECT event_id AS interval_id, epoch_us(ts) AS start_us,
+          |              epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS end_us
+          |       FROM events WHERE event_id % 100 = 0)
+          |SELECT interval_id, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM p JOIN iv ON p.t_us >= iv.start_us AND p.t_us <= iv.end_us
+          |GROUP BY 1 ORDER BY interval_id""".stripMargin,
       "q59_mixture" -> { // mixtureSample = quotaPerGroup with per-source quotas
         val u = graft.operators.Sampling.unitHashSql("doc_id", salt = 0)
         s"""WITH h AS (SELECT source, doc_id, $u AS u FROM documents

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Audit, Bpe, Dedup, Enrich, Graph, LangModel, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Audit, Bpe, Dedup, Enrich, Graph, LangModel, Packing, RangeJoin, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.SpotSynth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -168,6 +168,17 @@ object ScaleProbe {
     }
     time("hll_distinct") {
       Sketches.hllDistinct(docsP, 3, "source").count()
+    }
+    time("range_join") {
+      // the q72 pipeline on the amplified events: points AND intervals grow
+      // with k, so this measures the bucketized equi-join (never a nested
+      // loop) at growing sizes on both sides
+      val ev = events.select(col("event_id"), expr("ts div 1000").as("t_us"), col("value"))
+      val iv = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("interval_id"), col("t_us").as("start_us"),
+          (col("t_us") + (col("event_id") % 7 + 1) * lit(3600000000L)).as("end_us"))
+      RangeJoin.pointInInterval(ev, "t_us", iv, "start_us", "end_us", 3600000000L)
+        .groupBy("interval_id").agg(count(lit(1))).count()
     }
     time("pagerank_5rounds") {
       // random graph growing WITH the amplification: ~1M·k edges over
