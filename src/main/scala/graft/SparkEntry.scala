@@ -583,6 +583,21 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q73_bloom_filter" -> ((s, dir) => {
+      // blocklist membership through a Bloom filter (every 10th doc is the
+      // blocklist): zero false negatives by construction, false positives
+      // decided by the same bit arithmetic on both engines; exact
+      // membership alongside makes any FP visible in the output
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val block = docs.filter(col("doc_id") % 10 === 0).select(col("text"))
+      val grid = Sketches.bloomBuild(block, "text")
+      val exact = block.distinct().withColumn("exact_member", lit(true))
+      Sketches.bloomContains(grid, docs, "text")
+        .join(exact, Seq("text"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("exact_member"), lit(false)).as("exact_member"))
+        .orderBy("doc_id")
+    }),
     "q72_range_join" -> ((s, dir) => {
       // events within deterministic maintenance windows (every 100th event
       // opens a 1..7-hour window): the bucketized range join — an equi join
@@ -1294,6 +1309,27 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
+      "q73_bloom_filter" ->
+        // bloomBuild/bloomContains replayed bit-for-bit: positions from the
+        // portable row-hash family mod m, the 64-bit word grid via bit_or
+        // of shifted bits, membership = min over the key's k bits
+        s"""WITH bl AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 = 0),
+           |bp AS (SELECT ((${polyHashSql("text")} * (2*r.i + 3) + r.i) % 2147483647) % 4096 AS pos
+           |       FROM bl CROSS JOIN range(0, 4) r(i)),
+           |grid AS (SELECT pos // 32 AS word,
+           |                bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+           |         FROM bp GROUP BY 1),
+           |cp AS (SELECT doc_id, text,
+           |              ((${polyHashSql("text")} * (2*r.i + 3) + r.i) % 2147483647) % 4096 AS pos
+           |       FROM documents CROSS JOIN range(0, 4) r(i)),
+           |chk AS (SELECT doc_id, text,
+           |        min(CASE WHEN (coalesce(bits, 0) &
+           |                       (CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))) <> 0
+           |                 THEN 1 ELSE 0 END) AS allset
+           |        FROM cp LEFT JOIN grid ON pos // 32 = grid.word GROUP BY 1, 2)
+           |SELECT doc_id, allset = 1 AS bloom_hit,
+           |       text IN (SELECT text FROM bl) AS exact_member
+           |FROM chk ORDER BY doc_id""".stripMargin,
       "q72_range_join" ->
         // RangeJoin.pointInInterval is an exact rewrite of the non-equi
         // BETWEEN join, so the oracle uses the plain range predicate — the

@@ -110,6 +110,57 @@ object Sketches {
       .join(exact.withColumnRenamed("grp", groupCol), groupCol)
   }
 
+  /** Bloom filter over a key column: `mBits` bits packed into mBits/64
+    * longs, `k` double-hashed positions per key (h_i = the portable MinHash
+    * row family — multiply-shift off one base poly hash, the q62/q67
+    * formula). The set-membership sketch: "is this url/fingerprint/doc in
+    * the blocklist" with zero false NEGATIVES and a tunable false-positive
+    * rate (1 - e^(-kn/m))^k — the standard filter in front of an expensive
+    * exact check, or the whole check when one-sided error is acceptable
+    * (e.g. over-blocking a crawl blocklist).
+    *
+    * Scale shape: the build is word-count-shaped — explode k positions per
+    * key, map-side bit_or collapses every partition to <= mBits/32 rows
+    * BEFORE the exchange, so the shuffle carries filter-sized data at any
+    * key count (the CMS/HLL collapse contract). Word grids from different
+    * corpora/batches merge by the same bit_or — build once per partition or
+    * per day and OR them. Probes join the broadcast (KB-sized) grid.
+    * Output: (word, bits) — word w holds bits [32w, 32w+31]. 32 bits per
+    * long word, not 64: bit 63 would need 1L << 63, which overflows a
+    * signed shift on engines that check (DuckDB errors; Spark wraps to
+    * Long.MinValue) — capping the shift at 31 keeps every word value
+    * positive and the formula portable. */
+  def bloomBuild(keys: DataFrame, keyCol: String, mBits: Int = 4096,
+      k: Int = 4): DataFrame = {
+    require(mBits % 32 == 0, s"mBits must pack into 32-bit words, got $mBits")
+    val pos = PortableHashes.minhashGramHashes(col(keyCol), k)
+      .map(_ % lit(mBits.toLong))
+    keys.select(explode(array(pos: _*)).as("pos"))
+      .select(expr("pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+      .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  /** Membership probe of `candidates(keyCol)` against a [[bloomBuild]]
+    * grid: bloom_hit = every one of the key's k bits is set. LEFT join —
+    * a bucket word absent from the (sparse) grid means those bits are 0,
+    * which must read as a miss, not a dropped row. */
+  def bloomContains(sketch: DataFrame, candidates: DataFrame, keyCol: String,
+      mBits: Int = 4096, k: Int = 4): DataFrame = {
+    val pos = PortableHashes.minhashGramHashes(col(keyCol), k)
+      .map(_ % lit(mBits.toLong))
+    candidates
+      .withColumn("pos", explode(array(pos: _*)))
+      .withColumn("word", expr("pos div 32"))
+      .join(broadcast(sketch), Seq("word"), "left")
+      .withColumn("set", when(
+        coalesce(col("bits"), lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")) =!= 0L,
+        lit(1L)).otherwise(lit(0L)))
+      .groupBy(candidates.columns.map(col): _*)
+      .agg((min(col("set")) === 1L).as("bloom_hit"))
+  }
+
   /** Heavy hitters: top `k` candidate tokens by CMS-estimated count, with
     * the exact count alongside (est >= exact always; equality when none of
     * the token's depth cells collided). Candidates here are the corpus's

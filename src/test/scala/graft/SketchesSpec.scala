@@ -64,6 +64,32 @@ class SketchesSpec extends SparkSpec {
     assert(a.length == 3)
   }
 
+  test("bloom: zero false negatives, and misses at low load factor") {
+    val members = (0 until 50).map(i => s"key-$i").toDF("key")
+    val grid = Sketches.bloomBuild(members, "key", mBits = 4096, k = 4)
+    val cands = ((0 until 50).map(i => s"key-$i") ++
+      (0 until 200).map(i => s"other-$i")).toDF("key")
+    val hits = Sketches.bloomContains(grid, cands, "key", mBits = 4096, k = 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // the defining guarantee: every member hits
+    (0 until 50).foreach(i => assert(hits(s"key-$i"), s"false negative key-$i"))
+    // at n=50, m=4096, k=4 the FP probability is ~1e-7 per key; this
+    // fixture is deterministic, so any collision would have been pinned here
+    val fps = (0 until 200).count(i => hits(s"other-$i"))
+    assert(fps == 0, s"$fps unexpected false positives")
+  }
+
+  test("bloom grids merge by bit_or (build per batch, OR the words)") {
+    val a = (0 until 30).map(i => s"a-$i").toDF("key")
+    val b = (0 until 30).map(i => s"b-$i").toDF("key")
+    val whole = Sketches.bloomBuild(a.union(b), "key")
+      .orderBy("word").collect().toSeq
+    val merged = Sketches.bloomBuild(a, "key").union(Sketches.bloomBuild(b, "key"))
+      .groupBy("word").agg(org.apache.spark.sql.functions.expr("bit_or(bits)").as("bits"))
+      .orderBy("word").collect().toSeq
+    assert(whole == merged)
+  }
+
   test("cms top-k ordering: est desc, token asc, dense ranks") {
     val rows = Sketches.cmsTopK(docs, depth = 4, width = 4096, k = 5).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
