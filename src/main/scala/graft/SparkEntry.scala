@@ -70,6 +70,10 @@ object SparkEntry {
   def bpeMergesPath(dir: String): String =
     s"/root/repo/target/bpe_merges/${new java.io.File(dir).getName}"
 
+  /** Where q74 persists its PQ codebooks + codes — same contract. */
+  def pqIndexPath(dir: String): String =
+    s"/root/repo/target/pq_index/${new java.io.File(dir).getName}"
+
   /** Where q62 persists the MinHash-LSH dedup index — same per-SF keying
     * and Verify-pinned oracle path contract as [[ivfIndexPath]]. */
   def lshIndexPath(dir: String): String =
@@ -583,6 +587,17 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q74_sim_topk_pq" -> ((s, dir) => {
+      // compressed ANN: train/encode the PQ index at rest, then answer via
+      // ADC — approximate cosine from code lookups only, original vectors
+      // never read at query time. The oracle replays ADC off the SAME
+      // codebook/codes parquet (the q42 materialized-index contract).
+      val emb = t(s, dir, "embeddings")
+      val path = pqIndexPath(dir)
+      Pq.writePqIndex(emb, path, m = 8, ksub = 16, dim = 64)
+      Pq.pqTopKIndexed(s, path, emb.filter(col("vec_id") < 5), 10, m = 8, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
     "q73_bloom_filter" -> ((s, dir) => {
       // blocklist membership through a Bloom filter (every 10th doc is the
       // blocklist): zero false negatives by construction, false positives
@@ -1308,6 +1323,40 @@ object SparkEntry {
            |    AS est_distinct,
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
+      },
+      "q74_sim_topk_pq" -> {
+        // ADC replayed off the stored codebooks/codes: per-(q, sub, cid)
+        // partials = round(list_dot_product(slice, center), 12) summed as
+        // DECIMAL(38,12) (exact, order-independent), then the same double
+        // divide/round(6) ranking key with vec_id tie-break.
+        val p = sys.props.getOrElse("graft.pq.path",
+          pqIndexPath("/root/testdata/sf0.01"))
+        s"""WITH books AS (SELECT sub, cid, center::DOUBLE[] AS center
+           |               FROM read_parquet('$p/codebooks/*.parquet')),
+           |codes AS (SELECT vec_id, sub, code FROM read_parquet('$p/codes/*.parquet')),
+           |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           |      FROM embeddings WHERE vec_id < 5),
+           |part AS (SELECT q_id, sub, cid,
+           |  CAST(round(list_dot_product(
+           |         q_emb[CAST(sub*8+1 AS INTEGER):CAST(sub*8+8 AS INTEGER)], center), 12)
+           |       AS DECIMAL(38,12)) AS qpart,
+           |  CAST(round(list_dot_product(center, center), 12)
+           |       AS DECIMAL(38,12)) AS cpart
+           |  FROM q CROSS JOIN books),
+           |qn AS (SELECT vec_id AS q_id, sqrt(list_dot_product(embedding::DOUBLE[],
+           |              embedding::DOUBLE[])) AS qnorm
+           |       FROM embeddings WHERE vec_id < 5),
+           |sc AS (SELECT q_id, vec_id, sum(qpart) AS dots, sum(cpart) AS n2s
+           |       FROM codes JOIN part ON codes.sub = part.sub AND codes.code = part.cid
+           |       GROUP BY 1, 2),
+           |co AS (SELECT q_id, vec_id,
+           |       round(CAST(dots AS DOUBLE) / (qnorm * sqrt(CAST(n2s AS DOUBLE))), 6) AS cos_pq
+           |       FROM sc JOIN qn USING (q_id) WHERE q_id <> vec_id),
+           |r AS (SELECT q_id, vec_id, cos_pq,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rank
+           |      FROM co)
+           |SELECT q_id, vec_id, cos_pq, CAST(rank AS BIGINT) AS rank FROM r
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       },
       "q73_bloom_filter" ->
         // bloomBuild/bloomContains replayed bit-for-bit: positions from the

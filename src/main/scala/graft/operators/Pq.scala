@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.functions.ArrayMath
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid, TPAMI 2011): the compressed
+  * ANN representation. Each vector's `dim` dimensions split into `m`
+  * subspaces of dim/m; each subspace gets its own `ksub`-centroid codebook
+  * (Lloyd, like the IVF coarse quantizer but per-subspace); a vector is
+  * stored as m small codes instead of dim floats — at rest m bytes/vector
+  * versus 4·dim, a 32x compression at the common m=dim/8, ksub=256.
+  *
+  * Query scoring is ADC (asymmetric distance computation): the query stays
+  * exact; per (subspace, centroid) partial dot products form an m×ksub
+  * lookup table, and a candidate's approximate similarity is the SUM of its
+  * m code lookups — O(m) per candidate after O(ksub·dim) per query, never
+  * touching the original vectors. Scored here as approximate COSINE against
+  * the reconstruction: cos(q, x̂) = Σs dot(q_s, c_s) / (|q|·sqrt(Σs |c_s|²))
+  * — both sums over the same code lookups.
+  *
+  * Scale shape: the codebook table is m·ksub rows (KBs — broadcast); the
+  * per-query partial table is queries×m×ksub (broadcast, bounded by the
+  * small-query-set contract shared with the other top-k operators); the
+  * corpus-sized side is the CODES table — the compressed form — which joins
+  * the broadcast partials and partial-aggregates the m lookups map-side.
+  * One corpus-sized shuffle of (q_id, vec_id) groups, each carrying two
+  * decimals. Encode/train shapes match the IVF quantizer: broadcast
+  * cross-join assignment + dim avg() aggregates.
+  *
+  * Bit-stability for the oracle: per-sub partials round to 12 decimals and
+  * SUM as DECIMAL(38,12) — exact and order-independent under any partial
+  * aggregation — then one double divide/round(6) ranking key with vec_id
+  * tie-break; every per-sub dot is the same sequential fold DuckDB's
+  * list_dot_product computes. Codes/codebooks are materialized parquet, so
+  * the oracle replays encode-free ADC off the same stored doubles (the q42
+  * IVF contract). Code rows are (vec_id, sub, code) longs for oracle
+  * joinability; a production layout would pack them to a byte array per
+  * vector — same information, same plan shape.
+  */
+object Pq {
+
+  /** Per-subspace rows of the corpus: (vec_id, sub, subvec). */
+  private def subVectors(corpus: DataFrame, m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    val emb = col("embedding").cast("array<double>")
+    corpus.select(col("vec_id"), explode(array((0 until m).map(s =>
+      struct(lit(s.toLong).as("sub"),
+        slice(emb, s * dsub + 1, dsub).as("subvec"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+  }
+
+  /** Train the m codebooks: ksub hash-ordered seed vectors (the same seed
+    * sample sliced per subspace), refined by `iters` Lloyd steps — the
+    * assignment is a broadcast cross-join + per-row argmin, the update is
+    * dim/m codegen'd avg() aggregates per (sub, cid).
+    * Output: (sub, cid, center: array<double>), m·ksub rows. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, iters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val emb = col("embedding").cast("array<double>")
+    val seeds = corpus.orderBy(xxhash64(col("vec_id"))).limit(ksub)
+      .select(row_number().over(Window.orderBy(col("vec_id"))).cast("long").as("cid"),
+        emb.as("emb"))
+    val seedBooks = seeds.select(col("cid"), explode(array((0 until m).map(s =>
+      struct(lit(s.toLong).as("sub"),
+        slice(col("emb"), s * dsub + 1, dsub).as("center"))): _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("cid"), col("sc.center").as("center"))
+    (0 until iters).foldLeft(seedBooks) { (books, _) =>
+      assignCodes(corpus, books, m, dim)
+        .join(subVectors(corpus, m, dim), Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code").as("cid"))
+        .agg(array((0 until dsub).map(i =>
+          avg(element_at(col("subvec"), i + 1))): _*).as("center"))
+    }
+  }
+
+  /** Encode: nearest sub-centroid per (vector, subspace) by squared L2,
+    * expanded to (|x|² - 2·x·c) + |c|² so every term is the bit-verified
+    * sequential-fold dot product; distance key rounded to 6 decimals with
+    * cid tie-break, so the argmin is stable across engines.
+    * Output: (vec_id, sub, code). */
+  def assignCodes(corpus: DataFrame, codebooks: DataFrame, m: Int,
+      dim: Int): DataFrame =
+    subVectors(corpus, m, dim)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", round(
+        (ArrayMath.dot(col("subvec"), col("subvec"))
+          - lit(2.0) * ArrayMath.dot(col("subvec"), col("center")))
+          + ArrayMath.dot(col("center"), col("center")), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+
+  /** Materialize the PQ index at rest: codebooks + the compressed codes
+    * table. Codes are assigned against the WRITTEN codebooks (the
+    * writeIvfIndex lesson: re-evaluating the live Lloyd plan could schedule
+    * its avg() reductions differently and flip a boundary assignment). */
+  def writePqIndex(corpus: DataFrame, path: String, m: Int = 8,
+      ksub: Int = 16, dim: Int = 64): Unit = {
+    pqCodebooks(corpus, m, ksub, dim).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+    val written = corpus.sparkSession.read.parquet(s"$path/codebooks")
+    assignCodes(corpus, written, m, dim)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k over a materialized [[writePqIndex]] index: approximate
+    * cosine from code lookups only — the original vectors are never read.
+    * Output: (q_id, vec_id, cos_pq, rank), rank 1..k per query. */
+  def pqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, m: Int = 8, dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val books = spark.read.parquet(s"$path/codebooks")
+    val codes = spark.read.parquet(s"$path/codes")
+    val qEmb = col("q_emb").cast("array<double>")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val partials = q.crossJoin(broadcast(books))
+      .select(col("q_id"), col("sub"), col("cid"),
+        round(ArrayMath.dot(
+          slice(qEmb, col("sub").cast("int") * dsub + 1, lit(dsub)), col("center")), 12)
+          .cast("decimal(38,12)").as("qpart"),
+        round(ArrayMath.dot(col("center"), col("center")), 12)
+          .cast("decimal(38,12)").as("cpart"))
+    val qNorm = q.select(col("q_id"),
+      sqrt(ArrayMath.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
+    val scored = codes
+      .join(broadcast(partials),
+        codes("sub") === partials("sub") && codes("code") === partials("cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qpart")).as("dots"), sum(col("cpart")).as("n2s"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(qNorm), Seq("q_id"))
+      .withColumn("cos_pq", round(
+        col("dots").cast("double") / (col("qnorm") * sqrt(col("n2s").cast("double"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_pq"), col("rank").cast("long"))
+  }
+}

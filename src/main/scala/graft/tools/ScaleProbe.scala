@@ -169,6 +169,29 @@ object ScaleProbe {
     time("hll_distinct") {
       Sketches.hllDistinct(docsP, 3, "source").count()
     }
+    locally {
+      // PQ: codebook train + encode (one-time, corpus-scale, amortized) vs
+      // the ADC probe — compressed codes join broadcast partials, the
+      // original vectors never read at query time
+      val dir3 = java.nio.file.Files.createTempDirectory(s"graft_scaleprobe_pq_x$k")
+      try {
+        time("pq_index_build") {
+          graft.operators.Pq.writePqIndex(emb, dir3.toString, m = 8, ksub = 16, dim = 64)
+          spark.read.parquet(s"${dir3.toString}/codes").count()
+        }
+        time("pq_adc_topk") {
+          graft.operators.Pq.pqTopKIndexed(spark, dir3.toString,
+            spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 20),
+            10, m = 8, dim = 64).count()
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir3.toFile)
+      }
+    }
     time("range_join") {
       // the q72 pipeline on the amplified events: points AND intervals grow
       // with k, so this measures the bucketized equi-join (never a nested

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.ArrayMath
+import graft.operators.{Pq, Similarity}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic 16-dim corpus, 24 vectors
+  private lazy val corpus = (0 until 24).map { i =>
+    (i.toLong, (0 until 16).map(d => math.sin(i * 17 + d * 3).toFloat).toArray)
+  }.toDF("vec_id", "embedding")
+
+  private def withIndex[A](m: Int, ksub: Int)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-test")
+    try {
+      Pq.writePqIndex(corpus, dir.toString, m = m, ksub = ksub, dim = 16)
+      f(dir.toString)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("codes: m rows per vector, codes within [1, ksub]") {
+    withIndex(m = 4, ksub = 8) { p =>
+      val codes = spark.read.parquet(s"$p/codes")
+      assert(codes.count() == 24L * 4)
+      assert(codes.groupBy("vec_id").count().filter(col("count") =!= 4).count() == 0)
+      val mm = codes.agg(min("code"), max("code")).head()
+      assert(mm.getLong(0) >= 1 && mm.getLong(1) <= 8)
+      val books = spark.read.parquet(s"$p/codebooks")
+      assert(books.count() <= 4L * 8)
+    }
+  }
+
+  test("ksub = corpus size degenerates to exact: ADC cosine tracks the true cosine") {
+    // every vector seeds its own centroid and re-assigns to itself (d2 = 0),
+    // so the reconstruction is exact and ADC differs from the true cosine
+    // only by per-subspace fold association (< 1e-9 here)
+    withIndex(m = 4, ksub = 24) { p =>
+      val adc = Pq.pqTopKIndexed(spark, p, corpus, k = 23, m = 4, dim = 16)
+        .select(col("q_id"), col("vec_id"), col("cos_pq"))
+      val exact = corpus.select(col("vec_id").as("q_id"), col("embedding").as("a"))
+        .crossJoin(corpus.select(col("vec_id"), col("embedding").as("b")))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"), ArrayMath.cosine(col("a"), col("b")).as("cos"))
+      val joined = adc.join(exact, Seq("q_id", "vec_id")).collect()
+      assert(joined.length == 24 * 23)
+      joined.foreach { r =>
+        val d = math.abs(r.getDouble(2) - r.getDouble(3))
+        assert(d < 1e-6, s"q=${r.getLong(0)} v=${r.getLong(1)} adc=${r.getDouble(2)} exact=${r.getDouble(3)}")
+      }
+    }
+  }
+
+  test("lossy codebooks still rank plausibly: top-1 recall vs brute force >= 50%") {
+    withIndex(m = 4, ksub = 6) { p =>
+      val queries = corpus.filter(col("vec_id") < 8)
+      val adc1 = Pq.pqTopKIndexed(spark, p, queries, k = 1, m = 4, dim = 16)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+      val bf1 = Similarity.bruteForceTopK(queries, corpus, 1)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+      val hits = bf1.count { case (q, v) => adc1.get(q).contains(v) }
+      assert(hits * 2 >= bf1.size, s"top-1 recall $hits/${bf1.size}")
+    }
+  }
+
+  test("ADC scores are bit-identical across query-set partitionings") {
+    withIndex(m = 4, ksub = 8) { p =>
+      val q = corpus.filter(col("vec_id") < 6)
+      val a = Pq.pqTopKIndexed(spark, p, q.repartition(1), 5, m = 4, dim = 16)
+        .orderBy("q_id", "rank").collect().toSeq
+      val b = Pq.pqTopKIndexed(spark, p, q.repartition(7), 5, m = 4, dim = 16)
+        .orderBy("q_id", "rank").collect().toSeq
+      assert(a == b)
+    }
+  }
+}
