@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Graph centrality over an edge list — the quality-propagation primitive a
   * training-data pipeline uses to rank entities (hosts by link graph,
@@ -23,15 +22,17 @@ import org.apache.spark.storage.StorageLevel
   * the standard "importance sketch" regime — callers wanting convergence
   * raise `iters`).
   *
-  * The edge list and the degree table are each computed ONCE: persisted,
-  * then re-wrapped as a LogicalRDD lineage barrier, so every round's join
-  * reads the cache instead of re-deriving the caller's (possibly expensive)
+  * The edge list and the degree table are each computed ONCE: eagerly
+  * checkpointed (a LogicalRDD lineage barrier that also PRESERVES the
+  * src hash-partitioning), so every round's join reads the materialized
+  * edge layout instead of re-deriving the caller's (possibly expensive)
   * edge plan — without the barrier the fold embeds that subtree 2x per
-  * round (44 parquet scans at iters=5 on the q69 pipeline). The round fold
-  * itself stays composed (~4 ops per round, no analyzer blowup through 20
-  * rounds), and the result is materialized off the caches via a reliable
-  * checkpoint so both persisted inputs are freed on return — nothing
-  * outlives the call (the q53 leak lesson).
+  * round (44 parquet scans at iters=5 on the q69 pipeline), and without
+  * the partitioning-preserving form it re-shuffles the edge set every
+  * round. The round fold itself stays composed (~4 ops per round, no
+  * analyzer blowup through 20 rounds); checkpoint files are reclaimed on
+  * RDD GC under cleanCheckpoints — nothing persisted outlives the call
+  * (the q53 leak lesson).
   *
   * Bit-stability for the oracle: rank is FIXED-POINT — a long count of
   * 1e-15 units. Every step is integer arithmetic (integer division for the
@@ -74,25 +75,28 @@ object Graph {
     val dPct = math.round(damping * 100).toInt
     require(dPct > 0 && dPct < 100, s"damping must quantize into (0,1) hundredths, got $damping")
     val spark = edges.sparkSession
-    val eCache = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val degCache = eCache.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // N via one scalar collect — the catalog-statistic analogue (same
-    // pattern as BM25's corpus constants); folded into the per-round
-    // expression as a plan-time literal. This one job also materializes
-    // both caches (deg derives from the edge cache).
-    val n = degCache.count()
-    if (n == 0) { // empty graph: free the (empty) caches before failing
-      eCache.unpersist(); degCache.unpersist()
-      throw new IllegalArgumentException("pageRank on an empty edge list")
-    }
-    val e = spark.createDataFrame(eCache.rdd, eCache.schema)
-    val deg = spark.createDataFrame(degCache.rdd, degCache.schema)
+    graft.util.Checkpoints.ensureDir(spark)
+    // Materialize the edge list ONCE, hash-partitioned by src, via an eager
+    // reliable checkpoint: checkpoint preserves the physical partitioning
+    // through its LogicalRDD leaf, so every round's edges⋈ranks join reuses
+    // the layout and the per-round exchange moves only the NODE-sized rank
+    // table — the at-rest "edge table bucketed by src" shape, made real.
+    // A persist+createDataFrame barrier would lose the partitioning (and
+    // need an unpersist dance — the q53 leak lesson); checkpoint files are
+    // reclaimed when the RDD is GC'd under cleanCheckpoints.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).checkpoint(eager = true)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).checkpoint(eager = true)
+    // N via one scalar count off the (node-sized, checkpointed) degree
+    // table — the catalog-statistic analogue (same pattern as BM25's
+    // corpus constants); folded into the per-round expression as a
+    // plan-time literal.
+    val n = deg.count()
+    require(n > 0, "pageRank on an empty edge list")
     val baseU = (100L - dPct) * Scale / (100L * n) // (1-d)/N in units, floored
     val r0 = deg.select(col("node"), col("deg"), lit(Scale / n).as("ru"))
-    val ranked = (1 to iters).foldLeft(r0) { (ranks, _) =>
+    (1 to iters).foldLeft(r0) { (ranks, _) =>
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(e("dst").as("node"), expr("ru div deg").as("c"))
       val sums = contrib.groupBy("node").agg(sum(col("c")).as("sc"))
@@ -102,13 +106,5 @@ object Graph {
         (lit(baseU) + expr(s"($dPct * sc) div 100")).as("ru"))
     }.select(col("node"), col("deg"),
       (col("ru").cast("double") / lit(Scale.toDouble)).as("rank"))
-    // Materialize the (node-sized) result OFF the caches so both persisted
-    // inputs can be freed here — a per-batch caller must not accumulate
-    // edge-sized caches for the life of the session.
-    graft.util.Checkpoints.ensureDir(spark)
-    val out = ranked.checkpoint(eager = true)
-    eCache.unpersist()
-    degCache.unpersist()
-    out
   }
 }
