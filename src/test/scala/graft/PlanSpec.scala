@@ -164,4 +164,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "pairing must be keyed on cid, never a cross product")
   }
+
+  test("q73 bloom: grid broadcast, probe never shuffles on the grid key") {
+    val p = plan(SparkEntry.queries("q73_bloom_filter")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"grid must broadcast:\n$p")
+    // exactly ONE exchange on the grid key: the (sketch-sized) bit_or grid
+    // collapse itself — the corpus-sized probe side joins the broadcast
+    // grid and must never shuffle on `word`
+    assert("Exchange hashpartitioning\\(word".r.findAllIn(p).size == 1,
+      s"only the grid build may exchange on word:\n$p")
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"),
+      "grid build must collapse map-side")
+  }
+
+  test("q74 pq: ADC partials broadcast, codes side carries the aggregate") {
+    val p = plan(SparkEntry.queries("q74_sim_topk_pq")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"partial table must broadcast:\n$p")
+    // the only nested loops are the BOUNDED queries x codebook cross joins
+    // (partial-table build: queries x m·ksub rows); the corpus-sized codes
+    // join must be keyed, and nothing may be an unkeyed cartesian
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the bounded query x codebook cross joins may nested-loop:\n$p")
+    assert(p.contains("partial_sum"), "code lookups must partial-aggregate map-side")
+  }
+
+  test("q69 pagerank: rounds reuse the src-partitioned edge checkpoint") {
+    val df = SparkEntry.queries("q69_pagerank")(spark, dir)
+    val p = plan(df)
+    // the edge side of every round's join is the checkpointed RDD scan; a
+    // parquet re-scan would mean the lineage barrier was lost
+    assert(!p.contains("Scan parquet"), s"rounds must read the checkpoint, not parquet:\n$p")
+    // 5 rounds x (edges join + deg join) — none may degrade to a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
