@@ -587,6 +587,13 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q75_hist_quantiles" -> ((s, dir) =>
+      // mergeable quantile sketch: per-type value percentiles from a
+      // fixed-width histogram (sketch-sized shuffle), the exact rank
+      // quantile alongside as the verification baseline
+      Sketches.histQuantiles(t(s, dir, "events"), "event_type", "value",
+        binWidth = 5.0, percents = Seq(25, 50, 75, 90, 99))
+        .orderBy("event_type", "p")),
     "q74_sim_topk_pq" -> ((s, dir) => {
       // compressed ANN: train/encode the PQ index at rest, then answer via
       // ADC — approximate cosine from code lookups only, original vectors
@@ -1324,6 +1331,33 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
+      "q75_hist_quantiles" ->
+        // histQuantiles replayed: integer rank targets (ceil via
+        // (n*p+99)//100), cumulative bucket counts, one interpolation
+        // expression with the same parenthesization, exact = value at the
+        // target rank per group
+        """WITH r AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+          |           FROM events WHERE value IS NOT NULL),
+          |hist AS (SELECT grp, CAST(floor(v / 5.0e0) AS BIGINT) AS bucket,
+          |                CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1, 2),
+          |cum AS (SELECT grp, bucket, cnt,
+          |        sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+          |                       ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+          |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+          |t AS (SELECT grp, p.p, (n * p.p + 99) // 100 AS target
+          |      FROM n CROSS JOIN (VALUES (25), (50), (75), (90), (99)) p(p)),
+          |est AS (SELECT t.grp, t.p,
+          |        round(5.0e0 * CAST(bucket AS DOUBLE)
+          |              + 5.0e0 * (CAST(target - (cum - cnt) AS DOUBLE)
+          |                         / CAST(cnt AS DOUBLE)), 6) AS est_q
+          |        FROM t JOIN cum ON t.grp = cum.grp
+          |        WHERE cum >= target AND (cum - cnt) < target),
+          |rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM r),
+          |ex AS (SELECT t.grp, t.p, rk.v AS exact_q
+          |       FROM t JOIN rk ON t.grp = rk.grp AND rk.rn = t.target)
+          |SELECT est.grp AS event_type, CAST(est.p AS BIGINT) AS p, est_q, exact_q
+          |FROM est JOIN ex ON est.grp = ex.grp AND est.p = ex.p
+          |ORDER BY event_type, p""".stripMargin,
       "q74_sim_topk_pq" -> {
         // ADC replayed off the stored codebooks/codes: per-(q, sub, cid)
         // partials = round(list_dot_product(slice, center), 12) summed as

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.PortableHashes
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-based frequency estimation: a count-min sketch over the corpus
@@ -108,6 +109,62 @@ object Sketches {
       .agg(count_distinct(col("gram")).as("exact_distinct"))
     perGroup.select(col("grp").as(groupCol), round(est, 4).as("est_distinct"))
       .join(exact.withColumnRenamed("grp", groupCol), groupCol)
+  }
+
+  /** Approximate quantiles per group via a fixed-width histogram sketch,
+    * the exact rank-quantile alongside — the mergeable-quantile answer
+    * (the fourth sketch next to CMS frequency, HLL distinct, Bloom
+    * membership) when the exact per-group sort is the thing that doesn't
+    * scale.
+    *
+    * Sketch: bucket = floor(value / binWidth); counts per (group, bucket).
+    * The p-th percentile estimate finds the bucket holding rank
+    * ceil(n·p/100) in the cumulative histogram and interpolates linearly
+    * inside it — error bounded by binWidth. Histograms from different
+    * corpora/batches/days merge by adding bucket counts (the property
+    * exact quantiles fundamentally lack).
+    *
+    * Scale shape: the count aggregate collapses map-side to at most
+    * (value range / binWidth) rows per group BEFORE its exchange — the
+    * sketch collapse contract — and the cumulative window runs over
+    * histogram-sized (not corpus-sized) partitions. The EXACT side (one
+    * full sort per group) is the verification baseline, same role as
+    * hllDistinct's exact count; production callers take the estimate.
+    *
+    * Bit-stability: ranks and cumulative counts are pure integers
+    * (target = ceil via (n·p + 99) div 100); the only doubles are the
+    * input values and one interpolation expression with fixed
+    * parenthesization, identical in the oracle.
+    * Output: (group, p, est_q, exact_q) for each p in `percents`. */
+  def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double, percents: Seq[Int]): DataFrame = {
+    require(binWidth > 0 && percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100))
+    val rows = df.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val hist = rows
+      .groupBy(col("grp"), floor(col("v") / lit(binWidth)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy("grp").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = rows.groupBy("grp").agg(count(lit(1)).as("n"))
+    val ps = percents.map(p => struct(lit(p.toLong).as("p")))
+    val targets = n.select(col("grp"), col("n"), explode(array(ps: _*)).as("s"))
+      .select(col("grp"), col("s.p").as("p"),
+        expr("(n * s.p + 99) div 100").as("target"))
+    val est = targets.join(cum, Seq("grp"))
+      .filter(col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .select(col("grp"), col("p"),
+        round(lit(binWidth) * col("bucket").cast("double")
+          + lit(binWidth) * ((col("target") - (col("cum") - col("cnt"))).cast("double")
+            / col("cnt").cast("double")), 6).as("est_q"))
+    val ranked = rows.withColumn("rn", row_number().over(
+      Window.partitionBy("grp").orderBy("v")))
+    val exact = targets.join(ranked,
+        targets("grp") === ranked("grp") && col("rn") === col("target"))
+      .select(targets("grp"), col("p"), col("v").as("exact_q"))
+    est.join(exact, Seq("grp", "p"))
+      .select(col("grp").as(groupCol), col("p"), col("est_q"), col("exact_q"))
   }
 
   /** Bloom filter over a key column: `mBits` bits packed into mBits/64

@@ -64,6 +64,31 @@ class SketchesSpec extends SparkSpec {
     assert(a.length == 3)
   }
 
+  test("hist quantiles: estimate within one bin of exact, duplication-stable") {
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 2000).map(i => (s"g${i % 2}", rnd.nextDouble() * 100))
+      .toDF("grp", "v")
+    val q = Sketches.histQuantiles(vals, "grp", "v", binWidth = 2.0,
+      percents = Seq(25, 50, 75, 90, 99)).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(q.size == 10)
+    q.foreach { case ((g, p), (est, exact)) =>
+      assert(math.abs(est - exact) <= 2.0, s"$g p$p est=$est exact=$exact")
+    }
+    // duplicated corpus: every bucket count and n double, so each integer
+    // rank target lands in the same bucket at the same relative offset —
+    // near-identical estimates (only the ceil residue can move inside one
+    // count unit) and identical exact values
+    val dup = vals.union(vals)
+    val q2 = Sketches.histQuantiles(dup, "grp", "v", binWidth = 2.0,
+      percents = Seq(25, 50, 75, 90, 99)).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    q.foreach { case (k, (est, exact)) =>
+      assert(q2(k)._2 == exact, s"$k exact moved under duplication")
+      assert(math.abs(q2(k)._1 - est) < 0.1, s"$k est moved under duplication")
+    }
+  }
+
   test("bloom: zero false negatives, and misses at low load factor") {
     val members = (0 until 50).map(i => s"key-$i").toDF("key")
     val grid = Sketches.bloomBuild(members, "key", mBits = 4096, k = 4)
