@@ -587,6 +587,12 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q76_weighted_sample" -> ((s, dir) =>
+      // length-weighted sampling without replacement, 25 docs per source
+      // (A-ES exponential keys off the deterministic unit hash): inclusion
+      // probability proportional to n_chars, identical on every rerun
+      Sampling.weightedPerGroup(t(s, dir, "documents"), "source", "doc_id",
+        "n_chars", 25).orderBy("source", "rank")),
     "q75_hist_quantiles" -> ((s, dir) =>
       // mergeable quantile sketch: per-type value percentiles from a
       // fixed-width histogram (sketch-sized shuffle), the exact rank
@@ -1330,6 +1336,20 @@ object SparkEntry {
            |    AS est_distinct,
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
+      },
+      "q76_weighted_sample" -> {
+        // weightedPerGroup's bounded top-k replayed as the full-sort window
+        // form: same key = round(ln((hash+1)/2^31) / w, 12), DESC, id
+        // tie-break
+        val u = graft.operators.Sampling.unitHashSql("doc_id")
+        s"""WITH h AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+           |           round(ln($u + (1.0 / 2147483648)) / CAST(n_chars AS DOUBLE), 12) AS key
+           |           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+           |r AS (SELECT source, doc_id, n_chars,
+           |      row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rank
+           |      FROM h)
+           |SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank FROM r
+           |WHERE rank <= 25 ORDER BY source, rank""".stripMargin
       },
       "q75_hist_quantiles" ->
         // histQuantiles replayed: integer rank targets (ceil via

@@ -118,6 +118,46 @@ object Sampling {
       .filter(col("rank") <= quotaOf)
   }
 
+  /** Weighted sampling without replacement, k rows per group (Efraimidis &
+    * Spirakis A-ES, IPL 2006): each row draws key = u^(1/w) and the k
+    * largest keys win — inclusion probability proportional to weight, no
+    * replacement, single pass. Ranked here by the monotone-equivalent
+    * ln(u)/w (descending), rounded to 12 decimals with id tie-break so the
+    * ordering is stable across engines; u is nudged onto (0, 1] as
+    * (hash+1)/2^31 — exact in IEEE, and ln(0) can never occur.
+    *
+    * The deterministic unit hash replaces the RNG: reruns, retries, and
+    * repartitions all select the identical sample (the [[sample]]/
+    * [[quotaPerGroup]] property, now weight-biased). Rows with w <= 0 or
+    * null are excluded.
+    *
+    * Scale shape: identical to [[quotaPerGroup]] — the bounded top-k
+    * aggregate carries at most k rows per group through map-side partial
+    * aggregation; the full-sort window form is kept only as the oracle.
+    * Output: (groupCol, idCol, weightCol, rank), rank 1..k. */
+  def weightedPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    // order by the (negated-key, id) head; the weight rides along as payload
+    val ord: Ordering[((Double, Long), Double)] =
+      Ordering.by[((Double, Long), Double), (Double, Long)](_._1)(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    val key = round(
+      log(unitHash(col(idCol)) + lit(1.0 / M)) / col(weightCol).cast("double"), 12)
+    df.filter(col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
+      .select(col(groupCol).cast("string").as("g"),
+        (-key).as("negkey"), col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("w"))
+      .as[(String, Double, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => ((r._2, r._3), r._4))
+      .agg(new graft.functions.RowTopKAggregator(k, ord).toColumn)
+      .toDF("g", "topk")
+      .select(col("g").as(groupCol), posexplode(col("topk")))
+      .select(col(groupCol), col("col._1._2").as(idCol), col("col._2").as(weightCol),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Assign each row to a named split by cumulative weight thresholds, e.g.
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Uses salt 1 — an
     * independent hash stream from [[sample]], so sampling then splitting

@@ -83,6 +83,39 @@ class SamplingSpec extends SparkSpec {
     assert(caps == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("weighted sample matches its brute-force form and biases toward weight") {
+    import spark.implicits._
+    val df = (0L until 600L).map(i => (s"s${i % 2}", i, (i % 10) + 1.0))
+      .toDF("grp", "id", "w")
+    val out = Sampling.weightedPerGroup(df, "grp", "id", "w", 40)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // brute force: same key, full sort per group
+    def u(id: Long): Double = {
+      val m = 2147483648L
+      val lo = id & (m - 1); val hi = (id >> 31) & (m - 1)
+      val mixed = (lo ^ ((hi * 1103515245L + 12345L) % m))
+      ((mixed * 1103515245L + 12345L) % m).toDouble / m
+    }
+    val expected = (0L until 600L).groupBy(i => s"s${i % 2}").toSeq.flatMap {
+      case (g, ids) =>
+        ids.map { i =>
+          val w = (i % 10) + 1.0
+          val key = BigDecimal(math.log(u(i) + 1.0 / 2147483648L) / w)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (i, key)
+        }.sortBy { case (i, key) => (-key, i) }.take(40).zipWithIndex
+          .map { case ((i, _), rk) => (g, i, rk + 1L) }
+    }.toSet
+    assert(out.toSet == expected)
+    // weight bias: the sampled mean weight must exceed the population mean
+    val meanW = out.map(_._2 % 10 + 1.0).sum / out.length
+    assert(meanW > 5.5, s"weighted sample should skew heavy, mean=$meanW")
+    // determinism across partitionings
+    val again = Sampling.weightedPerGroup(df.repartition(13), "grp", "id", "w", 40)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("mixture draws floor(weight*total) per source, unlisted sources excluded") {
     val df = (0L until 900L).map(i => (i, s"s${i % 3}")).toDF("id", "grp")
     val out = Sampling.mixtureSample(df, "grp", "id",
