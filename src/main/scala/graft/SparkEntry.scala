@@ -587,6 +587,15 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q77_zorder" -> ((s, dir) =>
+      // Morton z-values over (user bucket, hour bucket): the multi-dim
+      // at-rest layout key — pure integer bit interleave, codegen'd
+      t(s, dir, "events").select(col("event_id"),
+          (col("user_id") % 1024).as("x"),
+          expr("(ts div 3600000000000) % 1024").as("y"))
+        .select(col("event_id"), col("x"), col("y"),
+          ZOrder.zValue(col("x"), col("y"), 10).as("z"))
+        .orderBy("event_id")),
     "q76_weighted_sample" -> ((s, dir) =>
       // length-weighted sampling without replacement, 25 docs per source
       // (A-ES exponential keys off the deterministic unit hash): inclusion
@@ -1336,6 +1345,17 @@ object SparkEntry {
            |    AS est_distinct,
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
+      },
+      "q77_zorder" -> {
+        // ZOrder.zValue replayed bit-for-bit: bit i of x to position 2i,
+        // bit i of y to 2i+1, summed over the 10-bit domain
+        val interleave = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT event_id, user_id % 1024 AS x,
+           |           (epoch_ns(ts) // 3600000000000) % 1024 AS y FROM events)
+           |SELECT event_id, x, y, CAST($interleave AS BIGINT) AS z
+           |FROM b ORDER BY event_id""".stripMargin
       },
       "q76_weighted_sample" -> {
         // weightedPerGroup's bounded top-k replayed as the full-sort window
