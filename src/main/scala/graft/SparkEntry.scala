@@ -587,6 +587,15 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q78_pmi_collocations" -> ((s, dir) =>
+      // corpus phrase detection: top-20 bigrams by pointwise mutual
+      // information over bigram positions, hapax pairs gated out
+      LangModel.collocationsTopK(tp(s, dir, "documents"), k = 20, minCount = 5)
+        .orderBy("rank")),
+    "q79_token_diversity" -> ((s, dir) =>
+      // lexical-diversity curation signal: per-doc type-token ratio and
+      // token entropy (decimal-summed c*ln c terms)
+      TextAnalysis.tokenDiversity(tp(s, dir, "documents")).orderBy("doc_id")),
     "q77_zorder" -> ((s, dir) =>
       // Morton z-values over (user bucket, hour bucket): the multi-dim
       // at-rest layout key — pure integer bit interleave, codegen'd
@@ -1346,6 +1355,41 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
+      "q78_pmi_collocations" ->
+        // collocationsTopK replayed: the q65 positional-bigram mirror, PMI
+        // as four ln-of-integer terms with the same association, 6-decimal
+        // ranking key, (w1, w2) tie-break
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |u AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+          |bg AS (SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2 FROM u),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+          |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+          |cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM bg GROUP BY 1),
+          |cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
+          |sc AS (SELECT w1, w2, c12,
+          |       round(((ln(CAST(c12 AS DOUBLE)) + ln(CAST(n AS DOUBLE)))
+          |              - ln(CAST(cl AS DOUBLE))) - ln(CAST(cr AS DOUBLE)), 6) AS pmi
+          |       FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+          |       WHERE c12 >= 5),
+          |r AS (SELECT w1, w2, c12, pmi,
+          |      row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
+          |SELECT w1, w2, c12, pmi, CAST(rank AS BIGINT) AS rank FROM r
+          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+      "q79_token_diversity" ->
+        // tokenDiversity replayed: c*ln(c) rounded to 6 decimals, summed as
+        // DECIMAL(38,6), then H = ln n - s/n with the same parenthesization
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          |c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+          |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |      CAST(count(*) AS BIGINT) AS n_types,
+          |      sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
+          |               AS DECIMAL(38,6))) AS s
+          |      FROM c GROUP BY 1)
+          |SELECT doc_id, n_tokens, n_types,
+          |       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+          |       round(ln(CAST(n_tokens AS DOUBLE))
+          |             - (CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS entropy
+          |FROM d ORDER BY doc_id""".stripMargin,
       "q77_zorder" -> {
         // ZOrder.zValue replayed bit-for-bit: bit i of x to position 2i,
         // bit i of y to 2i+1, summed over the 10-bit domain

@@ -57,4 +57,39 @@ object LangModel {
         round(-(col("s").cast("double")) / col("n_bigrams").cast("double"), 6)
           .as("nll"))
   }
+
+  /** Top-k collocations by pointwise mutual information — the corpus-level
+    * phrase detector (Church & Hanks, CL 1990): bigrams whose joint count
+    * beats what their parts predict. Over BIGRAM POSITIONS (N of them):
+    *   pmi(a b) = ln c_ab + ln N - ln c_a· - ln c_·b
+    * where c_a· / c_·b are the bigram's left/right marginal counts — all
+    * four terms are ln of exact integers, so the score is bit-portable;
+    * fixed left-to-right association, rounded to 6 decimals, bigram
+    * tie-break.
+    *
+    * `minCount` drops hapax pairs (PMI's classic failure mode: one typo
+    * pairing two rare tokens outranks every real phrase).
+    *
+    * Scale shape: three word-count-family aggregates off one exploded pass
+    * (pairs + both marginals — map-side partials), natural-key joins of
+    * count tables (skew = stopword pairs, AQE's standard case), global
+    * top-k as TakeOrderedAndProject. Output: (w1, w2, c12, pmi, rank). */
+  def collocationsTopK(docs: DataFrame, k: Int = 20, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    val bg = bigramRows(docs, textCol)
+    val cBigram = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cLeft = bg.groupBy("w1").agg(count(lit(1)).as("cl"))
+    val cRight = bg.groupBy("w2").agg(count(lit(1)).as("cr"))
+    val n = bg.count()
+    val pmi = round(((log(col("c12").cast("double")) + log(lit(n.toDouble)))
+      - log(col("cl").cast("double"))) - log(col("cr").cast("double")), 6)
+    val scored = cBigram.filter(col("c12") >= minCount)
+      .join(cLeft, Seq("w1")).join(cRight, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

@@ -232,6 +232,35 @@ object TextAnalysis {
   }
 
   /** Per-document stats frame. */
+  /** Lexical-diversity metrics per document: type-token ratio and token
+    * entropy — the Gopher-rules-style signal separating natural prose from
+    * boilerplate (low entropy: repeated menus/templates) and token soup
+    * (entropy near its ln(n) maximum with TTR ~ 1).
+    *
+    * Entropy over the doc's token histogram, H = ln n − (Σ c·ln c)/n,
+    * computed so the oracle replays it bit-for-bit: each c·ln(c) term is a
+    * double from an exact integer, rounded to 6 decimals, summed as
+    * DECIMAL(38,6) (order-independent), then two fixed-parenthesization
+    * double ops. Scale shape: one exploded word-count aggregate per doc
+    * (map-side partials) then a per-doc combine — linear, two shuffles.
+    * Output: (doc_id, n_tokens, n_types, ttr, entropy). */
+  def tokenDiversity(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val cnts = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    cnts.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 6)
+          .cast("decimal(38,6)")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(log(col("n_tokens").cast("double"))
+          - (col("s").cast("double") / col("n_tokens").cast("double")), 6)
+          .as("entropy"))
+  }
+
   def docStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -50,4 +50,35 @@ class LangModelSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L))
   }
+
+  test("collocations: hand-computed PMI, hapax gate, rank order") {
+    // corpus engineered so "new york" repeats as a unit while its parts
+    // never pair with anything else above the gate
+    val phrase = (0 until 8).map(_ => "new york").mkString(" filler ")
+    val noise = (0 until 30).map(i => "filler common").mkString(" ")
+    val df = Seq(0L -> phrase, 1L -> noise).toDF("doc_id", "text")
+    val rows = LangModel.collocationsTopK(df, k = 5, minCount = 5).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3), r.getLong(4))))
+    assert(rows.nonEmpty)
+    // every surviving pair respects the count gate
+    assert(rows.forall(_._2._1 >= 5))
+    // replicate the full formula for the top pair
+    val bg = Seq(0L -> phrase, 1L -> noise).flatMap { case (_, t) =>
+      val tk = t.split(" "); tk.dropRight(1).zip(tk.drop(1))
+    }
+    val n = bg.size.toDouble
+    val c12 = bg.groupBy(identity).view.mapValues(_.size.toDouble)
+    val cl = bg.groupBy(_._1).view.mapValues(_.size.toDouble)
+    val cr = bg.groupBy(_._2).view.mapValues(_.size.toDouble)
+    def pmi(p: (String, String)): Double =
+      BigDecimal(((math.log(c12(p)) + math.log(n)) - math.log(cl(p._1))) - math.log(cr(p._2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (p, (c, score, _)) =>
+      assert(c == c12(p).toLong && score == pmi(p), s"$p: $score vs ${pmi(p)}")
+    }
+    // ranks are dense and ordered by (pmi desc, w1, w2)
+    assert(rows.map(_._2._3).toSeq == (1L to rows.length))
+    val resorted = rows.sortBy { case ((w1, w2), (_, s, _)) => (-s, w1, w2) }
+    assert(rows.toSeq == resorted.toSeq)
+  }
 }

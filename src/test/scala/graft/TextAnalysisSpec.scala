@@ -163,4 +163,21 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getString(2)).mkString(" ")
     assert(disjoint == "t0 t1 t2 t3 t4 t5 t6")
   }
+
+  test("token diversity: hand-computed entropy and TTR extremes") {
+    val df = Seq(
+      0L -> "a b c d",     // all distinct: H = ln 4, TTR = 1
+      1L -> "a a a a",     // one type:     H = 0,    TTR = 0.25
+      2L -> "a a b b b c"  // mixed: H = ln 6 - (2ln2 + 3ln3)/6
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDiversity(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) == ((4L, 4L, 1.0, r6(math.log(4)))))
+    assert(got(1L) == ((4L, 1L, 0.25, r6(math.log(4) - (r6(4 * math.log(4)) / 4)))))
+    val s2 = r6(2 * math.log(2)) + r6(3 * math.log(3)) // decimal sum of rounded terms
+    assert(got(2L) == ((6L, 3L, 0.5, r6(math.log(6) - s2 / 6))))
+  }
 }
