@@ -163,6 +163,20 @@ object ScaleProbe {
     time("dup_windows") {
       Dedup.dupWindowStats(docsP, 8).count()
     }
+    time("weighted_sample") {
+      // groups grow k-fold while k=30 stays fixed: the bounded top-k shape
+      Sampling.weightedPerGroup(docsP, "source", "doc_id", "n_chars", 30).count()
+    }
+    time("hist_quantiles") {
+      Sketches.histQuantiles(events, "event_type", "value", 5.0,
+        Seq(25, 50, 75, 90, 99)).count()
+    }
+    time("pmi_collocations") {
+      LangModel.collocationsTopK(docsP, 20, 5).count()
+    }
+    time("token_diversity") {
+      TextAnalysis.tokenDiversity(docsP).count()
+    }
     time("span_removal") {
       Dedup.removeDupSpans(docsP, 8).count()
     }
