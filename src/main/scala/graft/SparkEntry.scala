@@ -587,6 +587,17 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q80_cdc_compact" -> ((s, dir) => {
+      // changelog compaction: each user's latest event wins (version =
+      // (ts, event_id)); an 'error'-typed latest event reads as a delete —
+      // one partial-combining aggregate, never a per-key history sort
+      val c = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), col("value"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"))
+      Cdc.applyChangelog(c, Seq("user_id"), Seq("ts", "event_id"), "op")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
     "q78_pmi_collocations" -> ((s, dir) =>
       // corpus phrase detection: top-20 bigrams by pointwise mutual
       // information over bigram positions, hapax pairs gated out
@@ -1355,6 +1366,17 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
+      "q80_cdc_compact" ->
+        // applyChangelog's max(struct) replayed as the window form:
+        // row_number 1 per user by (ts, event_id) descending — event_id is
+        // unique, so the struct's payload tie-break never engages
+        """WITH c AS (SELECT user_id, epoch_ns(ts) AS v, event_id, event_type, value,
+          |           CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+          |           FROM events),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |                ORDER BY v DESC, event_id DESC) AS rn FROM c)
+          |SELECT user_id, event_id, event_type, value FROM r
+          |WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
       "q78_pmi_collocations" ->
         // collocationsTopK replayed: the q65 positional-bigram mirror, PMI
         // as four ln-of-integer terms with the same association, 6-decimal
