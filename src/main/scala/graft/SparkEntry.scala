@@ -74,6 +74,10 @@ object SparkEntry {
   def pqIndexPath(dir: String): String =
     s"/root/repo/target/pq_index/${new java.io.File(dir).getName}"
 
+  /** Where q81 persists its composed IVF-PQ index — same contract. */
+  def ivfPqIndexPath(dir: String): String =
+    s"/root/repo/target/ivfpq_index/${new java.io.File(dir).getName}"
+
   /** Where q62 persists the MinHash-LSH dedup index — same per-SF keying
     * and Verify-pinned oracle path contract as [[ivfIndexPath]]. */
   def lshIndexPath(dir: String): String =
@@ -587,6 +591,16 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q81_sim_topk_ivfpq" -> ((s, dir) => {
+      // the production ANN composition: IVF cells prune (nprobe/nlist of
+      // the corpus), PQ codes compress (ADC scoring, no raw vectors) —
+      // both artifact trees materialized, both replayed by the oracle
+      val emb = t(s, dir, "embeddings")
+      val path = ivfPqIndexPath(dir)
+      Pq.writeIvfPqIndex(emb, path, nlist = 16, m = 8, ksub = 16, dim = 64)
+      Pq.ivfPqTopK(s, path, emb.filter(col("vec_id") < 5), 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
     "q80_cdc_compact" -> ((s, dir) => {
       // changelog compaction: each user's latest event wins (version =
       // (ts, event_id)); an 'error'-typed latest event reads as a delete —
@@ -1365,6 +1379,47 @@ object SparkEntry {
            |    AS est_distinct,
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
+      },
+      "q81_sim_topk_ivfpq" -> {
+        // q42's probe-selection mirror composed with q74's ADC mirror, both
+        // off the SAME materialized centroid/codebook/code parquet
+        val p = sys.props.getOrElse("graft.ivfpq.path",
+          ivfPqIndexPath("/root/testdata/sf0.01"))
+        s"""WITH cent AS (SELECT cid, center::DOUBLE[] AS center
+           |              FROM read_parquet('$p/centroids/*.parquet')),
+           |books AS (SELECT sub, cid AS code, center::DOUBLE[] AS center
+           |          FROM read_parquet('$p/codebooks/*.parquet')),
+           |codes AS (SELECT CAST(cid AS BIGINT) AS cell, vec_id, sub, code
+           |          FROM read_parquet('$p/codes/*/*.parquet', hive_partitioning=1)),
+           |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           |      FROM embeddings WHERE vec_id < 5),
+           |probes AS (SELECT q_id, cell FROM (
+           |    SELECT q.q_id, cent.cid AS cell,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${cosineSql("q.q_emb", "cent.center")} DESC, cent.cid) AS pr
+           |    FROM q CROSS JOIN cent) WHERE pr <= 4),
+           |part AS (SELECT q_id, sub, code,
+           |  CAST(round(list_dot_product(
+           |         q_emb[CAST(sub*8+1 AS INTEGER):CAST(sub*8+8 AS INTEGER)], center), 12)
+           |       AS DECIMAL(38,12)) AS qpart,
+           |  CAST(round(list_dot_product(center, center), 12)
+           |       AS DECIMAL(38,12)) AS cpart
+           |  FROM q CROSS JOIN books),
+           |qn AS (SELECT q_id, sqrt(list_dot_product(q_emb, q_emb)) AS qnorm FROM q),
+           |sc AS (SELECT pr.q_id, codes.vec_id,
+           |       sum(qpart) AS dots, sum(cpart) AS n2s
+           |       FROM probes pr JOIN codes ON codes.cell = pr.cell
+           |            JOIN part ON part.q_id = pr.q_id AND part.sub = codes.sub
+           |                     AND part.code = codes.code
+           |       GROUP BY 1, 2),
+           |co AS (SELECT q_id, vec_id,
+           |       round(CAST(dots AS DOUBLE) / (qnorm * sqrt(CAST(n2s AS DOUBLE))), 6) AS cos_pq
+           |       FROM sc JOIN qn USING (q_id) WHERE q_id <> vec_id),
+           |r AS (SELECT q_id, vec_id, cos_pq,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rank
+           |      FROM co)
+           |SELECT q_id, vec_id, cos_pq, CAST(rank AS BIGINT) AS rank FROM r
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       },
       "q80_cdc_compact" ->
         // applyChangelog's max(struct) replayed as the window form:

@@ -17,6 +17,7 @@ object Verify {
     System.setProperty("graft.bpe.path", SparkEntry.bpeMergesPath(sfDir))
     System.setProperty("graft.lsh.path", SparkEntry.lshIndexPath(sfDir))
     System.setProperty("graft.pq.path", SparkEntry.pqIndexPath(sfDir))
+    System.setProperty("graft.ivfpq.path", SparkEntry.ivfPqIndexPath(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

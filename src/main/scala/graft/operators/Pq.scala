@@ -107,6 +107,84 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Materialize the composed IVF-PQ index: the production ANN layout
+    * (IVF coarse cells for pruning × PQ codes for compression — the FAISS
+    * IVFPQ shape, minus residual encoding, documented below). At rest:
+    * centroids + codebooks (both KB-sized) and the CODES table partitioned
+    * BY CELL — a probe reads nprobe/nlist of the compressed corpus via
+    * directory-level partition pruning and never touches a raw vector.
+    * Codes here quantize the vectors directly rather than their cell
+    * residuals: residual encoding needs a per-cell decode step that buys
+    * accuracy at the same plan shape — the layout and query plan are
+    * identical, so it is a codebook-quality knob, not a scale one. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    Similarity.ivfCentroids(corpus, nlist, dim).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    pqCodebooks(corpus, m, ksub, dim).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+    // assign against the WRITTEN tables (the writeIvfIndex lesson)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    Similarity.assignToCentroids(corpus, cents)
+      .join(assignCodes(corpus, books, m, dim), Seq("vec_id"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+  }
+
+  /** IVF-PQ top-k: probe the `nprobe` nearest cells per query (the q42
+    * contract), then ADC-score ONLY those cells' codes. The scan of the
+    * cid-partitioned codes table carries the probed-cell IN filter as
+    * PartitionFilters (hand-rolled dynamic partition pruning, like
+    * ivfTopKIndexed), so query cost is nprobe/nlist of the COMPRESSED
+    * corpus. Recall < 1 from both stages (cells + codes), by contract.
+    * Output: (q_id, vec_id, cos_pq, rank). */
+  def ivfPqTopK(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, m: Int = 8, dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qProbes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", ArrayMath.cosineKey(col("q_emb"), col("center")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    // one evaluation feeds both the pushed partition filter and the join side
+    val probeRows = qProbes.collect()
+    val probed = probeRows.map(_.getLong(2)).distinct.sorted
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), qProbes.schema)
+    val qEmb = col("q_emb").cast("array<double>")
+    val partials = qLocal.select(col("q_id"), col("q_emb")).distinct()
+      .crossJoin(broadcast(books))
+      .select(col("q_id"), col("sub"), col("cid").as("code"),
+        round(ArrayMath.dot(
+          slice(qEmb, col("sub").cast("int") * dsub + 1, lit(dsub)), col("center")), 12)
+          .cast("decimal(38,12)").as("qpart"),
+        round(ArrayMath.dot(col("center"), col("center")), 12)
+          .cast("decimal(38,12)").as("cpart"))
+    val qNorm = qLocal.select(col("q_id"),
+      sqrt(ArrayMath.dot(col("q_emb"), col("q_emb"))).as("qnorm")).distinct()
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isin(probed: _*))
+    val scored = codes
+      .join(broadcast(qLocal.select("q_id", "cid")), Seq("cid"))
+      .join(broadcast(partials), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qpart")).as("dots"), sum(col("cpart")).as("n2s"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(qNorm), Seq("q_id"))
+      .withColumn("cos_pq", round(
+        col("dots").cast("double") / (col("qnorm") * sqrt(col("n2s").cast("double"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_pq"), col("rank").cast("long"))
+  }
+
   /** ADC top-k over a materialized [[writePqIndex]] index: approximate
     * cosine from code lookups only — the original vectors are never read.
     * Output: (q_id, vec_id, cos_pq, rank), rank 1..k per query. */

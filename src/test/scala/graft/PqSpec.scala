@@ -70,6 +70,48 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq with nprobe = nlist equals plain PQ ADC (pruning off)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-test")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pq-ref")
+    try {
+      graft.operators.Pq.writeIvfPqIndex(corpus, dir.toString,
+        nlist = 4, m = 4, ksub = 8, dim = 16)
+      graft.operators.Pq.writePqIndex(corpus, dir2.toString, m = 4, ksub = 8, dim = 16)
+      val q = corpus.filter(col("vec_id") < 6)
+      val composed = graft.operators.Pq.ivfPqTopK(spark, dir.toString, q,
+        k = 10, nprobe = 4, m = 4, dim = 16).orderBy("q_id", "rank").collect().toSeq
+      val plain = graft.operators.Pq.pqTopKIndexed(spark, dir2.toString, q,
+        k = 10, m = 4, dim = 16).orderBy("q_id", "rank").collect().toSeq
+      assert(composed == plain)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir.toFile); rm(dir2.toFile)
+    }
+  }
+
+  test("ivf-pq codes scan is partition-pruned to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-prune")
+    try {
+      graft.operators.Pq.writeIvfPqIndex(corpus, dir.toString,
+        nlist = 4, m = 4, ksub = 8, dim = 16)
+      val df = graft.operators.Pq.ivfPqTopK(spark, dir.toString,
+        corpus.filter(col("vec_id") === 0), k = 3, nprobe = 1, m = 4, dim = 16)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(cid"),
+        s"probed cells must prune code partitions:\n$plan")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("ADC scores are bit-identical across query-set partitionings") {
     withIndex(m = 4, ksub = 8) { p =>
       val q = corpus.filter(col("vec_id") < 6)
