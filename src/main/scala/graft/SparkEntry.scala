@@ -737,7 +737,14 @@ object SparkEntry {
           tp(s, dir, "documents").filter(col("doc_id") % 10 === 0),
           gramHashes = PortableHashes.minhashGramHashes,
           bandBucket = PortableHashes.minhashBandBucket)
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+    // q81's build/probe split, same rationale as x42: the composed index is
+    // built once per corpus version; the pruned ADC probe is the
+    // steady-state serving cost (q81 runs earlier and leaves the index)
+    "x81_ivfpq_probe" -> ((s, dir) =>
+      Pq.ivfPqTopK(s, ivfPqIndexPath(dir),
+          t(s, dir, "embeddings").filter(col("vec_id") < 5), 10, nprobe = 4)
+        .orderBy("q_id", "rank"))
   )
 
   /** DuckDB oracles; keys must match [[queries]]. Every approximate op is
