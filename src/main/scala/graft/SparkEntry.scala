@@ -591,6 +591,30 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q82_datacard" -> ((s, dir) => {
+      // the capstone composition: a per-source corpus "data card" — doc and
+      // token volume, decimal-mean quality, PII incidence, exact-dup count,
+      // dominant predicted language — every metric built from the audited
+      // operator fragments and replayed verbatim by the oracle
+      val (emails, phones) = (TextAnalysis.piiCounts(col("text"))._1,
+        TextAnalysis.piiCounts(col("text"))._2)
+      val base = tp(s, dir, "documents").select(col("source"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("nt"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        ((emails + phones) > 0L).as("pii"),
+        TextAnalysis.langPredict(col("text")).as("lang"))
+      val agg = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        round(sum(col("q").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_quality"),
+        sum(when(col("pii"), 1L).otherwise(0L)).as("pii_docs"),
+        (count(lit(1)) - count_distinct(col("text"))).as("dup_docs"))
+      val topLang = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(max(struct(col("c"), col("lang"))).as("b"))
+        .select(col("source"), col("b.lang").as("top_lang"))
+      agg.join(topLang, "source").orderBy("source")
+    }),
     "q81_sim_topk_ivfpq" -> ((s, dir) => {
       // the production ANN composition: IVF cells prune (nprobe/nlist of
       // the corpus), PQ codes compress (ADC scoring, no raw vectors) —
@@ -1386,6 +1410,27 @@ object SparkEntry {
            |    AS est_distinct,
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
+      },
+      "q82_datacard" -> {
+        val email = graft.operators.TextAnalysis.EmailPattern
+        val phone = graft.operators.TextAnalysis.PhonePattern
+        s"""WITH b AS (SELECT source, text, $nTokens AS nt, $qualitySql AS q,
+           |  (len(regexp_extract_all(text, '$email'))
+           |   + len(regexp_extract_all(text, '$phone'))) > 0 AS pii,
+           |  $langPredictSql AS lang FROM documents),
+           |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |      CAST(sum(nt) AS BIGINT) AS n_tokens,
+           |      round(CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE)
+           |            / CAST(count(*) AS DOUBLE), 6) AS avg_quality,
+           |      CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+           |      CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_docs
+           |      FROM b GROUP BY 1),
+           |lc AS (SELECT source, lang, count(*) AS c FROM b GROUP BY 1, 2),
+           |lt AS (SELECT source, lang AS top_lang FROM (
+           |   SELECT source, lang, row_number() OVER (PARTITION BY source
+           |          ORDER BY c DESC, lang DESC) AS rn FROM lc) WHERE rn = 1)
+           |SELECT a.source, n_docs, n_tokens, avg_quality, pii_docs, dup_docs, top_lang
+           |FROM a JOIN lt ON a.source = lt.source ORDER BY a.source""".stripMargin
       },
       "q81_sim_topk_ivfpq" -> {
         // q42's probe-selection mirror composed with q74's ADC mirror, both
