@@ -85,7 +85,8 @@ object Graph {
     // need an unpersist dance — the q53 leak lesson); checkpoint files are
     // reclaimed when the RDD is GC'd under cleanCheckpoints.
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).checkpoint(eager = true)
+      .repartition(col("src")).sortWithinPartitions("src")
+      .checkpoint(eager = true)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).checkpoint(eager = true)
     // N via one scalar count off the (node-sized, checkpointed) degree
