@@ -206,6 +206,28 @@ object ScaleProbe {
         rm(dir3.toFile)
       }
     }
+    locally {
+      // IVF-PQ: composed build vs the partition-pruned ADC probe
+      val dir4 = java.nio.file.Files.createTempDirectory(s"graft_scaleprobe_ivfpq_x$k")
+      try {
+        time("ivfpq_index_build") {
+          graft.operators.Pq.writeIvfPqIndex(emb, dir4.toString, nlist = 16,
+            m = 8, ksub = 16, dim = 64)
+          spark.read.parquet(s"${dir4.toString}/codes").count()
+        }
+        time("ivfpq_probe") {
+          graft.operators.Pq.ivfPqTopK(spark, dir4.toString,
+            spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 20),
+            10, nprobe = 4).count()
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir4.toFile)
+      }
+    }
     time("range_join") {
       // the q72 pipeline on the amplified events: points AND intervals grow
       // with k, so this measures the bucketized equi-join (never a nested
