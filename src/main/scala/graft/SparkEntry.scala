@@ -591,6 +591,12 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q83_source_overlap" -> ((s, dir) =>
+      // corpus-overlap matrix: MinHash-estimated Jaccard between every
+      // source pair's distinct 3-gram sets, exact Jaccard alongside —
+      // signature exchange is one row per source at any corpus size
+      Sketches.minhashOverlap(tp(s, dir, "documents"))
+        .orderBy("src_a", "src_b")),
     "q82_datacard" -> ((s, dir) => {
       // the capstone composition: a per-source corpus "data card" — doc and
       // token volume, decimal-mean quality, PII incidence, exact-dup count,
@@ -1411,6 +1417,30 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
+      "q83_source_overlap" ->
+        // minhashOverlap replayed in row form: per (source, i) minima of
+        // the portable row-hash family, matches summed per pair, exact
+        // Jaccard from the distinct-gram join
+        s"""WITH g AS (SELECT DISTINCT grp, gram FROM (
+           |       SELECT source AS grp, unnest(${gramsN("text", 3)}) AS gram FROM documents)),
+           |ph AS (SELECT grp, ${polyHashSql("gram")} AS ph FROM g),
+           |h AS (SELECT grp, r.i AS i,
+           |      min((ph * (2*r.i + 3) + r.i) % 2147483647) AS m
+           |      FROM ph CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+           |pm AS (SELECT a.grp AS src_a, b.grp AS src_b,
+           |       CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS matches
+           |       FROM h a JOIN h b ON a.i = b.i AND a.grp < b.grp GROUP BY 1, 2),
+           |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY 1),
+           |iv AS (SELECT a.grp AS src_a, b.grp AS src_b, CAST(count(*) AS BIGINT) AS inter
+           |       FROM g a JOIN g b ON a.gram = b.gram AND a.grp < b.grp GROUP BY 1, 2)
+           |SELECT pm.src_a, pm.src_b, matches,
+           |       round(CAST(matches AS DOUBLE) / 64.0e0, 6) AS est_jaccard,
+           |       round(CAST(coalesce(inter, 0) AS DOUBLE)
+           |             / CAST(sza.sz + szb.sz - coalesce(inter, 0) AS DOUBLE), 6)
+           |         AS exact_jaccard
+           |FROM pm LEFT JOIN iv ON pm.src_a = iv.src_a AND pm.src_b = iv.src_b
+           |JOIN sz sza ON sza.grp = pm.src_a JOIN sz szb ON szb.grp = pm.src_b
+           |ORDER BY pm.src_a, pm.src_b""".stripMargin,
       "q82_datacard" -> {
         val email = graft.operators.TextAnalysis.EmailPattern
         val phone = graft.operators.TextAnalysis.PhonePattern

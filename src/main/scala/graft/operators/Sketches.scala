@@ -218,6 +218,53 @@ object Sketches {
       .agg((min(col("set")) === 1L).as("bloom_hit"))
   }
 
+  /** Corpus-overlap matrix: estimated Jaccard similarity between the
+    * distinct n-gram SETS of every source pair, from per-source MinHash
+    * signatures — "how much does source A overlap source B" before
+    * deciding mixture weights or cross-source dedup, without ever joining
+    * the gram sets. E[matching components / numHashes] = J(A, B), the
+    * MinHash identity. The exact Jaccard rides along as the verification
+    * baseline (it IS the expensive gram-set join the sketch replaces).
+    *
+    * Scale shape: the signature build is `numHashes` min() aggregates over
+    * one pass of the exploded gram rows — min partial-aggregates map-side,
+    * so the exchange carries one signature row per source at any corpus
+    * size, and signatures merge across batches by the same min. The pair
+    * comparison runs over #sources² signature rows (tiny by contract).
+    * Output: (src_a, src_b, matches, est_jaccard, exact_jaccard),
+    * src_a < src_b. */
+  def minhashOverlap(docs: DataFrame, n: Int = 3, groupCol: String = "source",
+      textCol: String = "text", numHashes: Int = 64): DataFrame = {
+    val grams = docs.select(col(groupCol).as("grp"),
+      explode(graft.operators.Dedup.wordNGrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val hashes = PortableHashes.minhashGramHashes(col("gram"), numHashes)
+    val sig = grams.groupBy("grp")
+      .agg(hashes.zipWithIndex.map { case (h, i) => min(h).as(s"m$i") }.head,
+        hashes.zipWithIndex.map { case (h, i) => min(h).as(s"m$i") }.tail: _*)
+    val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = a.join(b, col("a_grp") < col("b_grp"))
+      .select(col("a_grp").as("src_a"), col("b_grp").as("src_b"),
+        matches.as("matches"),
+        round(matches.cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
+    val sizes = grams.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val inter = grams.join(grams.select(col("grp").as("grp_b"), col("gram")), "gram")
+      .filter(col("grp") < col("grp_b"))
+      .groupBy(col("grp").as("src_a"), col("grp_b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("src_a", "src_b"), "left")
+      .join(sizes.select(col("grp").as("src_a"), col("sz").as("sza")), "src_a")
+      .join(sizes.select(col("grp").as("src_b"), col("sz").as("szb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("matches"), col("est_jaccard"),
+        round(coalesce(col("inter"), lit(0L)).cast("double")
+          / (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+          .as("exact_jaccard"))
+  }
+
   /** Heavy hitters: top `k` candidate tokens by CMS-estimated count, with
     * the exact count alongside (est >= exact always; equality when none of
     * the token's depth cells collided). Candidates here are the corpus's

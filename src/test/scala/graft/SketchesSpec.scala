@@ -64,6 +64,28 @@ class SketchesSpec extends SparkSpec {
     assert(a.length == 3)
   }
 
+  test("minhash overlap: identical sets read 1, disjoint read 0, estimate tracks exact") {
+    val mk = (src: String, off: Int, n: Int) =>
+      (0 until n).map(i => (src, (0 until 8).map(j => s"t${off + i * 3 + j}").mkString(" ")))
+    val df = (mk("a", 0, 40) ++ mk("b", 0, 40) ++ mk("c", 100000, 40) ++
+      mk("d", 60, 40)).toDF("source", "text")
+    val rows = Sketches.minhashOverlap(df.toDF("source", "text")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    // a == b exactly; c is disjoint from both
+    assert(rows(("a", "b")) == ((1.0, 1.0)))
+    assert(rows(("a", "c")) == ((0.0, 0.0)) && rows(("b", "c")) == ((0.0, 0.0)))
+    // d half-overlaps a/b: estimate within 3 sigma (sigma ~ sqrt(J(1-J)/64))
+    val (estAd, exAd) = rows(("a", "d"))
+    assert(exAd > 0.1 && exAd < 0.9, s"fixture overlap degenerate: $exAd")
+    assert(math.abs(estAd - exAd) < 3 * math.sqrt(exAd * (1 - exAd) / 64) + 1e-9,
+      s"est=$estAd exact=$exAd")
+    // duplication-blind: signatures min over DISTINCT grams
+    val dup = df.union(df)
+    val again = Sketches.minhashOverlap(dup).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == rows)
+  }
+
   test("hist quantiles: estimate within one bin of exact, duplication-stable") {
     val rnd = new scala.util.Random(7)
     val vals = (0 until 2000).map(i => (s"g${i % 2}", rnd.nextDouble() * 100))
