@@ -107,6 +107,39 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Shared ADC core: per-(query, sub, centroid) partial table from the
+    * broadcast codebooks, candidate scoring by decimal-summed code lookups,
+    * cosine ranking key, top-k window. `joined` must already pair each
+    * candidate code row (vec_id, sub, code) with its q_id. */
+  private def adcPartials(qFrame: DataFrame, books: DataFrame, dsub: Int): DataFrame = {
+    val qEmb = col("q_emb").cast("array<double>")
+    qFrame.crossJoin(broadcast(books))
+      .select(col("q_id"), col("sub"), col("cid").as("code"),
+        round(ArrayMath.dot(
+          slice(qEmb, col("sub").cast("int") * dsub + 1, lit(dsub)), col("center")), 12)
+          .cast("decimal(38,12)").as("qpart"),
+        round(ArrayMath.dot(col("center"), col("center")), 12)
+          .cast("decimal(38,12)").as("cpart"))
+  }
+
+  private def adcRank(joined: DataFrame, qNorm: DataFrame, k: Int): DataFrame = {
+    val scored = joined
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qpart")).as("dots"), sum(col("cpart")).as("n2s"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(qNorm), Seq("q_id"))
+      .withColumn("cos_pq", round(
+        col("dots").cast("double") / (col("qnorm") * sqrt(col("n2s").cast("double"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_pq"), col("rank").cast("long"))
+  }
+
+  private def queryNorms(qFrame: DataFrame): DataFrame =
+    qFrame.select(col("q_id"),
+      sqrt(ArrayMath.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
+
   /** Materialize the composed IVF-PQ index: the production ANN layout
     * (IVF coarse cells for pruning × PQ codes for compression — the FAISS
     * IVFPQ shape, minus residual encoding, documented below). At rest:
@@ -157,32 +190,14 @@ object Pq {
     val probed = probeRows.map(_.getLong(2)).distinct.sorted
     val qLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), qProbes.schema)
-    val qEmb = col("q_emb").cast("array<double>")
-    val partials = qLocal.select(col("q_id"), col("q_emb")).distinct()
-      .crossJoin(broadcast(books))
-      .select(col("q_id"), col("sub"), col("cid").as("code"),
-        round(ArrayMath.dot(
-          slice(qEmb, col("sub").cast("int") * dsub + 1, lit(dsub)), col("center")), 12)
-          .cast("decimal(38,12)").as("qpart"),
-        round(ArrayMath.dot(col("center"), col("center")), 12)
-          .cast("decimal(38,12)").as("cpart"))
-    val qNorm = qLocal.select(col("q_id"),
-      sqrt(ArrayMath.dot(col("q_emb"), col("q_emb"))).as("qnorm")).distinct()
+    val qDistinct = qLocal.select(col("q_id"), col("q_emb")).distinct()
+    val partials = adcPartials(qDistinct, books, dsub)
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cid").isin(probed: _*))
-    val scored = codes
+    val joined = codes
       .join(broadcast(qLocal.select("q_id", "cid")), Seq("cid"))
       .join(broadcast(partials), Seq("q_id", "sub", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("qpart")).as("dots"), sum(col("cpart")).as("n2s"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .join(broadcast(qNorm), Seq("q_id"))
-      .withColumn("cos_pq", round(
-        col("dots").cast("double") / (col("qnorm") * sqrt(col("n2s").cast("double"))), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos_pq"), col("rank").cast("long"))
+    adcRank(joined, queryNorms(qDistinct).distinct(), k)
   }
 
   /** ADC top-k over a materialized [[writePqIndex]] index: approximate
@@ -193,29 +208,8 @@ object Pq {
     val dsub = dim / m
     val books = spark.read.parquet(s"$path/codebooks")
     val codes = spark.read.parquet(s"$path/codes")
-    val qEmb = col("q_emb").cast("array<double>")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val partials = q.crossJoin(broadcast(books))
-      .select(col("q_id"), col("sub"), col("cid"),
-        round(ArrayMath.dot(
-          slice(qEmb, col("sub").cast("int") * dsub + 1, lit(dsub)), col("center")), 12)
-          .cast("decimal(38,12)").as("qpart"),
-        round(ArrayMath.dot(col("center"), col("center")), 12)
-          .cast("decimal(38,12)").as("cpart"))
-    val qNorm = q.select(col("q_id"),
-      sqrt(ArrayMath.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
-    val scored = codes
-      .join(broadcast(partials),
-        codes("sub") === partials("sub") && codes("code") === partials("cid"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("qpart")).as("dots"), sum(col("cpart")).as("n2s"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .join(broadcast(qNorm), Seq("q_id"))
-      .withColumn("cos_pq", round(
-        col("dots").cast("double") / (col("qnorm") * sqrt(col("n2s").cast("double"))), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos_pq"), col("rank").cast("long"))
+    val joined = codes.join(broadcast(adcPartials(q, books, dsub)), Seq("sub", "code"))
+    adcRank(joined, queryNorms(q), k)
   }
 }
