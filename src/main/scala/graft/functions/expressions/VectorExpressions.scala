@@ -229,5 +229,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    // SQL range joins plan as nested loops; this rewrites them to the
+    // bucketized equi join when spark.graft.rangeJoin.bucketWidth is set
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
