@@ -591,6 +591,15 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q84_trend" -> ((s, dir) =>
+      // per-type value drift: OLS slope/intercept/correlation of value
+      // (cents) against time (hours) from six exact integer sums per group
+      Stats.trendPerGroup(
+        t(s, dir, "events")
+          .select(col("event_type"), expr("ts div 3600000000000").as("xh"),
+            round(col("value") * 100.0, 0).as("yc")),
+        "event_type", "xh", "yc")
+        .orderBy("event_type")),
     "q83_source_overlap" -> ((s, dir) =>
       // corpus-overlap matrix: MinHash-estimated Jaccard between every
       // source pair's distinct 3-gram sets, exact Jaccard alongside —
@@ -1417,6 +1426,35 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
+      "q84_trend" ->
+        // trendPerGroup replayed: exact integer sums, then the identical
+        // double formulas with the same parenthesization
+        """WITH r AS (SELECT event_type AS grp,
+          |           epoch_ns(ts) // 3600000000000 AS x,
+          |           CAST(round(value * 100.0e0, 0) AS BIGINT) AS y
+          |           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+          |      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |      CAST(sum(x * y) AS BIGINT) AS sxy,
+          |      CAST(sum(x * x) AS BIGINT) AS sxx,
+          |      CAST(sum(y * y) AS BIGINT) AS syy
+          |      FROM r GROUP BY 1)
+          |SELECT grp AS event_type, n,
+          |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+          |  round((CAST(sy AS DOUBLE)
+          |         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+          |  CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0e0
+          |       THEN 0.0e0
+          |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+          |  END AS corr
+          |FROM s WHERE n >= 2
+          |  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0e0
+          |ORDER BY event_type""".stripMargin,
       "q83_source_overlap" ->
         // minhashOverlap replayed in row form: per (source, i) minima of
         // the portable row-hash family, matches summed per pair, exact
