@@ -189,6 +189,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "code lookups must partial-aggregate map-side")
   }
 
+  test("bucketed tables co-locate their join: zero exchanges") {
+    // the upgrade path SCALING.md names for the big fact-fact joins: both
+    // sides bucketed+sorted on the key at rest -> the join needs no
+    // shuffle AND no sort at read time
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket-test")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    try {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/bt_orders").saveAsTable("bt_orders")
+      l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/bt_lineitem").saveAsTable("bt_lineitem")
+      val joined = spark.table("bt_orders")
+        .join(spark.table("bt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").count()
+      // disable broadcast so the co-location (not a broadcast) is what
+      // avoids the shuffle
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = plan(joined)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+        assert(!p.contains("Exchange hashpartitioning(o_orderkey")
+          && !p.contains("Exchange hashpartitioning(l_orderkey"),
+          s"bucketed join must not shuffle its keys:\n$p")
+        assert(p.contains("Bucketed: true"), s"scan must be bucketed:\n$p")
+        assert(joined.count() > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt_orders")
+      spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(wh.toFile)
+    }
+  }
+
   test("q69 pagerank: rounds reuse the src-partitioned edge checkpoint") {
     val df = SparkEntry.queries("q69_pagerank")(spark, dir)
     val p = plan(df)
