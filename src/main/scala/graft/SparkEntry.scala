@@ -591,6 +591,18 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q85_trustrank" -> ((s, dir) => {
+      // trust propagation from a seed set (every 10th supplier): the
+      // personalized walk's teleport mass lands only on seeds, so rank
+      // reads as proximity-to-trusted — same fixed-point integer rounds
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val seeds = t(s, dir, "supplier").filter(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+      Graph.personalizedPageRank(Graph.symmetrize(base), seeds, 5).orderBy("node")
+    }),
     "q84_trend" -> ((s, dir) =>
       // per-type value drift: OLS slope/intercept/correlation of value
       // (cents) against time (hours) from six exact integer sums per group
@@ -1425,6 +1437,35 @@ object SparkEntry {
            |    AS est_distinct,
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
+      },
+      "q85_trustrank" -> {
+        // q69's fixed-point CTE chain with the teleport restricted to the
+        // PRESENT seed set: tele ∈ {0,1} per node, base mass (15·Scale)
+        // // (100·|present seeds|) applied through the tele flag
+        val iterCtes = (1 to 5).map { k =>
+          s"""r$k AS (SELECT e.dst AS node, d.deg, d.tele,
+             |  CAST(((15 * 1000000000000000) // (100 * nt.nt)) * d.tele
+             |       + (85 * sum(p.ru // p.deg)) // 100 AS BIGINT) AS ru
+             |  FROM e JOIN r${k - 1} p ON e.src = p.node
+             |         JOIN degt d ON e.dst = d.node CROSS JOIN nt
+             |  GROUP BY e.dst, d.deg, d.tele, nt.nt)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |                            CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |seeds AS (SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node
+           |          FROM supplier WHERE s_suppkey % 10 = 0),
+           |degt AS (SELECT deg.node, deg.deg,
+           |         CASE WHEN seeds.node IS NULL THEN 0 ELSE 1 END AS tele
+           |         FROM deg LEFT JOIN seeds ON deg.node = seeds.node),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM degt WHERE tele = 1),
+           |r0 AS (SELECT node, deg, tele,
+           |       CAST((1000000000000000 // nt.nt) * tele AS BIGINT) AS ru
+           |       FROM degt CROSS JOIN nt),
+           |$iterCtes
+           |SELECT node, deg, CAST(ru AS DOUBLE) / 1.0e15 AS rank FROM r5 ORDER BY node""".stripMargin
       },
       "q84_trend" ->
         // trendPerGroup replayed: exact integer sums, then the identical

@@ -71,7 +71,26 @@ object Graph {
     * computed entirely in 1e-15 fixed-point integer units. Output:
     * (node, deg, rank) — rank after the final round as a double, derived by
     * one deterministic `units / 1e15` division. */
-  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame =
+    rankIteration(edges, iters, damping, seeds = None)
+
+  /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina, Pedersen,
+    * VLDB 2004): the teleport mass lands only on `seeds` — rank becomes
+    * proximity-to-the-trusted-set instead of global importance. The
+    * curation use: seed known-good entities (vetted domains, canonical
+    * docs), propagate trust over the link/co-occurrence graph, demote the
+    * unreachable. Seeds must satisfy the same dangling-free contract
+    * (appear as a src); seed rows absent from the graph are ignored, and
+    * at least one seed must be present. Same fixed-point arithmetic,
+    * plan shape, and scale story as [[pageRank]] — the seed flag is one
+    * extra column on the node-sized degree table. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame =
+    rankIteration(edges, iters, damping,
+      seeds = Some(seeds.select(col("node")).distinct()))
+
+  private def rankIteration(edges: DataFrame, iters: Int, damping: Double,
+      seeds: Option[DataFrame]): DataFrame = {
     val dPct = math.round(damping * 100).toInt
     require(dPct > 0 && dPct < 100, s"damping must quantize into (0,1) hundredths, got $damping")
     val spark = edges.sparkSession
@@ -87,24 +106,37 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).sortWithinPartitions("src")
       .checkpoint(eager = true)
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).checkpoint(eager = true)
+    // the degree table carries the per-node teleport flag: 1 for every node
+    // in the global walk, seed-membership for the personalized one
+    val degPlain = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val deg = seeds match {
+      case None => degPlain.withColumn("tele", lit(1L)).checkpoint(eager = true)
+      case Some(sd) => degPlain
+        .join(sd.withColumn("tele", lit(1L)), Seq("node"), "left")
+        .withColumn("tele", coalesce(col("tele"), lit(0L)))
+        .checkpoint(eager = true)
+    }
     // N via one scalar count off the (node-sized, checkpointed) degree
     // table — the catalog-statistic analogue (same pattern as BM25's
     // corpus constants); folded into the per-round expression as a
-    // plan-time literal.
+    // plan-time literal. For the personalized walk the teleport mass
+    // divides over the PRESENT seed count instead.
     val n = deg.count()
     require(n > 0, "pageRank on an empty edge list")
-    val baseU = (100L - dPct) * Scale / (100L * n) // (1-d)/N in units, floored
-    val r0 = deg.select(col("node"), col("deg"), lit(Scale / n).as("ru"))
+    val nTele = if (seeds.isEmpty) n
+      else deg.filter(col("tele") === 1L).count()
+    require(nTele > 0, "personalizedPageRank: no seed appears in the graph")
+    val baseU = (100L - dPct) * Scale / (100L * nTele) // (1-d)/|teleport set|, floored
+    val r0 = deg.select(col("node"), col("deg"), col("tele"),
+      (lit(Scale / nTele) * col("tele")).as("ru"))
     (1 to iters).foldLeft(r0) { (ranks, _) =>
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(e("dst").as("node"), expr("ru div deg").as("c"))
       val sums = contrib.groupBy("node").agg(sum(col("c")).as("sc"))
       // every node has an in-edge under the dangling-free contract, so the
       // join on deg is complete — no node silently loses its rank row
-      sums.join(deg, "node").select(col("node"), col("deg"),
-        (lit(baseU) + expr(s"($dPct * sc) div 100")).as("ru"))
+      sums.join(deg, "node").select(col("node"), col("deg"), col("tele"),
+        (lit(baseU) * col("tele") + expr(s"($dPct * sc) div 100")).as("ru"))
     }.select(col("node"), col("deg"),
       (col("ru").cast("double") / lit(Scale.toDouble)).as("rank"))
   }

@@ -62,6 +62,42 @@ class GraphSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
   }
 
+  test("personalized walk: trust concentrates near the seed, far nodes get none") {
+    // path graph 1-2-3-...-8 (symmetrized), seed at node 1: rank must
+    // decay with distance, and nodes beyond the walk horizon (5 rounds)
+    // hold exactly zero mass — the fixed-point arithmetic has no leakage
+    val e = Graph.symmetrize(
+      (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val byNode = Graph.personalizedPageRank(e, seeds, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // decay holds within a parity class (the walk ping-pongs on a path, so
+    // adjacent distances are not comparable at small iteration counts)
+    assert(byNode(2L) > byNode(4L) && byNode(4L) > byNode(6L),
+      s"even-distance trust must decay: $byNode")
+    assert(byNode(1L) > byNode(3L) && byNode(3L) > byNode(5L),
+      s"odd-distance trust must decay: $byNode")
+    // the seed's neighborhood holds the bulk of the mass
+    assert(byNode(1L) + byNode(2L) > 0.5, s"mass must concentrate: $byNode")
+    // 5 rounds reach at most distance 5 from the seed
+    assert(byNode(7L) == 0.0 && byNode(8L) == 0.0, s"beyond horizon: $byNode")
+    // global walk on the same graph gives the far end mass — different op
+    val global = Graph.pageRank(e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(global(8L) > 0.0)
+  }
+
+  test("personalized walk: seeds absent from the graph are ignored, all-absent rejected") {
+    val e = Graph.symmetrize(Seq((1L, 2L)).toDF("src", "dst"))
+    val mixed = Seq(Tuple1(1L), Tuple1(99L)).toDF("node") // 99 not in graph
+    val ranks = Graph.personalizedPageRank(e, mixed, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ranks.keySet == Set(1L, 2L) && ranks(1L) > 0)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, Seq(Tuple1(99L)).toDF("node"), 3)
+    }
+  }
+
   test("damping outside (0,1) hundredths is rejected") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, 1, damping = 1.0))
