@@ -89,6 +89,59 @@ object Graph {
     rankIteration(edges, iters, damping,
       seeds = Some(seeds.select(col("node")).distinct()))
 
+  /** Per-node triangle counts by degree-ordered wedge enumeration
+    * (Schank & Wagner 2005; the standard distributed-triangle algorithm,
+    * cf. Cohen, CiSE 2009; Suri & Vassilvitskii, WWW 2011): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher,
+    * enumerate wedges only at their lowest-rank apex, and close each
+    * wedge against the oriented edge set. Each triangle is found exactly
+    * once, then attributed to all three corners.
+    *
+    * Why the orientation matters at 100 TB: naive wedge counting pays
+    * Σ deg(v)² — a single celebrity node explodes it. Orienting by degree
+    * bounds every out-degree by O(√m), so the wedge table (the one
+    * super-linear intermediate) is O(m^1.5) worst-case and near-linear on
+    * real skewed graphs — the hot node contributes NOTHING as an apex.
+    *
+    * Plan shape: degree aggregate, two joins to attach endpoint degrees,
+    * one self-join on the apex (wedge generation), one equi-join against
+    * the oriented edges (closure), one explode + count. All equi joins on
+    * keys — AQE skew splitting applies to every stage.
+    *
+    * Input: an edge list, any direction, duplicates and self-loops
+    * tolerated (canonicalized away). Output: (node, n_triangles) for
+    * nodes in at least one triangle. */
+  def trianglesPerNode(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val lowFirst = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    // orient low-rank -> high-rank, rank = (deg, node); carry the target's
+    // rank so wedge pairs order without another join
+    val oriented = lowFirst.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val wedges = oriented.alias("a").join(oriented.alias("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.dt") < col("b.dt") ||
+            (col("a.dt") === col("b.dt") && col("a.t") < col("b.t"))))
+      .select(col("a.s").as("apex"), col("a.t").as("t1"), col("b.t").as("t2"))
+    // rank(t1) < rank(t2), so a closing edge is necessarily oriented t1->t2
+    val triangles = wedges.join(oriented.select(col("s").as("t1"), col("t").as("t2")),
+      Seq("t1", "t2"))
+    triangles
+      .select(explode(array(col("apex"), col("t1"), col("t2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   private def rankIteration(edges: DataFrame, iters: Int, damping: Double,
       seeds: Option[DataFrame]): DataFrame = {
     val dPct = math.round(damping * 100).toInt

@@ -98,6 +98,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangles: K4, pendant edges, duplicates, and triangle-free graphs") {
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val g1 = Graph.trianglesPerNode(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one triangle + a pendant: pendant node reports nothing; duplicate,
+    // reversed, and self-loop edges are canonicalized away
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (3L, 4L), (2L, 3L)).toDF("src", "dst")
+    val g2 = Graph.trianglesPerNode(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // star: wedges everywhere, triangles nowhere
+    val star = (2L to 9L).map(i => (1L, i)).toDF("src", "dst")
+    assert(Graph.trianglesPerNode(star).count() == 0)
+  }
+
   test("damping outside (0,1) hundredths is rejected") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, 1, damping = 1.0))
