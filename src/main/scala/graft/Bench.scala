@@ -61,7 +61,8 @@ object Bench {
     val noisy = Set("q31_dedup_ngram", "q32_dedup_minhash", "q33_dedup_simhash",
       "q34_dedup_embed", "q45_dedup_embed_lsh", "q46_text_hash_neardup",
       "q48_curation", "q53_dedup_clusters", "q62_dedup_incremental",
-      "q69_pagerank") // many small stages + checkpoint writes: load-sensitive
+      "q69_pagerank", // many small stages + checkpoint writes: load-sensitive
+      "q86_triangles") // embeds the q31 pair pipeline
     def runsFor(name: String): Int =
       if (noisy(name)) math.max(benchRuns, 3) else benchRuns
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {

@@ -592,15 +592,13 @@ object SparkEntry {
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
     "q86_triangles" -> ((s, dir) => {
-      // community density in the co-supply graph (suppliers sharing an
-      // order): degree-ordered wedge enumeration — each triangle found
-      // once at its lowest-rank apex, hot nodes contribute no wedges
-      val l = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val co = l.alias("x").join(l.alias("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
-      Graph.trianglesPerNode(co).orderBy("node")
+      // cohesion of the near-dup graph: a triangle means three documents
+      // pairwise-similar (a real clique-shaped cluster, not a chain that
+      // transitively merged) — degree-ordered wedge enumeration, each
+      // triangle found once at its lowest-rank apex
+      val pairs = Dedup.ngramJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graph.trianglesPerNode(pairs).orderBy("node")
     }),
     "q85_trustrank" -> ((s, dir) => {
       // trust propagation from a seed set (every 10th supplier): the
@@ -1450,28 +1448,30 @@ object SparkEntry {
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
       "q86_triangles" ->
-        // trianglesPerNode replayed: canonical undirected edges, degree
-        // ranks, low->high orientation, apex wedge pairs, oriented closure,
-        // per-corner attribution
-        """WITH l AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-          |co AS (SELECT x.sk AS src, y.sk AS dst FROM l x JOIN l y
-          |       ON x.ok = y.ok AND x.sk < y.sk),
-          |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-          |        FROM co WHERE src <> dst),
-          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-          |        SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
-          |o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s,
-          |             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t,
-          |             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dt
-          |      FROM und JOIN deg da ON da.node = und.u
-          |               JOIN deg db ON db.node = und.v,
-          |      LATERAL (SELECT da.deg AS du, db.deg AS dv) x),
-          |w AS (SELECT a.s AS apex, a.t AS t1, b.t AS t2 FROM o a JOIN o b
-          |      ON a.s = b.s AND (a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t))),
-          |tri AS (SELECT apex, t1, t2 FROM w JOIN o ON o.s = w.t1 AND o.t = w.t2),
-          |n AS (SELECT unnest([apex, t1, t2]) AS node FROM tri)
-          |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n
-          |GROUP BY 1 ORDER BY node""".stripMargin,
+        // trianglesPerNode replayed over the q31 pair pipeline: canonical
+        // undirected edges, degree ranks, low->high orientation, apex
+        // wedge pairs, oriented closure, per-corner attribution
+        s"""$ngramPairsWith,
+           |ed AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |        FROM ed WHERE src <> dst),
+           |degt AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |         SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+           |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+           |                  THEN u ELSE v END AS s,
+           |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+           |                  THEN v ELSE u END AS t,
+           |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+           |                  THEN db.deg ELSE da.deg END AS dt
+           |      FROM und JOIN degt da ON da.node = und.u
+           |               JOIN degt db ON db.node = und.v),
+           |w AS (SELECT a.s AS apex, a.t AS t1, b.t AS t2 FROM o a JOIN o b
+           |      ON a.s = b.s AND (a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t))),
+           |tri AS (SELECT apex, t1, t2 FROM w JOIN o ON o.s = w.t1 AND o.t = w.t2),
+           |n AS (SELECT unnest([apex, t1, t2]) AS node FROM tri)
+           |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n
+           |GROUP BY 1 ORDER BY node""".stripMargin,
       "q85_trustrank" -> {
         // q69's fixed-point CTE chain with the teleport restricted to the
         // PRESENT seed set: tele ∈ {0,1} per node, base mass (15·Scale)
