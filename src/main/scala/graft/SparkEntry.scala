@@ -632,8 +632,7 @@ object SparkEntry {
       // token volume, decimal-mean quality, PII incidence, exact-dup count,
       // dominant predicted language — every metric built from the audited
       // operator fragments and replayed verbatim by the oracle
-      val (emails, phones) = (TextAnalysis.piiCounts(col("text"))._1,
-        TextAnalysis.piiCounts(col("text"))._2)
+      val (emails, phones) = TextAnalysis.piiCounts(col("text"))
       val base = tp(s, dir, "documents").select(col("source"), col("text"),
         TextAnalysis.tokenCount(col("text")).as("nt"),
         TextAnalysis.qualityScore(col("text")).as("q"),
