@@ -591,6 +591,15 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
+    "q87_random_projection" -> ((s, dir) =>
+      // JL dimensionality reduction 64 -> 8: deterministic plane matrix
+      // derived arithmetically (no randomness to ship), narrow codegen
+      // math; components exploded to rows for the value-level compare
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.functions.ArrayMath.randomProject(col("embedding"), 8, 64)))
+        .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("comp"))
+        .orderBy("vec_id", "j")),
     "q86_triangles" -> ((s, dir) => {
       // cohesion of the near-dup graph: a triangle means three documents
       // pairwise-similar (a real clique-shaped cluster, not a chain that
@@ -1446,6 +1455,17 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
+      "q87_random_projection" ->
+        // randomProject replayed: the plane coefficient recomputed from its
+        // indices ((j*dim + d + 1) * 2654435761 mod p scaled to [-1, 1)),
+        // the projection as the same sequential-fold dot product
+        """WITH c AS (SELECT j.j, list_transform(range(0, 64), d ->
+          |       CAST(((j.j * 64 + d + 1) * 2654435761) % 2147483647 AS DOUBLE)
+          |         / 1073741823.5e0 - 1.0e0) AS coefs
+          |       FROM (SELECT unnest(range(0, 8)) AS j) j),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+          |SELECT vec_id, j, round(list_dot_product(emb, coefs), 6) AS comp
+          |FROM e CROSS JOIN c ORDER BY vec_id, j""".stripMargin,
       "q86_triangles" ->
         // trianglesPerNode replayed over the q31 pair pipeline: canonical
         // undirected edges, degree ranks, low->high orientation, apex

@@ -32,4 +32,31 @@ object ArrayMath {
     * similarity operators so rankings are stable across engines despite
     * last-ulp libm differences. */
   def cosineKey(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project a `dim`-dimensional embedding onto `outDim` deterministic
+    * pseudo-random hyperplanes — pairwise distances are preserved within
+    * (1 ± ε) at outDim = O(ln n / ε²), independent of the input dimension.
+    * The preprocessing step that makes every downstream vector operator
+    * (ANN, near-dup, clustering) cheaper at 100 TB: 64 → 8 dims is an 8x
+    * cut in vector bytes, dot-product cost, and broadcast size.
+    *
+    * The projection matrix is [[graft.functions.PortableHashes.planeComponent]]
+    * — derived arithmetically, no driver-side randomness to generate, ship,
+    * or version; any executor (and the SQL oracle) reproduces coefficient
+    * (j, d) from its indices. The trade: multiplicative-hash coefficients
+    * at adjacent indices are correlated, so the strict iid-JL variance
+    * constants hold only approximately (pinned at order-of-magnitude in
+    * VectorExprSpec); callers needing sharp ε bounds swap in a stored
+    * random matrix at the same plan shape. Components round to 6 decimals
+    * so the fold stays bit-portable. Narrow per-row math: no shuffle,
+    * codegen'd. */
+  def randomProject(emb: Column, outDim: Int, dim: Int): Column = {
+    val v = emb.cast("array<double>")
+    array((0 until outDim).map { j =>
+      round((0 until dim).map(d =>
+        element_at(v, d + 1) * lit(graft.functions.PortableHashes.planeComponent(j, d, dim)))
+        .reduce(_ + _), 6)
+    }: _*)
+  }
 }

@@ -73,4 +73,37 @@ class VectorExprSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(d == 3.0)
   }
+
+  test("random projection: hand-computed fold, JL norm scaling, determinism") {
+    import spark.implicits._
+    import graft.functions.{ArrayMath, PortableHashes}
+    val dim = 16; val out = 4
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, (0 until dim).map(d => math.cos(i * 13 + d * 5)).toArray))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = df.select($"vec_id",
+        ArrayMath.randomProject($"embedding", out, dim).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // component 0 of vector 0 replicated exactly (same fold, same rounding)
+    val expected = BigDecimal((0 until dim)
+      .map(d => vecs(0)._2(d) * PortableHashes.planeComponent(0, d, dim))
+      .foldLeft(0.0)(_ + _)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(proj(0L).head == expected)
+    // energy sanity: an ideal iid uniform[-1,1) matrix gives
+    // E[|proj|^2] = out/3 * |v|^2; the deterministic multiplicative-hash
+    // planes are CORRELATED across adjacent indices (the price of
+    // coordination-free reproducibility), so only an order-of-magnitude
+    // band holds for structured inputs — projections neither vanish nor
+    // blow up
+    val ratios = vecs.map { case (id, v) =>
+      val p2 = proj(id).map(x => x * x).sum
+      val v2 = v.map(x => x * x).sum
+      p2 / v2
+    }
+    val mean = ratios.sum / ratios.length
+    val ideal = out / 3.0
+    assert(mean > ideal / 4 && mean < ideal * 4,
+      s"mean |proj|^2/|v|^2 = $mean, ideal-matrix value ${ideal}")
+    assert(ratios.forall(r => !r.isNaN && !r.isInfinite))
+  }
 }
