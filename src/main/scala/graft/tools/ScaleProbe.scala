@@ -239,6 +239,16 @@ object ScaleProbe {
       RangeJoin.pointInInterval(ev, "t_us", iv, "start_us", "end_us", 3600000000L)
         .groupBy("interval_id").agg(count(lit(1))).count()
     }
+    time("triangles") {
+      // same growing random graph as the pagerank probe: ~1M·k directed
+      // edges over 100k·k nodes; wedge volume stays near-linear because the
+      // orientation bounds every out-degree
+      val nNodes = 100000L * k
+      val edges = events.select(
+        pmod(xxhash64(col("event_id"), lit(1)), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("event_id"), lit(2)), lit(nNodes)).as("dst"))
+      Graph.trianglesPerNode(edges).count()
+    }
     time("pagerank_5rounds") {
       // random graph growing WITH the amplification: ~1M·k edges over
       // 100k·k nodes (avg degree ~20 after symmetrize) — node AND edge
