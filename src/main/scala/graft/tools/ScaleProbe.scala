@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Audit, Bpe, Dedup, Enrich, Graph, LangModel, Packing, RangeJoin, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Audit, Bpe, Cdc, Dedup, Enrich, Graph, LangModel, Packing, RangeJoin, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.SpotSynth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -238,6 +238,18 @@ object ScaleProbe {
           (col("t_us") + (col("event_id") % 7 + 1) * lit(3600000000L)).as("end_us"))
       RangeJoin.pointInInterval(ev, "t_us", iv, "start_us", "end_us", 3600000000L)
         .groupBy("interval_id").agg(count(lit(1))).count()
+    }
+    time("bloom_build") {
+      // the sketch collapse: grid rows bounded by mBits/32 at any key count
+      Sketches.bloomBuild(docs.select(col("text")), "text", 4096, 4).count()
+    }
+    time("cdc_compact") {
+      // user key space stays FIXED (5k users) while the changelog grows
+      // k-fold: the map-side latest-wins combine is what the exchange sees
+      Cdc.applyChangelog(
+        events.select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "d").otherwise("u").as("op")),
+        Seq("user_id"), Seq("ts", "event_id"), "op").count()
     }
     time("triangles") {
       // same growing random graph as the pagerank probe: ~1M·k directed
