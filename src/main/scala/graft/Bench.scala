@@ -118,23 +118,27 @@ object Bench {
       }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    // The driver captures only a bounded TAIL of stdout and parses the final
-    // JSON line out of it. BENCH_r06 came back "parsed": null because the
-    // per-run arrays pushed that single line past the capture window and its
-    // head was truncated. So: per-run detail (contamination visibility) goes
-    // on an EARLIER line + a detail file, and the LAST line stays compact —
-    // headline total + per-query mins only.
+    // The driver captures only a bounded TAIL (~2 KB) of stdout and parses
+    // the final JSON line out of it. BENCH_r06 AND r07 came back
+    // "parsed": null because per-query content pushed that single line past
+    // the capture window and its head was clipped. So the LAST line is now
+    // O(100) bytes — total + sf + counts + a pointer — and EVERYTHING
+    // per-query (mins, per-run arrays, bench-only twins) lives on earlier
+    // stdout lines and in bench_out.json / bench_out_detail.json.
     val detail =
-      s"""{"metric":"detail","runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"bench_only":$extraJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
     println(detail)
     println(line)
-    // Also write both lines to files: sbt wraps stdout in [info] prefixes,
-    // so a driver parsing the raw line needs a clean artifact.
+    // The file artifact has no size constraint, so it keeps the full
+    // headline (total + per-query mins) for local round-over-round diffs;
+    // only the stdout tail needed the compact form.
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"bench_only":$extraJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -48,7 +48,9 @@ import org.apache.spark.sql.functions._
   * reachable as a dst must also appear as a src (a symmetrized/undirected
   * graph satisfies this; see [[symmetrize]]). Dangling dst nodes would
   * leak rank mass and, worse for determinism, drop out of the next round's
-  * join. Self-loops are legal.
+  * join. The converse is NOT required: source-only nodes (zero in-edges)
+  * are legal on a directed graph — they keep their teleport mass and keep
+  * contributing to their out-neighbors every round. Self-loops are legal.
   */
 object Graph {
 
@@ -186,10 +188,14 @@ object Graph {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(e("dst").as("node"), expr("ru div deg").as("c"))
       val sums = contrib.groupBy("node").agg(sum(col("c")).as("sc"))
-      // every node has an in-edge under the dangling-free contract, so the
-      // join on deg is complete — no node silently loses its rank row
-      sums.join(deg, "node").select(col("node"), col("deg"), col("tele"),
-        (lit(baseU) * col("tele") + expr(s"($dPct * sc) div 100")).as("ru"))
+      // the dangling-free contract guarantees every dst appears as a src,
+      // but NOT the converse: a source-only node (zero in-edges) has no row
+      // in sums. Left-join from the (node-complete, checkpointed) degree
+      // table so such a node keeps its rank row — teleport mass plus zero
+      // gathered mass — instead of silently vanishing from later rounds.
+      deg.join(sums, Seq("node"), "left").select(col("node"), col("deg"), col("tele"),
+        (lit(baseU) * col("tele") +
+          expr(s"($dPct * coalesce(sc, 0L)) div 100")).as("ru"))
     }.select(col("node"), col("deg"),
       (col("ru").cast("double") / lit(Scale.toDouble)).as("rank"))
   }

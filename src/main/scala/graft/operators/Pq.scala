@@ -69,11 +69,21 @@ object Pq {
         slice(col("emb"), s * dsub + 1, dsub).as("center"))): _*)).as("sc"))
       .select(col("sc.sub").as("sub"), col("cid"), col("sc.center").as("center"))
     (0 until iters).foldLeft(seedBooks) { (books, _) =>
-      assignCodes(corpus, books, m, dim)
+      val updated = assignCodes(corpus, books, m, dim)
         .join(subVectors(corpus, m, dim), Seq("vec_id", "sub"))
         .groupBy(col("sub"), col("code").as("cid"))
         .agg(array((0 until dsub).map(i =>
           avg(element_at(col("subvec"), i + 1))): _*).as("center"))
+      // Keep the codebook FULL at m·ksub rows: a centroid that captured no
+      // vectors this step has no row in `updated` and would silently
+      // vanish — left-join the update onto the previous book so an empty
+      // cluster keeps its old center (standard Lloyd empty-cluster
+      // handling; dropping it quietly degrades compression/recall on
+      // skewed data or higher iters).
+      books.select(col("sub"), col("cid"), col("center").as("prev_center"))
+        .join(updated, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("center"), col("prev_center")).as("center"))
     }
   }
 

@@ -201,21 +201,33 @@ object Sketches {
   /** Membership probe of `candidates(keyCol)` against a [[bloomBuild]]
     * grid: bloom_hit = every one of the key's k bits is set. LEFT join —
     * a bucket word absent from the (sparse) grid means those bits are 0,
-    * which must read as a miss, not a dropped row. */
+    * which must read as a miss, not a dropped row. One output row per
+    * INPUT row: duplicate candidate rows each keep their own result (a
+    * surrogate row id guards the post-explode reassembly, so the groupBy
+    * cannot collapse them). Columns `__bloom_*` are reserved — the input
+    * must not contain them (required, same convention as RangeJoin's
+    * `__bucket` reservation). */
   def bloomContains(sketch: DataFrame, candidates: DataFrame, keyCol: String,
       mBits: Int = 4096, k: Int = 4): DataFrame = {
+    val reserved = candidates.columns.filter(_.startsWith("__bloom_"))
+    require(reserved.isEmpty,
+      s"candidates must not contain reserved __bloom_* columns: ${reserved.mkString(",")}")
     val pos = PortableHashes.minhashGramHashes(col(keyCol), k)
       .map(_ % lit(mBits.toLong))
+    val grid = broadcast(sketch.select(
+      col("word").as("__bloom_word"), col("bits").as("__bloom_bits")))
     candidates
-      .withColumn("pos", explode(array(pos: _*)))
-      .withColumn("word", expr("pos div 32"))
-      .join(broadcast(sketch), Seq("word"), "left")
-      .withColumn("set", when(
-        coalesce(col("bits"), lit(0L))
-          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")) =!= 0L,
+      .withColumn("__bloom_rid", monotonically_increasing_id())
+      .withColumn("__bloom_pos", explode(array(pos: _*)))
+      .withColumn("__bloom_word", expr("__bloom_pos div 32"))
+      .join(grid, Seq("__bloom_word"), "left")
+      .withColumn("__bloom_set", when(
+        coalesce(col("__bloom_bits"), lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(__bloom_pos % 32 AS INT))")) =!= 0L,
         lit(1L)).otherwise(lit(0L)))
-      .groupBy(candidates.columns.map(col): _*)
-      .agg((min(col("set")) === 1L).as("bloom_hit"))
+      .groupBy(col("__bloom_rid") +: candidates.columns.map(col): _*)
+      .agg((min(col("__bloom_set")) === 1L).as("bloom_hit"))
+      .drop("__bloom_rid")
   }
 
   /** Corpus-overlap matrix: estimated Jaccard similarity between the

@@ -65,7 +65,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(WidthConf, "0").toLong
+    // A malformed width must degrade to rule-off, not throw inside the
+    // optimizer (which would fail EVERY query in the session).
+    val raw = conf.getConfString(WidthConf, "0")
+    val w = scala.util.Try(raw.trim.toLong).getOrElse {
+      logWarning(s"$WidthConf='$raw' is not a long; range-join rewrite disabled")
+      0L
+    }
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>

@@ -117,6 +117,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.trianglesPerNode(star).count() == 0)
   }
 
+  test("directed graph: source-only nodes keep teleporting instead of vanishing") {
+    // node 3 has out-edges but ZERO in-edges (it appears as a src only).
+    // The dangling-free contract (every dst appears as a src) is satisfied:
+    // dst set = {1,2}, both are srcs. A source-only node gathers nothing,
+    // so after round 1 its rank must be exactly the teleport share
+    // (1-d)/N — not a silently dropped row.
+    val e = Seq((3L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rows = Graph.pageRank(e, iters = 5, damping = 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"node 3 must survive: $rows")
+    assert(math.abs(rows(3L) - 0.05) < 1e-9, s"teleport-only rank: ${rows(3L)}")
+    // and it still feeds node 1 every round, so total mass stays ~1
+    val mass = rows.values.sum
+    assert(mass <= 1.0 + 1e-12 && mass > 1.0 - 1e-9, s"mass=$mass")
+    assert(rows(1L) > rows(2L), "node 1 has two in-edges, node 2 one")
+  }
+
   test("damping outside (0,1) hundredths is rejected") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, 1, damping = 1.0))

@@ -34,7 +34,25 @@ class PqSpec extends SparkSpec {
       val mm = codes.agg(min("code"), max("code")).head()
       assert(mm.getLong(0) >= 1 && mm.getLong(1) <= 8)
       val books = spark.read.parquet(s"$p/codebooks")
-      assert(books.count() <= 4L * 8)
+      assert(books.count() == 4L * 8) // full book: empty clusters kept
+    }
+  }
+
+  test("Lloyd update keeps empty clusters: codebook stays at m*ksub rows") {
+    // every vector identical => after assignment ALL mass lands on one
+    // centroid per subspace (tie-break cid asc); the other ksub-1 clusters
+    // capture nothing and must keep their previous centers instead of
+    // vanishing from the book
+    val flat = (0 until 12).map { i =>
+      (i.toLong, Array.fill(8)(1.0f))
+    }.toDF("vec_id", "embedding")
+    val books = Pq.pqCodebooks(flat, m = 2, ksub = 4, dim = 8, iters = 2)
+    assert(books.count() == 2L * 4, "empty clusters must not shrink the book")
+    assert(books.filter(col("center").isNull).count() == 0)
+    // the captured cluster's center is the (identical) data point
+    val winner = books.filter(col("cid") === 1L).collect()
+    winner.foreach { r =>
+      r.getSeq[Double](2).foreach(v => assert(math.abs(v - 1.0) < 1e-12))
     }
   }
 

@@ -126,6 +126,23 @@ class SketchesSpec extends SparkSpec {
     assert(fps == 0, s"$fps unexpected false positives")
   }
 
+  test("bloom probe: duplicate candidate rows each keep their own output row") {
+    val members = (0 until 20).map(i => s"key-$i").toDF("key")
+    val grid = Sketches.bloomBuild(members, "key")
+    // 3 copies of a member, 2 of a non-member: one result row PER INPUT ROW
+    val cands = (Seq.fill(3)("key-7") ++ Seq.fill(2)("nope")).toDF("key")
+    val out = Sketches.bloomContains(grid, cands, "key")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(out.length == 5, s"duplicates must not collapse: ${out.toSeq}")
+    assert(out.count(_ == ("key-7", true)) == 3)
+    assert(out.count(_ == ("nope", false)) == 2)
+    // reserved internal names are required absent, loudly
+    intercept[IllegalArgumentException] {
+      Sketches.bloomContains(grid, cands.withColumnRenamed("key", "__bloom_pos"),
+        "__bloom_pos")
+    }
+  }
+
   test("bloom grids merge by bit_or (build per batch, OR the words)") {
     val a = (0 until 30).map(i => s"a-$i").toDF("key")
     val b = (0 until 30).map(i => s"b-$i").toDF("key")
