@@ -238,4 +238,20 @@ object OracleSql {
        |                   / 1073741823.5e0 - 1.0e0))),
        |    (acc, x) -> acc + x) >= 0
        |  THEN CAST(1 << p AS BIGINT) ELSE 0 END))""".stripMargin
+
+  /** Mirrors PortableHashes.lshBandBucket: band `bandExpr`'s sign-signature
+    * bucket over the plane slice [band*planesPerBand, (band+1)*planesPerBand).
+    * `bandExpr` is a SQL expression (typically a column), so one SQL body
+    * serves every band row of an unnested band list. Band 0 reproduces
+    * [[lshBucketSql]] exactly. */
+  def lshBandBucketSql(emb: String, bandExpr: String, planesPerBand: Int = 8,
+      dim: Int = 64): String =
+    s"""list_sum(list_transform(generate_series(0, ${planesPerBand - 1}), p ->
+       |  CASE WHEN list_reduce(list_prepend(0.0e0,
+       |    list_transform(generate_series(0, ${dim - 1}), d ->
+       |      $emb[d+1] * (CAST(((($bandExpr*$planesPerBand + p)*$dim + d + 1) * 2654435761)
+       |                        % 2147483647 AS DOUBLE)
+       |                   / 1073741823.5e0 - 1.0e0))),
+       |    (acc, x) -> acc + x) >= 0
+       |  THEN CAST(1 << p AS BIGINT) ELSE 0 END))""".stripMargin
 }

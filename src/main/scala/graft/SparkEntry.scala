@@ -591,21 +591,14 @@ object SparkEntry {
       // count alongside; the register exchange carries <= 64 rows per
       // group at any corpus size (and registers merge across batches)
       Sketches.hllDistinct(tp(s, dir, "documents")).orderBy("source")),
-    "q88_knn_graph" -> ((s, dir) => {
+    "q88_knn_graph" -> ((s, dir) =>
       // kNN-graph construction (the structure semantic clustering and
-      // graph-based dedup build on): each vector's top-3 same-bucket
-      // neighbors — bucket-local candidates, per-node ranking
-      val b = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-        PortableHashes.lshBucket(col("embedding"), 8, 64).as("bucket"))
-      val pairs = b.alias("a").join(b.alias("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          graft.functions.ArrayMath.cosineKey(col("a.embedding"), col("b.embedding")).as("cos"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
-      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .select(col("a_id"), col("b_id"), col("cos"), col("rank").cast("long"))
-        .orderBy("a_id", "rank")
-    }),
+      // graph-based dedup build on): each vector's top-3 neighbors among
+      // candidates that share ANY of 4 independent 8-plane LSH bands —
+      // band-local equi-join candidates, pair dedup, per-node ranking
+      Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, bands = 4,
+          planesPerBand = 8, dim = 64)
+        .orderBy("a_id", "rank")),
     "q87_random_projection" -> ((s, dir) =>
       // JL dimensionality reduction 64 -> 8: deterministic plane matrix
       // derived arithmetically (no randomness to ship), narrow codegen
@@ -1470,16 +1463,22 @@ object SparkEntry {
            |  exact_distinct
            |FROM es JOIN ex USING (grp) ORDER BY source""".stripMargin
       },
-      "q88_knn_graph" -> // kNN graph off the portable buckets: same bucket
-        // join, rounded-cosine ranking, rank <= 3 per node
+      "q88_knn_graph" -> // Similarity.knnGraph replayed: 4 independent
+        // 8-plane band buckets per vector, band-local candidate join,
+        // (a_id, b_id) min-dedup, rounded-cosine ranking, rank <= 3
         s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-           |bk AS (SELECT vec_id, emb, ${lshBucketSql("emb")} AS bucket FROM v),
+           |bk AS (SELECT vec_id, emb, g.band,
+           |       ${lshBandBucketSql("emb", "g.band")} AS bucket
+           |       FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g),
            |scored AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |           ${cosineSql("a.emb", "b.emb")} AS cos
            |           FROM bk a JOIN bk b
-           |           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |           ON a.band = b.band AND a.bucket = b.bucket
+           |              AND a.vec_id <> b.vec_id),
+           |uniq AS (SELECT a_id, b_id, min(cos) AS cos FROM scored
+           |         GROUP BY 1, 2),
            |r AS (SELECT a_id, b_id, cos, row_number() OVER (
-           |      PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank FROM scored)
+           |      PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank FROM uniq)
            |SELECT a_id, b_id, cos, CAST(rank AS BIGINT) AS rank FROM r
            |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin,
       "q87_random_projection" ->

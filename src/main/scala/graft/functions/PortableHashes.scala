@@ -56,11 +56,21 @@ object PortableHashes {
     * semantics to Similarity.lshBucket with a SQL-expressible component hash.
     * Projections are static sums over element_at — fine for nPlanes*dim in
     * the hundreds; the xxhash64 codegen expression remains the scale path. */
-  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column = {
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column =
+    lshBandBucket(emb, 0, nPlanes, dim)
+
+  /** Band `band`'s sign-signature bucket: same plane family as [[lshBucket]]
+    * but over the DISTINCT plane slice `[band*planesPerBand,
+    * (band+1)*planesPerBand)`, so each band is an independent hash table and
+    * OR-ing candidates over bands recovers neighbors a single bucketing
+    * splits across a plane. Band 0 is bit-identical to
+    * `lshBucket(emb, planesPerBand, dim)`. */
+  def lshBandBucket(emb: Column, band: Int, planesPerBand: Int, dim: Int): Column = {
     val v = emb.cast("array<double>")
-    (0 until nPlanes).map { p =>
+    (0 until planesPerBand).map { p =>
       val proj = (0 until dim)
-        .map(d => element_at(v, d + 1) * lit(planeComponent(p, d, dim)))
+        .map(d => element_at(v, d + 1) *
+          lit(planeComponent(band * planesPerBand + p, d, dim)))
         .reduce(_ + _)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))

@@ -187,4 +187,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
   }
+
+  /** kNN-graph construction — the structure semantic clustering, graph-based
+    * dedup, and diversity sampling build on: every vector's top-`k`
+    * neighbors by exact cosine among banded hyperplane-LSH candidates.
+    * Output: (a_id, b_id, cos, rank), rank 1..k per a_id (fewer when a
+    * vector has fewer candidates).
+    *
+    * Banding is the recall lever: a single signature over `p` planes misses
+    * any true neighbor split by one of those planes, and the miss rate
+    * compounds with p. With `bands` independent plane families a pair is a
+    * candidate when it agrees on ALL planes of ANY band — collision
+    * probability 1-(1-s^p)^b for angular similarity s — so recall rises
+    * with b at linear (×b) candidate-generation cost. SimilaritySpec
+    * measures the actual recall-vs-brute-force gain of b=4 over b=1 on a
+    * clustered fixture.
+    *
+    * Scale shape: the corpus is exploded to `bands` signature rows, each
+    * band's candidates come from a (band, bucket) self-equi-join — hash
+    * join, skew-splittable by AQE, never all-pairs — and a pair sharing
+    * multiple bands is deduped by the (a_id, b_id) aggregate BEFORE ranking
+    * (cosine is deterministic, so min == any). The per-node ranking is one
+    * further shuffle on a_id, bounded by per-bucket candidate counts, and
+    * both embeddings ride the band join so no corpus re-join is needed.
+    *
+    * `bucketFn(emb, band)` overrides the per-band signature family
+    * (default: [[graft.functions.PortableHashes.lshBandBucket]], the
+    * SQL-mirrorable family the DuckDB oracle replays bit-for-bit; band 0 of
+    * that family equals the single-bucket form earlier rounds shipped). */
+  def knnGraph(emb: DataFrame, k: Int, bands: Int = 4, planesPerBand: Int = 8,
+      dim: Int = 64,
+      bucketFn: Option[(org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column] =
+        None): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1, "bands and planesPerBand must be >= 1")
+    val fn = bucketFn.getOrElse(
+      (e: org.apache.spark.sql.Column, g: Int) =>
+        graft.functions.PortableHashes.lshBandBucket(e, g, planesPerBand, dim))
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until bands).map(g => fn(col("embedding"), g)): _*))
+        .as(Seq("band", "bucket")))
+    val a = sig.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = sig.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val scored = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        ArrayMath.cosineKey(col("a_emb"), col("b_emb")).as("cos"))
+    // a pair colliding in several bands appears once per band; the rounded
+    // cosine is identical on every copy, so min() is pure dedup
+    val uniq = scored.groupBy("a_id", "b_id").agg(min(col("cos")).as("cos"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+    uniq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a_id"), col("b_id"), col("cos"), col("rank").cast("long"))
+  }
 }

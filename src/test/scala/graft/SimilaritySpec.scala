@@ -40,6 +40,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: banding raises recall vs brute force; pairs deduped; ranks valid") {
+    // ground truth: every vector's exact top-3 by the same rounded-cosine key
+    val truth = vecs.map { case (id, _) =>
+      id -> bruteTopK(id, 3).map(_._1).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // structural contract: one row per (a,b), consecutive ranks, exact cos
+      assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length,
+        "multi-band collisions must dedup to one edge")
+      rows.groupBy(_._1).foreach { case (a, es) =>
+        assert(es.sortBy(_._4).map(_._4).toSeq == (1L to es.length).toSeq)
+        es.foreach { case (ai, bi, c, _) =>
+          assert(c == r6(cos(vecs(ai.toInt)._2, vecs(bi.toInt)._2)))
+        }
+      }
+      val hit = rows.count { case (a, b, _, _) => truth(a).contains(b) }
+      (hit.toDouble / truth.values.map(_.size).sum, rows.length.toLong)
+    }
+    val (rec1, n1) = recallOf(
+      Similarity.knnGraph(emb, k = 3, bands = 1, planesPerBand = 8, dim = 8))
+    val (rec4, n4) = recallOf(
+      Similarity.knnGraph(emb, k = 3, bands = 4, planesPerBand = 8, dim = 8))
+    // each extra band can only ADD candidates => recall monotone in b
+    assert(rec4 >= rec1, s"b=4 recall $rec4 < b=1 recall $rec1")
+    assert(n4 >= n1, s"b=4 edges $n4 < b=1 edges $n1")
+    // on this fixture the gain is real, not a tie — pin it so a future
+    // hash-family change that quietly collapses the bands fails loudly
+    assert(rec4 > rec1, s"banding gained nothing: b1=$rec1 b4=$rec4")
+    assert(rec4 >= 0.5, s"b=4 recall $rec4 unexpectedly low")
+  }
+
   test("LSH top-k returns exact cosines, valid ranks, nonempty for self-bucket") {
     val got = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
