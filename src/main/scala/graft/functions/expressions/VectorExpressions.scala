@@ -174,6 +174,102 @@ case class HyperplaneSignature(child: Expression, nPlanes: Int)
     copy(child = newChild)
 }
 
+/** All `bands` portable hyperplane band buckets in ONE pass over the vector.
+  *
+  * Semantics identical to the static-sum HOF formulation
+  * [[graft.functions.PortableHashes.lshBandBucket]] evaluated for band
+  * g = 0..bands-1 (bit-identical: same flat plane index
+  * `(g*planesPerBand + p) * dim + d + 1`, same integer component hash, same
+  * left-to-right double accumulation per plane, dim = the array's length) —
+  * that form stays as the interpreted cross-check, but as a per-band Column
+  * expression it expands to bands x planesPerBand x dim `element_at` terms,
+  * each re-casting the float array, which is both too large for janino and
+  * quadratic-ish in allocation (measured: 4 ms/row at 4x8x64 — the q88
+  * signature stage alone took 15 s for 4,000 vectors). This loop touches
+  * each element once per plane, in-register, inside whole-stage codegen.
+  * Returns array<long> of length `bands` (the bucket per band); null input
+  * or null element yields null. */
+case class PortableBandSig(child: Expression, bands: Int, planesPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def nullable: Boolean = true
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case _ => DoubleType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"portable_band_sig requires array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val out = new Array[Long](bands)
+    var g = 0
+    while (g < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val plane = g.toLong * planesPerBand + p
+        var proj = 0.0
+        var d = 0
+        while (d < dim) {
+          if (a.isNullAt(d)) return null
+          val x = if (elemType == FloatType) a.getFloat(d).toDouble else a.getDouble(d)
+          proj += x * (((plane * dim + d + 1) * 2654435761L % 2147483647L)
+            / 1073741823.5 - 1.0)
+          d += 1
+        }
+        if (proj >= 0) sig |= 1L << p
+        p += 1
+      }
+      out(g) = sig
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out"); val g = ctx.freshName("g")
+      val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val sig = ctx.freshName("sig"); val proj = ctx.freshName("proj")
+      val plane = ctx.freshName("plane"); val dim = ctx.freshName("dim")
+      s"""
+         |int $dim = $a.numElements();
+         |long[] $out = new long[$bands];
+         |for (int $g = 0; $g < $bands && !${ev.isNull}; $g++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $planesPerBand && !${ev.isNull}; $p++) {
+         |    long $plane = ((long) $g) * $planesPerBand + $p;
+         |    double $proj = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }
+         |      $proj += ((double) $a.$acc($d)) *
+         |        ((double) (($plane * $dim + $d + 1) * 2654435761L % 2147483647L)
+         |          / 1073741823.5 - 1.0);
+         |    }
+         |    if ($proj >= 0) $sig |= 1L << $p;
+         |  }
+         |  $out[$g] = $sig;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column API + SQL registration for the vector expressions. */
 object VectorFunctions {
 
@@ -183,6 +279,10 @@ object VectorFunctions {
 
   def hyperplane_sig(emb: Column, nPlanes: Int): Column =
     ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(emb), nPlanes))
+
+  def portable_band_sig(emb: Column, bands: Int, planesPerBand: Int): Column =
+    ColumnBridge.column(
+      PortableBandSig(ColumnBridge.expression(emb), bands, planesPerBand))
 
   /** The SQL form's nPlanes must be a foldable integer (the plane count is a
     * plan-time constant baked into codegen); fail analysis with a clear
@@ -208,6 +308,10 @@ object VectorFunctions {
       "hyperplane_sig", exprs => HyperplaneSignature(exprs.head,
         VectorFunctions.nPlanesArg(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "portable_band_sig", exprs => PortableBandSig(exprs.head,
+        VectorFunctions.nPlanesArg(exprs(1)), VectorFunctions.nPlanesArg(exprs(2))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
   }
 }
@@ -225,6 +329,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
       (exprs: Seq[Expression]) => HyperplaneSignature(exprs.head,
         VectorFunctions.nPlanesArg(exprs(1)))))
+    e.injectFunction((
+      new FunctionIdentifier("portable_band_sig"),
+      new ExpressionInfo(classOf[PortableBandSig].getName, "portable_band_sig"),
+      (exprs: Seq[Expression]) => PortableBandSig(exprs.head,
+        VectorFunctions.nPlanesArg(exprs(1)), VectorFunctions.nPlanesArg(exprs(2)))))
     e.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

@@ -211,21 +211,25 @@ object Similarity {
     * further shuffle on a_id, bounded by per-bucket candidate counts, and
     * both embeddings ride the band join so no corpus re-join is needed.
     *
-    * `bucketFn(emb, band)` overrides the per-band signature family
-    * (default: [[graft.functions.PortableHashes.lshBandBucket]], the
-    * SQL-mirrorable family the DuckDB oracle replays bit-for-bit; band 0 of
-    * that family equals the single-bucket form earlier rounds shipped). */
+    * `bandSigs(emb)` overrides the signature family; it must return an
+    * array<long> of length `bands` (the bucket per band). Default:
+    * [[graft.functions.expressions.VectorFunctions.portable_band_sig]] —
+    * one codegen pass over the vector for ALL bands, bit-identical to the
+    * interpreted per-band form
+    * [[graft.functions.PortableHashes.lshBandBucket]] the DuckDB oracle
+    * replays (band 0 of that family equals the single-bucket form earlier
+    * rounds shipped; the per-band Column expansion was measured at 4 ms/row
+    * — see PortableBandSig's scaladoc — which is why the default is the
+    * native expression). */
   def knnGraph(emb: DataFrame, k: Int, bands: Int = 4, planesPerBand: Int = 8,
       dim: Int = 64,
-      bucketFn: Option[(org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column] =
+      bandSigs: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
         None): DataFrame = {
     require(bands >= 1 && planesPerBand >= 1, "bands and planesPerBand must be >= 1")
-    val fn = bucketFn.getOrElse(
-      (e: org.apache.spark.sql.Column, g: Int) =>
-        graft.functions.PortableHashes.lshBandBucket(e, g, planesPerBand, dim))
+    val fn = bandSigs.getOrElse((e: org.apache.spark.sql.Column) =>
+      graft.functions.expressions.VectorFunctions.portable_band_sig(e, bands, planesPerBand))
     val sig = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until bands).map(g => fn(col("embedding"), g)): _*))
-        .as(Seq("band", "bucket")))
+      posexplode(fn(col("embedding"))).as(Seq("band", "bucket")))
     val a = sig.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"))
     val b = sig.select(col("band"), col("bucket"), col("vec_id").as("b_id"),

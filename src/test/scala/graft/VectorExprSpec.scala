@@ -67,6 +67,30 @@ class VectorExprSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).distinct.length > 10)
   }
 
+  test("native portable_band_sig == interpreted per-band lshBandBucket, all rows") {
+    import graft.functions.PortableHashes
+    val df = data.toDF("id", "a", "b")
+      .withColumn("native", VectorFunctions.portable_band_sig(col("a"), 4, 8))
+      .withColumn("hof", array((0 until 4).map(g =>
+        PortableHashes.lshBandBucket(col("a"), g, 8, 64)): _*))
+    val rows = df.select("id", "native", "hof").collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"row ${r.getLong(0)}")
+    }
+    // band 0 equals the pre-banding single-bucket family exactly
+    val b0 = df.withColumn("b0", PortableHashes.lshBucket(col("a"), 8, 64))
+      .select(element_at(col("native"), 1), col("b0")).collect()
+    b0.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // bands are independent hash tables, not copies of each other
+    val native = rows.map(_.getSeq[Long](1))
+    assert(native.exists(s => s.distinct.length > 1))
+    // null element -> null signature array
+    val withNull = Seq((1L, Array[java.lang.Float](1.0f, null))).toDF("id", "a")
+      .withColumn("s", VectorFunctions.portable_band_sig(col("a"), 2, 4))
+    assert(withNull.select("s").collect().head.isNullAt(0))
+  }
+
   test("SQL registration via extensions-style registry works") {
     VectorFunctions.register(spark)
     val d = spark.sql("SELECT vec_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) d")
