@@ -599,6 +599,55 @@ object SparkEntry {
       Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, bands = 4,
           planesPerBand = 8, dim = 64)
         .orderBy("a_id", "rank")),
+    "q89_pipeline" -> ((s, dir) => {
+      // the composed flagship: curation gates -> exact + MinHash dedup
+      // keep-rules -> decontamination -> mixture sample -> chunk -> pack,
+      // every stage the already-oracled operator, chained as ONE lazy plan
+      // (no materialization between stages; PlanSpec pins the shuffle set)
+      val docs = tp(s, dir, "documents")
+      // 1. q48's curation gates: quality + n-gram repetition
+      val stats = TextAnalysis.docStats(docs).select(col("doc_id"), col("quality"))
+      val rep = TextAnalysis.repetitionStats(docs, 3)
+        .select(col("doc_id"), col("ngram_repetition"))
+      val gated = docs.join(stats, "doc_id").join(rep, "doc_id")
+        .filter(col("quality") >= 0.55 && col("ngram_repetition") < 0.05)
+        .select(col("doc_id"), col("source"), col("text"))
+      // 2. q30's exact keep-rule: min doc_id per 5-token-prefix key survives
+      val key = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+      val exKeep = Dedup.exactGroups(gated, key)
+        .select(col("dup_key"), col("keep_id").as("doc_id"))
+      val surv1 = gated.withColumn("dup_key", key)
+        .join(exKeep, Seq("dup_key", "doc_id"), "left_semi")
+      // 3. q32's MinHash-LSH keep-rule: the later doc of every verified
+      // >=0.35-jaccard pair is dropped
+      val mPairs = Dedup.minhashLshPairs(surv1,
+        gramHashes = PortableHashes.minhashGramHashes,
+        bandBucket = PortableHashes.minhashBandBucket)
+      val surv2 = surv1.join(mPairs.select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      // 4. q54's decontamination: survivors sharing any distinct 5-gram
+      // with the held-out eval shard (raw doc_id % 10 == 0) are dropped
+      val train = surv2.filter(col("doc_id") % 10 =!= 0)
+      val contaminated = Dedup.contaminatedBy(
+        train, docs.filter(col("doc_id") % 10 === 0), 5).select("doc_id")
+      val surv3 = train.join(contaminated, Seq("doc_id"), "left_anti")
+      // 5. q59's mixture spec over the clean pool
+      val sampled = Sampling.mixtureSample(surv3, "source", "doc_id",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1), 40L)
+      val sampDocs = surv3.join(sampled.select("doc_id"), Seq("doc_id"), "left_semi")
+      // 6. q61's 64/48 chunking; 7. q56's greedy packing into 512-token
+      // bins per source — seq key = doc_id*1000 + chunk_id keeps the fold
+      // in (doc, chunk) order (chunk_id < 1000 by the single-doc contract)
+      val chunks = TextAnalysis.chunkTokens(sampDocs, 64, 48)
+      val seq = chunks.join(sampDocs.select("doc_id", "source"), "doc_id")
+        .select(col("source").as("pack_group"),
+          (col("doc_id") * 1000 + col("chunk_id")).as("seq_id"),
+          col("n_tokens"))
+      Packing.packGreedy(seq, "pack_group", "seq_id", "n_tokens", 512)
+        .select(col("pack_group"), expr("seq_id div 1000").as("doc_id"),
+          (col("seq_id") % 1000).as("chunk_id"), col("n_tokens"), col("bin_id"))
+        .orderBy("pack_group", "doc_id", "chunk_id")
+    }),
     "q87_random_projection" -> ((s, dir) =>
       // JL dimensionality reduction 64 -> 8: deterministic plane matrix
       // derived arithmetically (no randomness to ship), narrow codegen
@@ -1481,6 +1530,92 @@ object SparkEntry {
            |      PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank FROM uniq)
            |SELECT a_id, b_id, cos, CAST(rank AS BIGINT) AS rank FROM r
            |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin,
+      "q89_pipeline" -> { // the composed pipeline, every stage its own
+        // oracle's fragment chained through CTEs: q48 gates -> q30 exact
+        // keep -> q32 MinHash keep (portable family) -> q54 decontaminate
+        // -> q59 mixture -> q61 chunk -> q56 pack recursion
+        val u = graft.operators.Sampling.unitHashSql("doc_id", salt = 0)
+        s"""WITH RECURSIVE
+           |rep AS (SELECT doc_id,
+           |        CASE WHEN len(grams) > 0
+           |             THEN round(1.0e0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+           |             ELSE 0.0e0 END AS r
+           |        FROM (SELECT doc_id, ${grams3All("text")} AS grams FROM documents)),
+           |gated AS (SELECT doc_id, source, text FROM documents
+           |          WHERE $qualitySql >= 0.55e0
+           |            AND doc_id IN (SELECT doc_id FROM rep WHERE r < 0.05e0)),
+           |ex AS (SELECT doc_id, source, text,
+           |       array_to_string((string_split(text, ' '))[1:5], ' ') AS dup_key
+           |       FROM gated),
+           |exkeep AS (SELECT dup_key, min(doc_id) AS keep_id FROM ex GROUP BY 1),
+           |surv1 AS (SELECT e.doc_id, e.source, e.text FROM ex e
+           |          JOIN exkeep k ON e.dup_key = k.dup_key AND e.doc_id = k.keep_id),
+           |g AS (SELECT doc_id, unnest(${grams3("text")}) AS gram FROM surv1),
+           |gh AS (SELECT doc_id, gram, ${polyHashSql("gram")} AS ph FROM g),
+           |sigs AS (SELECT doc_id, r.i AS i,
+           |         min((ph * (2*r.i + 3) + r.i) % 2147483647) AS s
+           |         FROM gh CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+           |bands AS (SELECT doc_id, i // 4 AS band,
+           |          list_reduce(list_prepend(CAST(0 AS BIGINT), list(s ORDER BY i)),
+           |                      (acc, x) -> (acc * 131 + x) % 2147483647) AS bucket
+           |          FROM sigs GROUP BY doc_id, i // 4),
+           |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |         FROM bands x JOIN bands y
+           |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+           |cm AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS common
+           |       FROM cand c JOIN g ga ON ga.doc_id = c.a_id
+           |       JOIN g gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+           |       GROUP BY 1, 2),
+           |mdrop AS (SELECT DISTINCT cm.b_id FROM cm
+           |          JOIN sizes sa ON sa.doc_id = cm.a_id
+           |          JOIN sizes sb ON sb.doc_id = cm.b_id
+           |          WHERE CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) >= 0.35e0),
+           |surv2 AS (SELECT * FROM surv1 WHERE doc_id NOT IN (SELECT b_id FROM mdrop)),
+           |tg AS (SELECT doc_id, unnest(${gramsN("text", 5)}) AS gram
+           |       FROM surv2 WHERE doc_id % 10 <> 0),
+           |eg AS (SELECT DISTINCT gram FROM (
+           |        SELECT unnest(${gramsN("text", 5)}) AS gram
+           |        FROM documents WHERE doc_id % 10 = 0)),
+           |cont AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (gram)),
+           |surv3 AS (SELECT * FROM surv2
+           |          WHERE doc_id % 10 <> 0
+           |            AND doc_id NOT IN (SELECT doc_id FROM cont)),
+           |h AS (SELECT source, doc_id, $u AS u FROM surv3
+           |      WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+           |rr AS (SELECT source, doc_id, row_number() OVER (
+           |        PARTITION BY source ORDER BY u, doc_id) AS rank FROM h),
+           |samp AS (SELECT doc_id FROM rr
+           |         WHERE rank <= CASE source WHEN 'src0' THEN 16 WHEN 'src1' THEN 12
+           |                                   WHEN 'src2' THEN 8 WHEN 'src3' THEN 4
+           |                                   ELSE 0 END),
+           |sd AS (SELECT s3.doc_id, s3.source, s3.text
+           |       FROM surv3 s3 JOIN samp USING (doc_id)),
+           |ch AS (SELECT doc_id, source, CAST(r.cid AS BIGINT) AS chunk_id,
+           |              CAST(r.n AS BIGINT) AS n_tokens
+           |       FROM (SELECT doc_id, source,
+           |               unnest([struct_pack(cid := i // 48,
+           |                                   n := len(toks[i+1:i+64]))
+           |                       for i in range(0, len(toks), 48)]) AS r
+           |             FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+           |                   FROM sd))),
+           |d AS (SELECT source AS pack_group,
+           |             doc_id * 1000 + chunk_id AS seq_id, n_tokens,
+           |             row_number() OVER (PARTITION BY source
+           |               ORDER BY doc_id * 1000 + chunk_id) AS rn
+           |      FROM ch),
+           |pack(pack_group, seq_id, n_tokens, rn, bin_id, used) AS (
+           |  SELECT pack_group, seq_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.pack_group, d.seq_id, d.n_tokens, d.rn,
+           |         CASE WHEN p.used + d.n_tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+           |         CASE WHEN p.used + d.n_tokens > 512 THEN d.n_tokens ELSE p.used + d.n_tokens END
+           |  FROM d JOIN pack p ON d.pack_group = p.pack_group AND d.rn = p.rn + 1)
+           |SELECT pack_group, seq_id // 1000 AS doc_id, seq_id % 1000 AS chunk_id,
+           |       n_tokens, bin_id
+           |FROM pack ORDER BY pack_group, doc_id, chunk_id""".stripMargin
+      },
       "q87_random_projection" ->
         // randomProject replayed: the plane coefficient recomputed from its
         // indices ((j*dim + d + 1) * 2654435761 mod p scaled to [-1, 1)),
@@ -1621,8 +1756,11 @@ object SparkEntry {
            |FROM a JOIN lt ON a.source = lt.source ORDER BY a.source""".stripMargin
       },
       "q81_sim_topk_ivfpq" -> {
-        // q42's probe-selection mirror composed with q74's ADC mirror, both
-        // off the SAME materialized centroid/codebook/code parquet
+        // q42's probe-selection mirror composed with q74's ADC mirror over
+        // the RESIDUAL coding, all off the SAME materialized centroid/
+        // codebook/code parquet: x̂ = c_cell + r̂, so the score adds the
+        // (q, cell) dot and the (cell, sub, code) centroid×book cross
+        // terms; every double addition keeps the operator's association
         val p = sys.props.getOrElse("graft.ivfpq.path",
           ivfPqIndexPath("/root/testdata/sf0.01"))
         s"""WITH cent AS (SELECT cid, center::DOUBLE[] AS center
@@ -1633,8 +1771,10 @@ object SparkEntry {
            |          FROM read_parquet('$p/codes/*/*.parquet', hive_partitioning=1)),
            |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
            |      FROM embeddings WHERE vec_id < 5),
-           |probes AS (SELECT q_id, cell FROM (
+           |probes AS (SELECT q_id, cell, qcdot FROM (
            |    SELECT q.q_id, cent.cid AS cell,
+           |           CAST(round(list_dot_product(q.q_emb, cent.center), 12)
+           |                AS DECIMAL(38,12)) AS qcdot,
            |           row_number() OVER (PARTITION BY q.q_id
            |             ORDER BY ${cosineSql("q.q_emb", "cent.center")} DESC, cent.cid) AS pr
            |    FROM q CROSS JOIN cent) WHERE pr <= 4),
@@ -1645,15 +1785,29 @@ object SparkEntry {
            |  CAST(round(list_dot_product(center, center), 12)
            |       AS DECIMAL(38,12)) AS cpart
            |  FROM q CROSS JOIN books),
+           |cn AS (SELECT cid AS cell,
+           |       CAST(round(list_dot_product(center, center), 12)
+           |            AS DECIMAL(38,12)) AS cn2 FROM cent),
+           |xt AS (SELECT cent.cid AS cell, books.sub, books.code,
+           |       CAST(round(list_dot_product(
+           |              cent.center[CAST(books.sub*8+1 AS INTEGER):CAST(books.sub*8+8 AS INTEGER)],
+           |              books.center), 12) AS DECIMAL(38,12)) AS xterm
+           |       FROM cent CROSS JOIN books),
            |qn AS (SELECT q_id, sqrt(list_dot_product(q_emb, q_emb)) AS qnorm FROM q),
            |sc AS (SELECT pr.q_id, codes.vec_id,
-           |       sum(qpart) AS dots, sum(cpart) AS n2s
+           |       max(pr.qcdot) AS qcdot, max(cn.cn2) AS cn2,
+           |       sum(qpart) AS rdots, sum(cpart) AS rn2, sum(xterm) AS xsum
            |       FROM probes pr JOIN codes ON codes.cell = pr.cell
            |            JOIN part ON part.q_id = pr.q_id AND part.sub = codes.sub
            |                     AND part.code = codes.code
+           |            JOIN xt ON xt.cell = codes.cell AND xt.sub = codes.sub
+           |                   AND xt.code = codes.code
+           |            JOIN cn ON cn.cell = codes.cell
            |       GROUP BY 1, 2),
            |co AS (SELECT q_id, vec_id,
-           |       round(CAST(dots AS DOUBLE) / (qnorm * sqrt(CAST(n2s AS DOUBLE))), 6) AS cos_pq
+           |       round((CAST(qcdot AS DOUBLE) + CAST(rdots AS DOUBLE)) /
+           |             (qnorm * sqrt((CAST(cn2 AS DOUBLE) + 2.0e0 * CAST(xsum AS DOUBLE))
+           |                           + CAST(rn2 AS DOUBLE))), 6) AS cos_pq
            |       FROM sc JOIN qn USING (q_id) WHERE q_id <> vec_id),
            |r AS (SELECT q_id, vec_id, cos_pq,
            |      row_number() OVER (PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rank

@@ -152,28 +152,48 @@ object Pq {
 
   /** Materialize the composed IVF-PQ index: the production ANN layout
     * (IVF coarse cells for pruning × PQ codes for compression — the FAISS
-    * IVFPQ shape, minus residual encoding, documented below). At rest:
-    * centroids + codebooks (both KB-sized) and the CODES table partitioned
-    * BY CELL — a probe reads nprobe/nlist of the compressed corpus via
-    * directory-level partition pruning and never touches a raw vector.
-    * Codes here quantize the vectors directly rather than their cell
-    * residuals: residual encoding needs a per-cell decode step that buys
-    * accuracy at the same plan shape — the layout and query plan are
-    * identical, so it is a codebook-quality knob, not a scale one. */
+    * IVFPQ shape, Jégou TPAMI'11 §IV). At rest: centroids + codebooks
+    * (both KB-sized) and the CODES table partitioned BY CELL — a probe
+    * reads nprobe/nlist of the compressed corpus via directory-level
+    * partition pruning and never touches a raw vector.
+    *
+    * `residual = true` (default) quantizes each vector's CELL RESIDUAL
+    * x - c_cell(x) instead of x itself: residuals concentrate near the
+    * origin regardless of which cell a vector landed in, so the m·ksub
+    * codebook budget models the within-cell variation instead of
+    * re-modelling the cell layout — strictly better codebook utilization
+    * at the SAME plan shape (training, encode, and probe all keep their
+    * join/aggregate structure; the probe adds two broadcast-sized lookup
+    * terms). A `meta` table records the coding so the probe configures
+    * itself from the index — a residual index can never be silently scored
+    * as a raw one or vice versa. */
   def writeIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
-      m: Int = 8, ksub: Int = 16, dim: Int = 64): Unit = {
+      m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      residual: Boolean = true): Unit = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     Similarity.ivfCentroids(corpus, nlist, dim).write.mode("overwrite")
       .parquet(s"$path/centroids")
-    pqCodebooks(corpus, m, ksub, dim).write.mode("overwrite")
-      .parquet(s"$path/codebooks")
     // assign against the WRITTEN tables (the writeIvfIndex lesson)
     val cents = spark.read.parquet(s"$path/centroids")
+    val cells = Similarity.assignToCentroids(corpus, cents)
+    // the PQ training corpus: raw vectors, or their per-cell residuals
+    val pqCorpus =
+      if (!residual) corpus.select(col("vec_id"), col("embedding"))
+      else corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .join(cells, "vec_id")
+        .join(broadcast(cents.select(col("cid"), col("center"))), "cid")
+        .select(col("vec_id"),
+          zip_with(col("emb"), col("center"), (x, c) => x - c).as("embedding"))
+    pqCodebooks(pqCorpus, m, ksub, dim).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
     val books = spark.read.parquet(s"$path/codebooks")
-    Similarity.assignToCentroids(corpus, cents)
-      .join(assignCodes(corpus, books, m, dim), Seq("vec_id"))
+    cells.join(assignCodes(pqCorpus, books, m, dim), Seq("vec_id"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    Seq((residual, nlist.toLong, m.toLong, ksub.toLong, dim.toLong))
+      .toDF("residual", "nlist", "m", "ksub", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** IVF-PQ top-k: probe the `nprobe` nearest cells per query (the q42
@@ -182,10 +202,23 @@ object Pq {
     * PartitionFilters (hand-rolled dynamic partition pruning, like
     * ivfTopKIndexed), so query cost is nprobe/nlist of the COMPRESSED
     * corpus. Recall < 1 from both stages (cells + codes), by contract.
-    * Output: (q_id, vec_id, cos_pq, rank). */
+    *
+    * The coding is read from the index's `meta` table. For a residual index
+    * the reconstruction is x̂ = c_cell + r̂, so
+    * dot(q, x̂) = dot(q, c_cell) + Σs qpart and
+    * |x̂|² = |c_cell|² + 2·Σs dot(c_cell_s, book_s[code]) + Σs |book_s[code]|²
+    * — the two extra terms are a per-(query, cell) scalar carried on the
+    * probe rows and a per-(cell, sub, code) broadcast lookup (nlist·m·ksub
+    * rows of index metadata); the corpus-sized side still exchanges one
+    * (q_id, vec_id) group of decimals. Output: (q_id, vec_id, cos_pq, rank). */
   def ivfPqTopK(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, m: Int = 8, dim: Int = 64): DataFrame = {
     val dsub = dim / m
+    val meta = spark.read.parquet(s"$path/meta").head()
+    require(meta.getAs[Long]("m") == m && meta.getAs[Long]("dim") == dim,
+      s"index meta (m=${meta.getAs[Long]("m")}, dim=${meta.getAs[Long]("dim")}) " +
+        s"disagrees with caller (m=$m, dim=$dim)")
+    val residual = meta.getAs[Boolean]("residual")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -194,7 +227,9 @@ object Pq {
       .withColumn("pr", row_number().over(
         Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
       .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cid"))
+      .select(col("q_id"), col("q_emb"), col("cid"),
+        round(ArrayMath.dot(col("q_emb").cast("array<double>"), col("center")), 12)
+          .cast("decimal(38,12)").as("qcdot"))
     // one evaluation feeds both the pushed partition filter and the join side
     val probeRows = qProbes.collect()
     val probed = probeRows.map(_.getLong(2)).distinct.sorted
@@ -204,10 +239,47 @@ object Pq {
     val partials = adcPartials(qDistinct, books, dsub)
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cid").isin(probed: _*))
-    val joined = codes
-      .join(broadcast(qLocal.select("q_id", "cid")), Seq("cid"))
-      .join(broadcast(partials), Seq("q_id", "sub", "code"))
-    adcRank(joined, queryNorms(qDistinct).distinct(), k)
+    if (!residual) {
+      val joined = codes
+        .join(broadcast(qLocal.select("q_id", "cid")), Seq("cid"))
+        .join(broadcast(partials), Seq("q_id", "sub", "code"))
+      adcRank(joined, queryNorms(qDistinct).distinct(), k)
+    } else {
+      val cn = cents.select(col("cid"),
+        round(ArrayMath.dot(col("center"), col("center")), 12)
+          .cast("decimal(38,12)").as("cn2"))
+      val xt = cents.select(col("cid"), col("center"))
+        .crossJoin(books.select(col("sub"), col("cid").as("code"),
+          col("center").as("bc")))
+        .select(col("cid"), col("sub"), col("code"),
+          round(ArrayMath.dot(
+            slice(col("center"), col("sub").cast("int") * dsub + 1, lit(dsub)),
+            col("bc")), 12).cast("decimal(38,12)").as("xterm"))
+      val joined = codes
+        .join(broadcast(qLocal.select("q_id", "cid", "qcdot")), Seq("cid"))
+        .join(broadcast(partials), Seq("q_id", "sub", "code"))
+        .join(broadcast(xt), Seq("cid", "sub", "code"))
+        .join(broadcast(cn), Seq("cid"))
+      // qcdot/cn2 are constant within a (q_id, vec_id) group (one cell per
+      // vector); max() is pure carry. The double additions below keep ONE
+      // fixed association, mirrored verbatim by the oracle SQL.
+      val scored = joined
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(max(col("qcdot")).as("qcdot"), max(col("cn2")).as("cn2"),
+          sum(col("qpart")).as("rdots"), sum(col("cpart")).as("rn2"),
+          sum(col("xterm")).as("xsum"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .join(broadcast(queryNorms(qDistinct).distinct()), Seq("q_id"))
+        .withColumn("cos_pq", round(
+          (col("qcdot").cast("double") + col("rdots").cast("double")) /
+            (col("qnorm") * sqrt(
+              (col("cn2").cast("double") + lit(2.0) * col("xsum").cast("double"))
+                + col("rn2").cast("double"))), 6))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"), col("cos_pq"), col("rank").cast("long"))
+    }
   }
 
   /** ADC top-k over a materialized [[writePqIndex]] index: approximate

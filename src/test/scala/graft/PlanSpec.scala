@@ -119,6 +119,21 @@ class PlanSpec extends SparkSpec {
       s"cheap id conjunct must precede the dot product so it short-circuits:\n$joinLine")
   }
 
+  test("q89 composed pipeline: stages chain without a composition shuffle tax") {
+    val p = plan(SparkEntry.queries("q89_pipeline")(spark, dir))
+    // Every corpus-sized join the composition ADDS (keep-rule semis/antis,
+    // the chunk->source re-join) must ride the stages' existing hash
+    // partitioning or a broadcast — never a nested-loop or cartesian pair
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composition must stay equi-joined:\n$p")
+    // Shuffle budget = the stages' own exchanges (gates' aggregates, the
+    // MinHash pipeline, decontamination's count, mixture's top-k, packing's
+    // groups, the final sort). Pinned so a refactor that re-shuffles the
+    // corpus between stages fails here instead of at 100 TB.
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hash <= 24, s"composition added hash shuffles ($hash):\n$p")
+  }
+
   test("q46 vectorize-then-self-join: upstream evaluated once via exchange reuse") {
     val p = plan(SparkEntry.queries("q46_text_hash_neardup")(spark, dir))
     assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),

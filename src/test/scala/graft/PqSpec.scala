@@ -92,8 +92,10 @@ class PqSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-test")
     val dir2 = java.nio.file.Files.createTempDirectory("graft-pq-ref")
     try {
+      // residual = false: the raw-coded composition is exactly plain PQ
+      // once pruning is off; the residual coding is checked separately
       graft.operators.Pq.writeIvfPqIndex(corpus, dir.toString,
-        nlist = 4, m = 4, ksub = 8, dim = 16)
+        nlist = 4, m = 4, ksub = 8, dim = 16, residual = false)
       graft.operators.Pq.writePqIndex(corpus, dir2.toString, m = 4, ksub = 8, dim = 16)
       val q = corpus.filter(col("vec_id") < 6)
       val composed = graft.operators.Pq.ivfPqTopK(spark, dir.toString, q,
@@ -107,6 +109,50 @@ class PqSpec extends SparkSpec {
         x.delete(); ()
       }
       rm(dir.toFile); rm(dir2.toFile)
+    }
+  }
+
+  test("residual coding reconstructs better: ADC error and recall beat raw coding") {
+    val dirR = java.nio.file.Files.createTempDirectory("graft-ivfpq-res")
+    val dirW = java.nio.file.Files.createTempDirectory("graft-ivfpq-raw")
+    try {
+      // same lossy budget (ksub = 6 < 24 vectors), same cells; only the
+      // coding differs. All cells probed so candidate sets are identical
+      // and the comparison isolates reconstruction quality.
+      Pq.writeIvfPqIndex(corpus, dirR.toString, nlist = 4, m = 4, ksub = 6, dim = 16)
+      Pq.writeIvfPqIndex(corpus, dirW.toString, nlist = 4, m = 4, ksub = 6, dim = 16,
+        residual = false)
+      val q = corpus.filter(col("vec_id") < 8)
+      val exact = corpus.select(col("vec_id").as("q_id"), col("embedding").as("a"))
+        .crossJoin(corpus.select(col("vec_id"), col("embedding").as("b")))
+        .filter(col("q_id") =!= col("vec_id") && col("q_id") < 8)
+        .select(col("q_id"), col("vec_id"), ArrayMath.cosine(col("a"), col("b")).as("cos"))
+      def errAndRecall(path: String): (Double, Int) = {
+        val adc = Pq.ivfPqTopK(spark, path, q, k = 23, nprobe = 4, m = 4, dim = 16)
+        val errs = adc.join(exact, Seq("q_id", "vec_id"))
+          .select(abs(col("cos_pq") - col("cos"))).as[Double].collect()
+        val top1 = adc.filter(col("rank") === 1)
+          .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+        val bf1 = Similarity.bruteForceTopK(q, corpus, 1)
+          .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+        (errs.sum / errs.length,
+          bf1.count { case (qq, v) => top1.get(qq).contains(v) })
+      }
+      val (errRes, recRes) = errAndRecall(dirR.toString)
+      val (errRaw, recRaw) = errAndRecall(dirW.toString)
+      assert(errRes <= errRaw,
+        s"residual mean |cos_pq - cos| $errRes must not exceed raw $errRaw")
+      assert(recRes >= recRaw, s"residual top-1 recall $recRes < raw $recRaw")
+      // the meta table makes a parameter mismatch loud, not silently wrong
+      intercept[IllegalArgumentException] {
+        Pq.ivfPqTopK(spark, dirR.toString, q, k = 3, nprobe = 4, m = 8, dim = 16)
+      }
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dirR.toFile); rm(dirW.toFile)
     }
   }
 
