@@ -599,55 +599,13 @@ object SparkEntry {
       Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, bands = 4,
           planesPerBand = 8, dim = 64)
         .orderBy("a_id", "rank")),
-    "q89_pipeline" -> ((s, dir) => {
+    "q89_pipeline" -> ((s, dir) =>
       // the composed flagship: curation gates -> exact + MinHash dedup
       // keep-rules -> decontamination -> mixture sample -> chunk -> pack,
       // every stage the already-oracled operator, chained as ONE lazy plan
       // (no materialization between stages; PlanSpec pins the shuffle set)
-      val docs = tp(s, dir, "documents")
-      // 1. q48's curation gates: quality + n-gram repetition
-      val stats = TextAnalysis.docStats(docs).select(col("doc_id"), col("quality"))
-      val rep = TextAnalysis.repetitionStats(docs, 3)
-        .select(col("doc_id"), col("ngram_repetition"))
-      val gated = docs.join(stats, "doc_id").join(rep, "doc_id")
-        .filter(col("quality") >= 0.55 && col("ngram_repetition") < 0.05)
-        .select(col("doc_id"), col("source"), col("text"))
-      // 2. q30's exact keep-rule: min doc_id per 5-token-prefix key survives
-      val key = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
-      val exKeep = Dedup.exactGroups(gated, key)
-        .select(col("dup_key"), col("keep_id").as("doc_id"))
-      val surv1 = gated.withColumn("dup_key", key)
-        .join(exKeep, Seq("dup_key", "doc_id"), "left_semi")
-      // 3. q32's MinHash-LSH keep-rule: the later doc of every verified
-      // >=0.35-jaccard pair is dropped
-      val mPairs = Dedup.minhashLshPairs(surv1,
-        gramHashes = PortableHashes.minhashGramHashes,
-        bandBucket = PortableHashes.minhashBandBucket)
-      val surv2 = surv1.join(mPairs.select(col("b_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      // 4. q54's decontamination: survivors sharing any distinct 5-gram
-      // with the held-out eval shard (raw doc_id % 10 == 0) are dropped
-      val train = surv2.filter(col("doc_id") % 10 =!= 0)
-      val contaminated = Dedup.contaminatedBy(
-        train, docs.filter(col("doc_id") % 10 === 0), 5).select("doc_id")
-      val surv3 = train.join(contaminated, Seq("doc_id"), "left_anti")
-      // 5. q59's mixture spec over the clean pool
-      val sampled = Sampling.mixtureSample(surv3, "source", "doc_id",
-        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1), 40L)
-      val sampDocs = surv3.join(sampled.select("doc_id"), Seq("doc_id"), "left_semi")
-      // 6. q61's 64/48 chunking; 7. q56's greedy packing into 512-token
-      // bins per source — seq key = doc_id*1000 + chunk_id keeps the fold
-      // in (doc, chunk) order (chunk_id < 1000 by the single-doc contract)
-      val chunks = TextAnalysis.chunkTokens(sampDocs, 64, 48)
-      val seq = chunks.join(sampDocs.select("doc_id", "source"), "doc_id")
-        .select(col("source").as("pack_group"),
-          (col("doc_id") * 1000 + col("chunk_id")).as("seq_id"),
-          col("n_tokens"))
-      Packing.packGreedy(seq, "pack_group", "seq_id", "n_tokens", 512)
-        .select(col("pack_group"), expr("seq_id div 1000").as("doc_id"),
-          (col("seq_id") % 1000).as("chunk_id"), col("n_tokens"), col("bin_id"))
-        .orderBy("pack_group", "doc_id", "chunk_id")
-    }),
+      Pipeline.curateToPacks(tp(s, dir, "documents"))
+        .orderBy("pack_group", "doc_id", "chunk_id")),
     "q87_random_projection" -> ((s, dir) =>
       // JL dimensionality reduction 64 -> 8: deterministic plane matrix
       // derived arithmetically (no randomness to ship), narrow codegen

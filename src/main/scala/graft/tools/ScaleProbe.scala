@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Audit, Bpe, Cdc, Dedup, Enrich, Graph, LangModel, Packing, RangeJoin, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Audit, Bpe, Cdc, Dedup, Enrich, Graph, LangModel, Packing, Pipeline, RangeJoin, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.SpotSynth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -238,6 +238,19 @@ object ScaleProbe {
           (col("t_us") + (col("event_id") % 7 + 1) * lit(3600000000L)).as("end_us"))
       RangeJoin.pointInInterval(ev, "t_us", iv, "start_us", "end_us", 3600000000L)
         .groupBy("interval_id").agg(count(lit(1))).count()
+    }
+    time("knn_graph_banded") {
+      // band-local candidate pairs grow ~quadratically with per-bucket
+      // occupancy (fixed 2^planesPerBand buckets), so the knob to hold at
+      // real scale is planesPerBand ~ log2(n); this measures the fixed-knob
+      // shape under k-fold vector growth
+      Similarity.knnGraph(emb, k = 3, bands = 4, planesPerBand = 8, dim = 64)
+        .count()
+    }
+    time("pipeline_curate_to_packs") {
+      // the q89 composition end-to-end: corpus-sized until the mixture
+      // stage, budget-bounded after it
+      Pipeline.curateToPacks(docs).count()
     }
     time("bloom_build") {
       // the sketch collapse: grid rows bounded by mBits/32 at any key count
