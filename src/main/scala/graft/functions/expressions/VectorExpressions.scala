@@ -200,11 +200,16 @@ case class PortableBandSig(child: Expression, bands: Int, planesPerBand: Int)
     case _ => DoubleType
   }
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"portable_band_sig requires array<float|double>, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bands < 1 || planesPerBand < 1 || planesPerBand > 63)
+      TypeCheckResult.TypeCheckFailure(
+        s"portable_band_sig needs bands >= 1 and 1 <= planesPerBand <= 63 " +
+          s"(a band bucket is one long), got bands=$bands planes=$planesPerBand")
+    else child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"portable_band_sig requires array<float|double>, got $other")
+    }
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]

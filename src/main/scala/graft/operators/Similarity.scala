@@ -226,6 +226,8 @@ object Similarity {
       bandSigs: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
         None): DataFrame = {
     require(bands >= 1 && planesPerBand >= 1, "bands and planesPerBand must be >= 1")
+    require(planesPerBand <= 63,
+      s"planesPerBand must fit a long bucket (<= 63): $planesPerBand")
     val fn = bandSigs.getOrElse((e: org.apache.spark.sql.Column) =>
       graft.functions.expressions.VectorFunctions.portable_band_sig(e, bands, planesPerBand))
     val sig = emb.select(col("vec_id"), col("embedding"),

@@ -242,10 +242,12 @@ object ScaleProbe {
     time("knn_graph_banded") {
       // band-local candidate pairs grow ~quadratically with per-bucket
       // occupancy (fixed 2^planesPerBand buckets), so the knob to hold at
-      // real scale is planesPerBand ~ log2(n); this measures the fixed-knob
-      // shape under k-fold vector growth
-      Similarity.knnGraph(emb, k = 3, bands = 4, planesPerBand = 8, dim = 64)
-        .count()
+      // real scale is planesPerBand ~ log2(n); SPARK_GRAFT_KNN_PLANES
+      // overrides it so deep amplification can demonstrate the scaled knob
+      // (e.g. 12 planes at 100x) against the fixed-knob death
+      val planes = sys.env.getOrElse("SPARK_GRAFT_KNN_PLANES", "8").toInt
+      Similarity.knnGraph(emb, k = 3, bands = 4, planesPerBand = planes,
+        dim = 64).count()
     }
     time("pipeline_curate_to_packs") {
       // the q89 composition end-to-end: corpus-sized until the mixture

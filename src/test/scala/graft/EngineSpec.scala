@@ -24,6 +24,10 @@ class EngineSpec extends SparkSpec {
       "SELECT hyperplane_sig(embedding, 8) s FROM embeddings WHERE vec_id = 0")
       .first().getLong(0)
     assert(sig >= 0L && sig < 256L)
+    val bandSig = spark.sql(
+      "SELECT portable_band_sig(embedding, 4, 8) s FROM embeddings WHERE vec_id = 0")
+      .first().getSeq[Long](0)
+    assert(bandSig.length == 4 && bandSig.forall(b => b >= 0L && b < 256L))
   }
 
   test("salted exact dedup equals unsalted") {
