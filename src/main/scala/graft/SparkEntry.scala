@@ -606,6 +606,18 @@ object SparkEntry {
       // (no materialization between stages; PlanSpec pins the shuffle set)
       Pipeline.curateToPacks(tp(s, dir, "documents"))
         .orderBy("pack_group", "doc_id", "chunk_id")),
+    "q90_ann_recall" -> ((s, dir) => {
+      // the ANN acceptance measurement itself as a distributed query:
+      // recall@10 of the single-bucket LSH path against exact brute force
+      // on a 20-query sample — what a data team runs before trusting an
+      // index; both sides the already-oracled operators
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(queries, emb, 10)
+      val approx = Similarity.lshTopK(queries, emb, 10,
+        bucket = Some(e => PortableHashes.lshBucket(e, 8, 64)))
+      Similarity.recallAtK(truth, approx).orderBy("q_id")
+    }),
     "q87_random_projection" -> ((s, dir) =>
       // JL dimensionality reduction 64 -> 8: deterministic plane matrix
       // derived arithmetically (no randomness to ship), narrow codegen
@@ -1574,6 +1586,31 @@ object SparkEntry {
            |       n_tokens, bin_id
            |FROM pack ORDER BY pack_group, doc_id, chunk_id""".stripMargin
       },
+      "q90_ann_recall" -> // the q35 brute mirror joined against the q36 LSH
+        // mirror on a 20-query sample, per-query hit count, integer ppm
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 20),
+           |bscored AS (SELECT q.q_id, c.vec_id, ${cosineSql("q.q_emb", "c.emb")} AS cos
+           |            FROM v c JOIN q ON q.q_id <> c.vec_id),
+           |truth AS (SELECT q_id, vec_id FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY q_id
+           |              ORDER BY cos DESC, vec_id ASC) AS rank FROM bscored)
+           |          WHERE rank <= 10),
+           |bk AS (SELECT vec_id, emb, ${lshBucketSql("emb")} AS bucket FROM v),
+           |qb AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM bk WHERE vec_id < 20),
+           |ascored AS (SELECT qb.q_id, c.vec_id, ${cosineSql("qb.q_emb", "c.emb")} AS cos
+           |            FROM bk c JOIN qb ON c.bucket = qb.bucket AND qb.q_id <> c.vec_id),
+           |approx AS (SELECT q_id, vec_id FROM (
+           |             SELECT *, row_number() OVER (PARTITION BY q_id
+           |               ORDER BY cos DESC, vec_id ASC) AS rank FROM ascored)
+           |           WHERE rank <= 10)
+           |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+           |       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_hits,
+           |       (sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+           |         // count(*) AS recall_ppm
+           |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+           |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
       "q87_random_projection" ->
         // randomProject replayed: the plane coefficient recomputed from its
         // indices ((j*dim + d + 1) * 2654435761 mod p scaled to [-1, 1)),

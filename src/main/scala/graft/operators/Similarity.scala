@@ -188,6 +188,28 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
   }
 
+  /** Recall harness for the approximate top-k family: per query, the
+    * fraction of `truth`'s rows (the exact top-k) present in `approx` (an
+    * ANN result with the same (q_id, vec_id) shape). Output:
+    * (q_id, n_truth, n_hits, recall_ppm) — ppm as exact integer floor
+    * division, the bit-stable form every ratio in this library uses.
+    *
+    * This is an ENGINE operator, not a test helper: before trusting an ANN
+    * index at 100 TB a data team measures recall on a query sample, and
+    * that measurement is itself a distributed join (truth from the exact
+    * operator on the sample, approx from the index under evaluation). Both
+    * sides are keyed (q_id, vec_id); the left join + per-query count is one
+    * bounded aggregate — sample-sized, never corpus-sized. */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("q_id"), col("vec_id"))
+      .join(approx.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_truth"), col("n_hits"),
+        expr("(n_hits * 1000000L) div n_truth").as("recall_ppm"))
+
   /** kNN-graph construction — the structure semantic clustering, graph-based
     * dedup, and diversity sampling build on: every vector's top-`k`
     * neighbors by exact cosine among banded hyperplane-LSH candidates.

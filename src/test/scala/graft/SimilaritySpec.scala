@@ -73,6 +73,15 @@ class SimilaritySpec extends SparkSpec {
     assert(rec4 >= 0.5, s"b=4 recall $rec4 unexpectedly low")
   }
 
+  test("recallAtK: per-query hit counts, integer ppm, misses count as zero") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("q_id", "vec_id")
+    val approx = Seq((1L, 11L), (1L, 99L), (2L, 21L)).toDF("q_id", "vec_id")
+    val got = Similarity.recallAtK(truth, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 333333L))) // floor ppm, not rounded
+    assert(got(2L) == ((1L, 0L, 0L)))      // total miss still yields a row
+  }
+
   test("LSH top-k returns exact cosines, valid ranks, nonempty for self-bucket") {
     val got = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
