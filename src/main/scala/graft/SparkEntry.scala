@@ -618,6 +618,21 @@ object SparkEntry {
         bucket = Some(e => PortableHashes.lshBucket(e, 8, 64)))
       Similarity.recallAtK(truth, approx).orderBy("q_id")
     }),
+    "q91_semantic_clusters" -> ((s, dir) => {
+      // the kNN graph's payoff: mutual-kNN edges (each endpoint in the
+      // other's top-3 — the high-precision link rule) -> connected
+      // components -> a semantic cluster label per vector
+      val g = Similarity.knnGraph(t(s, dir, "embeddings"), k = 3,
+        bands = 4, planesPerBand = 8, dim = 64)
+      val e = g.select(col("a_id"), col("b_id"))
+      val mutual = e
+        .join(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+          Seq("a_id", "b_id"), "left_semi")
+        .filter(col("a_id") < col("b_id"))
+      Dedup.connectedComponents(mutual)
+        .select(col("doc_id").as("vec_id"), col("rep_id").as("cluster_id"))
+        .orderBy("vec_id")
+    }),
     "q87_random_projection" -> ((s, dir) =>
       // JL dimensionality reduction 64 -> 8: deterministic plane matrix
       // derived arithmetically (no randomness to ship), narrow codegen
@@ -1611,6 +1626,34 @@ object SparkEntry {
            |         // count(*) AS recall_ppm
            |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
            |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
+      "q91_semantic_clusters" -> // the q88 mirror -> mutual filter -> the
+        // q53 recursive min-label reachability (= the CC fixpoint)
+        s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |bk AS (SELECT vec_id, emb, g.band,
+           |       ${lshBandBucketSql("emb", "g.band")} AS bucket
+           |       FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g),
+           |scored AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |           ${cosineSql("a.emb", "b.emb")} AS cos
+           |           FROM bk a JOIN bk b
+           |           ON a.band = b.band AND a.bucket = b.bucket
+           |              AND a.vec_id <> b.vec_id),
+           |uniq AS (SELECT a_id, b_id, min(cos) AS cos FROM scored
+           |         GROUP BY 1, 2),
+           |rk AS (SELECT a_id, b_id, row_number() OVER (
+           |       PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank FROM uniq),
+           |knn AS (SELECT a_id, b_id FROM rk WHERE rank <= 3),
+           |mutual AS (SELECT k.a_id, k.b_id FROM knn k
+           |           JOIN knn m ON m.a_id = k.b_id AND m.b_id = k.a_id
+           |           WHERE k.a_id < k.b_id),
+           |e AS (SELECT a_id AS s, b_id AS d FROM mutual
+           |      UNION ALL SELECT b_id, a_id FROM mutual),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+           |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+           |ORDER BY vec_id""".stripMargin,
       "q87_random_projection" ->
         // randomProject replayed: the plane coefficient recomputed from its
         // indices ((j*dim + d + 1) * 2654435761 mod p scaled to [-1, 1)),
