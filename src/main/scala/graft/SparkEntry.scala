@@ -78,6 +78,13 @@ object SparkEntry {
   def ivfPqIndexPath(dir: String): String =
     s"/root/repo/target/ivfpq_index/${new java.io.File(dir).getName}"
 
+  /** Where q92 persists ITS OWN IVF-PQ index — separate from q81's so the
+    * two queries' write/read windows can never interleave on one path
+    * (index writes are deterministic, but the isolation makes that a
+    * non-load-bearing assumption). */
+  def ivfPq2IndexPath(dir: String): String =
+    s"/root/repo/target/ivfpq2_index/${new java.io.File(dir).getName}"
+
   /** Where q62 persists the MinHash-LSH dedup index — same per-SF keying
     * and Verify-pinned oracle path contract as [[ivfIndexPath]]. */
   def lshIndexPath(dir: String): String =
@@ -617,6 +624,17 @@ object SparkEntry {
       val approx = Similarity.lshTopK(queries, emb, 10,
         bucket = Some(e => PortableHashes.lshBucket(e, 8, 64)))
       Similarity.recallAtK(truth, approx).orderBy("q_id")
+    }),
+    "q92_two_stage_search" -> ((s, dir) => {
+      // the production serving shape: ADC over compressed codes prunes to
+      // 50 candidates/query, then ONLY those rows' raw vectors re-rank by
+      // exact cosine — returned scores carry no compression error
+      val emb = t(s, dir, "embeddings")
+      val path = ivfPq2IndexPath(dir)
+      Pq.writeIvfPqIndex(emb, path, nlist = 16, m = 8, ksub = 16, dim = 64)
+      Pq.ivfPqTopKRefined(s, path, emb.filter(col("vec_id") < 5), emb,
+          k = 10, kCoarse = 50, nprobe = 4)
+        .orderBy("q_id", "rank")
     }),
     "q91_semantic_clusters" -> ((s, dir) => {
       // the kNN graph's payoff: mutual-kNN edges (each endpoint in the
@@ -1626,6 +1644,72 @@ object SparkEntry {
            |         // count(*) AS recall_ppm
            |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
            |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
+      "q92_two_stage_search" -> {
+        // the q81 residual-ADC mirror truncated at kCoarse=50, then the
+        // candidates re-scored by exact cosine off the raw embeddings and
+        // re-ranked — the oracle proves the returned scores are the exact
+        // ones (cos, not cos_pq)
+        val p = sys.props.getOrElse("graft.ivfpq2.path",
+          ivfPq2IndexPath("/root/testdata/sf0.01"))
+        s"""WITH cent AS (SELECT cid, center::DOUBLE[] AS center
+           |              FROM read_parquet('$p/centroids/*.parquet')),
+           |books AS (SELECT sub, cid AS code, center::DOUBLE[] AS center
+           |          FROM read_parquet('$p/codebooks/*.parquet')),
+           |codes AS (SELECT CAST(cid AS BIGINT) AS cell, vec_id, sub, code
+           |          FROM read_parquet('$p/codes/*/*.parquet', hive_partitioning=1)),
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 5),
+           |probes AS (SELECT q_id, cell, qcdot FROM (
+           |    SELECT q.q_id, cent.cid AS cell,
+           |           CAST(round(list_dot_product(q.q_emb, cent.center), 12)
+           |                AS DECIMAL(38,12)) AS qcdot,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${cosineSql("q.q_emb", "cent.center")} DESC, cent.cid) AS pr
+           |    FROM q CROSS JOIN cent) WHERE pr <= 4),
+           |part AS (SELECT q_id, sub, code,
+           |  CAST(round(list_dot_product(
+           |         q_emb[CAST(sub*8+1 AS INTEGER):CAST(sub*8+8 AS INTEGER)], center), 12)
+           |       AS DECIMAL(38,12)) AS qpart,
+           |  CAST(round(list_dot_product(center, center), 12)
+           |       AS DECIMAL(38,12)) AS cpart
+           |  FROM q CROSS JOIN books),
+           |cn AS (SELECT cid AS cell,
+           |       CAST(round(list_dot_product(center, center), 12)
+           |            AS DECIMAL(38,12)) AS cn2 FROM cent),
+           |xt AS (SELECT cent.cid AS cell, books.sub, books.code,
+           |       CAST(round(list_dot_product(
+           |              cent.center[CAST(books.sub*8+1 AS INTEGER):CAST(books.sub*8+8 AS INTEGER)],
+           |              books.center), 12) AS DECIMAL(38,12)) AS xterm
+           |       FROM cent CROSS JOIN books),
+           |qn AS (SELECT q_id, sqrt(list_dot_product(q_emb, q_emb)) AS qnorm FROM q),
+           |sc AS (SELECT pr.q_id, codes.vec_id,
+           |       max(pr.qcdot) AS qcdot, max(cn.cn2) AS cn2,
+           |       sum(qpart) AS rdots, sum(cpart) AS rn2, sum(xterm) AS xsum
+           |       FROM probes pr JOIN codes ON codes.cell = pr.cell
+           |            JOIN part ON part.q_id = pr.q_id AND part.sub = codes.sub
+           |                     AND part.code = codes.code
+           |            JOIN xt ON xt.cell = codes.cell AND xt.sub = codes.sub
+           |                   AND xt.code = codes.code
+           |            JOIN cn ON cn.cell = codes.cell
+           |       GROUP BY 1, 2),
+           |co AS (SELECT q_id, vec_id,
+           |       round((CAST(qcdot AS DOUBLE) + CAST(rdots AS DOUBLE)) /
+           |             (qnorm * sqrt((CAST(cn2 AS DOUBLE) + 2.0e0 * CAST(xsum AS DOUBLE))
+           |                           + CAST(rn2 AS DOUBLE))), 6) AS cos_pq
+           |       FROM sc JOIN qn USING (q_id) WHERE q_id <> vec_id),
+           |cand AS (SELECT q_id, vec_id FROM (
+           |           SELECT q_id, vec_id, row_number() OVER (
+           |             PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rank FROM co)
+           |         WHERE rank <= 50),
+           |ex AS (SELECT c.q_id, c.vec_id,
+           |       ${cosineSql("q.q_emb", "v.emb")} AS cos
+           |       FROM cand c JOIN v ON v.vec_id = c.vec_id
+           |                   JOIN q ON q.q_id = c.q_id),
+           |r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM ex)
+           |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      },
       "q91_semantic_clusters" -> // the q88 mirror -> mutual filter -> the
         // q53 recursive min-label reachability (= the CC fixpoint)
         s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -18,6 +18,7 @@ object Verify {
     System.setProperty("graft.lsh.path", SparkEntry.lshIndexPath(sfDir))
     System.setProperty("graft.pq.path", SparkEntry.pqIndexPath(sfDir))
     System.setProperty("graft.ivfpq.path", SparkEntry.ivfPqIndexPath(sfDir))
+    System.setProperty("graft.ivfpq2.path", SparkEntry.ivfPq2IndexPath(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

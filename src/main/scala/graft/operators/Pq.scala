@@ -282,6 +282,37 @@ object Pq {
     }
   }
 
+  /** Two-stage (coarse-to-fine) search — the standard production serving
+    * shape: [[ivfPqTopK]] prunes to `kCoarse` candidates per query reading
+    * ONLY compressed codes, then just those candidates' raw vectors are
+    * fetched and re-ranked by exact cosine. Output: (q_id, vec_id, cos,
+    * rank), rank 1..k — `cos` is EXACT (the compression error never reaches
+    * the returned scores, it only bounds which candidates are considered).
+    *
+    * Scale shape: the refine stage touches candidate-sized data — the
+    * (q_id, vec_id) list (queries x kCoarse rows) broadcasts into one hash
+    * join against the corpus, so the raw-vector fetch is a lookup, not a
+    * scan-shuffle; queries broadcast for the exact scoring as in
+    * bruteForceTopK. Recall is the coarse stage's (cells + codes, by
+    * contract); precision of returned scores is 1 by construction. */
+  def ivfPqTopKRefined(spark: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, k: Int, kCoarse: Int = 50, nprobe: Int = 4,
+      m: Int = 8, dim: Int = 64): DataFrame = {
+    require(kCoarse >= k, s"kCoarse=$kCoarse must be >= k=$k")
+    val cand = ivfPqTopK(spark, path, queries, kCoarse, nprobe, m, dim)
+      .select(col("q_id"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        ArrayMath.cosineKey(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+  }
+
   /** ADC top-k over a materialized [[writePqIndex]] index: approximate
     * cosine from code lookups only — the original vectors are never read.
     * Output: (q_id, vec_id, cos_pq, rank), rank 1..k per query. */

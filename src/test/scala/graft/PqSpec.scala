@@ -156,6 +156,30 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("two-stage search with full coverage equals brute force exactly") {
+    // even over HEAVILY lossy codes (ksub = 6 for 24 vectors), probing all
+    // cells with kCoarse >= corpus-1 makes the refine stage see every
+    // candidate, and the exact re-rank reproduces bruteForceTopK
+    // bit-for-bit — compression error cannot reach the returned scores
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-refine")
+    try {
+      Pq.writeIvfPqIndex(corpus, dir.toString, nlist = 4, m = 4, ksub = 6, dim = 16)
+      val q = corpus.filter(col("vec_id") < 6)
+      val refined = Pq.ivfPqTopKRefined(spark, dir.toString, q, corpus,
+          k = 5, kCoarse = 23, nprobe = 4, m = 4, dim = 16)
+        .orderBy("q_id", "rank").collect().toSeq
+      val brute = Similarity.bruteForceTopK(q, corpus, 5)
+        .orderBy("q_id", "rank").collect().toSeq
+      assert(refined == brute)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("ivf-pq codes scan is partition-pruned to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-prune")
     try {
