@@ -261,6 +261,42 @@ object TextAnalysis {
           .as("entropy"))
   }
 
+  /** Quantile-gated length curation: keep documents whose token count lies
+    * within [P`pLo`, P`pHi`] of THEIR OWN source's length distribution —
+    * data-driven gates instead of hand-picked constants (a fixed "min 20
+    * tokens" rule that fits web text guts a code corpus). Thresholds are
+    * exact rank quantiles (the same integer ceil-rank targets
+    * `(n*p + 99) div 100` as [[Sketches.histQuantiles]]' exact side).
+    * Output: the surviving (doc_id, source, n_tokens).
+    *
+    * Scale shape: one per-source window sort to rank lengths, one count
+    * aggregate, then a broadcast of the per-source (lo, hi) bound rows into
+    * a narrow filter. The window sort is the pragmatic form for corpora
+    * where a per-source sort fits (lengths are one long per doc); at
+    * extreme skew swap the threshold derivation for histQuantiles' est_q —
+    * the gate join is unchanged. */
+  def quantileLengthGate(docs: DataFrame, pLo: Int = 10, pHi: Int = 90): DataFrame = {
+    require(1 <= pLo && pLo < pHi && pHi <= 100,
+      s"need 1 <= pLo < pHi <= 100, got ($pLo, $pHi)")
+    val lens = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tokens"))
+    val ranked = lens.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("n_tokens"), col("doc_id"))))
+    val targets = lens.groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"),
+        expr(s"(n * $pLo + 99) div 100").as("tlo"),
+        expr(s"(n * $pHi + 99) div 100").as("thi"))
+    val bounds = ranked.join(broadcast(targets), Seq("source"))
+      .filter(col("rn") === col("tlo") || col("rn") === col("thi"))
+      .groupBy("source")
+      .agg(min(when(col("rn") === col("tlo"), col("n_tokens"))).as("lo"),
+        max(when(col("rn") === col("thi"), col("n_tokens"))).as("hi"))
+    lens.join(broadcast(bounds), Seq("source"))
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   def docStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

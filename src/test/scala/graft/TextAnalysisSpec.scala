@@ -180,4 +180,19 @@ class TextAnalysisSpec extends SparkSpec {
     val s2 = r6(2 * math.log(2)) + r6(3 * math.log(3)) // decimal sum of rounded terms
     assert(got(2L) == ((6L, 3L, 0.5, r6(math.log(6) - s2 / 6))))
   }
+
+  test("quantileLengthGate: per-source ceil-rank bounds, sources independent") {
+    // source A: lengths 1..10 => P10 target rank 1 (lo = 1), P90 rank 9
+    // (hi = 9): the single longest doc is dropped. Source B: constant
+    // length 5 => lo = hi = 5, everything survives.
+    val a = (1 to 10).map(i => (i.toLong, "A", Seq.fill(i)("w").mkString(" ")))
+    val b = (11 to 14).map(i => (i.toLong, "B", "w w w w w"))
+    val df = (a ++ b).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.quantileLengthGate(df, 10, 90).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.count(_._2 == "A") == 9, s"A keeps ranks 1..9: ${got.toSeq}")
+    assert(!got.exists(t => t._2 == "A" && t._3 == 10L), "A's longest dropped")
+    assert(got.count(_._2 == "B") == 4, "constant-length source fully survives")
+    intercept[IllegalArgumentException](TextAnalysis.quantileLengthGate(df, 90, 10))
+  }
 }
