@@ -136,6 +136,24 @@ class PlanSpec extends SparkSpec {
     assert(hash <= 6, s"composition added hash shuffles ($hash):\n$p")
   }
 
+  test("q92 two-stage: refine stage is broadcast lookups, never a corpus shuffle") {
+    val p = plan(SparkEntry.queries("q92_two_stage_search")(spark, dir))
+    // candidate list and query set broadcast into the raw-vector fetch; the
+    // corpus side must never sort-merge or hash-shuffle for the refine join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"candidates and queries must broadcast into the refine joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the raw-vector fetch must be a broadcast lookup:\n$p")
+  }
+
+  test("q93 quantile gate: bounds broadcast into a narrow filter") {
+    val p = plan(SparkEntry.queries("q93_quantile_gate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source (lo, hi) bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the gate must not shuffle the corpus for its 4-row bounds side:\n$p")
+  }
+
   test("q46 vectorize-then-self-join: upstream evaluated once via exchange reuse") {
     val p = plan(SparkEntry.queries("q46_text_hash_neardup")(spark, dir))
     assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
