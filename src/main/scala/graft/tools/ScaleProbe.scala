@@ -254,6 +254,21 @@ object ScaleProbe {
       // stage, budget-bounded after it
       Pipeline.curateToPacks(docs).count()
     }
+    time("semantic_clusters") {
+      // q91: banded kNN graph -> mutual filter -> connected components;
+      // the CC star contraction is the only super-knn-cost term
+      val planes = sys.env.getOrElse("SPARK_GRAFT_KNN_PLANES", "8").toInt
+      val g = Similarity.knnGraph(emb, k = 3, bands = 4,
+        planesPerBand = planes, dim = 64).select(col("a_id"), col("b_id"))
+      val mutual = g.join(
+        g.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+        Seq("a_id", "b_id"), "left_semi").filter(col("a_id") < col("b_id"))
+      Dedup.connectedComponents(mutual).count()
+    }
+    time("quantile_gate") {
+      // q93: the per-source rank window is the only sort; bounds broadcast
+      TextAnalysis.quantileLengthGate(docs, 10, 90).count()
+    }
     time("bloom_build") {
       // the sketch collapse: grid rows bounded by mBits/32 at any key count
       Sketches.bloomBuild(docs.select(col("text")), "text", 4096, 4).count()
