@@ -642,6 +642,16 @@ object SparkEntry {
       // corpus, not hand-picked constants
       TextAnalysis.quantileLengthGate(tp(s, dir, "documents"), 10, 90)
         .orderBy("doc_id")),
+    "q94_contamination_report" -> ((s, dir) => {
+      // the eval-side contamination view (q54's complement): per eval doc,
+      // how many train docs share any of its 5-grams and the pair volume —
+      // what a benchmark owner reads to retire compromised items
+      val docs = tp(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), 5)
+        .orderBy("eval_doc_id")
+    }),
     "q91_semantic_clusters" -> ((s, dir) => {
       // the kNN graph's payoff: mutual-kNN edges (each endpoint in the
       // other's top-3 — the high-precision link rule) -> connected
@@ -1725,6 +1735,17 @@ object SparkEntry {
            |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r
            |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       },
+      "q94_contamination_report" -> // q54's gram join grouped by the EVAL
+        // side, with the distinct-train-doc count alongside the pair volume
+        s"""WITH tg AS (SELECT doc_id, unnest(${gramsN("text", 5)}) AS gram
+           |            FROM documents WHERE doc_id % 10 <> 0),
+           |eg AS (SELECT doc_id AS eval_doc_id, unnest(${gramsN("text", 5)}) AS gram
+           |       FROM documents WHERE doc_id % 10 = 0)
+           |SELECT eval_doc_id,
+           |       CAST(count(DISTINCT tg.doc_id) AS BIGINT) AS n_train_docs,
+           |       CAST(count(*) AS BIGINT) AS n_shared
+           |FROM tg JOIN eg USING (gram)
+           |GROUP BY eval_doc_id ORDER BY eval_doc_id""".stripMargin,
       "q93_quantile_gate" -> // exact ceil-rank quantile thresholds per
         // source (the q75 target formula), then the bounds-join gate
         s"""WITH l AS (SELECT doc_id, source, $nTokens AS n_tokens FROM documents),

@@ -535,6 +535,26 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** The eval-side view of [[contaminatedBy]]: per EVAL document, how
+    * compromised it is — how many distinct training docs share at least one
+    * of its word n-grams, and how many (train doc, shared gram) pairs there
+    * are. The report a benchmark owner reads to decide which eval items to
+    * retire. Output: (eval_doc_id, n_train_docs, n_shared) over eval docs
+    * with any overlap.
+    *
+    * Scale shape: identical to contaminatedBy — the (tiny) eval side's
+    * (doc_id, gram) rows broadcast instead of just its distinct grams, the
+    * corpus streams through the broadcast join with NO shuffle, and the
+    * aggregate's key space is eval-sized. */
+  def contaminationReport(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    val evalGrams = gramRows(eval, n)
+      .select(col("doc_id").as("eval_doc_id"), col("gram"))
+    gramRows(train, n).join(broadcast(evalGrams), "gram")
+      .groupBy("eval_doc_id")
+      .agg(count_distinct(col("doc_id")).as("n_train_docs"),
+        count(lit(1)).as("n_shared"))
+  }
+
   /** Exact duplicate-window statistics (the window-granular form of
     * suffix-array substring dedup, Lee et al., ACL 2022 — "Deduplicating
     * Training Data Makes Language Models Better"): a document's POSITIONAL

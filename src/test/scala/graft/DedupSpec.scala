@@ -207,6 +207,12 @@ class DedupSpec extends SparkSpec {
       .view.mapValues(_.intersect(eg).size.toLong).filter(_._2 > 0).toMap
     assert(got == expected, s"got=$got expected=$expected")
     assert(!got.contains(2L))
+
+    // the eval-side report: doc 100 is hit by train docs 1 and 3, with the
+    // pair volume = sum of their per-doc shared-gram counts
+    val report = Dedup.contaminationReport(train, eval, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(report.toSeq == Seq((100L, 2L, expected.values.sum)), report.toSeq)
   }
 
   test("dup windows: positional 8-token spans shared across (or within) docs") {
