@@ -652,21 +652,13 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0), 5)
         .orderBy("eval_doc_id")
     }),
-    "q91_semantic_clusters" -> ((s, dir) => {
+    "q91_semantic_clusters" -> ((s, dir) =>
       // the kNN graph's payoff: mutual-kNN edges (each endpoint in the
       // other's top-3 — the high-precision link rule) -> connected
       // components -> a semantic cluster label per vector
-      val g = Similarity.knnGraph(t(s, dir, "embeddings"), k = 3,
-        bands = 4, planesPerBand = 8, dim = 64)
-      val e = g.select(col("a_id"), col("b_id"))
-      val mutual = e
-        .join(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
-          Seq("a_id", "b_id"), "left_semi")
-        .filter(col("a_id") < col("b_id"))
-      Dedup.connectedComponents(mutual)
-        .select(col("doc_id").as("vec_id"), col("rep_id").as("cluster_id"))
-        .orderBy("vec_id")
-    }),
+      Similarity.mutualKnnClusters(t(s, dir, "embeddings"), k = 3,
+          bands = 4, planesPerBand = 8, dim = 64)
+        .orderBy("vec_id")),
     "q87_random_projection" -> ((s, dir) =>
       // JL dimensionality reduction 64 -> 8: deterministic plane matrix
       // derived arithmetically (no randomness to ship), narrow codegen

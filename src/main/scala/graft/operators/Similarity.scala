@@ -188,6 +188,30 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
   }
 
+  /** Semantic clustering off the kNN graph: mutual-kNN edges (each
+    * endpoint in the other's top-`k` — the standard high-precision link
+    * rule; a one-directional edge often just means a hub attracting
+    * everything) fed into connected components. Output: (vec_id,
+    * cluster_id) for every vector with at least one mutual edge,
+    * cluster_id = the component's minimum vec_id.
+    *
+    * Scale shape: [[knnGraph]]'s audited shape for the edges; the mutual
+    * filter is one self semi-join on the (already k-bounded) edge list;
+    * components contract in O(log n) rounds on edges bounded by n·k/2
+    * ([[Dedup.connectedComponents]]'s contract — far below its general
+    * pair-pipeline inputs). */
+  def mutualKnnClusters(emb: DataFrame, k: Int, bands: Int = 4,
+      planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val g = knnGraph(emb, k, bands, planesPerBand, dim)
+      .select(col("a_id"), col("b_id"))
+    val mutual = g
+      .join(g.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+      .filter(col("a_id") < col("b_id"))
+    Dedup.connectedComponents(mutual)
+      .select(col("doc_id").as("vec_id"), col("rep_id").as("cluster_id"))
+  }
+
   /** Recall harness for the approximate top-k family: per query, the
     * fraction of `truth`'s rows (the exact top-k) present in `approx` (an
     * ANN result with the same (q_id, vec_id) shape). Output:

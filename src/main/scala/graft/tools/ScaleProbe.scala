@@ -258,12 +258,8 @@ object ScaleProbe {
       // q91: banded kNN graph -> mutual filter -> connected components;
       // the CC star contraction is the only super-knn-cost term
       val planes = sys.env.getOrElse("SPARK_GRAFT_KNN_PLANES", "8").toInt
-      val g = Similarity.knnGraph(emb, k = 3, bands = 4,
-        planesPerBand = planes, dim = 64).select(col("a_id"), col("b_id"))
-      val mutual = g.join(
-        g.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
-        Seq("a_id", "b_id"), "left_semi").filter(col("a_id") < col("b_id"))
-      Dedup.connectedComponents(mutual).count()
+      Similarity.mutualKnnClusters(emb, k = 3, bands = 4,
+        planesPerBand = planes, dim = 64).count()
     }
     time("quantile_gate") {
       // q93: the per-source rank window is the only sort; bounds broadcast
