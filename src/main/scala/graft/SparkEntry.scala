@@ -642,6 +642,12 @@ object SparkEntry {
       // corpus, not hand-picked constants
       TextAnalysis.quantileLengthGate(tp(s, dir, "documents"), 10, 90)
         .orderBy("doc_id")),
+    "q95_novelty" -> ((s, dir) =>
+      // cross-corpus novelty: the share of each doc's distinct 3-grams
+      // with corpus doc-frequency 1 — boilerplate reads low, novel content
+      // reads high (the cross-doc complement of q52's within-doc measure)
+      TextAnalysis.noveltyScore(tp(s, dir, "documents"), 3)
+        .orderBy("doc_id")),
     "q94_contamination_report" -> ((s, dir) => {
       // the eval-side contamination view (q54's complement): per eval doc,
       // how many train docs share any of its 5-grams and the pair volume —
@@ -1727,6 +1733,16 @@ object SparkEntry {
            |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r
            |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       },
+      "q95_novelty" -> // distinct 3-grams, corpus doc frequency, per-doc
+        // unique-share in exact integer ppm
+        s"""WITH g AS (SELECT doc_id, unnest(${grams3("text")}) AS gram FROM documents),
+           |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           |       (sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+           |         AS novelty_ppm
+           |FROM g JOIN df USING (gram)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q94_contamination_report" -> // q54's gram join grouped by the EVAL
         // side, with the distinct-train-doc count alongside the pair volume
         s"""WITH tg AS (SELECT doc_id, unnest(${gramsN("text", 5)}) AS gram

@@ -297,6 +297,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  /** Cross-corpus novelty: per document, the fraction of its distinct word
+    * `n`-grams that occur in NO other document (corpus doc-frequency 1) —
+    * high for genuinely novel content, low for boilerplate/templates that
+    * repeat across the corpus. The complement of what the dedup family
+    * measures (repetitionStats is WITHIN-doc; this is cross-doc).
+    * Output: (doc_id, n_grams, n_unique, novelty_ppm) for every doc with at
+    * least n tokens; ppm = exact integer floor division.
+    *
+    * Scale shape: word-count family — one gram doc-frequency aggregate
+    * (map-side combining), one join back on the gram, one per-doc count
+    * aggregate. Linear, no pairing, hot grams are AQE-splittable join
+    * keys. */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = Dedup.gramRows(docs, n)
+    val df = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    g.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("(n_unique * 1000000L) div n_grams").as("novelty_ppm"))
+  }
+
   def docStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

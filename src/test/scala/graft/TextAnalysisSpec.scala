@@ -181,6 +181,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((6L, 3L, 0.5, r6(math.log(6) - s2 / 6))))
   }
 
+  test("noveltyScore: cross-doc unique-gram share, distinct grams, exact ppm") {
+    val df = Seq(
+      (0L, "s", "a b c d"), // grams {a b c, b c d}: first shared with doc 1
+      (1L, "s", "a b c x"), // grams {a b c, b c x}
+      (2L, "s", "z z z z")  // grams collapse to the single distinct {z z z}
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.noveltyScore(df, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((2L, 1L, 500000L)))
+    assert(got(1L) == ((2L, 1L, 500000L)))
+    assert(got(2L) == ((1L, 1L, 1000000L)), "repeated grams count once per doc")
+  }
+
   test("quantileLengthGate: per-source ceil-rank bounds, sources independent") {
     // source A: lengths 1..10 => P10 target rank 1 (lo = 1), P90 rank 9
     // (hi = 9): the single longest doc is dropped. Source B: constant
