@@ -299,6 +299,30 @@ object ScaleProbe {
       Graph.pageRank(edges, 5).count()
     }
     locally {
+      // incremental maintenance: fold a FIXED-size edge batch into warm
+      // checkpointed rank state vs recomputing the grown graph cold. The
+      // warm path's per-batch cost = batch-sized anti-join + degree delta
+      // + one merged-edge re-checkpoint (compaction) + 2 rounds, vs the
+      // cold path's full init + 5 rounds.
+      val nNodes = 100000L * k
+      val all = Graph.symmetrize(events.select(
+        pmod(xxhash64(col("event_id"), lit(1)), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("event_id"), lit(2)), lit(nNodes)).as("dst")))
+      val batch = Graph.symmetrize(events.limit(10000).select(
+        pmod(xxhash64(col("event_id"), lit(3)), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("event_id"), lit(4)), lit(nNodes)).as("dst")))
+      if (only.forall(s => s.contains("pagerank_warm_batch") ||
+          s.contains("pagerank_cold_rebuild"))) {
+        val st = Graph.rankRounds(Graph.rankInit(all), 5)
+        time("pagerank_warm_batch") {
+          Graph.rankInsert(st, batch, rounds = 2).ranks.count()
+        }
+        time("pagerank_cold_rebuild") {
+          Graph.pageRank(all.union(batch).distinct(), 5).count()
+        }
+      }
+    }
+    locally {
       // SemDeDup: cell build (one-time, corpus-scale, amortized) vs the
       // cell-local pair scan — the analogue of the LSH index build/probe split
       val dir2 = java.nio.file.Files.createTempDirectory(s"graft_scaleprobe_sem_x$k")

@@ -139,4 +139,92 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, 1, damping = 1.0))
     intercept[IllegalArgumentException](Graph.pageRank(e, 1, damping = 0.0))
   }
+
+  /** Advance one round at a time until the integer rank trajectory enters
+    * its terminal cycle, and return that cycle as a SET of vectors. The
+    * quantized map is deterministic on a finite set, so every trajectory
+    * ends in a cycle; a true fixed point is the period-1 case (the star
+    * fixture), while bipartite-ish graphs (the chain) settle into a
+    * period-2 ping-pong a few 1e-15 units wide. Two trajectories agree
+    * when they land on the SAME terminal cycle, whatever the phase. */
+  private def terminalCycle(st0: Graph.RankState,
+      maxRounds: Int = 300): Set[Seq[(Long, Long)]] = {
+    var st = st0
+    var history = Vector(ruVector(st))
+    var i = 0
+    while (i < maxRounds) {
+      st = Graph.rankRounds(st, 1)
+      val cur = ruVector(st)
+      val idx = history.lastIndexOf(cur)
+      if (idx >= 0) return history.drop(idx).toSet
+      history = (history :+ cur).takeRight(4) // detect periods up to 4
+      i += 1
+    }
+    fail(s"no terminal cycle of period <= 4 within $maxRounds rounds")
+  }
+
+  private def ruVector(st: Graph.RankState): Seq[(Long, Long)] =
+    st.ranks.select("node", "ru").as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("incremental: warm-start insert reaches the cold-start fixpoint (chain)") {
+    // The chain's quantized map has MULTIPLE terminal cycles a few 1e-15
+    // units apart (warm lands on a period-1 point, cold on a period-2
+    // ping-pong — measured: max gap 5 units). Contraction shrinks any two
+    // trajectories to within the floor-quantization noise, bounded by
+    // edges·d/(1-d) units, and no further — so the pinned contract is
+    // agreement within that bound (1e-13 here, vs ranks of ~1e-1), with
+    // EXACT equality asserted on the star fixture where a unique fixed
+    // point exists.
+    val full = Graph.symmetrize((1L until 8L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val prefix = Graph.symmetrize((1L until 5L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val batch = Graph.symmetrize((5L until 8L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val cold = terminalCycle(Graph.rankInit(full))
+    val warm0 = Graph.rankRounds(Graph.rankInit(prefix), 5)
+    val warm = terminalCycle(Graph.rankInsert(warm0, batch, rounds = 2))
+    val bound = 100L // 14 directed edges * 0.85/0.15 ≈ 79 units, rounded up
+    for (w <- warm; c <- cold) {
+      assert(w.map(_._1) == c.map(_._1), "same node set")
+      val gap = w.map(_._2).zip(c.map(_._2)).map { case (a, b) => math.abs(a - b) }.max
+      assert(gap <= bound,
+        s"warm and cold terminal states must agree within quantization noise, gap=$gap")
+    }
+  }
+
+  test("incremental: warm-start insert reaches the cold-start fixpoint (star)") {
+    val full = Graph.symmetrize((1L to 8L).map(i => (0L, i)).toDF("src", "dst"))
+    val prefix = Graph.symmetrize((1L to 6L).map(i => (0L, i)).toDF("src", "dst"))
+    val batch = Graph.symmetrize(Seq((0L, 7L), (0L, 8L)).toDF("src", "dst"))
+    val cold = terminalCycle(Graph.rankInit(full))
+    val warm = terminalCycle(Graph.rankInsert(
+      Graph.rankRounds(Graph.rankInit(prefix), 5), batch, rounds = 2))
+    assert(warm == cold)
+  }
+
+  test("incremental: duplicate batch edges are ignored, state unchanged at 0 rounds") {
+    val e = Graph.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val st = Graph.rankRounds(Graph.rankInit(e), 3)
+    val before = st.ranks.select("node", "deg", "tele", "ru")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // the whole batch is already present: the delta is empty, degrees and
+    // the warm rank vector must come back verbatim
+    val st2 = Graph.rankInsert(st, e, rounds = 0)
+    val after = st2.ranks.select("node", "deg", "tele", "ru")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after == before)
+    assert(st2.edges.count() == st.edges.count())
+  }
+
+  test("incremental: new nodes on a personalized walk join with teleport 0") {
+    val e = Graph.symmetrize(Seq((1L, 2L)).toDF("src", "dst"))
+    val st = Graph.rankRounds(
+      Graph.rankInit(e, seeds = Some(Seq(Tuple1(1L)).toDF("node"))), 3)
+    val st2 = Graph.rankInsert(st, Graph.symmetrize(Seq((2L, 3L)).toDF("src", "dst")),
+      rounds = 3)
+    val tele = st2.ranks.select("node", "tele").as[(Long, Long)].collect().toMap
+    assert(tele == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+    // trust still flows to the new node through the graph
+    val rank3 = Graph.rankResult(st2).filter(col("node") === 3L)
+      .select("rank").as[Double].head()
+    assert(rank3 > 0.0)
+  }
 }
