@@ -826,8 +826,12 @@ object SparkEntry {
         .orderBy("interval_id")
     }),
     // ---- extension: multimodal --------------------------------------------
+    // Real encode→decode round trip: synthMedia builds actual BMP / P6-PPM
+    // containers sized by document fields; decodeMeta recovers the metadata
+    // by PARSING the bytes, and the oracle computes the expected values from
+    // the same fields — the parser is wrong unless the whole trip agrees.
     "q41_multimodal_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
+      Multimodal.decodeMeta(s, Multimodal.synthMedia(s, t(s, dir, "documents")))
         .toDF().orderBy("doc_id"))
   )
 
@@ -2247,12 +2251,28 @@ object SparkEntry {
           |  trim(regexp_replace(regexp_replace(lower(text || '  MIXED-Case!! 42 '), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
           |  CAST(len(regexp_extract_all(lower(text || ' x9z.'), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subwords
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // mirrors synthMedia's dimension contract: the Spark side must recover
+      // these numbers by parsing real BMP / PPM bytes; the oracle computes
+      // them from the same document fields (incl. the BMP 54-byte header +
+      // 4-byte row padding and the PPM per-frame ASCII header arithmetic)
       "q41_multimodal_meta" ->
-        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
-          |  CAST(1 + ascii(substr(text, 2, 1)) % 64 AS BIGINT) AS height,
-          |  CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
-          |FROM documents ORDER BY doc_id""".stripMargin
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    1 + octet_length(encode(text)) % 64 AS w,
+          |    1 + doc_id % 64 AS h,
+          |    1 + doc_id % 8 AS f
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(CASE WHEN doc_id % 2 = 0
+          |    THEN 54 + ((3 * w + 3) // 4) * 4 * h
+          |    ELSE f * (length('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+          |              || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+          |              + 3 * w * h)
+          |  END AS BIGINT) AS n_bytes,
+          |  CAST(w AS BIGINT) AS width,
+          |  CAST(h AS BIGINT) AS height,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE f END AS BIGINT) AS n_frames
+          |FROM d ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -4,14 +4,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
-  * processed by a batched per-partition "decoder".
+  * processed by a batched per-partition decoder.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic stub ([[stubDecode]]); everything around it —
-  * the schema (binary payload + metadata struct), the partition-level batching
-  * shape (decoders amortize model/codec init per batch, like an mapInPandas /
-  * mapInArrow decoder would), and the typed Dataset plumbing — is real and
-  * tested. Swapping [[stubDecode]] for a JNI/codec call changes nothing else.
+  * The decode is REAL: payloads are actual image containers — 24-bit
+  * uncompressed BMP (the Windows BITMAPINFOHEADER layout) and binary PPM
+  * (netpbm `P6`, with multi-frame streams as back-to-back concatenated
+  * frames, the classic pipe format for video frames) — parsed byte-by-byte
+  * by [[decode]] with no codec library. The fixtures are synthesized by
+  * [[synthMedia]] with dimensions derived deterministically from document
+  * fields, so the DuckDB oracle can compute the EXPECTED metadata from
+  * those same fields while the Spark side must recover it by parsing the
+  * bytes — an encode→decode round trip, verified end to end.
+  *
+  * The partition-level batching shape (decoders amortize codec/model init
+  * per batch, like a mapInPandas / mapInArrow decoder would) and the
+  * Arrow-columnar variant (the zero-copy layout a native vectorized codec
+  * reads) are the same plumbing a compressed-format (JPEG/PNG/MP4) build
+  * would use: swapping [[decode]]'s body for a JNI call changes nothing
+  * else.
   */
 object Multimodal {
 
@@ -19,32 +29,180 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
       n_frames: Long)
 
-  /** Attach a binary payload column (here derived from text — stands in for
-    * image/audio bytes) plus source metadata. */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  // ---- fixture synthesis ---------------------------------------------------
 
-  /** STUB decoder: deterministic fake feature extraction — the fake features
-    * derive from the first two Unicode code points of the UTF-8 payload (not
-    * raw bytes, so the DuckDB oracle's ascii() mirror holds for non-ASCII
-    * payloads too). A real build replaces this body with the actual codec
-    * call; signature and batch shape stay identical. */
-  def stubDecode(batch: Seq[MediaRow]): Seq[MediaMeta] =
-    batch.map { r =>
-      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-      val c0 = if (text.nonEmpty) text.codePointAt(0) else 0
-      val c1 = if (text.codePointCount(0, text.length) > 1)
-        text.codePointAt(text.offsetByCodePoints(0, 1)) else 0
-      MediaMeta(r.doc_id, r.payload.length.toLong,
-        1L + c0 % 64, 1L + c1 % 64, 1L + r.payload.length % 8)
+  /** Derived media dimensions for a document — the deterministic contract
+    * the oracle mirrors: width from the UTF-8 byte length, height and frame
+    * count from the id, format alternating by id parity (even → BMP,
+    * odd → multi-frame PPM). */
+  private def dims(docId: Long, utf8Len: Int): (Int, Int, Int, Boolean) = {
+    val w = 1 + utf8Len % 64
+    val h = 1 + (docId % 64).toInt
+    val frames = 1 + (docId % 8).toInt
+    (w, h, frames, (docId % 2) == 0L)
+  }
+
+  /** Attach a binary payload column holding a REAL image container per
+    * document: even doc_ids get a 24-bit BMP, odd a multi-frame P6 PPM,
+    * sized by [[dims]]. Byte assembly is per-row imperative work Catalyst
+    * cannot express — the one legitimate mapPartitions case — and it is
+    * narrow: no shuffle, encode runs where the document row lives. */
+  def synthMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (w, h, frames, bmp) = dims(id, utf8.length)
+        MediaRow(id, if (bmp) encodeBmp(w, h, seed = id)
+                     else encodePpm(w, h, frames, seed = id))
+      }).toDF()
+  }
+
+  /** A real 24-bit uncompressed BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes. Pixels are a
+    * deterministic xorshift stream off `seed`, so payload bytes are stable
+    * across runs and partitionings. */
+  def encodeBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad BMP dims ${w}x$h")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val imageSize = rowSize * h
+    val out = java.nio.ByteBuffer.allocate(54 + imageSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54 + imageSize)    // file size
+    out.putInt(0)                 // reserved
+    out.putInt(54)                // pixel data offset
+    out.putInt(40)                // BITMAPINFOHEADER size
+    out.putInt(w)
+    out.putInt(h)                 // positive: bottom-up
+    out.putShort(1)               // planes
+    out.putShort(24)              // bits per pixel
+    out.putInt(0)                 // BI_RGB, uncompressed
+    out.putInt(imageSize)
+    out.putInt(2835).putInt(2835) // 72 DPI in px/metre
+    out.putInt(0).putInt(0)       // palette sizes (none at 24bpp)
+    var s = seed * 0x9E3779B97F4A7C15L + 1
+    var row = 0
+    while (row < h) {
+      var i = 0
+      while (i < rowSize) { // pixel bytes then zero pad, one pass
+        if (i < 3 * w) {
+          s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+          out.put((s & 0xFF).toByte)
+        } else out.put(0.toByte)
+        i += 1
+      }
+      row += 1
     }
+    out.array()
+  }
+
+  /** A multi-frame binary PPM stream: `frames` back-to-back P6 images, each
+    * `P6\n<w> <h>\n255\n` + w·h RGB triples. Deterministic pixel stream as
+    * in [[encodeBmp]]. */
+  def encodePpm(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0, s"bad PPM dims ${w}x$h x$frames")
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = java.nio.ByteBuffer.allocate((header.length + 3 * w * h) * frames)
+    var s = seed * 0x9E3779B97F4A7C15L + 1
+    var f = 0
+    while (f < frames) {
+      out.put(header)
+      var i = 0
+      while (i < 3 * w * h) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        out.put((s & 0xFF).toByte)
+        i += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  // ---- the decoder ---------------------------------------------------------
+
+  /** Parse one payload into its metadata by reading the container bytes:
+    * BMP width/height come from the BITMAPINFOHEADER (negative height =
+    * top-down, reported as magnitude), PPM dims from the first frame's
+    * ASCII header with frames counted by walking the concatenated stream.
+    * Truncated or foreign bytes throw IllegalArgumentException — a decode
+    * error, not a silent zero. */
+  def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    require(payload.length >= 2, s"doc $docId: payload too short to carry a magic")
+    (payload(0), payload(1)) match {
+      case ('B', 'M') => decodeBmp(docId, payload)
+      case ('P', '6') => decodePpm(docId, payload)
+      case (a, b) => throw new IllegalArgumentException(
+        s"doc $docId: unsupported media magic 0x${"%02x%02x".format(a, b)}")
+    }
+  }
+
+  private def decodeBmp(docId: Long, payload: Array[Byte]): MediaMeta = {
+    require(payload.length >= 54, s"doc $docId: truncated BMP header")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22) // negative = top-down row order
+    require(w > 0 && h != 0, s"doc $docId: bad BMP dims ${w}x$h")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    require(payload.length >= pixelOffset + rowSize * math.abs(h),
+      s"doc $docId: BMP pixel data truncated")
+    MediaMeta(docId, payload.length.toLong, w.toLong, math.abs(h).toLong, 1L)
+  }
+
+  private def decodePpm(docId: Long, payload: Array[Byte]): MediaMeta = {
+    // ASCII header token reader: skips whitespace and '#' comments, as the
+    // netpbm grammar allows between tokens
+    var pos = 0
+    def readToken(): String = {
+      while (pos < payload.length &&
+          (Character.isWhitespace(payload(pos)) || payload(pos) == '#')) {
+        if (payload(pos) == '#')
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < payload.length && !Character.isWhitespace(payload(pos))) pos += 1
+      require(pos > start, s"doc $docId: truncated PPM header")
+      new String(payload, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    var frames = 0L
+    var w0 = 0L
+    var h0 = 0L
+    while (pos < payload.length) {
+      require(readToken() == "P6", s"doc $docId: frame $frames is not P6")
+      val w = readToken().toInt
+      val h = readToken().toInt
+      val maxval = readToken().toInt
+      require(w > 0 && h > 0 && maxval > 0 && maxval < 65536,
+        s"doc $docId: bad PPM frame header ${w}x$h max=$maxval")
+      pos += 1 // exactly one whitespace byte separates header from raster
+      val bytesPerSample = if (maxval < 256) 1 else 2
+      val raster = 3 * w * h * bytesPerSample
+      require(pos + raster <= payload.length,
+        s"doc $docId: PPM raster truncated at frame $frames")
+      pos += raster
+      if (frames == 0L) { w0 = w.toLong; h0 = h.toLong }
+      frames += 1
+    }
+    require(frames > 0, s"doc $docId: empty PPM stream")
+    MediaMeta(docId, payload.length.toLong, w0, h0, frames)
+  }
+
+  /** Batch decoder: the signature a vectorized codec presents (decode cost
+    * amortized over the batch). */
+  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaMeta] =
+    batch.map(r => decode(r.doc_id, r.payload))
 
   /** Batched per-partition decode: groups rows into fixed-size batches inside
     * each partition (the shape a vectorized decoder needs), no shuffle. */
   def decodeMeta(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      it.grouped(batchSize).flatMap(g => stubDecode(g.toSeq))
+      it.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq))
     }
   }
 
@@ -52,18 +210,19 @@ object Multimodal {
     * object a `mapInArrow` decoder receives): payloads arrive as one
     * contiguous data buffer + offsets (VarBinaryVector), the zero-copy
     * layout a real vectorized codec (or a C-Data-handed native library)
-    * reads directly. This stub mirrors [[stubDecode]] value-for-value; only
-    * the access path differs. Returns a STRICT Seq — callers reuse the
-    * root's buffers for the next batch. */
-  def stubDecodeArrow(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[MediaMeta] = {
+    * reads directly. Parses the same containers as [[decode]]; only the
+    * access path differs. Returns a STRICT Seq — callers reuse the root's
+    * buffers for the next batch. */
+  def decodeArrow(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[MediaMeta] = {
     val ids = root.getVector("doc_id")
       .asInstanceOf[org.apache.arrow.vector.BigIntVector]
     val pay = root.getVector("payload")
       .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
     (0 until root.getRowCount).map { i =>
-      // pay.get(i) materializes the slice only because the stub needs a
-      // String; a real codec would read the ArrowBuf range in place
-      stubDecode(Seq(MediaRow(ids.get(i), pay.get(i)))).head
+      // pay.get(i) copies the slice because the shared header/raster parser
+      // takes Array[Byte]; a native codec would read the ArrowBuf range in
+      // place via the offsets vector
+      decode(ids.get(i), pay.get(i))
     }
   }
 
@@ -108,7 +267,7 @@ object Multimodal {
               pay.setSafe(i, r.payload)
             }
             root.setRowCount(rows.size)
-            stubDecodeArrow(root)
+            decodeArrow(root)
           } catch { case e: Throwable => closeAll(); throw e }
         }
         // free the partition's Arrow memory after the last batch drains
