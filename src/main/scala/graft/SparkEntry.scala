@@ -648,6 +648,24 @@ object SparkEntry {
       // reads high (the cross-doc complement of q52's within-doc measure)
       TextAnalysis.noveltyScore(tp(s, dir, "documents"), 3)
         .orderBy("doc_id")),
+    "q96_pagerank_incremental" -> ((s, dir) => {
+      // incremental rank maintenance: 90% of the customer–supplier order
+      // graph builds warm checkpointed state (5 rounds), the remaining 10%
+      // folds in as an edge batch with 2 warm rounds — the daemon's
+      // per-batch path, oracled end to end against the unrolled mirror of
+      // BOTH phases (the warm trajectory is NOT the cold q69 one; only the
+      // exact init→insert→re-iterate arithmetic reproduces it)
+      val directed = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"),
+          (col("o_orderkey") % 10 === 0).as("late"))
+      val base = Graph.symmetrize(directed.filter(!col("late")).drop("late"))
+      val batch = Graph.symmetrize(directed.filter(col("late")).drop("late"))
+      val warm = Graph.rankRounds(Graph.rankInit(base), 5)
+      Graph.rankResult(Graph.rankInsert(warm, batch, rounds = 2))
+        .orderBy("node")
+    }),
     "q94_contamination_report" -> ((s, dir) => {
       // the eval-side contamination view (q54's complement): per eval doc,
       // how many train docs share any of its 5-grams and the pair volume —
@@ -1747,6 +1765,51 @@ object SparkEntry {
            |         AS novelty_ppm
            |FROM g JOIN df USING (gram)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q96_pagerank_incremental" -> {
+        // Graph.rankInit + 5 rounds on the 90% base graph, then rankInsert
+        // of the 10% batch + 2 warm rounds — BOTH phases unrolled in the
+        // q69 fixed-point arithmetic. The warm-start rows (w0) keep the
+        // base trajectory's r5 units and only new nodes take the uniform
+        // share over the GROWN node count; the two warm rounds then use the
+        // merged edges and grown degrees.
+        def round(k: Int, prev: String, e: String, deg: String, n: String) =
+          s"""w$k AS (SELECT e.dst AS node, d.deg,
+             |  CAST((15 * 1000000000000000) // (100 * $n.n)
+             |       + (85 * sum(p.ru // p.deg)) // 100 AS BIGINT) AS ru
+             |  FROM $e e JOIN $prev p ON e.src = p.node
+             |         JOIN $deg d ON e.dst = d.node CROSS JOIN $n
+             |  GROUP BY e.dst, d.deg, $n.n)""".stripMargin
+        val baseRounds = (1 to 5)
+          .map(k => round(k, s"w${k - 1}", "eb", "degb", "nb")).mkString(",\n")
+        val warmRounds = Seq(round(6, "ws", "em", "degm", "nm"),
+          round(7, "w6", "em", "degm", "nm")).mkString(",\n")
+        s"""WITH b0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |                            CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |            WHERE o_orderkey % 10 <> 0),
+           |c0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |                       CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |       WHERE o_orderkey % 10 = 0),
+           |eb AS (SELECT src, dst FROM b0 UNION SELECT dst, src FROM b0),
+           |ec AS (SELECT src, dst FROM c0 UNION SELECT dst, src FROM c0),
+           |degb AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           |         FROM eb GROUP BY 1),
+           |nb AS (SELECT count(*) AS n FROM degb),
+           |w0 AS (SELECT node, deg, CAST(1000000000000000 // nb.n AS BIGINT) AS ru
+           |       FROM degb CROSS JOIN nb),
+           |$baseRounds,
+           |em AS (SELECT src, dst FROM eb UNION SELECT src, dst FROM ec),
+           |degm AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           |         FROM em GROUP BY 1),
+           |nm AS (SELECT count(*) AS n FROM degm),
+           |ws AS (SELECT d.node, d.deg,
+           |         CAST(coalesce(r.ru, 1000000000000000 // nm.n) AS BIGINT) AS ru
+           |       FROM degm d CROSS JOIN nm LEFT JOIN w5 r ON d.node = r.node),
+           |$warmRounds
+           |SELECT node, deg, CAST(ru AS DOUBLE) / 1.0e15 AS rank
+           |FROM w7 ORDER BY node""".stripMargin
+      },
       "q94_contamination_report" -> // q54's gram join grouped by the EVAL
         // side, with the distinct-train-doc count alongside the pair volume
         s"""WITH tg AS (SELECT doc_id, unnest(${gramsN("text", 5)}) AS gram

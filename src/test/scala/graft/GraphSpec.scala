@@ -214,6 +214,39 @@ class GraphSpec extends SparkSpec {
     assert(st2.edges.count() == st.edges.count())
   }
 
+  test("incremental: edge batches fold through a streaming pipeline (foreachBatch)") {
+    // the daemon shape end to end: micro-batches of edges arrive on a
+    // stream, each folds into the checkpointed rank state via rankInsert
+    // (2 warm rounds) — the streaming-sketch pattern applied to rank. The
+    // streamed state must settle on the full graph's terminal cycle within
+    // the same quantization-noise contract as the two-phase test.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    var st: Option[Graph.RankState] = None
+    val q = source.toDF().toDF("src", "dst").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sym = Graph.symmetrize(batch)
+        st = Some(st.fold(Graph.rankRounds(Graph.rankInit(sym), 5))(
+          Graph.rankInsert(_, sym, rounds = 2)))
+        ()
+    }.start()
+    val batches = Seq(
+      (1L until 5L).map(i => (i, i + 1)),
+      (4L until 8L).map(i => (i, i + 1)), // overlaps the first batch's tail
+      Seq((0L, 1L), (0L, 8L)))            // closes the ring through node 0
+    batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val full = Graph.symmetrize(batches.flatten.toDF("src", "dst"))
+    val cold = terminalCycle(Graph.rankInit(full))
+    val warm = terminalCycle(st.get)
+    val bound = 150L // 18 directed edges * 0.85/0.15 ≈ 102 units, rounded up
+    for (w <- warm; c <- cold) {
+      assert(w.map(_._1) == c.map(_._1), "same node set")
+      val gap = w.map(_._2).zip(c.map(_._2)).map { case (a, b) => math.abs(a - b) }.max
+      assert(gap <= bound, s"streamed and cold terminal states must agree, gap=$gap")
+    }
+  }
+
   test("incremental: new nodes on a personalized walk join with teleport 0") {
     val e = Graph.symmetrize(Seq((1L, 2L)).toDF("src", "dst"))
     val st = Graph.rankRounds(
