@@ -63,6 +63,7 @@ object Bench {
       "q48_curation", "q53_dedup_clusters", "q62_dedup_incremental",
       "q69_pagerank", // many small stages + checkpoint writes: load-sensitive
       "q96_pagerank_incremental", // same profile: two rank phases + checkpoints
+      "q97_cc_incremental", // embeds the q31 pair pipeline + two CC phases
       "q86_triangles") // embeds the q31 pair pipeline
     def runsFor(name: String): Int =
       if (noisy(name)) math.max(benchRuns, 3) else benchRuns

@@ -648,6 +648,23 @@ object SparkEntry {
       // reads high (the cross-doc complement of q52's within-doc measure)
       TextAnalysis.noveltyScore(tp(s, dir, "documents"), 3)
         .orderBy("doc_id")),
+    "q97_cc_incremental" -> ((s, dir) => {
+      // incremental duplicate-cluster maintenance, the ingest shape: the
+      // pairs touching a 10% doc slice (the "arriving batch", q62's
+      // framing) fold into the at-rest labeling via ccInsert (rep-level
+      // contraction + broadcast relabel). Min-rep labels are a unique
+      // fixpoint, so warm must equal the one-shot cold labels EXACTLY —
+      // the oracle is the same recursive CC as q53 over all pairs. The
+      // pair pipeline is checkpointed once: base and batch are two filters
+      // over it, and the q89 lesson says a twice-referenced lazy pipeline
+      // re-runs per reference.
+      graft.util.Checkpoints.ensureDir(s)
+      val pairs = Dedup.ngramJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
+        .select("a_id", "b_id").checkpoint(eager = true)
+      val touched = col("a_id") % 10 === 7 || col("b_id") % 10 === 7
+      Dedup.ccInsert(Dedup.connectedComponents(pairs.filter(!touched)),
+        pairs.filter(touched)).orderBy("doc_id")
+    }),
     "q96_pagerank_incremental" -> ((s, dir) => {
       // incremental rank maintenance: 90% of the customer–supplier order
       // graph builds warm checkpointed state (5 rounds), the remaining 10%
@@ -1765,6 +1782,22 @@ object SparkEntry {
            |         AS novelty_ppm
            |FROM g JOIN df USING (gram)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q97_cc_incremental" -> // the incremental fold lands on the exact
+        // one-shot labels (min-rep is a unique fixpoint), so the oracle is
+        // the same recursive min-label reachability as q53 over ALL pairs —
+        // only a correct init→insert composition reproduces it
+        s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |pe AS (SELECT a_id, b_id FROM pairs
+           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |e AS (SELECT a_id AS s, b_id AS d FROM pe
+           |      UNION ALL SELECT b_id, a_id FROM pe),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+           |SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
+           |ORDER BY doc_id""".stripMargin,
       "q96_pagerank_incremental" -> {
         // Graph.rankInit + 5 rounds on the 90% base graph, then rankInsert
         // of the 10% batch + 2 warm rounds — BOTH phases unrolled in the

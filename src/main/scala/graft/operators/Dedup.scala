@@ -520,6 +520,54 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * near-dup pairs into an existing min-rep labeling (the output of
+    * [[connectedComponents]] or a previous ccInsert) without re-contracting
+    * the corpus-sized pair set. Each new edge's endpoints are mapped to
+    * their current representatives (identity for first-seen nodes); the
+    * star contraction then runs on that REP-LEVEL graph — sized by the
+    * batch, not the corpus — and one relabel join rewrites the node-sized
+    * label table. Because every stored rep is already the minimum of its
+    * component, the merged component's new rep is the global minimum, so
+    * the warm result is EXACTLY the labels a cold run over (old pairs ∪
+    * batch) produces — spec-pinned, and oracled end to end by q97.
+    *
+    * Scale shape: the corpus-sized steps are one batch⋈labels lookup join
+    * (batch side broadcastable) and the final labels rewrite against the
+    * BROADCAST batch-sized relabel map + eager re-checkpoint — the same
+    * compact-on-write [[graft.operators.Graph.rankInsert]] pays so a
+    * daemon's lineage stays bounded. The contraction loop itself never
+    * touches the at-rest pair set. */
+  def ccInsert(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    graft.util.Checkpoints.ensureDir(spark)
+    val la = labels.select(col("doc_id").as("a_id"), col("rep_id").as("ra"))
+    val lb = labels.select(col("doc_id").as("b_id"), col("rep_id").as("rb"))
+    // one lookup join maps both endpoints AND flags first-seen nodes (null
+    // rep) — no separate anti-join that would shuffle the labels table
+    val mapped0 = newPairs.select(col("a_id"), col("b_id"))
+      .join(la, Seq("a_id"), "left").join(lb, Seq("b_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repEdges = mapped0.select(
+      coalesce(col("ra"), col("a_id")).as("a_id"),
+      coalesce(col("rb"), col("b_id")).as("b_id"))
+    // contract the batch-sized rep graph (covers touched old reps + fresh
+    // nodes); its labels ARE min-reps of the merged components
+    val repLabels = connectedComponents(repEdges)
+    val freshIds = mapped0.filter(col("ra").isNull).select(col("a_id").as("id"))
+      .union(mapped0.filter(col("rb").isNull).select(col("b_id").as("id")))
+      .distinct()
+    mapped0.unpersist()
+    val relabel = repLabels.select(col("doc_id").as("old_rep"),
+      col("rep_id").as("new_rep"))
+    val existing = labels.join(broadcast(relabel),
+        labels("rep_id") === relabel("old_rep"), "left")
+      .select(col("doc_id"), coalesce(col("new_rep"), col("rep_id")).as("rep_id"))
+    val fresh = freshIds.join(repLabels, freshIds("id") === repLabels("doc_id"))
+      .select(col("id").as("doc_id"), col("rep_id"))
+    existing.union(fresh).checkpoint(eager = true)
+  }
+
   /** Train/eval decontamination: training docs sharing at least one distinct
     * word n-gram with any eval doc, with the count of shared distinct grams.
     * Output: (doc_id, n_shared_grams) over the TRAIN side only.

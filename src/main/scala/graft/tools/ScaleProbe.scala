@@ -85,6 +85,29 @@ object ScaleProbe {
       }
       pairs.unpersist()
     }
+    locally {
+      // incremental CC maintenance, the q62 shape: the arriving "batch" is
+      // the pairs touching a FIXED 500-doc slice (a real ingest delta),
+      // while the at-rest corpus — and its pair set — grows with k. Warm =
+      // rep-level contraction of the batch + broadcast relabel + labels
+      // re-checkpoint; cold = the full star contraction. Pairs are
+      // persisted so the upstream n-gram pipeline prices into neither side.
+      def inSlice(c: org.apache.spark.sql.Column) =
+        c < 1000000L && c % 100 === 0
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val touched = inSlice(col("a_id")) || inSlice(col("b_id"))
+      if (only.forall(s => s.contains("cc_warm_batch") ||
+          s.contains("cc_cold_rebuild"))) {
+        pairs.count()
+        val labels = Dedup.connectedComponents(pairs.filter(!touched))
+        time("cc_warm_batch") {
+          Dedup.ccInsert(labels, pairs.filter(touched)).count()
+        }
+        time("cc_cold_rebuild") { Dedup.connectedComponents(pairs).count() }
+      }
+      pairs.unpersist()
+    }
     // eval side stays the BASE corpus slice: a real eval set doesn't grow
     // with the training corpus, and the broadcast side must stay bounded
     val baseDocs = spark.read.parquet(s"$dir/documents.parquet")

@@ -188,6 +188,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ccInsert: warm fold equals the cold run over the unioned pair set") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base: two clusters {0,1,2} and {5,6}, plus a chain {10..14}
+    val base = Seq((1L, 0L), (1L, 2L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a_id", "b_id")
+    // batch exercises every merge shape at once: a bridge joining two old
+    // components through NON-rep members (2-6), a fresh node below an old
+    // rep (4 < 5 via 4-6... no, 4 pairs into the {5,6} side pre-merge),
+    // a fresh-only pair (20,21), and a stale duplicate of a base pair
+    val batch = Seq((2L, 6L), (4L, 6L), (20L, 21L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val warm = Dedup.ccInsert(Dedup.connectedComponents(base), batch)
+    val cold = Dedup.connectedComponents(base.unionByName(batch))
+    assert(asMap(warm) == asMap(cold))
+    // the merged {0,1,2}∪{4,5,6} component takes the global min 0
+    assert(asMap(warm)(4L) == 0L && asMap(warm)(6L) == 0L)
+    assert(asMap(warm)(20L) == 20L && asMap(warm)(21L) == 20L)
+  }
+
+  test("ccInsert: fresh node smaller than every old rep becomes the new rep") {
+    val labels = Dedup.connectedComponents(Seq((5L, 6L), (6L, 7L)).toDF("a_id", "b_id"))
+    val got = Dedup.ccInsert(labels, Seq((1L, 7L)).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("ccInsert: an already-covered batch leaves the labels unchanged") {
+    val base = Seq((1L, 0L), (1L, 2L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(base)
+    val got = Dedup.ccInsert(labels, Seq((0L, 2L)).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("decontamination: shared distinct 5-grams against a broadcast eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

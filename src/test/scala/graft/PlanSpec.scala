@@ -275,4 +275,15 @@ class PlanSpec extends SparkSpec {
     // 5 rounds x (edges join + deg join) — none may degrade to a nested loop
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q96 incremental pagerank: warm rounds read checkpoints, not parquet") {
+    val df = SparkEntry.queries("q96_pagerank_incremental")(spark, dir)
+    val p = plan(df)
+    // rankInsert re-checkpoints the merged edge list and the warm rank
+    // vector, so the final plan (rankResult over 2 warm rounds) must hang
+    // entirely off checkpoint scans: a parquet leaf would mean a stage
+    // re-reads the fixture instead of the compacted state
+    assert(!p.contains("Scan parquet"), s"warm rounds must read checkpoints:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
