@@ -648,6 +648,16 @@ object SparkEntry {
       // reads high (the cross-doc complement of q52's within-doc measure)
       TextAnalysis.noveltyScore(tp(s, dir, "documents"), 3)
         .orderBy("doc_id")),
+    "q98_phrase_hits" -> ((s, dir) => {
+      // distributed grep: exact occurrence counts for a (broadcast) phrase
+      // screen list over the corpus — mixed 2- and 3-token phrases, so the
+      // operator exercises its per-length window passes
+      import s.implicits._
+      Retrieval.phraseHits(tp(s, dir, "documents"),
+          Seq("table part", "value fast", "big order scan", "group slow spark")
+            .toDF("phrase"))
+        .orderBy("doc_id", "phrase")
+    }),
     "q97_cc_incremental" -> ((s, dir) => {
       // incremental duplicate-cluster maintenance, the ingest shape: the
       // pairs touching a 10% doc slice (the "arriving batch", q62's
@@ -1782,6 +1792,20 @@ object SparkEntry {
            |         AS novelty_ppm
            |FROM g JOIN df USING (gram)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q98_phrase_hits" -> // sliding windows per phrase length, IN-filtered
+        // to the screen list, counted per (doc, phrase) — hits only
+        """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |w2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+          |                              for i in range(1, len(toks))]) AS phrase FROM tk),
+          |w3 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+          |                              for i in range(1, len(toks) - 1)]) AS phrase FROM tk),
+          |hits AS (SELECT doc_id, phrase FROM w2
+          |         WHERE phrase IN ('table part', 'value fast')
+          |         UNION ALL
+          |         SELECT doc_id, phrase FROM w3
+          |         WHERE phrase IN ('big order scan', 'group slow spark'))
+          |SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_hits
+          |FROM hits GROUP BY doc_id, phrase ORDER BY doc_id, phrase""".stripMargin,
       "q97_cc_incremental" -> // the incremental fold lands on the exact
         // one-shot labels (min-rep is a unique fixpoint), so the oracle is
         // the same recursive min-label reachability as q53 over ALL pairs —

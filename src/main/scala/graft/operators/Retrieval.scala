@@ -69,4 +69,45 @@ object Retrieval {
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select("doc_id", "score", "rank")
   }
+
+  /** Exact phrase occurrence counts — distributed grep for a phrase list:
+    * banned-boilerplate screens, license/contamination probes, template
+    * detection. `phrases` is one `phrase` column of space-joined tokens and
+    * is broadcast by contract (screen lists are KBs against a corpus of
+    * TBs). Output: (doc_id, phrase, n_hits), hits only.
+    *
+    * Scale shape: for each distinct phrase LENGTH, one narrow codegen pass
+    * recomposes the per-doc sliding token windows (the q68 builder — no
+    * positional self-join, no posting-list intersection), and the
+    * broadcast equi-join on the window text discards every non-matching
+    * window map-side. The only shuffle is the per-(doc, phrase) count over
+    * MATCHING windows — hit-sized, not corpus-sized. The distinct lengths
+    * come from one driver-side collect over the phrase table (bounded by
+    * the broadcast contract — the q42 bounded-collect family). */
+  def phraseHits(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val pl = phrases.select(col("phrase")).distinct()
+      .withColumn("len", size(split(col("phrase"), " ")))
+    val lens = pl.select("len").distinct().collect().map(_.getInt(0)).sorted
+    require(lens.nonEmpty && lens.head >= 1, "phrase list is empty")
+    val toks = split(col("text"), " ")
+    lens.map { n =>
+      val wins = docs.select(col("doc_id"), explode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n), i =>
+            concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("win"))
+      wins.join(broadcast(pl.filter(col("len") === n)),
+          col("win") === col("phrase"))
+        .select(col("doc_id"), col("phrase"))
+    }.reduce(_.unionByName(_))
+      .groupBy("doc_id", "phrase").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The gate form: documents containing NONE of the phrases survive.
+    * Anti-join against the hit-sized [[phraseHits]] doc set. NOTE the
+    * keep-rule caveat (the q89 lesson): `docs` is referenced on both sides
+    * of the anti-join, so checkpoint an expensive upstream pipeline before
+    * gating it, or the gate re-runs it. */
+  def phraseFilter(docs: DataFrame, phrases: DataFrame): DataFrame =
+    docs.join(phraseHits(docs, phrases).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
 }

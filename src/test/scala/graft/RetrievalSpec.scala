@@ -47,4 +47,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got.length == 7)
     assert(got.map(_.getLong(2)).sorted.toSeq == (1L to 7L))
   }
+
+  test("phraseHits: exact counts, overlaps, boundaries, short docs") {
+    val docs = docsDf(
+      0L -> "ban me not ban me",   // 2 hits of "ban me", at start and end
+      1L -> "a a a a",             // overlapping windows: 3 hits of "a a"
+      2L -> "ban",                 // shorter than every phrase -> no rows
+      3L -> "clean text here",     // no hits -> no rows
+      4L -> "x ban me stop now y") // one 2-token and one 3-token hit
+    val phrases = Seq("ban me", "a a", "stop now y").toDF("phrase")
+    val got = Retrieval.phraseHits(docs, phrases)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, "ban me") -> 2L,
+      (1L, "a a") -> 3L,
+      (4L, "ban me") -> 1L,
+      (4L, "stop now y") -> 1L))
+  }
+
+  test("phraseFilter: only documents with zero phrase hits survive") {
+    val docs = docsDf(
+      0L -> "ban me not",
+      1L -> "all clean",
+      2L -> "ban",        // prefix of a phrase is not a hit
+      3L -> "me ban")     // reversed order is not a hit
+    val kept = Retrieval.phraseFilter(docs, Seq("ban me").toDF("phrase"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+  }
 }
