@@ -648,6 +648,12 @@ object SparkEntry {
       // reads high (the cross-doc complement of q52's within-doc measure)
       TextAnalysis.noveltyScore(tp(s, dir, "documents"), 3)
         .orderBy("doc_id")),
+    "q99_shard_assign" -> ((s, dir) =>
+      // deterministic shuffle + shard layout: hash-uniform shard choice and
+      // an independent-stream within-shard permutation — the write-side
+      // last mile, reproducible under any partitioning (no RNG)
+      Sampling.shardAssign(t(s, dir, "documents"), "doc_id", 8)
+        .orderBy("doc_id")),
     "q98_phrase_hits" -> ((s, dir) => {
       // distributed grep: exact occurrence counts for a (broadcast) phrase
       // screen list over the corpus — mixed 2- and 3-token phrases, so the
@@ -1792,6 +1798,19 @@ object SparkEntry {
            |         AS novelty_ppm
            |FROM g JOIN df USING (gram)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q99_shard_assign" -> {
+        // both unit-hash streams replayed via unitHashSql; floor(u*8) is
+        // exact (power-of-two scale on identical doubles), row_number over
+        // (u1, doc_id) mirrors the window sort
+        val u0 = graft.operators.Sampling.unitHashSql("doc_id", salt = 0)
+        val u1 = graft.operators.Sampling.unitHashSql("doc_id", salt = 1)
+        s"""WITH h AS (SELECT doc_id,
+           |  CAST(floor($u0 * 8) AS BIGINT) AS shard, $u1 AS u FROM documents)
+           |SELECT doc_id, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
+           |       AS BIGINT) AS pos
+           |FROM h ORDER BY doc_id""".stripMargin
+      },
       "q98_phrase_hits" -> // sliding windows per phrase length, IN-filtered
         // to the screen list, counted per (doc, phrase) — hits only
         """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

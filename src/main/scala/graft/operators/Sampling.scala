@@ -171,4 +171,28 @@ object Sampling {
         when(u < hi, name).otherwise(acc)
       }
   }
+
+  /** Deterministic corpus shuffle + shard layout — the write-side last mile
+    * of a training pipeline: every row gets a shard (hash-uniform over
+    * `nShards`) and a position within its shard, ordered by an INDEPENDENT
+    * salted hash stream so the within-shard order is a pseudo-random
+    * permutation decorrelated from both the shard choice and ingest order.
+    * No RNG anywhere (the sampling family's unit-hash contract): the same
+    * corpus yields the same layout under any partitioning, so a re-run
+    * after failure rewrites identical shards. Output: (idCol, shard, pos)
+    * with pos dense from 1 per shard.
+    *
+    * Scale shape: the shard column is one narrow hash; the position is a
+    * per-shard window sort — exactly the repartition(shard)
+    * .sortWithinPartitions write path, nShards-way parallel, NO global
+    * sort. Size nShards so corpus/nShards fits an executor's spillable
+    * sort budget. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      .orderBy(unitHash(col(idCol), salt = 1), col(idCol))
+    df.select(col(idCol),
+        floor(unitHash(col(idCol), salt = 0) * nShards).cast("long").as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

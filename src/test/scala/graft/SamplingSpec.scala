@@ -144,4 +144,24 @@ class SamplingSpec extends SparkSpec {
     val edge = Sampling.mixtureSample(df, "grp", "id", Map("s0" -> 0.29), 100L)
     assert(edge.count() == 29)
   }
+
+  test("shardAssign: deterministic layout, dense positions, decorrelated order") {
+    val df = (0L until 400L).map(Tuple1.apply).toDF("id")
+    val a = Sampling.shardAssign(df, "id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // partitioning-independent: same layout from a different physical split
+    val b = Sampling.shardAssign(df.repartition(13), "id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+    // every row lands in [0, 8) and each shard's positions are dense from 1
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    for ((_, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    // hash-uniform: no shard is pathologically empty or dominant on 400 rows
+    val sizes = a.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.min > 20 && sizes.values.max < 90, sizes.toMap.toString)
+    // the within-shard order is NOT id order (independent salt stream)
+    val shard0 = a.filter(_._2 == sizes.maxBy(_._2)._1).sortBy(_._3).map(_._1)
+    assert(shard0 != shard0.sorted)
+  }
 }
