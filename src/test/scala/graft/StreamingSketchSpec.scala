@@ -42,6 +42,34 @@ class StreamingSketchSpec extends SparkSpec {
     assert(probe("doc-0") && probe("doc-89") && !probe("absent-1"))
   }
 
+  test("cc labels fold incrementally across micro-batches") {
+    // the soft-dedup daemon shape: near-dup pairs arrive per batch and fold
+    // into the at-rest cluster labeling via ccInsert — chained merges
+    // across batches must land on the one-shot labels over all pairs
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Long)]
+    var labels: Option[DataFrame] = None
+    val q = source.toDF().toDF("a_id", "b_id").writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        labels = Some(labels.fold(
+          graft.operators.Dedup.connectedComponents(batch))(
+          graft.operators.Dedup.ccInsert(_, batch)))
+        ()
+    }.start()
+    val batches = Seq(
+      Seq((1L, 2L), (3L, 4L), (20L, 21L)),
+      Seq((2L, 3L)),            // merges {1,2} with {3,4} through members
+      Seq((10L, 11L), (4L, 10L))) // extends the merged cluster again
+    batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = labels.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = graft.operators.Dedup
+      .connectedComponents(batches.flatten.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == oneShot)
+    assert(got(11L) == 1L && got(21L) == 20L)
+  }
+
   test("hll registers fold incrementally by max, estimate unchanged") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[(String, String)]
