@@ -654,6 +654,21 @@ object SparkEntry {
       // last mile, reproducible under any partitioning (no RNG)
       Sampling.shardAssign(t(s, dir, "documents"), "doc_id", 8)
         .orderBy("doc_id")),
+    "q100_importance_select" -> ((s, dir) => {
+      // DSIR importance resampling: hashed-unigram log-likelihood-ratio
+      // weights of the raw slice (source != src0) against the src0 target
+      // slice; the 100 most target-like docs kept by bounded top-k
+      val docs = tp(s, dir, "documents")
+      Selection.importanceTopK(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), k = 100, numSlots = 512)
+        .orderBy(col("rank"))
+    }),
+    "q101_prefix_jaccard" -> ((s, dir) =>
+      // prefix-filtered set-similarity join (PPJoin-style): the SOUND
+      // candidate generator — rarest-first prefixes, no df cap, no false
+      // negatives; output contract identical to q31's inverted-index form
+      Dedup.prefixJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
+        .orderBy("a_id", "b_id")),
     "q98_phrase_hits" -> ((s, dir) => {
       // distributed grep: exact occurrence counts for a (broadcast) phrase
       // screen list over the corpus — mixed 2- and 3-token phrases, so the
@@ -1811,6 +1826,66 @@ object SparkEntry {
            |       AS BIGINT) AS pos
            |FROM h ORDER BY doc_id""".stripMargin
       },
+      "q100_importance_select" -> {
+        // full DSIR mirror: poly-hash token slots, add-one smoothed per-slot
+        // ln ratio (each ln rounded to 6 decimals, differenced and summed in
+        // DECIMAL(38,6) — order-independent), top-100 by (logw DESC, doc_id)
+        val slot = s"(${polyHashSql("tok")} % 512)"
+        s"""WITH tt AS (SELECT $slot AS slot FROM (
+           |        SELECT unnest(string_split(text, ' ')) AS tok
+           |        FROM documents WHERE source = 'src0')),
+           |rt AS (SELECT doc_id, $slot AS slot FROM (
+           |        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents WHERE source <> 'src0')),
+           |ct AS (SELECT slot, count(*) AS ct FROM tt GROUP BY 1),
+           |cr AS (SELECT slot, count(*) AS cr FROM rt GROUP BY 1),
+           |nn AS (SELECT (SELECT count(*) FROM tt) AS nt,
+           |              (SELECT count(*) FROM rt) AS nr),
+           |lr AS (SELECT cr.slot,
+           |         CAST(round(ln((COALESCE(ct.ct, 0) + 1.0e0) / (nn.nt + 512.0e0)), 6)
+           |              AS DECIMAL(38,6))
+           |       - CAST(round(ln((cr.cr + 1.0e0) / (nn.nr + 512.0e0)), 6)
+           |              AS DECIMAL(38,6)) AS lr
+           |       FROM cr LEFT JOIN ct USING (slot) CROSS JOIN nn),
+           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |             CAST(sum(lr) AS DOUBLE) AS logw
+           |      FROM rt JOIN lr USING (slot) GROUP BY doc_id)
+           |SELECT doc_id, n_toks, logw,
+           |       CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS BIGINT) AS rank
+           |FROM d ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin
+      },
+      "q101_prefix_jaccard" -> // full prefix-filter mirror: df-ascending
+        // rank per doc, prefix slice, prefix self-join candidates with the
+        // size + first-shared-gram position prunes, exact list_intersect
+        // verification on candidate pairs only
+        s"""WITH gs AS (SELECT doc_id, ${grams3("text")} AS grams,
+           |              CAST(len(${grams3("text")}) AS BIGINT) AS n_grams
+           |            FROM documents WHERE len(${grams3("text")}) > 0),
+           |g AS (SELECT doc_id, n_grams, unnest(grams) AS gram FROM gs),
+           |df AS (SELECT gram, count(*) AS gdf FROM g GROUP BY 1),
+           |rk AS (SELECT g.doc_id, g.gram, g.n_grams,
+           |         row_number() OVER (PARTITION BY g.doc_id
+           |                            ORDER BY df.gdf, g.gram) AS r
+           |       FROM g JOIN df USING (gram)),
+           |px AS (SELECT doc_id, gram, r, n_grams FROM rk
+           |       WHERE r <= n_grams - ceil(0.5e0 * n_grams) + 1),
+           |cr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.r AS ra, b.r AS rb,
+           |              a.n_grams AS a_n, b.n_grams AS b_n
+           |       FROM px a JOIN px b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |       WHERE a.n_grams * 0.5e0 <= b.n_grams + 1e-9
+           |         AND b.n_grams * 0.5e0 <= a.n_grams + 1e-9),
+           |cand AS (SELECT a_id, b_id FROM cr GROUP BY a_id, b_id, a_n, b_n
+           |         HAVING CAST(1 + least(a_n - min(ra), b_n - min(rb)) AS DOUBLE)
+           |                * 1.5e0 >= 0.5e0 * (a_n + b_n) - 1e-9),
+           |v AS (SELECT c.a_id, c.b_id,
+           |        CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS common,
+           |        ga.n_grams AS a_n, gb.n_grams AS b_n
+           |      FROM cand c JOIN gs ga ON ga.doc_id = c.a_id
+           |                  JOIN gs gb ON gb.doc_id = c.b_id)
+           |SELECT a_id, b_id, common,
+           |       round(CAST(common AS DOUBLE) / (a_n + b_n - common), 6) AS jaccard
+           |FROM v WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0
+           |ORDER BY a_id, b_id""".stripMargin,
       "q98_phrase_hits" -> // sliding windows per phrase length, IN-filtered
         // to the screen list, counted per (doc, phrase) — hits only
         """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -101,6 +101,88 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact n-gram Jaccard pairs (the prefix-filter principle
+    * of PPJoin — Xiao et al., WWW'08; Chaudhuri et al., ICDE'06): the SOUND
+    * replacement for [[ngramJaccardPairs]]'s df-gate heuristic. Order every
+    * document's grams by ascending global doc-frequency (rarest first, ties
+    * by gram string); for jaccard >= t a pair must share >= ceil(t*|A|)
+    * grams (J = c/(a+b-c) >= t and b >= c give c >= t*a), so by the prefix
+    * pigeonhole the first |A| - ceil(t*|A|) + 1 grams of EACH side must
+    * intersect. Candidates are therefore generated from a prefix self-join
+    * only — no false negatives by construction, unlike the df cap — and the
+    * rarest-first order makes the prefix join keys exactly the LOW-df grams,
+    * so the quadratic fan-out that kills the full inverted index never
+    * forms. Exact jaccard is then verified on candidate pairs alone.
+    *
+    * Scale shape: df ranking is a word-count aggregate plus a per-doc window
+    * (both corpus-linear); the candidate join touches ~(1-t)|G|+1 grams per
+    * doc, each with the smallest df in the corpus; verification cost is
+    * candidate-bounded. A residual hot prefix gram is a skewed equi-join key
+    * (AQE skew split), not a heap problem. Output is identical to
+    * [[ngramJaccardPairs]] with the df cap disabled — pinned by spec. */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // The gram pool is consumed FIVE times downstream (the explode chain
+    // feeding sizes/df/prefix, then both sides of the verification join),
+    // each under a different partitioning, so exchange reuse cannot
+    // deduplicate it and fully-lazy composition re-runs the
+    // transform+array_distinct gram build per consumer (the measured
+    // fan-out pitfall: ~3.4x q31's wall at sf0.1). One eager checkpoint
+    // materializes the arrays once; the files free with the result RDD
+    // under cleanCheckpoints (the Checkpoints contract), and a
+    // materialized gram pool is also the production shape — the same
+    // at-rest artifact the MinHash index keeps.
+    // Tokens materialize behind their own projection boundary (the gramRows
+    // pattern): inlining split() into the gram transform re-splits the text
+    // per element_at reference — ~3x grams-per-doc full splits per row, the
+    // measured expression-fan-out pitfall.
+    graft.util.Checkpoints.ensureDir(docs.sparkSession)
+    val gs = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), gramsOfToks(col("toks"), n).as("grams"))
+      .checkpoint(eager = true)
+    val g = gs.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val gdf = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("gdf"), col("gram"))
+    val prefix = g.join(gdf, "gram").join(sizes, "doc_id")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n_grams") - ceil(lit(threshold) * col("n_grams")) + 1)
+      .select(col("doc_id"), col("gram"), col("r"), col("n_grams"))
+    // candidate pairs, pruned by PPJoin's output-neutral filters before any
+    // verification work: the SIZE filter (c >= t*a and c <= b force
+    // t*a <= b, symmetrically) and the POSITION filter (shared grams appear
+    // in the same relative order on both sides, so min(ra) and min(rb) name
+    // the SAME first shared gram; overlap <= 1 + min(a_n-ra, b_n-rb) there,
+    // and J >= t needs overlap >= t*(a_n+b_n)/(1+t)). Epsilon slack keeps
+    // both prunes conservative under float rounding.
+    val cand = prefix.select(col("gram"), col("doc_id").as("a_id"),
+        col("r").as("ra"), col("n_grams").as("a_n"))
+      .join(prefix.select(col("gram"), col("doc_id").as("b_id"),
+        col("r").as("rb"), col("n_grams").as("b_n")), "gram")
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_n") * lit(threshold) <= col("b_n") + lit(1e-9) &&
+        col("b_n") * lit(threshold) <= col("a_n") + lit(1e-9))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(min(col("ra")).as("mra"), min(col("rb")).as("mrb"))
+      .filter((lit(1L) + least(col("a_n") - col("mra"), col("b_n") - col("mrb")))
+        .cast("double") * lit(1.0 + threshold) >=
+        lit(threshold) * (col("a_n") + col("b_n")) - lit(1e-9))
+      .select("a_id", "b_id")
+    // exact verification: one narrow array_intersect per candidate pair —
+    // the doc-sized gram arrays ride the two id joins, no corpus-fanout
+    // re-join; size() here reads the joined (materialized) arrays
+    cand
+      .join(gs.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), "a_id")
+      .join(gs.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_grams"), col("b_grams"))).cast("long").as("common"),
+        size(col("a_grams")).cast("long").as("a_n"),
+        size(col("b_grams")).cast("long").as("b_n"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Shared MinHash signature stage: from exploded gram rows to
     * ((doc_id, band, bucket) band rows, (doc_id, h0..h63, n_grams) sigs).
     * Used by the in-memory pair join and the at-rest incremental index. */

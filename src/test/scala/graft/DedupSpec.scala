@@ -53,6 +53,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard equals the uncapped inverted-index form") {
+    for (thr <- Seq(0.1, 0.5, 0.8)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val expected = rows(Dedup.ngramJaccardPairs(docs, 3, thr, maxGramDocs = Int.MaxValue))
+      val got = rows(Dedup.prefixJaccardPairs(docs, 3, thr))
+      assert(got === expected, s"thr=$thr")
+      assert(got.map(t => (t._1, t._2)).toSet === brutePairs(thr), s"thr=$thr")
+    }
+  }
+
+  test("prefix filter is sound where the df cap loses pairs") {
+    // cap=2 drops the df=3 grams shared by docs 0/2/8, so the inverted-index
+    // heuristic misses the (0,2) identical pair; the prefix filter cannot
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.5, maxGramDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.prefixJaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((0L, 2L)))
+    assert(prefix === brutePairs(0.5))
+  }
+
   test("minhash LSH finds all high-similarity pairs, verified exactly") {
     val got = Dedup.minhashLshPairs(docs, 3, 64, 16, 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
