@@ -94,6 +94,17 @@ object SparkEntry {
     * sibling — derived, so the oracle needs no fourth pinned property). */
   def semIndexPath(dir: String): String = ivfIndexPath(dir) + "_sem"
 
+  /** Where q102 persists its inverted retrieval index — same per-SF keying
+    * contract as [[ivfIndexPath]]; the oracle recomputes from `documents`
+    * (index-served == from-scratch is the point of the check), so no
+    * pinned path property is needed. */
+  def invIndexPath(dir: String): String =
+    s"/root/repo/target/inv_index/${new java.io.File(dir).getName}"
+
+  /** q102's fixed retrieval terms — disjoint from [[Bm25Terms]] so the two
+    * queries never share a cached aggregate by accident. */
+  val Bm25IndexedTerms: Seq[String] = Seq("merge", "window", "filter")
+
   /** q64's fixed retrieval terms (chosen from the fixture vocabulary). */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "stream")
 
@@ -669,6 +680,16 @@ object SparkEntry {
       // negatives; output contract identical to q31's inverted-index form
       Dedup.prefixJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
         .orderBy("a_id", "b_id")),
+    "q102_bm25_indexed" -> ((s, dir) => {
+      // build the at-rest inverted index (tb-partitioned postings + stats),
+      // then serve BM25 through the directory-pruned probe path; the oracle
+      // recomputes from `documents`, so the green row proves index-served
+      // == from-scratch
+      val path = invIndexPath(dir)
+      Retrieval.writeInvertedIndex(tp(s, dir, "documents"), path)
+      Retrieval.bm25TopKIndexed(s, path, Bm25IndexedTerms, 15)
+        .orderBy("rank")
+    }),
     "q98_phrase_hits" -> ((s, dir) => {
       // distributed grep: exact occurrence counts for a (broadcast) phrase
       // screen list over the corpus — mixed 2- and 3-token phrases, so the
@@ -950,6 +971,12 @@ object SparkEntry {
           gramHashes = PortableHashes.minhashGramHashes,
           bandBucket = PortableHashes.minhashBandBucket)
         .orderBy("a_id", "b_id")),
+    // q102's build/probe split: the inverted index is built once per corpus
+    // version; the directory-pruned BM25 probe is the steady-state serving
+    // cost (q102 runs earlier in the bench and leaves the index)
+    "x102_bm25_probe" -> ((s, dir) =>
+      Retrieval.bm25TopKIndexed(s, invIndexPath(dir), Bm25IndexedTerms, 15)
+        .orderBy("rank")),
     // q81's build/probe split, same rationale as x42: the composed index is
     // built once per corpus version; the pruned ADC probe is the
     // steady-state serving cost (q81 runs earlier and leaves the index)
@@ -1886,6 +1913,33 @@ object SparkEntry {
            |       round(CAST(common AS DOUBLE) / (a_n + b_n - common), 6) AS jaccard
            |FROM v WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0
            |ORDER BY a_id, b_id""".stripMargin,
+      "q102_bm25_indexed" -> {
+        // the q64 mirror with q102's terms/k: the oracle recomputes BM25
+        // from `documents` directly, so a green hash proves the
+        // index-served path returns exactly the from-scratch scores
+        val terms = Bm25IndexedTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |consts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl FROM documents),
+           |qt AS (SELECT * FROM tok WHERE token IN ($terms)),
+           |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+           |dfr AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+           |s AS (SELECT tf.doc_id,
+           |      round((ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+           |                / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+           |             * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)))
+           |            / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0)
+           |               + 0.75e0 * (CAST(dl AS DOUBLE)
+           |                           / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))), 6) AS ts
+           |      FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN consts),
+           |sc AS (SELECT doc_id, CAST(sum(CAST(ts AS DECIMAL(38,6))) AS DOUBLE) AS score
+           |       FROM s GROUP BY doc_id),
+           |r AS (SELECT doc_id, score,
+           |      row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+           |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM r
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin
+      },
       "q98_phrase_hits" -> // sliding windows per phrase length, IN-filtered
         // to the screen list, counted per (doc, phrase) — hits only
         """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

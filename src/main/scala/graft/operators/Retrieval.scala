@@ -52,6 +52,15 @@ object Retrieval {
     val dfreq = qToks.groupBy("token")
       .agg(count_distinct(col("doc_id")).as("df"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    scoreAndRank(tf.join(dfreq, "token").join(dl, "doc_id"),
+      nDocs, avgdl, k1, b, k)
+  }
+
+  /** Shared BM25 scoring + ranking tail over (doc_id, tf, df, dl) rows.
+    * One body for the from-scratch and index-served paths keeps every IEEE
+    * step — and therefore the oracle hash — identical between them. */
+  private def scoreAndRank(perTerm: DataFrame, nDocs: Long, avgdl: Double,
+      k1: Double, b: Double, k: Int): DataFrame = {
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     val dlD = col("dl").cast("double")
@@ -59,7 +68,7 @@ object Retrieval {
       + lit(1.0))
     val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / lit(avgdl)))
     val termScore = round((idf * (tfD * lit(k1 + 1.0))) / denom, 6)
-    val scored = tf.join(dfreq, "token").join(dl, "doc_id")
+    val scored = perTerm
       .groupBy("doc_id")
       .agg(sum(termScore.cast("decimal(38,6)")).cast("double").as("score"))
     val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
@@ -68,6 +77,68 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select("doc_id", "score", "rank")
+  }
+
+  /** Materialize the inverted index at rest: postings parquet-partitioned
+    * by TOKEN BUCKET (tb=... directories, tb = poly_hash(token) mod
+    * nBuckets) plus a one-row stats table. The text-side analogue of
+    * [[Similarity.writeIvfIndex]] — the layout that makes retrieval at
+    * 100 TB a directory-pruned read instead of a corpus re-scan per query
+    * batch.
+    *
+    *   postings/tb=<B>/: (token, doc_id, tf, dl) — the doc length rides
+    *     DENORMALIZED on every posting row (a Lucene norms-file analogue),
+    *     so the probe never joins a corpus-sized doc-length table;
+    *   stats/: one row (n_docs, sum_dl, n_buckets) — the corpus constants
+    *     plus the bucketing arity, so an index is self-describing and can
+    *     never be probed with the wrong bucket function arity.
+    *
+    * Build cost is two word-count-shaped aggregates over one tokenize pass
+    * (tf per (doc, token), dl per doc) — no quadratic term, no window. */
+  def writeInvertedIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+      textCol: String = "text"): Unit = {
+    val toks = docs.select(col("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val postings = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("tb",
+        pmod(graft.functions.PortableHashes.tokenSlot(col("token")),
+          lit(nBuckets.toLong)))
+    docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " "))).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets.toLong))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    postings.repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+  }
+
+  /** BM25 top-k served from a materialized [[writeInvertedIndex]] index:
+    * the query terms' buckets are computed driver-side with the SAME
+    * polynomial hash the writer used ([[graft.functions.expressions
+    * .PolyHash.hash]] — plan-time arithmetic, not a data collect) and
+    * pushed as an IN filter the reader turns into directory-level
+    * PartitionFilters; corpus constants come from the one-row stats table.
+    * The scan therefore touches |distinct term buckets| / nBuckets of the
+    * postings — never the corpus — and df/tf/dl all come off the pruned
+    * posting rows. Identical results to [[bm25TopK]] with equal parameters
+    * (RetrievalSpec pins it; the scoring tail is literally shared). */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    val nDocs = stats.getAs[Long]("n_docs")
+    val avgdl = stats.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    val nBuckets = stats.getAs[Long]("n_buckets")
+    val buckets = terms
+      .map(t => graft.functions.expressions.PolyHash.hash(t) % nBuckets)
+      .distinct.sorted
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*) && col("token").isin(terms: _*))
+    // postings are one row per (doc, token), so count(*) per token == df
+    val dfreq = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    scoreAndRank(postings.join(dfreq, "token"), nDocs, avgdl, k1, b, k)
   }
 
   /** Exact phrase occurrence counts — distributed grep for a phrase list:

@@ -48,6 +48,40 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sorted.toSeq == (1L to 7L))
   }
 
+  test("indexed bm25 equals the from-scratch form and prunes at directories") {
+    val docs = docsDf((0L until 60L).map(i =>
+      i -> s"alpha${i % 7} beta${i % 5} cat dog${i % 3} word$i"): _*)
+    val path = java.nio.file.Files.createTempDirectory("inv-index").toString + "/idx"
+    Retrieval.writeInvertedIndex(docs, path, nBuckets = 16)
+    val terms = Seq("cat", "dog0", "alpha3")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._3).toSeq
+    val fromIndex = Retrieval.bm25TopKIndexed(spark, path, terms, 10)
+    assert(rows(fromIndex) === rows(Retrieval.bm25TopK(docs, terms, 10)))
+    // the probe scan must prune at the DIRECTORY level: PartitionFilters on
+    // tb, not a post-scan token filter over every bucket
+    val plan = fromIndex.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+      s"probed term buckets must reach PartitionFilters:\n$plan")
+  }
+
+  test("inverted index is self-describing: stats row drives the probe") {
+    val docs = docsDf(0L -> "a b c", 1L -> "a a d")
+    val path = java.nio.file.Files.createTempDirectory("inv-index").toString + "/idx"
+    Retrieval.writeInvertedIndex(docs, path, nBuckets = 8)
+    val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    assert(stats.getAs[Long]("n_docs") === 2L)
+    assert(stats.getAs[Long]("sum_dl") === 6L)
+    assert(stats.getAs[Long]("n_buckets") === 8L)
+    // dl rides denormalized on every posting row
+    val p = spark.read.parquet(s"$path/postings")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("dl"))).sortBy(t => (t._2, t._1)).toSeq
+    assert(p === Seq(("a", 0L, 1L, 3L), ("b", 0L, 1L, 3L), ("c", 0L, 1L, 3L),
+      ("a", 1L, 2L, 3L), ("d", 1L, 1L, 3L)))
+  }
+
   test("phraseHits: exact counts, overlaps, boundaries, short docs") {
     val docs = docsDf(
       0L -> "ban me not ban me",   // 2 hits of "ban me", at start and end
