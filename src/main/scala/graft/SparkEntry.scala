@@ -690,6 +690,16 @@ object SparkEntry {
       Retrieval.bm25TopKIndexed(s, path, Bm25IndexedTerms, 15)
         .orderBy("rank")
     }),
+    "q103_nb_classify" -> ((s, dir) => {
+      // corpus-curation classifier: train multinomial NB (hashed-unigram,
+      // model = count aggregates bounded at labels x slots) on the 90%
+      // split with source as the label, classify the held-out 10%
+      val docs = tp(s, dir, "documents")
+      val lab = docs.select(col("doc_id"), col("source").as("label"), col("text"))
+      Classify.naiveBayesEval(lab.filter(col("doc_id") % 10 =!= 0),
+          lab.filter(col("doc_id") % 10 === 0), numSlots = 512)
+        .orderBy("doc_id")
+    }),
     "q98_phrase_hits" -> ((s, dir) => {
       // distributed grep: exact occurrence counts for a (broadcast) phrase
       // screen list over the corpus — mixed 2- and 3-token phrases, so the
@@ -1939,6 +1949,42 @@ object SparkEntry {
            |      row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
            |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM r
            |WHERE rank <= 15 ORDER BY rank""".stripMargin
+      },
+      "q103_nb_classify" -> {
+        // full NB mirror: poly-hash slots, add-one smoothed per-(label,
+        // slot) ln rounded to 6 decimals on the DENSE label x slot grid,
+        // DECIMAL(38,6) sums + prior, argmax ties by label ascending
+        val slot = s"(${polyHashSql("tok")} % 512)"
+        s"""WITH tr AS (SELECT doc_id, source AS label, text FROM documents WHERE doc_id % 10 <> 0),
+           |te AS (SELECT doc_id, source AS actual, text FROM documents WHERE doc_id % 10 = 0),
+           |trt AS (SELECT label, $slot AS slot FROM (
+           |         SELECT label, unnest(string_split(text, ' ')) AS tok FROM tr)),
+           |ct AS (SELECT label, slot, count(*) AS ct FROM trt GROUP BY 1, 2),
+           |tot AS (SELECT label, count(*) AS total FROM trt GROUP BY 1),
+           |nd AS (SELECT label, count(*) AS n_docs FROM tr GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM tr),
+           |grid AS (SELECT tot.label, total, n_docs, gs.slot
+           |         FROM tot JOIN nd USING (label)
+           |         CROSS JOIN (SELECT unnest(range(0, 512)) AS slot) gs),
+           |model AS (SELECT grid.label, grid.slot,
+           |            CAST(round(ln((COALESCE(ct.ct, 0) + 1.0e0)
+           |                          / (grid.total + 512.0e0)), 6)
+           |                 AS DECIMAL(38,6)) AS lp,
+           |            CAST(round(ln(grid.n_docs / CAST(n.n AS DOUBLE)), 6)
+           |                 AS DECIMAL(38,6)) AS prior
+           |          FROM grid LEFT JOIN ct
+           |            ON ct.label = grid.label AND ct.slot = grid.slot
+           |          CROSS JOIN n),
+           |tet AS (SELECT doc_id, $slot AS slot FROM (
+           |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te)),
+           |sc AS (SELECT doc_id, label,
+           |         CAST(min(prior) + sum(lp) AS DOUBLE) AS logp
+           |       FROM tet JOIN model USING (slot) GROUP BY 1, 2),
+           |p AS (SELECT doc_id, label AS pred, logp,
+           |        row_number() OVER (PARTITION BY doc_id
+           |                           ORDER BY logp DESC, label) AS rn FROM sc)
+           |SELECT p.doc_id, pred, actual, (pred = actual) AS correct, logp
+           |FROM p JOIN te USING (doc_id) WHERE rn = 1 ORDER BY doc_id""".stripMargin
       },
       "q98_phrase_hits" -> // sliding windows per phrase length, IN-filtered
         // to the screen list, counted per (doc, phrase) — hits only

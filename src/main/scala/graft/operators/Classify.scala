@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.PortableHashes
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classification over hashed unigram
+  * features — the shape of every corpus-curation classifier (language
+  * filters, quality gates, domain routers a la CCNet/fastText): train a
+  * tiny model from labeled examples with two count aggregates, then score
+  * the full corpus with a broadcast join. No driver-side learning loop,
+  * no mutable state — the model IS a DataFrame of counts.
+  *
+  *   prior(c)      = ln(docs_c / N)
+  *   p(slot | c)   = (count(c, slot) + 1) / (total_c + numSlots)   [add-one]
+  *   score(d, c)   = prior(c) + sum_{tok in d} ln p(slot(tok) | c)
+  *   predict(d)    = argmax_c score(d, c), ties by label ascending
+  *
+  * slot(tok) = poly_hash(tok) mod numSlots ([[PortableHashes.tokenSlot]]):
+  * feature hashing bounds the model at classes x numSlots rows REGARDLESS
+  * of corpus vocabulary, which is what makes the model broadcastable at
+  * 100 TB (the DSIR generative model's contract, [[Selection]]).
+  *
+  * Scale shape: training is two word-count-family aggregates (per-(class,
+  * slot) counts, per-class doc/token totals) — map-side partials, exchanges
+  * bounded by classes x numSlots; the dense model table (every (class,
+  * slot) pair via a sequence explode, absent counts smoothing to zero) is
+  * classes x numSlots rows and broadcasts onto the corpus token rows;
+  * inference's only corpus-sized exchange is the per-(doc, class) weight
+  * aggregate — word-count-shaped with a constant classes fan-out; the
+  * argmax window runs over `classes` rows per doc, never the corpus.
+  *
+  * Portability: each ln is rounded to 6 decimals and summed as
+  * DECIMAL(38,6) (the LangModel contract), so scores — and therefore
+  * argmax ranks — are reduction-order-independent: bit-reproducible under
+  * any partitioning and by the DuckDB oracle mirror.
+  */
+object Classify {
+
+  /** (doc_id, slot) rows of a space-tokenized text column. */
+  private def slotRows(docs: DataFrame, textCol: String, numSlots: Int): DataFrame =
+    docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"),
+        (PortableHashes.tokenSlot(col("tok")) % numSlots).as("slot"))
+
+  /** Train the NB model from `labeled(doc_id, label, text)`.
+    * Output — the dense model, (label, slot, lp, prior): one row for EVERY
+    * (label, slot) pair (absent training counts add-one smooth to the
+    * floor probability), lp/prior already ln'd and rounded to 6 decimals.
+    * At most `labels x numSlots` rows: broadcastable by construction. */
+  def trainNaiveBayes(labeled: DataFrame, numSlots: Int = 512,
+      textCol: String = "text", labelCol: String = "label"): DataFrame = {
+    val toks = labeled
+      .select(col(labelCol).as("label"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("label"), (PortableHashes.tokenSlot(col("tok")) % numSlots).as("slot"))
+    val slotCounts = toks.groupBy("label", "slot").agg(count(lit(1)).as("ct"))
+    val classTotals = toks.groupBy("label").agg(count(lit(1)).as("total"))
+    val classDocs = labeled.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    // 1-row scalar: the training-corpus doc count (a catalog statistic)
+    val nDocs = labeled.count()
+    // dense (label, slot) grid so an unseen-in-training slot still scores
+    // its smoothing floor instead of silently dropping out of the sum
+    val grid = classTotals.join(classDocs, "label")
+      .select(col("label"), col("total"), col("n_docs"),
+        explode(sequence(lit(0L), lit(numSlots.toLong - 1))).as("slot"))
+    grid.join(slotCounts, Seq("label", "slot"), "left")
+      .select(col("label"), col("slot"),
+        round(log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("total").cast("double") + lit(numSlots.toDouble))), 6).as("lp"),
+        round(log(col("n_docs").cast("double") / lit(nDocs.toDouble)), 6).as("prior"))
+  }
+
+  /** Score + classify `docs(doc_id, text)` with a [[trainNaiveBayes]]
+    * model. Output: (doc_id, pred, logp) — the argmax label (ties by label
+    * ascending) and its posterior log-score. */
+  def naiveBayesPredict(docs: DataFrame, model: DataFrame, numSlots: Int = 512,
+      textCol: String = "text"): DataFrame = {
+    val rt = slotRows(docs, textCol, numSlots)
+    val scores = rt.join(broadcast(model), "slot")
+      .groupBy("doc_id", "label")
+      .agg(sum(col("lp").cast("decimal(38,6)")).as("s"),
+        // prior is constant per label; min = that constant, kept through
+        // the aggregate instead of a second model join
+        min(col("prior")).as("prior"))
+      .select(col("doc_id"), col("label"),
+        (col("prior").cast("decimal(38,6)") + col("s")).cast("double").as("logp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("logp").desc, col("label").asc)
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("logp"))
+  }
+
+  /** Train on `train(doc_id, label, text)`, evaluate on
+    * `test(doc_id, label, text)`: per-doc predictions with correctness.
+    * Output: (doc_id, pred, actual, correct, logp). */
+  def naiveBayesEval(train: DataFrame, test: DataFrame, numSlots: Int = 512,
+      textCol: String = "text", labelCol: String = "label"): DataFrame = {
+    val model = trainNaiveBayes(train, numSlots, textCol, labelCol)
+    naiveBayesPredict(test.select(col("doc_id"), col(textCol)), model, numSlots, textCol)
+      .join(test.select(col("doc_id"), col(labelCol).as("actual")), "doc_id")
+      .select(col("doc_id"), col("pred"), col("actual"),
+        (col("pred") === col("actual")).as("correct"), col("logp"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Classify
+import org.apache.spark.sql.functions._
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trainRows = Seq(
+    (0L, "sport", "goal match team goal win"),
+    (1L, "sport", "team match score win fast"),
+    (2L, "sport", "goal win team"),
+    (3L, "tech", "code spark query join code"),
+    (4L, "tech", "query join table code"),
+    (5L, "cook", "salt pan stir salt oven"))
+  private val testRows = Seq(
+    (10L, "sport", "match team win"),
+    (11L, "tech", "spark join query code"),
+    (12L, "cook", "salt oven stir"),
+    (13L, "sport", "lorem ipsum"))
+  private val train = trainRows.toDF("doc_id", "label", "text")
+  private val held = testRows.toDF("doc_id", "label", "text")
+
+  // independent Scala mirror of the operator's arithmetic (PolyHash slots,
+  // add-one smoothing, per-ln round-6, decimal sums, argmax ties by label)
+  private val Mod = 2147483647L
+  private def slot(tok: String, n: Int): Long =
+    tok.foldLeft(0L)((acc, ch) => (acc * 131 + ch.toLong) % Mod) % n
+  private def r6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  private def mirror(numSlots: Int): Map[Long, (String, Double)] = {
+    val byLabel = trainRows.groupBy(_._2)
+    val slotCt = byLabel.map { case (l, rs) =>
+      l -> rs.flatMap(_._3.split(" ")).groupBy(slot(_, numSlots))
+        .map { case (s, g) => s -> g.size.toLong }
+    }
+    val totals = byLabel.map { case (l, rs) => l -> rs.flatMap(_._3.split(" ")).size }
+    val priors = byLabel.map { case (l, rs) =>
+      l -> r6(math.log(rs.size.toDouble / trainRows.size)) }
+    testRows.map { case (id, _, text) =>
+      val scores = byLabel.keys.toSeq.sorted.map { l =>
+        val s = text.split(" ").map { tok =>
+          r6(math.log((slotCt(l).getOrElse(slot(tok, numSlots), 0L) + 1.0) /
+            (totals(l).toDouble + numSlots)))
+        }.sum + priors(l)
+        l -> s.toDouble
+      }
+      // argmax with ties by label ascending: sort by (-score, label), head
+      val (pred, logp) = scores.sortBy { case (l, s) => (-s, l) }.head
+      id -> (pred, logp)
+    }.toMap
+  }
+
+  test("predictions match the hand mirror exactly") {
+    val got = Classify.naiveBayesEval(train, held, numSlots = 64)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    assert(got === mirror(64))
+  }
+
+  test("planted class structure is recovered on in-domain docs") {
+    val got = Classify.naiveBayesEval(train, held, numSlots = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3))).toList
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId(10L) === "sport")
+    assert(byId(11L) === "tech")
+    assert(byId(12L) === "cook")
+    // off-domain doc 13 gets SOME deterministic label; correctness flag wired
+    assert(got.find(_._1 === 10L).get._3)
+  }
+
+  test("model is dense and bounded: labels x numSlots rows") {
+    val model = Classify.trainNaiveBayes(train, numSlots = 32)
+    assert(model.count() === 3L * 32L)
+    // absent (label, slot) pairs carry the smoothing floor, not nulls
+    assert(model.filter(col("lp").isNull || col("prior").isNull).count() === 0L)
+  }
+
+  test("scores are partitioning-invariant") {
+    val a = Classify.naiveBayesEval(train, held, numSlots = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4))).sortBy(_._1).toSeq
+    val b = Classify.naiveBayesEval(train.repartition(7), held.repartition(5), numSlots = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+}
