@@ -755,6 +755,78 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0), 5)
         .orderBy("eval_doc_id")
     }),
+    "q104_scd2" -> ((s, dir) =>
+      // type-2 dimension history of each customer's order status: the
+      // orders changelog keyed by customer, ordered (date, orderkey),
+      // unchanged runs compacted into [valid_from, valid_to) intervals —
+      // one exchange, two shared-sort windows
+      Warehouse.scd2(
+        t(s, dir, "orders").select(col("o_custkey"),
+          // o_orderdate is TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+          // the cast reads the wall clock as UTC = DuckDB's epoch_us
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("ts_us"),
+          col("o_orderkey"),
+          col("o_orderstatus")),
+        Seq("o_custkey"), Seq("ts_us", "o_orderkey"), Seq("o_orderstatus"))
+        .orderBy(col("o_custkey"), col("valid_from"),
+          coalesce(col("valid_to"), lit(Long.MaxValue)), col("o_orderstatus"))),
+    "q105_snapshot_diff" -> ((s, dir) => {
+      // load reconciliation: the per-(user, event-type) latest state at the
+      // mid-month cutoff vs at end of month — CDC compaction builds both
+      // snapshots, the full-outer diff classifies every key
+      // microsecond timestamps throughout (the q72 convention): DuckDB
+      // reads the NANOS fixture at us precision, so ns-grain output could
+      // never hash-match; (ts_us, event_id) stays a total version order
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+      def state(d: DataFrame) =
+        Cdc.latestPerKey(d, Seq("user_id", "event_type"),
+            Seq("ts_us", "event_id"))
+          .select("user_id", "event_type", "ts_us", "value")
+      val cut = 1705363200000000L // 2024-01-16T00:00Z in epoch us
+      Warehouse.snapshotDiff(state(ev.filter(col("ts_us") < cut)), state(ev),
+          Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+    "q106_funnel" -> ((s, dir) =>
+      // strictly ordered conversion funnel over the event stream: each
+      // step anchors on the user's earliest qualifying completion, so
+      // downstream reach is maximal and deterministic
+      Funnel.funnelSteps(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase")).orderBy("step")),
+    "q107_retention" -> ((s, dir) =>
+      // cohort retention triangle: users cohorted by first active day,
+      // distinct-active counted per (cohort, day offset) — exact integer
+      // ns-to-day bucketing (doubles are not exact at epoch-ns magnitude)
+      Funnel.retentionCohorts(t(s, dir, "events"), "user_id", "ts",
+        86400000000000L).orderBy("cohort", "offset")),
+    "q108_label_prop" -> ((s, dir) => {
+      // community detection on the customer–supplier graph: 5 synchronous
+      // label-propagation rounds, smallest-label tie-break — the
+      // no-parameter-k complement to SemDeDup's k-means cells
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      Graph.labelPropagation(Graph.symmetrize(base), 5).orderBy("node")
+    }),
+    "q109_editdist_join" -> ((s, dir) => {
+      // entity resolution: all part-description pairs within edit distance
+      // 1 via the q-gram prefix-filter stack (length filter + rarest-first
+      // gram prefixes + banded verify); the oracle is plain brute force, so
+      // the green hash proves the filters lose no pair
+      val strs = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("id"),
+        concat_ws(" ", col("p_name"), col("p_type")).as("s"))
+      EditDistance.editDistancePairs(strs, "id", "s", maxDist = 1)
+        .orderBy("a_id", "b_id")
+    }),
+    "q110_temperature_mix" -> ((s, dir) =>
+      // multilingual-style alpha-sampling: per-source quota out of 100k
+      // rows at temperature alpha=0.5 — corpus collapses to one count row
+      // per source before any arithmetic
+      Sampling.temperatureQuotas(t(s, dir, "documents"), "source", 0.5,
+        100000L).orderBy("source")),
     "q91_semantic_clusters" -> ((s, dir) =>
       // the kNN graph's payoff: mutual-kNN edges (each endpoint in the
       // other's top-3 — the high-precision link rule) -> connected
@@ -2089,6 +2161,130 @@ object SparkEntry {
            |FROM l JOIN b ON l.source = b.source
            |WHERE l.n_tokens >= b.lo AND l.n_tokens <= b.hi
            |ORDER BY doc_id""".stripMargin,
+      "q104_scd2" -> // Warehouse.scd2 replayed: lag over the FULL changelog
+        // marks change rows (status non-null, so <> mirrors the null-safe
+        // struct compare), lead over the CHANGE rows chains the intervals;
+        // both windows share (key, (ts, orderkey)) exactly like the Spark
+        // plan's single sort
+        """WITH c AS (SELECT o_custkey, epoch_us(o_orderdate) AS ts_us,
+          |             o_orderkey, o_orderstatus FROM orders),
+          |f AS (SELECT *, lag(o_orderstatus) OVER
+          |        (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS prev
+          |      FROM c),
+          |ch AS (SELECT * FROM f WHERE prev IS NULL OR prev <> o_orderstatus),
+          |iv AS (SELECT o_custkey, o_orderstatus, ts_us AS valid_from,
+          |         lead(ts_us) OVER
+          |           (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS valid_to
+          |       FROM ch)
+          |SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+          |       (valid_to IS NULL) AS is_current
+          |FROM iv ORDER BY o_custkey, valid_from,
+          |  coalesce(valid_to, 9223372036854775807), o_orderstatus""".stripMargin,
+      "q105_snapshot_diff" -> // Cdc.latestPerKey on both sides of the cutoff
+        // ((ts, event_id) is unique per key, so row_number mirrors the max
+        // struct), then Warehouse.snapshotDiff's full-outer classification
+        """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+          |              event_id, value FROM events),
+          |os AS (SELECT user_id, event_type, ts_us, value FROM (
+          |         SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          |             ORDER BY ts_us DESC, event_id DESC) AS rn
+          |         FROM ev WHERE ts_us < 1705363200000000) WHERE rn = 1),
+          |ns AS (SELECT user_id, event_type, ts_us, value FROM (
+          |         SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          |             ORDER BY ts_us DESC, event_id DESC) AS rn
+          |         FROM ev) WHERE rn = 1)
+          |SELECT coalesce(os.user_id, ns.user_id) AS user_id,
+          |       coalesce(os.event_type, ns.event_type) AS event_type,
+          |       CASE WHEN os.user_id IS NULL THEN 'added'
+          |            WHEN ns.user_id IS NULL THEN 'removed'
+          |            WHEN os.ts_us = ns.ts_us AND os.value = ns.value
+          |              THEN 'unchanged'
+          |            ELSE 'changed' END AS status,
+          |       os.ts_us AS old_ts_us, os.value AS old_value,
+          |       ns.ts_us AS new_ts_us, ns.value AS new_value
+          |FROM os FULL OUTER JOIN ns
+          |  ON os.user_id = ns.user_id AND os.event_type = ns.event_type
+          |ORDER BY user_id, event_type""".stripMargin,
+      "q106_funnel" -> // chained conditional-min aggregates, one CTE per
+        // step: step k's anchor is the min ts strictly after step k-1's
+        """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+          |s0 AS (SELECT user_id, min(ts) AS t FROM ev
+          |       WHERE event_type = 'signup' GROUP BY 1),
+          |s1 AS (SELECT ev.user_id, min(ev.ts) AS t FROM ev
+          |       JOIN s0 ON ev.user_id = s0.user_id AND ev.ts > s0.t
+          |       WHERE ev.event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT ev.user_id, min(ev.ts) AS t FROM ev
+          |       JOIN s1 ON ev.user_id = s1.user_id AND ev.ts > s1.t
+          |       WHERE ev.event_type = 'click' GROUP BY 1),
+          |s3 AS (SELECT ev.user_id, min(ev.ts) AS t FROM ev
+          |       JOIN s2 ON ev.user_id = s2.user_id AND ev.ts > s2.t
+          |       WHERE ev.event_type = 'purchase' GROUP BY 1)
+          |SELECT * FROM (
+          |  SELECT 0 AS step, 'signup' AS step_name,
+          |         CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+          |  UNION ALL SELECT 1, 'view', CAST((SELECT count(*) FROM s1) AS BIGINT)
+          |  UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+          |  UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+          |) ORDER BY step""".stripMargin,
+      "q107_retention" -> // integer ns-to-day buckets, first-seen cohort,
+        // distinct (user, day) activity joined back — the exact mirror of
+        // Funnel.retentionCohorts' two aggregates
+        """WITH b AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS b FROM events),
+          |c AS (SELECT user_id, min(b) AS cohort FROM b GROUP BY 1),
+          |d AS (SELECT DISTINCT user_id, b FROM b)
+          |SELECT cohort, d.b - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_users
+          |FROM d JOIN c USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+      "q108_label_prop" -> { // Graph.labelPropagation unrolled: one CTE pair
+        // per round — per-(node, label) vote counts over the symmetrized
+        // edge set, then the (cnt DESC, label ASC) arg-max; the left join +
+        // coalesce mirrors the keep-own-label rule
+        val rounds = (1 to 5).map { k =>
+          s"""v$k AS (SELECT e.dst AS node, p.label, count(*) AS cnt
+             |  FROM e JOIN l${k - 1} p ON e.src = p.node GROUP BY 1, 2),
+             |w$k AS (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER
+             |    (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v$k)
+             |  WHERE rn = 1),
+             |l$k AS (SELECT l.node, coalesce(w$k.label, l.label) AS label
+             |  FROM l${k - 1} l LEFT JOIN w$k ON l.node = w$k.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |                            CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |$rounds
+           |SELECT node, label FROM l5 ORDER BY node""".stripMargin
+      },
+      "q109_editdist_join" -> // plain brute force with only the length
+        // filter: a green hash proves the Spark side's q-gram prefix stack
+        // (and its short-string routing) loses no pair
+        """WITH s AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+          |             p_name || ' ' || p_type AS s,
+          |             len(p_name || ' ' || p_type) AS l FROM part)
+          |SELECT a.id AS a_id, b.id AS b_id,
+          |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+          |FROM s a JOIN s b ON a.id < b.id AND abs(a.l - b.l) <= 1
+          |WHERE levenshtein(a.s, b.s) <= 1
+          |ORDER BY a_id, b_id""".stripMargin,
+      "q110_temperature_mix" -> // per-source counts, sqrt(p) weights
+        // (alpha = 1/2: sqrt is correctly rounded in IEEE — bit-identical
+        // across engines, unlike pow), 6-decimal rounds, DECIMAL weight sum
+        """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          |           FROM documents GROUP BY 1),
+          |t AS (SELECT sum(n) AS nn FROM c),
+          |w AS (SELECT source, n,
+          |        CAST(round(sqrt(CAST(n AS DOUBLE) / nn), 6)
+          |             AS DECIMAL(38,6)) AS w
+          |      FROM c CROSS JOIN t),
+          |sw AS (SELECT sum(w) AS sw FROM w),
+          |sh AS (SELECT source, n,
+          |         round(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS share
+          |       FROM w CROSS JOIN sw)
+          |SELECT source, n, share,
+          |       CAST(floor(share * 100000 + 1e-9) AS BIGINT) AS quota
+          |FROM sh ORDER BY source""".stripMargin,
       "q91_semantic_clusters" -> // the q88 mirror -> mutual filter -> the
         // q53 recursive min-label reachability (= the CC fixpoint)
         s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

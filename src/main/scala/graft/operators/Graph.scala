@@ -232,6 +232,53 @@ object Graph {
     nodes.select(col("node"), col("deg"), col("tele"), ru.as("ru"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 76, 2007): every node starts in its own
+    * community (label = node id); each round, every node adopts the label
+    * most frequent among its in-neighbors, ties broken toward the SMALLEST
+    * label — a deterministic refinement of the paper's random tie-break,
+    * so the result is bit-stable under any partitioning and replayable by
+    * the SQL oracle. A fixed round count (the caller's `rounds`) replaces
+    * the paper's convergence test, same as [[pageRank]]'s fixed power
+    * iterations. The curation use: cluster the near-dup / co-occurrence
+    * graph into families without choosing k (the complement of k-means
+    * cells in SemDeDup).
+    *
+    * Votes are PER EDGE ROW: parallel edges weight their endpoint's vote.
+    * Same dangling-free contract as [[pageRank]] (every dst appears as a
+    * src; [[symmetrize]] satisfies it and makes propagation undirected).
+    * A node with no in-edges keeps its current label (left-join +
+    * coalesce — never dropped).
+    *
+    * Scale shape, per round: edges⋈labels on src over the ONE eagerly
+    * checkpointed src-partitioned edge layout (only the node-sized label
+    * table moves), then a (node,label)-keyed count that partial-combines
+    * map-side, then a node-keyed arg-max as a plain `max(struct)` aggregate
+    * — no window, so a celebrity node's votes collapse before the exchange.
+    * Output: (node, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val spark = edges.sparkSession
+    graft.util.Checkpoints.ensureDir(spark)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .checkpoint(eager = true)
+    val nodes = e.select(col("src").as("node")).distinct()
+    val labels0 = nodes.select(col("node"), col("node").as("label"))
+    (1 to rounds).foldLeft(labels0) { (labels, _) =>
+      val votes = e.join(labels, e("src") === labels("node"))
+        .groupBy(e("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // arg-max as one aggregate: max (cnt, -label) picks the highest
+      // count, then the smallest label — no per-node window sort
+      val winners = votes.groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
+        .select(col("node"), (-col("w.nl")).as("__next"))
+      labels.join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__next"), col("label")).as("label"))
+    }
+  }
+
   /** Per-node triangle counts by degree-ordered wedge enumeration
     * (Schank & Wagner 2005; the standard distributed-triangle algorithm,
     * cf. Cohen, CiSE 2009; Suri & Vassilvitskii, WWW 2011): orient every

@@ -195,4 +195,53 @@ object Sampling {
         floor(unitHash(col(idCol), salt = 0) * nShards).cast("long").as("shard"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Temperature-scaled mixture quotas — the multilingual "alpha-sampling"
+    * rule (Conneau & Lample, NeurIPS 2019 §3.1; Xue et al., NAACL 2021
+    * §3.2): a source holding empirical share p of the corpus gets sampling
+    * weight p^alpha, renormalized across sources; alpha in (0,1) flattens
+    * the distribution toward the tail sources (alpha=1 is proportional,
+    * alpha=0 uniform). Returns one row per source with its row count, its
+    * renormalized share, and its integer row quota out of `budget` — the
+    * table [[mixtureSample]] consumes as its weight map.
+    *
+    * Determinism across engines: p^alpha and the renormalized share are
+    * rounded to 6 decimals, the cross-source weight sum runs in
+    * DECIMAL(38,6) (order-independent), and the quota floor carries the
+    * same +1e-9 nudge as [[mixtureSample]] so decimal shares sit on their
+    * mathematical floor. The common temperatures hit correctly-rounded
+    * IEEE ops — alpha=0.5 is sqrt, alpha=1 is p itself, alpha=0 is 1 —
+    * so those are BIT-identical on any engine; other alphas go through
+    * pow, which libms only promise to ~1 ulp, leaving a negligible (but
+    * nonzero) chance the 6-decimal round differs across engines.
+    *
+    * Scale shape: one count aggregate (map-side combinable) collapses the
+    * corpus to a SOURCE-sized table; everything after — the total, the
+    * weight sum, the renormalization — is arithmetic on that tiny frame
+    * (two broadcast-able 1-row cross joins). Nothing source-count-shaped
+    * ever re-touches the corpus.
+    *
+    * Output: (groupCol, n, share, quota) — quotas sum to <= budget. */
+  def temperatureQuotas(df: DataFrame, groupCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__nn"))
+    val p = col("n").cast("double") / col("__nn")
+    val weight = alpha match {
+      case 0.0 => lit(1.0)
+      case 0.5 => sqrt(p)
+      case 1.0 => p
+      case a   => pow(p, a)
+    }
+    val weighted = counts.crossJoin(total).withColumn("__w",
+      round(weight, 6).cast("decimal(38,6)"))
+    val wsum = weighted.agg(sum("__w").as("__sw"))
+    weighted.crossJoin(wsum)
+      .withColumn("share",
+        round(col("__w").cast("double") / col("__sw").cast("double"), 6))
+      .select(col(groupCol), col("n"),  col("share"),
+        floor(col("share") * budget + lit(1e-9)).cast("long").as("quota"))
+  }
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension-maintenance operators: slowly-changing-dimension (type 2)
+  * historization over a keyed changelog, and snapshot reconciliation
+  * (added / removed / changed / unchanged) between two versions of a keyed
+  * table. Together with [[Cdc]] (latest-wins compaction) these are the
+  * at-rest table-maintenance primitives a warehouse layer needs around the
+  * ingest pipeline: Cdc answers "what is the current row", scd2 answers
+  * "what was the row at time t", snapshotDiff answers "what moved between
+  * two loads".
+  *
+  * Scale shape (scd2): ONE hash exchange on the key, then two window
+  * passes over the SAME (partitioning, ordering) — Catalyst plans a single
+  * sort with no second exchange, so the whole historization is
+  * one-shuffle. Per-key state is bounded by that key's change count (a
+  * window, never a collect), and hot keys are a sort problem, not a heap
+  * problem — they spill.
+  *
+  * Scale shape (snapshotDiff): one co-partitioned full-outer equi-join on
+  * the key — AQE-splittable on skew, shuffle-free when both snapshots are
+  * bucketed by key (the layout [[graft.sinks.Sinks]] writes). When only
+  * the per-status COUNTS are needed, production would project each side
+  * to (key, xxhash64(payload)) before the join so the network moves two
+  * longs per row instead of the payload; that variant trades a 2^-64
+  * collision (a changed row mistaken for unchanged) for the bandwidth,
+  * and is deliberately NOT what [[snapshotDiff]] does — this operator
+  * compares values exactly and emits both sides' payloads.
+  */
+object Warehouse {
+
+  /** Build a type-2 slowly-changing-dimension history from a keyed
+    * changelog: consecutive rows (per key, ordered by `orderCols`) whose
+    * tracked attributes `attrCols` are unchanged are compacted away, and
+    * each surviving change opens a validity interval
+    * `[valid_from, valid_to)` where `valid_from` is the change's
+    * `orderCols.head` value and `valid_to` is the NEXT change's (null —
+    * and `is_current` true — for the key's latest state).
+    *
+    * `orderCols.head` is the event-time column (any orderable type);
+    * the remaining orderCols are tie-breaks that must make the ordering
+    * total per key (e.g. a sequence number) so the history is
+    * deterministic under any partitioning. Attribute comparison is
+    * null-safe: a null attribute value is a state like any other.
+    *
+    * Output: keyCols ++ attrCols ++ (valid_from, valid_to, is_current).
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs key, order, and attribute columns")
+    val reserved = Seq("__prev", "valid_from", "valid_to", "is_current")
+    require(!changes.columns.exists(reserved.contains),
+      s"scd2 reserves columns ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val attrs = struct(attrCols.map(col): _*)
+    val tsCol = col(orderCols.head)
+    // change rows: first per key, or attrs differ from the previous row
+    // (null-safe compare — lag() is null only on the first row, which the
+    // eqNullSafe then correctly reports as a change)
+    val changed = changes
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(!(attrs <=> col("__prev")))
+    val w2 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    changed
+      .withColumn("valid_from", tsCol)
+      .withColumn("valid_to", lead(tsCol, 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ attrCols).map(col)
+        ++ Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
+  /** Reconcile two snapshots of a keyed table. Emits one row per key
+    * present in either side with a `status` of `added` (new side only),
+    * `removed` (old side only), `changed` (both, any non-key column
+    * differs, null-safe), or `unchanged`, plus every non-key column from
+    * both sides as `old_<c>` / `new_<c>`. Both inputs must share the
+    * exact column set.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs key columns")
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      "snapshots must share the same columns")
+    val reserved = Seq("__old", "__new", "__in_old", "__in_new", "status")
+    require(!oldSnap.columns.exists(reserved.contains),
+      s"snapshotDiff reserves columns ${reserved.mkString(", ")}")
+    val payload = oldSnap.columns.toSeq.filterNot(keyCols.contains)
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(keyCols.map(col)
+        :+ struct(payload.map(col): _*).as(s"__$tag")
+        :+ lit(true).as(s"__in_$tag"): _*)
+    val joined = side(oldSnap, "old")
+      .join(side(newSnap, "new"), keyCols, "full_outer")
+    val status = when(col("__in_old").isNull, lit("added"))
+      .when(col("__in_new").isNull, lit("removed"))
+      .when(col("__old") <=> col("__new"), lit("unchanged"))
+      .otherwise(lit("changed"))
+    joined.select(keyCols.map(col)
+      ++ Seq(status.as("status"))
+      ++ payload.map(c => col(s"__old.$c").as(s"old_$c"))
+      ++ payload.map(c => col(s"__new.$c").as(s"new_$c")): _*)
+  }
+
+  /** Per-status row counts of [[snapshotDiff]] — the reconciliation
+    * headline. Same join; the counts collapse map-side. */
+  def snapshotDiffSummary(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    snapshotDiff(oldSnap, newSnap, keyCols)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, type, ts): u1 completes A->B->C in order; u2 does B before A so
+  // only A counts; u3 stops at B; u4 re-does A late but their FIRST A
+  // anchors the funnel (earliest-valid-completion), so the late B counts;
+  // u5 has B at the exact same ts as A — strictly-after excludes it
+  private val ev = Seq(
+    ("u1", "A", 10L), ("u1", "B", 20L), ("u1", "C", 30L),
+    ("u2", "B", 5L), ("u2", "A", 50L),
+    ("u3", "A", 1L), ("u3", "B", 2L),
+    ("u4", "A", 100L), ("u4", "A", 5L), ("u4", "B", 40L),
+    ("u5", "A", 7L), ("u5", "B", 7L)
+  ).toDF("u", "et", "ts")
+
+  test("strictly ordered funnel counts users per step") {
+    val got = Funnel.funnelSteps(ev, "u", "et", "ts", Seq("A", "B", "C"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // A: u1..u5 all have an A; B after A: u1, u3, u4; C after that B: u1
+    assert(got == Set((0, "A", 5L), (1, "B", 3L), (2, "C", 1L)))
+  }
+
+  test("funnel anchors on the EARLIEST qualifying completion per step") {
+    // u4's A at ts=5 (not 100) anchors step 0, so B at 40 qualifies
+    val got = Funnel.funnelSteps(
+      ev.filter($"u" === "u4"), "u", "et", "ts", Seq("A", "B"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("A" -> 1L, "B" -> 1L))
+  }
+
+  test("funnel result is invariant to partitioning") {
+    val a = Funnel.funnelSteps(ev.repartition(1), "u", "et", "ts",
+      Seq("A", "B", "C")).orderBy("step").collect().toSeq
+    val b = Funnel.funnelSteps(ev.repartition(7), "u", "et", "ts",
+      Seq("A", "B", "C")).orderBy("step").collect().toSeq
+    assert(a == b)
+  }
+
+  test("retention cohorts bucket by first-seen and count distinct users") {
+    // bucket size 10: u1 first at b0, active b0,b1,b3; u2 first at b1,
+    // active b1; u3 first at b0 (two events same bucket dedup), active b0,b1
+    val ev2 = Seq(
+      ("u1", 1L), ("u1", 12L), ("u1", 33L),
+      ("u2", 15L),
+      ("u3", 2L), ("u3", 9L), ("u3", 11L)
+    ).toDF("u", "ts")
+    val got = Funnel.retentionCohorts(ev2, "u", "ts", 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("retention bucketing is exact integer division at nanosecond-epoch magnitude") {
+    // 1.7e18 ns is beyond double's exact range: a float path would misbucket
+    val day = 86400000000000L
+    val t0 = 1700000000000000000L
+    val ev3 = Seq(("u", t0), ("u", t0 + day - 1L), ("u", t0 + day)).toDF("u", "ts")
+    val got = Funnel.retentionCohorts(ev3, "u", "ts", day)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // first two land in the same bucket, third exactly one bucket later
+    assert(got == Map(0L -> 1L, 1L -> 1L))
+  }
+}

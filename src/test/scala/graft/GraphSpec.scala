@@ -260,4 +260,49 @@ class GraphSpec extends SparkSpec {
       .select("rank").as[Double].head()
     assert(rank3 > 0.0)
   }
+
+  test("label propagation: two cliques joined by a bridge split into two communities") {
+    // K4 on 1-4 and K4 on 5-8, one bridge edge 4-5
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val e = Graph.symmetrize(
+      (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+ (4L, 5L))
+        .toDF("src", "dst"))
+    val got = Graph.labelPropagation(e, 5).as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 8L).toSet)
+    // each clique converges to one label; the bridge does not merge them
+    val c1 = (1L to 4L).map(got).toSet
+    val c2 = (5L to 8L).map(got).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2, got.toString)
+  }
+
+  test("label propagation: smallest-label tie-break is deterministic across partitionings") {
+    val e = Graph.symmetrize(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // 4-cycle: all ties
+      (5L, 6L)).toDF("src", "dst"))
+    val a = Graph.labelPropagation(e.repartition(1), 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val b = Graph.labelPropagation(e.repartition(9), 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    // on the isolated pair each node sees only the other: labels swap each
+    // round, so after an odd round count both carry the OTHER's id — pinned
+    // here as the documented synchronous-update behavior
+    val pair = a.filter(t => t._1 >= 5L)
+    assert(pair == Seq((5L, 6L), (6L, 5L)))
+  }
+
+  test("label propagation: rounds=0 returns the identity labeling") {
+    val e = Graph.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val got = Graph.labelPropagation(e, 0).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("label propagation: parallel edges weight their endpoint's vote") {
+    // node 3 sees 1 once and 2 twice (parallel edges kept as rows) -> 2 wins
+    // despite the smaller-label tie-break preferring 1 on equal counts
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 3L),
+      (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, 1).as[(Long, Long)].collect().toMap
+    assert(got(3L) == 2L, got.toString)
+  }
 }

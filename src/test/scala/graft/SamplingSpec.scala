@@ -164,4 +164,40 @@ class SamplingSpec extends SparkSpec {
     val shard0 = a.filter(_._2 == sizes.maxBy(_._2)._1).sortBy(_._3).map(_._1)
     assert(shard0 != shard0.sorted)
   }
+
+  test("temperature quotas: alpha=1 is proportional, alpha=0 is uniform") {
+    val df = (Seq.fill(80)("big") ++ Seq.fill(15)("mid") ++ Seq.fill(5)("small"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("src", "id")
+    val prop = Sampling.temperatureQuotas(df, "src", 1.0, 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(prop == Map("big" -> 800L, "mid" -> 150L, "small" -> 50L))
+    // uniform share rounds to 0.333333, so each quota floors to 332 of 999
+    val unif = Sampling.temperatureQuotas(df, "src", 0.0, 999L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(unif == Map("big" -> 332L, "mid" -> 332L, "small" -> 332L))
+  }
+
+  test("temperature alpha=0.5 lifts tail sources, preserves order, quotas fit budget") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(9)("mid") ++ Seq.fill(1)("small"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("src", "id")
+    val rows = Sampling.temperatureQuotas(df, "src", 0.5, 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    val byName = rows.map(t => t._1 -> t).toMap
+    // sqrt flattening: small's share rises from 1% toward sqrt(0.01)-scaled
+    assert(byName("small")._3 > 0.05 && byName("small")._3 < 0.10)
+    assert(byName("big")._3 > byName("mid")._3 &&
+      byName("mid")._3 > byName("small")._3)
+    assert(rows.map(_._4).sum <= 1000L)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+  }
+
+  test("temperature quotas are invariant to partitioning") {
+    val df = (0 until 500).map(i => (s"s${i % 7}", i.toLong)).toDF("src", "id")
+    val a = Sampling.temperatureQuotas(df.repartition(1), "src", 0.5, 10000L)
+      .orderBy("src").collect().toSeq
+    val b = Sampling.temperatureQuotas(df.repartition(13), "src", 0.5, 10000L)
+      .orderBy("src").collect().toSeq
+    assert(a == b)
+  }
 }

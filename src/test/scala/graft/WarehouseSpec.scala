@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Warehouse
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, seq, attr) changelog: k1 changes a->a->b->b->a, k2 constant, k3
+  // single row, k4 exercises null attribute states
+  private val log = Seq(
+    ("k1", 1L, Some("a")), ("k1", 2L, Some("a")), ("k1", 3L, Some("b")),
+    ("k1", 4L, Some("b")), ("k1", 5L, Some("a")),
+    ("k2", 1L, Some("x")), ("k2", 9L, Some("x")),
+    ("k3", 7L, Some("solo")),
+    ("k4", 1L, None), ("k4", 2L, Some("v")), ("k4", 3L, None)
+  ).toDF("k", "seq", "attr")
+
+  test("scd2 compacts unchanged runs and chains validity intervals") {
+    val got = Warehouse.scd2(log, Seq("k"), Seq("seq"), Seq("attr"))
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("k1", Some("a"), 1L, Some(3L), false),
+      ("k1", Some("b"), 3L, Some(5L), false),
+      ("k1", Some("a"), 5L, None, true),
+      ("k2", Some("x"), 1L, None, true),
+      ("k3", Some("solo"), 7L, None, true),
+      // null is a state: null -> v -> null is three intervals
+      ("k4", None, 1L, Some(2L), false),
+      ("k4", Some("v"), 2L, Some(3L), false),
+      ("k4", None, 3L, None, true)))
+  }
+
+  test("scd2 is deterministic under any input partitioning") {
+    val a = Warehouse.scd2(log.repartition(1), Seq("k"), Seq("seq"), Seq("attr"))
+      .orderBy("k", "valid_from").collect().toSeq
+    val b = Warehouse.scd2(log.repartition(7), Seq("k"), Seq("seq"), Seq("attr"))
+      .orderBy("k", "valid_from").collect().toSeq
+    assert(a == b)
+  }
+
+  test("scd2 plans ONE exchange: both windows share partitioning and sort") {
+    val plan = Warehouse.scd2(log, Seq("k"), Seq("seq"), Seq("attr"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("scd2 rejects reserved columns and empty column lists") {
+    intercept[IllegalArgumentException] {
+      Warehouse.scd2(log.withColumn("valid_from", lit(1)),
+        Seq("k"), Seq("seq"), Seq("attr"))
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.scd2(log, Seq("k"), Seq("seq"), Nil)
+    }
+  }
+
+  private val oldSnap = Seq(
+    ("k1", 10L, "a"), ("k2", 20L, "b"), ("k3", 30L, "c"), ("k5", 50L, "n")
+  ).toDF("k", "v", "s")
+  private val newSnap = Seq(
+    ("k1", 10L, "a"),      // unchanged
+    ("k2", 21L, "b"),      // changed (v)
+    ("k4", 40L, "d"),      // added
+    ("k5", 50L, "m")       // changed (s)
+  ).toDF("k", "v", "s")
+
+  test("snapshotDiff classifies added/removed/changed/unchanged with both payloads") {
+    val got = Warehouse.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      ("k1", "unchanged", Some(10L), Some(10L)),
+      ("k2", "changed", Some(20L), Some(21L)),
+      ("k3", "removed", Some(30L), None),
+      ("k4", "added", None, Some(40L)),
+      ("k5", "changed", Some(50L), Some(50L))))
+  }
+
+  test("snapshotDiff null payloads compare null-safe") {
+    val o = Seq(("a", Option.empty[String]), ("b", Some("x"))).toDF("k", "p")
+    val n = Seq(("a", Option.empty[String]), ("b", Option.empty[String])).toDF("k", "p")
+    val got = Warehouse.snapshotDiff(o, n, Seq("k"))
+      .select("k", "status").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "unchanged"), ("b", "changed")))
+  }
+
+  test("snapshotDiffSummary counts per status") {
+    val got = Warehouse.snapshotDiffSummary(oldSnap, newSnap, Seq("k"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("unchanged" -> 1L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("snapshotDiff rejects mismatched column sets") {
+    intercept[IllegalArgumentException] {
+      Warehouse.snapshotDiff(oldSnap, newSnap.drop("s"), Seq("k"))
+    }
+  }
+}
