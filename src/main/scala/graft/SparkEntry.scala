@@ -827,6 +827,74 @@ object SparkEntry {
       // per source before any arithmetic
       Sampling.temperatureQuotas(t(s, dir, "documents"), "source", 0.5,
         100000L).orderBy("source")),
+    "q111_pit_join" -> ((s, dir) => {
+      // point-in-time lookup against the q104 dim: each lineitem reads its
+      // customer's order-status as of ship date; changelog pre-compacted
+      // to one change per (custkey, ts) so dim versions are unique per
+      // (key, valid_from) — the pointInTime contract
+      val chg = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("ts_us"),
+          col("o_orderkey"), col("o_orderstatus"))
+        .groupBy("o_custkey", "ts_us")
+        .agg(max(struct(col("o_orderkey"), col("o_orderstatus")))
+          .getField("o_orderstatus").as("o_orderstatus"))
+      val dim = Warehouse.scd2(chg, Seq("o_custkey"), Seq("ts_us"),
+        Seq("o_orderstatus"))
+      val fact = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("ts_us"))
+      Warehouse.pointInTime(fact, dim, "o_custkey", "ts_us",
+          Seq("o_orderstatus"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("ts_us"), col("asof_o_orderstatus").as("status_at_ship"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q112_interval_coalesce" -> ((s, dir) => {
+      // gaps-and-islands over per-user activity: each event opens a 5-min
+      // [ts, ts+300s) window, overlapping/touching windows merge into
+      // islands — microsecond grain (the q72/q105 convention)
+      val iv = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("ivl_start"),
+        expr("ts div 1000 + 300000000").as("ivl_end"))
+      Intervals.coalesce(iv, Seq("user_id"), "ivl_start", "ivl_end")
+        .orderBy("user_id", "island_start")
+    }),
+    "q115_psi_drift" -> ((s, dir) => {
+      // corpus drift between the mid-month load and the full month: PSI
+      // per feature over a categorical (event_type) and a binned numeric
+      // (value div 25) marginal, stacked into one observation frame
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+      def obs(d: DataFrame) =
+        d.select(lit("event_type").as("feature"),
+            col("event_type").as("bucket"))
+          .unionByName(d.select(lit("value_bin").as("feature"),
+            format_string("b%02d", expr("cast(floor(value / 25.0d) as int)"))
+              .as("bucket")))
+      val cut = 1705363200000000L // 2024-01-16T00:00Z in epoch us (q105)
+      Drift.psiReport(obs(ev.filter(col("ts_us") < cut)), obs(ev))
+        .orderBy("feature")
+    }),
+    "q116_dq_audit" -> ((s, dir) => {
+      // load-gate constraint report across the warehouse tables: nullness,
+      // key uniqueness (one clean, one violated on purpose), referential
+      // integrity, and two range policies with real violations
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val cust = t(s, dir, "customer")
+      Dq.audit(Seq(
+        Dq.notNull(cust, "c_name"),
+        Dq.uniqueKey(orders, Seq("o_orderkey")),
+        Dq.uniqueKey(cust, Seq("c_nationkey")),
+        Dq.foreignKey(li, "l_orderkey", orders, "o_orderkey"),
+        Dq.foreignKey(orders, "o_custkey", cust, "c_custkey"),
+        Dq.inRange(li, "l_discount", 0.0, 0.05),
+        Dq.inRange(li, "l_quantity", 1.0, 25.0)))
+        .orderBy("constraint")
+    }),
     "q91_semantic_clusters" -> ((s, dir) =>
       // the kNN graph's payoff: mutual-kNN edges (each endpoint in the
       // other's top-3 — the high-precision link rule) -> connected
@@ -2285,6 +2353,128 @@ object SparkEntry {
           |SELECT source, n, share,
           |       CAST(floor(share * 100000 + 1e-9) AS BIGINT) AS quota
           |FROM sh ORDER BY source""".stripMargin,
+      "q111_pit_join" -> // the q104 scd2 replay off the (custkey, ts)-
+        // compacted changelog (max_by = the struct-max tie-break), then
+        // DuckDB's native ASOF LEFT JOIN on valid_from — valid under
+        // scd2's gapless-interval invariant, exactly like the Spark side
+        """WITH chg AS (SELECT o_custkey, epoch_us(o_orderdate) AS ts_us,
+          |               max_by(o_orderstatus, o_orderkey) AS o_orderstatus
+          |             FROM orders GROUP BY 1, 2),
+          |f AS (SELECT *, lag(o_orderstatus) OVER
+          |        (PARTITION BY o_custkey ORDER BY ts_us) AS prev FROM chg),
+          |dim AS (SELECT o_custkey, ts_us AS valid_from, o_orderstatus
+          |        FROM f WHERE prev IS NULL OR prev <> o_orderstatus),
+          |fact AS (SELECT l_orderkey, l_linenumber, o_custkey,
+          |           epoch_us(l_shipdate) AS ts_us
+          |         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+          |SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.ts_us,
+          |       d.o_orderstatus AS status_at_ship
+          |FROM fact f ASOF LEFT JOIN dim d
+          |  ON f.o_custkey = d.o_custkey AND f.ts_us >= d.valid_from
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "q112_interval_coalesce" -> // the same two-window island build:
+        // running max(end) over strictly-preceding ROWS marks splits, a
+        // running flag sum numbers islands, one group-by per island
+        """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+          |              epoch_us(ts) + 300000000 AS e FROM events),
+          |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+          |      FROM iv),
+          |fl AS (SELECT *, CASE WHEN me IS NULL OR s > me THEN 1 ELSE 0 END
+          |         AS nf FROM m),
+          |isl AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY s, e
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+          |        FROM fl)
+          |SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+          |       CAST(count(*) AS BIGINT) AS n_merged
+          |FROM isl GROUP BY user_id, isle
+          |ORDER BY user_id, island_start""".stripMargin,
+      "q115_psi_drift" -> // Drift.psiReport replayed: full-outer bucket
+        // merge, add-half smoothing over the union bucket set, per-ln
+        // 6-decimal rounds into DECIMAL(18,6) factors, DECIMAL(38,12)
+        // term sums — the q100 portability convention
+        """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS ts_us
+          |            FROM events),
+          |oo AS (SELECT 'event_type' AS feature, event_type AS bucket
+          |       FROM ev WHERE ts_us < 1705363200000000
+          |       UNION ALL
+          |       SELECT 'value_bin',
+          |              printf('b%02d', CAST(floor(value / 25.0) AS INT))
+          |       FROM ev WHERE ts_us < 1705363200000000),
+          |nn AS (SELECT 'event_type' AS feature, event_type AS bucket FROM ev
+          |       UNION ALL
+          |       SELECT 'value_bin',
+          |              printf('b%02d', CAST(floor(value / 25.0) AS INT))
+          |       FROM ev),
+          |co AS (SELECT feature, bucket, CAST(count(*) AS BIGINT) AS n_old
+          |       FROM oo GROUP BY 1, 2),
+          |cn AS (SELECT feature, bucket, CAST(count(*) AS BIGINT) AS n_new
+          |       FROM nn GROUP BY 1, 2),
+          |m AS (SELECT coalesce(co.feature, cn.feature) AS feature,
+          |        coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+          |      FROM co FULL OUTER JOIN cn
+          |        ON co.feature = cn.feature AND co.bucket = cn.bucket),
+          |t AS (SELECT feature, CAST(sum(n_old) AS BIGINT) AS tot_old,
+          |        CAST(sum(n_new) AS BIGINT) AS tot_new,
+          |        CAST(count(*) AS BIGINT) AS nb FROM m GROUP BY 1),
+          |j AS (SELECT m.feature, n_old, n_new, tot_old, tot_new, nb,
+          |        (CAST(n_old AS DOUBLE) + 0.5)
+          |          / (CAST(tot_old AS DOUBLE) + 0.5 * nb) AS p_old,
+          |        (CAST(n_new AS DOUBLE) + 0.5)
+          |          / (CAST(tot_new AS DOUBLE) + 0.5 * nb) AS p_new
+          |      FROM m JOIN t ON m.feature = t.feature),
+          |terms AS (SELECT feature, nb, tot_old, tot_new,
+          |        CAST(CAST(round(p_new - p_old, 6) AS DECIMAL(18,6))
+          |          * (CAST(round(ln(p_new), 6) AS DECIMAL(18,6))
+          |             - CAST(round(ln(p_old), 6) AS DECIMAL(18,6)))
+          |          AS DECIMAL(38,12)) AS term
+          |      FROM j)
+          |SELECT feature, nb AS n_buckets, tot_old AS n_old,
+          |       tot_new AS n_new,
+          |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+          |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q116_dq_audit" -> // one scalar-aggregate subquery per check,
+        // stacked; the FK checks count orphans via a distinct-key left
+        // join (NOT IN would null-trap), rates rounded like the Spark side
+        """WITH r AS (
+          |  SELECT 'not_null(c_name)' AS c,
+          |    CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT) AS v,
+          |    CAST(count(*) AS BIGINT) AS t FROM customer
+          |  UNION ALL SELECT 'unique(o_orderkey)',
+          |    CAST(count(*) AS BIGINT)
+          |      - CAST(count(DISTINCT o_orderkey) AS BIGINT),
+          |    CAST(count(*) AS BIGINT) FROM orders
+          |  UNION ALL SELECT 'unique(c_nationkey)',
+          |    CAST(count(*) AS BIGINT)
+          |      - CAST(count(DISTINCT c_nationkey) AS BIGINT),
+          |    CAST(count(*) AS BIGINT) FROM customer
+          |  UNION ALL SELECT 'foreign_key(l_orderkey->o_orderkey)',
+          |    CAST(count(*) FILTER (WHERE l.l_orderkey IS NOT NULL
+          |      AND o.o_orderkey IS NULL) AS BIGINT),
+          |    CAST(count(*) AS BIGINT)
+          |  FROM lineitem l LEFT JOIN
+          |    (SELECT DISTINCT o_orderkey FROM orders) o
+          |    ON l.l_orderkey = o.o_orderkey
+          |  UNION ALL SELECT 'foreign_key(o_custkey->c_custkey)',
+          |    CAST(count(*) FILTER (WHERE ord.o_custkey IS NOT NULL
+          |      AND c.c_custkey IS NULL) AS BIGINT),
+          |    CAST(count(*) AS BIGINT)
+          |  FROM orders ord LEFT JOIN
+          |    (SELECT DISTINCT c_custkey FROM customer) c
+          |    ON ord.o_custkey = c.c_custkey
+          |  UNION ALL SELECT 'in_range(l_discount,0.0,0.05)',
+          |    CAST(count(*) FILTER (WHERE l_discount IS NOT NULL
+          |      AND (l_discount < 0.0 OR l_discount > 0.05)) AS BIGINT),
+          |    CAST(count(*) AS BIGINT) FROM lineitem
+          |  UNION ALL SELECT 'in_range(l_quantity,1.0,25.0)',
+          |    CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+          |      AND (l_quantity < 1.0 OR l_quantity > 25.0)) AS BIGINT),
+          |    CAST(count(*) AS BIGINT) FROM lineitem)
+          |SELECT c AS "constraint", v AS violations, t AS total,
+          |       round(CASE WHEN t = 0 THEN 0.0
+          |             ELSE CAST(v AS DOUBLE) / CAST(t AS DOUBLE) END, 6)
+          |         AS violation_rate
+          |FROM r ORDER BY c""".stripMargin,
       "q91_semantic_clusters" -> // the q88 mirror -> mutual filter -> the
         // q53 recursive min-label reachability (= the CC fixpoint)
         s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

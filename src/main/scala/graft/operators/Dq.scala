@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint audit: declarative checks (null rate, key
+  * uniqueness, referential integrity, value ranges) evaluated as plain
+  * aggregates, unioned into one `(constraint, violations, total,
+  * violation_rate)` report — the load-time gate a warehouse runs before
+  * promoting a batch (the assertion layer Great Expectations / deequ
+  * provide, re-expressed as four Catalyst aggregate shapes).
+  *
+  * Every check is a single pass over its table: counts and conditional
+  * counts partial-aggregate map-side, so each report row costs one
+  * word-count-shaped exchange at most. [[uniqueKey]] is the one check
+  * that shuffles keys (exact distinct); its scaladoc names the
+  * `approx_count_distinct` downgrade for when the key space itself is the
+  * thing that doesn't fit. [[foreignKey]] is a left-anti join — broadcast
+  * when the parent's key side is small, co-partitioned hash otherwise,
+  * Catalyst's choice. The report union is a union of 1-row frames.
+  *
+  * `violation_rate` is rounded to 6 decimals; a check over an empty table
+  * reports 0 violations / 0 total / 0.0 rate (gates treat "no rows" as its
+  * own signal, not a divide-by-zero).
+  */
+object Dq {
+
+  private def rate(v: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column) =
+    round(when(t === 0L, lit(0.0))
+      .otherwise(v.cast("double") / t.cast("double")), 6)
+
+  private def report(name: String, violations: org.apache.spark.sql.Column,
+      total: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+    df.agg(violations.as("violations"), total.as("total"))
+      .select(lit(name).as("constraint"), col("violations"), col("total"),
+        rate(col("violations"), col("total")).as("violation_rate"))
+
+  /** Null-rate check: violations = rows where `c` is null. */
+  def notNull(df: DataFrame, c: String): DataFrame =
+    report(s"not_null($c)",
+      count(when(col(c).isNull, 1)), count(lit(1)))(df)
+
+  /** Key-uniqueness check: violations = rows in excess of one per
+    * duplicated key (so a clean table reports 0, and the count is "rows
+    * you would drop to deduplicate"). Null-keyed rows count as violations
+    * (a key with nulls identifies nothing). Exact distinct shuffles the
+    * key space once; at 100 TB swap the count_distinct for
+    * approx_count_distinct when an estimated excess suffices. */
+  def uniqueKey(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "uniqueKey needs key columns")
+    val nonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val k = struct(keyCols.map(col): _*)
+    report(s"unique(${keyCols.mkString(",")})",
+      count(lit(1)) - count_distinct(when(nonNull, k)),
+      count(lit(1)))(df)
+  }
+
+  /** Referential-integrity check: violations = child rows whose `fk` value
+    * (non-null) has no match in `parent(pk)` — orphans. Null fks are NOT
+    * violations here (that's [[notNull]]'s job; SQL FK semantics). */
+  def foreignKey(child: DataFrame, fk: String, parent: DataFrame,
+      pk: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("t"))
+    val orphans = child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk)).distinct(),
+        child(fk) === parent(pk), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    orphans.crossJoin(total)
+      .select(lit(s"foreign_key($fk->$pk)").as("constraint"),
+        col("v").as("violations"), col("t").as("total"),
+        rate(col("v"), col("t")).as("violation_rate"))
+  }
+
+  /** Range check: violations = non-null values outside `[lo, hi]`. Nulls
+    * pass (again [[notNull]]'s job). */
+  def inRange(df: DataFrame, c: String, lo: Double, hi: Double): DataFrame =
+    report(s"in_range($c,$lo,$hi)",
+      count(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1)),
+      count(lit(1)))(df)
+
+  /** Stack individual checks into one report frame. */
+  def audit(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    checks.reduce(_.unionByName(_))
+  }
+}

@@ -113,4 +113,37 @@ object Warehouse {
       keyCols: Seq[String]): DataFrame =
     snapshotDiff(oldSnap, newSnap, keyCols)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** Point-in-time (temporal) join of a fact table against a type-2
+    * dimension: each fact row gets the dim attributes of the version valid
+    * at the fact's `tsCol` — the lookup [[scd2]]'s output exists to serve
+    * ("what WAS this key's state when the event happened").
+    *
+    * Relies on scd2's gapless-interval invariant: per key, each version's
+    * `valid_to` equals the next version's `valid_from`, so "the version
+    * valid at t" IS "the latest version with valid_from <= t" and the join
+    * reduces to an as-of join on `valid_from` — no interval containment
+    * predicate, no range join. A fact before the key's first version (or
+    * with a key absent from the dim) gets null attributes. A version
+    * starting exactly at the fact's ts applies to it (as-of inclusive
+    * ties, matching scd2's closed-open `[valid_from, valid_to)`).
+    *
+    * Dim versions must be unique per (key, valid_from) — an scd2 run
+    * whose `orderCols` tie-break resolves inside one `valid_from` value
+    * can emit two versions at the same instant; pre-compact the changelog
+    * to one change per (key, ts) first (the q111 query does).
+    *
+    * Scale shape: inherits [[AsOfJoin.asOf]]'s — union both sides, ONE
+    * hash exchange on the key, one window carrying the latest version
+    * struct forward. The dim (version-sized) rides along with the fact
+    * scan; nothing is ever materialized per (fact × version).
+    *
+    * Output: every fact column plus `asof_<attr>` for each attrCol. */
+  def pointInTime(fact: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "pointInTime needs dim attribute columns")
+    val d = dim.select(col(keyCol) +: col("valid_from").as(tsCol)
+      +: attrCols.map(col): _*)
+    AsOfJoin.asOf(fact, d, keyCol, tsCol, attrCols)
+  }
 }

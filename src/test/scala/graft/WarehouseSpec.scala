@@ -101,4 +101,36 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.snapshotDiff(oldSnap, newSnap.drop("s"), Seq("k"))
     }
   }
+
+  test("pointInTime serves the version valid at each fact ts") {
+    val dim = Warehouse.scd2(log, Seq("k"), Seq("seq"), Seq("attr"))
+      .withColumnRenamed("k", "key")
+    val facts = Seq(
+      ("k1", 1L, 1),  // exactly at the first version's valid_from -> "a"
+      ("k1", 2L, 2),  // inside [1,3) -> "a" (the compacted-away row 2 too)
+      ("k1", 3L, 3),  // boundary: [3,5) opens AT 3 -> "b" (closed-open)
+      ("k1", 9L, 4),  // after the last change -> current "a"
+      ("k2", 0L, 5),  // before k2's first version -> null
+      ("k9", 5L, 6)   // key absent from the dim -> null
+    ).toDF("key", "seq", "fid")
+    val got = Warehouse.pointInTime(facts, dim, "key", "seq", Seq("attr"))
+      .select("fid", "asof_attr").as[(Int, Option[String])]
+      .collect().toMap
+    assert(got == Map(1 -> Some("a"), 2 -> Some("a"), 3 -> Some("b"),
+      4 -> Some("a"), 5 -> None, 6 -> None))
+  }
+
+  test("pointInTime carries a genuinely-null dim attribute distinct from no-match") {
+    // k4's state at seq 1 IS null (a recorded null state) — the fact at
+    // seq 1 must read null because the VERSION says null, and the fact at
+    // seq 2 must read "v": the version struct is carried atomically
+    val dim = Warehouse.scd2(log, Seq("k"), Seq("seq"), Seq("attr"))
+      .withColumnRenamed("k", "key")
+    val facts = Seq(("k4", 1L, 1), ("k4", 2L, 2), ("k4", 3L, 3))
+      .toDF("key", "seq", "fid")
+    val got = Warehouse.pointInTime(facts, dim, "key", "seq", Seq("attr"))
+      .select("fid", "asof_attr").as[(Int, Option[String])]
+      .collect().toMap
+    assert(got == Map(1 -> None, 2 -> Some("v"), 3 -> None))
+  }
 }
