@@ -22,10 +22,21 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events fixture carries TIMESTAMP(NANOS), which Spark 4 only reads
-    // as a raw long (SPARK-40819); all ts arithmetic is integer ns from there.
+    // The events fixture has shipped as both TIMESTAMP(NANOS) — which Spark 4
+    // only reads as a raw long (SPARK-40819, hence nanosAsLong) — and as
+    // TIMESTAMP(MICROS), which reads as a timestamp column. Normalize to the
+    // integer-ns contract every ts-arithmetic query is written against, so
+    // the library is layout-agnostic (the oracle reads ts natively either way).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case Some(TimestampNTZType) => // session TZ is UTC in every entrypoint
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
   }
 
   /** Fixture scan, fanned out across the cluster. The sf fixtures are
@@ -895,6 +906,22 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q118_kcore" -> ((s, dir) => {
+      // dense heart of the customer–supplier order graph: 4 peel rounds
+      // at k=20 drop thin relationships, then the cascade strands
+      // customers whose suppliers left — survivors with in-core degree
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      Graph.kCore(e, k = 20, rounds = 4).orderBy("node")
+    }),
+    "q117_assoc_rules" -> ((s, dir) =>
+      // basket affinity over order contents: Apriori-pruned frequent
+      // part pairs -> association rules ranked by lift; every output an
+      // exact integer (supports + ppm ratios) so the oracle hash-matches
+      Association.associationRules(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 3L, k = 50)),
     "q91_semantic_clusters" -> ((s, dir) =>
       // the kNN graph's payoff: mutual-kNN edges (each endpoint in the
       // other's top-3 — the high-precision link rule) -> connected
@@ -2433,6 +2460,61 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q118_kcore" -> {
+        // Graph.kCore unrolled: per round, degree count over the current
+        // edge set, survivor filter at k=20, edges restricted to
+        // survivors; output = degrees AFTER the last round's restriction
+        val rounds = (1 to 4).map { r =>
+          s"""d$r AS (SELECT node, count(*) AS deg FROM (
+             |  SELECT u AS node FROM e${r - 1}
+             |  UNION ALL SELECT v FROM e${r - 1}) GROUP BY node),
+             |k$r AS (SELECT node FROM d$r WHERE deg >= 20),
+             |e$r AS (SELECT u, v FROM e${r - 1}
+             |  WHERE u IN (SELECT node FROM k$r)
+             |    AND v IN (SELECT node FROM k$r))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (
+           |  SELECT CAST(o_custkey * 2 AS BIGINT) AS a,
+           |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           |       FROM raw WHERE a <> b),
+           |$rounds
+           |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+           |GROUP BY node ORDER BY node""".stripMargin
+      },
+      "q117_assoc_rules" -> // Association.associationRules mirrored:
+        // presence-dedup, item supports, Apriori-pruned pair supports,
+        // both rule directions, integer-ppm conf/lift (`//` = Spark div
+        // for the all-positive counts), lift-then-pair total order
+        """WITH pres AS (
+          |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          |  FROM lineitem),
+          |fi AS (SELECT item, count(*) AS sup FROM pres
+          |       GROUP BY item HAVING count(*) >= 3),
+          |pruned AS (SELECT p.basket, p.item
+          |           FROM pres p JOIN fi USING (item)),
+          |pairs AS (
+          |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS sup_ab
+          |  FROM pruned a JOIN pruned b
+          |    ON a.basket = b.basket AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 3),
+          |total AS (SELECT count(DISTINCT basket) AS n_baskets FROM pres),
+          |directed AS (
+          |  SELECT item_a AS ante, item_b AS cons, sup_ab FROM pairs
+          |  UNION ALL
+          |  SELECT item_b AS ante, item_a AS cons, sup_ab FROM pairs)
+          |SELECT d.ante, d.cons, d.sup_ab, fa.sup AS sup_ante,
+          |       fc.sup AS sup_cons,
+          |       1000000 * d.sup_ab // fa.sup AS conf_ppm,
+          |       1000000 * d.sup_ab * t.n_baskets // (fa.sup * fc.sup)
+          |         AS lift_ppm
+          |FROM directed d
+          |JOIN fi fa ON d.ante = fa.item
+          |JOIN fi fc ON d.cons = fc.item
+          |CROSS JOIN total t
+          |ORDER BY lift_ppm DESC, d.ante, d.cons LIMIT 50""".stripMargin,
       "q116_dq_audit" -> // one scalar-aggregate subquery per check,
         // stacked; the FK checks count orphans via a distinct-key left
         // join (NOT IN would null-trap), rates rounded like the Spark side

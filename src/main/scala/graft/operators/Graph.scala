@@ -332,4 +332,48 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core peel (Seidman, Social Networks 1983): `rounds` iterations of
+    * "drop every node with degree < k, then recount" over the undirected,
+    * deduplicated edge set. After enough rounds this is the k-core — the
+    * maximal subgraph where every surviving node keeps >= k neighbors
+    * INSIDE the subgraph (the standard cohesion gate: a dedup cluster's
+    * dense heart vs its chain-merged fringe; a spam-farm detector on the
+    * link graph). Output: (node, deg) for survivors, deg = within-core
+    * degree after the final round.
+    *
+    * `rounds` is FIXED (caller-chosen) so the computation is a
+    * deterministic, engine-replayable plan — the oracle unrolls the same
+    * rounds. Peeling is monotone (survivor sets only shrink), so round
+    * r+1 == round r means the true k-core was reached; GraphSpec pins
+    * convergence on its fixtures, and callers probe the same way (run
+    * rounds, run rounds+1, compare — cheap at one aggregate each).
+    *
+    * Scale shape per round: one degree aggregate (partial-combines
+    * map-side, node-sized exchange) + two semi joins of the edge list
+    * against the (node-sized, usually broadcastable) survivor set. The
+    * edge frame is eagerly checkpointed each round — without the barrier
+    * the plan embeds the previous round's subtree three times per round
+    * (3^rounds blowup); with it each round reads the materialized edges.
+    * Files are reclaimed on RDD GC under cleanCheckpoints. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    require(rounds >= 1, "kCore needs at least one round")
+    graft.util.Checkpoints.ensureDir(edges.sparkSession)
+    var e = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .checkpoint(eager = true)
+    def degrees = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees.filter(col("deg") >= k).select("node")
+      e = e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .checkpoint(eager = true)
+    }
+    degrees
+  }
+
 }

@@ -305,4 +305,39 @@ class GraphSpec extends SparkSpec {
     val got = Graph.labelPropagation(e, 1).as[(Long, Long)].collect().toMap
     assert(got(3L) == 2L, got.toString)
   }
+
+  // K4 on {1,2,3,4} with a pendant chain 4-5-6; duplicates, a reversed
+  // duplicate, and a self-loop exercise canonicalization
+  private def coreEdges = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 4L), (5L, 6L), (5L, 6L), (6L, 6L)
+  ).toDF("src", "dst")
+
+  test("kCore peels the pendant chain, keeps the K4 at k=3") {
+    val got = Graph.kCore(coreEdges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // round 1 drops 6 (deg 1) and 5 (deg 2); K4 is 3-regular and stable
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore cascade: removing the fringe can strand a former k-node") {
+    // chain 1-2-3-4-5 with k=2: endpoints peel, then the new endpoints
+    // peel in LATER rounds — the iterative part of the definition
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(Graph.kCore(chain, k = 2, rounds = 4).collect().isEmpty)
+    // one round only drops the original endpoints; 2..4 still present
+    val oneRound = Graph.kCore(chain, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.keySet == Set(2L, 3L, 4L))
+  }
+
+  test("kCore converges: rounds and rounds+1 agree once stable") {
+    val a = Graph.kCore(coreEdges, k = 3, rounds = 2).collect().toSeq.sortBy(_.getLong(0))
+    val b = Graph.kCore(coreEdges, k = 3, rounds = 3).collect().toSeq.sortBy(_.getLong(0))
+    assert(a == b)
+  }
+
+  test("kCore above the max core is empty") {
+    assert(Graph.kCore(coreEdges, k = 4, rounds = 3).collect().isEmpty)
+  }
 }
