@@ -906,6 +906,34 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q120_resample_anomaly" -> ((s, dir) => {
+      // per-user activity watchdog: 6-hour grid, latest-wins resample,
+      // forward fill, then a trailing-8-bucket z-score (decimal moments,
+      // one fixed double formula, round-6) flagging |z| > 3
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("value"))
+      val grid = TimeSeries.resampleFFill(ev, Seq("user_id"), "ts",
+        "value", 21600000000000L)
+      TimeSeries.rollingAnomaly(grid, Seq("user_id"), "bucket", "v", 8)
+        .orderBy("user_id", "bucket")
+    }),
+    "q119_bloom_join" -> ((s, dir) => {
+      // urgent-order revenue by ship month, with the lineitem side
+      // Bloom-pruned before the join: the runtime-filter pattern that
+      // keeps a selective fact⋈dim join from shuffling the fact table.
+      // The oracle runs the PLAIN join — the filter must be invisible
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      RuntimeFilter.bloomPrunedJoin(t(s, dir, "lineitem"), "l_orderkey",
+          dim, "o_orderkey")
+        .groupBy(substring(col("l_shipdate").cast("string"), 1, 7).as("ship_month"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"))
+        .orderBy("ship_month")
+    }),
     "q118_kcore" -> ((s, dir) => {
       // dense heart of the customer–supplier order graph: 4 peel rounds
       // at k=20 drop thin relationships, then the cascade strands
@@ -2460,6 +2488,64 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q120_resample_anomaly" -> // TimeSeries replayed: latest-wins bucket
+        // value as the row_number form of max(struct) (q80 convention),
+        // generate_series grid, IGNORE NULLS forward fill, decimal rolling
+        // moments collapsed by the IDENTICAL double formula, round-6 z
+        """WITH raw AS (
+          |  SELECT user_id, epoch_ns(ts) AS tsn, value FROM events),
+          |obs AS (
+          |  SELECT user_id, tsn // 21600000000000 AS bucket, value, tsn,
+          |    row_number() OVER (PARTITION BY user_id, tsn // 21600000000000
+          |                       ORDER BY tsn DESC, value DESC) AS rn,
+          |    count(*) OVER (PARTITION BY user_id, tsn // 21600000000000)
+          |      AS n_obs
+          |  FROM raw),
+          |o AS (SELECT user_id, bucket, value AS v_obs, n_obs
+          |      FROM obs WHERE rn = 1),
+          |rng AS (SELECT user_id,
+          |          unnest(generate_series(min(bucket), max(bucket)))
+          |            AS bucket
+          |        FROM o GROUP BY user_id),
+          |filled AS (
+          |  SELECT r.user_id, r.bucket,
+          |    last_value(o.v_obs IGNORE NULLS) OVER (
+          |      PARTITION BY r.user_id ORDER BY r.bucket
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+          |    coalesce(o.n_obs, 0) AS n_obs
+          |  FROM rng r LEFT JOIN o
+          |    ON r.user_id = o.user_id AND r.bucket = o.bucket),
+          |mom AS (
+          |  SELECT *,
+          |    sum(CAST(v AS DECIMAL(18,6))) OVER w AS s1,
+          |    sum(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+          |      OVER w AS s2,
+          |    count(v) OVER w AS n
+          |  FROM filled
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+          |               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+          |z AS (
+          |  SELECT user_id, bucket, v, n_obs,
+          |    CASE WHEN n = 8 AND
+          |      (CAST(s2 AS DOUBLE) / n
+          |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) > 1.0e-6
+          |    THEN round((v - CAST(s1 AS DOUBLE) / n)
+          |      / sqrt(CAST(s2 AS DOUBLE) / n
+          |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6)
+          |    END AS z
+          |  FROM mom)
+          |SELECT user_id, bucket, v, CAST(n_obs AS BIGINT) AS n_obs, z,
+          |  CASE WHEN z IS NOT NULL THEN abs(z) > 3.0e0 END AS anomaly
+          |FROM z ORDER BY user_id, bucket""".stripMargin,
+      "q119_bloom_join" -> // the PLAIN join+agg: the Bloom prune must be
+        // semantically invisible (no false negatives; fps die in the join)
+        """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+          |  CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY 1 ORDER BY ship_month""".stripMargin,
       "q118_kcore" -> {
         // Graph.kCore unrolled: per round, degree count over the current
         // edge set, survivor filter at k=20, edges restricted to

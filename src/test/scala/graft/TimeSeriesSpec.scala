@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resampleFFill grids, picks the latest obs per bucket, forward-fills") {
+    val df = Seq(
+      ("a", 5L, 1.0), ("a", 25L, 2.0), ("a", 27L, 3.0), ("a", 45L, 9.0),
+      ("b", 12L, 4.0)
+    ).toDF("k", "ts", "v")
+    val got = TimeSeries.resampleFFill(df, Seq("k"), "ts", "v", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 0L, 1.0, 1L), ("a", 1L, 1.0, 0L), ("a", 2L, 3.0, 2L),
+      ("a", 3L, 3.0, 0L), ("a", 4L, 9.0, 1L),
+      ("b", 1L, 4.0, 1L)))
+  }
+
+  test("exact-ts ties break on the larger value (max-struct semantics)") {
+    val df = Seq(("a", 5L, 1.0), ("a", 5L, 7.0)).toDF("k", "ts", "v")
+    val got = TimeSeries.resampleFFill(df, Seq("k"), "ts", "v", 10L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 7.0, 2L)))
+  }
+
+  test("rollingAnomaly: z against the trailing window, null until full/flat") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 4.0), ("a", 5L, 5.0), ("a", 6L, 100.0)
+    ).toDF("k", "bucket", "v")
+    val got = TimeSeries.rollingAnomaly(df, Seq("k"), "bucket", "v", 3)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+    def exp(x: Double, hist: Seq[Double]): Double = {
+      val m = hist.sum / hist.length
+      val v = hist.map(h => h * h).sum / hist.length - m * m
+      BigDecimal((x - m) / math.sqrt(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.take(3).forall(t => t._2.isEmpty && t._3.isEmpty))
+    assert(got(3) == ((4L, Some(exp(4.0, Seq(1, 2, 3))), Some(false))))
+    assert(got(4) == ((5L, Some(exp(5.0, Seq(2, 3, 4))), Some(false))))
+    assert(got(5) == ((6L, Some(exp(100.0, Seq(3, 4, 5))), Some(true))))
+  }
+
+  test("flat history yields no z-score (variance 0 is not an anomaly basis)") {
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 2.0), ("a", 3L, 2.0),
+      ("a", 4L, 50.0)).toDF("k", "bucket", "v")
+    val got = TimeSeries.rollingAnomaly(df, Seq("k"), "bucket", "v", 3)
+      .filter($"bucket" === 4L).collect()
+    assert(got.head.isNullAt(3) && got.head.isNullAt(4))
+  }
+
+  test("composition is partitioning-invariant") {
+    val df = (1L to 200L).map(i =>
+      ("k" + (i % 3), i * 7L, (i % 13).toDouble)).toDF("k", "ts", "v")
+    def run(parts: Int) = {
+      val grid = TimeSeries.resampleFFill(df.repartition(parts),
+        Seq("k"), "ts", "v", 20L)
+      TimeSeries.rollingAnomaly(grid, Seq("k"), "bucket", "v", 4)
+        .orderBy("k", "bucket").collect().toSeq
+    }
+    assert(run(1) == run(7))
+  }
+}
