@@ -906,6 +906,49 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q123_kmv_setops" -> ((s, dir) =>
+      // cross-source universe overlap from bottom-k sketches alone: KMV
+      // union/intersection/Jaccard estimates per source pair (Beyer
+      // SIGMOD'07), exact hashed-universe counts alongside — the set-op
+      // complement to q70's HLL and q83's MinHash signature overlap
+      Sketches.kmvSetOps(tp(s, dir, "documents")).orderBy("src_a", "src_b")),
+    "q122_geo_pairs" -> ((s, dir) => {
+      // co-located transmitter discovery: all pairs of distinct tx SITES
+      // (unique locators — the raw spot table is ~9x position-duplicated,
+      // which would square into the pair count) within 250 km, via the
+      // grid-cell-bucketed spatial self-join (3x(2*span+1) neighbor cells
+      // + polar cap — never a cross join). The oracle runs the PLAIN
+      // quadratic haversine predicate, so the green hash proves the
+      // bucketing loses no pair
+      val pts = spotsFan(s, dir).groupBy(col("Grid"))
+        .agg(min(col("Spotnum")).cast("long").as("id"))
+        .select(col("id"),
+          graft.functions.Geo.locLat(col("Grid")).as("lat"),
+          graft.functions.Geo.locLon(col("Grid")).as("lon"))
+      Spatial.withinDistancePairs(pts, 250.0)
+        .select(col("a_id"), col("b_id"),
+          format_string("%.3f", col("dist_km")).as("dist_km"))
+        .orderBy("a_id", "b_id")
+    }),
+    "q121_scc" -> ((s, dir) => {
+      // supply-chain cycle structure: parts chained by consecutive line
+      // numbers within urgent orders form a directed graph; EXACT strongly
+      // connected components via trim + forward/backward min-label peeling
+      // (run to fixpoint — the directed-cycle complement to q97's
+      // undirected components). The oracle computes SCCs by transitive
+      // closure, so the green hash proves the peeling loses no node
+      val li = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      val e = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").cast("long").as("src"))
+        .withColumn("dst", lead("src", 1).over(w))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+        .select("src", "dst")
+      Graph.stronglyConnectedComponents(e).orderBy("node")
+    }),
     "q120_resample_anomaly" -> ((s, dir) => {
       // per-user activity watchdog: 6-hour grid, latest-wins resample,
       // forward fill, then a trailing-8-bucket z-score (decimal moments,
@@ -2488,6 +2531,95 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q123_kmv_setops" -> // KMV replayed: bottom-32 of the portable gram
+        // hashes per source (row_number window — the sketch's oracle-side
+        // mirror), union sketch L re-ranked from the two sketches, rho by
+        // sketch-membership joins, every estimate the same single-division
+        // round-6 arithmetic
+        s"""WITH g AS (SELECT DISTINCT grp, gram FROM (
+           |       SELECT source AS grp, unnest(${gramsN("text", 3)}) AS gram FROM documents)),
+           |hv AS (SELECT DISTINCT grp, (${polyHashSql("gram")} * 3) % 2147483647 AS h FROM g),
+           |nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS nd FROM hv GROUP BY 1),
+           |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM hv),
+           |topk AS (SELECT grp, h, r FROM rk WHERE r <= 32),
+           |est1 AS (SELECT n.grp, CASE WHEN n.nd < 32 THEN CAST(n.nd AS DOUBLE)
+           |           ELSE round(CAST(66571993057 AS DOUBLE)
+           |                      / CAST(max(t.h) FILTER (t.r = 32) AS DOUBLE), 6) END AS est
+           |         FROM nd n JOIN topk t ON t.grp = n.grp GROUP BY n.grp, n.nd),
+           |pg AS (SELECT a.grp AS sa, b.grp AS sb FROM nd a JOIN nd b ON a.grp < b.grp),
+           |uv AS (SELECT pg.sa, pg.sb, t.h FROM pg JOIN topk t ON t.grp = pg.sa
+           |       UNION
+           |       SELECT pg.sa, pg.sb, t.h FROM pg JOIN topk t ON t.grp = pg.sb),
+           |lr AS (SELECT sa, sb, h,
+           |       row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r FROM uv),
+           |l AS (SELECT * FROM lr WHERE r <= 32),
+           |ks AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS ku,
+           |       max(h) FILTER (r = 32) AS hk FROM l GROUP BY 1, 2),
+           |rho AS (SELECT l.sa, l.sb, CAST(count(*) AS BIGINT) AS rho FROM l
+           |        JOIN topk ta ON ta.grp = l.sa AND ta.h = l.h
+           |        JOIN topk tb ON tb.grp = l.sb AND tb.h = l.h GROUP BY 1, 2),
+           |iv AS (SELECT a.grp AS sa, b.grp AS sb, CAST(count(*) AS BIGINT) AS xinter
+           |       FROM hv a JOIN hv b ON a.h = b.h AND a.grp < b.grp GROUP BY 1, 2),
+           |eu AS (SELECT ks.sa, ks.sb, ks.ku,
+           |       CASE WHEN ks.ku < 32 THEN CAST(ks.ku AS DOUBLE)
+           |         ELSE round(CAST(66571993057 AS DOUBLE) / CAST(ks.hk AS DOUBLE), 6)
+           |       END AS est_union FROM ks)
+           |SELECT pg.sa AS src_a, pg.sb AS src_b,
+           |  ea.est AS est_a, eb.est AS est_b, eu.est_union,
+           |  round((CAST(coalesce(rho.rho, 0) AS DOUBLE) / CAST(eu.ku AS DOUBLE))
+           |        * eu.est_union, 6) AS est_inter,
+           |  round(CAST(coalesce(rho.rho, 0) AS DOUBLE) / CAST(eu.ku AS DOUBLE), 6)
+           |    AS est_jaccard,
+           |  na.nd + nb.nd - coalesce(iv.xinter, 0) AS exact_union,
+           |  coalesce(iv.xinter, 0) AS exact_inter
+           |FROM pg
+           |JOIN est1 ea ON ea.grp = pg.sa JOIN est1 eb ON eb.grp = pg.sb
+           |JOIN eu ON eu.sa = pg.sa AND eu.sb = pg.sb
+           |LEFT JOIN rho ON rho.sa = pg.sa AND rho.sb = pg.sb
+           |LEFT JOIN iv ON iv.sa = pg.sa AND iv.sb = pg.sb
+           |JOIN nd na ON na.grp = pg.sa JOIN nd nb ON nb.grp = pg.sb
+           |ORDER BY src_a, src_b""".stripMargin,
+      "q122_geo_pairs" -> // the plain quadratic haversine predicate — the
+        // oracle never sees the cell bucketing; the distance expression
+        // mirrors Spatial.haversineKm operand-for-operand, round-6 gates
+        // the predicate on both sides, fmt3 formats the output
+        s"""$spotsWith,
+           |pts AS (SELECT min("Spotnum") AS id, ${locLat("\"Grid\"")} AS lat,
+           |               ${locLon("\"Grid\"")} AS lon
+           |        FROM spots GROUP BY "Grid"),
+           |pairs AS (
+           |  SELECT a.id AS a_id, b.id AS b_id,
+           |    round(12742.0e0 * asin(sqrt(
+           |      sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2) +
+           |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+           |        (sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)))), 6)
+           |      AS d
+           |  FROM pts a JOIN pts b ON a.id < b.id)
+           |SELECT a_id, b_id, ${fmt3("d")} AS dist_km FROM pairs
+           |WHERE d <= 250.0e0 ORDER BY a_id, b_id""".stripMargin,
+      "q121_scc" -> // EXACT SCC by transitive closure: both engines run to
+        // the same fixpoint, so no iteration is mirrored — mutual
+        // reachability (recursive CTE) labels each node with its SCC min
+        """WITH RECURSIVE e AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT l_partkey AS src,
+          |      lead(l_partkey) OVER (PARTITION BY l_orderkey
+          |                            ORDER BY l_linenumber) AS dst
+          |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |    WHERE o_orderpriority = '1-URGENT')
+          |  WHERE dst IS NOT NULL AND dst <> src),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |reach(a, b) AS (
+          |  SELECT src, dst FROM e
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+          |mutual AS (
+          |  SELECT node, node AS m FROM nodes
+          |  UNION
+          |  SELECT r1.a AS node, r1.b AS m FROM reach r1
+          |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+          |SELECT node, min(m) AS scc_id FROM mutual GROUP BY node
+          |ORDER BY node""".stripMargin,
       "q120_resample_anomaly" -> // TimeSeries replayed: latest-wins bucket
         // value as the row_number form of max(struct) (q80 convention),
         // generate_series grid, IGNORE NULLS forward fill, decimal rolling

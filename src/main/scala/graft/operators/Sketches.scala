@@ -305,4 +305,91 @@ object Sketches {
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select("token", "est", "exact", "rank")
   }
+
+  /** KMV (k-minimum-values) distinct sketches per source, with UNION /
+    * INTERSECTION / Jaccard estimates for every source pair — the multiset
+    * set-operation synopsis of Beyer et al., "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations" (SIGMOD 2007),
+    * re-derived as DataFrame plans. HLL (q70) answers "how many distinct
+    * per group"; KMV additionally answers "how much do two groups'
+    * universes OVERLAP" from sketches alone — the cross-corpus contamination
+    * / redundancy triage that never joins the gram sets.
+    *
+    * Sketch: the k smallest DISTINCT portable hash values of the group's
+    * word-n-gram set (hash collisions merge — standard KMV semantics; the
+    * "exact" verification columns are exact over the same hashed universe).
+    * Estimators, with U(j) = j-th smallest normalized hash:
+    *   distinct(A)      ~ (k-1) / U(k)        (exact size when |A| < k)
+    *   L = k smallest of values(A) ∪ values(B)  (a KMV sketch of A ∪ B)
+    *   distinct(A ∪ B)  ~ (k-1) / U_L(k)
+    *   rho = |L ∩ A ∩ B|;  J(A,B) ~ rho/k;  distinct(A ∩ B) ~ J * union
+    *
+    * Scale shape: one distinct over (group, hash) — the only corpus-sized
+    * exchange — then the bounded [[graft.functions.RowTopKAggregator]]
+    * carries at most k longs per group through partial aggregation (map-side
+    * combine; never a per-group window sort). Sketches merge across batches
+    * by re-applying bottom-k to the concatenation — same aggregate. The
+    * pair stage runs over #sources² sketch rows (tiny by contract), all of
+    * it array arithmetic on k-length arrays. Every estimate is integer
+    * arithmetic up to ONE double division (+ one multiply for the
+    * intersection), round-6 — the oracle replays it bit-for-bit.
+    *
+    * Output, src_a < src_b: (src_a, src_b, est_a, est_b, est_union,
+    * est_inter, est_jaccard, exact_union, exact_inter). */
+  def kmvSetOps(docs: DataFrame, n: Int = 3, groupCol: String = "source",
+      textCol: String = "text", k: Int = 32): DataFrame = {
+    require(k >= 2, s"kmvSetOps needs k >= 2, got $k")
+    import docs.sparkSession.implicits._
+    val hv = docs.select(col(groupCol).cast("string").as("grp"),
+        explode(graft.operators.Dedup.wordNGrams(col(textCol), n)).as("gram"))
+      .select(col("grp"),
+        PortableHashes.minhashGramHashes(col("gram"), 1).head.as("h"))
+      .distinct()
+    val sk = hv.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.RowTopKAggregator[Long](k, Ordering.Long).toColumn)
+      .toDF("grp", "sk")
+    val nd = hv.groupBy("grp").agg(count(lit(1)).as("nd"))
+    val sketches = sk.join(nd, "grp")
+    // (k-1) / U(k) with U(k) = h_k / Mod, i.e. (k-1)*Mod / h_k: exact
+    // integer numerator (< 2^43), ONE double division, round-6.
+    def estOf(skCol: Column, ndCol: Column): Column =
+      when(ndCol < k, ndCol.cast("double")).otherwise(
+        round(lit((k - 1).toLong * PortableHashes.Mod).cast("double") /
+          element_at(skCol, k).cast("double"), 6))
+    val a = sketches.select(col("grp").as("src_a"), col("sk").as("ska"),
+      col("nd").as("nda"))
+    val b = sketches.select(col("grp").as("src_b"), col("sk").as("skb"),
+      col("nd").as("ndb"))
+    val merged = array_sort(array_distinct(concat(col("ska"), col("skb"))))
+    val pairs = a.join(b, col("src_a") < col("src_b"))
+      .withColumn("lu", slice(merged, 1, k))
+      .withColumn("ku", size(col("lu")))
+      // rho: members of L present in BOTH sketches — L comes from the two
+      // sketches, so membership in ska/skb decides presence in A/B
+      .withColumn("rho",
+        size(array_intersect(col("lu"), array_intersect(col("ska"), col("skb")))))
+    val estUnion = when(col("ku") < k, col("ku").cast("double")).otherwise(
+      round(lit((k - 1).toLong * PortableHashes.Mod).cast("double") /
+        element_at(col("lu"), k).cast("double"), 6))
+    // Exact counterparts over the same hashed universe (the join the
+    // sketch replaces — verification baseline only, like q83's).
+    val inter = hv.join(hv.select(col("grp").as("grp_b"), col("h")), "h")
+      .filter(col("grp") < col("grp_b"))
+      .groupBy(col("grp").as("src_a"), col("grp_b").as("src_b"))
+      .agg(count(lit(1)).as("xinter"))
+    pairs.withColumn("est_union", estUnion)
+      .withColumn("est_jaccard",
+        round(col("rho").cast("double") / col("ku").cast("double"), 6))
+      .withColumn("est_inter",
+        round((col("rho").cast("double") / col("ku").cast("double")) *
+          col("est_union"), 6))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        estOf(col("ska"), col("nda")).as("est_a"),
+        estOf(col("skb"), col("ndb")).as("est_b"),
+        col("est_union"), col("est_inter"), col("est_jaccard"),
+        (col("nda") + col("ndb") - coalesce(col("xinter"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("xinter"), lit(0L)).as("exact_inter"))
+  }
 }

@@ -340,4 +340,79 @@ class GraphSpec extends SparkSpec {
   test("kCore above the max core is empty") {
     assert(Graph.kCore(coreEdges, k = 4, rounds = 3).collect().isEmpty)
   }
+
+  /** Brute-force SCC labeling (Floyd–Warshall mutual reachability): the
+    * ground truth the distributed peeling must match exactly. */
+  private def bruteScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val reach = Array.fill(n, n)(false)
+    nodes.indices.foreach(i => reach(i)(i) = true)
+    edges.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    nodes.map { v =>
+      val i = idx(v)
+      v -> nodes.indices.filter(j => reach(i)(j) && reach(j)(i))
+        .map(nodes).min
+    }.toMap
+  }
+
+  private def runScc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("scc: two cycles joined by a one-way bridge stay separate SCCs") {
+    // 1->2->3->1 and 10->11->10, bridged 3->10: the bridge is not part of
+    // any cycle, so exactly two non-trivial SCCs
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L), (3L, 10L))
+    val got = runScc(e)
+    assert(got == bruteScc(e))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("scc: a pure chain is all singletons (the peeling worst case)") {
+    val e = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
+    val got = runScc(e)
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("scc: cycle ids interleaved so min-labels cross SCC boundaries") {
+    // SCC {1,4} and SCC {2,3} with DAG edges between them: forward min
+    // labels from {2,3} reach 1's component and must not merge them
+    val e = Seq((1L, 4L), (4L, 1L), (2L, 3L), (3L, 2L), (4L, 2L))
+    val got = runScc(e)
+    assert(got == bruteScc(e))
+    assert(got == Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("scc: self-loops and duplicate edges are singletons / ignored") {
+    val e = Seq((7L, 7L), (1L, 2L), (1L, 2L), (2L, 1L), (2L, 1L))
+    val got = runScc(e)
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("scc: randomized graphs match brute force") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 4
+      val e = (0 until n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      assert(runScc(e) == bruteScc(e), s"trial $trial edges=$e")
+    }
+  }
+
+  test("scc: result matches under different input partitionings") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (5L, 6L))
+    val df = e.toDF("src", "dst")
+    val a = Graph.stronglyConnectedComponents(df.repartition(1))
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.stronglyConnectedComponents(df.repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a == bruteScc(e))
+  }
 }

@@ -162,4 +162,67 @@ class SketchesSpec extends SparkSpec {
     assert(rows.toSeq == resorted.toSeq)
     assert(rows.head._1 == "apple") // unambiguous top hitter
   }
+
+  private def kmvDocs(rows: (String, String)*) =
+    rows.map { case (src, text) => (1L, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("kmv: identical sources read jaccard 1 and inter == union == per-source est") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ") // 58 distinct 3-grams >= k=32
+    val r = Sketches.kmvSetOps(kmvDocs("a" -> text, "b" -> text)).collect().head
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+    assert(r.getAs[Double]("est_inter") == r.getAs[Double]("est_union"))
+    assert(r.getAs[Double]("est_a") == r.getAs[Double]("est_union"))
+    assert(r.getAs[Long]("exact_inter") == r.getAs[Long]("exact_union"))
+  }
+
+  test("kmv: disjoint sources read jaccard 0 and inter 0") {
+    val ta = (1 to 50).map(i => s"a$i").mkString(" ")
+    val tb = (1 to 50).map(i => s"b$i").mkString(" ")
+    val r = Sketches.kmvSetOps(kmvDocs("a" -> ta, "b" -> tb)).collect().head
+    assert(r.getAs[Double]("est_jaccard") == 0.0)
+    assert(r.getAs[Double]("est_inter") == 0.0)
+    assert(r.getAs[Long]("exact_inter") == 0L)
+  }
+
+  test("kmv: below-k sets are exact on every estimate") {
+    // 10 and 12 distinct grams, overlapping: sketches hold the full sets
+    val ta = (1 to 12).map(i => s"w$i").mkString(" ")
+    val tb = (5 to 18).map(i => s"w$i").mkString(" ")
+    val r = Sketches.kmvSetOps(kmvDocs("a" -> ta, "b" -> tb)).collect().head
+    assert(r.getAs[Double]("est_a") == 10.0)
+    assert(r.getAs[Double]("est_b") == 12.0)
+    assert(r.getAs[Double]("est_union") == r.getAs[Long]("exact_union").toDouble)
+    assert(r.getAs[Double]("est_inter") == r.getAs[Long]("exact_inter").toDouble)
+  }
+
+  test("kmv: estimates track exact within 3 relative-sigma at k=32") {
+    // two overlapping 600-gram universes; KMV relative error ~ 1/sqrt(k-1)
+    val ta = (1 to 600).map(i => s"t$i").mkString(" ")
+    val tb = (300 to 900).map(i => s"t$i").mkString(" ")
+    val r = Sketches.kmvSetOps(kmvDocs("a" -> ta, "b" -> tb)).collect().head
+    val sigma = 3.0 / math.sqrt(31.0)
+    val exU = r.getAs[Long]("exact_union").toDouble
+    assert(math.abs(r.getAs[Double]("est_union") - exU) / exU <= sigma,
+      s"union ${r.getAs[Double]("est_union")} vs $exU")
+    val exA = 598.0 // 600 words -> 598 3-grams
+    assert(math.abs(r.getAs[Double]("est_a") - exA) / exA <= sigma)
+  }
+
+  test("kmv: duplication-blind — repeating every doc changes nothing") {
+    val ta = (1 to 200).map(i => s"x$i").mkString(" ")
+    val tb = (100 to 260).map(i => s"x$i").mkString(" ")
+    val once = Sketches.kmvSetOps(kmvDocs("a" -> ta, "b" -> tb)).collect().head
+    val thrice = Sketches.kmvSetOps(kmvDocs(
+      "a" -> ta, "a" -> ta, "a" -> ta, "b" -> tb, "b" -> tb)).collect().head
+    assert(once.toSeq == thrice.toSeq)
+  }
+
+  test("kmv: partitioning-invariant") {
+    val docs = kmvDocs((1 to 40).map(i =>
+      (if (i % 2 == 0) "a" else "b") -> (i to i + 80).map(j => s"g$j").mkString(" ")): _*)
+    val one = Sketches.kmvSetOps(docs.repartition(1)).collect().head
+    val many = Sketches.kmvSetOps(docs.repartition(11)).collect().head
+    assert(one.toSeq == many.toSeq)
+  }
 }
