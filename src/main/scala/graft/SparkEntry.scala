@@ -906,6 +906,24 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q125_negative_samples" -> ((s, dir) =>
+      // contrastive-pair mining: 4 deterministic pseudo-random negatives
+      // per embedding via hash-bucket argmin — no RNG, no cross join;
+      // rerun/partitioning-stable by construction
+      Sampling.negativeSamples(
+        t(s, dir, "embeddings").select(col("vec_id").as("a_id")),
+        t(s, dir, "embeddings").select(col("vec_id").as("c_id")),
+        k = 4, buckets = 256).orderBy("a_id", "draw")),
+    "q124_cluster_split" -> ((s, dir) => {
+      // leakage-safe train/valid/test split: q53's near-dup clusters are
+      // the atomic unit — every member rides on ONE unitHash(rep_id) draw,
+      // so near-duplicates can never straddle splits (the train/test
+      // contamination failure measured by Lee ACL'22)
+      val docs = tp(s, dir, "documents")
+      val labels = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, 3, 0.5).select("a_id", "b_id"))
+      Sampling.leakageSafeSplit(docs, labels).orderBy("doc_id")
+    }),
     "q123_kmv_setops" -> ((s, dir) =>
       // cross-source universe overlap from bottom-k sketches alone: KMV
       // union/intersection/Jaccard estimates per source pair (Beyer
@@ -2531,6 +2549,51 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q125_negative_samples" -> { // bucket + argmin replay: identical
+        // mix31/lcg arithmetic, row_number (score, c_id) = min(struct)
+        import graft.operators.Sampling.{negMix31Sql, negLcgSql}
+        val M = 2147483648L
+        s"""WITH cb AS (SELECT c_id, hc, ${negLcgSql("hc")} % 256 AS bucket
+           |       FROM (SELECT vec_id AS c_id, ${negMix31Sql("vec_id")} AS hc
+           |             FROM embeddings)),
+           |dr AS (SELECT a_id, ha, j.draw,
+           |         ((ha * 131 + j.draw) % $M) AS hj
+           |       FROM (SELECT vec_id AS a_id, ${negMix31Sql("vec_id")} AS ha
+           |             FROM embeddings)
+           |       CROSS JOIN (SELECT unnest(range(1, 5)) AS draw) j),
+           |db AS (SELECT a_id, draw, hj, ${negLcgSql("hj")} % 256 AS bucket FROM dr),
+           |sc AS (SELECT a_id, draw, c_id,
+           |         ${negLcgSql(s"(hc * 131 + hj) % $M")} AS score
+           |       FROM db JOIN cb USING (bucket) WHERE c_id <> a_id),
+           |r AS (SELECT a_id, draw, c_id, row_number() OVER (
+           |        PARTITION BY a_id, draw ORDER BY score, c_id) AS rn FROM sc)
+           |SELECT a_id, CAST(draw AS BIGINT) AS draw, c_id AS neg_id
+           |FROM r WHERE rn = 1 ORDER BY a_id, draw""".stripMargin
+      },
+      "q124_cluster_split" -> { // q53's CC reachability + the portable
+        // unit hash of the cluster representative; the threshold sum is
+        // written (0.8e0 + 0.1e0) so both engines compare the identical
+        // IEEE double
+        val u = graft.operators.Sampling.unitHashSql("rep_id", salt = 0)
+        s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |pe AS (SELECT a_id, b_id FROM pairs
+           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |e AS (SELECT a_id AS s, b_id AS d FROM pe
+           |      UNION ALL SELECT b_id, a_id FROM pe),
+           |cn AS (SELECT DISTINCT s AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM cn
+           |  UNION
+           |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id),
+           |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+           |rp AS (SELECT d.doc_id, coalesce(lab.rep, d.doc_id) AS rep_id
+           |       FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id)
+           |SELECT doc_id, rep_id,
+           |  CASE WHEN $u < 0.8e0 THEN 'train'
+           |       WHEN $u < (0.8e0 + 0.1e0) THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM rp ORDER BY doc_id""".stripMargin
+      },
       "q123_kmv_setops" -> // KMV replayed: bottom-32 of the portable gram
         // hashes per source (row_number window — the sketch's oracle-side
         // mirror), union sketch L re-ranked from the two sketches, rho by

@@ -244,4 +244,94 @@ object Sampling {
       .select(col(groupCol), col("n"),  col("share"),
         floor(col("share") * budget + lit(1e-9)).cast("long").as("quota"))
   }
+
+  /** Deterministic negative sampling — k pseudo-random negatives per anchor
+    * for contrastive / ranking training pairs (the word2vec / DPR negative
+    * draw; Mikolov NeurIPS'13 samples with RNG state, re-derived here as
+    * pure hash arithmetic so reruns, retries and any partitioning produce
+    * the SAME pairs).
+    *
+    * Construction: candidates land in `buckets` hash buckets; draw j of
+    * anchor a addresses bucket B(a, j) and takes the candidate minimizing a
+    * per-(anchor, draw) mix hash — an independent near-uniform pick per
+    * draw, WITH replacement across draws (two draws of one anchor can
+    * collide — the standard negative-sampling contract; callers needing
+    * distinct negatives raise k and dedup). The anchor never draws itself.
+    *
+    * Scale shape: never a cross join — the draw table (anchors × k rows)
+    * equi-joins candidates on the bucket key, and the per-draw argmin is a
+    * min(struct) aggregate that partial-combines map-side, so the exchange
+    * carries one row per (anchor, draw, partition). Join volume is
+    * anchors × k × (candidates / buckets): `buckets` is the explicit
+    * cost/uniformity knob (more buckets = cheaper joins, emptier buckets;
+    * a draw addressing an empty bucket yields no row — sized so every
+    * bucket is populated, candidates/buckets ≫ 1). All arithmetic is the
+    * [[unitHash]] lcg family reduced mod 2^31 before every multiply, so the
+    * identical formula runs in DuckDB. Output: (a_id, draw, neg_id). */
+  def negativeSamples(anchors: DataFrame, candidates: DataFrame, k: Int,
+      buckets: Int = 64, anchorIdCol: String = "a_id",
+      candIdCol: String = "c_id"): DataFrame = {
+    require(k >= 1, s"negativeSamples needs k >= 1, got $k")
+    require(buckets >= 1, s"negativeSamples needs buckets >= 1, got $buckets")
+    def mix31(id: Column): Column =
+      id.bitwiseAND(lit(Mask)).bitwiseXOR(lcg(shiftright(id, 31).bitwiseAND(lit(Mask))))
+    val cand = candidates.select(col(candIdCol).cast("long").as("c_id"),
+      mix31(col(candIdCol)).as("hc"))
+      .withColumn("bucket", lcg(col("hc")) % buckets)
+    val draws = anchors.select(col(anchorIdCol).cast("long").as("a_id"),
+        mix31(col(anchorIdCol)).as("ha"))
+      .withColumn("draw", explode(sequence(lit(1), lit(k))))
+      .withColumn("hj", (col("ha") * 131L + col("draw")) % M)
+      .withColumn("bucket", lcg(col("hj")) % buckets)
+    draws.join(cand, "bucket")
+      .filter(col("c_id") =!= col("a_id"))
+      .withColumn("score", lcg((col("hc") * 131L + col("hj")) % M))
+      .groupBy("a_id", "draw")
+      .agg(min(struct(col("score"), col("c_id"))).as("pick"))
+      .select(col("a_id"), col("draw").cast("long").as("draw"),
+        col("pick.c_id").as("neg_id"))
+  }
+
+  /** SQL mirror fragments of [[negativeSamples]] (DuckDB dialect) — keep
+    * textually parallel. */
+  def negMix31Sql(id: String): String = {
+    def lcgSql(x: String): String = s"((($x) * 1103515245 + 12345) % $M)"
+    s"xor((($id) & $Mask), ${lcgSql(s"((($id) >> 31)) & $Mask")})"
+  }
+  def negLcgSql(x: String): String = s"((($x) * 1103515245 + 12345) % $M)"
+
+  /** Leakage-safe train/valid/test split: the CLUSTER, not the document, is
+    * the atomic split unit. A per-doc split (q49) lets two near-duplicates
+    * land in train and test — the eval set then scores memorization, the
+    * classic contamination failure (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 measures exactly this
+    * train/test dup leakage). Routing every member of a near-dup cluster on
+    * ONE draw — `unitHash(rep_id)` — makes cross-split leakage structurally
+    * impossible, whatever the cluster's size or skew.
+    *
+    * `clusters` is a (idCol, rep_id) labeling, e.g.
+    * [[Dedup.connectedComponents]] over near-dup pairs; docs absent from it
+    * (never paired) are their own singleton cluster (rep = own id). The
+    * split thresholds compare the SAME u both engines compute — one exact
+    * /2^31 division against plain double literals.
+    *
+    * Scale shape: one left join on the id (both sides id-keyed; the labels
+    * table is cluster-membership-sized, typically ≪ corpus after dedup
+    * gating) and a narrow per-row hash — no shuffle beyond the join, no
+    * per-group state. Output: (idCol, rep_id, split). */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id", trainFrac: Double = 0.8,
+      validFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && validFrac >= 0 && trainFrac + validFrac < 1,
+      s"leakageSafeSplit: need 0 < trainFrac, 0 <= validFrac, sum < 1; " +
+        s"got $trainFrac/$validFrac")
+    val rep = clusters.select(col(idCol), col("rep_id").as("__rep"))
+    val u = unitHash(col("rep_id"))
+    docs.select(col(idCol)).join(rep, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__rep"), col(idCol)).as("rep_id"))
+      .select(col(idCol), col("rep_id"),
+        when(u < trainFrac, "train")
+          .when(u < trainFrac + validFrac, "valid")
+          .otherwise("test").as("split"))
+  }
 }

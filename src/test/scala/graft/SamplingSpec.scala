@@ -200,4 +200,94 @@ class SamplingSpec extends SparkSpec {
       .orderBy("src").collect().toSeq
     assert(a == b)
   }
+
+  test("leakageSafeSplit: every cluster member lands in the same split") {
+    val docs = (1L to 300L).toDF("doc_id")
+    // clusters of 3: {1,2,3} -> 1, {4,5,6} -> 4, ...
+    val clusters = (1L to 300L).map(i => (i, ((i - 1) / 3) * 3 + 1))
+      .toDF("doc_id", "rep_id")
+    val rows = Sampling.leakageSafeSplit(docs, clusters)
+      .as[(Long, Long, String)].collect()
+    assert(rows.length == 300)
+    val byCluster = rows.groupBy(_._2).values
+    assert(byCluster.forall(_.map(_._3).distinct.length == 1))
+    // all three splits occur across 100 clusters at 80/10/10
+    val splits = rows.map(_._3).distinct.toSet
+    assert(splits == Set("train", "valid", "test"))
+  }
+
+  test("leakageSafeSplit: unlabeled docs are singleton clusters, fractions track") {
+    val docs = (1L to 5000L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("doc_id", "rep_id")
+    val rows = Sampling.leakageSafeSplit(docs, none)
+      .as[(Long, Long, String)].collect()
+    assert(rows.forall(r => r._1 == r._2))
+    val n = rows.length.toDouble
+    val train = rows.count(_._3 == "train") / n
+    val valid = rows.count(_._3 == "valid") / n
+    assert(math.abs(train - 0.8) < 0.03, s"train frac $train")
+    assert(math.abs(valid - 0.1) < 0.02, s"valid frac $valid")
+  }
+
+  test("leakageSafeSplit: deterministic and partitioning-invariant") {
+    val docs = (1L to 400L).toDF("doc_id")
+    val clusters = (1L to 400L).filter(_ % 2 == 0).map(i => (i, i / 2))
+      .toDF("doc_id", "rep_id")
+    val a = Sampling.leakageSafeSplit(docs.repartition(1), clusters)
+      .orderBy("doc_id").collect().toSeq
+    val b = Sampling.leakageSafeSplit(docs.repartition(17), clusters.repartition(3))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("negativeSamples: k picks per anchor, never the anchor itself") {
+    val ids = (1L to 500L).toDF("a_id")
+    val cand = (1L to 500L).toDF("c_id")
+    val rows = Sampling.negativeSamples(ids, cand, k = 3, buckets = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 500 * 3) // 8 buckets over 500 candidates: none empty
+    assert(rows.forall(r => r._1 != r._3))
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)))
+  }
+
+  test("negativeSamples: picks are spread, not concentrated on few candidates") {
+    val ids = (1L to 400L).toDF("a_id")
+    val cand = (1L to 400L).toDF("c_id")
+    val negs = Sampling.negativeSamples(ids, cand, k = 4, buckets = 16)
+      .select("neg_id").as[Long].collect()
+    // 1600 draws over 400 candidates: distinct picks should cover a wide
+    // share of the candidate set (argmin-per-bucket reuses winners within a
+    // bucket epoch, but hj varies per anchor/draw so winners rotate)
+    assert(negs.distinct.length > 150, s"only ${negs.distinct.length} distinct")
+  }
+
+  test("negativeSamples: deterministic and partitioning-invariant") {
+    val ids = (1L to 200L).toDF("a_id")
+    val cand = (1L to 300L).toDF("c_id")
+    val a = Sampling.negativeSamples(ids.repartition(1), cand.repartition(1), 2, 8)
+      .orderBy("a_id", "draw").collect().toSeq
+    val b = Sampling.negativeSamples(ids.repartition(9), cand.repartition(5), 2, 8)
+      .orderBy("a_id", "draw").collect().toSeq
+    assert(a == b)
+  }
+
+  test("negativeSamples: ids above 2^31 do not alias") {
+    val big = Seq(5L, 5L + (1L << 31), 5L + (2L << 31)).toDF("c_id")
+    val anchors = Seq(1L).toDF("a_id")
+    // all three candidates are distinct to the hash: with 1 bucket and 3
+    // draws, picks must be drawn from the true id set
+    val rows = Sampling.negativeSamples(anchors, big, k = 3, buckets = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 3)
+    assert(rows.map(_._3).toSet.subsetOf(Set(5L, 5L + (1L << 31), 5L + (2L << 31))))
+  }
+
+  test("leakageSafeSplit: bad fractions are rejected") {
+    val docs = Seq(1L).toDF("doc_id")
+    val c = Seq((1L, 1L)).toDF("doc_id", "rep_id")
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplit(docs, c, trainFrac = 0.95, validFrac = 0.1))
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplit(docs, c, trainFrac = 0.0))
+  }
 }
