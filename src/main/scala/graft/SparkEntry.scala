@@ -906,6 +906,41 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q128_golden_record" -> ((s, dir) => {
+      // entity resolution end-to-end: fuzzy-match part descriptions
+      // (edit distance <= 1 via the q109 filter stack) -> cluster the
+      // match graph (CC) -> survivorship: one golden row per entity with
+      // the canonical (min-id) record and the member count
+      val strs = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("id"),
+        concat_ws(" ", col("p_name"), col("p_type")).as("s"))
+      val pairs = EditDistance.editDistancePairs(strs, "id", "s", maxDist = 1)
+        .select("a_id", "b_id")
+      val labels = Dedup.connectedComponents(pairs)
+      val members = strs.join(labels, strs("id") === labels("doc_id"), "left")
+        .select(coalesce(col("rep_id"), col("id")).as("entity_id"))
+        .groupBy("entity_id").agg(count(lit(1)).as("n_members"))
+      members.join(strs, col("entity_id") === col("id"))
+        .select(col("entity_id"), col("n_members"), col("s").as("canonical"))
+        .orderBy("entity_id")
+    }),
+    "q127_skyline" -> ((s, dir) =>
+      // multi-objective shortlist: the cheapest-AND-smallest Pareto
+      // frontier of the part catalog via the prefix-min rewrite — the
+      // oracle runs the plain quadratic NOT EXISTS dominance test, so the
+      // green hash proves the rewrite is exact
+      Skyline.skyline2D(t(s, dir, "part").select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("price"),
+          col("p_size").cast("double").as("size")),
+        "p_partkey", "price", "size").orderBy("p_partkey")),
+    "q126_auc" -> ((s, dir) =>
+      // classifier-quality readout: exact tie-averaged Mann-Whitney AUC of
+      // the first embedding component against a binarized label — doubled
+      // integer rank units, one double division at the end
+      Stats.aucExact(t(s, dir, "embeddings")
+        .select(element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") < 5, 1L).otherwise(0L).as("lab")),
+        "score", "lab")),
     "q125_negative_samples" -> ((s, dir) =>
       // contrastive-pair mining: 4 deterministic pseudo-random negatives
       // per embedding via hash-bucket argmin — no RNG, no cross join;
@@ -2549,6 +2584,55 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q128_golden_record" -> // q109's brute-force matcher + recursive
+        // reachability (the CC fixpoint) + min-id survivorship
+        """WITH RECURSIVE st AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+          |             p_name || ' ' || p_type AS s,
+          |             len(p_name || ' ' || p_type) AS l FROM part),
+          |pe AS (SELECT a.id AS a_id, b.id AS b_id
+          |       FROM st a JOIN st b ON a.id < b.id AND abs(a.l - b.l) <= 1
+          |       WHERE levenshtein(a.s, b.s) <= 1),
+          |e AS (SELECT a_id AS f, b_id AS t FROM pe
+          |      UNION ALL SELECT b_id, a_id FROM pe),
+          |cn AS (SELECT DISTINCT f AS id FROM e),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM cn
+          |  UNION
+          |  SELECT e.t, reach.r FROM reach JOIN e ON e.f = reach.id),
+          |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+          |m AS (SELECT coalesce(lab.rep, st.id) AS entity_id
+          |      FROM st LEFT JOIN lab ON lab.id = st.id),
+          |g AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+          |      FROM m GROUP BY 1)
+          |SELECT g.entity_id, g.n_members, st.s AS canonical
+          |FROM g JOIN st ON st.id = g.entity_id
+          |ORDER BY g.entity_id""".stripMargin,
+      "q127_skyline" -> // the plain quadratic dominance test — the oracle
+        // never sees the prefix-min rewrite
+        """WITH pts AS (SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+          |                    CAST(p_size AS DOUBLE) AS size FROM part)
+          |SELECT p_partkey, price, size FROM pts p
+          |WHERE NOT EXISTS (SELECT 1 FROM pts q
+          |  WHERE q.price <= p.price AND q.size <= p.size
+          |    AND (q.price < p.price OR q.size < p.size))
+          |ORDER BY p_partkey""".stripMargin,
+      "q126_auc" -> // per-distinct-score collapse, doubled rank units
+        // (2*cumBefore + cnt + 1), one double division — replayed verbatim
+        """WITH r AS (SELECT CAST(embedding[1] AS DOUBLE) AS s,
+          |            CASE WHEN label < 5 THEN 1 ELSE 0 END AS lab
+          |          FROM embeddings),
+          |ps AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+          |         CAST(sum(lab) AS BIGINT) AS pos FROM r GROUP BY s),
+          |rk AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |         AS cb FROM ps),
+          |a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+          |        CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+          |        CAST(sum(pos * (2 * cb + cnt + 1)) AS BIGINT) AS s2 FROM rk)
+          |SELECT n_pos, n_neg,
+          |  round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+          |        / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+          |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
       "q125_negative_samples" -> { // bucket + argmin replay: identical
         // mix31/lcg arithmetic, row_number (score, c_id) = min(struct)
         import graft.operators.Sampling.{negMix31Sql, negLcgSql}

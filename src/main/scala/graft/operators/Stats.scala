@@ -50,4 +50,49 @@ object Stats {
         when(dyy === 0.0, lit(0.0))
           .otherwise(round(num / sqrt(dxx * dyy), 6)).as("corr"))
   }
+
+  /** Exact ROC-AUC (Mann–Whitney U with tie-averaged ranks) of a score
+    * column against a binary label — the classifier-quality readout for
+    * curation models (q103's Naive Bayes, quality gates): AUC = P(score of
+    * a random positive > score of a random negative) + ½·P(equal).
+    *
+    * Physical shape: never a global sort of the corpus. Rows collapse to
+    * one (cnt, pos) row PER DISTINCT SCORE (hash aggregate, map-side
+    * combine); the rank arithmetic then runs over the distinct-score table
+    * only. Its running sum is a single-partition window over distinct
+    * scores — fine up to millions of distinct values (callers with
+    * unbounded score domains round scores first; the recursive bucketing of
+    * Audit.gapDetails is the drop-in fix if a score domain ever outgrows
+    * one task).
+    *
+    * Exactness: tie-averaged ranks are half-integers, so everything is
+    * carried in DOUBLED rank units (rank2 = 2·cumBefore + cnt + 1) — pure
+    * long arithmetic, any partitioning, any engine — and the single double
+    * division happens once at the end:
+    *   AUC = (S2 - 2·U_min/2) ... concretely
+    *   S2  = Σ_positives rank2,   AUC = (S2 - npos·(npos+1)) / (2·npos·nneg)
+    * Output: one row (n_pos, n_neg, auc round-6). Degenerate inputs (no
+    * positives or no negatives) yield an empty frame rather than a 0/0. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("long").as("lab"))
+      .filter(col("s").isNotNull && col("lab").isNotNull)
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("lab")).as("pos"))
+    val w = Window.orderBy("s")
+    val ranked = perScore
+      .withColumn("cumBefore",
+        coalesce(sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cumBefore") + col("cnt") + lit(1L))
+    ranked.agg(sum(col("pos")).as("n_pos"),
+        sum(col("cnt") - col("pos")).as("n_neg"),
+        sum(col("pos") * col("rank2")).as("s2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("n_pos"), col("n_neg"),
+        round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+  }
 }

@@ -47,4 +47,51 @@ class StatsSpec extends SparkSpec {
       .orderBy("grp").collect().toSeq
     assert(a == b && a.size == 5)
   }
+
+  test("auc: perfect separation reads 1, reversed reads 0, random-ish mid") {
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("score", "lab")
+    assert(Stats.aucExact(perfect, "score", "lab").collect().head
+      .getAs[Double]("auc") == 1.0)
+    val reversed = Seq((0.1, 1L), (0.2, 1L), (0.8, 0L), (0.9, 0L))
+      .toDF("score", "lab")
+    assert(Stats.aucExact(reversed, "score", "lab").collect().head
+      .getAs[Double]("auc") == 0.0)
+  }
+
+  test("auc: tie-averaged ranks match the hand computation") {
+    // scores: 1,2,2,3 with labels 0,0,1,1: ranks 1, 2.5, 2.5, 4
+    // S = 2.5 + 4 = 6.5; U = 6.5 - 2*3/2 = 3.5; AUC = 3.5 / (2*2) = 0.875
+    val df = Seq((1.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L))
+      .toDF("score", "lab")
+    val r = Stats.aucExact(df, "score", "lab").collect().head
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Double]("auc") == 0.875)
+  }
+
+  test("auc: all-equal scores read exactly 0.5; degenerate labels are empty") {
+    val flat = Seq((5.0, 1L), (5.0, 0L), (5.0, 1L), (5.0, 0L))
+      .toDF("score", "lab")
+    assert(Stats.aucExact(flat, "score", "lab").collect().head
+      .getAs[Double]("auc") == 0.5)
+    val onlyPos = Seq((1.0, 1L), (2.0, 1L)).toDF("score", "lab")
+    assert(Stats.aucExact(onlyPos, "score", "lab").collect().isEmpty)
+  }
+
+  test("auc: partitioning-invariant and equals the quadratic definition") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 400).map(_ => (rnd.nextInt(50) / 10.0, rnd.nextInt(2).toLong))
+    val df = rows.toDF("score", "lab")
+    val a = Stats.aucExact(df.repartition(1), "score", "lab").collect().head
+    val b = Stats.aucExact(df.repartition(17), "score", "lab").collect().head
+    assert(a == b)
+    // quadratic definition: P(pos > neg) + 0.5 P(pos == neg)
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val wins = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val expect = BigDecimal(wins / (pos.length.toDouble * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getAs[Double]("auc") == expect)
+  }
 }
