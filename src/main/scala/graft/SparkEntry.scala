@@ -906,6 +906,56 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q132_calibration" -> ((s, dir) => {
+      // probability quality for the q126 ranking score: min-max-normalized
+      // first embedding component as the predicted probability, reliability
+      // diagram per decile + corpus Brier score (exact subquery min/max —
+      // no libm in the normalization)
+      val emb = t(s, dir, "embeddings")
+      val x = element_at(col("embedding"), 1).cast("double")
+      val bounds = emb.agg(min(x).as("mn"), max(x).as("mx"))
+      val scored = emb.crossJoin(bounds)
+        .select(((x - col("mn")) / (col("mx") - col("mn"))).as("score"),
+          when(col("label") < 5, 1L).otherwise(0L).as("lab"))
+      Classify.calibrationReport(scored, "score", "lab").orderBy("bucket")
+    }),
+    "q131_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 top-20 (lexical) fused with exact-cosine
+      // top-20 of query vector 1 (semantic) by reciprocal-rank fusion —
+      // rank-only combination, no score calibration; doc_id/vec_id share
+      // the fixture's id space
+      val lex = Retrieval.bm25TopK(tp(s, dir, "documents"), Bm25Terms, 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") === 1),
+          t(s, dir, "embeddings"), 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), 10).orderBy("rank")
+    }),
+    "q130_woe_iv" -> ((s, dir) => {
+      // scorecard feature diagnostic: per-bucket Weight-of-Evidence and
+      // per-feature Information Value of two stacked features against the
+      // error label — which features separate bad events, and how much
+      val ev = t(s, dir, "events")
+      def lab = (col("event_type") === "error").cast("long").as("label")
+      val f1 = ev.select(lit("value_decade").as("feature"),
+        floor(col("value") / 10).cast("long").cast("string").as("bucket"), lab)
+      val f2 = ev.select(lit("hour_of_day").as("feature"),
+        (expr("ts div 3600000000000") % 24).cast("string").as("bucket"), lab)
+      Drift.woeReport(f1.unionByName(f2)).orderBy("feature", "bucket")
+    }),
+    "q129_tfidf_cosine_join" -> ((s, dir) =>
+      // weighted all-pairs similarity: every doc pair with TF-IDF cosine
+      // >= 0.85 via Bayardo prefix filtering (q101's exact-prefix story,
+      // weighted); the oracle runs the PLAIN quadratic postings join, so
+      // the green hash proves the prefix bounds lose no pair. The corpus
+      // is 1-in-5 sampled: the synthetic vocabulary is UNIFORM (every
+      // token mid-frequency), the documented worst case where prefix
+      // filtering degrades toward the quadratic join — the operator's
+      // sparsity lever needs the Zipfian head/tail real corpora have
+      Similarity.tfidfCosinePairs(
+        tp(s, dir, "documents").filter(col("doc_id") % 5 === 0), 0.85)
+        .orderBy("a_id", "b_id")),
     "q128_golden_record" -> ((s, dir) => {
       // entity resolution end-to-end: fuzzy-match part descriptions
       // (edit distance <= 1 via the q109 filter stack) -> cluster the
@@ -2584,6 +2634,138 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q132_calibration" -> // decile collapse + decimal score/sq-error
+        // sums, one round-6 division per output column, exact min-max
+        // normalization (no libm anywhere)
+        """WITH b AS (SELECT min(CAST(embedding[1] AS DOUBLE)) AS mn,
+          |            max(CAST(embedding[1] AS DOUBLE)) AS mx FROM embeddings),
+          |r AS (SELECT (CAST(embedding[1] AS DOUBLE) - mn) / (mx - mn) AS s,
+          |        CASE WHEN label < 5 THEN 1 ELSE 0 END AS lab
+          |      FROM embeddings CROSS JOIN b),
+          |g AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bucket,
+          |        CAST(count(*) AS BIGINT) AS n,
+          |        sum(CAST(round(s, 9) AS DECIMAL(28,9))) AS ssum,
+          |        CAST(sum(lab) AS BIGINT) AS n_pos,
+          |        sum(CAST(round((s - CAST(lab AS DOUBLE))
+          |              * (s - CAST(lab AS DOUBLE)), 12) AS DECIMAL(38,12)))
+          |          AS sqsum
+          |      FROM r GROUP BY 1),
+          |o AS (SELECT round(CAST(sum(sqsum) AS DOUBLE)
+          |              / CAST(sum(n) AS DOUBLE), 6) AS brier FROM g)
+          |SELECT bucket, n,
+          |  round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pred,
+          |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate,
+          |  o.brier
+          |FROM g CROSS JOIN o ORDER BY bucket""".stripMargin,
+      "q131_hybrid_rrf" -> { // q64's BM25 CTE (k=20) + q35's cosine ranks
+        // (query 1, k=20) + round-9 reciprocal contributions summed as
+        // DECIMAL(18,9) — rank-only fusion, ties by id
+        val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |consts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |           CAST(sum(len(string_split(text, ' ')))  AS BIGINT) AS sdl FROM documents),
+           |qt AS (SELECT * FROM tok WHERE token IN ($terms)),
+           |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+           |dfr AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+           |s AS (SELECT tf.doc_id,
+           |      round((ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+           |                / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+           |             * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)))
+           |            / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0)
+           |               + 0.75e0 * (CAST(dl AS DOUBLE)
+           |                           / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))), 6) AS ts
+           |      FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN consts),
+           |sc AS (SELECT doc_id, CAST(sum(CAST(ts AS DECIMAL(38,6))) AS DOUBLE) AS score
+           |       FROM s GROUP BY doc_id),
+           |lex AS (SELECT doc_id AS id, row_number() OVER (
+           |          ORDER BY score DESC, doc_id ASC) AS rank FROM sc
+           |        QUALIFY rank <= 20),
+           |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id = 1),
+           |ann0 AS (SELECT c.vec_id AS id, ${cosineSql("qv.q_emb", "c.embedding")} AS cos
+           |         FROM embeddings c JOIN qv ON qv.q_id <> c.vec_id),
+           |sem AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rank
+           |        FROM ann0 QUALIFY rank <= 20),
+           |contribs AS (
+           |  SELECT id, CAST(round(1.0e0 / (60.0e0 + CAST(rank AS DOUBLE)), 9)
+           |             AS DECIMAL(18,9)) AS contrib FROM lex
+           |  UNION ALL
+           |  SELECT id, CAST(round(1.0e0 / (60.0e0 + CAST(rank AS DOUBLE)), 9)
+           |             AS DECIMAL(18,9)) AS contrib FROM sem),
+           |fused AS (SELECT id, CAST(sum(contrib) AS DOUBLE) AS rrf,
+           |            CAST(count(*) AS BIGINT) AS n_lists
+           |          FROM contribs GROUP BY id),
+           |rr AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, id ASC) AS rank
+           |       FROM fused QUALIFY rank <= 10)
+           |SELECT id, rrf, n_lists, CAST(rank AS BIGINT) AS rank FROM rr
+           |ORDER BY rank""".stripMargin
+      },
+      "q130_woe_iv" -> // WOE/IV replayed: label counts per (feature,
+        // bucket), add-half shares, per-ln round-6 DECIMAL difference,
+        // DECIMAL term sums — the q115 portability convention
+        """WITH obs AS (
+          |  SELECT 'value_decade' AS feature,
+          |    CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS bucket,
+          |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS lab
+          |  FROM events
+          |  UNION ALL
+          |  SELECT 'hour_of_day',
+          |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS VARCHAR),
+          |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+          |  FROM events),
+          |c AS (SELECT feature, bucket, CAST(sum(lab) AS BIGINT) AS n_pos,
+          |        CAST(sum(1 - lab) AS BIGINT) AS n_neg
+          |      FROM obs GROUP BY 1, 2),
+          |t AS (SELECT feature, sum(n_pos) AS tp, sum(n_neg) AS tn,
+          |        CAST(count(*) AS BIGINT) AS nb FROM c GROUP BY 1),
+          |b AS (SELECT c.feature, c.bucket, c.n_pos, c.n_neg,
+          |        (CAST(round(ln((CAST(n_pos AS DOUBLE) + 0.5e0)
+          |            / (CAST(tp AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE))), 6)
+          |            AS DECIMAL(18,6))
+          |         - CAST(round(ln((CAST(n_neg AS DOUBLE) + 0.5e0)
+          |            / (CAST(tn AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE))), 6)
+          |            AS DECIMAL(18,6))) AS woe_d,
+          |        CAST(round((CAST(n_pos AS DOUBLE) + 0.5e0)
+          |            / (CAST(tp AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE))
+          |          - (CAST(n_neg AS DOUBLE) + 0.5e0)
+          |            / (CAST(tn AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE)), 6)
+          |          AS DECIMAL(18,6)) AS p_diff
+          |      FROM c JOIN t ON c.feature = t.feature),
+          |iv AS (SELECT feature,
+          |        round(CAST(sum(CAST(p_diff * woe_d AS DECIMAL(38,12)))
+          |          AS DOUBLE), 6) AS iv
+          |       FROM b GROUP BY 1)
+          |SELECT b.feature, b.bucket, b.n_pos, b.n_neg,
+          |  CAST(woe_d AS DOUBLE) AS woe, iv.iv
+          |FROM b JOIN iv ON b.feature = iv.feature
+          |ORDER BY b.feature, b.bucket""".stripMargin,
+      "q129_tfidf_cosine_join" -> // the plain quadratic postings join —
+        // the oracle never sees the prefix filter; idf round-6 ln, norm²
+        // and pair dots as DECIMAL sums of round-9/12 products, mirrored
+        // operation-for-operation
+        """WITH d5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |            FROM d5),
+          |tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+          |       FROM tok GROUP BY 1, 2),
+          |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY 1),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d5),
+          |wts AS (SELECT doc_id, token,
+          |          c * round(ln(CAST((SELECT n FROM nn) AS DOUBLE) / df), 6) AS w
+          |        FROM tc JOIN dft USING (token)),
+          |nrm AS (SELECT doc_id,
+          |          sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(38,12))) AS DOUBLE))
+          |            AS nm
+          |        FROM wts GROUP BY 1),
+          |uu AS (SELECT w.doc_id, w.token, round(w.w / nrm.nm, 9) AS u
+          |       FROM wts w JOIN nrm ON w.doc_id = nrm.doc_id),
+          |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |         CAST(sum(CAST(round(a.u * b.u, 12) AS DECIMAL(38,14))) AS DOUBLE)
+          |           AS cos
+          |       FROM uu a JOIN uu b ON a.token = b.token AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2)
+          |SELECT a_id, b_id, round(cos, 6) AS cos FROM pr
+          |WHERE cos >= 0.85e0 ORDER BY a_id, b_id""".stripMargin,
       "q128_golden_record" -> // q109's brute-force matcher + recursive
         // reachability (the CC fixpoint) + min-id survivorship
         """WITH RECURSIVE st AS (SELECT CAST(p_partkey AS BIGINT) AS id,

@@ -103,4 +103,48 @@ object Classify {
       .select(col("doc_id"), col("pred"), col("actual"),
         (col("pred") === col("actual")).as("correct"), col("logp"))
   }
+
+  /** Calibration (reliability) report + Brier score of a [0,1] score
+    * against a binary label — the probability-quality complement to
+    * [[graft.operators.Stats.aucExact]]'s ranking quality (Brier 1950;
+    * DeGroot & Fienberg 1983 reliability diagrams): a well-ranked but
+    * mis-calibrated quality model over- or under-prunes whatever threshold
+    * a curation pipeline picks.
+    *
+    * Per score decile (floor(score·10) capped at 9): observation count,
+    * mean predicted score, observed positive rate — the reliability
+    * diagram's points; plus the corpus-wide Brier score mean((s − y)²)
+    * repeated per row (the woeReport output convention). |mean_pred −
+    * obs_rate| per bucket IS the calibration gap.
+    *
+    * Arithmetic contract: scores/squared errors round to 9/12 decimals and
+    * sum as DECIMALs (order-independent); one double division per output
+    * column, round-6 — oracle-replayable under any partitioning. Scale
+    * shape: ONE corpus-sized hash aggregate (map-side combine into ≤ 10
+    * buckets); everything after is bucket-sized. */
+  def calibrationReport(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val lab = col(labelCol).cast("long")
+    val rows = df.select(s.as("s"), lab.as("lab"))
+      .filter(col("s").isNotNull && col("lab").isNotNull)
+      .withColumn("bucket", least(floor(col("s") * 10).cast("long"), lit(9L)))
+    val perBucket = rows.groupBy("bucket").agg(
+      count(lit(1)).as("n"),
+      sum(round(col("s"), 9).cast("decimal(28,9)")).as("ssum"),
+      sum(col("lab")).as("n_pos"),
+      sum(round((col("s") - col("lab").cast("double"))
+        * (col("s") - col("lab").cast("double")), 12).cast("decimal(38,12)"))
+        .as("sqsum"))
+    val overall = perBucket.agg(
+      round(sum(col("sqsum")).cast("double")
+        / sum(col("n")).cast("double"), 6).as("brier"))
+    perBucket.crossJoin(overall)
+      .select(col("bucket"), col("n"),
+        round(col("ssum").cast("double") / col("n").cast("double"), 6)
+          .as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("obs_rate"),
+        col("brier"))
+  }
 }

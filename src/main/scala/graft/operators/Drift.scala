@@ -75,4 +75,53 @@ object Drift {
         max("tot_new").as("n_new"),
         round(sum(col("__term")).cast("double"), 6).as("psi"))
   }
+
+  /** Weight-of-Evidence / Information-Value binning report against a binary
+    * label (Siddiqi §6 — the scorecard-era feature diagnostic PSI's chapter
+    * follows): per bucket,
+    *
+    *   WOE = ln(p_pos / p_neg),   IV(feature) = Σ (p_pos − p_neg) · WOE,
+    *
+    * where p_pos / p_neg are the bucket's add-half-smoothed shares of the
+    * feature's positive / negative mass. WOE tells a curation pipeline HOW
+    * a feature bucket separates good from bad documents (the monotone
+    * transform fed to scorecards); IV ranks features by total separation
+    * (conventional read: < 0.02 useless, 0.1–0.3 medium, > 0.5 suspect).
+    *
+    * Same contracts as [[psiReport]]: pre-bucketed `(feature, bucket,
+    * label)` observation rows (caller owns binning; label 0/1), add-half
+    * smoothing keeps both shares positive, each ln rounds to 6 decimals
+    * before the DECIMAL difference/product sums — bit-replayable by the
+    * oracle under any partitioning. Scale shape: ONE word-count-shaped
+    * exchange (the (feature, bucket) label counts); everything after is
+    * bucket-sized. Output: (feature, bucket, n_pos, n_neg, woe, iv), iv
+    * repeated per feature row — one frame at bucket grain. */
+  def woeReport(obs: DataFrame): DataFrame = {
+    val counts = obs.select(col("feature"), col("bucket"),
+        col("label").cast("long").as("lab"))
+      .groupBy("feature", "bucket")
+      .agg(sum(col("lab")).as("n_pos"),
+        sum(lit(1L) - col("lab")).as("n_neg"))
+    val tot = counts.groupBy("feature").agg(
+      sum("n_pos").as("tot_pos"), sum("n_neg").as("tot_neg"),
+      count(lit(1)).as("n_buckets"))
+    val j = counts.join(tot, "feature")
+    def share(n: String, t: String) =
+      (col(n).cast("double") + lit(0.5)) /
+        (col(t).cast("double") + lit(0.5) * col("n_buckets").cast("double"))
+    val pPos = share("n_pos", "tot_pos")
+    val pNeg = share("n_neg", "tot_neg")
+    val woe = (round(log(pPos), 6).cast("decimal(18,6)")
+      - round(log(pNeg), 6).cast("decimal(18,6)"))
+    val term = (round(pPos - pNeg, 6).cast("decimal(18,6)") * woe)
+      .cast("decimal(38,12)")
+    val buckets = j.select(col("feature"), col("bucket"),
+      col("n_pos"), col("n_neg"),
+      woe.cast("double").as("woe"), term.as("__term"))
+    val iv = buckets.groupBy("feature")
+      .agg(round(sum(col("__term")).cast("double"), 6).as("iv"))
+    buckets.join(iv, "feature")
+      .select(col("feature"), col("bucket"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv"))
+  }
 }

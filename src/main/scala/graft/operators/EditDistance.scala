@@ -60,8 +60,22 @@ object EditDistance {
       maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(q >= 1, "gram width must be positive")
-    val s = strs.select(col(idCol).as("id"), col(strCol).as("s"),
-      length(col(strCol)).cast("int").as("len"))
+    // Dedup to DISTINCT strings before any matching: real catalogs are
+    // heavily value-duplicated (the sf0.1 part fixture: 20k rows, 384
+    // distinct descriptions), and id-level matching pays the filter stack
+    // AND the levenshtein verify once per duplicate-pair — quadratic in the
+    // duplication factor for identical results. Match the (tiny) distinct
+    // set, then expand: intra-group pairs are distance 0 by definition;
+    // a matched rep pair fans out to members(a) × members(b) with the
+    // rep distance. Output-identical to id-level matching (measured 28 s →
+    // the expansion cost alone on that fixture); the expansion joins are
+    // output-sized, the verify is distinct-sized.
+    val base = strs.select(col(idCol).as("id"), col(strCol).as("s0"))
+      .filter(col("s0").isNotNull) // null strings never matched before either
+    val groups = base.groupBy("s0").agg(min("id").as("gid"))
+    val members = base.join(groups, "s0").select(col("id"), col("gid"))
+    val s = groups.select(col("gid").as("id"), col("s0").as("s"),
+      length(col("s0")).cast("int").as("len"))
     val pref = q * maxDist + 1
     val shortLim = q * (maxDist + 1)
 
@@ -101,7 +115,23 @@ object EditDistance {
       .filter(col("dist") >= 0)
 
     // a short-short pair can surface in both paths with the same dist
-    gramPairs.union(shortPairs)
+    val repPairs = gramPairs.union(shortPairs)
       .groupBy("a_id", "b_id").agg(min("dist").as("dist"))
+
+    // expand rep-level matches back to id pairs: same-string members pair
+    // at distance 0; matched distinct-string groups cross-pair at the rep
+    // distance (disjoint cases — no dedup needed)
+    val intra = members.alias("x").join(members.alias("y"),
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        lit(0).cast("integer").as("dist"))
+    val cross = repPairs
+      .join(members.select(col("gid").as("ga"), col("id").as("ia")),
+        col("a_id") === col("ga"))
+      .join(members.select(col("gid").as("gb"), col("id").as("ib")),
+        col("b_id") === col("gb"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("dist"))
+    intra.union(cross)
   }
 }

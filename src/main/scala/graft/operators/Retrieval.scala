@@ -181,4 +181,36 @@ object Retrieval {
   def phraseFilter(docs: DataFrame, phrases: DataFrame): DataFrame =
     docs.join(phraseHits(docs, phrases).select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * ranked lists — the standard hybrid-retrieval combiner (BM25 ⊕ ANN)
+    * that needs no score calibration because it consumes only RANKS:
+    *
+    *   rrf(d) = Σ_lists 1 / (c + rank_list(d)),   c = 60 by convention.
+    *
+    * Each input is an (id, rank) frame (absent ids contribute nothing).
+    * Per-contribution divisions are the identical IEEE op on both engines,
+    * rounded to 9 decimals and summed as DECIMAL(18,9) — exact,
+    * order-independent, oracle-replayable. Ties break by id.
+    *
+    * Scale shape: the inputs are top-k lists (bounded by construction), so
+    * everything here is list-sized: one union, one hash aggregate, one
+    * TakeOrderedAndProject. Output: (id, rrf, n_lists, rank), rank 1..k. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    require(k >= 1, s"rrfFuse needs k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = lists.map(_.select(col("id").cast("long").as("id"),
+      round(lit(1.0) / (lit(c).cast("double") + col("rank").cast("double")), 9)
+        .cast("decimal(18,9)").as("contrib")))
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum(col("contrib")).cast("double").as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("id").asc).limit(k)
+    fused.withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id").asc))
+          .cast("long"))
+      .select(col("id"), col("rrf"), col("n_lists"), col("rank"))
+  }
 }

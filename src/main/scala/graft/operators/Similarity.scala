@@ -294,4 +294,84 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("a_id"), col("b_id"), col("cos"), col("rank").cast("long"))
   }
+
+  /** Exact TF-IDF cosine similarity self-join over text — all doc pairs with
+    * cosine >= `threshold` — via Bayardo-style prefix filtering ("Scaling Up
+    * All Pairs Similarity Search", WWW 2007, re-derived as DataFrame plans):
+    * the WEIGHTED complement to the unweighted set-overlap joins (q31's
+    * df-capped heuristic, q101's exact prefix Jaccard).
+    *
+    * Sound candidate rule: order each doc's terms rarest-first (df asc,
+    * term asc) and bound what a suffix can still contribute TWO ways:
+    * b1(i) = Σ_{j>=i} u_j · mu_j (mu = the term's maximum unit weight
+    * corpus-wide — Bayardo's maxweight bound) and b2(i) = sqrt(Σ_{j>=i}
+    * u_j²) (Cauchy–Schwarz against the partner's unit norm). Any
+    * shared-term subset confined to positions with min(b1, b2) < t scores
+    * below t, so every qualifying pair shares at least one term from the
+    * PREFIX (min(b1, b2) >= t) of each side — probing prefix postings
+    * against the full postings index finds every pair. Common terms sit
+    * last in the order and fall out of prefixes, which is what keeps
+    * hot-token candidate growth bounded on Zipfian vocabularies (the
+    * PPJoin insight); a synthetically UNIFORM vocabulary (every token
+    * mid-frequency, flat weights) keeps most positions in the prefix and
+    * degrades toward the quadratic join — that worst case is the
+    * fixture's, and the q129 query samples the corpus accordingly. The
+    * bounds run in plain doubles with an epsilon of slack — they only gate
+    * CANDIDATES; the oracle runs the plain quadratic join and must match.
+    *
+    * Score arithmetic is engine-portable end-to-end: idf = round-6 ln
+    * (the q100 convention), norm² and the pair dot are DECIMAL sums of
+    * round-9/round-12 products (order-independent), one IEEE sqrt and one
+    * division per doc. Scale shape: token counts / df / norms are
+    * word-count-family aggregates; the candidate join is prefix-postings ⋈
+    * postings on the term (AQE-splittable skew); verification joins ride
+    * the candidate set, never the corpus square. Output: (a_id, b_id,
+    * cos round-6), a_id < b_id. */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"tfidfCosinePairs: threshold in (0,1), got $threshold")
+    graft.util.Checkpoints.ensureDir(docs.sparkSession)
+    val tc = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val n = docs.count() // 1-row scalar: the catalog-statistic analogue
+    val dft = tc.groupBy("token").agg(count(lit(1)).as("df"))
+    val wts = tc.join(dft, "token")
+      .select(col("doc_id"), col("token"), col("df"),
+        (col("c") * round(log(lit(n.toDouble) / col("df")), 6)).as("w"))
+    val nrm = wts.groupBy("doc_id")
+      .agg(sqrt(sum(round(col("w") * col("w"), 9).cast("decimal(38,12)"))
+        .cast("double")).as("nm"))
+    // The unit-weight postings feed four consumers (mu, prefix, both
+    // verification sides) under different partitionings — materialize once
+    // (the q101 fan-out lesson).
+    val uu = wts.join(nrm, "doc_id")
+      .select(col("doc_id"), col("token"), col("df"),
+        round(col("w") / col("nm"), 9).as("u"))
+      .checkpoint(eager = true)
+    val mu = uu.groupBy("token").agg(max(col("u")).as("mu"))
+    val ord = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = uu.join(mu, "token")
+      .withColumn("b1", sum(col("u") * col("mu")).over(ord))
+      .withColumn("b2", sqrt(sum(col("u") * col("u")).over(ord)))
+      .filter(least(col("b1"), col("b2")) >= threshold - 1e-9)
+      .select(col("doc_id"), col("token"))
+    val cand = prefix.select(col("token"), col("doc_id").as("p_id"))
+      .join(uu.select(col("token"), col("doc_id").as("q_id")), "token")
+      .filter(col("p_id") =!= col("q_id"))
+      .select(least(col("p_id"), col("q_id")).as("a_id"),
+        greatest(col("p_id"), col("q_id")).as("b_id"))
+      .distinct()
+    val score = cand
+      .join(uu.select(col("doc_id").as("a_id"), col("token"),
+        col("u").as("ua")), "a_id")
+      .join(uu.select(col("doc_id").as("b_id"), col("token"),
+        col("u").as("ub")), Seq("b_id", "token"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(round(col("ua") * col("ub"), 12).cast("decimal(38,14)"))
+        .cast("double").as("cos"))
+    score.filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
 }

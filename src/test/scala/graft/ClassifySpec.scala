@@ -83,4 +83,43 @@ class ClassifySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4))).sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  test("calibration: hand-computed buckets and Brier") {
+    // bucket 0: scores .05/.05 labels 0,0 -> mean .05, rate 0
+    // bucket 9: scores .95/1.0 labels 1,1 -> mean .975, rate 1 (1.0 capped)
+    val df = Seq((0.05, 0L), (0.05, 0L), (0.95, 1L), (1.0, 1L))
+      .toDF("score", "lab")
+    val got = Classify.calibrationReport(df, "score", "lab")
+      .orderBy("bucket").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 9L))
+    assert(got(0).getAs[Double]("mean_pred") == 0.05)
+    assert(got(0).getAs[Double]("obs_rate") == 0.0)
+    assert(got(1).getAs[Double]("mean_pred") == 0.975)
+    assert(got(1).getAs[Double]("obs_rate") == 1.0)
+    // brier = (.05^2 + .05^2 + .05^2 + 0) / 4 = 0.001875
+    assert(got.forall(_.getAs[Double]("brier") == 0.001875))
+  }
+
+  test("calibration: perfectly calibrated buckets show mean_pred == obs_rate") {
+    // 10 rows at 0.3 with 3 positives; 10 rows at 0.7 with 7 positives
+    val rows = (1 to 10).map(i => (0.3, if (i <= 3) 1L else 0L)) ++
+      (1 to 10).map(i => (0.7, if (i <= 7) 1L else 0L))
+    val got = Classify.calibrationReport(rows.toDF("score", "lab"),
+      "score", "lab").orderBy("bucket").collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("mean_pred") == r.getAs[Double]("obs_rate"))
+    }
+  }
+
+  test("calibration: partitioning-invariant") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map(_ => (rnd.nextInt(1000) / 999.0,
+      rnd.nextInt(2).toLong))
+    val df = rows.toDF("score", "lab")
+    val a = Classify.calibrationReport(df.repartition(1), "score", "lab")
+      .orderBy("bucket").collect().toSeq
+    val b = Classify.calibrationReport(df.repartition(19), "score", "lab")
+      .orderBy("bucket").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -286,4 +286,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), s"warm rounds must read checkpoints:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q122 spatial join: cell equi-join, never a nested-loop pair scan") {
+    val p = plan(SparkEntry.queries("q122_geo_pairs")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"spatial candidates must come from the cell equi-join:\n$p")
+  }
+
+  test("q127 skyline: prefix-min rewrite never falls back to the quadratic join") {
+    val p = plan(SparkEntry.queries("q127_skyline")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the one corpus-sized aggregation (distinct-x collapse) partial-combines
+    assert(p.contains("partial_min"), s"distinct-x collapse must combine map-side:\n$p")
+  }
+
+  test("q129 tfidf cosine join: candidates from the term equi-join only") {
+    val p = plan(SparkEntry.queries("q129_tfidf_cosine_join")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix filtering must keep the join equi-keyed:\n$p")
+  }
+
+  test("q125 negative sampling: bucket equi-join, argmin partial-combines") {
+    val p = plan(SparkEntry.queries("q125_negative_samples")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_min"), s"per-draw argmin must combine map-side:\n$p")
+  }
+
+  test("q123 kmv: sketch aggregate partial-combines before its exchange") {
+    val p = plan(SparkEntry.queries("q123_kmv_setops")(spark, dir))
+    // the bounded bottom-k Aggregator must run as partial + merge (the
+    // non-equi pair join over #sources² SKETCH rows is the intended tiny
+    // nested-loop; the corpus must never reach it unaggregated)
+    assert(p.contains("ObjectHashAggregate") || p.contains("partial_"),
+      s"bottom-k must partial-aggregate:\n$p")
+  }
 }

@@ -109,4 +109,31 @@ class RetrievalSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 2L, 3L))
   }
+
+  private def rl(rows: (Long, Long)*) = rows.toDF("id", "rank")
+
+  test("rrf: hand-computed fusion of two lists") {
+    // id 1: ranks 1 and 2 -> 1/61 + 1/62; id 2 only list A rank 2 -> 1/62;
+    // id 3 only list B rank 1 -> 1/61
+    val a = rl(1L -> 1L, 2L -> 2L)
+    val b = rl(3L -> 1L, 1L -> 2L)
+    val got = Retrieval.rrfFuse(Seq(a, b), 10).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    def c(r: Long) = BigDecimal(1.0 / (60.0 + r))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L)) // both-lists id first
+    assert(got(0)._2 == (c(1) + c(2)).toDouble && got(0)._3 == 2L)
+    assert(got(1)._2 == c(1).toDouble && got(1)._3 == 1L)
+    // equal-rrf tie (ids 3 and 2 differ: 1/61 vs 1/62) — check id tiebreak
+    val tied = Retrieval.rrfFuse(Seq(rl(7L -> 1L), rl(4L -> 1L)), 10)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(4L, 7L))
+  }
+
+  test("rrf: k truncates and ranks are dense 1..k") {
+    val a = rl((1L to 30L).map(i => i -> i): _*)
+    val got = Retrieval.rrfFuse(Seq(a), 5).orderBy("rank").collect()
+    assert(got.map(_.getLong(3)).toSeq == (1L to 5L))
+    assert(got.map(_.getLong(0)).toSeq == (1L to 5L)) // best ranks win
+  }
 }

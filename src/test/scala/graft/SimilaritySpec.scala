@@ -97,4 +97,75 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.length <= 5)
     }
   }
+
+  private def cosDocs(rows: (Long, String)*) =
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Quadratic reference with the operator's exact arithmetic — proves the
+    * prefix filter loses no pair and admits no sub-threshold one. */
+  private def quadCosine(docs: org.apache.spark.sql.DataFrame, t: Double) = {
+    val tc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val n = docs.count()
+    val wts = tc.join(tc.groupBy("token").agg(count(lit(1)).as("df")), "token")
+      .select(col("doc_id"), col("token"),
+        (col("c") * round(log(lit(n.toDouble) / col("df")), 6)).as("w"))
+    val nrm = wts.groupBy("doc_id")
+      .agg(sqrt(sum(round(col("w") * col("w"), 9).cast("decimal(38,12)"))
+        .cast("double")).as("nm"))
+    val uu = wts.join(nrm, "doc_id")
+      .select(col("doc_id"), col("token"), round(col("w") / col("nm"), 9).as("u"))
+    uu.select(col("token"), col("doc_id").as("a_id"), col("u").as("ua"))
+      .join(uu.select(col("token"), col("doc_id").as("b_id"), col("u").as("ub")),
+        "token")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(round(col("ua") * col("ub"), 12).cast("decimal(38,14)"))
+        .cast("double").as("cos"))
+      .filter(col("cos") >= t)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  test("tfidf cosine join: equals the quadratic join on a mixed corpus") {
+    val docs = cosDocs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon eta",
+      3L -> "alpha beta gamma delta epsilon zeta", // exact dup of 1
+      4L -> "one two three four five six seven",
+      5L -> "one two three four five six eight",
+      6L -> "totally different words entirely here now",
+      7L -> "alpha one gamma three epsilon five")
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val got = Similarity.tfidfCosinePairs(docs, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = quadCosine(docs, t).as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("tfidf cosine join: exact duplicates read 1.0; disjoint pairs never appear") {
+    val docs = cosDocs(
+      1L -> "red green blue yellow",
+      2L -> "red green blue yellow",
+      3L -> "cat dog fish bird")
+    val got = Similarity.tfidfCosinePairs(docs, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 == 1.0)
+  }
+
+  test("tfidf cosine join: randomized corpus matches quadratic, partition-invariant") {
+    val rnd = new scala.util.Random(19)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val docs = cosDocs((1L to 60L).map { i =>
+      i -> (1 to 12).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }: _*)
+    val want = quadCosine(docs, 0.5).as[(Long, Long, Double)].collect().toSet
+    val a = Similarity.tfidfCosinePairs(docs.repartition(1), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Similarity.tfidfCosinePairs(docs.repartition(13), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == want && b == want)
+  }
 }
