@@ -906,6 +906,17 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q133_hilbert" -> ((s, dir) =>
+      // Hilbert index over the q77 dimensions: the stronger-locality
+      // at-rest layout key (consecutive indices are always adjacent
+      // cells); 10 chained integer-bit projections, codegen'd
+      ZOrder.withHilbert(
+        t(s, dir, "events").select(col("event_id"),
+          (col("user_id") % 1024).as("x"),
+          expr("(ts div 3600000000000) % 1024").as("y")),
+        "x", "y", order = 10, out = "h")
+        .select(col("event_id"), col("x"), col("y"), col("h"))
+        .orderBy("event_id")),
     "q132_calibration" -> ((s, dir) => {
       // probability quality for the q126 ranking score: min-max-normalized
       // first embedding component as the predicted probability, reliability
@@ -2634,6 +2645,32 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q133_hilbert" -> { // the xy->d bit recursion replayed as a CTE
+        // chain, one level per bit (same rotate/flip arithmetic)
+        val order = 10; val n = 1L << order
+        val levels = ((order - 1) to 0 by -1).zipWithIndex.map { case (bit, li) =>
+          val s = 1L << bit
+          val prev = if (li == 0) "b" else s"l${li - 1}"
+          s"""l$li AS (SELECT event_id, x0, y0,
+             |  d + ${s * s} * xor(3 * ((x >> $bit) & 1), (y >> $bit) & 1) AS d,
+             |  CASE WHEN ((y >> $bit) & 1) = 0 THEN
+             |    (CASE WHEN ((x >> $bit) & 1) = 1 THEN ${n - 1} - y ELSE y END)
+             |  ELSE x END AS x,
+             |  CASE WHEN ((y >> $bit) & 1) = 0 THEN
+             |    (CASE WHEN ((x >> $bit) & 1) = 1 THEN ${n - 1} - x ELSE x END)
+             |  ELSE y END AS y
+             |FROM $prev)""".stripMargin
+        }
+        s"""WITH b AS (SELECT event_id, user_id % 1024 AS x0,
+           |        (epoch_ns(ts) // 3600000000000) % 1024 AS y0,
+           |        user_id % 1024 AS x,
+           |        (epoch_ns(ts) // 3600000000000) % 1024 AS y,
+           |        CAST(0 AS BIGINT) AS d
+           |      FROM events),
+           |${levels.mkString(",\n")}
+           |SELECT event_id, x0 AS x, y0 AS y, CAST(d AS BIGINT) AS h
+           |FROM l${order - 1} ORDER BY event_id""".stripMargin
+      },
       "q132_calibration" -> // decile collapse + decimal score/sq-error
         // sums, one round-6 division per output column, exact min-max
         // normalization (no libm anywhere)

@@ -74,4 +74,70 @@ class ZOrderSpec extends SparkSpec {
       rm(dir.toFile)
     }
   }
+
+  /** Reference xy->d (the published bit recursion) for exhaustive checks. */
+  private def refHilbert(order: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << order
+    var (x, y, d) = (x0, y0, 0L)
+    var bit = order - 1
+    while (bit >= 0) {
+      val s = 1L << bit
+      val rx = (x >> bit) & 1L
+      val ry = (y >> bit) & 1L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      bit -= 1
+    }
+    d
+  }
+
+  test("hilbert matches the reference recursion exhaustively (order 5)") {
+    val order = 5; val n = 1 << order
+    val grid = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+      .toDF("x", "y")
+    val got = ZOrder.withHilbert(grid, "x", "y", order)
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h == refHilbert(order, x, y), s"($x, $y)")
+    }
+    // the curve is a bijection onto 0 until n*n
+    assert(got.map(_._3).sorted.toSeq == (0L until (n.toLong * n)))
+  }
+
+  test("hilbert locality: consecutive indices are Manhattan-adjacent cells") {
+    val order = 5; val n = 1 << order
+    val cells = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+      .toDF("x", "y")
+    val walk = ZOrder.withHilbert(cells, "x", "y", order)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    walk.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+  }
+
+  test("hilbert blocks prune at least as tightly as z-order on both dims") {
+    val n = 64
+    val grid = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+    def blockEnvelopeArea(sorted: Seq[(Long, Long)], block: Int = 64): Double = {
+      val blocks = sorted.grouped(block).toSeq
+      blocks.map { b =>
+        val xs = b.map(_._1); val ys = b.map(_._2)
+        ((xs.max - xs.min + 1) * (ys.max - ys.min + 1)).toDouble
+      }.sum / blocks.size
+    }
+    val byZ = grid.map { case (x, y) =>
+      ((x, y), (0 until 6).map(i =>
+        (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum)
+    }.sortBy(_._2).map(_._1)
+    val byH = grid.map { case p => (p, refHilbert(6, p._1, p._2)) }
+      .sortBy(_._2).map(_._1)
+    // a 64-row block of either curve is a tile; Hilbert's snake ordering
+    // keeps every envelope at the ideal 8x8 = 64 cells
+    assert(blockEnvelopeArea(byH) <= blockEnvelopeArea(byZ))
+    assert(blockEnvelopeArea(byH) == 64.0)
+  }
 }
