@@ -906,6 +906,16 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q134_logreg" -> ((s, dir) =>
+      // language detector trained as pure DataFrame aggregates: 3
+      // full-batch GD iterations of binary logistic regression on hashed
+      // binary unigrams (is the doc English?) — the trainable complement
+      // to q103's closed-form NB; the whole weight trajectory replays in
+      // the oracle as an unrolled CTE chain
+      Classify.logisticTrain(
+        tp(s, dir, "documents").select(col("doc_id"), col("text"),
+          (col("lang") === "en").cast("long").as("is_en")),
+        "is_en", dim = 64, iters = 3, lr = 0.5).orderBy("slot")),
     "q133_hilbert" -> ((s, dir) =>
       // Hilbert index over the q77 dimensions: the stronger-locality
       // at-rest layout key (consecutive indices are always adjacent
@@ -2645,6 +2655,44 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q134_logreg" -> { // the full GD trajectory unrolled: per iteration
+        // margin (DECIMAL sum of weights) -> round-6 sigmoid -> per-slot
+        // DECIMAL gradient sum -> round-9 update; slot -1 is the bias
+        val dim = 64
+        val slot = s"(${polyHashSql("tok")} % $dim)"
+        val iterCtes = (1 to 3).map { i =>
+          s"""m$i AS (SELECT ds.doc_id, ds.y, sum(w${i - 1}.w) AS margin
+             |       FROM ds JOIN w${i - 1} ON ds.slot = w${i - 1}.slot
+             |       GROUP BY 1, 2),
+             |p$i AS (SELECT doc_id, y,
+             |         round(1.0e0 / (1.0e0 + exp(-CAST(margin AS DOUBLE))), 6) AS p
+             |       FROM m$i),
+             |g$i AS (SELECT ds.slot,
+             |         sum(CAST(round(p$i.p - CAST(p$i.y AS DOUBLE), 6)
+             |             AS DECIMAL(18,6))) AS grad
+             |       FROM ds JOIN p$i ON ds.doc_id = p$i.doc_id GROUP BY 1),
+             |w$i AS (SELECT w.slot,
+             |         CAST(round(CAST(w.w AS DOUBLE) - 0.5e0 *
+             |           (CAST(coalesce(g$i.grad, 0) AS DOUBLE)
+             |            / CAST((SELECT n FROM nn) AS DOUBLE)), 9)
+             |           AS DECIMAL(28,9)) AS w
+             |       FROM w${i - 1} w LEFT JOIN g$i ON w.slot = g$i.slot)"""
+            .stripMargin
+        }
+        s"""WITH base AS (SELECT doc_id,
+           |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+           |      FROM documents),
+           |ds AS (SELECT DISTINCT doc_id, y, $slot AS slot FROM (
+           |         SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok
+           |         FROM base)
+           |       UNION
+           |       SELECT doc_id, y, -1 FROM base),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+           |w0 AS (SELECT unnest(range(-1, $dim)) AS slot,
+           |              CAST(0 AS DECIMAL(28,9)) AS w),
+           |${iterCtes.mkString(",\n")}
+           |SELECT slot, CAST(w AS DOUBLE) AS w FROM w3 ORDER BY slot""".stripMargin
+      },
       "q133_hilbert" -> { // the xy->d bit recursion replayed as a CTE
         // chain, one level per bit (same rotate/flip arithmetic)
         val order = 10; val n = 1L << order

@@ -104,6 +104,70 @@ object Classify {
         (col("pred") === col("actual")).as("correct"), col("logp"))
   }
 
+  /** Binary logistic regression over hashed binary unigram features,
+    * trained by full-batch gradient descent expressed ENTIRELY as
+    * DataFrame aggregates — the trainable complement to the closed-form
+    * Naive Bayes above (q103): no driver-side weight vectors, no RDD
+    * loops; the model is a (slot, w) table of dim+1 rows (slot −1 = bias,
+    * present in every doc) that broadcast-joins the feature rows each
+    * iteration.
+    *
+    * Per iteration (classic batch GD, e.g. Bishop PRML §4.3):
+    *   margin_d = Σ_{slots of d} w_slot            (decimal sum)
+    *   p_d      = round(1 / (1 + exp(−margin)), 6) (the round-6 libm rule)
+    *   grad_s   = Σ_{docs containing s} (p_d − y_d)  (decimal sum)
+    *   w'_s     = round(w_s − lr · grad_s / N, 9)
+    * Every sum is a DECIMAL of round-6/9 terms, so the whole trajectory is
+    * reduction-order-independent and the oracle replays all `iters`
+    * iterations as an unrolled CTE chain bit-for-bit.
+    *
+    * Scale shape: the per-iteration work is ONE feature-row ⋈ broadcast
+    * weight join + one per-doc aggregate + one per-slot aggregate (both
+    * partial-combine map-side); the feature rows are materialized once
+    * (eager checkpoint) and re-read each iteration — the at-rest design
+    * shape of every multi-pass trainer. Iterations are a fixed, small
+    * count by contract (full-batch GD on a broadcastable weight table).
+    * Output: (slot, w), slot −1..dim−1, w the final round-9 weight. */
+  def logisticTrain(docs: DataFrame, labelCol: String, dim: Int = 64,
+      iters: Int = 3, lr: Double = 0.5, textCol: String = "text"): DataFrame = {
+    require(dim >= 1 && iters >= 1 && lr > 0, "logisticTrain: bad hyperparams")
+    val spark = docs.sparkSession
+    graft.util.Checkpoints.ensureDir(spark)
+    val lab = col(labelCol).cast("long")
+    val toks = docs.select(col("doc_id"), lab.as("y"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .select(col("doc_id"), col("y"),
+        (PortableHashes.tokenSlot(col("tok")) % dim).cast("long").as("slot"))
+      .distinct()
+    val withBias = toks.unionByName(
+      docs.select(col("doc_id"), lab.as("y"), lit(-1L).as("slot")).distinct())
+    val ds = withBias.checkpoint(eager = true)
+    val n = docs.count() // 1-row scalar, the catalog-statistic analogue
+    import spark.implicits._
+    var w = (-1 until dim).map(s => (s.toLong, BigDecimal(0)))
+      .toDF("slot", "w")
+      .select(col("slot"), col("w").cast("decimal(28,9)").as("w"))
+    for (_ <- 1 to iters) {
+      val m = ds.join(broadcast(w), "slot")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("w")).as("margin"))
+      val p = m.select(col("doc_id"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin").cast("double"))), 6)
+          .as("p"))
+      val g = ds.join(p.select(col("doc_id"), col("p"), col("y").as("y2")), "doc_id")
+        .groupBy("slot")
+        .agg(sum(round(col("p") - col("y2").cast("double"), 6)
+          .cast("decimal(18,6)")).as("grad"))
+      w = w.join(g, Seq("slot"), "left")
+        .select(col("slot"),
+          round(col("w").cast("double") -
+            lit(lr) * (coalesce(col("grad"), lit(0).cast("decimal(18,6)"))
+              .cast("double") / lit(n.toDouble)), 9)
+            .cast("decimal(28,9)").as("w"))
+    }
+    w.select(col("slot"), col("w").cast("double").as("w"))
+  }
+
   /** Calibration (reliability) report + Brier score of a [0,1] score
     * against a binary label — the probability-quality complement to
     * [[graft.operators.Stats.aucExact]]'s ranking quality (Brier 1950;

@@ -84,6 +84,53 @@ class ClassifySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("logreg: separable tokens get sign-correct weights; bias tracks base rate") {
+    val docs = ((1L to 20L).map(i => (i, "good stuff here", 1L)) ++
+      (21L to 40L).map(i => (i, "bad junk there", 0L)))
+      .toDF("doc_id", "text", "y")
+    val w = Classify.logisticTrain(docs, "y", dim = 64, iters = 3, lr = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 65 && w.contains(-1L))
+    // slots of positive-only tokens must be positive, negative-only negative
+    import graft.functions.PortableHashes
+    def slotOf(tok: String): Long = {
+      val df = Seq(tok).toDF("t")
+        .select((PortableHashes.tokenSlot(col("t")) % 64).cast("long"))
+      df.collect().head.getLong(0)
+    }
+    // only slots NOT shared between classes carry a clean sign (a hashed
+    // collision sees both labels and its gradient cancels)
+    val posSlots = Seq("good", "stuff", "here").map(slotOf).toSet
+    val negSlots = Seq("bad", "junk", "there").map(slotOf).toSet
+    (posSlots -- negSlots).foreach(s =>
+      assert(w(s) > 0, s"slot $s should pull positive"))
+    (negSlots -- posSlots).foreach(s =>
+      assert(w(s) < 0, s"slot $s should pull negative"))
+    assert((posSlots -- negSlots).nonEmpty && (negSlots -- posSlots).nonEmpty)
+    // balanced labels: bias stays near zero
+    assert(math.abs(w(-1L)) < 0.05)
+  }
+
+  test("logreg: all-positive corpus pushes the bias up monotonically") {
+    val docs = (1L to 10L).map(i => (i, s"tok$i filler", 1L))
+      .toDF("doc_id", "text", "y")
+    def bias(iters: Int) = Classify.logisticTrain(docs, "y", 16, iters, 0.5)
+      .filter(col("slot") === -1).collect().head.getDouble(1)
+    assert(bias(1) > 0 && bias(2) > bias(1) && bias(3) > bias(2))
+  }
+
+  test("logreg: trajectory is partitioning-invariant (decimal sums)") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 120L).map { i =>
+      (i, (1 to 8).map(_ => s"w${rnd.nextInt(40)}").mkString(" "), (i % 3 == 0).compareTo(false).toLong)
+    }.toDF("doc_id", "text", "y")
+    val a = Classify.logisticTrain(docs.repartition(1), "y", 32, 3, 0.5)
+      .orderBy("slot").collect().toSeq
+    val b = Classify.logisticTrain(docs.repartition(17), "y", 32, 3, 0.5)
+      .orderBy("slot").collect().toSeq
+    assert(a == b)
+  }
+
   test("calibration: hand-computed buckets and Brier") {
     // bucket 0: scores .05/.05 labels 0,0 -> mean .05, rate 0
     // bucket 9: scores .95/1.0 labels 1,1 -> mean .975, rate 1 (1.0 capped)
