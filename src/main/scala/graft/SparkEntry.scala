@@ -906,6 +906,20 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q135_survival" -> ((s, dir) => {
+      // churn curve: per-user activity span in hours; a user whose last
+      // event is > 7 days before the corpus cutoff has churned (event),
+      // later ones are censored — Kaplan-Meier product-limit over the
+      // distinct event times
+      val ev = t(s, dir, "events")
+      val per = ev.groupBy("user_id")
+        .agg(min("ts").as("first"), max("ts").as("last"))
+      val subj = per.crossJoin(ev.agg(max("ts").as("tend")))
+        .select(expr("(last - first) div 3600000000000").as("dur"),
+          when(col("tend") - col("last") > 604800000000000L, 1L)
+            .otherwise(0L).as("churned"))
+      Survival.kaplanMeier(subj, "dur", "churned").orderBy("t")
+    }),
     "q134_logreg" -> ((s, dir) =>
       // language detector trained as pure DataFrame aggregates: 3
       // full-batch GD iterations of binary logistic regression on hashed
@@ -2655,6 +2669,35 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q135_survival" -> // KM replayed: distinct-duration collapse,
+        // running risk-set complement, round-6 ln factors summed as
+        // DECIMAL, one exp per event time; d = n pins the curve to 0
+        """WITH per AS (SELECT user_id, min(epoch_ns(ts)) AS f,
+          |        max(epoch_ns(ts)) AS l FROM events GROUP BY 1),
+          |te AS (SELECT max(epoch_ns(ts)) AS tend FROM events),
+          |subj AS (SELECT (l - f) // 3600000000000 AS t,
+          |         CASE WHEN tend - l > 604800000000000 THEN 1 ELSE 0 END AS ev
+          |         FROM per CROSS JOIN te),
+          |pd AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+          |        CAST(sum(ev) AS BIGINT) AS d FROM subj GROUP BY 1),
+          |rk AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY t
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+          |       (SELECT sum(cnt) FROM pd) AS n FROM pd),
+          |evt AS (SELECT t, n - cb AS n_risk, d FROM rk WHERE d > 0),
+          |lf AS (SELECT *, CASE WHEN d < n_risk THEN
+          |         CAST(round(ln(1.0e0 - CAST(d AS DOUBLE)
+          |           / CAST(n_risk AS DOUBLE)), 6) AS DECIMAL(18,6))
+          |         ELSE CAST(0 AS DECIMAL(18,6)) END AS lfv FROM evt),
+          |cm AS (SELECT t, n_risk, d,
+          |        max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+          |        sum(lfv) OVER (ORDER BY t
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+          |       FROM lf)
+          |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+          |  CASE WHEN dead = 1 THEN 0.0e0
+          |       ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
+          |FROM cm ORDER BY t""".stripMargin,
       "q134_logreg" -> { // the full GD trajectory unrolled: per iteration
         // margin (DECIMAL sum of weights) -> round-6 sigmoid -> per-slot
         // DECIMAL gradient sum -> round-9 update; slot -1 is the bias
