@@ -906,6 +906,12 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q136_bootstrap_ci" -> ((s, dir) =>
+      // uncertainty for a corpus statistic without a resample pass: the
+      // Poisson bootstrap — 24 deterministic hash-weighted replicas of
+      // mean(value) in ONE aggregate row, 90% CI from the replica order
+      // statistics
+      Sampling.bootstrapMeanCI(t(s, dir, "events"), "event_id", "value")),
     "q135_survival" -> ((s, dir) => {
       // churn curve: per-user activity span in hours; a user whose last
       // event is > 7 days before the corpus cutoff has churned (event),
@@ -2669,6 +2675,37 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q136_bootstrap_ci" -> { // the one-pass Poisson-bootstrap aggregate
+        // replayed: per replica the same nested-CASE Poisson(1) inverse
+        // off the q125 mix hash, decimal w*x sums, order-statistic CI
+        import graft.operators.Sampling.{PoissonCumLiterals, negLcgSql}
+        val B = 24; val M = 2147483648L; val mask = M - 1
+        val mix = s"xor((event_id & $mask), ${negLcgSql(s"((event_id >> 31)) & $mask")})"
+        def wSql(b: Int): String = {
+          val u = s"(CAST(${negLcgSql(s"((hid * 131 + $b) % $M)")} AS DOUBLE) / 2147483648.0e0)"
+          PoissonCumLiterals.zipWithIndex.foldRight("7") {
+            case ((c, kk), acc) => s"(CASE WHEN $u < $c THEN $kk ELSE $acc END)"
+          }
+        }
+        val aggCols = (0 until B).map { b =>
+          s"""sum(CAST(round(CAST(${wSql(b)} AS DOUBLE) * value, 9)
+             |      AS DECIMAL(28,9))) AS swx$b,
+             |    CAST(sum(${wSql(b)}) AS BIGINT) AS sw$b""".stripMargin
+        }.mkString(",\n    ")
+        val meansList = (0 until B).map(b =>
+          s"round(CAST(swx$b AS DOUBLE) / CAST(sw$b AS DOUBLE), 6)")
+          .mkString("[", ", ", "]")
+        s"""WITH base AS (SELECT event_id, value, $mix AS hid FROM events),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS sx,
+           |    $aggCols
+           |  FROM base),
+           |m AS (SELECT n, sx, list_sort($meansList) AS ms FROM a)
+           |SELECT n, round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           |  ms[2] AS ci_lo, ms[${B - 1}] AS ci_hi,
+           |  CAST($B AS BIGINT) AS replicas
+           |FROM m""".stripMargin
+      },
       "q135_survival" -> // KM replayed: distinct-duration collapse,
         // running risk-set complement, round-6 ln factors summed as
         // DECIMAL, one exp per event time; d = n pins the curve to 0

@@ -300,6 +300,74 @@ object Sampling {
   }
   def negLcgSql(x: String): String = s"((($x) * 1103515245 + 12345) % $M)"
 
+  /** Cumulative Poisson(1) probabilities P(X <= k), k = 0..6, as 12-decimal
+    * literal STRINGS — shared verbatim by the Column builder and the SQL
+    * oracle so both engines parse the identical IEEE doubles. */
+  val PoissonCumLiterals: Seq[String] = {
+    val e1 = BigDecimal(1) / BigDecimal(math.E, new java.math.MathContext(30))
+    var fact = BigDecimal(1); var acc = BigDecimal(0)
+    (0 to 6).map { k =>
+      if (k > 0) fact *= k
+      acc += e1 / fact
+      acc.setScale(12, BigDecimal.RoundingMode.HALF_UP).toString + "e0"
+    }
+  }
+
+  /** Poisson bootstrap confidence interval for the mean (Chamandy,
+    * Muralidharan, Najmi & Naidu, "Estimating Uncertainty for Massive Data
+    * Streams", Google TR 2012; Hanley & MacGibbon 2006): each replica b
+    * re-weights every row by an independent Poisson(1) draw — the
+    * at-scale bootstrap, because the draw is PER ROW, needs no global
+    * resample pass, and here is pure hash arithmetic (the q125 mix
+    * family), so replicas are deterministic and partition-invariant.
+    *
+    * Physical shape — the whole computation is ONE aggregate pass: every
+    * replica contributes two aggregate columns (Σ w·x as a DECIMAL of
+    * round-9 terms, Σ w as a long), so the exchange carries a single
+    * 2·replicas-column row at any corpus size; no explode, no row
+    * amplification. The CI is the [k+1, B−k] order statistics of the B
+    * replica means (k = floor(alpha/2 · B)) — plain array math on one row.
+    * `replicas` is the cost/precision knob (2 more aggregate columns
+    * each). Intended for n ≫ replicas (a replica with zero total weight —
+    * probability ~e^(−n) — would yield a null mean by construction).
+    *
+    * Output: one row (n, mean, ci_lo, ci_hi, replicas). */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      replicas: Int = 24, alpha: Double = 0.1): DataFrame = {
+    require(replicas >= 4 && replicas <= 64,
+      s"bootstrapMeanCI: replicas in [4, 64], got $replicas")
+    require(alpha > 0 && alpha < 1, s"bootstrapMeanCI: alpha in (0,1)")
+    def mix31(id: Column): Column =
+      id.bitwiseAND(lit(Mask)).bitwiseXOR(lcg(shiftright(id, 31).bitwiseAND(lit(Mask))))
+    val hid = mix31(col(idCol).cast("long"))
+    val x = col(valueCol).cast("double")
+    def weight(b: Int): Column = {
+      val u = lcg((hid * 131L + lit(b.toLong)) % M).cast("double") / M.toDouble
+      PoissonCumLiterals.zipWithIndex.foldRight(lit(7L): Column) {
+        case ((c, k), acc) => when(u < lit(c.toDouble), lit(k.toLong))
+          .otherwise(acc)
+      }
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(round(x, 9).cast("decimal(28,9)")).as("sx")) ++
+      (0 until replicas).flatMap { b =>
+        Seq(sum(round(weight(b).cast("double") * x, 9).cast("decimal(28,9)"))
+          .as(s"swx$b"),
+          sum(weight(b)).as(s"sw$b"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until replicas).map(b =>
+      round(col(s"swx$b").cast("double") / col(s"sw$b").cast("double"), 6)): _*)
+    val k = math.floor(alpha / 2 * replicas).toInt
+    one.withColumn("__ms", sort_array(means))
+      .select(col("n"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6).as("mean"),
+        element_at(col("__ms"), k + 1).as("ci_lo"),
+        element_at(col("__ms"), replicas - k).as("ci_hi"),
+        lit(replicas.toLong).as("replicas"))
+  }
+
   /** Leakage-safe train/valid/test split: the CLUSTER, not the document, is
     * the atomic split unit. A per-doc split (q49) lets two near-duplicates
     * land in train and test — the eval set then scores memorization, the

@@ -282,6 +282,37 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_._3).toSet.subsetOf(Set(5L, 5L + (1L << 31), 5L + (2L << 31))))
   }
 
+  test("bootstrap CI: brackets the sample mean, deterministic, one output row") {
+    val df = (1L to 4000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val rows = Sampling.bootstrapMeanCI(df, "id", "v").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (n, mean, lo, hi) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))
+    assert(n == 4000L && r.getLong(4) == 24L)
+    assert(mean == 49.5)
+    assert(lo <= mean && mean <= hi, s"[$lo, $hi] should bracket $mean")
+    assert(lo < hi)
+    // replica spread should be in the right ballpark: sd(v)/sqrt(n) ~ 0.46,
+    // so a 90% CI spans well under ±3 of the mean
+    assert(hi - lo < 6.0, s"CI [$lo, $hi] implausibly wide")
+  }
+
+  test("bootstrap CI: partitioning-invariant (hash draws, decimal sums)") {
+    val df = (1L to 2000L).map(i => (i, math.sin(i.toDouble))).toDF("id", "v")
+    val a = Sampling.bootstrapMeanCI(df.repartition(1), "id", "v").collect().head
+    val b = Sampling.bootstrapMeanCI(df.repartition(13), "id", "v").collect().head
+    assert(a == b)
+  }
+
+  test("bootstrap CI: hyperparameters validated") {
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      Sampling.bootstrapMeanCI(df, "id", "v", replicas = 2))
+    intercept[IllegalArgumentException](
+      Sampling.bootstrapMeanCI(df, "id", "v", alpha = 0.0))
+  }
+
   test("leakageSafeSplit: bad fractions are rejected") {
     val docs = Seq(1L).toDF("doc_id")
     val c = Seq((1L, 1L)).toDF("doc_id", "rep_id")
