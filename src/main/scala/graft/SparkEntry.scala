@@ -906,6 +906,16 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q137_ab_test" -> ((s, dir) =>
+      // experiment readout: success-rate difference between the even-user
+      // (control) and odd-user (treatment) cohorts, two-proportion pooled
+      // z-test — four integers and one fixed formula
+      Stats.twoProportionZTest(
+        t(s, dir, "events").select(
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment")
+            .as("grp"),
+          (col("event_type") =!= "error").cast("long").as("ok")),
+        "grp", "ok")),
     "q136_bootstrap_ci" -> ((s, dir) =>
       // uncertainty for a corpus statistic without a resample pass: the
       // Poisson bootstrap — 24 deterministic hash-weighted replicas of
@@ -2675,6 +2685,36 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q137_ab_test" -> // four integers -> one mirrored pooled-z formula
+        """WITH c AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+          |            ELSE 'treatment' END AS g,
+          |           CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS s
+          |         FROM events),
+          |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |        CAST(sum(s) AS BIGINT) AS x FROM c GROUP BY 1),
+          |p AS (SELECT amin.g AS group_a, amin.n AS n_a, amin.x AS x_a,
+          |        amax.g AS group_b, amax.n AS n_b, amax.x AS x_b
+          |      FROM (SELECT * FROM a ORDER BY g LIMIT 1) amin,
+          |           (SELECT * FROM a ORDER BY g DESC LIMIT 1) amax
+          |      WHERE amin.g <> amax.g)
+          |SELECT group_a, group_b, n_a, x_a, n_b, x_b,
+          |  round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+          |  round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+          |  round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS diff,
+          |  round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |         - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          |    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          |      * (1.0e0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          |      * (1.0e0 / CAST(n_a AS DOUBLE) + 1.0e0 / CAST(n_b AS DOUBLE))), 6)
+          |    AS z,
+          |  abs(round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |         - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          |    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          |      * (1.0e0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          |      * (1.0e0 / CAST(n_a AS DOUBLE) + 1.0e0 / CAST(n_b AS DOUBLE))), 6))
+          |    > 1.959964e0 AS significant
+          |FROM p""".stripMargin,
       "q136_bootstrap_ci" -> { // the one-pass Poisson-bootstrap aggregate
         // replayed: per replica the same nested-CASE Poisson(1) inverse
         // off the q125 mix hash, decimal w*x sums, order-statistic CI

@@ -51,6 +51,45 @@ object Stats {
           .otherwise(round(num / sqrt(dxx * dyy), 6)).as("corr"))
   }
 
+  /** Two-proportion z-test — the A/B experiment readout (standard normal
+    * approximation with the pooled variance; e.g. Casella & Berger §10.3):
+    *
+    *   z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled
+    *
+    * over a frame of (group ∈ {exactly two values}, success 0/1) rows.
+    * Everything reduces to FOUR integers (per-group trials and successes)
+    * via one conditional-count aggregate — map-side combine, a single
+    * 1-row exchange at any corpus size — then one fixed-parenthesization
+    * double formula, round-6. `significant` applies the two-sided 5%
+    * normal critical value 1.959964.
+    *
+    * Output: one row (group_a, group_b, n_a, x_a, n_b, x_b, p_a, p_b,
+    * diff, z, significant), groups ordered ascending. */
+  def twoProportionZTest(df: DataFrame, groupCol: String,
+      successCol: String): DataFrame = {
+    val agg = df.select(col(groupCol).cast("string").as("g"),
+        col(successCol).cast("long").as("s"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
+      .orderBy("g").limit(2)
+    val a = agg.select(col("g").as("group_a"), col("n").as("n_a"), col("x").as("x_a"))
+      .limit(1)
+    val b = agg.orderBy(col("g").desc).limit(1)
+      .select(col("g").as("group_b"), col("n").as("n_b"), col("x").as("x_b"))
+    val j = a.crossJoin(b).filter(col("group_a") =!= col("group_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    j.select(col("group_a"), col("group_b"), col("n_a"), col("x_a"),
+      col("n_b"), col("x_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(pa - pb, 6).as("diff"), round(z, 6).as("z"),
+      (abs(round(z, 6)) > 1.959964).as("significant"))
+  }
+
   /** Exact ROC-AUC (Mann–Whitney U with tie-averaged ranks) of a score
     * column against a binary label — the classifier-quality readout for
     * curation models (q103's Naive Bayes, quality gates): AUC = P(score of

@@ -48,6 +48,36 @@ class StatsSpec extends SparkSpec {
     assert(a == b && a.size == 5)
   }
 
+  test("ab test: hand-computed z on a known split; equal rates read z = 0") {
+    // control: 80/100 success; treatment: 60/100: p̂ = .7
+    // z = 0.2 / sqrt(.7*.3*(1/100+1/100)) = 0.2/0.0648074 = 3.086067
+    val rows = (1 to 100).map(i => ("control", if (i <= 80) 1L else 0L)) ++
+      (1 to 100).map(i => ("treatment", if (i <= 60) 1L else 0L))
+    val r = Stats.twoProportionZTest(rows.toDF("grp", "ok"), "grp", "ok")
+      .collect().head
+    assert(r.getAs[String]("group_a") == "control")
+    assert(r.getAs[Double]("p_a") == 0.8 && r.getAs[Double]("p_b") == 0.6)
+    assert(r.getAs[Double]("diff") == 0.2)
+    assert(math.abs(r.getAs[Double]("z") - 3.086067) < 1e-6)
+    assert(r.getAs[Boolean]("significant"))
+    val flat = (1 to 50).flatMap(i =>
+      Seq(("a", (i % 2).toLong), ("b", (i % 2).toLong)))
+    val fr = Stats.twoProportionZTest(flat.toDF("grp", "ok"), "grp", "ok")
+      .collect().head
+    assert(fr.getAs[Double]("z") == 0.0 && !fr.getAs[Boolean]("significant"))
+  }
+
+  test("ab test: single-group input yields no row; partitioning-invariant") {
+    val one = Seq(("only", 1L), ("only", 0L)).toDF("grp", "ok")
+    assert(Stats.twoProportionZTest(one, "grp", "ok").collect().isEmpty)
+    val rows = (1 to 300).map(i =>
+      (if (i % 2 == 0) "x" else "y", (i % 3 == 0).compareTo(false).toLong))
+    val df = rows.toDF("grp", "ok")
+    val a = Stats.twoProportionZTest(df.repartition(1), "grp", "ok").collect().toSeq
+    val b = Stats.twoProportionZTest(df.repartition(17), "grp", "ok").collect().toSeq
+    assert(a == b)
+  }
+
   test("auc: perfect separation reads 1, reversed reads 0, random-ish mid") {
     val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
       .toDF("score", "lab")
