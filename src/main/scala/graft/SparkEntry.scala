@@ -906,6 +906,13 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q138_exact_quantiles" -> ((s, dir) =>
+      // exact p50/p90/p99 of the event values with NO global sort: bucket
+      // counts locate each target rank, a filtered second pass ranks only
+      // the targeted buckets — the exact complement to q75's sketch. The
+      // oracle computes the same order statistics off a plain global rank
+      Stats.exactQuantiles(t(s, dir, "events"), "value",
+        Seq(0.5, 0.9, 0.99)).orderBy("p")),
     "q137_ab_test" -> ((s, dir) =>
       // experiment readout: success-rate difference between the even-user
       // (control) and odd-user (treatment) cohorts, two-proportion pooled
@@ -2685,6 +2692,18 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q138_exact_quantiles" -> // the oracle never sees the buckets: the
+        // k-th smallest value is bucket-independent, so a plain global
+        // rank proves the two-pass selection exact
+        """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+          |           WHERE value IS NOT NULL),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+          |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v)
+          |SELECT t.p, CAST(ceil(t.p * n.n) AS BIGINT) AS rank, r.v AS value
+          |FROM (VALUES (0.5e0), (0.9e0), (0.99e0)) t(p)
+          |CROSS JOIN n
+          |JOIN r ON r.rk = CAST(ceil(t.p * n.n) AS BIGINT)
+          |ORDER BY t.p""".stripMargin,
       "q137_ab_test" -> // four integers -> one mirrored pooled-z formula
         """WITH c AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
           |            ELSE 'treatment' END AS g,

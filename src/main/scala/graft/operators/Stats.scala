@@ -51,6 +51,68 @@ object Stats {
           .otherwise(round(num / sqrt(dxx * dyy), 6)).as("corr"))
   }
 
+  /** EXACT global quantiles without a global sort — the two-pass
+    * bucket-refinement selection (the classic distributed k-th-order-
+    * statistic move; Blum et al.'s selection recast over histograms):
+    *
+    *  1. One aggregate pass buckets every value into `buckets` fixed-width
+    *     cells and counts them (map-side combine; the ≤ buckets-row count
+    *     table is the ONLY driver-side state — the bounded-collect
+    *     contract, like the IVF centroid table).
+    *  2. Cumulative counts locate, for each target rank k = ceil(p·n), its
+    *     bucket and within-bucket rank; ONE filtered second pass ranks
+    *     ONLY the targeted buckets (per-bucket windows — bucket-sized,
+    *     hash-parallel) and picks the exact order statistics.
+    *
+    * Ties are safe by construction: equal values share a bucket, so the
+    * k-th smallest VALUE is well-defined whatever the within-bucket tie
+    * order. q75's histogram sketch answers the same question
+    * approximately in one pass; this is the exact form whose second pass
+    * touches ~(targets/buckets) of the corpus — and on a value-bucketed
+    * at-rest layout the bucket filter becomes partition pruning.
+    *
+    * Output: (p, rank, value) per requested quantile, p in (0, 1]. */
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+      buckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "exactQuantiles: probabilities must be in (0, 1]")
+    require(buckets >= 2, "exactQuantiles: need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val s = v.agg(count(lit(1)), min("v"), max("v")).collect()(0)
+    val n = s.getLong(0)
+    if (n == 0) return Seq.empty[(Double, Long, Double)].toDF("p", "rank", "value")
+    val (mn, mx) = (s.getDouble(1), s.getDouble(2))
+    val targets = ps.map(p => p -> math.ceil(p * n).toLong)
+    if (mn == mx)
+      return targets.map { case (p, k) => (p, k, mn) }.toDF("p", "rank", "value")
+    val w = (mx - mn) / buckets
+    val withB = v.withColumn("b",
+      least(floor((col("v") - mn) / w).cast("long"), lit(buckets - 1L)))
+    // pass 1: the bounded bucket-count table (≤ buckets rows)
+    val counts = withB.groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val cumBefore = counts.scanLeft(0L)(_ + _._2).init
+    val lookup = counts.map(_._1).zip(cumBefore) // bucket -> #values below it
+    def locate(k: Long): (Long, Long) = {
+      val i = lookup.lastIndexWhere(_._2 < k)
+      (lookup(i)._1, k - lookup(i)._2)
+    }
+    val sel = targets.map { case (p, k) =>
+      val (b, within) = locate(k); (p, k, b, within)
+    }
+    val wanted = sel.map(_._3).distinct
+    // pass 2: rank only the targeted buckets
+    val ranked = withB.filter(col("b").isin(wanted: _*))
+      .withColumn("rw", row_number().over(Window.partitionBy("b").orderBy("v")))
+    sel.toDF("p", "rank", "tb", "within")
+      .join(ranked, col("tb") === col("b") && col("within") === col("rw"))
+      .select(col("p"), col("rank"), col("v").as("value"))
+  }
+
   /** Two-proportion z-test — the A/B experiment readout (standard normal
     * approximation with the pooled variance; e.g. Casella & Berger §10.3):
     *

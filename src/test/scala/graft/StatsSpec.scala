@@ -48,6 +48,43 @@ class StatsSpec extends SparkSpec {
     assert(a == b && a.size == 5)
   }
 
+  test("exact quantiles: match the sorted-array order statistics") {
+    val rnd = new scala.util.Random(41)
+    val vals = (1 to 5000).map(_ => rnd.nextInt(500) / 7.0) // heavy ties
+    val df = vals.map(Tuple1(_)).toDF("value")
+    val ps = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Stats.exactQuantiles(df, "value", ps, buckets = 64)
+      .orderBy("p").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    val sorted = vals.sorted
+    ps.zip(got).foreach { case (p, (gp, k, v)) =>
+      assert(gp == p)
+      assert(k == math.ceil(p * vals.length).toLong)
+      assert(v == sorted((k - 1).toInt), s"p=$p")
+    }
+  }
+
+  test("exact quantiles: all-equal, single-row, and empty inputs") {
+    val flat = Seq.fill(10)(Tuple1(3.25)).toDF("value")
+    val g = Stats.exactQuantiles(flat, "value", Seq(0.5)).collect().head
+    assert(g.getDouble(2) == 3.25)
+    val one = Seq(Tuple1(7.0)).toDF("value")
+    assert(Stats.exactQuantiles(one, "value", Seq(0.5, 1.0)).collect()
+      .forall(_.getDouble(2) == 7.0))
+    val empty = Seq.empty[Tuple1[Double]].toDF("value")
+    assert(Stats.exactQuantiles(empty, "value", Seq(0.5)).collect().isEmpty)
+  }
+
+  test("exact quantiles: partitioning-invariant, bucket-count-invariant") {
+    val vals = (1 to 2000).map(i => ((i * 37) % 997).toDouble)
+    val df = vals.map(Tuple1(_)).toDF("value")
+    val a = Stats.exactQuantiles(df.repartition(1), "value", Seq(0.5, 0.9), 16)
+      .orderBy("p").collect().toSeq
+    val b = Stats.exactQuantiles(df.repartition(13), "value", Seq(0.5, 0.9), 512)
+      .orderBy("p").collect().toSeq
+    assert(a == b)
+  }
+
   test("ab test: hand-computed z on a known split; equal rates read z = 0") {
     // control: 80/100 success; treatment: 60/100: p̂ = .7
     // z = 0.2 / sqrt(.7*.3*(1/100+1/100)) = 0.2/0.0648074 = 3.086067
