@@ -232,6 +232,111 @@ object Graph {
     nodes.select(col("node"), col("deg"), col("tele"), ru.as("ru"))
   }
 
+  /** Multi-source BFS shortest hop distance (the iterative-join form of
+    * Pregel SSSP; Malewicz et al., SIGMOD 2010): label every node reachable
+    * from `sources` within `maxHops` directed hops with its MINIMUM hop
+    * count. The curation use: "how far is this page/doc/entity from the
+    * trusted seed set" as a hard radius gate — the discrete complement of
+    * [[personalizedPageRank]]'s soft proximity score.
+    *
+    * Frontier form, NOT dense relaxation: round k joins only the
+    * newly-settled frontier (nodes first reached at distance k-1) against
+    * the edge list, then anti-joins the settled set — BFS's per-round work
+    * is proportional to the FRONTIER's out-edges, not the graph. A dense
+    * Bellman-Ford-style sweep re-scans every edge every round; on a
+    * 100 TB edge table with a 6-hop effective diameter that is 6 full
+    * scans vs one scan's worth of touched edges total. Each round's
+    * frontier and settled set are eagerly checkpointed (lineage barrier;
+    * files reclaimed on RDD GC under cleanCheckpoints), the edge list is
+    * checkpointed ONCE hash-partitioned by src so every round's join moves
+    * only the frontier — the [[pageRank]] layout. Driver state per round:
+    * one count (the loop-termination scalar).
+    *
+    * Exactness: BFS settles each node at its true minimum distance, so the
+    * result is exact for every node within `maxHops` — no iteration
+    * mirroring needed by an oracle; a hop-capped reachability recursion
+    * computes the identical set. Sources absent from the graph are still
+    * emitted at distance 0 (they are legitimate query points); unreachable
+    * nodes are absent from the output. Output: (node, dist). */
+  def shortestHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    graft.util.Checkpoints.ensureDir(spark)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).sortWithinPartitions("src")
+      .checkpoint(eager = true)
+    var frontier = sources.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)).checkpoint(eager = true)
+    var settled = frontier
+    var k = 0L
+    var frontierN = frontier.count()
+    while (frontierN > 0 && k < maxHops) {
+      k += 1
+      val next = e.join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .checkpoint(eager = true)
+      settled = settled.union(next).checkpoint(eager = true)
+      frontier = next
+      frontierN = next.count()
+    }
+    settled
+  }
+
+  /** HITS hubs and authorities (Kleinberg, JACM 1999) — `iters` rounds of
+    * the mutual-reinforcement recurrence over a DIRECTED edge list:
+    *   a_k(v) = Σ over in-edges (u,v) of h_{k-1}(u)
+    *   h_k(u) = Σ over out-edges (u,v) of a_k(v)
+    * starting from h_0 ≡ 1. The curation use: on a link/citation graph,
+    * authorities are the pages worth keeping, hubs are the directories
+    * that FIND them — a different signal from PageRank (a hub can rank
+    * high while linking out to everything and being linked by nothing).
+    *
+    * UNNORMALIZED integer scores, deliberately: Kleinberg's per-round L2
+    * normalization only rescales — the RANKING after k rounds is identical
+    * without it — and dropping it keeps every step an exact long sum,
+    * bit-stable under any partial-aggregation schedule and replayable
+    * verbatim by the SQL oracle as k unrolled join-aggregates (the
+    * [[pageRank]] fixed-point discipline, with no division at all).
+    * Growth bound: scores multiply by at most max-degree² per round, so
+    * longs hold iters=2 up to ~10^4 average degree and iters=3 up to
+    * ~10^2; at larger k×degree a production caller adds a per-round
+    * integer downscale (`a div 2^s`) — same plan, documented trade.
+    *
+    * No dangling contract: nodes missing from a round's gather keep score
+    * 0 via the left-join + coalesce against the fixed endpoint universe —
+    * a pure source has auth 0, a pure sink hub 0, and both stay in the
+    * output. Parallel edges are deduplicated (set semantics, the standard
+    * adjacency-matrix formulation). Per round: two edge⋈score joins over
+    * the ONE src-partitioned checkpointed edge layout + two node-keyed
+    * sums that partial-combine map-side — only node-sized tables move.
+    * Output: (node, hub, auth) after round `iters`. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "hits needs at least one round")
+    val spark = edges.sparkSession
+    graft.util.Checkpoints.ensureDir(spark)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).sortWithinPartitions("src")
+      .checkpoint(eager = true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .checkpoint(eager = true)
+    var scores = nodes.select(col("node"), lit(1L).as("hub"), lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      val aSums = e.join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("sa"))
+      val withA = nodes.join(aSums, Seq("node"), "left")
+        .select(col("node"), coalesce(col("sa"), lit(0L)).as("auth"))
+      val hSums = e.join(withA.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("auth").as("sh"))
+      scores = nodes.join(hSums, Seq("node"), "left").join(withA, Seq("node"))
+        .select(col("node"), coalesce(col("sh"), lit(0L)).as("hub"), col("auth"))
+        .checkpoint(eager = true)
+    }
+    scores
+  }
+
   /** Community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara, Phys. Rev. E 76, 2007): every node starts in its own
     * community (label = node id); each round, every node adopts the label

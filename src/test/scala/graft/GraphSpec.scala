@@ -415,4 +415,86 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
     assert(a == bruteScc(e))
   }
+
+  /** Brute BFS on the driver: min directed hop count from any source. */
+  private def bruteHops(edges: Seq[(Long, Long)], sources: Set[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    var k = 0L
+    while (frontier.nonEmpty && k < maxHops) {
+      k += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      next.foreach(n => dist += n -> k)
+      frontier = next
+    }
+    dist
+  }
+
+  test("shortestHops matches brute BFS, stops at the cap, keeps off-graph sources") {
+    // diamond + tail + an unreachable island; source 9 has no edges at all
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L)).toDF("src", "dst")
+    val got = Graph.shortestHops(e, Seq(1L, 9L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == bruteHops(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (7L, 8L)), Set(1L, 9L), 2))
+    assert(got(9L) == 0L)        // off-graph source still labeled
+    assert(!got.contains(5L))    // dist 3 > cap
+    assert(!got.contains(7L))    // unreachable island absent
+  }
+
+  test("shortestHops settles each node at its MINIMUM distance across paths") {
+    // two routes to 4: 1->4 (1 hop) and 1->2->3->4 (3 hops); BFS must keep 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.shortestHops(e, Seq(1L).toDF("node"), maxHops = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("shortestHops is invariant under input partitioning") {
+    val e = (0 until 300).map(i => (i.toLong % 29, (i.toLong * 5 + 2) % 29))
+    val src = Seq(0L, 1L)
+    val a = Graph.shortestHops(e.toDF("src", "dst").repartition(1),
+      src.toDF("node"), 6).as[(Long, Long)].collect().toMap
+    val b = Graph.shortestHops(e.toDF("src", "dst").repartition(11),
+      src.toDF("node"), 6).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a == bruteHops(e, src.toSet, 6))
+  }
+
+  /** Brute HITS on the driver: k unnormalized integer rounds. */
+  private def bruteHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    var hub = nodes.map(_ -> 1L).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      auth = nodes.map(n => n -> e.filter(_._2 == n).map(p => hub(p._1)).sum).toMap
+      hub = nodes.map(n => n -> e.filter(_._1 == n).map(p => auth(p._2)).sum).toMap
+    }
+    nodes.map(n => n -> (hub(n), auth(n))).toMap
+  }
+
+  test("hits matches brute unnormalized iteration; pure source/sink get zeros") {
+    // 1,2 -> 3 ; 3 -> 4 ; duplicates must not double-count
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 2).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == bruteHits(Seq((1L, 3L), (2L, 3L), (3L, 4L)), 2))
+    assert(got(1L)._2 == 0L) // pure source: zero authority
+    assert(got(4L)._1 == 0L) // pure sink: zero hub
+  }
+
+  test("hits is invariant under input partitioning") {
+    val e = (0 until 300).map(i => (i.toLong % 23, (i.toLong * 7 + 1) % 23))
+    val a = Graph.hits(e.toDF("src", "dst").repartition(1), 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val b = Graph.hits(e.toDF("src", "dst").repartition(9), 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(a == b)
+    assert(a == bruteHits(e, 2))
+  }
 }
