@@ -906,6 +906,66 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q143_ols" -> ((s, dir) =>
+      // per-slice closed-form regression: extended price explained by
+      // quantity and discount within each return flag — nine exact-decimal
+      // sufficient statistics per group in ONE pass, Cramer solve after
+      Stats.ols2(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity", "l_discount").orderBy("l_returnflag")),
+    "q142_keyness" -> ((s, dir) =>
+      // slice characterization: which words mark the English slice vs the
+      // rest of the corpus — Monroe et al. weighted log-odds with an
+      // informative Dirichlet prior, shrunk so rare words can't dominate
+      TextAnalysis.keyness(tp(s, dir, "documents"), col("lang") === "en")
+        .orderBy("word")),
+    "q141_cube" -> ((s, dir) => {
+      // the OLAP cube surface: revenue and row counts at every
+      // (priority × flag) granularity in ONE scan — Spark's Expand emits
+      // all four grouping sets without re-reading, grouping_id labels the
+      // stratum; money math in exact DECIMAL (the q01 discipline)
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          col("l_returnflag").as("flag"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .as("rev"))
+      j.cube(col("priority"), col("flag"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_rows"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("gid", "priority", "flag")
+    }),
+    "q140_hits" -> ((s, dir) => {
+      // hubs & authorities on the directed customer->supplier order graph
+      // (Kleinberg HITS, 2 unnormalized integer rounds): authorities =
+      // suppliers many well-connected customers buy from, hubs = customers
+      // whose purchases concentrate on authoritative suppliers — exact
+      // long sums, every round mirrored by the oracle's unrolled joins
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      Graph.hits(e, iters = 2).orderBy("node")
+    }),
+    "q139_bfs_hops" -> ((s, dir) => {
+      // trusted-radius gate: minimum directed hop count from the
+      // Brand#11 seed parts over the urgent-order part-chain graph
+      // (frontier BFS, exact within 8 hops) — the discrete complement of
+      // q85's TrustRank proximity score
+      val li = t(s, dir, "lineitem").join(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      val e = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").cast("long").as("src"))
+        .withColumn("dst", lead("src", 1).over(w))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+        .select("src", "dst")
+      val seeds = t(s, dir, "part").filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").cast("long").as("node"))
+      Graph.shortestHops(e, seeds, maxHops = 8).orderBy("node")
+    }),
     "q138_exact_quantiles" -> ((s, dir) =>
       // exact p50/p90/p99 of the event values with NO global sort: bucket
       // counts locate each target rank, a filtered second pass ranks only
@@ -1751,7 +1811,7 @@ object SparkEntry {
       "q37_text_stats" ->
         s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum($nTokens) AS BIGINT) AS total_tokens,
-           |  CAST(sum(CAST($qualitySql AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+           |  CAST(sum(CAST($qualitySql AS DECIMAL(12,6))) AS DOUBLE) AS sum_quality
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q38_text_quality" ->
         s"""SELECT doc_id, $nTokens AS n_tokens, $nDistinct AS n_distinct,
@@ -2683,15 +2743,137 @@ object SparkEntry {
           |          / (CAST(tot_new AS DOUBLE) + 0.5 * nb) AS p_new
           |      FROM m JOIN t ON m.feature = t.feature),
           |terms AS (SELECT feature, nb, tot_old, tot_new,
-          |        CAST(CAST(round(p_new - p_old, 6) AS DECIMAL(18,6))
-          |          * (CAST(round(ln(p_new), 6) AS DECIMAL(18,6))
-          |             - CAST(round(ln(p_old), 6) AS DECIMAL(18,6)))
+          |        CAST(CAST(round(p_new - p_old, 6) AS DECIMAL(12,6))
+          |          * (CAST(round(ln(p_new), 6) AS DECIMAL(12,6))
+          |             - CAST(round(ln(p_old), 6) AS DECIMAL(12,6)))
           |          AS DECIMAL(38,12)) AS term
           |      FROM j)
           |SELECT feature, nb AS n_buckets, tot_old AS n_old,
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q143_ols" -> // the same nine DECIMAL(18,6) sufficient statistics,
+        // cast to double once, then the IDENTICAL Cramer cofactor formulas
+        // in the identical evaluation order — bit-for-bit IEEE replay
+        """WITH s AS (SELECT l_returnflag,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    sum(CAST(l_quantity AS DECIMAL(12,6))) AS s1,
+          |    sum(CAST(l_discount AS DECIMAL(12,6))) AS s2,
+          |    sum(CAST(l_extendedprice AS DECIMAL(12,6))) AS sy,
+          |    sum(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(24,6))) AS s11,
+          |    sum(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_discount AS DECIMAL(24,6))) AS s12,
+          |    sum(CAST(l_discount AS DECIMAL(24,6)) * CAST(l_discount AS DECIMAL(24,6))) AS s22,
+          |    sum(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(24,6))) AS s1y,
+          |    sum(CAST(l_discount AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(24,6))) AS s2y,
+          |    sum(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(24,6))) AS syy
+          |  FROM lineitem
+          |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          |    AND l_extendedprice IS NOT NULL
+          |  GROUP BY 1),
+          |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+          |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+          |    CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+          |    CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+          |    CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+          |    CAST(syy AS DOUBLE) AS syy FROM s),
+          |m AS (SELECT *, s11 * s22 - s12 * s12 AS m0,
+          |    s1 * s22 - s12 * s2 AS m1, s1 * s12 - s11 * s2 AS m2 FROM d),
+          |dt AS (SELECT *, nd * m0 - s1 * m1 + s2 * m2 AS det FROM m
+          |       WHERE round(nd * m0 - s1 * m1 + s2 * m2, 9) <> 0.0e0),
+          |b AS (SELECT *,
+          |    (sy * m0 - s1 * (s1y * s22 - s12 * s2y)
+          |     + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+          |    (nd * (s1y * s22 - s12 * s2y) - sy * m1
+          |     + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+          |    (nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+          |     + sy * m2) / det AS b2
+          |  FROM dt)
+          |SELECT l_returnflag, n, round(b0, 6) AS b0, round(b1, 6) AS b1,
+          |  round(b2, 6) AS b2,
+          |  round(1.0e0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+          |        / (syy - sy * sy / nd), 6) AS r2
+          |FROM b ORDER BY l_returnflag""".stripMargin,
+      "q142_keyness" -> // exact long counts -> one IEEE prior formula; each
+        // ln rounded to 6 BEFORE the subtraction (the bigram-LM discipline)
+        """WITH tok AS (SELECT (lang = 'en') AS tgt,
+          |    unnest(string_split(text, ' ')) AS word FROM documents),
+          |c AS (SELECT word,
+          |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+          |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+          |  FROM tok WHERE word <> '' GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+          |    CAST(sum(cnt_b) AS BIGINT) AS n_b FROM c),
+          |j AS (SELECT c.*, tot.n_a, tot.n_b,
+          |    CAST(cnt_a + cnt_b AS DOUBLE) * 500.0e0
+          |      / CAST(n_a + n_b AS DOUBLE) AS aw
+          |  FROM c CROSS JOIN tot WHERE cnt_a + cnt_b >= 20),
+          |l AS (SELECT *,
+          |    round(ln((CAST(cnt_a AS DOUBLE) + aw)
+          |      / (CAST(n_a AS DOUBLE) + 500.0e0 - CAST(cnt_a AS DOUBLE) - aw)), 6) AS la,
+          |    round(ln((CAST(cnt_b AS DOUBLE) + aw)
+          |      / (CAST(n_b AS DOUBLE) + 500.0e0 - CAST(cnt_b AS DOUBLE) - aw)), 6) AS lb
+          |  FROM j),
+          |dl AS (SELECT *, round(la - lb, 6) AS delta FROM l)
+          |SELECT word, cnt_a, cnt_b, delta,
+          |  round(delta / sqrt(1.0e0 / (CAST(cnt_a AS DOUBLE) + aw)
+          |    + 1.0e0 / (CAST(cnt_b AS DOUBLE) + aw)), 6) AS z
+          |FROM dl ORDER BY word""".stripMargin,
+      "q141_cube" -> // DuckDB's CUBE + GROUPING share Spark's bitmask
+        // convention (leftmost argument = most significant bit); money in
+        // the q01 exact-DECIMAL discipline, cast to double once at the end
+        """SELECT o_orderpriority AS priority, l_returnflag AS flag,
+          |  CAST(GROUPING(o_orderpriority, l_returnflag) AS BIGINT) AS gid,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY CUBE(o_orderpriority, l_returnflag)
+          |ORDER BY gid, priority, flag""".stripMargin,
+      "q140_hits" -> // Graph.hits unrolled: two rounds, each two exact
+        // integer join-aggregates (auth gather then hub gather) over the
+        // deduplicated edge set, zeros via left-join coalesce — no
+        // normalization, so not one division anywhere in the mirror
+        """WITH e AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+          |                           CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+          |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+          |a1s AS (SELECT e.dst AS node, sum(h0.hub) AS sa
+          |        FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+          |a1 AS (SELECT n.node, CAST(coalesce(sa, 0) AS BIGINT) AS auth
+          |       FROM nodes n LEFT JOIN a1s USING (node)),
+          |h1s AS (SELECT e.src AS node, sum(a1.auth) AS sh
+          |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+          |h1 AS (SELECT n.node, CAST(coalesce(sh, 0) AS BIGINT) AS hub
+          |       FROM nodes n LEFT JOIN h1s USING (node)),
+          |a2s AS (SELECT e.dst AS node, sum(h1.hub) AS sa
+          |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+          |a2 AS (SELECT n.node, CAST(coalesce(sa, 0) AS BIGINT) AS auth
+          |       FROM nodes n LEFT JOIN a2s USING (node)),
+          |h2s AS (SELECT e.src AS node, sum(a2.auth) AS sh
+          |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+          |h2 AS (SELECT n.node, CAST(coalesce(sh, 0) AS BIGINT) AS hub
+          |       FROM nodes n LEFT JOIN h2s USING (node))
+          |SELECT n.node, h2.hub, a2.auth FROM nodes n
+          |JOIN h2 USING (node) JOIN a2 USING (node) ORDER BY node""".stripMargin,
+      "q139_bfs_hops" -> // BFS needs no iteration mirroring: the
+        // hop-capped reachability recursion's min(dist) IS the BFS level,
+        // so the green hash proves the frontier/anti-join loop exact
+        """WITH RECURSIVE e AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT CAST(l_partkey AS BIGINT) AS src,
+          |      CAST(lead(l_partkey) OVER (PARTITION BY l_orderkey
+          |                                 ORDER BY l_linenumber) AS BIGINT) AS dst
+          |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |    WHERE o_orderpriority = '1-URGENT')
+          |  WHERE dst IS NOT NULL AND dst <> src),
+          |s AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS node
+          |      FROM part WHERE p_brand = 'Brand#11'),
+          |d AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s
+          |      UNION
+          |      SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node
+          |      WHERE d.dist < 8)
+          |SELECT node, min(dist) AS dist FROM d GROUP BY 1 ORDER BY node""".stripMargin,
       "q138_exact_quantiles" -> // the oracle never sees the buckets: the
         // k-th smallest value is bucket-independent, so a plain global
         // rank proves the two-pass selection exact
@@ -2782,8 +2964,8 @@ object SparkEntry {
           |evt AS (SELECT t, n - cb AS n_risk, d FROM rk WHERE d > 0),
           |lf AS (SELECT *, CASE WHEN d < n_risk THEN
           |         CAST(round(ln(1.0e0 - CAST(d AS DOUBLE)
-          |           / CAST(n_risk AS DOUBLE)), 6) AS DECIMAL(18,6))
-          |         ELSE CAST(0 AS DECIMAL(18,6)) END AS lfv FROM evt),
+          |           / CAST(n_risk AS DOUBLE)), 6) AS DECIMAL(12,6))
+          |         ELSE CAST(0 AS DECIMAL(12,6)) END AS lfv FROM evt),
           |cm AS (SELECT t, n_risk, d,
           |        max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
@@ -2808,7 +2990,7 @@ object SparkEntry {
              |       FROM m$i),
              |g$i AS (SELECT ds.slot,
              |         sum(CAST(round(p$i.p - CAST(p$i.y AS DOUBLE), 6)
-             |             AS DECIMAL(18,6))) AS grad
+             |             AS DECIMAL(12,6))) AS grad
              |       FROM ds JOIN p$i ON ds.doc_id = p$i.doc_id GROUP BY 1),
              |w$i AS (SELECT w.slot,
              |         CAST(round(CAST(w.w AS DOUBLE) - 0.5e0 *
@@ -2945,15 +3127,15 @@ object SparkEntry {
           |b AS (SELECT c.feature, c.bucket, c.n_pos, c.n_neg,
           |        (CAST(round(ln((CAST(n_pos AS DOUBLE) + 0.5e0)
           |            / (CAST(tp AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE))), 6)
-          |            AS DECIMAL(18,6))
+          |            AS DECIMAL(12,6))
           |         - CAST(round(ln((CAST(n_neg AS DOUBLE) + 0.5e0)
           |            / (CAST(tn AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE))), 6)
-          |            AS DECIMAL(18,6))) AS woe_d,
+          |            AS DECIMAL(12,6))) AS woe_d,
           |        CAST(round((CAST(n_pos AS DOUBLE) + 0.5e0)
           |            / (CAST(tp AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE))
           |          - (CAST(n_neg AS DOUBLE) + 0.5e0)
           |            / (CAST(tn AS DOUBLE) + 0.5e0 * CAST(nb AS DOUBLE)), 6)
-          |          AS DECIMAL(18,6)) AS p_diff
+          |          AS DECIMAL(12,6)) AS p_diff
           |      FROM c JOIN t ON c.feature = t.feature),
           |iv AS (SELECT feature,
           |        round(CAST(sum(CAST(p_diff * woe_d AS DECIMAL(38,12)))
@@ -3202,8 +3384,8 @@ object SparkEntry {
           |    ON r.user_id = o.user_id AND r.bucket = o.bucket),
           |mom AS (
           |  SELECT *,
-          |    sum(CAST(v AS DECIMAL(18,6))) OVER w AS s1,
-          |    sum(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+          |    sum(CAST(v AS DECIMAL(12,6))) OVER w AS s1,
+          |    sum(CAST(v AS DECIMAL(12,6)) * CAST(v AS DECIMAL(12,6)))
           |      OVER w AS s2,
           |    count(v) OVER w AS n
           |  FROM filled

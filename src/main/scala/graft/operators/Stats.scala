@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-group least-squares trend and correlation — the drift detector
@@ -195,5 +195,73 @@ object Stats {
       .select(col("n_pos"), col("n_neg"),
         round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double")
           / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+  }
+
+  /** Per-group two-feature ordinary least squares — y = b0 + b1·x1 + b2·x2
+    * fit in closed form from the normal equations (Cramer's rule on the
+    * 3×3 Gram matrix), the multi-feature extension of [[trendPerGroup]].
+    * The pipeline use: thousands of per-slice regressions (quality vs
+    * length and repetition per source; cost vs size and depth per job
+    * class) in ONE aggregation pass — no solver loop, no ML library, no
+    * driver iteration.
+    *
+    * Scale shape: a single groupBy computing nine sufficient statistics
+    * (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y) that all
+    * partial-combine map-side — one node-sized exchange regardless of
+    * group cardinality or skew; the closed-form solve is a narrow per-row
+    * formula afterwards.
+    *
+    * Determinism: inputs quantize to DECIMAL(18,6) so every product is
+    * exact and every sum is association-order-independent; the sums cast
+    * to double ONCE and the determinant/solve formulas are fixed-shape
+    * IEEE arithmetic any engine replays bit-identically, rounded to 6 at
+    * the end. Groups with a singular Gram matrix (det rounds to 0 at the
+    * 1e-9 guard: collinear or constant features, n < 3) are dropped —
+    * emitting garbage coefficients would be worse than absence.
+    * Output: (group, n, b0, b1, b2, r2). */
+  def ols2(df: DataFrame, groupCol: String, yCol: String,
+      x1Col: String, x2Col: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(12,6)")
+    val (x1, x2, y) = (d6(col(x1Col)), d6(col(x2Col)), d6(col(yCol)))
+    val sums = df
+      .filter(col(x1Col).isNotNull && col(x2Col).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(x1).as("s1"), sum(x2).as("s2"),
+        sum(y).as("sy"), sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"),
+        sum(x2 * x2).as("s22"), sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"),
+        sum(y * y).as("syy"))
+    val dbl = sums.select(Seq(col(groupCol), col("n")) ++
+      Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+        .map(c => col(c).cast("double").as(c)): _*)
+    // Cramer: A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs = [sy,s1y,s2y].
+    // Cofactor terms written once and reused so the SQL mirror can replay
+    // the exact IEEE evaluation order.
+    val m = dbl
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("m0", col("s11") * col("s22") - col("s12") * col("s12"))
+      .withColumn("m1", col("s1") * col("s22") - col("s12") * col("s2"))
+      .withColumn("m2", col("s1") * col("s12") - col("s11") * col("s2"))
+      .withColumn("det", col("nd") * col("m0") - col("s1") * col("m1")
+        + col("s2") * col("m2"))
+      .filter(round(col("det"), 9) =!= 0.0)
+      .withColumn("b0", (col("sy") * col("m0")
+        - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+        + col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y")))
+        / col("det"))
+      .withColumn("b1", (col("nd") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+        - col("sy") * col("m1")
+        + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2")))
+        / col("det"))
+      .withColumn("b2", (col("nd") * (col("s11") * col("s2y") - col("s1y") * col("s12"))
+        - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+        + col("sy") * col("m2"))
+        / col("det"))
+      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("nd"))
+      .withColumn("sse", col("syy") - (col("b0") * col("sy")
+        + col("b1") * col("s1y") + col("b2") * col("s2y")))
+    m.select(col(groupCol), col("n"),
+      round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+      round(col("b2"), 6).as("b2"),
+      round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
   }
 }

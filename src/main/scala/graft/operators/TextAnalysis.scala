@@ -320,6 +320,58 @@ object TextAnalysis {
         expr("(n_unique * 1000000L) div n_grams").as("novelty_ppm"))
   }
 
+  /** Corpus keyness by weighted log-odds with an informative Dirichlet
+    * prior (Monroe, Colaresi & Quinn, Political Analysis 2008 — the
+    * "fightin' words" statistic): which words are over-represented in the
+    * target slice vs the rest of the corpus, shrunk toward corpus-wide
+    * usage so rare words can't dominate on noise. The curation use:
+    * characterize what a source/language/cluster actually contains before
+    * deciding its mixture weight, and surface contamination-style
+    * vocabulary drift between slices (the word-level complement of the
+    * distribution-level PSI drift report).
+    *
+    *   α_w     = α0 · (y_aw + y_bw) / n          (informative prior)
+    *   δ_w     = ln[(y_aw+α_w)/(n_a+α0−y_aw−α_w)]
+    *           − ln[(y_bw+α_w)/(n_b+α0−y_bw−α_w)]
+    *   z_w     = δ_w / sqrt(1/(y_aw+α_w) + 1/(y_bw+α_w))
+    *
+    * Scale shape: word-count family — one token-count aggregate
+    * (map-side combining, hot words collapse before the exchange), one
+    * 3-scalar corpus-total row cross-joined back as plan-time constants
+    * (the catalog-statistic analogue), then a narrow per-word formula.
+    * Linear, no pairing, no window.
+    *
+    * Determinism: counts are exact longs; α_w is one IEEE multiply+divide;
+    * each ln is rounded to 6 decimals before the subtraction (the bigram-LM
+    * discipline — engine `ln` implementations may differ in the last ulp,
+    * 6-decimal rounding absorbs it), and δ, z are rounded to 6.
+    * Output: (word, cnt_a, cnt_b, delta, z) for words with
+    * cnt_a + cnt_b ≥ `minCount`. */
+  def keyness(docs: DataFrame, target: Column, alpha0: Double = 500.0,
+      minCount: Long = 20L): DataFrame = {
+    val tok = docs.select(target.cast("boolean").as("tgt"),
+        explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val counts = tok.groupBy("word").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"))
+    val j = counts.filter(col("cnt_a") + col("cnt_b") >= minCount)
+      .crossJoin(broadcast(totals))
+    val aw = (col("cnt_a") + col("cnt_b")).cast("double") * lit(alpha0) /
+      (col("n_a") + col("n_b")).cast("double")
+    def lnOdds(cnt: Column, n: Column): Column = round(log(
+      (cnt.cast("double") + col("aw")) /
+        (n.cast("double") + lit(alpha0) - cnt.cast("double") - col("aw"))), 6)
+    j.withColumn("aw", aw)
+      .withColumn("la", lnOdds(col("cnt_a"), col("n_a")))
+      .withColumn("lb", lnOdds(col("cnt_b"), col("n_b")))
+      .withColumn("delta", round(col("la") - col("lb"), 6))
+      .select(col("word"), col("cnt_a"), col("cnt_b"), col("delta"),
+        round(col("delta") / sqrt(lit(1.0) / (col("cnt_a").cast("double") + col("aw"))
+          + lit(1.0) / (col("cnt_b").cast("double") + col("aw"))), 6).as("z"))
+  }
+
   def docStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -161,4 +161,31 @@ class StatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(a.getAs[Double]("auc") == expect)
   }
+
+  test("ols2 recovers exact planted coefficients on a noiseless fixture") {
+    // y = 2 + 3*x1 - 5*x2 exactly: OLS must recover (2, 3, -5) with r2 = 1
+    val rows = for (i <- 1 to 40) yield {
+      val x1 = i % 7 + 1.0; val x2 = (i * 3) % 5 + 0.5
+      ("g", x1, x2, 2.0 + 3.0 * x1 - 5.0 * x2)
+    }
+    val got = Stats.ols2(rows.toDF("grp", "x1", "x2", "y"), "grp", "y", "x1", "x2")
+      .collect().head
+    assert(got.getAs[Double]("b0") == 2.0)
+    assert(got.getAs[Double]("b1") == 3.0)
+    assert(got.getAs[Double]("b2") == -5.0)
+    assert(got.getAs[Double]("r2") == 1.0)
+  }
+
+  test("ols2 drops singular groups (collinear feature) and is partition-invariant") {
+    val good = (1 to 30).map(i => ("ok", i % 6 + 1.0, (i * 7) % 4 + 1.0, i % 9 + 0.25))
+    // x2 = 2*x1: Gram matrix singular -> group must be absent, not garbage
+    val bad = (1 to 30).map(i => ("sing", i % 6 + 1.0, 2.0 * (i % 6 + 1), i % 5 + 0.5))
+    val df = (good ++ bad).toDF("grp", "x1", "x2", "y")
+    val a = Stats.ols2(df.repartition(1), "grp", "y", "x1", "x2")
+      .orderBy("grp").collect().toSeq
+    val b = Stats.ols2(df.repartition(13), "grp", "y", "x1", "x2")
+      .orderBy("grp").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getString(0)) == Seq("ok"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions.col
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -207,5 +208,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.exists(t => t._2 == "A" && t._3 == 10L), "A's longest dropped")
     assert(got.count(_._2 == "B") == 4, "constant-length source fully survives")
     intercept[IllegalArgumentException](TextAnalysis.quantileLengthGate(df, 90, 10))
+  }
+
+  test("keyness: target-exclusive word scores positive, shared word near zero") {
+    // 'alpha' only in target docs, 'beta' only in background, 'common' in both
+    val tgt = (1 to 20).map(i => (i.toLong, "en", ("alpha common " * 3).trim))
+    val bg = (21 to 40).map(i => (i.toLong, "de", ("beta common " * 3).trim))
+    val df = (tgt ++ bg).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.keyness(df, col("lang") === "en", minCount = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double](3), r.getAs[Double](4))).toMap
+    assert(got.keySet == Set("alpha", "beta", "common"))
+    assert(got("alpha")._1 == 60L && got("alpha")._2 == 0L)
+    assert(got("alpha")._4 > 1.0, s"target-exclusive z: ${got("alpha")}")
+    assert(got("beta")._4 < -1.0, s"background-exclusive z: ${got("beta")}")
+    assert(math.abs(got("common")._4) < 0.5, s"balanced word z: ${got("common")}")
+    // prior shrinkage: z is finite even for zero counts on one side
+    assert(!got("alpha")._4.isInfinite && !got("beta")._4.isInfinite)
+  }
+
+  test("keyness: deterministic across partitionings, minCount gates rare words") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else "xx",
+        s"w${i % 7} w${i % 5} rare${i}"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val a = TextAnalysis.keyness(df.repartition(1), col("lang") === "en", minCount = 5)
+      .orderBy("word").collect().toSeq
+    val b = TextAnalysis.keyness(df.repartition(11), col("lang") === "en", minCount = 5)
+      .orderBy("word").collect().toSeq
+    assert(a == b)
+    assert(!a.exists(_.getString(0).startsWith("rare")), "singletons gated out")
   }
 }
