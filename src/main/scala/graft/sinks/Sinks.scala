@@ -134,6 +134,37 @@ object Sinks {
       .option("header", value = false).option("compression", "bzip2")
       .csv(s"$spoolDir/batch_$batchTag")
 
+  /** Bucketed at-rest layout — the storage-side half of every "only the
+    * small table moves" claim in this library. `bucketBy(n, keys)` +
+    * `sortBy(keys)` hash-partitions rows into a FIXED number of buckets on
+    * the join/aggregation keys and sorts within each, so a later
+    * equi-join or groupBy on those keys between two tables bucketed the
+    * same way runs as a sort-merge join with no exchange on the key
+    * (and, once buckets are compacted to one file each, no read-side
+    * sort) — the co-location PageRank/CC/LSH simulate per-job with
+    * `repartition(col).checkpoint` becomes a property of the DATA, paid
+    * once at write time and amortized over every subsequent query.
+    * At 100 TB this is the difference between shuffling the fact table
+    * per join and never shuffling it at all.
+    *
+    * Spark's bucketing metadata lives in the catalog, so this writes a
+    * TABLE (`saveAsTable`), not a bare path — callers point
+    * `spark.sql.warehouse.dir` wherever the lake lives. Bucket count is
+    * a layout contract: both sides of a co-located join must agree on it
+    * (or divide evenly, with `spark.sql.bucketing.coalesceBucketsInJoin`).
+    * BucketedJoinSpec pins the exchange-free join and aggregate plans. */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketedTable needs bucket columns")
+    require(buckets > 0, "writeBucketedTable needs a positive bucket count")
+    val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** K5 shape: fan a single materialized batch out to several sinks without
     * recomputing the plan (the reference re-reads the CSV per mirror; here we
     * cache the batch once). */

@@ -300,6 +300,33 @@ object ScaleProbe {
           when(col("event_type") === "error", "d").otherwise("u").as("op")),
         Seq("user_id"), Seq("ts", "event_id"), "op").count()
     }
+    time("bfs_hops_6") {
+      // frontier BFS from 100 seeds over the same growing random graph:
+      // per-round cost tracks the frontier's out-edges, not the graph
+      val nNodes = 100000L * k
+      val edges = events.select(
+        pmod(xxhash64(col("event_id"), lit(1)), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("event_id"), lit(2)), lit(nNodes)).as("dst"))
+      val seeds = edges.select((col("src") % 1000L).as("node")).distinct().limit(100)
+      Graph.shortestHops(edges, seeds, maxHops = 6).count()
+    }
+    time("hits_2rounds") {
+      val nNodes = 100000L * k
+      val edges = events.select(
+        pmod(xxhash64(col("event_id"), lit(1)), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("event_id"), lit(2)), lit(nNodes)).as("dst"))
+      Graph.hits(edges, iters = 2).count()
+    }
+    time("keyness") {
+      TextAnalysis.keyness(docs, col("lang") === "en").count()
+    }
+    time("ols2_per_group") {
+      graft.operators.Stats.ols2(
+        events.select(col("event_type"),
+          (col("user_id") % 97).cast("double").as("x1"),
+          (col("event_id") % 31).cast("double").as("x2"), col("value")),
+        "event_type", "value", "x1", "x2").count()
+    }
     time("triangles") {
       // same growing random graph as the pagerank probe: ~1M·k directed
       // edges over 100k·k nodes; wedge volume stays near-linear because the
