@@ -105,6 +105,10 @@ object SparkEntry {
     * sibling — derived, so the oracle needs no fourth pinned property). */
   def semIndexPath(dir: String): String = ivfIndexPath(dir) + "_sem"
 
+  /** Where q154 materializes its own cell layout (q66's sibling-path
+    * convention, so concurrently-verified indexes never clobber). */
+  def outIndexPath(dir: String): String = ivfIndexPath(dir) + "_out"
+
   /** Where q102 persists its inverted retrieval index — same per-SF keying
     * contract as [[ivfIndexPath]]; the oracle recomputes from `documents`
     * (index-served == from-scratch is the point of the check), so no
@@ -906,6 +910,75 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q154_emb_outliers" -> ((s, dir) => {
+      // embedding quality gate: vectors below their cell's 5th-percentile
+      // cosine-to-centroid are flagged (cluster-distance outlier filter);
+      // threshold = exact per-cell ceil-rank percentile off the stored
+      // cell layout (own sibling path, q66 convention)
+      val emb = t(s, dir, "embeddings")
+      val path = outIndexPath(dir)
+      Similarity.writeIvfIndex(emb, path, nlist = 16)
+      Similarity.centroidOutliers(s, path, pPct = 5).orderBy("vec_id")
+    }),
+    "q153_conformal" -> ((s, dir) =>
+      // distribution-free prediction intervals per event type: calibrate
+      // |v − mean| on a deterministic half split, pick the exact conformal
+      // rank, report held-out coverage (sits at/above 90%)
+      Classify.conformalReport(t(s, dir, "events").filter(col("value").isNotNull),
+        "event_type", "event_id", "value", calFrac = 0.5, alphaPct = 10)
+        .orderBy("grp")),
+    "q152_sq8" -> ((s, dir) =>
+      // int8-range scalar quantization audit: per-dimension affine params
+      // and the exact reconstruction error switching ANN serving to SQ8
+      // would cost — 4x compression, no codebook
+      Pq.sq8Report(t(s, dir, "embeddings"), "embedding").orderBy("i")),
+    "q151_textrank" -> ((s, dir) =>
+      // unsupervised keyword extraction: PageRank over the window-2 word
+      // co-occurrence graph (TextRank), 5 integer fixed-point rounds,
+      // global top-20 by rank
+      TextAnalysis.textRankKeywords(tp(s, dir, "documents"), window = 2, k = 20)
+        .orderBy(col("rank").desc, col("word").asc)),
+    "q150_markov" -> ((s, dir) =>
+      // next-action model: first-order transition matrix over each user's
+      // time-ordered events, absorbing "(end)" state, row-normalized
+      Funnel.markovTransitions(t(s, dir, "events"), "user_id", "event_type",
+        "ts", "event_id").orderBy("from_state", "to_state")),
+    "q149_trending" -> ((s, dir) =>
+      // trending users per event type: half-life-decayed activity counts
+      // (168 h), bounded top-10 per type — recency-weighted leaderboard
+      TimeSeries.decayedTopK(t(s, dir, "events"), "event_type", "user_id",
+        "ts", halfLifeHours = 168, k = 10).orderBy("event_type", "rank")),
+    "q148_benford" -> ((s, dir) =>
+      // first-digit conformance of line-item amounts per return flag: the
+      // synthetic-data / tampering smell test (Benford's law)
+      Dq.benfordReport(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy("grp", "digit")),
+    "q147_chi2" -> ((s, dir) =>
+      // is document source independent of language? Pearson chi-square +
+      // Cramér's V off ONE corpus aggregate (cell counts)
+      Stats.chiSquareIndependence(t(s, dir, "documents"), "source", "lang")),
+    "q146_welch" -> ((s, dir) =>
+      // continuous-metric A/B readout: Welch unequal-variance t between
+      // click and purchase event values, sufficient statistics only
+      Stats.welchTTest(t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase")),
+        "event_type", "value")),
+    "q145_stump" -> ((s, dir) =>
+      // depth-1 CART split search: which single threshold on length or
+      // token count best separates English docs — bucketized candidates,
+      // exact Gini from integer counts
+      Classify.decisionStump(
+        t(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("long"))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+        "y", Seq(("n_chars", 200.0), ("n_tokens", 10.0)))
+        .orderBy("feature")),
+    "q144_pca" -> ((s, dir) =>
+      // top principal component of the embedding table by power iteration
+      // — X^T(Xv) streaming passes, never materializing the covariance;
+      // anisotropy gauge (eigval share of total variance) alongside
+      Pca.pcaTopComponent(t(s, dir, "embeddings"), "embedding", dim = 64,
+        iters = 3)),
     "q143_ols" -> ((s, dir) =>
       // per-slice closed-form regression: extended price explained by
       // quantity and discount within each return flag — nine exact-decimal
@@ -2752,6 +2825,311 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q154_emb_outliers" -> {
+        // centroidOutliers replayed off the SAME stored cell layout (q42's
+        // read pattern, "_out" sibling path): cosine-to-own-centroid via
+        // the identical sequential-fold cosine, exact per-cell ceil-rank
+        // threshold, same tie order
+        val p = sys.props.getOrElse("graft.ivf.path",
+          ivfIndexPath("/root/testdata/sf0.01")) + "_out"
+        s"""WITH cent AS (SELECT CAST(cid AS BIGINT) AS cid, center
+           |              FROM read_parquet('$p/centroids/*.parquet')),
+           |v AS (SELECT CAST(cid AS BIGINT) AS cid, vec_id, embedding::DOUBLE[] AS emb
+           |      FROM read_parquet('$p/vectors/*/*.parquet', hive_partitioning=1)),
+           |sc AS (SELECT v.vec_id, v.cid, ${cosineSql("v.emb", "cent.center")} AS ccos
+           |       FROM v JOIN cent ON v.cid = cent.cid),
+           |cn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY cid),
+           |rk AS (SELECT sc.cid, ccos,
+           |         row_number() OVER (PARTITION BY sc.cid
+           |           ORDER BY ccos ASC, vec_id ASC) AS rn,
+           |         (n * 5 + 99) // 100 AS target
+           |       FROM sc JOIN cn ON sc.cid = cn.cid),
+           |thr AS (SELECT cid, ccos AS thr FROM rk WHERE rn = target)
+           |SELECT sc.vec_id, sc.cid, sc.ccos, thr.thr, sc.ccos < thr.thr AS outlier
+           |FROM sc JOIN thr ON sc.cid = thr.cid ORDER BY sc.vec_id""".stripMargin
+      },
+      "q153_conformal" -> {
+        // conformalReport replayed: the deterministic unit-hash split, the
+        // round-6 residuals, the exact conformal rank pick (ties by id),
+        // and the held-out coverage — every formula textually parallel
+        val u = graft.operators.Sampling.unitHashSql("id")
+        s"""WITH r AS (SELECT event_type AS grp, event_id AS id,
+           |             CAST(value AS DOUBLE) AS v
+           |           FROM events WHERE value IS NOT NULL),
+           |sp AS (SELECT grp, id, v, ($u < 0.5e0) AS cal FROM r),
+           |model AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+           |    round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE), 6) AS mean_cal
+           |  FROM sp WHERE cal GROUP BY grp),
+           |mt AS (SELECT grp, n_cal, mean_cal,
+           |    least(n_cal, ((n_cal + 1) * 90 + 99) // 100) AS target FROM model),
+           |cr AS (SELECT sp.grp, id, round(abs(v - mean_cal), 6) AS res
+           |       FROM sp JOIN mt ON sp.grp = mt.grp WHERE cal),
+           |rk AS (SELECT cr.grp, res, row_number() OVER (PARTITION BY cr.grp
+           |         ORDER BY res ASC, id ASC) AS rn, target
+           |       FROM cr JOIN mt ON cr.grp = mt.grp),
+           |qh AS (SELECT grp, res AS qhat FROM rk WHERE rn = target),
+           |test AS (SELECT sp.grp, CAST(count(*) AS BIGINT) AS n_test,
+           |    CAST(sum(CASE WHEN round(abs(v - mean_cal), 6) <= qhat
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+           |  FROM sp JOIN mt ON sp.grp = mt.grp JOIN qh ON sp.grp = qh.grp
+           |  WHERE NOT cal GROUP BY sp.grp)
+           |SELECT mt.grp, n_cal, n_test, mean_cal, qhat,
+           |       round(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
+           |FROM mt JOIN qh ON mt.grp = qh.grp JOIN test ON mt.grp = test.grp
+           |ORDER BY mt.grp""".stripMargin
+      },
+      "q152_sq8" -> // sq8Report replayed: per-dim min/max params, the same
+        // affine code/dequantize double formulas, DECIMAL(38,12) error sums
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          |d64 AS (SELECT unnest(range(0, 64)) AS i),
+          |rws AS (SELECT vec_id, i, emb[i + 1] AS x FROM e CROSS JOIN d64),
+          |par AS (SELECT i, min(x) AS lo, max(x) AS hi FROM rws GROUP BY i),
+          |q AS (SELECT rws.i, lo, hi, x,
+          |        CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+          |             ELSE CAST(round((x - lo) / (hi - lo) * 255.0e0, 0) AS BIGINT)
+          |        END AS code
+          |      FROM rws JOIN par ON rws.i = par.i),
+          |v AS (SELECT i, lo, hi, x,
+          |        lo + CAST(code AS DOUBLE) / 255.0e0 * (hi - lo) AS dq FROM q)
+          |SELECT CAST(i AS BIGINT) AS i, min(lo) AS lo, min(hi) AS hi,
+          |       round(CAST(sum(CAST(round((x - dq) * (x - dq), 12)
+          |               AS DECIMAL(38,12))) AS DOUBLE)
+          |         / CAST(count(*) AS DOUBLE), 9) AS mse,
+          |       max(round(abs(x - dq), 9)) AS max_err
+          |FROM v GROUP BY i ORDER BY i""".stripMargin,
+      "q151_textrank" -> {
+        // textRankKeywords replayed: the filtered token sequence, window-2
+        // co-occurrence edges (lead over surviving positions), symmetrize,
+        // then the q69 fixed-point integer PageRank CTEs, joined back to
+        // words via the same polynomial hash
+        val stop = graft.operators.TextAnalysis.Stopwords
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        val iterCtes = (1 to 5).map { k =>
+          s"""r$k AS (SELECT e.dst AS node, d.deg,
+             |  CAST((15 * 1000000000000000) // (100 * n.n)
+             |       + (85 * sum(p.ru // p.deg)) // 100 AS BIGINT) AS ru
+             |  FROM e JOIN r${k - 1} p ON e.src = p.node
+             |         JOIN deg d ON e.dst = d.node CROSS JOIN n
+             |  GROUP BY e.dst, d.deg, n.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tkn AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |t0 AS (SELECT doc_id, unnest([struct_pack(p := i - 1, tok := toks[i])
+           |                              for i in range(1, len(toks) + 1)]) AS s FROM tkn),
+           |tok AS (SELECT doc_id, s.p AS pos, s.tok AS tok FROM t0
+           |        WHERE length(s.tok) >= 3 AND s.tok NOT IN $stop),
+           |ld AS (SELECT doc_id, tok,
+           |         lead(tok, 1) OVER w AS n1, lead(tok, 2) OVER w AS n2
+           |       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |pe AS (SELECT ${polyHashSql("tok")} AS src, ${polyHashSql("n1")} AS dst
+           |         FROM ld WHERE n1 IS NOT NULL AND n1 <> tok
+           |       UNION ALL
+           |       SELECT ${polyHashSql("tok")}, ${polyHashSql("n2")}
+           |         FROM ld WHERE n2 IS NOT NULL AND n2 <> tok),
+           |e0 AS (SELECT DISTINCT src, dst FROM pe),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT node, deg, CAST(1000000000000000 // n.n AS BIGINT) AS ru
+           |       FROM deg CROSS JOIN n),
+           |$iterCtes,
+           |wrd AS (SELECT DISTINCT tok AS word FROM tok),
+           |wn AS (SELECT word, ${polyHashSql("word")} AS node FROM wrd)
+           |SELECT word, deg, CAST(ru AS DOUBLE) / 1.0e15 AS rank
+           |FROM r5 JOIN wn ON r5.node = wn.node
+           |ORDER BY rank DESC, word ASC LIMIT 20""".stripMargin
+      },
+      "q150_markov" -> // markovTransitions replayed: per-user lead window
+        // with the same (ts, event_id) tie order, "(end)" absorbing state,
+        // row-normalized round-6 probabilities
+        """WITH p AS (SELECT user_id, event_type AS from_state,
+          |  coalesce(lead(event_type, 1) OVER (PARTITION BY user_id
+          |    ORDER BY epoch_ns(ts) ASC, event_id ASC), '(end)') AS to_state
+          |  FROM events),
+          |c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+          |      FROM p GROUP BY 1, 2),
+          |rt AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1)
+          |SELECT c.from_state, to_state, n,
+          |       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+          |FROM c JOIN rt ON c.from_state = rt.from_state
+          |ORDER BY c.from_state, to_state""".stripMargin,
+      "q149_trending" -> // decayedTopK replayed: corpus-max asOf, integer
+        // hour quantization (floor div of ns), round-6 pow weights summed
+        // as DECIMAL(38,6), per-group rank by (score desc, item asc)
+        """WITH ao AS (SELECT max(epoch_ns(ts)) AS a FROM events),
+          |s AS (SELECT event_type AS g, user_id AS item,
+          |        round(pow(0.5e0, CAST((a - epoch_ns(ts)) // 3600000000000 AS DOUBLE)
+          |          / 168.0e0), 6) AS wt
+          |      FROM events CROSS JOIN ao),
+          |sc AS (SELECT g, item,
+          |         CAST(sum(CAST(wt AS DECIMAL(38,6))) AS DOUBLE) AS score
+          |       FROM s GROUP BY g, item),
+          |rk AS (SELECT g, item, score, row_number() OVER (PARTITION BY g
+          |         ORDER BY score DESC, item ASC) AS rank FROM sc)
+          |SELECT g AS event_type, item AS user_id, round(score, 6) AS score,
+          |       CAST(rank AS BIGINT) AS rank
+          |FROM rk WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin,
+      "q148_benford" -> // benfordReport replayed: integer-cents leading
+        // digit (integer-to-string is the portable move), dense 1..9 grid,
+        // round-6 shares vs log10(1 + 1/d)
+        """WITH obs AS (SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+          |    CAST(substr(CAST(CAST(round(l_extendedprice * 100.0e0, 0) AS BIGINT)
+          |      AS VARCHAR), 1, 1) AS INT) AS digit
+          |  FROM lineitem
+          |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0.0e0),
+          |c AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS ct
+          |      FROM obs GROUP BY 1, 2),
+          |tot AS (SELECT grp, sum(ct) AS tot FROM c GROUP BY 1),
+          |grid AS (SELECT grp, tot, CAST(d.d AS INT) AS digit
+          |         FROM tot CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d)
+          |SELECT g.grp, g.digit, coalesce(ct, CAST(0 AS BIGINT)) AS n,
+          |       round(CAST(coalesce(ct, 0) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+          |       round(log10(1.0e0 + 1.0e0 / CAST(g.digit AS DOUBLE)), 6) AS expected,
+          |       round(round(CAST(coalesce(ct, 0) AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+          |         - round(log10(1.0e0 + 1.0e0 / CAST(g.digit AS DOUBLE)), 6), 6) AS dev
+          |FROM grid g LEFT JOIN c ON g.grp = c.grp AND g.digit = c.digit
+          |ORDER BY g.grp, g.digit""".stripMargin,
+      "q147_chi2" -> // chiSquareIndependence replayed: exact cell counts,
+        // expected from double margins, round-6 terms summed as
+        // DECIMAL(38,6); Cramér's V off the UNROUNDED chi2 like the Spark
+        // select
+        """WITH cells AS (SELECT CAST(source AS VARCHAR) AS r,
+          |    CAST(lang AS VARCHAR) AS c, CAST(count(*) AS BIGINT) AS o
+          |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+          |  GROUP BY 1, 2),
+          |rt AS (SELECT r, sum(o) AS rt FROM cells GROUP BY 1),
+          |ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY 1),
+          |tot AS (SELECT sum(o) AS nn FROM cells),
+          |terms AS (SELECT cells.r, cells.c, o, nn,
+          |    round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+          |        / CAST(nn AS DOUBLE))
+          |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+          |        / CAST(nn AS DOUBLE))
+          |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+          |      AS term
+          |  FROM cells JOIN rt ON cells.r = rt.r JOIN ct ON cells.c = ct.c
+          |  CROSS JOIN tot),
+          |agg AS (SELECT CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+          |    CAST(count(DISTINCT r) - 1 AS BIGINT) AS dof_r,
+          |    CAST(count(DISTINCT c) - 1 AS BIGINT) AS dof_c,
+          |    max(nn) AS n FROM terms)
+          |SELECT round(chi2, 6) AS chi2, dof_r * dof_c AS dof, n,
+          |       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+          |         * CAST(least(dof_r, dof_c) AS DOUBLE))), 6) AS cramers_v
+          |FROM agg""".stripMargin,
+      "q146_welch" -> // welchTTest replayed: per-arm DECIMAL(12,6)
+        // sufficient statistics, the identical variance / t / Satterthwaite
+        // formulas in the identical evaluation order
+        """WITH r AS (SELECT event_type AS g, CAST(value AS DECIMAL(12,6)) AS v
+          |  FROM events WHERE event_type IN ('click', 'purchase')
+          |    AND value IS NOT NULL),
+          |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(v) AS sv,
+          |    sum(v * v) AS svv FROM r GROUP BY g),
+          |a AS (SELECT g AS group_a, n AS n_a, sv AS sv_a, svv AS svv_a
+          |      FROM agg ORDER BY g ASC LIMIT 1),
+          |b AS (SELECT g AS group_b, n AS n_b, sv AS sv_b, svv AS svv_b
+          |      FROM agg ORDER BY g DESC LIMIT 1),
+          |j AS (SELECT * FROM a CROSS JOIN b WHERE group_a <> group_b),
+          |f AS (SELECT group_a, group_b, n_a, n_b,
+          |    CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+          |    CAST(sv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+          |    ((CAST(svv_a AS DOUBLE) - CAST(sv_a AS DOUBLE) * CAST(sv_a AS DOUBLE)
+          |        / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0e0))
+          |      / CAST(n_a AS DOUBLE) AS sea,
+          |    ((CAST(svv_b AS DOUBLE) - CAST(sv_b AS DOUBLE) * CAST(sv_b AS DOUBLE)
+          |        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0e0))
+          |      / CAST(n_b AS DOUBLE) AS seb
+          |  FROM j WHERE n_a >= 2 AND n_b >= 2)
+          |SELECT group_a, group_b, n_a, n_b,
+          |       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+          |       round(ma - mb, 6) AS diff,
+          |       round((ma - mb) / sqrt(sea + seb), 6) AS t,
+          |       round((sea + seb) * (sea + seb)
+          |         / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0e0)
+          |            + seb * seb / (CAST(n_b AS DOUBLE) - 1.0e0)), 6) AS df,
+          |       abs(round((ma - mb) / sqrt(sea + seb), 6)) > 1.959964e0
+          |         AS significant
+          |FROM f""".stripMargin,
+      "q145_stump" -> // decisionStump replayed: the same bucketized melt
+        // (floor(v / width)), strict-prefix cumulative counts, the
+        // identical Gini formula and (gini asc, threshold asc) pick
+        """WITH base AS (SELECT CAST(lang = 'en' AS BIGINT) AS y,
+          |    CAST(n_chars AS DOUBLE) AS f_chars,
+          |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS f_tokens
+          |  FROM documents),
+          |m AS (SELECT y, 'n_chars' AS feature,
+          |        CAST(floor(f_chars / 200.0e0) AS BIGINT) AS bucket FROM base
+          |      UNION ALL
+          |      SELECT y, 'n_tokens', CAST(floor(f_tokens / 10.0e0) AS BIGINT)
+          |        FROM base),
+          |c AS (SELECT feature, bucket, CAST(count(*) AS BIGINT) AS n,
+          |        CAST(sum(y) AS BIGINT) AS pos
+          |      FROM m WHERE bucket IS NOT NULL GROUP BY 1, 2),
+          |cum AS (SELECT feature, bucket, n, pos,
+          |    sum(n) OVER w AS nl, sum(pos) OVER w AS posl FROM c
+          |  WINDOW w AS (PARTITION BY feature ORDER BY bucket
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          |tot AS (SELECT feature, sum(n) AS nt, sum(pos) AS post FROM c GROUP BY 1),
+          |sp AS (SELECT cum.feature, bucket, nl, posl, nt, post,
+          |    CASE cum.feature WHEN 'n_chars' THEN 200.0e0 ELSE 10.0e0 END AS bw
+          |  FROM cum JOIN tot ON cum.feature = tot.feature
+          |  WHERE nl IS NOT NULL AND nl > 0 AND nt - nl > 0),
+          |g AS (SELECT feature, round(CAST(bucket AS DOUBLE) * bw, 6) AS threshold,
+          |    round((CAST(nl AS DOUBLE) * (1.0e0
+          |        - (CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE))
+          |          * (CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE))
+          |        - (1.0e0 - CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE))
+          |          * (1.0e0 - CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE)))
+          |      + CAST(nt - nl AS DOUBLE) * (1.0e0
+          |        - (CAST(post - posl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+          |          * (CAST(post - posl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+          |        - (1.0e0 - CAST(post - posl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+          |          * (1.0e0 - CAST(post - posl AS DOUBLE) / CAST(nt - nl AS DOUBLE))))
+          |      / CAST(nt AS DOUBLE), 6) AS gini,
+          |    nl AS n_left, posl AS pos_left,
+          |    nt - nl AS n_right, post - posl AS pos_right FROM sp),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY feature
+          |         ORDER BY gini ASC, threshold ASC) AS rn FROM g)
+          |SELECT feature, threshold, gini, n_left, pos_left, n_right, pos_right
+          |FROM rk WHERE rn = 1 ORDER BY feature""".stripMargin,
+      "q144_pca" -> {
+        // pcaTopComponent unrolled: mean CTE, round-6 centered lists, then
+        // one (dot, image, norm, iterate) CTE quartet per power-iteration
+        // round — the dot is the sequential-fold list_dot_product (the q35
+        // bit-equality), every cross-row sum a DECIMAL of round-9 terms
+        val iterCtes = (1 to 3).map { k =>
+          s"""d$k AS (SELECT vec_id, cv, round(list_dot_product(cv, vl), 6) AS d
+             |       FROM c CROSS JOIN v${k - 1}),
+             |w$k AS (SELECT i, CAST(sum(CAST(round(d * cv[i + 1], 9)
+             |           AS DECIMAL(28,9))) AS DOUBLE) AS w
+             |       FROM d$k CROSS JOIN d64 GROUP BY i),
+             |n$k AS (SELECT round(sqrt(CAST(sum(CAST(round(w * w, 6)
+             |           AS DECIMAL(38,6))) AS DOUBLE)), 6) AS nrm FROM w$k),
+             |v$k AS (SELECT list(round(w / nrm, 6) ORDER BY i) AS vl
+             |       FROM w$k CROSS JOIN n$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |d64 AS (SELECT unnest(range(0, 64)) AS i),
+           |mn AS (SELECT i, round(CAST(sum(CAST(emb[i + 1] AS DECIMAL(18,9)))
+           |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mu
+           |       FROM e CROSS JOIN d64 GROUP BY i),
+           |ml AS (SELECT list(mu ORDER BY i) AS ml FROM mn),
+           |c AS (SELECT vec_id, list_transform(range(0, 64),
+           |          d -> round(emb[d + 1] - ml[d + 1], 6)) AS cv
+           |      FROM e CROSS JOIN ml),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) - 1.0e0 AS nm1 FROM e),
+           |v0 AS (SELECT list_transform(range(0, 64),
+           |          d -> round(1.0e0 / sqrt(64.0e0), 6)) AS vl),
+           |$iterCtes,
+           |tv AS (SELECT CAST(sum(CAST(round(cv[i + 1] * cv[i + 1], 9)
+           |           AS DECIMAL(38,9))) AS DOUBLE) / nm1 AS tv
+           |       FROM c CROSS JOIN d64 CROSS JOIN nn GROUP BY nm1)
+           |SELECT CAST(i AS BIGINT) AS i, round(w / nrm, 6) AS loading,
+           |       round(nrm / nm1, 6) AS eigval,
+           |       round((nrm / nm1) / tv, 6) AS var_pct
+           |FROM w3 CROSS JOIN n3 CROSS JOIN nn CROSS JOIN tv
+           |ORDER BY i""".stripMargin
+      },
       "q143_ols" -> // the same nine DECIMAL(18,6) sufficient statistics,
         // cast to double once, then the IDENTICAL Cramer cofactor formulas
         // in the identical evaluation order — bit-for-bit IEEE replay

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.PortableHashes
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multinomial Naive Bayes text classification over hashed unigram
@@ -74,10 +74,14 @@ object Classify {
   /** Score + classify `docs(doc_id, text)` with a [[trainNaiveBayes]]
     * model. Output: (doc_id, pred, logp) — the argmax label (ties by label
     * ascending) and its posterior log-score. */
-  def naiveBayesPredict(docs: DataFrame, model: DataFrame, numSlots: Int = 512,
+  /** Posterior log-score of EVERY (doc, label) pair under a
+    * [[trainNaiveBayes]] model — the predict path's score table, exposed
+    * for consumers that need more than the argmax (label-noise audits,
+    * margin-based active-learning picks, calibration). */
+  def naiveBayesScores(docs: DataFrame, model: DataFrame, numSlots: Int = 512,
       textCol: String = "text"): DataFrame = {
     val rt = slotRows(docs, textCol, numSlots)
-    val scores = rt.join(broadcast(model), "slot")
+    rt.join(broadcast(model), "slot")
       .groupBy("doc_id", "label")
       .agg(sum(col("lp").cast("decimal(38,6)")).as("s"),
         // prior is constant per label; min = that constant, kept through
@@ -85,11 +89,51 @@ object Classify {
         min(col("prior")).as("prior"))
       .select(col("doc_id"), col("label"),
         (col("prior").cast("decimal(38,6)") + col("s")).cast("double").as("logp"))
+  }
+
+  def naiveBayesPredict(docs: DataFrame, model: DataFrame, numSlots: Int = 512,
+      textCol: String = "text"): DataFrame = {
+    val scores = naiveBayesScores(docs, model, numSlots, textCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("logp").desc, col("label").asc)
     scores.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("label").as("pred"), col("logp"))
+  }
+
+  /** Label-noise audit (confident-learning-lite; Northcutt et al.
+    * JAIR'21): train the NB model on the corpus AS LABELED, score every
+    * doc under every label, and surface the docs where the model
+    * confidently disagrees with their given label — the review queue that
+    * catches mislabeled sources, language tags, and quality strata before
+    * they poison a mixture.
+    *
+    * margin = logp(argmax label) − logp(given label) ≥ 0; rows with
+    * pred ≠ given are emitted, largest margin (most suspicious) first.
+    * Same scale shape as [[naiveBayesEval]] — the scores table is the one
+    * corpus-sized aggregate (doc × labels rows), the argmax window runs
+    * over |labels| rows per doc, and the given-label score is a filter of
+    * the same scores frame, co-partitioned on doc_id. Margin is a round-6
+    * difference of the two DECIMAL-derived doubles. */
+  def labelNoiseReport(labeled: DataFrame, numSlots: Int = 512,
+      textCol: String = "text", labelCol: String = "label"): DataFrame = {
+    val model = trainNaiveBayes(labeled, numSlots, textCol, labelCol)
+    val scores = naiveBayesScores(
+      labeled.select(col("doc_id"), col(textCol)), model, numSlots, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("logp").desc, col("label").asc)
+    val best = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("logp").as("logp_pred"))
+    val actual = labeled.select(col("doc_id"), col(labelCol).as("actual"))
+    val own = scores.join(actual,
+        scores("doc_id") === actual("doc_id") && col("label") === col("actual"))
+      .select(scores("doc_id"), col("actual"), col("logp").as("logp_actual"))
+    best.join(own, "doc_id")
+      .filter(col("pred") =!= col("actual"))
+      .select(col("doc_id"), col("actual"), col("pred"),
+        col("logp_pred"), col("logp_actual"),
+        round(col("logp_pred") - col("logp_actual"), 6).as("margin"))
   }
 
   /** Train on `train(doc_id, label, text)`, evaluate on
@@ -210,5 +254,138 @@ object Classify {
         round(col("n_pos").cast("double") / col("n").cast("double"), 6)
           .as("obs_rate"),
         col("brier"))
+  }
+
+  /** Depth-1 decision tree ("stump") over bucketized numeric features —
+    * the CART split search (Breiman et al. '84) expressed as one melt +
+    * one aggregate + a bounded window: for every candidate feature, find
+    * the threshold minimizing weighted Gini impurity of the binary split,
+    * the primitive inside every boosted-tree / feature-screening loop.
+    *
+    * Candidate thresholds are the bucket boundaries `bucket·binWidth`
+    * (the q75 histogram convention — `floor(v / binWidth)`, exact integer
+    * bucketing both engines replay); the split "v < threshold" takes
+    * buckets below b (values exactly on the boundary go right). Scale shape: the melt (one row per (row, feature)) is
+    * narrow; per-(feature, bucket) label counts are ONE word-count-shaped
+    * aggregate with map-side combine; the cumulative/Gini window runs over
+    * ≤ buckets rows per feature, never the corpus.
+    *
+    * Gini arithmetic: counts are exact integers; each split's impurity is
+    * ONE fixed-parenthesization double formula rounded to 6 —
+    *   g(p) = 1 − p² − (1−p)²,  gini = (n_l·g_l + n_r·g_r)/n
+    * Best split per feature by (gini asc, threshold asc) — deterministic.
+    *
+    * Output: (feature, threshold, gini, n_left, pos_left, n_right,
+    * pos_right) — one row per feature; the caller's argmin over features
+    * is a `rank=1` filter away. Degenerate splits (empty side) are
+    * excluded; a feature with a single occupied bucket yields no row. */
+  /** Split-conformal prediction intervals per group (Vovk's inductive
+    * conformal; Lei et al. JASA'18): calibrate a distribution-free
+    * interval around a per-group mean predictor and report its EMPIRICAL
+    * coverage on held-out rows — the "how wrong can this prediction be,
+    * with guarantees" report that turns any point model into intervals.
+    *
+    *  - split: deterministic unit hash of the id (`u < calFrac`
+    *    calibrates, the rest tests — no RNG, rerun-stable);
+    *  - score: absolute residual |v − mean_cal(group)|, round-6;
+    *  - q̂: the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual (the
+    *    finite-sample-valid conformal rank), picked EXACTLY by integer
+    *    rank target — guarantees P(|v−m| ≤ q̂) ≥ 1−α on exchangeable data;
+    *  - report: per-group interval half-width q̂ and observed test
+    *    coverage (should sit at/above 1−α).
+    *
+    * Scale shape: means and counts are word-count-shaped aggregates; the
+    * rank pick is a per-group window over calibration residuals — per-key
+    * sort, spillable, hot groups are a sort problem not a heap problem
+    * (the q138 bucket-refinement form is the swap-in when single groups
+    * outgrow sort). Output: (grp, n_cal, n_test, mean_cal, qhat,
+    * coverage), round-6 doubles. */
+  def conformalReport(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, calFrac: Double = 0.5, alphaPct: Int = 10): DataFrame = {
+    require(calFrac > 0 && calFrac < 1 && alphaPct >= 1 && alphaPct <= 50,
+      "calFrac in (0,1), alphaPct in [1,50]")
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("cal",
+        graft.operators.Sampling.unitHash(col("id")) < lit(calFrac))
+    val calRows = rows.filter(col("cal"))
+    val model = calRows.groupBy("grp")
+      .agg(count(lit(1)).as("n_cal"),
+        sum(col("v").cast("decimal(18,6)")).as("sv"))
+      .select(col("grp"), col("n_cal"),
+        round(col("sv").cast("double") / col("n_cal").cast("double"), 6)
+          .as("mean_cal"))
+      // conformal rank target: ceil((n_cal+1)(1-alpha)); clamp to n_cal
+      // (tiny groups where the target exceeds the sample take the max)
+      .withColumn("target",
+        least(col("n_cal"),
+          expr(s"((n_cal + 1) * ${100 - alphaPct} + 99) div 100")))
+    val calRes = calRows.join(model, "grp")
+      .withColumn("r", round(abs(col("v") - col("mean_cal")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("r").asc, col("id").asc)
+    val qhat = calRes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("target"))
+      .select(col("grp"), col("r").as("qhat"))
+    val test = rows.filter(!col("cal")).join(model, "grp").join(qhat, "grp")
+      .withColumn("covered",
+        (round(abs(col("v") - col("mean_cal")), 6) <= col("qhat")).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_test"), sum(col("covered")).as("n_cov"))
+    model.join(qhat, "grp").join(test, "grp")
+      .select(col("grp"), col("n_cal"), col("n_test"), col("mean_cal"),
+        col("qhat"),
+        round(col("n_cov").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  def decisionStump(df: DataFrame, labelCol: String,
+      features: Seq[(String, Double)]): DataFrame = {
+    require(features.nonEmpty && features.forall(_._2 > 0),
+      "features must be non-empty with positive bin widths")
+    val melted = df
+      .select(col(labelCol).cast("long").as("y"),
+        explode(array(features.map { case (f, w) =>
+          struct(lit(f).as("feature"),
+            floor(col(f).cast("double") / lit(w)).cast("long").as("bucket"))
+        }: _*)).as("m"))
+      .select(col("y"), col("m.feature").as("feature"), col("m.bucket").as("bucket"))
+      .filter(col("y").isNotNull && col("bucket").isNotNull)
+    val counts = melted.groupBy("feature", "bucket")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("feature").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = counts.groupBy("feature")
+      .agg(sum(col("n")).as("nt"), sum(col("pos")).as("post"))
+    val widths = features.map { case (f, bw) =>
+      struct(lit(f).as("feature"), lit(bw).as("bw"))
+    }
+    val wTab = df.sparkSession.range(1)
+      .select(explode(array(widths: _*)).as("s"))
+      .select(col("s.feature").as("feature"), col("s.bw").as("bw"))
+    val splits = counts
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("posl", sum(col("pos")).over(w))
+      .filter(col("nl").isNotNull) // first bucket: empty left side
+      .join(tot, "feature").join(broadcast(wTab), "feature")
+      .filter(col("nl") > 0 && col("nt") - col("nl") > 0)
+    def gini(p: Column): Column = lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    val nl = col("nl").cast("double"); val nr = (col("nt") - col("nl")).cast("double")
+    val pl = col("posl").cast("double") / nl
+    val pr = (col("post") - col("posl")).cast("double") / nr
+    val scored = splits
+      .withColumn("threshold",
+        round(col("bucket").cast("double") * col("bw"), 6))
+      .withColumn("gini",
+        round((nl * gini(pl) + nr * gini(pr)) / col("nt").cast("double"), 6))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("feature").orderBy(col("gini").asc, col("threshold").asc)
+    scored.withColumn("rn", row_number().over(rk)).filter(col("rn") === 1)
+      .select(col("feature"), col("threshold"), col("gini"),
+        col("nl").as("n_left"), col("posl").as("pos_left"),
+        (col("nt") - col("nl")).as("n_right"),
+        (col("post") - col("posl")).as("pos_right"))
   }
 }

@@ -84,4 +84,41 @@ object Dq {
     require(checks.nonEmpty, "audit needs at least one check")
     checks.reduce(_.unionByName(_))
   }
+
+  /** Benford first-digit conformance per group — the classic synthetic- /
+    * tampered-data smell test (Benford '38; Nigrini's audit practice):
+    * naturally occurring multi-magnitude amounts put digit d first with
+    * probability log10(1 + 1/d); fabricated or clipped data doesn't.
+    *
+    * The amount is read as integer cents (`round(value·100)` cast to
+    * BIGINT) and the leading digit taken from the integer's decimal string
+    * — integer-to-string is bit-portable across engines where
+    * double-to-string is not. Non-positive amounts are excluded (no
+    * leading digit). One word-count-shaped aggregate (per-(group, digit)
+    * counts, map-side combined, ≤ 9 rows per group on the exchange);
+    * shares and deviations evaluate on the 9-row-per-group table.
+    *
+    * Output: (group, digit, n, share, expected, dev) — share and dev
+    * rounded to 6; dev = share − expected, the per-digit excess a
+    * reviewer scans for spikes. Absent digits report n=0 rows via the
+    * dense digit grid so every group shows all 9 rows. */
+  def benfordReport(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100.0, 0).cast("long")
+    val obs = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0.0)
+      .select(col(groupCol).cast("string").as("grp"),
+        substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("grp", "digit").agg(count(lit(1)).as("ct"))
+    val totals = obs.groupBy("grp").agg(sum(col("ct")).as("tot"))
+    val grid = totals.select(col("grp"), col("tot"),
+      explode(sequence(lit(1), lit(9))).as("digit"))
+    grid.join(obs, Seq("grp", "digit"), "left")
+      .select(col("grp"), col("digit"),
+        coalesce(col("ct"), lit(0L)).as("n"),
+        round(coalesce(col("ct"), lit(0L)).cast("double") /
+          col("tot").cast("double"), 6).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("expected"))
+      .withColumn("dev", round(col("share") - col("expected"), 6))
+  }
 }

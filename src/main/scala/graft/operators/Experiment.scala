@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation-platform readouts beyond the plain z/t tests
+  * ([[Stats.twoProportionZTest]], [[Stats.welchTTest]]): the standard
+  * trustworthy-experiment toolkit — sample-ratio-mismatch guardrail,
+  * CUPED variance reduction (Deng, Xu, Kohavi & Walker WSDM'13),
+  * difference-in-differences, and conversion attribution — every one
+  * expressed as sufficient-statistic aggregates with fixed double
+  * formulas, the q84/q137 discipline.
+  *
+  * Scale shape: each readout is one or two word-count-shaped aggregates
+  * (per-unit rollup, then a global or per-group collapse); nothing wider
+  * than (units) reaches an exchange, and every cross-row sum is a DECIMAL
+  * of exact or round-6 terms — reduction-order-independent, replayable by
+  * the SQL oracle.
+  */
+object Experiment {
+
+  /** Sample-ratio-mismatch check: Pearson goodness-of-fit of observed arm
+    * counts against the design shares — THE guardrail that invalidates an
+    * experiment before any metric is read (a 50/50 split showing 50.5/49.5
+    * at scale means broken assignment, not luck).
+    *
+    * One conditional-count aggregate over assignment rows; the chi-square
+    * statistic evaluates on the ≤ |arms| count table: term_i =
+    * round((o_i − n·p_i)²/(n·p_i), 6), summed as DECIMAL(38,6). No
+    * p-value column (chi-square CDF is not portable arithmetic);
+    * `suspect` flags chi2 above the caller's critical value. */
+  def srmCheck(df: DataFrame, armCol: String, expected: Seq[(String, Double)],
+      critical: Double = 3.841459): DataFrame = {
+    require(expected.nonEmpty && math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      "expected shares must sum to 1")
+    val obs = df.select(col(armCol).cast("string").as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("o"))
+    val exp = df.sparkSession.range(1)
+      .select(explode(array(expected.map { case (a, p) =>
+        struct(lit(a).as("arm"), lit(p).as("p"))
+      }: _*)).as("s"))
+      .select(col("s.arm").as("arm"), col("s.p").as("p"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val terms = broadcast(exp).join(obs, Seq("arm"), "left").crossJoin(tot)
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e", col("n").cast("double") * col("p"))
+      .withColumn("term", round((col("o").cast("double") - col("e"))
+        * (col("o").cast("double") - col("e")) / col("e"), 6))
+    terms.agg(
+        sum(col("term").cast("decimal(38,6)")).cast("double").as("chi2raw"),
+        count(lit(1)).as("k"), max(col("n")).as("n"))
+      .select(round(col("chi2raw"), 6).as("chi2"), (col("k") - 1L).as("dof"),
+        col("n"), (round(col("chi2raw"), 6) > critical).as("suspect"))
+  }
+
+  /** CUPED variance reduction: per-unit pre-period covariate x and
+    * experiment-period metric y, adjusted metric y' = y − θ(x − x̄) with
+    * θ = cov(x, y)/var(x) — removes the covariate-explained variance so
+    * the same experiment detects effects ~var_reduction sooner.
+    *
+    * Two aggregates: the per-unit (x, y) rollup (values as DECIMAL(18,6)
+    * sums), then ONE global pass for the five cross-moments (n, Σx, Σy,
+    * Σxy, Σx², Σy² as decimal sums of round-6 per-unit values). θ and the
+    * variance ratio evaluate once, in doubles, fixed parenthesization:
+    *   θ = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+    *   var_y    = (n·Σy² − Σy·Σy) / (n·(n−1))
+    *   var_yadj = var_y − θ²·var_x   (the CUPED identity)
+    * Output: one row (n, theta, var_y, var_yadj, var_reduction_pct),
+    * round-6. Units with no pre-period activity carry x = 0 (the standard
+    * zero-imputation). */
+  def cuped(df: DataFrame, unitCol: String, tsCol: String, valueCol: String,
+      cutTs: Long): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
+    val perUnit = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("unit"))
+      .agg(
+        // re-cast the (p+10, 6) sum back to (18,6): exact at per-unit
+        // magnitudes, and keeps the x*y / x*x products inside DECIMAL(38)
+        // so no precision-capping rounding can creep in
+        coalesce(sum(when(col(tsCol) < cutTs, d6(col(valueCol)))),
+          lit(0).cast("decimal(18,6)")).cast("decimal(18,6)").as("x"),
+        coalesce(sum(when(col(tsCol) >= cutTs, d6(col(valueCol)))),
+          lit(0).cast("decimal(18,6)")).cast("decimal(18,6)").as("y"))
+    val m = perUnit.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val dxx = n * sxx - sx * sx
+    val theta = (n * sxy - sx * sy) / dxx
+    val varY = (n * syy - sy * sy) / (n * (n - lit(1.0)))
+    val varX = dxx / (n * (n - lit(1.0)))
+    val varAdj = varY - theta * theta * varX
+    m.filter(col("n") >= 2 && round(dxx, 9) =!= 0.0)
+      .select(col("n"), round(theta, 6).as("theta"),
+        round(varY, 6).as("var_y"), round(varAdj, 6).as("var_yadj"),
+        round((varY - varAdj) / varY * 100.0, 6).as("var_reduction_pct"))
+  }
+
+  /** Difference-in-differences: the 2×2 (arm × period) cell means and the
+    * interaction effect (Δtreat − Δcontrol) — the standard observational
+    * readout when assignment isn't randomized but trends are parallel.
+    * `treatCol` is a boolean column; period splits at `cutTs`. One
+    * conditional aggregate (4 cells on the exchange); cell means are
+    * decimal-sum/count, the effect one fixed double formula, round-6. */
+  def diffInDiff(df: DataFrame, treatCol: String, tsCol: String,
+      valueCol: String, cutTs: Long): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
+    def cell(t: Boolean, post: Boolean): (Column, Column) = {
+      val p = (col(treatCol) === t) &&
+        (if (post) col(tsCol) >= cutTs else col(tsCol) < cutTs)
+      (sum(when(p, d6(col(valueCol)))), count(when(p, 1)))
+    }
+    val ((sCpre, nCpre), (sCpost, nCpost)) = (cell(false, false), cell(false, true))
+    val ((sTpre, nTpre), (sTpost, nTpost)) = (cell(true, false), cell(true, true))
+    val m = df.filter(col(valueCol).isNotNull).agg(
+      sCpre.as("s_c_pre"), nCpre.as("n_c_pre"), sCpost.as("s_c_post"),
+      nCpost.as("n_c_post"), sTpre.as("s_t_pre"), nTpre.as("n_t_pre"),
+      sTpost.as("s_t_post"), nTpost.as("n_t_post"))
+    def mean(s: String, c: String): Column =
+      col(s).cast("double") / col(c).cast("double")
+    val (mcPre, mcPost) = (mean("s_c_pre", "n_c_pre"), mean("s_c_post", "n_c_post"))
+    val (mtPre, mtPost) = (mean("s_t_pre", "n_t_pre"), mean("s_t_post", "n_t_post"))
+    m.select(
+      round(mcPre, 6).as("mean_c_pre"), round(mcPost, 6).as("mean_c_post"),
+      round(mtPre, 6).as("mean_t_pre"), round(mtPost, 6).as("mean_t_post"),
+      round((mtPost - mtPre) - (mcPost - mcPre), 6).as("did_effect"))
+  }
+
+  /** Conversion attribution within a lookback window: each conversion
+    * credits the touchpoints the same unit produced in the `lookback`
+    * before it — `last` (full credit to the latest touch) and `linear`
+    * (1/k to each of the k touches) models side by side, per channel.
+    *
+    * Scale shape: the touch↔conversion pairing is a per-unit equi-join
+    * with a time-range predicate — co-partitioned on the unit key, never
+    * corpus×corpus (the [[AsOfJoin]] argument); per-conversion touch
+    * counts and last-touch picks are per-conversion windows (bounded by a
+    * unit's lookback activity); the final rollup is channel-sized. Linear
+    * credits are DECIMAL(28,9) sums of round-9 fractions. Conversions
+    * with NO preceding touch land in channel "(none)" — attribution
+    * reports must account for every conversion. */
+  def attribution(events: DataFrame, unitCol: String, typeCol: String,
+      tsCol: String, idCol: String, conversionType: String,
+      touchTypes: Seq[String], lookback: Long): DataFrame = {
+    require(touchTypes.nonEmpty && lookback > 0)
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(unitCol).as("unit"), col(tsCol).as("cts"), col(idCol).as("cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(unitCol).as("unit"), col(typeCol).as("channel"),
+        col(tsCol).as("tts"), col(idCol).as("tid"))
+    val pairs = conv.join(touch, Seq("unit"))
+      .filter(col("tts") < col("cts") && col("tts") >= col("cts") - lookback)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    val wLast = w.orderBy(col("tts").desc, col("tid").desc)
+    val credited = pairs
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wLast))
+      .withColumn("linear",
+        round(lit(1.0) / col("k").cast("double"), 9).cast("decimal(28,9)"))
+    val perChannel = credited.groupBy("channel").agg(
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("conv_last"),
+      sum(col("linear")).cast("double").as("credit_linear"),
+      countDistinct(col("cid")).as("n_conversions_touched"))
+    val orphan = conv.join(credited.select(col("cid")).distinct(),
+        Seq("cid"), "left_anti")
+      .agg(count(lit(1)).as("conv_last"))
+      .select(lit("(none)").as("channel"), col("conv_last"),
+        col("conv_last").cast("double").as("credit_linear"),
+        col("conv_last").as("n_conversions_touched"))
+      .filter(col("conv_last") > 0)
+    perChannel
+      .select(col("channel"), col("conv_last"),
+        round(col("credit_linear"), 6).as("credit_linear"),
+        col("n_conversions_touched"))
+      .unionByName(orphan
+        .select(col("channel"), col("conv_last"),
+          round(col("credit_linear"), 6).as("credit_linear"),
+          col("n_conversions_touched")))
+  }
+}

@@ -74,4 +74,69 @@ object Funnel {
       .groupBy(col("cohort"), (col("__b") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Conversion-latency report: per user, the delay from the FIRST
+    * `fromType` event to the first `toType` event after it, summarized as
+    * exact percentiles plus the conversion rate — "how long does signup →
+    * purchase take, and for what share of signups does it happen at all".
+    *
+    * Scale shape: two per-user conditional-min aggregates joined on the
+    * user key (user-sized frames, the funnel discipline); the latency
+    * percentiles route through [[Stats.exactQuantiles]]' bucket-refinement
+    * selection — no global sort, ≤ buckets rows of driver state. Delays
+    * quantize to whole hours by integer floor-division of the nanosecond
+    * timestamps (exact at epoch magnitude). Output: one row per requested
+    * percentile — (p, rank, hours, n_start, n_converted, cvr), cvr
+    * round-6. */
+  def timeToConvert(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, fromType: String, toType: String,
+      ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val starts = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("unit")).agg(min(col(tsCol)).as("t0"))
+    val convs = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("unit"), col(tsCol).as("t1"))
+      .join(starts, "unit")
+      .filter(col("t1") > col("t0"))
+      .groupBy("unit").agg(min(col("t1") - col("t0")).as("dt"))
+      .select(col("unit"), expr("dt div 3600000000000").as("hours"))
+    val counts = starts.agg(count(lit(1)).as("n_start"))
+      .crossJoin(convs.agg(count(lit(1)).as("n_converted")))
+    Stats.exactQuantiles(convs, "hours", ps)
+      .crossJoin(counts)
+      .select(col("p"), col("rank"), col("value").as("hours"),
+        col("n_start"), col("n_converted"),
+        round(col("n_converted").cast("double") /
+          col("n_start").cast("double"), 6).as("cvr"))
+  }
+
+  /** First-order Markov transition matrix over each user's time-ordered
+    * event stream — "after a `view`, what happens next and how often" —
+    * the model behind next-action prediction, removal-effect attribution,
+    * and journey Sankey diagrams.
+    *
+    * Per-user `lead` window pairs each event with its successor (per-key
+    * window: partitions by user, never global), the terminal event pairs
+    * with the absorbing state `"(end)"`, then one word-count-shaped
+    * aggregate counts (from, to) pairs — ≤ |types+1|² rows after the
+    *  map-side combine. Probabilities row-normalize on that bounded table.
+    *
+    * Tie order within a user is (ts, event_id) so simultaneous events
+    * sequence deterministically on every engine. Output: (from_state,
+    * to_state, n, p) with p = round(n / Σ_to n, 6), ordered for display. */
+  def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .select(col(userCol), col(typeCol).cast("string").as("from_state"),
+        col(tsCol), col(idCol))
+      .withColumn("to_state",
+        coalesce(lead(col("from_state"), 1).over(w), lit("(end)")))
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = counts.groupBy("from_state").agg(sum(col("n")).as("tot"))
+    counts.join(rowTot, "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+  }
 }

@@ -325,4 +325,47 @@ object Pq {
     val joined = codes.join(broadcast(adcPartials(q, books, dsub)), Seq("sub", "code"))
     adcRank(joined, queryNorms(q), k)
   }
+
+  /** Scalar (int8-range) quantization audit — the OTHER standard vector-
+    * compression scheme next to PQ: per-dimension affine quantization onto
+    * the 0..255 grid (`code = round((x − lo)/(hi − lo)·255)`), 4x smaller
+    * than float32 at full dimensionality, no codebook training. This
+    * reports, per dimension, the quantization parameters and the exact
+    * reconstruction error the corpus would incur — the go/no-go gauge
+    * before switching an ANN serving tier from float to SQ8.
+    *
+    * Scale shape: two word-count-shaped aggregates over the exploded
+    * (row, dim) table — per-dim min/max, then per-dim error moments with
+    * the dim-sized param table broadcast back on. Exchanges carry ≤ dim
+    * rows per partition; nothing corpus-sized shuffles.
+    *
+    * Portability: lo/hi are exact input values (min/max — no rounding);
+    * code and dequantized value are fixed-parenthesization double
+    * formulas; per-dim MSE sums round-12 squared errors as
+    * DECIMAL(38,12); max |err| is an order-independent max of round-9
+    * values. A constant dimension (hi = lo) quantizes to code 0 and
+    * reconstructs exactly.
+    *
+    * Output: (i, lo, hi, mse, max_err) — dim rows, mse round-9 (errors
+    * live at 1e-5 scale for unit-range dims), max_err round-9. */
+  def sq8Report(df: DataFrame, vecCol: String): DataFrame = {
+    val rows = df.select(posexplode(col(vecCol).cast("array<double>"))
+      .as(Seq("i", "x")))
+    val params = rows.groupBy("i").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val code = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255.0, 0)
+        .cast("long"))
+    val dq = col("lo") + code.cast("double") / 255.0 * (col("hi") - col("lo"))
+    val err = col("x") - dq
+    rows.join(broadcast(params), "i")
+      .select(col("i"), col("lo"), col("hi"),
+        round(err * err, 12).cast("decimal(38,12)").as("e2"),
+        round(abs(err), 9).as("ae"))
+      .groupBy("i")
+      .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        count(lit(1)).as("n"), sum(col("e2")).as("se2"), max(col("ae")).as("max_err"))
+      .select(col("i").cast("long").as("i"), col("lo"), col("hi"),
+        round(col("se2").cast("double") / col("n").cast("double"), 9).as("mse"),
+        col("max_err"))
+  }
 }

@@ -234,6 +234,44 @@ object Similarity {
       .select(col("q_id"), col("n_truth"), col("n_hits"),
         expr("(n_hits * 1000000L) div n_truth").as("recall_ppm"))
 
+  /** Embedding outlier gate over a materialized [[writeIvfIndex]] layout —
+    * the cluster-distance quality filter (the SemDeDup paper's sibling
+    * move, and the shape of CLIP-score-percentile gates): vectors whose
+    * cosine to their own cell centroid falls below the cell's `pPct`-th
+    * percentile are flagged as outliers — candidates for manual review or
+    * exclusion from a training mixture (mislabeled, off-distribution, or
+    * noise embeddings sit far from every cluster's core).
+    *
+    * Threshold = the EXACT per-cell ceil-rank percentile (the q75/q93
+    * integer-target convention: target = (n·p + 99) div 100 over ccos
+    * ascending, ties by vec_id) — deterministic, no interpolation. The
+    * per-cell rank is a per-key window: cells are corpus/nlist-sized, a
+    * sort problem not a heap problem; [[graft.operators.Stats.exactQuantiles]]'
+    * bucket refinement is the swap-in if single cells outgrow sort.
+    *
+    * Scale shape: centroids broadcast; the scan reads the cid-partitioned
+    * vectors once; one window per cell + one broadcast threshold join.
+    * Output: (vec_id, cid, ccos, thr, outlier), ordered by vec_id. */
+  def centroidOutliers(spark: org.apache.spark.sql.SparkSession, path: String,
+      pPct: Int = 5): DataFrame = {
+    require(pPct >= 1 && pPct <= 50, "pPct in [1,50]")
+    val cent = spark.read.parquet(s"$path/centroids")
+    val vec = spark.read.parquet(s"$path/vectors")
+      .select(col("cid").cast("long").as("cid"), col("vec_id"), col("embedding"))
+    val scored = vec.join(broadcast(cent), "cid")
+      .withColumn("ccos", ArrayMath.cosineKey(col("embedding"), col("center")))
+    val counts = scored.groupBy("cid").agg(count(lit(1)).as("n"))
+      .withColumn("target", expr(s"(n * $pPct + 99) div 100"))
+    val w = Window.partitionBy("cid").orderBy(col("ccos").asc, col("vec_id").asc)
+    val thr = scored.withColumn("rn", row_number().over(w))
+      .join(counts, "cid")
+      .filter(col("rn") === col("target"))
+      .select(col("cid"), col("ccos").as("thr"))
+    scored.join(broadcast(thr), "cid")
+      .select(col("vec_id"), col("cid"), col("ccos"), col("thr"),
+        (col("ccos") < col("thr")).as("outlier"))
+  }
+
   /** kNN-graph construction — the structure semantic clustering, graph-based
     * dedup, and diversity sampling build on: every vector's top-`k`
     * neighbors by exact cosine among banded hyperplane-LSH candidates.

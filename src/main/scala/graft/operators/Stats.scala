@@ -264,4 +264,163 @@ object Stats {
       round(col("b2"), 6).as("b2"),
       round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
   }
+
+  /** Welch's unequal-variance t-test between the first two groups (by
+    * ascending group name) of `df(groupCol, valueCol)` — the mean-difference
+    * readout for continuous experiment metrics (revenue per user, latency),
+    * complementing [[twoProportionZTest]]'s conversion-rate form.
+    *
+    * Sufficient statistics only: per-arm (n, Σv, Σv²) with v cast to
+    * DECIMAL(12,6) — exact, map-side-combined, two rows reach the driver
+    * plan regardless of corpus size. Mean / variance / t / Welch–
+    * Satterthwaite df then evaluate ONCE per comparison in doubles with
+    * fixed parenthesization:
+    *
+    *   var = (Σv² − Σv·Σv/n) / (n−1)
+    *   t   = (m_a − m_b) / sqrt(var_a/n_a + var_b/n_b)
+    *   df  = (var_a/n_a + var_b/n_b)² /
+    *         ((var_a/n_a)²/(n_a−1) + (var_b/n_b)²/(n_b−1))
+    *
+    * `significant` uses the z critical value 1.959964 — the df here is in
+    * the thousands for any corpus-scale arm, where t ≈ z (documented
+    * approximation; small-sample callers read t/df directly). */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(12,6)")
+    val v = d6(col(valueCol))
+    val agg = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"), v.as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      .orderBy("g").limit(2)
+    val a = agg.limit(1).select(col("g").as("group_a"), col("n").as("n_a"),
+      col("sv").as("sv_a"), col("svv").as("svv_a"))
+    val b = agg.orderBy(col("g").desc).limit(1)
+      .select(col("g").as("group_b"), col("n").as("n_b"),
+        col("sv").as("sv_b"), col("svv").as("svv_b"))
+    val j = a.crossJoin(b).filter(col("group_a") =!= col("group_b"))
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def vr(svv: Column, sv: Column, n: Column) =
+      (svv.cast("double") - sv.cast("double") * sv.cast("double") / n.cast("double")) /
+        (n.cast("double") - lit(1.0))
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val (ma, mb) = (mean(col("sv_a"), na), mean(col("sv_b"), nb))
+    val (va, vb) = (vr(col("svv_a"), col("sv_a"), na), vr(col("svv_b"), col("sv_b"), nb))
+    val (sea, seb) = (va / na.cast("double"), vb / nb.cast("double"))
+    val t = (ma - mb) / sqrt(sea + seb)
+    val dof = (sea + seb) * (sea + seb) /
+      (sea * sea / (na.cast("double") - lit(1.0)) +
+        seb * seb / (nb.cast("double") - lit(1.0)))
+    j.filter(na >= 2 && nb >= 2)
+      .select(col("group_a"), col("group_b"), na, nb,
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round(ma - mb, 6).as("diff"), round(t, 6).as("t"),
+        round(dof, 6).as("df"),
+        (abs(round(t, 6)) > 1.959964).as("significant"))
+  }
+
+  /** Pearson chi-square test of independence over the (rowCol, colCol)
+    * contingency table, plus Cramér's V effect size — "is document source
+    * independent of language", "does payment method depend on region".
+    *
+    * Scale shape: ONE corpus-sized aggregate (the cell-count groupBy —
+    * word-count-shaped, map-side combined); margins and the test statistic
+    * derive from the cell table, which is |rows|×|cols| — bounded by the
+    * category cross product, never the corpus. Each cell's
+    * (o−e)²/e term is rounded to 6 decimals and summed as DECIMAL(38,6),
+    * so the statistic is reduction-order-independent. No p-value column —
+    * the chi-square CDF is not portable arithmetic; callers compare chi2
+    * against their critical value for `dof`. */
+  def chiSquareIndependence(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .select(col(rowCol).cast("string").as("r"), col(colCol).cast("string").as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("r").agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy("c").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("nn"))
+    val terms = cells.join(rowTot, "r").join(colTot, "c").crossJoin(tot)
+      .withColumn("e", col("rt").cast("double") * col("ct").cast("double") /
+        col("nn").cast("double"))
+      .withColumn("term", round((col("o").cast("double") - col("e")) *
+        (col("o").cast("double") - col("e")) / col("e"), 6))
+    terms
+      .agg(sum(col("term").cast("decimal(38,6)")).cast("double").as("chi2"),
+        (countDistinct(col("r")) - 1L).as("dof_r"),
+        (countDistinct(col("c")) - 1L).as("dof_c"),
+        max(col("nn")).as("n"))
+      .select(round(col("chi2"), 6).as("chi2"),
+        (col("dof_r") * col("dof_c")).as("dof"), col("n"),
+        round(sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("dof_r"), col("dof_c")).cast("double"))), 6).as("cramers_v"))
+  }
+
+  /** Per-group Gini coefficient over non-negative values — concentration
+    * of activity/revenue ("do 1% of users produce 90% of events"), the
+    * power-law health check every marketplace and every training-corpus
+    * source-mix audit runs. Rank formulation (ascending values):
+    *
+    *   G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    *
+    * Σ i·xᵢ is an exact DECIMAL sum (rank × DECIMAL(18,6) value); ties may
+    * take ranks in any order without changing the sum (equal x across a
+    * rank block), so the statistic is deterministic despite the arbitrary
+    * tie order. The per-group rank is a per-key window sort — spillable,
+    * the q138 refinement is the swap-in for groups that outgrow sort.
+    * Output: (grp, n, total, gini), money/total round-6, gini in [0, 1)
+    * (0 = perfectly equal). Groups need n ≥ 1 and Σx > 0. */
+  def giniPerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("decimal(18,6)").as("x"))
+      .filter(col("x").isNotNull && col("x") >= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("x").asc)
+    val ranked = rows.withColumn("r", row_number().over(w))
+    val agg = ranked.groupBy("grp").agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("r")).as("srx"))
+    agg.filter(col("sx").cast("double") > 0.0)
+      .select(col("grp"), col("n"),
+        round(col("sx").cast("double"), 6).as("total"),
+        round(lit(2.0) * col("srx").cast("double") /
+          (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
+  /** Winsorized means per group: clip values at the EXACT ceil-rank
+    * [pLo, pHi] percentiles (the q93/q138 integer-target convention) and
+    * report the mean before and after — the robust-stats curation gate
+    * that keeps one whale user or one 10^6-token document from dominating
+    * a mixture weight or a metric readout.
+    *
+    * One per-group rank window picks both bounds (per-key sort,
+    * spillable); raw and clipped means are DECIMAL(18,6) sums collapsed
+    * by one double division each, round-6. Output: (grp, n, lo, hi,
+    * mean_raw, mean_winsorized). */
+  def winsorizedMeans(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    require(pLo >= 1 && pHi <= 100 && pLo < pHi, "need 1 <= pLo < pHi <= 100")
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").asc)
+    val ranked = rows.withColumn("rn", row_number().over(w))
+    val counts = rows.groupBy("grp").agg(count(lit(1)).as("n"))
+      .withColumn("t_lo", expr(s"(n * $pLo + 99) div 100"))
+      .withColumn("t_hi", expr(s"(n * $pHi + 99) div 100"))
+    val bounds = ranked.join(counts, "grp")
+      .filter(col("rn") === col("t_lo") || col("rn") === col("t_hi"))
+      .groupBy("grp").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    rows.join(broadcast(bounds), "grp")
+      .withColumn("cv", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(col("v").cast("decimal(18,6)")).as("sv"),
+        sum(col("cv").cast("decimal(18,6)")).as("scv"))
+      .select(col("grp"), col("n"), col("lo"), col("hi"),
+        round(col("sv").cast("double") / col("n").cast("double"), 6).as("mean_raw"),
+        round(col("scv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_winsorized"))
+  }
 }

@@ -381,4 +381,53 @@ object TextAnalysis {
       qualityScore(col("text")).as("quality"),
       langPredict(col("text")).as("lang_pred"),
       fingerprint(col("text")).as("fp"))
+
+  /** TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): PageRank
+    * over the corpus-wide word co-occurrence graph — words that keep
+    * company with many well-connected words rank highest, an unsupervised
+    * keyword/keyphrase signal with no training data.
+    *
+    * Graph construction: undirected unique edges between tokens
+    * co-occurring within `window` positions (the paper's window-2..10),
+    * built from per-doc `lead` windows — per-key (doc) windows, never
+    * global — then DISTINCT'd corpus-wide. Nodes are portable polynomial
+    * hashes of words ([[graft.functions.PortableHashes]]); a hash
+    * collision merges two words' vertices (documented trade — at the
+    * 2^31−1 modulus, collisions need ~50k distinct words to reach 1%
+    * pair probability; the oracle replays the same hashes so results
+    * stay exact).
+    *
+    * Ranking is [[Graph.pageRank]]'s 5-round fixed-point INTEGER
+    * iteration — bit-stable under any partitioning — then the bounded
+    * global top-k (TakeOrderedAndProject), ties by word ascending.
+    *
+    * Scale shape: edge building is narrow per-doc windows + one DISTINCT
+    * (word-pair-sized); PageRank moves only the node-sized rank table per
+    * round (the q69 shape); the word↔hash map is the distinct-token
+    * table, joined back once at the end. Stopwords and short tokens are
+    * excluded up front — the paper's syntactic filter analogue. */
+  def textRankKeywords(docs: DataFrame, window: Int = 2, k: Int = 20,
+      minLen: Int = 3): DataFrame = {
+    require(window >= 1 && k >= 1, "window and k must be positive")
+    import graft.functions.expressions.TextFunctions.poly_hash
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) >= minLen && !col("tok").isin(Stopwords: _*))
+    val withLeads = (1 to window).foldLeft(toks) { (df, o) =>
+      df.withColumn(s"nxt$o", lead(col("tok"), o).over(w))
+    }
+    val edges = (1 to window).map { o =>
+      withLeads.filter(col(s"nxt$o").isNotNull && col(s"nxt$o") =!= col("tok"))
+        .select(poly_hash(col("tok")).as("src"), poly_hash(col(s"nxt$o")).as("dst"))
+    }.reduce(_.unionByName(_)).distinct()
+    val words = toks.select(col("tok").as("word")).distinct()
+      .select(col("word"), poly_hash(col("word")).as("node"))
+    Graph.pageRank(Graph.symmetrize(edges), 5)
+      .join(words, "node")
+      .select(col("word"), col("deg"), col("rank"))
+      .orderBy(col("rank").desc, col("word").asc)
+      .limit(k)
+  }
 }

@@ -82,4 +82,54 @@ object TimeSeries {
     df.withColumn("z", z)
       .withColumn("anomaly", when(col("z").isNotNull, abs(col("z")) > threshold))
   }
+
+  /** Exponentially time-decayed top-k per group — "trending items": each
+    * event contributes `0.5^(age / halfLife)` to its item's score, so a
+    * burst of recent activity outranks a larger but stale total (the
+    * decayed-count stream-analytics staple, e.g. Cormode et al.'s
+    * forward-decay formulation, VLDB'09, computed here at rest).
+    *
+    * Determinism/portability: `asOf` is the corpus max timestamp (a 1-row
+    * aggregate cross-joined into the plan — a catalog statistic, no driver
+    * state); age quantizes to whole hours by INTEGER floor-division of the
+    * nanosecond timestamps (exact at any epoch magnitude, where double
+    * division is not), each weight = round(0.5^(age_h/halfLife_h), 6) (the
+    * round-6 libm rule) and scores are DECIMAL(38,6) sums of those —
+    * reduction-order-independent, so ranks replay exactly in SQL.
+    *
+    * Scale shape: one word-count-shaped (group, item) aggregate (map-side
+    * combined), then the bounded [[graft.functions.RowTopKAggregator]]
+    * carries at most k rows per partition per group — no global window,
+    * no corpus-sized sort. Output: (group, item, score, rank), score
+    * rounded to 6, rank 1..k by (score desc, item asc). */
+  def decayedTopK(df: DataFrame, groupCol: String, itemCol: String,
+      tsCol: String, halfLifeHours: Long, k: Int): DataFrame = {
+    require(halfLifeHours > 0 && k > 0, "halfLifeHours and k must be positive")
+    import df.sparkSession.implicits._
+    val asOf = df.agg(max(col(tsCol)).as("__asof"))
+    val scored = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("long").as("item"), col(tsCol).cast("long").as("tsn"))
+      .crossJoin(asOf)
+      .withColumn("age_h", expr("(__asof - tsn) div 3600000000000"))
+      .withColumn("wt", round(pow(lit(0.5),
+        col("age_h").cast("double") / lit(halfLifeHours.toDouble)), 6)
+        .cast("decimal(38,6)"))
+      .groupBy("g", "item")
+      .agg(sum(col("wt")).cast("double").as("score"))
+    val ord: Ordering[((Double, Long), Double)] =
+      Ordering.by[((Double, Long), Double), (Double, Long)](_._1)(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    scored
+      .select(col("g"), (-col("score")).as("negscore"), col("item"), col("score"))
+      .as[(String, Double, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => ((r._2, r._3), r._4))
+      .agg(new graft.functions.RowTopKAggregator(k, ord).toColumn)
+      .toDF("g", "topk")
+      .select(col("g").as(groupCol), posexplode(col("topk")))
+      .select(col(groupCol), col("col._1._2").as(itemCol),
+        round(col("col._2"), 6).as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

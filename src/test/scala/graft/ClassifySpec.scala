@@ -169,4 +169,75 @@ class ClassifySpec extends SparkSpec {
       .orderBy("bucket").collect().toSeq
     assert(a == b)
   }
+
+  test("stump: perfectly separable feature finds the zero-Gini threshold") {
+    // y=0 at x in [0,10), y=1 at x in [10,20): split at 10.0 is pure
+    val df = (0 until 20).map(i => (if (i < 10) 0L else 1L, i.toDouble,
+      (i % 4).toDouble)).toDF("y", "x", "noise")
+    val rows = Classify.decisionStump(df, "y",
+      Seq(("x", 1.0), ("noise", 1.0))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = rows("x")
+    assert(x.getDouble(1) == 10.0 && x.getDouble(2) == 0.0)
+    assert(x.getLong(3) == 10 && x.getLong(4) == 0) // left: all negatives
+    assert(x.getLong(5) == 10 && x.getLong(6) == 10) // right: all positives
+    // the noise feature (y independent of value) cannot reach purity
+    assert(rows("noise").getDouble(2) > 0.3)
+  }
+
+  test("stump: hand-computed Gini on a 2-bucket overlap") {
+    // bucket 0: 3 neg 1 pos; bucket 1: 1 neg 3 pos; only split: threshold 1
+    // left (4): p=1/4, g=0.375; right (4): p=3/4, g=0.375; gini=0.375
+    val df = (Seq.fill(3)((0L, 0.5)) ++ Seq((1L, 0.5)) ++
+      Seq((0L, 1.5)) ++ Seq.fill(3)((1L, 1.5))).toDF("y", "x")
+    val Array(r) = Classify.decisionStump(df, "y", Seq(("x", 1.0))).collect()
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.375)
+  }
+
+  test("stump: single occupied bucket yields no row; invariance") {
+    val one = Seq((0L, 2.2), (1L, 2.3)).toDF("y", "x") // same bucket at bw=1
+    assert(Classify.decisionStump(one, "y", Seq(("x", 1.0))).collect().isEmpty)
+    val df = (1 to 300).map(i => ((i % 3 == 0).compare(false).toLong,
+      (i % 23).toDouble + i % 7, (i % 11).toDouble)).toDF("y", "a", "b")
+    def run(p: Int) = Classify.decisionStump(df.repartition(p), "y",
+      Seq(("a", 2.0), ("b", 3.0))).orderBy("feature").collect().toSeq
+    assert(run(1) == run(17))
+  }
+
+  test("conformal: degenerate residuals give qhat 0 and full coverage") {
+    val df = (1L to 200L).map(id => ("g", id, 5.0)).toDF("grp", "id", "v")
+    val Array(r) = Classify.conformalReport(df, "grp", "id", "v").collect()
+    assert(r.getLong(1) + r.getLong(2) == 200) // cal + test partition
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 0.0 && r.getDouble(5) == 1.0)
+  }
+
+  test("conformal: coverage meets the 1-alpha guarantee on exchangeable data") {
+    // deterministic pseudo-random values, exchangeable across the hash split
+    val df = (1L to 2000L).map(id =>
+      ("g", id, ((id * 2654435761L) % 1000L).toDouble)).toDF("grp", "id", "v")
+    val Array(r) = Classify.conformalReport(df, "grp", "id", "v",
+      calFrac = 0.5, alphaPct = 10).collect()
+    assert(r.getDouble(5) >= 0.87, s"coverage ${r.getDouble(5)}")
+    assert(r.getDouble(4) > 0.0) // nontrivial interval
+  }
+
+  test("conformal: qhat is the exact conformal rank of calibration residuals") {
+    val df = (1L to 500L).map(id => ("g", id, (id % 97).toDouble)).toDF("grp", "id", "v")
+    val Array(r) = Classify.conformalReport(df, "grp", "id", "v").collect()
+    val (nCal, qhat) = (r.getLong(1), r.getDouble(4))
+    val mean = r.getDouble(3)
+    // recompute the calibration residual list with the same split + rounding
+    val M = 2147483648.0
+    def unit(id: Long): Double = {
+      val lo = id & 2147483647L; val hi = (id >> 31) & 2147483647L
+      (((lo ^ ((hi * 1103515245 + 12345) % 2147483648L)) * 1103515245 + 12345)
+        % 2147483648L) / M
+    }
+    val res = (1L to 500L).filter(unit(_) < 0.5)
+      .map(id => BigDecimal(math.abs((id % 97).toDouble - mean))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).sorted
+    assert(res.size == nCal)
+    val target = math.min(nCal, ((nCal + 1) * 90 + 99) / 100).toInt
+    assert(qhat == res(target - 1))
+  }
 }

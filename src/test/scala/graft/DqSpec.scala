@@ -54,4 +54,30 @@ class DqSpec extends SparkSpec {
     assert(rep.length == 2 && rep.map(_.getString(0)).toSet
       == Set("not_null(x)", "unique(x)"))
   }
+
+  test("benford: hand-computed digit shares, dense 1..9 grid") {
+    // cents: 100, 250, 1999, 5 -> leading digits 1, 2, 1, 5; <= 0 excluded
+    val df = Seq(("g", 1.00), ("g", 2.50), ("g", 19.99), ("g", 0.05),
+      ("g", -3.0), ("g", 0.0)).toDF("grp", "amt")
+    val rows = Dq.benfordReport(df, "grp", "amt").orderBy("digit").collect()
+    assert(rows.length == 9) // all digits present even with zero counts
+    val byDigit = rows.map(r => r.getInt(1) -> r).toMap
+    assert(byDigit(1).getLong(2) == 2 && byDigit(1).getDouble(3) == 0.5)
+    assert(byDigit(2).getLong(2) == 1 && byDigit(5).getLong(2) == 1)
+    assert(byDigit(3).getLong(2) == 0 && byDigit(3).getDouble(3) == 0.0)
+    // expected(1) = log10(2) = 0.30103; dev = 0.5 - 0.30103
+    assert(byDigit(1).getDouble(4) == 0.30103)
+    assert(byDigit(1).getDouble(5) == 0.19897)
+  }
+
+  test("benford: conforming magnitudes deviate less than clipped ones") {
+    // spread over 3 decades (roughly Benford) vs all clipped to 5xx.xx
+    val spread = (1 to 300).map(i => ("spread", i * i * 0.037 + 1.0))
+    val clipped = (1 to 300).map(i => ("clip", 500.0 + i * 0.31))
+    val rep = Dq.benfordReport((spread ++ clipped).toDF("grp", "amt"), "grp", "amt")
+    val maxDev = rep.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => math.abs(r.getDouble(5))).max).toMap
+    assert(maxDev("clip") > maxDev("spread"))
+    assert(maxDev("clip") > 0.5) // every clipped amount leads with 5
+  }
 }

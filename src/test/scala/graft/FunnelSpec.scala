@@ -64,4 +64,34 @@ class FunnelSpec extends SparkSpec {
     // first two land in the same bucket, third exactly one bucket later
     assert(got == Map(0L -> 1L, 1L -> 1L))
   }
+
+  test("markov: hand-computed transition counts and probabilities") {
+    // u1: A B A(end); u2: A B(end)  =>  A->B:2, B->A:1, A->end:1, B->end:1
+    val ev = Seq((1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L),
+      (2L, "A", 10L, 4L), (2L, "B", 20L, 5L)).toDF("u", "t", "ts", "id")
+    val got = Funnel.markovTransitions(ev, "u", "t", "ts", "id").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      ("A", "B") -> ((2L, 0.666667)), ("A", "(end)") -> ((1L, 0.333333)),
+      ("B", "A") -> ((1L, 0.5)), ("B", "(end)") -> ((1L, 0.5))))
+  }
+
+  test("markov: probabilities row-normalize to 1 on the fixture shape") {
+    val ev = (1 to 200).map(i =>
+      (i % 13L, Seq("v", "c", "p")(i % 3), i * 100L, i.toLong))
+      .toDF("u", "t", "ts", "id")
+    val sums = Funnel.markovTransitions(ev, "u", "t", "ts", "id").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(3)).sum).toMap
+    sums.values.foreach(s => assert(math.abs(s - 1.0) < 1e-4))
+  }
+
+  test("markov: simultaneous events sequence by id (deterministic ties)") {
+    val ev = Seq((1L, "X", 10L, 2L), (1L, "Y", 10L, 1L)).toDF("u", "t", "ts", "id")
+    val got = Funnel.markovTransitions(ev, "u", "t", "ts", "id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // id 1 (Y) first, then X, then end — never X->Y
+    assert(got == Set(("Y", "X"), ("X", "(end)")))
+  }
 }

@@ -210,4 +210,39 @@ class PqSpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("sq8: constant and exactly-representable dims reconstruct exactly") {
+    // dim 0 constant (hi = lo -> code 0, exact); dim 1 endpoints only
+    val df = Seq((1L, Seq(7.0, 0.0)), (2L, Seq(7.0, 1.0)), (3L, Seq(7.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val rows = Pq.sq8Report(df, "embedding").orderBy("i").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(1) == 7.0 && rows(0).getDouble(2) == 7.0)
+    assert(rows(0).getDouble(3) == 0.0 && rows(0).getDouble(4) == 0.0)
+    assert(rows(1).getDouble(3) == 0.0 && rows(1).getDouble(4) == 0.0)
+  }
+
+  test("sq8: mid-grid value carries the hand-computed quantization error") {
+    // dim values {0, 0.3, 1}: code(0.3) = round(76.5) = 77 (HALF_UP),
+    // dq = 77/255, err = |0.3 - 77/255|
+    val df = Seq((1L, Seq(0.0)), (2L, Seq(0.3)), (3L, Seq(1.0)))
+      .toDF("vec_id", "embedding")
+    val Array(r) = Pq.sq8Report(df, "embedding").collect()
+    val err = math.abs(0.3 - 77.0 / 255.0)
+    val round9 = (x: Double) => BigDecimal(java.lang.Double.toString(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == round9(err))
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 4e-6) // err^2/3 scale
+  }
+
+  test("sq8: max_err bounded by half a grid step on smooth data") {
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq(math.sin(i * 0.1) * 3.0, i * 0.01))).toDF("vec_id", "embedding")
+    val rows = Pq.sq8Report(df, "embedding").collect()
+    rows.foreach { r =>
+      val step = (r.getDouble(2) - r.getDouble(1)) / 255.0
+      assert(r.getDouble(4) <= step / 2.0 + 1e-9,
+        s"dim ${r.getLong(0)}: max_err ${r.getDouble(4)} > half-step ${step / 2}")
+    }
+  }
 }

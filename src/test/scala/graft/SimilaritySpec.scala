@@ -168,4 +168,38 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(a == want && b == want)
   }
+
+  test("centroidOutliers: the planted far vector is flagged, core is not") {
+    // two tight clusters on orthogonal axes + one vector between them:
+    // the planted one has the lowest cosine to whichever centroid wins it
+    val core = (0 until 30).map(i => (i.toLong, Seq(1.0, 0.002 * i, 0.0, 0.0))) ++
+      (30 until 60).map(i => (i.toLong, Seq(0.0, 1.0, 0.002 * (i - 30), 0.0)))
+    val planted = Seq((99L, Seq(0.7, 0.72, 0.0, 0.0)))
+    val emb = (core ++ planted).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("sq-out").toString
+    Similarity.writeIvfIndex(emb, path, nlist = 2, dim = 4)
+    val rows = Similarity.centroidOutliers(spark, path, pPct = 5).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.length == 61)
+    assert(byId(99L).getBoolean(4), "planted vector must be an outlier")
+    // a 5% gate flags each cell's strict bottom tail: here the planted
+    // vector plus at most one extreme core vector per cell
+    assert(rows.count(_.getBoolean(4)) <= 3)
+    // the planted vector is its cell's worst fit by a wide margin
+    val cellMin = rows.filter(_.getLong(1) == byId(99L).getLong(1))
+      .map(_.getDouble(2)).min
+    assert(byId(99L).getDouble(2) == cellMin)
+  }
+
+  test("centroidOutliers: threshold is the exact per-cell ceil-rank pick") {
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Seq(1.0, i * 0.01, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("sq-out2").toString
+    Similarity.writeIvfIndex(emb, path, nlist = 1, dim = 4)
+    val rows = Similarity.centroidOutliers(spark, path, pPct = 10).collect()
+    // one cell of 40 -> target = ceil(40*10/100) = 4th-lowest ccos
+    val sorted = rows.map(_.getDouble(2)).sorted
+    assert(rows.forall(_.getDouble(3) == sorted(3)))
+    assert(rows.count(_.getBoolean(4)) == 3) // strictly below the 4th-lowest
+  }
 }

@@ -188,4 +188,52 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_.getString(0)) == Seq("ok"))
   }
+
+  test("welch: hand-computed t and Satterthwaite df") {
+    // a = [1,2,3,4]: mean 2.5, var 5/3; b = [2,4,6,8,10]: mean 6, var 10
+    // sea = 5/12, seb = 2; t = -3.5/sqrt(29/12); df = (29/12)^2/((5/12)^2/3 + 1)
+    val df = (Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(2, 4, 6, 8, 10).map(v => ("b", v.toDouble))).toDF("grp", "v")
+    val Array(r) = Stats.welchTTest(df, "grp", "v").collect()
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 4 && r.getLong(3) == 5)
+    assert(r.getDouble(4) == 2.5 && r.getDouble(5) == 6.0)
+    assert(r.getDouble(6) == -3.5)
+    assert(math.abs(r.getDouble(7) - -2.251437) < 1e-5)
+    assert(math.abs(r.getDouble(8) - 5.520785) < 1e-4)
+    assert(r.getBoolean(9)) // |t| > 1.96
+  }
+
+  test("welch: identical arms read t = 0, not significant") {
+    val df = (1 to 20).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("grp", "v")
+    val Array(r) = Stats.welchTTest(df, "grp", "v").collect()
+    assert(r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0 && !r.getBoolean(9))
+  }
+
+  test("welch: partitioning-invariant (decimal sufficient statistics)") {
+    val df = (1 to 200).map(i =>
+      (if (i % 3 == 0) "a" else "b", i * 0.37 + (i % 7))).toDF("grp", "v")
+    val a = Stats.welchTTest(df.repartition(1), "grp", "v").collect().toSeq
+    val b = Stats.welchTTest(df.repartition(13), "grp", "v").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("chi2: hand-computed 2x2 table") {
+    // o = [[10,20],[30,40]]: terms 4/12, 4/18, 4/28, 4/42 (round-6 each)
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val Array(r) = Stats.chiSquareIndependence(rows.toDF("r", "c"), "r", "c").collect()
+    assert(r.getDouble(0) == 0.79365)
+    assert(r.getLong(1) == 1 && r.getLong(2) == 100)
+    assert(math.abs(r.getDouble(3) - 0.089087) <= 1e-6)
+  }
+
+  test("chi2: proportional table reads zero (independence)") {
+    // every row category splits 1:2 across columns -> expected == observed
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(20)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val Array(r) = Stats.chiSquareIndependence(rows.toDF("r", "c"), "r", "c").collect()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(3) == 0.0)
+  }
 }

@@ -239,4 +239,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
     assert(!a.exists(_.getString(0).startsWith("rare")), "singletons gated out")
   }
+
+  test("textrank: the hub word of a star corpus ranks first") {
+    // "core" co-occurs with every spoke; spokes only see core + one chain
+    val docs = Seq((1L, "core alpha"), (2L, "core beta"), (3L, "core gamma"),
+      (4L, "core delta"), (5L, "core epsilon"), (6L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.textRankKeywords(docs, window = 2, k = 10).collect()
+    assert(rows.head.getString(0) == "core")
+    assert(rows.head.getDouble(2) > rows(1).getDouble(2))
+  }
+
+  test("textrank: stopwords and short tokens never become keywords") {
+    val docs = Seq((1L, "the cat it the hat"), (2L, "a it of cat hat"),
+      (3L, "cat hat mat")).toDF("doc_id", "text")
+    val words = TextAnalysis.textRankKeywords(docs, window = 2, k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(words.subsetOf(Set("cat", "hat", "mat")))
+    assert(!words.exists(_.length < 3))
+  }
+
+  test("textrank: partitioning-invariant (integer fixed-point rounds)") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"word${i % 7} word${i % 5} word${i % 3} filler${i % 11}"))
+      .toDF("doc_id", "text")
+    def run(p: Int) = TextAnalysis.textRankKeywords(docs.repartition(p), 2, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(run(1) == run(9))
+  }
 }

@@ -67,4 +67,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(run(1) == run(7))
   }
+
+  test("decayedTopK: recent burst outranks a larger stale total") {
+    val hour = 3600000000000L
+    val t0 = 1700000000000000000L
+    // item 1: 10 events now; item 2: 100 events 10 half-lives ago
+    // (weight 0.000977 each -> decayed score 0.0977 << 10)
+    val ev = ((1 to 10).map(i => ("g", 1L, t0)) ++
+      (1 to 100).map(i => ("g", 2L, t0 - 10 * hour))).toDF("grp", "item", "ts")
+    val rows = TimeSeries.decayedTopK(ev, "grp", "item", "ts",
+      halfLifeHours = 1, k = 10).orderBy("rank").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(rows(0).getDouble(2) == 10.0)
+    assert(rows(1).getDouble(2) == 0.0977) // 100 * round(2^-10, 6)
+  }
+
+  test("decayedTopK: k bounds output; ties break by item ascending") {
+    val t0 = 1700000000000000000L
+    val ev = (1 to 50).map(i => ("g", i.toLong, t0)).toDF("grp", "item", "ts")
+    val rows = TimeSeries.decayedTopK(ev, "grp", "item", "ts", 24, 5).collect()
+    assert(rows.length == 5)
+    assert(rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("decayedTopK: partitioning-invariant (decimal weight sums)") {
+    val hour = 3600000000000L
+    val t0 = 1700000000000000000L
+    val ev = (1 to 400).map(i =>
+      (s"g${i % 3}", i % 17L, t0 - (i % 50) * hour)).toDF("grp", "item", "ts")
+    def run(p: Int) = TimeSeries.decayedTopK(ev.repartition(p), "grp", "item",
+      "ts", 12, 5).orderBy("grp", "rank").collect().toSeq
+    assert(run(1) == run(13))
+  }
 }
