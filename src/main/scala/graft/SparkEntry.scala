@@ -910,6 +910,60 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q162_time_to_convert" -> ((s, dir) =>
+      // funnel latency: signup -> first purchase delay in whole hours,
+      // exact p50/p90 via the q138 bucket-refinement selection (no global
+      // sort), with the conversion rate alongside
+      Funnel.timeToConvert(t(s, dir, "events"), "user_id", "event_type",
+        "ts", "signup", "purchase", Seq(0.5, 0.9)).orderBy("p")),
+    "q161_label_noise" -> ((s, dir) =>
+      // confident-learning-lite review queue: docs whose NB-predicted
+      // language confidently disagrees with the stored lang tag, most
+      // suspicious first
+      Classify.labelNoiseReport(
+        tp(s, dir, "documents").select(col("doc_id"),
+          col("lang").as("label"), col("text")), numSlots = 512)
+        .orderBy(col("margin").desc, col("doc_id").asc)),
+    "q160_srm" -> ((s, dir) =>
+      // sample-ratio-mismatch guardrail: distinct users hashed into three
+      // arms vs the designed 1/3 shares — Pearson goodness-of-fit
+      Experiment.srmCheck(
+        t(s, dir, "events").select(col("user_id")).distinct()
+          .withColumn("arm", col("user_id") % 3),
+        "arm", Seq("0" -> (1.0 / 3.0), "1" -> (1.0 / 3.0), "2" -> (1.0 / 3.0)))),
+    "q159_gini" -> ((s, dir) => {
+      // activity concentration: Gini over per-user total value within each
+      // event type — the power-law health check on the source mix
+      val per = t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type").as("grp"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("x"))
+      Stats.giniPerGroup(per, "grp", "x").orderBy("grp")
+    }),
+    "q158_did" -> ((s, dir) =>
+      // difference-in-differences: even vs odd users across the q105 cut,
+      // 2x2 cell means + interaction effect in one conditional aggregate
+      Experiment.diffInDiff(t(s, dir, "events")
+          .withColumn("treat", col("user_id") % 2 === 0),
+        "treat", "ts", "value", cutTs = 1705363200000000000L)),
+    "q157_cuped" -> ((s, dir) =>
+      // CUPED variance reduction: pre-period per-user value predicts the
+      // experiment-period metric; theta and the variance cut from five
+      // exact-decimal cross-moments
+      Experiment.cuped(t(s, dir, "events"), "user_id", "ts", "value",
+        cutTs = 1705363200000000000L)),
+    "q156_winsorize" -> ((s, dir) =>
+      // robust-mean gate: clip event values at exact per-type [p5, p95]
+      // ceil-rank bounds, report raw vs winsorized means
+      Stats.winsorizedMeans(t(s, dir, "events"), "event_type", "value",
+        pLo = 5, pHi = 95).orderBy("grp")),
+    "q155_attribution" -> ((s, dir) =>
+      // conversion attribution: purchases credit the click/view touches in
+      // the prior 72 h — last-touch and linear models side by side, with
+      // untouched conversions in "(none)"
+      Experiment.attribution(t(s, dir, "events"), "user_id", "event_type",
+        "ts", "event_id", "purchase", Seq("click", "view"),
+        lookback = 259200000000000L).orderBy("channel")),
     "q154_emb_outliers" -> ((s, dir) => {
       // embedding quality gate: vectors below their cell's 5th-percentile
       // cosine-to-centroid are flagged (cluster-distance outlier filter);
@@ -2825,6 +2879,213 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q162_time_to_convert" -> // timeToConvert replayed with a plain
+        // global rank (the q138 argument: the k-th smallest is
+        // bucket-independent, so this proves the two-pass selection exact)
+        """WITH st AS (SELECT user_id AS unit, min(epoch_ns(ts)) AS t0
+          |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+          |cv AS (SELECT e.user_id AS unit, min(epoch_ns(e.ts) - t0) AS dt
+          |       FROM events e JOIN st ON e.user_id = st.unit
+          |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t0
+          |       GROUP BY 1),
+          |hrs AS (SELECT CAST(dt // 3600000000000 AS DOUBLE) AS hours FROM cv),
+          |cnt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_start,
+          |               (SELECT CAST(count(*) AS BIGINT) FROM hrs) AS n_converted),
+          |r AS (SELECT hours, row_number() OVER (ORDER BY hours) AS rk FROM hrs)
+          |SELECT t.p, CAST(ceil(t.p * n_converted) AS BIGINT) AS rank,
+          |       r.hours, n_start, n_converted,
+          |       round(CAST(n_converted AS DOUBLE) / CAST(n_start AS DOUBLE), 6)
+          |         AS cvr
+          |FROM (VALUES (0.5e0), (0.9e0)) t(p) CROSS JOIN cnt
+          |JOIN r ON r.rk = CAST(ceil(t.p * n_converted) AS BIGINT)
+          |ORDER BY t.p""".stripMargin,
+      "q161_label_noise" -> {
+        // the q103 NB mirror trained on the WHOLE corpus (lang labels),
+        // scores for every (doc, label), argmax vs the stored tag, round-6
+        // margin; only confident disagreements survive
+        val slot = s"(${polyHashSql("tok")} % 512)"
+        s"""WITH tr AS (SELECT doc_id, lang AS label, text FROM documents),
+           |trt AS (SELECT label, $slot AS slot FROM (
+           |         SELECT label, unnest(string_split(text, ' ')) AS tok FROM tr)),
+           |ct AS (SELECT label, slot, count(*) AS ct FROM trt GROUP BY 1, 2),
+           |tot AS (SELECT label, count(*) AS total FROM trt GROUP BY 1),
+           |nd AS (SELECT label, count(*) AS n_docs FROM tr GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM tr),
+           |grid AS (SELECT tot.label, total, n_docs, gs.slot
+           |         FROM tot JOIN nd USING (label)
+           |         CROSS JOIN (SELECT unnest(range(0, 512)) AS slot) gs),
+           |model AS (SELECT grid.label, grid.slot,
+           |            CAST(round(ln((COALESCE(ct.ct, 0) + 1.0e0)
+           |                          / (grid.total + 512.0e0)), 6)
+           |                 AS DECIMAL(38,6)) AS lp,
+           |            CAST(round(ln(grid.n_docs / CAST(n.n AS DOUBLE)), 6)
+           |                 AS DECIMAL(38,6)) AS prior
+           |          FROM grid LEFT JOIN ct
+           |            ON ct.label = grid.label AND ct.slot = grid.slot
+           |          CROSS JOIN n),
+           |tet AS (SELECT doc_id, $slot AS slot FROM (
+           |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM tr)),
+           |sc AS (SELECT doc_id, label,
+           |         CAST(min(prior) + sum(lp) AS DOUBLE) AS logp
+           |       FROM tet JOIN model USING (slot) GROUP BY 1, 2),
+           |best AS (SELECT doc_id, label AS pred, logp AS logp_pred FROM (
+           |          SELECT doc_id, label, logp, row_number() OVER (
+           |            PARTITION BY doc_id ORDER BY logp DESC, label) AS rn
+           |          FROM sc) WHERE rn = 1),
+           |own AS (SELECT sc.doc_id, tr.label AS actual, logp AS logp_actual
+           |        FROM sc JOIN tr ON sc.doc_id = tr.doc_id
+           |          AND sc.label = tr.label)
+           |SELECT best.doc_id, actual, pred, logp_pred, logp_actual,
+           |       round(logp_pred - logp_actual, 6) AS margin
+           |FROM best JOIN own ON best.doc_id = own.doc_id
+           |WHERE pred <> actual ORDER BY margin DESC, best.doc_id""".stripMargin
+      },
+      "q160_srm" -> // srmCheck replayed: distinct-user arm counts vs the
+        // design shares, round-6 terms summed as DECIMAL(38,6)
+        """WITH a AS (SELECT DISTINCT user_id FROM events),
+          |obs AS (SELECT CAST(user_id % 3 AS VARCHAR) AS arm,
+          |          CAST(count(*) AS BIGINT) AS o FROM a GROUP BY 1),
+          |ex AS (SELECT arm, 1.0e0 / 3.0e0 AS p
+          |       FROM (VALUES ('0'), ('1'), ('2')) t(arm)),
+          |tot AS (SELECT sum(o) AS n FROM obs),
+          |terms AS (SELECT ex.arm, coalesce(o, 0) AS o, p, n,
+          |    round((CAST(coalesce(o, 0) AS DOUBLE) - CAST(n AS DOUBLE) * p)
+          |      * (CAST(coalesce(o, 0) AS DOUBLE) - CAST(n AS DOUBLE) * p)
+          |      / (CAST(n AS DOUBLE) * p), 6) AS term
+          |  FROM ex LEFT JOIN obs ON ex.arm = obs.arm CROSS JOIN tot),
+          |agg AS (SELECT CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
+          |          AS chi2raw, CAST(count(*) AS BIGINT) AS k, max(n) AS n
+          |        FROM terms)
+          |SELECT round(chi2raw, 6) AS chi2, k - 1 AS dof, n,
+          |       round(chi2raw, 6) > 3.841459e0 AS suspect FROM agg""".stripMargin,
+      "q159_gini" -> // giniPerGroup replayed: per-user DECIMAL totals,
+        // rank-sum formula (tie order cannot move the sum), round-6
+        """WITH per AS (SELECT event_type AS grp, user_id,
+          |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |rk AS (SELECT grp, x, row_number() OVER (PARTITION BY grp
+          |         ORDER BY x ASC) AS r FROM per WHERE x >= 0),
+          |agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+          |          sum(x * r) AS srx FROM rk GROUP BY grp)
+          |SELECT grp, n, round(CAST(sx AS DOUBLE), 6) AS total,
+          |       round((2.0e0 * CAST(srx AS DOUBLE))
+          |           / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+          |         - (CAST(n AS DOUBLE) + 1.0e0) / CAST(n AS DOUBLE), 6) AS gini
+          |FROM agg WHERE CAST(sx AS DOUBLE) > 0.0e0 ORDER BY grp""".stripMargin,
+      "q158_did" -> // diffInDiff replayed: the 2x2 conditional aggregate
+        // (DECIMAL sums, integer counts), means and the interaction effect
+        // in the identical evaluation order
+        """WITH r AS (SELECT (user_id % 2 = 0) AS t,
+          |    (epoch_ns(ts) < 1705363200000000000) AS pre,
+          |    CAST(value AS DECIMAL(18,6)) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |m AS (SELECT
+          |    sum(CASE WHEN NOT t AND pre THEN v END) AS s_c_pre,
+          |    count(CASE WHEN NOT t AND pre THEN 1 END) AS n_c_pre,
+          |    sum(CASE WHEN NOT t AND NOT pre THEN v END) AS s_c_post,
+          |    count(CASE WHEN NOT t AND NOT pre THEN 1 END) AS n_c_post,
+          |    sum(CASE WHEN t AND pre THEN v END) AS s_t_pre,
+          |    count(CASE WHEN t AND pre THEN 1 END) AS n_t_pre,
+          |    sum(CASE WHEN t AND NOT pre THEN v END) AS s_t_post,
+          |    count(CASE WHEN t AND NOT pre THEN 1 END) AS n_t_post
+          |  FROM r)
+          |SELECT
+          |  round(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 6)
+          |    AS mean_c_pre,
+          |  round(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE), 6)
+          |    AS mean_c_post,
+          |  round(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 6)
+          |    AS mean_t_pre,
+          |  round(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE), 6)
+          |    AS mean_t_post,
+          |  round((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+          |      - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+          |    - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+          |      - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 6)
+          |    AS did_effect
+          |FROM m""".stripMargin,
+      "q157_cuped" -> // cuped replayed: per-unit (x, y) DECIMAL(18,6)
+        // rollup with zero imputation, five cross-moments, the identical
+        // theta / variance formulas
+        """WITH pu AS (SELECT user_id AS unit,
+          |    CAST(coalesce(sum(CASE WHEN epoch_ns(ts) < 1705363200000000000
+          |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6)) AS x,
+          |    CAST(coalesce(sum(CASE WHEN epoch_ns(ts) >= 1705363200000000000
+          |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6)) AS y
+          |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+          |w AS (SELECT CAST(x AS DECIMAL(19,6)) AS x,
+          |             CAST(y AS DECIMAL(19,6)) AS y FROM pu),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+          |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+          |    CAST(sum(y * y) AS DOUBLE) AS syy FROM w),
+          |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy,
+          |    CAST(n AS DOUBLE) * sxx - sx * sx AS dxx FROM m)
+          |SELECT n,
+          |  round((nd * sxy - sx * sy) / dxx, 6) AS theta,
+          |  round((nd * syy - sy * sy) / (nd * (nd - 1.0e0)), 6) AS var_y,
+          |  round((nd * syy - sy * sy) / (nd * (nd - 1.0e0))
+          |    - ((nd * sxy - sx * sy) / dxx) * ((nd * sxy - sx * sy) / dxx)
+          |      * (dxx / (nd * (nd - 1.0e0))), 6) AS var_yadj,
+          |  round(((nd * syy - sy * sy) / (nd * (nd - 1.0e0))
+          |    - ((nd * syy - sy * sy) / (nd * (nd - 1.0e0))
+          |      - ((nd * sxy - sx * sy) / dxx) * ((nd * sxy - sx * sy) / dxx)
+          |        * (dxx / (nd * (nd - 1.0e0)))))
+          |    / ((nd * syy - sy * sy) / (nd * (nd - 1.0e0))) * 100.0e0, 6)
+          |    AS var_reduction_pct
+          |FROM f WHERE n >= 2 AND round(dxx, 9) <> 0.0e0""".stripMargin,
+      "q156_winsorize" -> // winsorizedMeans replayed: exact ceil-rank
+        // bounds from a per-group window, DECIMAL(18,6) raw/clipped sums
+        """WITH r AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+          |           FROM events WHERE value IS NOT NULL),
+          |rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp
+          |         ORDER BY v ASC) AS rn FROM r),
+          |cn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY grp),
+          |tg AS (SELECT grp, n, (n * 5 + 99) // 100 AS t_lo,
+          |         (n * 95 + 99) // 100 AS t_hi FROM cn),
+          |bd AS (SELECT rk.grp, min(v) AS lo, max(v) AS hi
+          |       FROM rk JOIN tg ON rk.grp = tg.grp
+          |       WHERE rn = t_lo OR rn = t_hi GROUP BY rk.grp)
+          |SELECT r.grp, CAST(count(*) AS BIGINT) AS n, min(lo) AS lo,
+          |       min(hi) AS hi,
+          |       round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+          |         / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+          |       round(CAST(sum(CAST(least(greatest(v, lo), hi)
+          |           AS DECIMAL(18,6))) AS DOUBLE)
+          |         / CAST(count(*) AS DOUBLE), 6) AS mean_winsorized
+          |FROM r JOIN bd ON r.grp = bd.grp GROUP BY r.grp
+          |ORDER BY r.grp""".stripMargin,
+      "q155_attribution" -> // attribution replayed: per-unit time-range
+        // pairing, per-conversion k and last-touch windows with the same
+        // tie order, DECIMAL(28,9) linear credits, "(none)" bucket via
+        // NOT EXISTS
+        """WITH conv AS (SELECT user_id AS unit, epoch_ns(ts) AS cts,
+          |    event_id AS cid FROM events WHERE event_type = 'purchase'),
+          |tch AS (SELECT user_id AS unit, event_type AS channel,
+          |    epoch_ns(ts) AS tts, event_id AS tid FROM events
+          |  WHERE event_type IN ('click', 'view')),
+          |pr AS (SELECT cid, channel, tts, tid
+          |       FROM conv JOIN tch ON conv.unit = tch.unit
+          |       WHERE tts < cts AND tts >= cts - 259200000000000),
+          |cr AS (SELECT cid, channel,
+          |         count(*) OVER (PARTITION BY cid) AS k,
+          |         row_number() OVER (PARTITION BY cid
+          |           ORDER BY tts DESC, tid DESC) AS rn FROM pr),
+          |pc AS (SELECT channel,
+          |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS conv_last,
+          |    CAST(sum(CAST(round(1.0e0 / k, 9) AS DECIMAL(28,9))) AS DOUBLE)
+          |      AS credit_linear,
+          |    CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions_touched
+          |  FROM cr GROUP BY channel),
+          |orp AS (SELECT CAST(count(*) AS BIGINT) AS c FROM conv
+          |        WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.cid = conv.cid))
+          |SELECT channel, conv_last, round(credit_linear, 6) AS credit_linear,
+          |       n_conversions_touched FROM pc
+          |UNION ALL
+          |SELECT '(none)', c, round(CAST(c AS DOUBLE), 6), c FROM orp WHERE c > 0
+          |ORDER BY channel""".stripMargin,
       "q154_emb_outliers" -> {
         // centroidOutliers replayed off the SAME stored cell layout (q42's
         // read pattern, "_out" sibling path): cosine-to-own-centroid via

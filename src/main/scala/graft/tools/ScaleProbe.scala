@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Audit, Bpe, Cdc, Dedup, Enrich, Graph, LangModel, Packing, Pipeline, RangeJoin, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Audit, Bpe, Cdc, Classify, Dedup, Enrich, Experiment, Graph, LangModel, Packing, Pca, Pipeline, RangeJoin, Retrieval, Sampling, Similarity, Sketches, Stats, TextAnalysis}
 import graft.sources.SpotSynth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -391,6 +391,34 @@ object ScaleProbe {
         }
         rm(dir2.toFile)
       }
+    }
+    time("pca_3iters") {
+      val emb = amplify(spark.read.parquet(s"$dir/embeddings.parquet"),
+        Seq("vec_id"), 1000000L)
+      Pca.pcaTopComponent(emb, "embedding", 64, 3).count()
+    }
+    time("textrank_keywords") {
+      TextAnalysis.textRankKeywords(docs, 2, 20).count()
+    }
+    time("attribution_72h") {
+      // amplify USERS too: k x the population, not k x per-user density
+      // (offsetting only event_id would square the per-user pairing)
+      val ev = amplify(spark.read.parquet(s"$dir/events.parquet"),
+        Seq("event_id", "user_id"), 1000000L)
+      Experiment.attribution(ev, "user_id", "event_type", "ts",
+        "event_id", "purchase", Seq("click", "view"), 259200000000000L).count()
+    }
+    time("label_noise_nb") {
+      Classify.labelNoiseReport(docs.select(col("doc_id"),
+        col("lang").as("label"), col("text"))).count()
+    }
+    time("winsorize_gini") {
+      val w = Stats.winsorizedMeans(events, "event_type", "value").count()
+      val per = events.filter(col("value").isNotNull)
+        .groupBy(col("event_type").as("grp"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("x"))
+      w + Stats.giniPerGroup(per, "grp", "x").count()
     }
     spark.stop()
   }

@@ -204,6 +204,26 @@ class ClassifySpec extends SparkSpec {
     assert(run(1) == run(17))
   }
 
+  test("labelNoise: the planted mislabeled doc is the review queue") {
+    // class a speaks "xx", class b speaks "yy"; doc 99 is labeled a but
+    // speaks pure b — the one confident disagreement
+    val docs = ((1L to 20L).map(i => (i, "a", "xx xx xx zz")) ++
+      (21L to 40L).map(i => (i, "b", "yy yy yy zz")) :+
+      ((99L, "a", "yy yy yy yy"))).toDF("doc_id", "label", "text")
+    val rows = Classify.labelNoiseReport(docs).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(99L))
+    val r = rows.head
+    assert(r.getString(1) == "a" && r.getString(2) == "b")
+    assert(r.getDouble(5) > 0.0) // margin strictly positive by construction
+    assert(r.getDouble(3) > r.getDouble(4)) // logp_pred > logp_actual
+  }
+
+  test("labelNoise: a clean corpus yields an empty queue") {
+    val docs = ((1L to 15L).map(i => (i, "a", "xx xx")) ++
+      (16L to 30L).map(i => (i, "b", "yy yy"))).toDF("doc_id", "label", "text")
+    assert(Classify.labelNoiseReport(docs).collect().isEmpty)
+  }
+
   test("conformal: degenerate residuals give qhat 0 and full coverage") {
     val df = (1L to 200L).map(id => ("g", id, 5.0)).toDF("grp", "id", "v")
     val Array(r) = Classify.conformalReport(df, "grp", "id", "v").collect()

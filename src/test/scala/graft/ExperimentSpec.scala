@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Experiment
+import org.apache.spark.sql.functions._
+
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("srm: exact design split reads chi2 0; a skewed split is flagged") {
+    val even = (0 until 30).map(i => Tuple1((i % 3).toString)).toDF("arm")
+    val Array(ok) = Experiment.srmCheck(even, "arm",
+      Seq("0" -> (1.0 / 3), "1" -> (1.0 / 3), "2" -> (1.0 / 3))).collect()
+    assert(ok.getDouble(0) == 0.0 && ok.getLong(1) == 2 && !ok.getBoolean(3))
+    // 40/10/10 vs uniform 60/3: terms 20 + 5 + 5 = 30
+    val skew = (Seq.fill(40)("0") ++ Seq.fill(10)("1") ++ Seq.fill(10)("2"))
+      .map(Tuple1(_)).toDF("arm")
+    val Array(bad) = Experiment.srmCheck(skew, "arm",
+      Seq("0" -> (1.0 / 3), "1" -> (1.0 / 3), "2" -> (1.0 / 3))).collect()
+    assert(bad.getDouble(0) == 30.0 && bad.getBoolean(3))
+  }
+
+  test("srm: an arm with zero observations counts as o = 0, not a dropped row") {
+    val df = (Seq.fill(10)("0") ++ Seq.fill(10)("1")).map(Tuple1(_)).toDF("arm")
+    val Array(r) = Experiment.srmCheck(df, "arm",
+      Seq("0" -> 0.5, "1" -> 0.25, "2" -> 0.25)).collect()
+    assert(r.getLong(1) == 2) // dof = 3 arms - 1
+    assert(r.getBoolean(3)) // 0/5 expected-5 arm alone contributes 5
+  }
+
+  test("cuped: a perfectly predictive covariate removes all variance") {
+    // per unit: pre value x, post value 2x -> theta 2, var_yadj 0
+    val cut = 1000L
+    val ev = (1 to 10).flatMap(i => Seq(
+      (i.toLong, 500L, i.toDouble), (i.toLong, 1500L, 2.0 * i)))
+      .toDF("unit", "ts", "v")
+    val Array(r) = Experiment.cuped(ev, "unit", "ts", "v", cut).collect()
+    assert(r.getLong(0) == 10)
+    assert(r.getDouble(1) == 2.0) // theta
+    assert(r.getDouble(3) == 0.0) // var_yadj
+    assert(r.getDouble(4) == 100.0) // var_reduction_pct
+  }
+
+  test("cuped: zero-imputation for units without pre-period activity") {
+    // all x = 0 -> var_x 0, dxx 0 -> the degenerate filter drops the row
+    val ev = (1 to 5).map(i => (i.toLong, 1500L, i.toDouble)).toDF("unit", "ts", "v")
+    assert(Experiment.cuped(ev, "unit", "ts", "v", 1000L).collect().isEmpty)
+  }
+
+  test("cuped: partitioning-invariant") {
+    val ev = (1 to 300).map(i =>
+      (i % 40L, (i % 7) * 400L, (i % 11) + i * 0.01)).toDF("unit", "ts", "v")
+    def run(p: Int) = Experiment.cuped(ev.repartition(p), "unit", "ts", "v", 1000L)
+      .collect().toSeq
+    assert(run(1) == run(13) && run(1).nonEmpty)
+  }
+
+  test("did: hand-computed 2x2 interaction") {
+    // control pre [1,2] post [2,3]; treat pre [1,3] post [5,7]
+    // effect = (6 - 2) - (2.5 - 1.5) = 3
+    val rows = Seq((false, 1L, 1.0), (false, 2L, 2.0), (false, 11L, 2.0),
+      (false, 12L, 3.0), (true, 3L, 1.0), (true, 4L, 3.0),
+      (true, 13L, 5.0), (true, 14L, 7.0)).toDF("treat", "ts", "v")
+    val Array(r) = Experiment.diffInDiff(rows, "treat", "ts", "v", 10L).collect()
+    assert(r.getDouble(0) == 1.5 && r.getDouble(1) == 2.5)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == 3.0)
+  }
+
+  test("attribution: linear splits credit, last-touch picks the latest") {
+    // u1: click@10, view@20, purchase@30 (both in window, k=2)
+    // u2: purchase@50 with no touches; u3: click@5, purchase@200 (stale)
+    val ev = Seq((1L, "click", 10L, 1L), (1L, "view", 20L, 2L),
+      (1L, "purchase", 30L, 3L), (2L, "purchase", 50L, 4L),
+      (3L, "click", 5L, 5L), (3L, "purchase", 200L, 6L))
+      .toDF("u", "t", "ts", "id")
+    val got = Experiment.attribution(ev, "u", "t", "ts", "id", "purchase",
+      Seq("click", "view"), lookback = 100L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("click") == ((0L, 0.5, 1L)))
+    assert(got("view") == ((1L, 0.5, 1L)))
+    assert(got("(none)") == ((2L, 2.0, 2L)))
+  }
+
+  test("attribution: every conversion is accounted for exactly once (last model)") {
+    val ev = (1 to 400).map { i =>
+      val t = if (i % 4 == 0) "purchase" else Seq("click", "view")(i % 2)
+      (i % 23L, t, i * 1000L, i.toLong)
+    }.toDF("u", "t", "ts", "id")
+    val rep = Experiment.attribution(ev, "u", "t", "ts", "id", "purchase",
+      Seq("click", "view"), lookback = 50000L).collect()
+    val nConv = ev.filter(col("t") === "purchase").count()
+    assert(rep.map(_.getLong(1)).sum == nConv) // last-touch credits sum to #conv
+  }
+}

@@ -65,6 +65,37 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L))
   }
 
+  test("timeToConvert: hand-computed latency percentiles and cvr") {
+    val h = 3600000000000L
+    val t0 = 1700000000000000000L
+    // converted: 2h, 5h, 10h; one signup never converts; one orphan purchase
+    val ev = Seq((1L, "signup", t0), (1L, "purchase", t0 + 2 * h),
+      (2L, "signup", t0), (2L, "purchase", t0 + 5 * h),
+      (3L, "signup", t0), (3L, "purchase", t0 + 10 * h),
+      (4L, "signup", t0),
+      (5L, "purchase", t0 + h)).toDF("u", "t", "ts")
+    val rows = Funnel.timeToConvert(ev, "u", "t", "ts", "signup", "purchase",
+      Seq(0.5, 0.9)).orderBy("p").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(0) == 0.5 && rows(0).getDouble(2) == 5.0)
+    assert(rows(1).getDouble(0) == 0.9 && rows(1).getDouble(2) == 10.0)
+    assert(rows(0).getLong(3) == 4 && rows(0).getLong(4) == 3)
+    assert(rows(0).getDouble(5) == 0.75)
+  }
+
+  test("timeToConvert: only the FIRST from/to pair counts; pre-signup ignored") {
+    val h = 3600000000000L
+    val t0 = 1700000000000000000L
+    // purchase BEFORE signup ignored; second signup ignored; first
+    // post-signup purchase (3h) wins over the later one (8h)
+    val ev = Seq((1L, "purchase", t0 - 5 * h), (1L, "signup", t0),
+      (1L, "signup", t0 + h), (1L, "purchase", t0 + 3 * h),
+      (1L, "purchase", t0 + 8 * h)).toDF("u", "t", "ts")
+    val rows = Funnel.timeToConvert(ev, "u", "t", "ts", "signup", "purchase",
+      Seq(0.5)).collect()
+    assert(rows.length == 1 && rows(0).getDouble(2) == 3.0)
+  }
+
   test("markov: hand-computed transition counts and probabilities") {
     // u1: A B A(end); u2: A B(end)  =>  A->B:2, B->A:1, A->end:1, B->end:1
     val ev = Seq((1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L),

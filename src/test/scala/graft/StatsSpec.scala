@@ -236,4 +236,38 @@ class StatsSpec extends SparkSpec {
     val Array(r) = Stats.chiSquareIndependence(rows.toDF("r", "c"), "r", "c").collect()
     assert(r.getDouble(0) == 0.0 && r.getDouble(3) == 0.0)
   }
+
+  test("gini: equal shares read 0, total concentration reads (n-1)/n") {
+    val eq = (1 to 8).map(i => ("eq", 5.0)) ++
+      (1 to 3).map(i => ("one", 0.0)) :+ (("one", 10.0))
+    val got = Stats.giniPerGroup(eq.toDF("grp", "v"), "grp", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("eq") == 0.0)
+    assert(got("one") == 0.75) // (n-1)/n with n = 4
+  }
+
+  test("gini: tie order cannot move the statistic; zero-total groups dropped") {
+    val df = ((1 to 100).map(i => ("g", (i % 5).toDouble + 1)) ++
+      Seq(("z", 0.0), ("z", 0.0))).toDF("grp", "v")
+    def run(p: Int) = Stats.giniPerGroup(df.repartition(p), "grp", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(run(1) == run(7))
+    assert(run(1).map(_._1) == Seq("g"))
+  }
+
+  test("winsorize: hand-computed bounds and means on 1..100") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val Array(r) = Stats.winsorizedMeans(df, "grp", "v", 5, 95).collect()
+    assert(r.getLong(1) == 100)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 95.0)
+    assert(r.getDouble(4) == 50.5)
+    assert(r.getDouble(5) == 50.45) // 5050 - 10 + 20 - 490 + 475 = 5045
+  }
+
+  test("winsorize: clipping tames a planted whale; means else untouched") {
+    val df = ((1 to 99).map(i => ("g", 10.0)) :+ (("g", 1e6))).toDF("grp", "v")
+    val Array(r) = Stats.winsorizedMeans(df, "grp", "v", 5, 95).collect()
+    assert(r.getDouble(3) == 10.0) // p95 of 99x10 + whale is still 10
+    assert(r.getDouble(5) == 10.0 && r.getDouble(4) > 100.0)
+  }
 }
