@@ -910,6 +910,26 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q166_neyman" -> ((s, dir) =>
+      // sampling-design step: Neyman-optimal budget split across sources
+      // (alloc ∝ N_h·σ_h of doc length) for a 1000-doc audit sample
+      Sampling.neymanAllocation(t(s, dir, "documents"), "source", "n_chars",
+        budget = 1000).orderBy("stratum")),
+    "q165_seasonal_anomaly" -> ((s, dir) =>
+      // calendar-aware anomaly flags: each event scored against its own
+      // (type, hour-of-day) mean ± 3σ baseline, not a global band
+      TimeSeries.seasonalAnomaly(t(s, dir, "events"), "event_type", "ts",
+        "value", "event_id").orderBy("event_id")),
+    "q164_retention_fit" -> ((s, dir) =>
+      // retention half-life: per-offset active-user curve folded across
+      // daily cohorts, log-linear fit over the bounded offset table
+      Funnel.retentionHalfLife(t(s, dir, "events"), "user_id", "ts",
+        bucketSize = 86400000000000L, maxOffset = 10)),
+    "q163_user_paths" -> ((s, dir) =>
+      // journey mining: the 10 most common 3-step event paths across all
+      // users — funnel discovery before funnel measurement
+      Funnel.pathNgrams(t(s, dir, "events"), "user_id", "event_type", "ts",
+        "event_id", n = 3, k = 10)),
     "q162_time_to_convert" -> ((s, dir) =>
       // funnel latency: signup -> first purchase delay in whole hours,
       // exact p50/p90 via the q138 bucket-refinement selection (no global
@@ -2879,6 +2899,84 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q166_neyman" -> // neymanAllocation replayed: per-stratum DECIMAL
+        // sufficient statistics (the ≥19-width cast keeps DuckDB's decimal
+        // multiply off its int64 fast path), fixed σ/weight formulas,
+        // round(budget·share) integer allocation
+        """WITH m AS (SELECT CAST(source AS VARCHAR) AS stratum,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    sum(CAST(n_chars AS DECIMAL(18,6))) AS sv,
+          |    sum(CAST(n_chars AS DECIMAL(19,6))
+          |        * CAST(n_chars AS DECIMAL(19,6))) AS svv
+          |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+          |g AS (SELECT stratum, n,
+          |    sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+          |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)) AS sd
+          |  FROM m WHERE n >= 2),
+          |w AS (SELECT stratum, n, sd,
+          |        round(CAST(n AS DOUBLE) * sd, 6) AS w FROM g),
+          |t AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS tw FROM w)
+          |SELECT stratum, n, round(sd, 6) AS sd, round(w / tw, 6) AS share,
+          |       CAST(round(1000.0e0 * (w / tw), 0) AS BIGINT) AS alloc
+          |FROM w CROSS JOIN t WHERE tw > 0.0e0 ORDER BY stratum""".stripMargin,
+      "q165_seasonal_anomaly" -> // seasonalAnomaly replayed: (type, hod)
+        // DECIMAL baseline moments, one fixed mean/σ formula, 3σ filter
+        """WITH r AS (SELECT event_id, event_type AS key,
+          |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+          |    CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+          |b AS (SELECT key, hod, CAST(count(*) AS BIGINT) AS n,
+          |    sum(CAST(v AS DECIMAL(18,6))) AS sv,
+          |    sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS svv
+          |  FROM r GROUP BY 1, 2),
+          |g AS (SELECT key, hod, n,
+          |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+          |    sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+          |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)) AS sd
+          |  FROM b WHERE n >= 5)
+          |SELECT r.event_id, r.key, r.hod, v, round(m, 6) AS mean,
+          |       round(sd, 6) AS sd, round((v - m) / sd, 6) AS z
+          |FROM r JOIN g ON r.key = g.key AND r.hod = g.hod
+          |WHERE sd > 1e-9 AND abs(v - m) > 3.0e0 * sd
+          |ORDER BY r.event_id""".stripMargin,
+      "q164_retention_fit" -> // retentionHalfLife replayed: the cohort
+        // construction (distinct day buckets, min = cohort), per-offset
+        // totals, round-6 ln shares as DECIMAL(18,6), the trend formulas
+        """WITH b AS (SELECT DISTINCT user_id,
+          |    epoch_ns(ts) // 86400000000000 AS bk FROM events),
+          |c AS (SELECT user_id, min(bk) AS cohort FROM b GROUP BY 1),
+          |r AS (SELECT cohort, bk - cohort AS ofs,
+          |    CAST(count(*) AS BIGINT) AS n_users
+          |  FROM b JOIN c USING (user_id) GROUP BY 1, 2),
+          |po AS (SELECT ofs, sum(n_users) AS active FROM r
+          |       WHERE ofs <= 10 GROUP BY 1),
+          |ba AS (SELECT active AS base FROM po WHERE ofs = 0),
+          |pt AS (SELECT CAST(ofs AS DECIMAL(10,0)) AS x,
+          |    CAST(round(ln(CAST(active AS DOUBLE) / CAST(base AS DOUBLE)), 6)
+          |      AS DECIMAL(18,6)) AS y FROM po CROSS JOIN ba),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+          |    CAST(sum(x * x) AS DOUBLE) AS sxx FROM pt),
+          |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx,
+          |    CAST(n AS DOUBLE) * sxx - sx * sx AS dxx FROM m)
+          |SELECT n AS n_offsets,
+          |  round((nd * sxy - sx * sy) / dxx, 6) AS slope,
+          |  round((sy - ((nd * sxy - sx * sy) / dxx) * sx) / nd, 6) AS intercept,
+          |  round(-ln(2.0e0) / ((nd * sxy - sx * sy) / dxx), 6)
+          |    AS half_life_buckets
+          |FROM f WHERE n >= 2 AND round(dxx, 9) <> 0.0e0
+          |  AND round((nd * sxy - sx * sy) / dxx, 6) < 0.0e0""".stripMargin,
+      "q163_user_paths" -> // pathNgrams replayed: per-user lead windows
+        // with the (ts, id) tie order, bounded global top-10
+        """WITH s AS (SELECT user_id, event_type AS t0, epoch_ns(ts) AS tsn,
+          |           event_id FROM events),
+          |ld AS (SELECT t0, lead(t0, 1) OVER w AS t1, lead(t0, 2) OVER w AS t2
+          |       FROM s WINDOW w AS (PARTITION BY user_id
+          |                           ORDER BY tsn ASC, event_id ASC))
+          |SELECT concat_ws('>', t0, t1, t2) AS path,
+          |       CAST(count(*) AS BIGINT) AS n
+          |FROM ld WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+          |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
       "q162_time_to_convert" -> // timeToConvert replayed with a plain
         // global rank (the q138 argument: the k-th smallest is
         // bucket-independent, so this proves the two-pass selection exact)

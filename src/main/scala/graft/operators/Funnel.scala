@@ -75,6 +75,73 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Top-k frequent event paths: sliding n-grams over each user's
+    * time-ordered event-type sequence ("view>click>purchase"), counted
+    * corpus-wide — the journey-mining rollup behind Sankey views and
+    * funnel DISCOVERY (which funnels exist, before picking one to measure
+    * with [[funnelSteps]]).
+    *
+    * Per-user `lead` windows build the n-grams (per-key, never global;
+    * ties sequence by (ts, id) — the [[markovTransitions]] order), one
+    * word-count-shaped aggregate counts paths, and the global top-k is a
+    * bounded TakeOrderedAndProject (count desc, path asc). */
+  def pathNgrams(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, n: Int = 3, k: Int = 10): DataFrame = {
+    require(n >= 2 && n <= 5 && k >= 1, "n in [2,5], k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    val base = events.select(col(userCol), col(typeCol).cast("string").as("t0"),
+      col(tsCol), col(idCol))
+    val withLeads = (1 until n).foldLeft(base) { (df, o) =>
+      df.withColumn(s"t$o", lead(col("t0"), o).over(w))
+    }
+    val full = (1 until n).map(o => col(s"t$o").isNotNull).reduce(_ && _)
+    withLeads.filter(full)
+      .select(concat_ws(">", (0 until n).map(o => col(s"t$o")): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** Retention half-life: fold [[retentionCohorts]] across cohorts into a
+    * per-offset active-user curve, fit ln(share) = a + b·offset by least
+    * squares over the ≤ #offsets aggregate rows, and report the implied
+    * half-life −ln 2 / b — the one-number summary a growth team tracks.
+    *
+    * Exactness: per-offset user counts are exact integers; each ln(share)
+    * rounds to 6 (the libm rule) and the OLS runs over the bounded
+    * offset table with DECIMAL sums of round-6 terms, so slope/half-life
+    * replay bit-for-bit. Offsets beyond `maxOffset` are dropped (the
+    * right-censored tail where few cohorts have had a chance to age).
+    * Output: one row (n_offsets, slope, intercept, half_life_buckets);
+    * empty if the curve doesn't decay (slope ≥ 0 after rounding). */
+  def retentionHalfLife(events: DataFrame, userCol: String, tsCol: String,
+      bucketSize: Long, maxOffset: Int = 10): DataFrame = {
+    val cohorts = retentionCohorts(events, userCol, tsCol, bucketSize)
+    val perOffset = cohorts.filter(col("offset") <= maxOffset)
+      .groupBy("offset").agg(sum(col("n_users")).as("active"))
+    val base = perOffset.filter(col("offset") === 0)
+      .select(col("active").as("base"))
+    val pts = perOffset.crossJoin(base)
+      .withColumn("y", round(log(col("active").cast("double") /
+        col("base").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("x", col("offset").cast("decimal(10,0)"))
+    val m = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nd = col("n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val dxx = nd * sxx - sx * sx
+    val slope = (nd * sxy - sx * sy) / dxx
+    m.filter(col("n") >= 2 && round(dxx, 9) =!= 0.0)
+      .select(col("n").as("n_offsets"),
+        round(slope, 6).as("slope"),
+        round((sy - slope * sx) / nd, 6).as("intercept"),
+        round(-log(lit(2.0)) / slope, 6).as("half_life_buckets"))
+      .filter(col("slope") < 0.0)
+  }
+
   /** Conversion-latency report: per user, the delay from the FIRST
     * `fromType` event to the first `toType` event after it, summarized as
     * exact percentiles plus the conversion rate — "how long does signup →

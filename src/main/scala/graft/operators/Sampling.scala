@@ -402,4 +402,43 @@ object Sampling {
           .when(u < trainFrac + validFrac, "valid")
           .otherwise("test").as("split"))
   }
+
+  /** Neyman-optimal stratified allocation (Neyman '34; Cochran §5.5): how
+    * to spend a sampling budget across strata so the stratified mean's
+    * variance is minimal — alloc_h ∝ N_h·σ_h, i.e. bigger AND noisier
+    * strata get more budget. The design step in front of
+    * [[quotaPerGroup]]: run this to get per-stratum quotas, then sample.
+    *
+    * One word-count-shaped aggregate (per-stratum n, Σv, Σv² as
+    * DECIMAL(18,6) sums); σ and the weights evaluate on the strata-sized
+    * table with fixed double formulas; shares round to 6 and the integer
+    * allocation is round(budget·share) per stratum — deterministic, so
+    * the SQL oracle replays it (the ±1 rounding drift vs an exact
+    * largest-remainder apportionment is documented; callers needing
+    * Σalloc == budget exactly post-adjust the largest stratum).
+    * Single-value strata (σ = 0) get allocation 0 — one probe tells you
+    * everything about a constant stratum. Output: (stratum, n, sd, share,
+    * alloc). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
+    val m = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n"), sum(d6(col(valueCol))).as("sv"),
+        sum(d6(col(valueCol)) * d6(col(valueCol))).as("svv"))
+      .filter(col("n") >= 2)
+      .withColumn("sd", sqrt((col("svv").cast("double")
+        - col("sv").cast("double") * col("sv").cast("double")
+          / col("n").cast("double"))
+        / (col("n").cast("double") - lit(1.0))))
+      .withColumn("w", round(col("n").cast("double") * col("sd"), 6))
+    val tot = m.agg(sum(col("w").cast("decimal(38,6)")).cast("double").as("tw"))
+    m.crossJoin(tot)
+      .filter(col("tw") > 0.0)
+      .select(col("stratum"), col("n"), round(col("sd"), 6).as("sd"),
+        round(col("w") / col("tw"), 6).as("share"),
+        round(lit(budget.toDouble) * (col("w") / col("tw")), 0).cast("long")
+          .as("alloc"))
+  }
 }

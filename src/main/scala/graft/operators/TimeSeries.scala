@@ -102,6 +102,45 @@ object TimeSeries {
     * carries at most k rows per partition per group — no global window,
     * no corpus-sized sort. Output: (group, item, score, rank), score
     * rounded to 6, rank 1..k by (score desc, item asc). */
+  /** Seasonal-baseline anomaly flags: score each observation against the
+    * mean ± 3σ of ITS OWN seasonal slot (key × hour-of-day here) instead
+    * of a global band — the fix for metrics with a daily rhythm, where a
+    * global z-score calls every peak hour an anomaly and misses a quiet-
+    * hour spike ([[rollingAnomaly]]'s trailing window is the
+    * trend-following complement; this is the calendar-following one).
+    *
+    * One word-count-shaped aggregate builds the (key, slot) baseline
+    * table — n, Σv, Σv² as DECIMAL(18,6) sums, mean/σ by ONE fixed double
+    * formula each — which broadcasts back onto the stream; flagging is a
+    * narrow filter. Slots with n < minN never flag (no baseline). Output:
+    * the flagged rows (idCol, key, hod, v, mean, sd, z), z round-6. */
+  def seasonalAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, threshold: Double = 3.0,
+      minN: Int = 5): DataFrame = {
+    val rows = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(keyCol).cast("string").as("key"),
+        expr(s"(`$tsCol` div 3600000000000) % 24").as("hod"),
+        col(valueCol).cast("double").as("v"))
+    val base = rows.groupBy("key", "hod")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).as("sv"),
+        sum(col("v").cast("decimal(18,6)") * col("v").cast("decimal(18,6)"))
+          .as("svv"))
+      .filter(col("n") >= minN)
+      .select(col("key"), col("hod"), col("n"),
+        (col("sv").cast("double") / col("n").cast("double")).as("m"),
+        sqrt((col("svv").cast("double") - col("sv").cast("double")
+          * col("sv").cast("double") / col("n").cast("double"))
+          / (col("n").cast("double") - lit(1.0))).as("sd"))
+    rows.join(broadcast(base), Seq("key", "hod"))
+      .filter(col("sd") > 1e-9 &&
+        abs(col("v") - col("m")) > lit(threshold) * col("sd"))
+      .select(col(idCol), col("key"), col("hod"), col("v"),
+        round(col("m"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+        round((col("v") - col("m")) / col("sd"), 6).as("z"))
+  }
+
   def decayedTopK(df: DataFrame, groupCol: String, itemCol: String,
       tsCol: String, halfLifeHours: Long, k: Int): DataFrame = {
     require(halfLifeHours > 0 && k > 0, "halfLifeHours and k must be positive")

@@ -403,10 +403,29 @@ object ScaleProbe {
     time("attribution_72h") {
       // amplify USERS too: k x the population, not k x per-user density
       // (offsetting only event_id would square the per-user pairing)
-      val ev = amplify(spark.read.parquet(s"$dir/events.parquet"),
-        Seq("event_id", "user_id"), 1000000L)
-      Experiment.attribution(ev, "user_id", "event_type", "ts",
-        "event_id", "purchase", Seq("click", "view"), 259200000000000L).count()
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val normTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case _ => raw.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp")) * 1000L)
+      }
+      // materialize the amplified input once: attribution references the
+      // frame from both join sides, and a k-branch union plan recomputed
+      // twice would measure the harness, not the operator
+      val tmp = java.nio.file.Files.createTempDirectory("attr-probe")
+      try {
+        amplify(normTs, Seq("event_id", "user_id"), 1000000L)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val ev = spark.read.parquet(tmp.toString)
+        Experiment.attribution(ev, "user_id", "event_type", "ts",
+          "event_id", "purchase", Seq("click", "view"), 259200000000000L).count()
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }
     }
     time("label_noise_nb") {
       Classify.labelNoiseReport(docs.select(col("doc_id"),

@@ -65,6 +65,37 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L))
   }
 
+  test("pathNgrams: hand-computed top paths, ordered by count then path") {
+    val ev = Seq((1L, "A", 1L, 1L), (1L, "B", 2L, 2L), (1L, "C", 3L, 3L),
+      (1L, "D", 4L, 4L), (2L, "A", 1L, 5L), (2L, "B", 2L, 6L),
+      (2L, "C", 3L, 7L)).toDF("u", "t", "ts", "id")
+    val rows = Funnel.pathNgrams(ev, "u", "t", "ts", "id", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("A>B>C", 2L), ("B>C>D", 1L)))
+  }
+
+  test("retentionHalfLife: exact halving curve recovers half-life 1 bucket") {
+    val day = 86400000000000L
+    // all users cohort 0; active sets halve per offset: 64, 32, 16, 8
+    val rows = (1 to 64).map(u => (u.toLong, 5L)) ++
+      (1 to 32).map(u => (u.toLong, day + 5L)) ++
+      (1 to 16).map(u => (u.toLong, 2 * day + 5L)) ++
+      (1 to 8).map(u => (u.toLong, 3 * day + 5L))
+    val Array(r) = Funnel.retentionHalfLife(rows.toDF("u", "ts"), "u", "ts",
+      day).collect()
+    assert(r.getLong(0) == 4)
+    assert(math.abs(r.getDouble(1) - -0.693147) < 1e-5) // slope = -ln 2
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-4) // half-life in buckets
+  }
+
+  test("retentionHalfLife: a non-decaying curve yields no fit row") {
+    val day = 86400000000000L
+    val rows = (1 to 10).flatMap(u =>
+      (0 to 5).map(o => (u.toLong, o * day + 1L))) // everyone always active
+    assert(Funnel.retentionHalfLife(rows.toDF("u", "ts"), "u", "ts", day)
+      .collect().isEmpty) // slope rounds to 0, filtered
+  }
+
   test("timeToConvert: hand-computed latency percentiles and cvr") {
     val h = 3600000000000L
     val t0 = 1700000000000000000L

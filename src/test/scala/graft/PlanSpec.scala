@@ -320,4 +320,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("partial_"),
       s"bottom-k must partial-aggregate:\n$p")
   }
+
+  test("q149 trending: bounded top-k heap, never a rank window") {
+    val p = plan(SparkEntry.queries("q149_trending")(spark, dir))
+    assert(!p.contains("Window"), s"per-group top-k must use the bounded " +
+      s"aggregator, not a rank window:\n$p")
+    assert(p.contains("partial_"), "decayed weights must combine map-side")
+  }
+
+  test("q144 pca: per-dimension image aggregate partial-combines") {
+    val p = plan(SparkEntry.queries("q144_pca")(spark, dir))
+    // the posexplode → groupBy(i) image sum is the ONLY corpus-sized stage
+    // per iteration; its partials must collapse to ≤ dim rows map-side
+    assert(p.contains("partial_sum"), s"dim-image sums must partial-combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the tiny norm/tv joins must stay broadcast, never cartesian over rows")
+  }
+
+  test("q155 attribution: per-unit pairing stays an equi-join") {
+    val p = plan(SparkEntry.queries("q155_attribution")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"touch pairing must join on the unit key with the time bound as a " +
+        s"post-filter, never a nested loop:\n$p")
+  }
+
+  test("q160 srm / q147 chi2: one corpus aggregate, map-side combined") {
+    for (q <- Seq("q160_srm", "q147_chi2")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("partial_"), s"$q: counts must combine map-side:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: margin/expected joins are tiny and must broadcast:\n$p")
+    }
+  }
 }

@@ -321,4 +321,27 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.leakageSafeSplit(docs, c, trainFrac = 0.0))
   }
+
+  test("neyman: constant strata get zero; noisier+bigger strata get more") {
+    // A: sd 0; B: n=2 sd sqrt(50); C: n=3 sd 20 -> w_C / w_B = 60 / 14.14
+    val df = (Seq(("A", 5.0), ("A", 5.0), ("A", 5.0), ("B", 0.0), ("B", 10.0),
+      ("C", 0.0), ("C", 20.0), ("C", 40.0))).toDF("s", "v")
+    val got = Sampling.neymanAllocation(df, "s", "v", 1000).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(4)))).toMap
+    assert(got("A") == ((0.0, 0L)))
+    assert(got("B")._1 == 7.071068 && got("C")._1 == 20.0)
+    assert(got("C")._2 > got("B")._2 && got("B")._2 > 0)
+    // round(budget·share) drifts at most 1 per stratum from the budget
+    assert(math.abs(got.values.map(_._2).sum - 1000L) <= got.size)
+  }
+
+  test("neyman: equal strata split the budget evenly; invariance") {
+    val df = (1 to 300).map(i =>
+      (s"s${i % 3}", (i % 10).toDouble)).toDF("s", "v")
+    def run(p: Int) = Sampling.neymanAllocation(df.repartition(p), "s", "v", 999)
+      .orderBy("stratum").collect().toSeq
+    assert(run(1) == run(7))
+    val allocs = run(1).map(_.getLong(4))
+    assert(allocs.toSet == Set(333L))
+  }
 }

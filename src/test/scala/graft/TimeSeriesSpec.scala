@@ -68,6 +68,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("seasonalAnomaly: spike flagged against its own slot, peers are not") {
+    val hour = 3600000000000L
+    // slot (k, hod 0): twenty 10.0s + one 100.0 across different days
+    val rows = (0 until 20).map(d => (d.toLong, "k", d * 24L * hour, 10.0)) :+
+      ((99L, "k", 20L * 24 * hour, 100.0))
+    val got = TimeSeries.seasonalAnomaly(rows.toDF("id", "k", "ts", "v"),
+      "k", "ts", "v", "id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(99L))
+    assert(got.head.getLong(2) == 0L) // the hod-0 slot
+    assert(got.head.getDouble(6) > 3.0) // z beyond the threshold
+  }
+
+  test("seasonalAnomaly: thin slots (n < minN) never flag") {
+    val hour = 3600000000000L
+    val rows = Seq((1L, "k", hour, 1.0), (2L, "k", 25L * hour, 1000.0))
+    assert(TimeSeries.seasonalAnomaly(rows.toDF("id", "k", "ts", "v"),
+      "k", "ts", "v", "id").collect().isEmpty)
+  }
+
+  test("seasonalAnomaly: a daily-rhythm metric yields no false flags") {
+    val hour = 3600000000000L
+    // value depends only on hour of day: every slot has zero variance
+    val rows = (0 until 480).map { i =>
+      (i.toLong, "k", i * hour, ((i % 24) * 10).toDouble)
+    }
+    assert(TimeSeries.seasonalAnomaly(rows.toDF("id", "k", "ts", "v"),
+      "k", "ts", "v", "id").collect().isEmpty) // sd gate: no signal, no flag
+  }
+
   test("decayedTopK: recent burst outranks a larger stale total") {
     val hour = 3600000000000L
     val t0 = 1700000000000000000L
