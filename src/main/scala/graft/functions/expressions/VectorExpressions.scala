@@ -346,5 +346,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL range joins plan as nested loops; this rewrites them to the
     // bucketized equi join when spark.graft.rangeJoin.bucketWidth is set
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // opt-in approximate mode: COUNT(DISTINCT x) -> native HLL++ when
+    // spark.graft.approxDistinct.rsd is set (sketch-sized exchanges)
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }

@@ -141,6 +141,58 @@ object TimeSeries {
         round((col("v") - col("m")) / col("sd"), 6).as("z"))
   }
 
+  /** Incremental maintenance for [[decayedTopK]]'s score table — the
+    * streaming-sketch pattern (the DocIngest/rankInsert shape) applied to
+    * the decayed leaderboard: exponential decay is the ONE window shape
+    * that folds exactly, because aging a sum is one multiplication —
+    *   Σᵢ 2^−(a_i+Δ)/h  =  2^−Δ/h · Σᵢ 2^−a_i/h
+    * so a daemon keeps (group, item, score, asof) state and folds each
+    * micro-batch in O(state + batch) instead of rescanning history.
+    *
+    * Arithmetic contract: scores are DECIMAL(38,6) sums of round-6
+    * weights, and the aging factor is round-6 — so fold-vs-one-shot
+    * equality is EXACT whenever the decay exponents stay ≤ 6 half-lives
+    * (2^−k has ≤ 6 decimals for k ≤ 6; spec-pinned on aligned fixtures)
+    * and agrees to ~1e-6 per item beyond that (each item's score is one
+    * rounded product per fold). Items decayed below `floorScore` are
+    * dropped — the state-size bound that keeps a forever-running daemon's
+    * table at "recently active items" size.
+    *
+    * Scale shape: one aggregate over the batch, one narrow multiply over
+    * state, one co-partitioned union-aggregate on (group, item). The
+    * 1-row asOf frames cross-join in as plan literals. */
+  def decayFold(state: DataFrame, batch: DataFrame, groupCol: String,
+      itemCol: String, tsCol: String, halfLifeHours: Long,
+      floorScore: Double = 1e-6): DataFrame = {
+    require(halfLifeHours > 0, "halfLifeHours must be positive")
+    val newAsOf = batch.agg(max(col(tsCol)).as("__bmax"))
+      .crossJoin(state.agg(coalesce(max(col("asof")), lit(0L)).as("__smax")))
+      .select(greatest(col("__bmax"), col("__smax")).as("__asof"))
+    val batchScores = batch
+      .select(col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("long").as("item"), col(tsCol).cast("long").as("tsn"))
+      .crossJoin(newAsOf)
+      .withColumn("age_h", expr("(__asof - tsn) div 3600000000000"))
+      .withColumn("wt", round(pow(lit(0.5),
+        col("age_h").cast("double") / lit(halfLifeHours.toDouble)), 6)
+        .cast("decimal(38,6)"))
+      .groupBy("g", "item").agg(sum(col("wt")).as("sc"))
+    val aged = state.crossJoin(newAsOf)
+      .withColumn("age_h", expr("(__asof - asof) div 3600000000000"))
+      .withColumn("factor", round(pow(lit(0.5),
+        col("age_h").cast("double") / lit(halfLifeHours.toDouble)), 6))
+      .select(col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("long").as("item"),
+        round(col("score").cast("double") * col("factor"), 6)
+          .cast("decimal(38,6)").as("sc"))
+    batchScores.unionByName(aged)
+      .groupBy("g", "item").agg(sum(col("sc")).as("score"))
+      .filter(col("score").cast("double") >= floorScore)
+      .crossJoin(newAsOf)
+      .select(col("g").as(groupCol), col("item").as(itemCol),
+        col("score"), col("__asof").as("asof"))
+  }
+
   def decayedTopK(df: DataFrame, groupCol: String, itemCol: String,
       tsCol: String, halfLifeHours: Long, k: Int): DataFrame = {
     require(halfLifeHours > 0 && k > 0, "halfLifeHours and k must be positive")

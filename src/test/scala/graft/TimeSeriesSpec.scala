@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TimeSeries
+import org.apache.spark.sql.functions.col
 
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
@@ -118,6 +119,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.length == 5)
     assert(rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq ==
       Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("decayFold: two folded batches equal the one-shot scores exactly") {
+    val hour = 3600000000000L
+    val t0 = 1700000000000000000L
+    // hour-aligned events, decay exponents <= 6: the exact-equality regime
+    val b1 = Seq(("g", 1L, t0), ("g", 1L, t0 + hour), ("g", 2L, t0))
+      .toDF("grp", "item", "ts")
+    val b2 = Seq(("g", 1L, t0 + 3 * hour), ("g", 3L, t0 + 3 * hour))
+      .toDF("grp", "item", "ts")
+    val empty = Seq.empty[(String, Long, java.math.BigDecimal, Long)]
+      .toDF("grp", "item", "score", "asof")
+      .select(col("grp"), col("item"),
+        col("score").cast("decimal(38,6)").as("score"), col("asof"))
+    val folded = TimeSeries.decayFold(
+      TimeSeries.decayFold(empty, b1, "grp", "item", "ts", 1),
+      b2, "grp", "item", "ts", 1)
+    val oneShot = TimeSeries.decayedTopK(b1.unionByName(b2), "grp", "item",
+      "ts", halfLifeHours = 1, k = 10)
+    val f = folded.collect()
+      .map(r => r.getLong(1) -> r.getDecimal(2).doubleValue()).toMap
+    val o = oneShot.collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(f == o, s"folded $f vs one-shot $o")
+    // hand value: item 1 = 2^-3 + 2^-2 + 2^0 = 1.375 at asof t0+3h
+    assert(f(1L) == 1.375)
+  }
+
+  test("decayFold: items decayed below the floor leave the state") {
+    val hour = 3600000000000L
+    val t0 = 1700000000000000000L
+    val st = Seq(("g", 7L, java.math.BigDecimal.valueOf(0.000002), t0))
+      .toDF("grp", "item", "score", "asof")
+      .select(col("grp"), col("item"),
+        col("score").cast("decimal(38,6)").as("score"), col("asof"))
+    val batch = Seq(("g", 8L, t0 + 10 * hour)).toDF("grp", "item", "ts")
+    val out = TimeSeries.decayFold(st, batch, "grp", "item", "ts", 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(8L)) // item 7 aged to ~0 and fell out
   }
 
   test("decayedTopK: partitioning-invariant (decimal weight sums)") {
