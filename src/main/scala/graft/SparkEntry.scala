@@ -910,6 +910,25 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q169_token_budget" -> ((s, dir) =>
+      // pretraining mixture plan: exact per-source token counts vs target
+      // weights under a 1M-token budget — the epochs/repetition table a
+      // data card publishes
+      Sampling.tokenBudgetMixture(tp(s, dir, "documents"), "source", "text",
+        Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        budgetTokens = 1000000L).orderBy("source")),
+    "q168_kn_score" -> ((s, dir) =>
+      // Kneser-Ney perplexity filter: the continuation-probability
+      // smoothing real LM filters use, next to q65's add-one baseline
+      LangModel.kneserNeyNll(tp(s, dir, "documents")).orderBy("doc_id")),
+    "q167_image_ahash" -> ((s, dir) =>
+      // perceptual hashes over REAL decoded containers (BMP/PPM pixel
+      // reads): the multimodal member of the dedup family. Rows-only by
+      // necessity — the codec is JVM-side — with the algorithm gated by
+      // MultimodalSpec's brute-force-equality pair test instead
+      Multimodal.imageHashes(s,
+        Multimodal.synthMedia(s, tp(s, dir, "documents")))
+        .toDF().orderBy("doc_id")),
     "q166_neyman" -> ((s, dir) =>
       // sampling-design step: Neyman-optimal budget split across sources
       // (alloc ∝ N_h·σ_h of doc length) for a 1000-doc audit sample
@@ -2899,6 +2918,43 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q169_token_budget" -> // tokenBudgetMixture replayed: exact token
+        // sums, broadcast weights, round(budget·w) targets, round-6 epochs
+        """WITH t AS (SELECT CAST(source AS VARCHAR) AS source,
+          |    CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          |  FROM documents GROUP BY 1),
+          |w AS (SELECT * FROM (VALUES ('src0', 0.4e0), ('src1', 0.3e0),
+          |      ('src2', 0.2e0), ('src3', 0.1e0)) v(source, weight))
+          |SELECT t.source, n_docs, tokens, weight,
+          |       CAST(round(1000000.0e0 * weight, 0) AS BIGINT) AS target_tokens,
+          |       round(CAST(CAST(round(1000000.0e0 * weight, 0) AS BIGINT)
+          |           AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS epochs
+          |FROM t JOIN w ON t.source = w.source ORDER BY t.source""".stripMargin,
+      "q168_kn_score" -> // kneserNeyNll replayed: the four exact count
+        // tables (c12, left totals, distinct successors/predecessors, the
+        // bigram-type scalar), the interpolated-KN formula in the identical
+        // evaluation order, round-6 ln terms as DECIMAL(38,6)
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |u AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+          |bg AS (SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+          |       FROM u),
+          |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+          |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+          |nf AS (SELECT w1, CAST(count(*) AS BIGINT) AS nf FROM c12 GROUP BY 1),
+          |np AS (SELECT w2, CAST(count(*) AS BIGINT) AS np FROM c12 GROUP BY 1),
+          |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12),
+          |p AS (SELECT doc_id,
+          |      round(ln(greatest(CAST(c12 AS DOUBLE) - 0.75e0, 0.0e0)
+          |               / CAST(c1 AS DOUBLE)
+          |             + (0.75e0 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE))
+          |               * (CAST(np AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS lnp
+          |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+          |        JOIN nf USING (w1) JOIN np USING (w2) CROSS JOIN nt)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |       round(-(CAST(sum(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE))
+          |             / CAST(count(*) AS DOUBLE), 6) AS nll_kn
+          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q166_neyman" -> // neymanAllocation replayed: per-stratum DECIMAL
         // sufficient statistics (the ≥19-width cast keeps DuckDB's decimal
         // multiply off its int64 fast path), fixed σ/weight formulas,

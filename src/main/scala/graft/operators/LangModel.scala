@@ -92,4 +92,47 @@ object LangModel {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney ICASSP'95; Chen
+    * & Goodman '98 §2.7) — the smoothing real perplexity filters (KenLM)
+    * actually use, next to [[bigramNll]]'s add-one baseline. The KN idea:
+    * back off not to how FREQUENT a word is but to how PROMISCUOUS it is —
+    * p_cont(w) ∝ #distinct left-contexts of w — so "Francisco" (frequent
+    * but only ever after "San") stops stealing probability from genuinely
+    * free-floating words.
+    *
+    *   p(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · (N1+(·w2)/N1+(··))
+    *
+    * with c1 = bigram-position count of w1 (Σ_w2 c12), N1+(w1·)/N1+(·w2)
+    * the distinct-successor/-predecessor counts, N1+(··) the distinct
+    * bigram-type count (one scalar), D the fixed discount. Every input is
+    * an exact integer aggregate — the "model" is four word-count tables
+    * joined on their natural keys; scoring the corpus on itself means
+    * every scored bigram is observed (the unseen-backoff path never
+    * evaluates). Per-position ln p rounds to 6 and sums as DECIMAL(38,6)
+    * (the [[bigramNll]] portability contract). Output: (doc_id,
+    * n_bigrams, nll_kn), round-6. */
+  def kneserNeyNll(docs: DataFrame, discount: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0,1)")
+    val bg = bigramRows(docs, textCol)
+    val cBigram = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cLeft = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val nFollow = cBigram.groupBy("w1").agg(count(lit(1)).as("nf"))
+    val nPrecede = cBigram.groupBy("w2").agg(count(lit(1)).as("np"))
+    val nTypes = cBigram.count() // 1 scalar: distinct bigram types
+    val pd = greatest(col("c12").cast("double") - lit(discount), lit(0.0)) /
+      col("c1").cast("double") +
+      (lit(discount) * col("nf").cast("double") / col("c1").cast("double")) *
+        (col("np").cast("double") / lit(nTypes.toDouble))
+    val lnP = round(log(pd), 6)
+    bg.join(cBigram, Seq("w1", "w2")).join(cLeft, Seq("w1"))
+      .join(nFollow, Seq("w1")).join(nPrecede, Seq("w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lnP.cast("decimal(38,6)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("s").cast("double")) / col("n_bigrams").cast("double"), 6)
+          .as("nll_kn"))
+  }
 }

@@ -282,4 +282,158 @@ object Multimodal {
       }
     }
   }
+
+  // ---- perceptual hashing (image near-dup) --------------------------------
+
+  case class MediaHash(doc_id: Long, ahash: Long, width: Long, height: Long)
+
+  /** First-frame grayscale grid in TOP-DOWN image order: (w, h, gray) with
+    * gray = r+g+b per pixel (0..765 — the sum, not the mean: no division,
+    * no rounding convention to mirror). BMP rows arrive bottom-up (positive
+    * height) in BGR with 4-byte padding; PPM frame 0 is top-down RGB. */
+  def grayGrid(docId: Long, payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(payload.length >= 2, s"doc $docId: payload too short")
+    (payload(0), payload(1)) match {
+      case ('B', 'M') =>
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val off = buf.getInt(10)
+        val w = buf.getInt(18)
+        val hRaw = buf.getInt(22)
+        val h = math.abs(hRaw)
+        val rowSize = ((3 * w + 3) / 4) * 4
+        require(w > 0 && h > 0 && payload.length >= off + rowSize * h,
+          s"doc $docId: truncated BMP raster")
+        val g = new Array[Int](w * h)
+        var fileRow = 0
+        while (fileRow < h) {
+          val imgRow = if (hRaw > 0) h - 1 - fileRow else fileRow
+          var x = 0
+          while (x < w) {
+            val p = off + fileRow * rowSize + 3 * x
+            g(imgRow * w + x) = (payload(p) & 0xFF) + (payload(p + 1) & 0xFF) +
+              (payload(p + 2) & 0xFF)
+            x += 1
+          }
+          fileRow += 1
+        }
+        (w, h, g)
+      case ('P', '6') =>
+        // reuse the header walk: find frame 0's raster start
+        var pos = 0
+        def tok(): String = {
+          while (pos < payload.length &&
+              (Character.isWhitespace(payload(pos)) || payload(pos) == '#')) {
+            if (payload(pos) == '#')
+              while (pos < payload.length && payload(pos) != '\n') pos += 1
+            else pos += 1
+          }
+          val st = pos
+          while (pos < payload.length && !Character.isWhitespace(payload(pos)))
+            pos += 1
+          require(pos > st, s"doc $docId: truncated PPM header")
+          new String(payload, st, pos - st,
+            java.nio.charset.StandardCharsets.US_ASCII)
+        }
+        require(tok() == "P6", s"doc $docId: not P6")
+        val w = tok().toInt; val h = tok().toInt; val maxval = tok().toInt
+        require(w > 0 && h > 0 && maxval > 0 && maxval < 256,
+          s"doc $docId: bad PPM header")
+        pos += 1
+        require(payload.length >= pos + 3 * w * h,
+          s"doc $docId: truncated PPM raster")
+        val g = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          g(i) = (payload(pos + 3 * i) & 0xFF) + (payload(pos + 3 * i + 1) & 0xFF) +
+            (payload(pos + 3 * i + 2) & 0xFF)
+          i += 1
+        }
+        (w, h, g)
+      case (a, b) => throw new IllegalArgumentException(
+        s"doc $docId: unsupported media magic 0x${"%02x%02x".format(a, b)}")
+    }
+  }
+
+  /** Average-hash (aHash) of the first frame: point-sample the grayscale
+    * grid at an 8×8 lattice (x = ⌊bx·w/8⌋ clamped — exact integer
+    * arithmetic, no resampling kernel to make bit-portable), then one bit
+    * per cell: set iff 64·sample > Σsamples (the strict integer form of
+    * "above the mean" — no division). Bit i = (by·8 + bx), LSB first.
+    *
+    * The classic perceptual-dedup property holds by construction: any
+    * uniform brightness shift adds the same amount to every sample AND to
+    * the mean, leaving every bit — and therefore the hash — unchanged
+    * (spec-pinned). Near-identical images land within a few bits;
+    * unrelated ones at ~32. */
+  def aHash(w: Int, h: Int, gray: Array[Int]): Long = {
+    val samples = new Array[Int](64)
+    var by = 0
+    var total = 0L
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val x = math.min(w - 1, bx * w / 8)
+        val y = math.min(h - 1, by * h / 8)
+        val v = gray(y * w + x)
+        samples(by * 8 + bx) = v
+        total += v
+        bx += 1
+      }
+      by += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * samples(i) > total) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual hashes over a (doc_id, payload) frame — the same
+    * narrow mapPartitions shape as [[decodeMeta]]; decode runs where the
+    * payload row lives, nothing shuffles. */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val (w, h, g) = grayGrid(r.doc_id, r.payload)
+        MediaHash(r.doc_id, aHash(w, h, g), w.toLong, h.toLong)
+      })
+  }
+
+  /** Image near-dup pairs by Hamming distance over [[aHash]] values — the
+    * multimodal member of the dedup family, built on the SimHash
+    * pigeonhole: split the 64 bits into `maxDist + 1` chunks; two hashes
+    * within `maxDist` bits MUST agree on at least one chunk, so the
+    * candidate join is chunk-equality (word-count-shaped buckets), never
+    * all-pairs, and each candidate verifies exactly with one
+    * bit_count(xor). Output: (a_id, b_id, hamming), a_id < b_id. */
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist in [0, 64)")
+    val chunks = maxDist + 1
+    val step = 64 / chunks
+    val pieces = (0 until chunks).map { j =>
+      val width = if (j == chunks - 1) 64 - j * step else step
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(j).as("j"),
+        (shiftrightunsigned(col("ahash"), j * step)
+          .bitwiseAND(lit(mask))).as("cv"))
+    }
+    val exploded = hashes.select(col("doc_id"), col("ahash"),
+        explode(array(pieces: _*)).as("p"))
+      .select(col("doc_id"), col("ahash"), col("p.j").as("j"), col("p.cv").as("cv"))
+    val a = exploded.select(col("j"), col("cv"), col("doc_id").as("a_id"),
+      col("ahash").as("a_hash"))
+    val b = exploded.select(col("j"), col("cv"), col("doc_id").as("b_id"),
+      col("ahash").as("b_hash"))
+    a.join(b, Seq("j", "cv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

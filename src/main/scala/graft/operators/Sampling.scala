@@ -419,6 +419,42 @@ object Sampling {
     * Single-value strata (σ = 0) get allocation 0 — one probe tells you
     * everything about a constant stratum. Output: (stratum, n, sd, share,
     * alloc). */
+  /** Token-budget mixture plan: given target source WEIGHTS (the mixture
+    * recipe) and a total token budget, report per source how many tokens
+    * it must contribute and the implied EPOCH count — the
+    * repetition-factor table every pretraining data card publishes
+    * (epochs > 1 flags the under-resourced sources that will repeat;
+    * epochs ≪ 1 flags sources being heavily subsampled). The analytic
+    * companion to [[mixtureSample]]/[[temperatureQuotas]], which pick the
+    * docs once the plan is accepted.
+    *
+    * One word-count-shaped aggregate (per-source doc + exact token
+    * counts); weights broadcast; target = round(budget·w) integer,
+    * epochs = round(target/tokens, 6). Output: (source, n_docs, tokens,
+    * weight, target_tokens, epochs), listed sources only. */
+  def tokenBudgetMixture(docs: DataFrame, sourceCol: String, textCol: String,
+      weights: Seq[(String, Double)], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && budgetTokens > 0 &&
+      math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must be non-empty and sum to 1; budget positive")
+    val totals = docs
+      .select(col(sourceCol).cast("string").as("source"),
+        size(split(col(textCol), " ")).cast("long").as("tk"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tokens"))
+    val wTab = docs.sparkSession.range(1)
+      .select(explode(array(weights.map { case (s, w) =>
+        struct(lit(s).as("source"), lit(w).as("weight"))
+      }: _*)).as("s"))
+      .select(col("s.source").as("source"), col("s.weight").as("weight"))
+    totals.join(broadcast(wTab), "source")
+      .withColumn("target_tokens",
+        round(lit(budgetTokens.toDouble) * col("weight"), 0).cast("long"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") /
+          col("tokens").cast("double"), 6))
+  }
+
   def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")

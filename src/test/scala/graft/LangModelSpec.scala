@@ -81,4 +81,40 @@ class LangModelSpec extends SparkSpec {
     val resorted = rows.sortBy { case ((w1, w2), (_, s, _)) => (-s, w1, w2) }
     assert(rows.toSeq == resorted.toSeq)
   }
+
+  test("kneser-ney: hand-computed interpolated probabilities") {
+    // corpus "a b a b" + "b a": c12(a,b)=2, c12(b,a)=2; c1(a)=c1(b)=2;
+    // nf = np = 1 everywhere; bigram types = 2
+    // p = max(2-.75,0)/2 + (.75*1/2)*(1/2) = 0.625 + 0.1875 = 0.8125
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val rows = LangModel.kneserNeyNll(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lnp = BigDecimal(math.log(0.8125))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L)._1 == 3 && rows(2L)._1 == 1)
+    assert(rows(1L)._2 == -lnp && rows(2L)._2 == -lnp) // all positions equal p
+  }
+
+  test("kneser-ney: continuation probability favors promiscuous followers") {
+    // "z" follows many distinct words once each; "q" follows only "k" often.
+    // After discounting, the (k, q) mass interpolates with p_cont where q's
+    // 1 predecessor loses to z's many — so p(z|fresh context) > p(q|fresh)
+    // shows up as nf/np asymmetry in the hand-checkable aggregate.
+    val docs = Seq((1L, "k q k q k q k q"),
+      (2L, "a z b z c z d z")).toDF("doc_id", "text")
+    val rows = LangModel.kneserNeyNll(docs).collect()
+    assert(rows.length == 2)
+    // doc 2's z-bigrams: np(z)=4 predecessors vs np(q)=1 — its continuation
+    // term is 4x doc 1's, partially offsetting the lower c12; both finite
+    rows.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
+  test("kneser-ney: partitioning-invariant (decimal ln sums)") {
+    val docs = (1 to 80).map(i =>
+      (i.toLong, s"w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 2}"))
+      .toDF("doc_id", "text")
+    def run(p: Int) = LangModel.kneserNeyNll(docs.repartition(p))
+      .orderBy("doc_id").collect().toSeq
+    assert(run(1) == run(9))
+  }
 }

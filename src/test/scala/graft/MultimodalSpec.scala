@@ -99,4 +99,90 @@ class MultimodalSpec extends SparkSpec {
     val meta = Multimodal.decodeMeta(spark, media, batchSize = 8).collect()
     assert(meta.length == 103)
   }
+
+  /** A BMP whose pixel bytes are remapped through `f` — the near-dup
+    * fixture builder (perturb pixels of a real container). */
+  private def remappedBmp(seed: Long, w: Int, h: Int)(f: Int => Int): Array[Byte] = {
+    val p = Multimodal.encodeBmp(w, h, seed).clone()
+    val rowSize = ((3 * w + 3) / 4) * 4
+    for (row <- 0 until h; i <- 0 until 3 * w) {
+      val pos = 54 + row * rowSize + i
+      p(pos) = f(p(pos) & 0xFF).toByte
+    }
+    p
+  }
+
+  test("aHash: invariant to uniform brightness shift; flips under inversion") {
+    val base = remappedBmp(7L, 20, 12)(v => v & 0x7F) // headroom for +40
+    val bright = remappedBmp(7L, 20, 12)(v => (v & 0x7F) + 40)
+    val inverted = remappedBmp(7L, 20, 12)(v => 127 - (v & 0x7F))
+    def h(p: Array[Byte]): Long = {
+      val (w, hh, g) = Multimodal.grayGrid(1L, p)
+      Multimodal.aHash(w, hh, g)
+    }
+    assert(h(base) == h(bright), "brightness must not move any bit")
+    // inversion flips above-mean to below-mean for every strict sample
+    assert(java.lang.Long.bitCount(h(base) ^ h(inverted)) > 20)
+  }
+
+  test("aHash: BMP and PPM grids decode to the declared pixel order") {
+    // 2x2 PPM, grays (sum of RGB): tl=3, tr=300, bl=600, br=765
+    val px = Array(1, 1, 1, 100, 100, 100, 200, 200, 200, 255, 255, 255)
+      .map(_.toByte)
+    val ppm = ("P6\n2 2\n255\n".getBytes("US-ASCII") ++ px)
+    val (w, h, g) = Multimodal.grayGrid(5L, ppm)
+    assert((w, h) == ((2, 2)) && g.toSeq == Seq(3, 300, 600, 765))
+    // same grid as a BMP (bottom-up, BGR, padded): must decode identically
+    val bmp = Multimodal.encodeBmp(2, 2, seed = 1L).clone()
+    val rowSize = ((3 * 2 + 3) / 4) * 4
+    // file row 0 = image bottom row: bl, br; file row 1 = tl, tr
+    val bytes = Seq(200, 200, 200, 255, 255, 255, 1, 1, 1, 100, 100, 100)
+    for (row <- 0 until 2; i <- 0 until 6)
+      bmp(54 + row * rowSize + i) = bytes(row * 6 + i).toByte
+    val (_, _, g2) = Multimodal.grayGrid(6L, bmp)
+    assert(g2.toSeq == Seq(3, 300, 600, 765))
+  }
+
+  test("imageNearDupPairs: equals brute-force Hamming pairs on crafted images") {
+    // three clusters: (1, 2) near-identical, (3) inverted, (4, 5) other seed
+    val payloads = Seq(
+      1L -> remappedBmp(7L, 20, 12)(v => v & 0x7F),
+      2L -> remappedBmp(7L, 20, 12)(v => (v & 0x7F) + 10),
+      3L -> remappedBmp(7L, 20, 12)(v => 127 - (v & 0x7F)),
+      4L -> remappedBmp(99L, 16, 16)(identity),
+      5L -> remappedBmp(99L, 16, 16)(v => math.min(255, v + 2)))
+    val hashes = payloads.map { case (id, p) =>
+      val (w, h, g) = Multimodal.grayGrid(id, p)
+      id -> Multimodal.aHash(w, h, g)
+    }
+    val maxDist = 6
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxDist
+    } yield (a, b, d.toLong)).toSet
+    assert(want.exists { case (a, b, _) => (a, b) == ((1L, 2L)) },
+      "test premise: the brightness-shifted pair must be a near dup")
+    val df = hashes.toSeq.map { case (id, h) => (id, h) }.toDF("doc_id", "ahash")
+    val got = Multimodal.imageNearDupPairs(df, maxDist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got $got want $want")
+    // partitioning invariance
+    val got13 = Multimodal.imageNearDupPairs(df.repartition(13), maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got13 == want)
+  }
+
+  test("imageHashes: end-to-end over synthesized media, deterministic") {
+    val docs = (0L until 40L).map(i => (i, "txt" * (i.toInt % 7 + 1)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthMedia(spark, docs)
+    val a = Multimodal.imageHashes(spark, media).collect().sortBy(_.doc_id).toSeq
+    val b = Multimodal.imageHashes(spark, media.repartition(5))
+      .collect().sortBy(_.doc_id).toSeq
+    assert(a == b && a.size == 40)
+    // dims agree with the metadata decoder
+    val meta = Multimodal.decodeMeta(spark, media).collect()
+      .map(m => m.doc_id -> ((m.width, m.height))).toMap
+    a.foreach(x => assert((x.width, x.height) == meta(x.doc_id)))
+  }
 }

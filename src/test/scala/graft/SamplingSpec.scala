@@ -322,6 +322,20 @@ class SamplingSpec extends SparkSpec {
       Sampling.leakageSafeSplit(docs, c, trainFrac = 0.0))
   }
 
+  test("tokenBudgetMixture: hand-computed targets and epochs") {
+    // src A: 2 docs x 4 tokens = 8; src B: 1 doc x 2 tokens; C unlisted
+    val docs = Seq(("A", "w w w w"), ("A", "x x x x"), ("B", "y y"),
+      ("C", "z z z")).toDF("source", "text")
+    val got = Sampling.tokenBudgetMixture(docs, "source", "text",
+      Seq("A" -> 0.75, "B" -> 0.25), budgetTokens = 100L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set("A", "B")) // unlisted sources excluded
+    assert(got("A") == ((2L, 8L, 75L, 9.375))) // 75 target / 8 tokens
+    assert(got("B") == ((1L, 2L, 25L, 12.5)))
+    // epochs > 1 everywhere: the budget forces repetition on this corpus
+  }
+
   test("neyman: constant strata get zero; noisier+bigger strata get more") {
     // A: sd 0; B: n=2 sd sqrt(50); C: n=3 sd 20 -> w_C / w_B = 60 / 14.14
     val df = (Seq(("A", 5.0), ("A", 5.0), ("A", 5.0), ("B", 0.0), ("B", 10.0),
