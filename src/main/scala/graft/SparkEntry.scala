@@ -910,6 +910,26 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q172_profile" -> ((s, dir) =>
+      // the table summary a warehouse publishes: per-column counts, nulls,
+      // exact distincts, range, mean — one melt + one aggregate
+      Dq.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")),
+    "q171_corr_matrix" -> ((s, dir) =>
+      // feature-redundancy profile: pairwise Pearson correlations over the
+      // money columns from one melt + one exact-decimal aggregate
+      Stats.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")).orderBy("pair")),
+    "q170_join_size" -> ((s, dir) => {
+      // CBO-style join cardinality estimate BEFORE running the join: CMS
+      // inner product (AMS identity) of the click side vs the purchase
+      // side on user_id, exact Sum(na*nb) alongside for grading
+      val ev = t(s, dir, "events")
+      Sketches.joinSizeEstimate(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "user_id")
+    }),
     "q169_token_budget" -> ((s, dir) =>
       // pretraining mixture plan: exact per-source token counts vs target
       // weights under a 1M-token budget — the epochs/repetition table a
@@ -2918,6 +2938,85 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q172_profile" -> // numericProfile replayed: melt + one aggregate,
+        // raw double min/max, DECIMAL(18,6) mean over non-nulls
+        """WITH m AS (
+          |  SELECT 'l_quantity' AS col_, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+          |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+          |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+          |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+          |SELECT col_ AS "column", CAST(count(*) AS BIGINT) AS n,
+          |       CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_null,
+          |       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+          |       min(v) AS min_v, max(v) AS max_v,
+          |       round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+          |         / CAST(count(v) AS DOUBLE), 6) AS mean_v
+          |FROM m GROUP BY col_ ORDER BY col_""".stripMargin,
+      "q171_corr_matrix" -> // corrMatrix replayed: the round-6-quantized
+        // DECIMAL moments (>=19-width products for DuckDB's int128 path),
+        // the trendPerGroup correlation formula per pair
+        """WITH m AS (
+          |  SELECT 'l_quantity~l_extendedprice' AS pair,
+          |    CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+          |  FROM lineitem
+          |  UNION ALL SELECT 'l_quantity~l_discount',
+          |    CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE) FROM lineitem
+          |  UNION ALL SELECT 'l_extendedprice~l_discount',
+          |    CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE) FROM lineitem),
+          |f AS (SELECT pair, x, y FROM m WHERE x IS NOT NULL AND y IS NOT NULL),
+          |agg AS (SELECT pair, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(x AS DECIMAL(12,6))) AS DOUBLE) AS sx,
+          |    CAST(sum(CAST(y AS DECIMAL(12,6))) AS DOUBLE) AS sy,
+          |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+          |      AS DOUBLE) AS sxy,
+          |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+          |      AS DOUBLE) AS sxx,
+          |    CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+          |      AS DOUBLE) AS syy
+          |  FROM f GROUP BY pair),
+          |g AS (SELECT pair, n, CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy,
+          |    CAST(n AS DOUBLE) * sxx - sx * sx AS dxx,
+          |    CAST(n AS DOUBLE) * syy - sy * sy AS dyy FROM agg WHERE n >= 2)
+          |SELECT pair, n,
+          |  CASE WHEN round(dxx, 9) = 0.0e0 OR round(dyy, 9) = 0.0e0 THEN 0.0e0
+          |       ELSE round((nd * sxy - sx * sy) / sqrt(dxx * dyy), 6)
+          |  END AS corr
+          |FROM g ORDER BY pair""".stripMargin,
+      "q170_join_size" -> { // joinSizeEstimate replayed: both CMS grids via
+        // the q67 portable row-hash family over CAST(user_id AS VARCHAR),
+        // per-row inner products, min over rows; exact side = the key join
+        val ph = polyHashSql("k")
+        s"""WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+           |           WHERE event_type = 'click' AND user_id IS NOT NULL),
+           |b AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+           |      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+           |ah AS (SELECT $ph AS ph FROM a),
+           |bh AS (SELECT $ph AS ph FROM b),
+           |ac AS (SELECT r.i AS rw,
+           |         ((ph * (2*r.i + 3) + r.i) % 2147483647) % 1024 AS bucket
+           |       FROM ah CROSS JOIN range(0, 4) r(i)),
+           |bc AS (SELECT r.i AS rw,
+           |         ((ph * (2*r.i + 3) + r.i) % 2147483647) % 1024 AS bucket
+           |       FROM bh CROSS JOIN range(0, 4) r(i)),
+           |ga AS (SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM ac GROUP BY 1, 2),
+           |gb AS (SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM bc GROUP BY 1, 2),
+           |ip AS (SELECT ga.rw, sum(ga.cnt * gb.cnt) AS ip
+           |       FROM ga JOIN gb ON ga.rw = gb.rw AND ga.bucket = gb.bucket
+           |       GROUP BY ga.rw),
+           |es AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est FROM ip),
+           |ca AS (SELECT k, CAST(count(*) AS BIGINT) AS na FROM a GROUP BY 1),
+           |cb AS (SELECT k, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY 1),
+           |ex AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact
+           |       FROM ca JOIN cb ON ca.k = cb.k)
+           |SELECT est, exact,
+           |       CASE WHEN exact = 0 THEN NULL
+           |            ELSE round(CAST(est - exact AS DOUBLE)
+           |                       / CAST(exact AS DOUBLE), 6)
+           |       END AS rel_err
+           |FROM es CROSS JOIN ex""".stripMargin
+      },
       "q169_token_budget" -> // tokenBudgetMixture replayed: exact token
         // sums, broadcast weights, round(budget·w) targets, round-6 epochs
         """WITH t AS (SELECT CAST(source AS VARCHAR) AS source,

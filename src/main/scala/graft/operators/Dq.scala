@@ -102,6 +102,32 @@ object Dq {
     * rounded to 6; dev = share − expected, the per-digit excess a
     * reviewer scans for spikes. Absent digits report n=0 rows via the
     * dense digit grid so every group shows all 9 rows. */
+  /** Numeric column profile — the one-pass table summary (per column:
+    * counts, nulls, exact distincts, range, round-6 mean) a warehouse
+    * publishes next to every table. One melt (a row per (row, column)) +
+    * ONE word-count-shaped aggregate; the exact distinct is the only
+    * key-sized term (the [[graft.plans.ApproxDistinctRewrite]] conf is the
+    * documented swap-in when a column's value space itself doesn't fit).
+    * min/max are raw doubles (exact, portable); mean is a DECIMAL(18,6)
+    * sum over non-nulls divided once. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("m"))
+      .select(col("m.column").as("column"), col("m.v").as("v"))
+    melted.groupBy("column")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("v").isNull, 1)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("v").cast("decimal(18,6)")).as("sv"),
+        count(col("v")).as("nv"))
+      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"),
+        round(col("sv").cast("double") / col("nv").cast("double"), 6)
+          .as("mean_v"))
+  }
+
   def benfordReport(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100.0, 0).cast("long")
     val obs = df

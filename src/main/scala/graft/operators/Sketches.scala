@@ -392,4 +392,57 @@ object Sketches {
           .as("exact_union"),
         coalesce(col("xinter"), lit(0L)).as("exact_inter"))
   }
+
+  /** CMS grid over an arbitrary key column (the [[cmsBuild]] construction
+    * generalized off the text fixture): (row, bucket, cnt), depth×width
+    * cells at most. */
+  def cmsKeyGrid(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val key = col(keyCol).cast("string")
+    val cells = PortableHashes.minhashGramHashes(key, depth)
+      .zipWithIndex.map { case (h, i) =>
+        struct(lit(i.toLong).as("row"), (h % lit(width.toLong)).as("bucket"))
+      }
+    df.filter(key.isNotNull)
+      .select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Equi-join CARDINALITY estimate from two CMS grids — the AMS/CM
+    * inner-product identity (Alon, Matias & Szegedy STOC'96; Cormode &
+    * Muthukrishnan's CM-sketch paper §4.2): |A ⋈ B| = Σ_k a_k·b_k, and
+    * each sketch row's Σ_j cms_A[i][j]·cms_B[i][j] OVERESTIMATES that sum
+    * by at most n_A·n_B/width in expectation — take the min over rows.
+    * This is what a cost-based optimizer wants BEFORE running the join:
+    * two single-pass sketches (mergeable across partitions/batches by
+    * cell addition) instead of a build-side dry run.
+    *
+    * The exact Σ_k c_A(k)·c_B(k) rides alongside for verification — the
+    * corpus-sized key join the sketch replaces, computed here because the
+    * oracle grades the estimate (the q70/q83 exact-side convention).
+    * Output: one row (est, exact, rel_err round-6); rel_err ≥ 0 since CMS
+    * never under-counts. */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val ga = cmsKeyGrid(a, keyCol, depth, width)
+    val gb = cmsKeyGrid(b, keyCol, depth, width)
+    val est = ga.join(gb.withColumnRenamed("cnt", "cntb"), Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("cnt") * col("cntb")).as("ip"))
+      // grids with no shared occupied cell estimate 0, not null
+      .agg(coalesce(min(col("ip")), lit(0L)).as("est"))
+    val ca = a.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("k")).agg(count(lit(1)).as("na"))
+    val cb = b.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("k")).agg(count(lit(1)).as("nb"))
+    val exact = ca.join(cb, "k")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact"))
+    est.crossJoin(exact)
+      .select(col("est"), col("exact"),
+        // an empty true join has no meaningful relative error: NULL, and
+        // never a divide-by-zero (ANSI traps it even double-typed here)
+        when(col("exact") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("est") - col("exact")).cast("double") /
+            col("exact").cast("double"), 6)).as("rel_err"))
+  }
 }

@@ -387,6 +387,42 @@ object Stats {
           .as("gini"))
   }
 
+  /** Pairwise Pearson correlation matrix over a fixed column list — the
+    * feature-redundancy profile ("is discount just a function of quantity")
+    * run before model features or mixture covariates are chosen. One melt
+    * (a row per (row, pair)) + ONE word-count-shaped aggregate: per-pair
+    * (n, Σx, Σy, Σxy, Σx², Σy²) as exact DECIMAL(12,6)-cast sums, then the
+    * [[trendPerGroup]] correlation formula once per pair, round-6. Pairs
+    * are the upper triangle, named "a~b" in the caller's column order.
+    * Rows where either side is null drop from that pair only. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def d6(c: Column): Column = c.cast("decimal(12,6)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield struct(lit(s"${cols(i)}~${cols(j)}").as("pair"),
+      col(cols(i)).cast("double").as("x"), col(cols(j)).cast("double").as("y"))
+    val melted = df.select(explode(array(pairs: _*)).as("m"))
+      .select(col("m.pair").as("pair"), col("m.x").as("x"), col("m.y").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = melted.groupBy("pair").agg(count(lit(1)).as("n"),
+      sum(d6(col("x"))).as("sx"), sum(d6(col("y"))).as("sy"),
+      sum(d6(col("x")) * d6(col("y"))).as("sxy"),
+      sum(d6(col("x")) * d6(col("x"))).as("sxx"),
+      sum(d6(col("y")) * d6(col("y"))).as("syy"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val dxx = n * sxx - sx * sx
+    val dyy = n * syy - sy * sy
+    m.filter(col("n") >= 2)
+      .select(col("pair"), col("n"),
+        when(round(dxx, 9) === 0.0 || round(dyy, 9) === 0.0, lit(0.0))
+          .otherwise(round((n * sxy - sx * sy) / sqrt(dxx * dyy), 6))
+          .as("corr"))
+  }
+
   /** Winsorized means per group: clip values at the EXACT ceil-rank
     * [pLo, pHi] percentiles (the q93/q138 integer-target convention) and
     * report the mean before and after — the robust-stats curation gate

@@ -55,6 +55,19 @@ class DqSpec extends SparkSpec {
       == Set("not_null(x)", "unique(x)"))
   }
 
+  test("numericProfile: hand-computed counts, nulls, distincts, range, mean") {
+    val df = Seq((Some(1.0), 10.0), (Some(2.0), 10.0), (None, 30.0),
+      (Some(2.0), 20.0)).toDF("a", "b")
+    val got = Dq.numericProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 4 && a.getLong(2) == 1 && a.getLong(3) == 2)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 2.0)
+    assert(a.getDouble(6) == 1.666667) // (1+2+2)/3 round-6
+    val b = got("b")
+    assert(b.getLong(2) == 0 && b.getLong(3) == 3 && b.getDouble(6) == 17.5)
+  }
+
   test("benford: hand-computed digit shares, dense 1..9 grid") {
     // cents: 100, 250, 1999, 5 -> leading digits 1, 2, 1, 5; <= 0 excluded
     val df = Seq(("g", 1.00), ("g", 2.50), ("g", 19.99), ("g", 0.05),

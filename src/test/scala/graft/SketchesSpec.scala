@@ -225,4 +225,29 @@ class SketchesSpec extends SparkSpec {
     val many = Sketches.kmvSetOps(docs.repartition(11)).collect().head
     assert(one.toSeq == many.toSeq)
   }
+
+  test("joinSize: exact side is the true key-join cardinality; CMS never undercounts") {
+    // a: key k repeated k times (k=1..10); b: keys 5..14 twice each
+    // true join size = sum over k=5..10 of k*2 = 90
+    val a = (1 to 10).flatMap(k => Seq.fill(k)(k.toLong)).toDF("uid")
+    val b = (5 to 14).flatMap(k => Seq.fill(2)(k.toLong)).toDF("uid")
+    val Array(r) = Sketches.joinSizeEstimate(a, b, "uid").collect()
+    assert(r.getLong(1) == 90L)
+    assert(r.getLong(0) >= 90L, "CMS inner product can only overestimate")
+    assert(r.getDouble(2) >= 0.0)
+  }
+
+  test("joinSize: disjoint key spaces estimate near zero; invariance") {
+    val a = (1 to 50).map(i => i.toLong).toDF("uid")
+    val b = (1000 to 1050).map(i => i.toLong).toDF("uid")
+    val Array(r) = Sketches.joinSizeEstimate(a, b, "uid").collect()
+    assert(r.getLong(1) == 0L && r.isNullAt(2)) // no meaningful rel_err
+    // est itself must be tiny (collision noise bounded by n_a*n_b/width
+    // per row, min over 4 rows)
+    assert(r.getLong(0) <= 50L * 51 / 1024 + 3)
+    val big = (1 to 400).map(i => (i % 37).toLong).toDF("uid")
+    def run(p: Int) = Sketches.joinSizeEstimate(big.repartition(p), big, "uid")
+      .collect().head.toSeq
+    assert(run(1) == run(7))
+  }
 }

@@ -237,6 +237,28 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.0 && r.getDouble(3) == 0.0)
   }
 
+  test("corrMatrix: exact lines read +/-1, constants read 0, pairs named") {
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i, 100.0 - i, 7.0))
+      .toDF("a", "b", "c", "d")
+    val got = Stats.corrMatrix(df, Seq("a", "b", "c", "d")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set("a~b", "a~c", "a~d", "b~c", "b~d", "c~d"))
+    assert(got("a~b") == 1.0 && got("a~c") == -1.0 && got("b~c") == -1.0)
+    assert(got("a~d") == 0.0 && got("c~d") == 0.0) // zero-variance side
+  }
+
+  test("corrMatrix: nulls drop per pair; partitioning-invariant") {
+    val df = (1 to 120).map(i => (i.toDouble,
+      if (i % 5 == 0) None else Some(i * 0.5 + (i % 7)),
+      (i % 11).toDouble)).toDF("a", "b", "c")
+    val rows = Stats.corrMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("a~b") == 96 && rows("a~c") == 120) // 24 nulls dropped in b
+    def run(p: Int) = Stats.corrMatrix(df.repartition(p), Seq("a", "b", "c"))
+      .orderBy("pair").collect().toSeq
+    assert(run(1) == run(13))
+  }
+
   test("gini: equal shares read 0, total concentration reads (n-1)/n") {
     val eq = (1 to 8).map(i => ("eq", 5.0)) ++
       (1 to 3).map(i => ("one", 0.0)) :+ (("one", 10.0))
