@@ -910,6 +910,29 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q174_dedup_savings" -> ((s, dir) => {
+      // the dedup business case: cluster-size histogram + bytes removable
+      // if only each near-dup cluster's representative is kept — the
+      // number a data card quotes before anyone runs the removal
+      graft.util.Checkpoints.ensureDir(s)
+      val docs = tp(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, 3, 0.5).select("a_id", "b_id"))
+      val sizes = cc.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .join(sizes, "rep_id")
+        .groupBy("cluster_size")
+        .agg(countDistinct(col("rep_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("rep_id"), col("n_chars"))
+            .otherwise(0L)).as("bytes_removable"))
+        .orderBy("cluster_size")
+    }),
+    "q173_abc" -> ((s, dir) =>
+      // Pareto / ABC contribution: which parts carry the revenue mass —
+      // head (A) to 80% cumulative share, B to 95%, tail C
+      Warehouse.abcAnalysis(t(s, dir, "lineitem"), "l_partkey",
+        "l_extendedprice").orderBy("entity")),
     "q172_profile" -> ((s, dir) =>
       // the table summary a warehouse publishes: per-column counts, nulls,
       // exact distincts, range, mean — one melt + one aggregate
@@ -2938,6 +2961,50 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q174_dedup_savings" -> // the q53 recursive-CC fixpoint joined back
+        // to doc sizes: per-cluster-size counts + non-representative bytes
+        s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |pe AS (SELECT a_id, b_id FROM pairs
+           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |e AS (SELECT a_id AS s, b_id AS d FROM pe
+           |      UNION ALL SELECT b_id, a_id FROM pe),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id),
+           |cc AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id),
+           |sz AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+           |       FROM cc GROUP BY 1),
+           |m AS (SELECT cc.doc_id, cc.rep_id, sz.cluster_size, d.n_chars
+           |      FROM cc JOIN sz ON cc.rep_id = sz.rep_id
+           |      JOIN documents d ON d.doc_id = cc.doc_id)
+           |SELECT cluster_size,
+           |       CAST(count(DISTINCT rep_id) AS BIGINT) AS n_clusters,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN doc_id <> rep_id THEN n_chars ELSE 0 END)
+           |         AS BIGINT) AS bytes_removable
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q173_abc" -> // abcAnalysis replayed: DECIMAL(18,2) per-entity sums,
+        // deterministic (measure desc, entity asc) running share, the same
+        // round-6 thresholds
+        """WITH per AS (SELECT CAST(l_partkey AS VARCHAR) AS entity,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS m
+          |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+          |t AS (SELECT sum(m) AS t FROM per),
+          |c AS (SELECT entity, m, sum(m) OVER (ORDER BY m DESC, entity ASC
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |      FROM per)
+          |SELECT entity, CAST(m AS DOUBLE) AS measure,
+          |  round(CAST(m AS DOUBLE) / CAST(t AS DOUBLE) * 100.0e0, 6) AS share,
+          |  round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) * 100.0e0, 6)
+          |    AS cum_share,
+          |  CASE WHEN round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) * 100.0e0, 6)
+          |         <= 80 THEN 'A'
+          |       WHEN round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) * 100.0e0, 6)
+          |         <= 95 THEN 'B'
+          |       ELSE 'C' END AS abc_class
+          |FROM c CROSS JOIN t ORDER BY entity""".stripMargin,
       "q172_profile" -> // numericProfile replayed: melt + one aggregate,
         // raw double min/max, DECIMAL(18,6) mean over non-nulls
         """WITH m AS (

@@ -146,4 +146,40 @@ object Warehouse {
       +: attrCols.map(col): _*)
     AsOfJoin.asOf(fact, d, keyCol, tsCol, attrCols)
   }
+
+  /** ABC / Pareto contribution analysis: rank entities by a DECIMAL-exact
+    * measure, accumulate their share of the total, and class them A
+    * (the head up to `aPct`% cumulative), B (to `bPct`%), C (the tail) —
+    * the BI staple behind "which 20% of parts carry 80% of revenue" and,
+    * in a data pipeline, "which sources carry the token mass".
+    *
+    * Scale shape: ONE corpus-sized aggregate (per-entity measure, map-side
+    * combined); the cumulative window runs over the ENTITY table —
+    * dimension-sized, not fact-sized (same stance as the funnel/cohort
+    * ops; entities at corpus scale route through the q138 refinement).
+    * Cumulative shares are DECIMAL sums of exact per-entity decimals over
+    * one exact total — order (measure desc, entity asc) is total, so the
+    * running share is deterministic. Output: (entity, measure, share,
+    * cum_share, abc_class), share/cum round-6. */
+  def abcAnalysis(df: DataFrame, entityCol: String, measureCol: String,
+      aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(aPct >= 1 && aPct < bPct && bPct <= 100, "need 1 <= aPct < bPct <= 100")
+    val per = df.filter(col(measureCol).isNotNull)
+      .groupBy(col(entityCol).cast("string").as("entity"))
+      .agg(sum(col(measureCol).cast("decimal(18,2)")).as("m"))
+    val tot = per.agg(sum(col("m")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m").desc, col("entity").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per.crossJoin(tot)
+      .withColumn("cum", sum(col("m")).over(w))
+      .select(col("entity"), col("m").cast("double").as("measure"),
+        round(col("m").cast("double") / col("t").cast("double") * 100.0, 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("t").cast("double") * 100.0, 6)
+          .as("cum_share"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aPct, "A")
+          .when(col("cum_share") <= bPct, "B").otherwise("C"))
+  }
 }

@@ -431,6 +431,13 @@ object ScaleProbe {
       Classify.labelNoiseReport(docs.select(col("doc_id"),
         col("lang").as("label"), col("text"))).count()
     }
+    time("image_ahash") {
+      val media = graft.operators.Multimodal.synthMedia(spark, docs)
+      graft.operators.Multimodal.imageHashes(spark, media).count()
+    }
+    time("kn_score") {
+      LangModel.kneserNeyNll(docs).count()
+    }
     time("winsorize_gini") {
       val w = Stats.winsorizedMeans(events, "event_type", "value").count()
       val per = events.filter(col("value").isNotNull)

@@ -133,4 +133,24 @@ class WarehouseSpec extends SparkSpec {
       .collect().toMap
     assert(got == Map(1 -> None, 2 -> Some("v"), 3 -> None))
   }
+
+  test("abc: hand-computed Pareto classes and cumulative shares") {
+    // measures 50, 30, 15, 5 (total 100): cum 50, 80, 95, 100 -> A A B C
+    val rows = Seq.fill(5)(("p1", 10.0)) ++ Seq(("p2", 30.0)) ++
+      Seq(("p3", 7.5), ("p3", 7.5)) ++ Seq(("p4", 5.0))
+    val got = Warehouse.abcAnalysis(rows.toDF("part", "rev"), "part", "rev")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(3), r.getString(4)))).toMap
+    assert(got("p1") == ((50.0, 50.0, "A")))
+    assert(got("p2") == ((30.0, 80.0, "A"))) // boundary: <= 80 stays A
+    assert(got("p3") == ((15.0, 95.0, "B")))
+    assert(got("p4") == ((5.0, 100.0, "C")))
+  }
+
+  test("abc: deterministic under ties and partitioning") {
+    val rows = (1 to 300).map(i => (s"e${i % 40}", (i % 9) + 1.0))
+    def run(p: Int) = Warehouse.abcAnalysis(rows.toDF("e", "v").repartition(p),
+      "e", "v").orderBy("entity").collect().toSeq
+    assert(run(1) == run(11))
+  }
 }
