@@ -910,6 +910,28 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q175_link_predict" -> ((s, dir) => {
+      // link prediction on the near-dup graph: non-adjacent doc pairs
+      // sharing a neighbor, scored by common-neighbor count, Adamic-Adar,
+      // and neighborhood Jaccard — the "pairs the similarity join missed"
+      // review queue
+      val pairs = Dedup.ngramJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graph.linkPrediction(pairs).orderBy("u", "v")
+    }),
+    "q176_readability" -> ((s, dir) =>
+      // Flesch-Kincaid complexity gate: vowel-run syllable heuristic,
+      // [.!?]+ sentence runs, two fixed-formula round-6 ratios
+      TextAnalysis.readability(tp(s, dir, "documents")).orderBy("doc_id")),
+    "q177_zipf" -> ((s, dir) =>
+      // corpus-health one-liner: OLS of ln(freq) on ln(rank) over the top
+      // vocabulary — natural text sits near slope -1
+      TextAnalysis.zipfFit(tp(s, dir, "documents"))),
+    "q178_changepoint" -> ((s, dir) =>
+      // per-type level-shift detector: integer-exact CUSUM argmax over the
+      // (ts, event_id) total order, then before/after means
+      TimeSeries.changepoint(t(s, dir, "events"), "event_type", "ts",
+        "value", "event_id").orderBy("key")),
     "q174_dedup_savings" -> ((s, dir) => {
       // the dedup business case: cluster-size histogram + bytes removable
       // if only each near-dup cluster's representative is kept — the
@@ -2961,6 +2983,128 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q175_link_predict" -> // linkPrediction replayed over the q86 graph:
+        // canonical edges, degrees, capped apexes, wedge pairs, round-6
+        // decimal Adamic-Adar sums, NOT EXISTS anti-join
+        s"""$ngramPairsWith,
+           |ed AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |        FROM ed WHERE src <> dst),
+           |degt AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |         SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+           |adj AS (SELECT apex, nb, degt.deg AS da FROM (
+           |          SELECT u AS apex, v AS nb FROM und
+           |          UNION ALL SELECT v, u FROM und) a
+           |        JOIN degt ON degt.node = a.apex
+           |        WHERE degt.deg BETWEEN 2 AND 64),
+           |w AS (SELECT a.nb AS u, b.nb AS v, a.da FROM adj a JOIN adj b
+           |      ON a.apex = b.apex AND a.nb < b.nb),
+           |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+           |       sum(CAST(round(1.0e0 / ln(CAST(da AS DOUBLE)), 6)
+           |           AS DECIMAL(38,6))) AS aa
+           |       FROM w GROUP BY 1, 2),
+           |miss AS (SELECT * FROM sc WHERE NOT EXISTS (
+           |         SELECT 1 FROM und WHERE und.u = sc.u AND und.v = sc.v))
+           |SELECT m.u, m.v, m.common_neighbors,
+           |       CAST(m.aa AS DOUBLE) AS adamic_adar,
+           |       round(CAST(m.common_neighbors AS DOUBLE) /
+           |         CAST(du.deg + dv.deg - m.common_neighbors AS DOUBLE), 6)
+           |         AS jaccard
+           |FROM miss m JOIN degt du ON du.node = m.u
+           |            JOIN degt dv ON dv.node = m.v
+           |ORDER BY m.u, m.v""".stripMargin,
+      "q176_readability" -> // readability replayed: single-space tokens,
+        // vowel-run + no-vowel-word syllables, [.!?]+ sentences floored
+        // at 1, the two fixed-parenthesization round-6 formulas
+        """WITH d AS (SELECT doc_id, text, lower(text) AS lt,
+          |            string_split(lower(text), ' ') AS toks FROM documents),
+          |m AS (SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_words,
+          |  greatest(CAST(1 AS BIGINT),
+          |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+          |    AS n_sentences,
+          |  CAST(len(regexp_extract_all(lt, '[aeiouy]+')) AS BIGINT)
+          |    + CAST(len(toks) AS BIGINT)
+          |    - CAST(len(list_filter(toks, w -> regexp_matches(w, '[aeiouy]')))
+          |        AS BIGINT) AS n_syllables
+          |  FROM d)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          |  round(0.39e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |    + 11.8e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          |    - 15.59e0, 6) AS fk_grade,
+          |  round(206.835e0
+          |    - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |    - 84.6e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+          |    6) AS reading_ease
+          |FROM m ORDER BY doc_id""".stripMargin,
+      "q177_zipf" -> // zipfFit replayed: (cnt desc, word asc) dense ranks,
+        // round-6 ln terms as DECIMAL(38,6) sums, the q84 fixed-formula
+        // double collapse
+        """WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |  GROUP BY 1),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+          |        CAST(sum(cnt) AS BIGINT) AS n_tokens FROM c),
+          |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank,
+          |      cnt FROM c QUALIFY rank <= 1000),
+          |xy AS (SELECT
+          |  CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+          |  CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+          |  FROM r),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |  sum(x) AS sx, sum(y) AS sy,
+          |  sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+          |  sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+          |  sum(CAST(y * y AS DECIMAL(38,12))) AS syy FROM xy),
+          |f AS (SELECT n,
+          |  CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+          |  CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+          |  CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd FROM s)
+          |SELECT n_types, n_tokens, n AS fit_n,
+          |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+          |    AS zipf_slope,
+          |  round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+          |    * sxd) / nd, 6) AS zipf_intercept,
+          |  round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+          |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+          |FROM tot CROSS JOIN f""".stripMargin,
+      "q178_changepoint" -> // changepoint replayed: (ts, event_id) total
+        // order, DECIMAL(12,0)x(24,6) products for the exact |n*S_k - k*T|
+        // argmax, earliest-ts tie-break, round-6 side means
+        """WITH r0 AS (SELECT event_type AS key, epoch_ns(ts) AS tsn,
+          |  event_id AS rid, CAST(value AS DECIMAL(18,6)) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |cum AS (SELECT key, tsn, v,
+          |  CAST(row_number() OVER w AS BIGINT) AS k,
+          |  CAST(sum(v) OVER w AS DECIMAL(24,6)) AS s,
+          |  CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+          |  CAST(sum(v) OVER (PARTITION BY key) AS DECIMAL(24,6)) AS t
+          |  FROM r0 WINDOW w AS (PARTITION BY key ORDER BY tsn, rid
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |dd AS (SELECT *, abs(CAST(CAST(n AS DECIMAL(12,0)) * s
+          |  - CAST(k AS DECIMAL(12,0)) * t AS DECIMAL(38,6))) AS d FROM cum),
+          |peak AS (SELECT key, max(d) AS maxd FROM dd GROUP BY 1),
+          |cp AS (SELECT dd.key, min(tsn) AS cp_ts, max(n) AS n,
+          |       max(dd.d) AS maxd
+          |       FROM dd JOIN peak ON dd.key = peak.key AND dd.d = peak.maxd
+          |       GROUP BY 1),
+          |sides AS (SELECT r0.key,
+          |  sum(CASE WHEN r0.tsn <= cp.cp_ts THEN r0.v END) AS sb,
+          |  CAST(count(CASE WHEN r0.tsn <= cp.cp_ts THEN 1 END) AS BIGINT) AS nb,
+          |  sum(CASE WHEN r0.tsn > cp.cp_ts THEN r0.v END) AS sa,
+          |  CAST(count(CASE WHEN r0.tsn > cp.cp_ts THEN 1 END) AS BIGINT) AS na
+          |  FROM r0 JOIN cp ON r0.key = cp.key GROUP BY 1)
+          |SELECT cp.key, cp.n, cp.cp_ts,
+          |  round(CAST(cp.maxd AS DOUBLE) / CAST(cp.n AS DOUBLE), 6) AS cusum,
+          |  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS mean_before,
+          |  CASE WHEN na > 0 THEN
+          |    round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) END AS mean_after,
+          |  CASE WHEN na > 0 THEN
+          |    round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+          |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+          |  ELSE 0.0e0 END AS shift
+          |FROM cp JOIN sides ON cp.key = sides.key ORDER BY cp.key""".stripMargin,
       "q174_dedup_savings" -> // the q53 recursive-CC fixpoint joined back
         // to doc sizes: per-cluster-size counts + non-representative bytes
         s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},

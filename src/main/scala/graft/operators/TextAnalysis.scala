@@ -430,4 +430,94 @@ object TextAnalysis {
       .orderBy(col("rank").desc, col("word").asc)
       .limit(k)
   }
+
+  /** Flesch–Kincaid readability (Kincaid et al. 1975) over the corpus —
+    * the classic complexity gate a curation pipeline runs next to
+    * [[qualityScore]] (too-easy and too-hard tails both correlate with
+    * boilerplate and garbage).
+    *
+    * Syllables are the portable vowel-run heuristic, defined EXACTLY so
+    * the oracle replays it: syllables(doc) = (count of maximal
+    * `[aeiouy]+` runs in the lowercased text) + (count of tokens with no
+    * vowel at all — each clamped to one syllable). Sentences = maximal
+    * `[.!?]+` runs, floored at 1. Tokens are the corpus convention
+    * (single-space split). Both engines evaluate the same two double
+    * ratios in one fixed parenthesization, rounded to 6.
+    *
+    * Scale shape: pure narrow column expressions — zero shuffle, linear,
+    * whole-stage codegen. Output: (id, n_words, n_sentences,
+    * n_syllables, fk_grade, reading_ease). */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toksL = split(lower(col(textCol)), " ")
+    val nWords = size(toksL).cast("long")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val vowelRuns =
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+        .cast("long")
+    val noVowelWords =
+      nWords - size(filter(toksL, t => t.rlike("[aeiouy]"))).cast("long")
+    val nSyll = vowelRuns + noVowelWords
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyll.cast("double") / nWords.cast("double")
+    docs.select(col(idCol),
+      nWords.as("n_words"), nSent.as("n_sentences"), nSyll.as("n_syllables"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("fk_grade"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+        .as("reading_ease"))
+  }
+
+  /** Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the top
+    * `maxRank` vocabulary words — the one-row corpus health check
+    * (natural text sits near slope −1; a synthetic or template-flooded
+    * corpus drifts flat or cliff-shaped) published on a data card next
+    * to the q82 fragments.
+    *
+    * Rank is dense position under the TOTAL order (count desc, word asc);
+    * the regression runs on (x, y) = (round(ln rank, 6),
+    * round(ln count, 6)) with all five cross-sums as DECIMAL(38,6) —
+    * reduction-order-independent — collapsed by the q84 fixed-formula
+    * double arithmetic, round-6.
+    *
+    * Scale shape: ONE corpus-sized word-count aggregate (map-side
+    * combined); everything after runs on the VOCABULARY table. The rank
+    * window sorts vocab only — dimension-sized, with the q138 bucket
+    * refinement as the documented swap-in if the vocabulary itself
+    * outgrows one sort. Output: one row (n_types, n_tokens, fit_n,
+    * zipf_slope, zipf_intercept, r2). */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+      maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 2, "maxRank must be >= 2")
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
+    // DECIMAL(18,6) terms: the (18,6)x(18,6) product is EXACT at (37,12)
+    // in both engines — no product-rounding tie for the sums to disagree on
+    val ranked = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= maxRank)
+      .select(round(log(col("rank").cast("double")), 6)
+          .cast("decimal(18,6)").as("x"),
+        round(log(col("cnt").cast("double")), 6)
+          .cast("decimal(18,6)").as("y"))
+    val tot = counts.agg(count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("n_tokens"))
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,12)")).as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(38,12)")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = n * d("sxy") - d("sx") * d("sy")
+    val varXN = n * d("sxx") - d("sx") * d("sx")
+    val varYN = n * d("syy") - d("sy") * d("sy")
+    tot.crossJoin(s).select(
+      col("n_types"), col("n_tokens"), col("n").as("fit_n"),
+      round(covN / varXN, 6).as("zipf_slope"),
+      round((d("sy") - (covN / varXN) * d("sx")) / n, 6).as("zipf_intercept"),
+      round(covN * covN / (varXN * varYN), 6).as("r2"))
+  }
 }

@@ -193,6 +193,66 @@ object TimeSeries {
         col("score"), col("__asof").as("asof"))
   }
 
+  /** CUSUM changepoint detection per key (Page, Biometrika 1954; the
+    * Taylor change-in-mean formulation): locate the split point where the
+    * cumulative deviation from the series mean peaks — the level-shift
+    * detector that catches "this source's quality metric stepped down on
+    * the 12th" where [[rollingAnomaly]] (spikes) and [[seasonalAnomaly]]
+    * (rhythm) stay silent.
+    *
+    * Arithmetic contract: with per-key totals n and T = Σv and prefix
+    * sums S_k (DECIMAL sums of DECIMAL(18,6) values over the TOTAL order
+    * (ts, id)), the deviation is D_k = |n·S_k − k·T| — the mean-centered
+    * CUSUM scaled by n, kept INTEGER-exact in DECIMAL(38,6) so the argmax
+    * has no float tie ambiguity. The changepoint is the EARLIEST ts
+    * attaining max D_k (a flat series has all D_k = 0 → cp = first ts,
+    * shift 0). Reported cusum = round(maxD/n, 6) = max_k |S_k − k·mean|;
+    * mean_before/after/shift are fixed-formula round-6 doubles.
+    *
+    * Scale shape: per-key windows over one (key)-partitioned sort (the
+    * sessionize stance — a hot key is a sort/spill problem, not a heap
+    * one), then key-sized aggregates and joins. Nothing corpus-quadratic.
+    * Output: (key, n, cp_ts, cusum, mean_before, mean_after, shift). */
+  def changepoint(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("long").as("tsn"), col(idCol).cast("long").as("rid"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+    val wOrd = Window.partitionBy("key").orderBy(col("tsn"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("key")
+    val cum = rows
+      .withColumn("k", row_number().over(
+        Window.partitionBy("key").orderBy(col("tsn"), col("rid"))).cast("long"))
+      .withColumn("s", sum(col("v")).over(wOrd).cast("decimal(24,6)"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      // DECIMAL(12,0)·DECIMAL(24,6) stays under the 38-digit cap in BOTH
+      // engines (DuckDB widens a raw BIGINT to DECIMAL(19,0) and refuses
+      // the 43-digit product type)
+      .withColumn("t", sum(col("v")).over(wAll).cast("decimal(24,6)"))
+      .withColumn("d", abs((col("n").cast("decimal(12,0)") * col("s")
+        - col("k").cast("decimal(12,0)") * col("t")).cast("decimal(38,6)")))
+    val peak = cum.groupBy("key").agg(max(col("d")).as("maxd"))
+    val cp = cum.join(peak, "key").filter(col("d") === col("maxd"))
+      .groupBy("key").agg(min(col("tsn")).as("cp_ts"),
+        max(col("n")).as("n"), max(col("maxd")).as("maxd"))
+    val sides = rows.join(cp.select("key", "cp_ts"), "key")
+      .groupBy("key").agg(
+        sum(when(col("tsn") <= col("cp_ts"), col("v"))).as("sb"),
+        count(when(col("tsn") <= col("cp_ts"), lit(1))).as("nb"),
+        sum(when(col("tsn") > col("cp_ts"), col("v"))).as("sa"),
+        count(when(col("tsn") > col("cp_ts"), lit(1))).as("na"))
+    val mb = col("sb").cast("double") / col("nb").cast("double")
+    val ma = col("sa").cast("double") / col("na").cast("double")
+    cp.join(sides, "key").select(col("key"), col("n"), col("cp_ts"),
+      round(col("maxd").cast("double") / col("n").cast("double"), 6)
+        .as("cusum"),
+      round(mb, 6).as("mean_before"),
+      when(col("na") > 0, round(ma, 6)).as("mean_after"),
+      when(col("na") > 0, round(ma - mb, 6)).otherwise(lit(0.0)).as("shift"))
+  }
+
   def decayedTopK(df: DataFrame, groupCol: String, itemCol: String,
       tsCol: String, halfLifeHours: Long, k: Int): DataFrame = {
     require(halfLifeHours > 0 && k > 0, "halfLifeHours and k must be positive")

@@ -27,7 +27,20 @@ object ScaleProbe {
       }.reduce(_.unionByName(_))
 
     val dir = "/root/testdata/sf0.1"
-    val events = amplify(spark.read.parquet(s"$dir/events.parquet"),
+    // Normalize ts to the integer-ns contract regardless of whether the
+    // fixture shipped as TIMESTAMP(NANOS) (nanosAsLong -> raw long) or
+    // TIMESTAMP(MICROS) (timestamp column) — the SparkEntry.t rule.
+    def nsNormalize(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(TimestampType) =>
+          df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+        case Some(TimestampNTZType) =>
+          df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+        case _ => df
+      }
+    }
+    val events = amplify(nsNormalize(spark.read.parquet(s"$dir/events.parquet")),
       Seq("event_id"), 1000000L)
     val docs = amplify(spark.read.parquet(s"$dir/documents.parquet"),
       Seq("doc_id"), 1000000L)
@@ -437,6 +450,23 @@ object ScaleProbe {
     }
     time("kn_score") {
       LangModel.kneserNeyNll(docs).count()
+    }
+    time("link_prediction") {
+      // the events user->user co-occurrence graph (users sharing an event
+      // type+hour) — denser than the doc near-dup graph, so the wedge cap
+      // is actually exercised
+      val e = events.filter(col("value").isNotNull)
+        .select(col("user_id").as("src"),
+          (col("user_id") + expr("ts div 3600000000000") % 97 + 1).as("dst"))
+      Graph.linkPrediction(e).count()
+    }
+    time("changepoint") {
+      graft.operators.TimeSeries.changepoint(events, "event_type", "ts",
+        "value", "event_id").count()
+    }
+    time("zipf_readability") {
+      TextAnalysis.zipfFit(docs).count() +
+        TextAnalysis.readability(docs).agg(count(lit(1))).first().getLong(0)
     }
     time("winsorize_gini") {
       val w = Stats.winsorizedMeans(events, "event_type", "value").count()

@@ -488,6 +488,35 @@ class GraphSpec extends SparkSpec {
     assert(got(4L)._1 == 0L) // pure sink: zero hub
   }
 
+  test("linkPrediction: path, square, clique, and the apex-degree cap") {
+    // path 1-2-3: only wedge is (1,3) through apex 2 (deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.linkPrediction(path).as[(Long, Long, Long, Double, Double)]
+      .collect()
+    assert(p.toSeq == Seq((1L, 3L, 1L, 1.442695, 1.0))) // round(1/ln 2, 6)
+    // square 1-2-3-4-1: each missing diagonal has TWO shared neighbors
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val q = Graph.linkPrediction(sq).as[(Long, Long, Long, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(q.toSeq == Seq((1L, 3L, 2L, 2.88539, 1.0),
+      (2L, 4L, 2L, 2.88539, 1.0)))
+    // triangle: every wedge pair is already an edge -> empty queue
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.linkPrediction(tri).isEmpty)
+    // star center deg 4 > cap 3: the only apex is dropped -> empty
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    assert(Graph.linkPrediction(star, maxApexDegree = 3).isEmpty)
+    assert(Graph.linkPrediction(star, maxApexDegree = 64).count() == 6L)
+  }
+
+  test("linkPrediction is invariant under input partitioning") {
+    val e = (0 until 400).map(i => (i.toLong % 29, (i.toLong * 11 + 3) % 29))
+      .toDF("src", "dst")
+    def run(p: Int) = Graph.linkPrediction(e.repartition(p))
+      .orderBy("u", "v").collect().toSeq
+    assert(run(1) == run(13))
+  }
+
   test("hits is invariant under input partitioning") {
     val e = (0 until 300).map(i => (i.toLong % 23, (i.toLong * 7 + 1) % 23))
     val a = Graph.hits(e.toDF("src", "dst").repartition(1), 2)

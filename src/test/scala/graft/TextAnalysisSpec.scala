@@ -267,4 +267,36 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
     assert(run(1) == run(9))
   }
+
+  test("readability: hand-computed counts and both FK formulas") {
+    // 4 words, 2 sentence runs (. and !!), 3 vowel runs + 1 no-vowel word
+    val docs = Seq((1L, "the cat. sat!! xz")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 2L, 4L)))
+    // wps = 2, spw = 1: fk = 0.39*2 + 11.8 - 15.59; ease = 206.835 - 2.03 - 84.6
+    assert(r.getDouble(4) == math.rint((0.39 * 2 + 11.8 * 1 - 15.59) * 1e6) / 1e6)
+    assert(r.getDouble(5) ==
+      math.rint((206.835 - 1.015 * 2 - 84.6 * 1) * 1e6) / 1e6)
+    // no terminal punctuation floors sentences at 1; 'y' counts as a vowel
+    val r2 = TextAnalysis.readability(
+      Seq((2L, "dry gym myth")).toDF("doc_id", "text")).collect().head
+    assert((r2.getLong(2), r2.getLong(3)) == ((1L, 3L)))
+  }
+
+  test("zipfFit matches a brute OLS over the same rounded log terms") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs).collect().head
+    // counts: a:4 b:3 c:2 d:1 -> ranks 1..4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 10L, 4L)))
+    val pts = Seq((1, 4), (2, 3), (3, 2), (4, 1)).map { case (rk, c) =>
+      (math.rint(math.log(rk) * 1e6) / 1e6, math.rint(math.log(c) * 1e6) / 1e6)
+    }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(3) - slope) < 2e-6)
+    assert(slope < -0.5 && slope > -1.5)
+  }
 }

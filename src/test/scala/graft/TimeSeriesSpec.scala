@@ -169,4 +169,26 @@ class TimeSeriesSpec extends SparkSpec {
       "ts", 12, 5).orderBy("grp", "rank").collect().toSeq
     assert(run(1) == run(13))
   }
+
+  test("changepoint: hand-computed step, flat series, earliest-tie rule") {
+    // step 0,0,0,10,10 (T=20): D_k = |5*S_k - k*20| peaks at k=3 (60) -> cp ts=3
+    val rows = Seq(("a", 1L, 1L, 0.0), ("a", 2L, 2L, 0.0), ("a", 3L, 3L, 0.0),
+      ("a", 4L, 4L, 10.0), ("a", 5L, 5L, 10.0)) ++
+      (1 to 4).map(i => ("b", i.toLong, 10L + i, 5.0)) // flat: all D_k = 0
+    val got = TimeSeries.changepoint(rows.toDF("k", "ts", "id", "v"),
+      "k", "ts", "v", "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(6)))).toMap
+    assert(got("a") == ((5L, 3L, 12.0, 0.0, 10.0))) // cusum = 60/5
+    assert(got("b") == ((4L, 1L, 0.0, 5.0, 0.0)))   // flat -> first ts, shift 0
+  }
+
+  test("changepoint: invariant under input partitioning") {
+    val rows = (1 to 500).map(i => (s"k${i % 4}", (i * 7).toLong, i.toLong,
+      if (i % 4 == 0 && i > 250) 9.0 else (i % 5).toDouble))
+    def run(p: Int) = TimeSeries.changepoint(
+      rows.toDF("k", "ts", "id", "v").repartition(p), "k", "ts", "v", "id")
+      .orderBy("key").collect().toSeq
+    assert(run(1) == run(11))
+  }
 }
