@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** q180's field priors — shared by the query and the oracle SQL so the
+    * embedded log2(m/u) weight literals are identical by construction. */
+  private val FsFields: Seq[(String, Double, Double)] = Seq(
+    ("balbucket", 0.9, 0.05), ("balsign", 0.95, 0.5), ("name1", 0.8, 0.1))
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events fixture has shipped as both TIMESTAMP(NANOS) — which Spark 4
     // only reads as a raw long (SPARK-40819, hence nanosAsLong) — and as
@@ -910,6 +915,53 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q179_bradley_terry" -> ((s, dir) => {
+      // preference ranking from pairwise outcomes: adjacent event pairs as
+      // synthetic "A beat B" comparisons (higher value wins, type asc tie
+      // rule), then 5 MM rounds -> per-type strength + share
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value"))
+      val nxt = ev.select((col("event_id") - 1).as("event_id"),
+        col("event_type").as("t2"), col("value").as("v2"))
+      val win = col("value") > col("v2") ||
+        (col("value") === col("v2") && col("event_type") < col("t2"))
+      val m = ev.join(nxt, "event_id")
+        .filter(col("event_type") =!= col("t2"))
+        .select(when(win, col("event_type")).otherwise(col("t2")).as("winner"),
+          when(win, col("t2")).otherwise(col("event_type")).as("loser"))
+      Experiment.bradleyTerry(m).orderBy("item")
+    }),
+    "q180_fs_linkage" -> ((s, dir) => {
+      // Fellegi-Sunter match weights over blocked customer pairs: three
+      // field agreements weighed by plan-time log2(m/u) literals, then the
+      // two-threshold match/possible/non_match rule
+      val c = t(s, dir, "customer")
+      def side(p: String) = c.select(col("c_custkey").as(s"${p}_id"),
+        col("c_nationkey").as(s"${p}_nk"), col("c_mktsegment").as(s"${p}_seg"),
+        col("c_acctbal").as(s"${p}_bal"), col("c_name").as(s"${p}_name"))
+      val pairs = side("a").join(side("b"),
+        col("a_nk") === col("b_nk") && col("a_seg") === col("b_seg") &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (floor(col("a_bal") / 1000.0) === floor(col("b_bal") / 1000.0))
+            .as("balbucket"),
+          ((col("a_bal") >= 0) === (col("b_bal") >= 0)).as("balsign"),
+          (substring(col("a_name"), -1, 1) === substring(col("b_name"), -1, 1))
+            .as("name1"))
+      Linkage.fsScore(pairs, FsFields, upper = 4.0, lower = 0.0)
+        .withColumn("fs_score", col("fs_score").cast("double"))
+        .orderBy("a_id", "b_id")
+    }),
+    "q181_quantile_norm" -> ((s, dir) =>
+      // align per-type score distributions onto the global one: midpoint
+      // within-group percentile -> interpolated global histogram quantile
+      Stats.quantileNormalize(t(s, dir, "events"), "event_type", "value",
+        "event_id", 10.0).orderBy("event_id")),
+    "q182_interarrival" -> ((s, dir) =>
+      // ingest burstiness per type: exponential rate from exact ns gap
+      // sums + the KS distance of observed gaps from that fit
+      TimeSeries.interarrivalKs(t(s, dir, "events"), "event_type", "ts",
+        "event_id").orderBy("key")),
     "q175_link_predict" -> ((s, dir) => {
       // link prediction on the near-dup graph: non-adjacent doc pairs
       // sharing a neighbor, scored by common-neighbor count, Adamic-Adar,
@@ -2983,6 +3035,132 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q179_bradley_terry" -> {
+        // bradleyTerry unrolled: the same 5 MM rounds, round-6 terms as
+        // DECIMAL(38,6) sums, the 1e-6 clamp, share over a decimal total
+        val rounds = (1 to 5).map { k =>
+          s"""d$k AS (SELECT sym.a AS item,
+             |  sum(CAST(round(CAST(n AS DOUBLE) / (pa.p + pb.p), 6)
+             |      AS DECIMAL(38,6))) AS s
+             |  FROM sym JOIN p${k - 1} pa ON pa.item = sym.a
+             |           JOIN p${k - 1} pb ON pb.item = sym.b GROUP BY 1),
+             |p$k AS (SELECT it.item,
+             |  greatest(round(CAST(wins AS DOUBLE) / CAST(s AS DOUBLE), 6),
+             |           0.000001e0) AS p
+             |  FROM it JOIN d$k ON it.item = d$k.item)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+           |mm AS (SELECT
+           |  CASE WHEN (a.value > b.value) OR (a.value = b.value
+           |       AND a.event_type < b.event_type)
+           |       THEN a.event_type ELSE b.event_type END AS w,
+           |  CASE WHEN (a.value > b.value) OR (a.value = b.value
+           |       AND a.event_type < b.event_type)
+           |       THEN b.event_type ELSE a.event_type END AS l
+           |  FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+           |  WHERE a.event_type <> b.event_type),
+           |pc AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+           |       CAST(count(*) AS BIGINT) AS n FROM mm GROUP BY 1, 2),
+           |sym AS (SELECT i AS a, j AS b, n FROM pc
+           |        UNION ALL SELECT j, i, n FROM pc),
+           |items AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS games
+           |          FROM sym GROUP BY 1),
+           |wt AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+           |       FROM mm GROUP BY 1),
+           |it AS (SELECT items.item, games, COALESCE(wt.wins, 0) AS wins
+           |       FROM items LEFT JOIN wt ON items.item = wt.item),
+           |p0 AS (SELECT item, 1.0e0 AS p FROM it),
+           |$rounds,
+           |tot AS (SELECT sum(CAST(p AS DECIMAL(18,6))) AS tp FROM p5)
+           |SELECT it.item, wins, games, p5.p AS strength,
+           |       round(p5.p / CAST(tp AS DOUBLE), 6) AS strength_share
+           |FROM it JOIN p5 ON it.item = p5.item CROSS JOIN tot
+           |ORDER BY it.item""".stripMargin
+      },
+      "q180_fs_linkage" -> {
+        // fsScore replayed with the SAME plan-time weight literals the
+        // operator embeds (computed once here via Linkage.fieldWeights)
+        val ws = FsFields.map { case (c, m, u) =>
+          val (wa, wd) = Linkage.fieldWeights(m, u)
+          (c, wa.toPlainString, wd.toPlainString)
+        }
+        val scoreSql = ws.map { case (c, wa, wd) =>
+          s"(CASE WHEN COALESCE($c, false) THEN CAST($wa AS DECIMAL(18,6)) " +
+            s"ELSE CAST($wd AS DECIMAL(18,6)) END)"
+        }.mkString(" + ")
+        s"""WITH p AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           |  (floor(a.c_acctbal / 1000.0e0) = floor(b.c_acctbal / 1000.0e0))
+           |    AS balbucket,
+           |  ((a.c_acctbal >= 0) = (b.c_acctbal >= 0)) AS balsign,
+           |  (right(a.c_name, 1) = right(b.c_name, 1)) AS name1
+           |  FROM customer a JOIN customer b
+           |  ON a.c_nationkey = b.c_nationkey
+           |     AND a.c_mktsegment = b.c_mktsegment
+           |     AND a.c_custkey < b.c_custkey),
+           |sc AS (SELECT *, CAST($scoreSql AS DECIMAL(18,6)) AS fs
+           |       FROM p)
+           |SELECT a_id, b_id, balbucket, balsign, name1,
+           |  CAST(fs AS DOUBLE) AS fs_score,
+           |  CASE WHEN fs >= 4.0 THEN 'match'
+           |       WHEN fs <= 0.0 THEN 'non_match'
+           |       ELSE 'possible' END AS fs_class
+           |FROM sc ORDER BY a_id, b_id""".stripMargin
+      },
+      "q181_quantile_norm" -> // quantileNormalize replayed: midpoint ranks,
+        // global bucket CDF, EXACT integer cross-product bucket selection,
+        // round-6 interpolation
+        """WITH r AS (SELECT event_type AS grp, event_id AS rid,
+          |  CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+          |rk AS (SELECT grp, rid, v,
+          |  CAST(row_number() OVER (PARTITION BY grp ORDER BY v, rid)
+          |    AS BIGINT) AS rn,
+          |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n FROM r),
+          |h AS (SELECT CAST(floor(v / 10.0e0) AS BIGINT) AS bucket,
+          |      CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+          |c AS (SELECT bucket, cnt, CAST(sum(cnt) OVER (ORDER BY bucket
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS cum FROM h),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS bigN FROM r)
+          |SELECT rk.rid AS event_id, rk.grp AS event_type, rk.v AS v,
+          |  round(CAST(2 * rn - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE), 6)
+          |    AS pct,
+          |  round(10.0e0 * (CAST(bucket AS DOUBLE)
+          |    + CAST((2 * rn - 1) * bigN - (cum - cnt) * 2 * n AS DOUBLE)
+          |      / CAST(cnt * 2 * n AS DOUBLE)), 6) AS norm_v
+          |FROM rk CROSS JOIN t JOIN c
+          |  ON (2 * rn - 1) * bigN >= (cum - cnt) * 2 * n
+          | AND (2 * rn - 1) * bigN < cum * 2 * n
+          |ORDER BY event_id""".stripMargin,
+      "q182_interarrival" -> // interarrivalKs replayed: exact ns gap sums,
+        // the same round-6 KS terms and 1.36/sqrt(n) line
+        """WITH r AS (SELECT event_type AS key, epoch_ns(ts) AS tsn,
+          |  event_id AS rid FROM events),
+          |g AS (SELECT key, tsn, rid,
+          |  tsn - lag(tsn, 1) OVER (PARTITION BY key ORDER BY tsn, rid)
+          |    AS gap FROM r),
+          |g2 AS (SELECT * FROM g WHERE gap IS NOT NULL),
+          |rk AS (SELECT key, gap,
+          |  CAST(row_number() OVER (PARTITION BY key ORDER BY gap, tsn, rid)
+          |    AS BIGINT) AS k,
+          |  CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS ng,
+          |  CAST(sum(gap) OVER (PARTITION BY key) AS BIGINT) AS sg FROM g2),
+          |tm AS (SELECT key, ng, sg,
+          |  round(greatest(
+          |    CAST(k AS DOUBLE) / CAST(ng AS DOUBLE)
+          |      - (1.0e0 - exp(-(CAST(ng AS DOUBLE) / CAST(sg AS DOUBLE))
+          |          * CAST(gap AS DOUBLE))),
+          |    (1.0e0 - exp(-(CAST(ng AS DOUBLE) / CAST(sg AS DOUBLE))
+          |          * CAST(gap AS DOUBLE)))
+          |      - CAST(k - 1 AS DOUBLE) / CAST(ng AS DOUBLE)), 6) AS term
+          |  FROM rk WHERE sg > 0)
+          |SELECT key, max(ng) AS n_gaps,
+          |  round(CAST(max(ng) AS DOUBLE) / CAST(max(sg) AS DOUBLE)
+          |    * 3600000000000.0e0, 6) AS rate_per_hour,
+          |  max(term) AS ks_stat,
+          |  round(1.36e0 / sqrt(CAST(max(ng) AS DOUBLE)), 6) AS ks_crit,
+          |  (max(term) > round(1.36e0 / sqrt(CAST(max(ng) AS DOUBLE)), 6))
+          |    AS exp_reject
+          |FROM tm GROUP BY key ORDER BY key""".stripMargin,
       "q175_link_predict" -> // linkPrediction replayed over the q86 graph:
         // canonical edges, degrees, capped apexes, wedge pairs, round-6
         // decimal Adamic-Adar sums, NOT EXISTS anti-join

@@ -183,4 +183,69 @@ object Experiment {
           round(col("credit_linear"), 6).as("credit_linear"),
           col("n_conversions_touched")))
   }
+
+  /** Bradley–Terry strength ranking from pairwise outcomes (Bradley &
+    * Terry, Biometrika 1952; Hunter's MM iteration, Ann. Stat. 2004) —
+    * the preference-data staple: rank items (sources, models, prompts)
+    * from "A beat B" rows, the aggregation step behind reward-model
+    * training sets.
+    *
+    * FIXED `iters` MM rounds (the q69 fixed-rounds discipline) over
+    * p_i ← W_i / Σ_j n_ij/(p_i + p_j): each round is one join of the
+    * (dimension-sized) strength table onto the symmetric pair-count
+    * table + one aggregate back to items. Per-round terms are round-6
+    * doubles summed as DECIMAL(38,6) — reduction-order-independent —
+    * and the update divides once, round-6, clamped below at 1e-6 so an
+    * all-losses item (strength → 0) can never zero a later denominator.
+    * The oracle unrolls the same rounds verbatim.
+    *
+    * Scale shape: ONE corpus-sized aggregate builds (i, j, n_ij, w_ij);
+    * every round after runs on pair/item-sized tables (bounded by
+    * distinct matchups, not match rows). The matchup and item tables are
+    * eagerly checkpointed before the fold — each round references the
+    * strength table twice, so without the lineage barrier the composed
+    * plan would re-embed the corpus-sized match aggregate 2^iters times
+    * (the q69/q89 lesson; measured 52 s -> sub-second on a 1M-match
+    * probe). Output: (item, wins, games, strength, strength_share),
+    * share = p/Σp round-6. */
+  def bradleyTerry(matches: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser", iters: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    graft.util.Checkpoints.ensureDir(matches.sparkSession)
+    val m = matches.select(col(winnerCol).cast("string").as("w"),
+      col(loserCol).cast("string").as("l"))
+    val pairCounts = m
+      .select(least(col("w"), col("l")).as("i"),
+        greatest(col("w"), col("l")).as("j"),
+        when(col("w") < col("l"), 1L).otherwise(0L).as("wi"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("wi")).as("w_i"))
+    val sym = pairCounts.select(col("i").as("a"), col("j").as("b"), col("n"))
+      .unionByName(pairCounts.select(col("j").as("a"), col("i").as("b"), col("n")))
+      .checkpoint(eager = true)
+    val items = sym.groupBy(col("a").as("item"))
+      .agg(sum(col("n")).as("games"))
+      .join(m.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins")),
+        Seq("item"), "left")
+      .select(col("item"), col("games"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .checkpoint(eager = true)
+    var p = items.select(col("item"), lit(1.0).as("p"))
+    for (_ <- 1 to iters) {
+      val denom = sym
+        .join(p.select(col("item").as("a"), col("p").as("pa")), "a")
+        .join(p.select(col("item").as("b"), col("p").as("pb")), "b")
+        .groupBy(col("a").as("item"))
+        .agg(sum(round(col("n").cast("double") / (col("pa") + col("pb")), 6)
+          .cast("decimal(38,6)")).as("s"))
+      p = items.join(denom, "item")
+        .select(col("item"),
+          greatest(round(col("wins").cast("double")
+            / col("s").cast("double"), 6), lit(0.000001)).as("p"))
+    }
+    val tot = p.agg(sum(col("p").cast("decimal(18,6)")).as("tp"))
+    items.join(p, "item").crossJoin(tot)
+      .select(col("item"), col("wins"), col("games"),
+        col("p").as("strength"),
+        round(col("p") / col("tp").cast("double"), 6).as("strength_share"))
+  }
 }

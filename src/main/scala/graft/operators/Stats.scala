@@ -459,4 +459,57 @@ object Stats {
         round(col("scv").cast("double") / col("n").cast("double"), 6)
           .as("mean_winsorized"))
   }
+
+  /** Quantile normalization onto the GLOBAL distribution: replace each
+    * value by the global quantile at its within-group percentile — the
+    * distribution-alignment step that makes per-source scores comparable
+    * before a mixture samples across sources (one source's "0.9 quality"
+    * meaning another's "0.6" is the classic curation trap).
+    *
+    * The percentile is the midpoint rank (2·rn − 1)/(2n) under the total
+    * order (value, id); the global target comes from the q75 mergeable
+    * bucket histogram, linearly interpolated within the covering bucket.
+    * Bucket selection is EXACT integer arithmetic — (2rn−1)·N vs
+    * cum·2n cross-products — so no float boundary can put a row in two
+    * buckets or none; only the final interpolation collapses to a
+    * round-6 double.
+    *
+    * Scale shape: per-group rank windows (hot group = sort problem);
+    * the histogram is one corpus-sized aggregate, its CDF a bucket-table
+    * window (dimension-sized), broadcast back for the per-row bucket
+    * lookup (bounded nested-loop: rows × buckets with buckets in the
+    * hundreds by binWidth choice). Output: (id, group, v, pct, norm_v). */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("rid"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v"), col("rid"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val ranked = rows
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val hist = rows
+      .groupBy(floor(col("v") / lit(binWidth)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cdf = hist.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val total = rows.agg(count(lit(1)).as("bigN"))
+    val joined = ranked.crossJoin(total).join(broadcast(cdf),
+      (lit(2L) * col("rn") - 1L) * col("bigN") >=
+        (col("cum") - col("cnt")) * lit(2L) * col("n") &&
+      (lit(2L) * col("rn") - 1L) * col("bigN") <
+        col("cum") * lit(2L) * col("n"))
+    val frac = ((lit(2L) * col("rn") - 1L) * col("bigN")
+      - (col("cum") - col("cnt")) * lit(2L) * col("n")).cast("double") /
+      (col("cnt") * lit(2L) * col("n")).cast("double")
+    joined.select(col("rid").as(idCol), col("grp").as(groupCol), col("v"),
+      round((lit(2L) * col("rn") - 1L).cast("double")
+        / (lit(2L) * col("n")).cast("double"), 6).as("pct"),
+      round(lit(binWidth) * (col("bucket").cast("double") + frac), 6)
+        .as("norm_v"))
+  }
 }

@@ -253,6 +253,57 @@ object TimeSeries {
       when(col("na") > 0, round(ma - mb, 6)).otherwise(lit(0.0)).as("shift"))
   }
 
+  /** Exponential inter-arrival fit + Kolmogorov–Smirnov distance per key:
+    * estimate the arrival rate from the gaps of the (ts, id)-ordered
+    * series, then measure how far the empirical gap distribution sits
+    * from Exponential(λ̂) — the burstiness detector (a Poisson-looking
+    * source has KS ≈ 0; a crawler that batches or stalls shows heavy KS)
+    * behind an ingest-health panel.
+    *
+    * λ̂ = n_gaps/Σgaps from EXACT long nanosecond sums; the KS statistic
+    * is max over sorted gaps of max(k/n − F(g_k), F(g_k) − (k−1)/n) with
+    * F(g) = 1 − exp(−λ̂·g), each term a fixed-parenthesization round-6
+    * double (the round-6 libm rule). `ks_crit` is the 5% asymptotic
+    * 1.36/√n line. Keys with all-identical timestamps (Σgaps = 0, no
+    * definable rate) are dropped.
+    *
+    * Scale shape: lag + rank windows over one (key)-partitioned sort,
+    * then a per-key aggregate — the changepoint stance. Output:
+    * (key, n_gaps, rate_per_hour, ks_stat, ks_crit, exp_reject). */
+  def interarrivalKs(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val rows = df.select(col(keyCol).cast("string").as("key"),
+      col(tsCol).cast("long").as("tsn"), col(idCol).cast("long").as("rid"))
+    val wOrd = Window.partitionBy("key").orderBy(col("tsn"), col("rid"))
+    val gaps = rows
+      .withColumn("gap", col("tsn") - lag(col("tsn"), 1).over(wOrd))
+      .filter(col("gap").isNotNull)
+    val wAll = Window.partitionBy("key")
+    val ranked = gaps
+      .withColumn("k", row_number().over(
+        Window.partitionBy("key").orderBy(col("gap"), col("tsn"), col("rid")))
+        .cast("long"))
+      .withColumn("ng", count(lit(1)).over(wAll))
+      .withColumn("sg", sum(col("gap")).over(wAll))
+      .filter(col("sg") > 0)
+    val lam = col("ng").cast("double") / col("sg").cast("double")
+    val fk = lit(1.0) - exp(-lam * col("gap").cast("double"))
+    val term = round(greatest(
+      col("k").cast("double") / col("ng").cast("double") - fk,
+      fk - (col("k") - 1L).cast("double") / col("ng").cast("double")), 6)
+    ranked.withColumn("term", term)
+      .groupBy("key")
+      .agg(max(col("ng")).as("n_gaps"), max(col("sg")).as("sg"),
+        max(col("term")).as("ks_stat"))
+      .select(col("key"), col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("sg").cast("double")
+          * lit(3600000000000.0), 6).as("rate_per_hour"),
+        col("ks_stat"),
+        round(lit(1.36) / sqrt(col("n_gaps").cast("double")), 6).as("ks_crit"),
+        (col("ks_stat") > round(lit(1.36) / sqrt(col("n_gaps").cast("double")), 6))
+          .as("exp_reject"))
+  }
+
   def decayedTopK(df: DataFrame, groupCol: String, itemCol: String,
       tsCol: String, halfLifeHours: Long, k: Int): DataFrame = {
     require(halfLifeHours > 0 && k > 0, "halfLifeHours and k must be positive")

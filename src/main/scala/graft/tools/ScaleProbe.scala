@@ -468,6 +468,25 @@ object ScaleProbe {
       TextAnalysis.zipfFit(docs).count() +
         TextAnalysis.readability(docs).agg(count(lit(1))).first().getLong(0)
     }
+    time("bradley_terry") {
+      val ev = events.select(col("event_id"), col("event_type"), col("value"))
+      val nxt = ev.select((col("event_id") - 1).as("event_id"),
+        col("event_type").as("t2"), col("value").as("v2"))
+      val win = col("value") > col("v2") ||
+        (col("value") === col("v2") && col("event_type") < col("t2"))
+      val m = ev.join(nxt, "event_id").filter(col("event_type") =!= col("t2"))
+        .select(when(win, col("event_type")).otherwise(col("t2")).as("winner"),
+          when(win, col("t2")).otherwise(col("event_type")).as("loser"))
+      Experiment.bradleyTerry(m).count()
+    }
+    time("quantile_normalize") {
+      Stats.quantileNormalize(events, "event_type", "value", "event_id", 10.0)
+        .agg(count(lit(1))).first().getLong(0)
+    }
+    time("interarrival_ks") {
+      graft.operators.TimeSeries.interarrivalKs(events, "event_type", "ts",
+        "event_id").count()
+    }
     time("winsorize_gini") {
       val w = Stats.winsorizedMeans(events, "event_type", "value").count()
       val per = events.filter(col("value").isNotNull)

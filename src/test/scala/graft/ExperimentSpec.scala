@@ -92,4 +92,26 @@ class ExperimentSpec extends SparkSpec {
     val nConv = ev.filter(col("t") === "purchase").count()
     assert(rep.map(_.getLong(1)).sum == nConv) // last-touch credits sum to #conv
   }
+
+  test("bradleyTerry: dominance ordering, clamp, and share normalization") {
+    // A beats B 3x, B beats C 3x, A beats C 2x, C beats A 1x; D loses all
+    val m = (Seq.fill(3)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
+      Seq.fill(2)(("A", "C")) ++ Seq(("C", "A")) ++
+      Seq(("A", "D"), ("B", "D"), ("C", "D"))).toDF("winner", "loser")
+    val got = Experiment.bradleyTerry(m).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("A")._1 == 6L && got("A")._2 == 7L)
+    assert(got("D") == ((0L, 3L, 0.000001, 0.0))) // all-losses clamp
+    assert(got("A")._3 > got("B")._3 && got("B")._3 > got("C")._3)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-4) // shares ~ 1
+  }
+
+  test("bradleyTerry: invariant under input partitioning") {
+    val m = (1 to 300).map(i => (s"i${i % 7}", s"i${(i * 3 + 1) % 7}"))
+      .filter(p => p._1 != p._2).toDF("winner", "loser")
+    def run(p: Int) = Experiment.bradleyTerry(m.repartition(p))
+      .orderBy("item").collect().toSeq
+    assert(run(1) == run(13))
+  }
 }

@@ -292,4 +292,39 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(3) == 10.0) // p95 of 99x10 + whale is still 10
     assert(r.getDouble(5) == 10.0 && r.getDouble(4) > 100.0)
   }
+
+  test("quantileNormalize: one uniform group maps onto itself") {
+    // values 5,15,25,35 / width 10: midpoint pcts interpolate back to v
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 15.0), ("g", 3L, 25.0),
+      ("g", 4L, 35.0)).toDF("grp", "id", "v")
+    val got = Stats.quantileNormalize(df, "grp", "v", "id", 10.0)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((0.125, 5.0)) && got(2L) == ((0.375, 15.0)))
+    assert(got(3L) == ((0.625, 25.0)) && got(4L) == ((0.875, 35.0)))
+  }
+
+  test("quantileNormalize: a shifted group lands on the global scale") {
+    // group lo holds the bottom half, hi the top half of the global range:
+    // each group's pcts span (0,1), so hi's low ranks map DOWN into lo's
+    // value range -- distributions align
+    val lo = (1 to 50).map(i => ("lo", i.toLong, i.toDouble))
+    val hi = (1 to 50).map(i => ("hi", 100L + i, 1000.0 + i))
+    val got = Stats.quantileNormalize((lo ++ hi).toDF("grp", "id", "v"),
+      "grp", "v", "id", 50.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(101L) < 100.0)     // hi's smallest -> global bottom
+    assert(got(50L) > 900.0)      // lo's largest -> global top
+    // every normalized value stays inside the global histogram span
+    assert(got.values.forall(v => v >= 0.0 && v <= 1100.0))
+  }
+
+  test("quantileNormalize: invariant under input partitioning") {
+    val rows = (1 to 400).map(i => (s"g${i % 3}", i.toLong,
+      (i % 37) * 3.0 + (i % 3) * 40.0))
+    def run(p: Int) = Stats.quantileNormalize(
+      rows.toDF("grp", "id", "v").repartition(p), "grp", "v", "id", 25.0)
+      .orderBy("id").collect().toSeq
+    assert(run(1) == run(11))
+  }
 }

@@ -183,6 +183,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("b") == ((4L, 1L, 0.0, 5.0, 0.0)))   // flat -> first ts, shift 0
   }
 
+  test("interarrivalKs: hand-computed constant-gap series; flat key dropped") {
+    // ts 0,1,2,3 -> gaps 1,1,1: lambda=1/ns, F(1)=1-1/e; KS = F(1) (at k=1
+    // the empirical CDF below the smallest gap is 0)
+    val rows = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L), ("a", 3L, 4L),
+      ("b", 5L, 5L), ("b", 5L, 6L)) // b: single zero gap -> sg=0, dropped
+      .toDF("k", "ts", "id")
+    val got = TimeSeries.interarrivalKs(rows, "k", "ts", "id").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a"))
+    val r = got.head
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(3) == math.rint((1.0 - math.exp(-1.0)) * 1e6) / 1e6)
+    assert(!r.getBoolean(5)) // 0.632 < 1.36/sqrt(3) = 0.785
+  }
+
+  test("interarrivalKs: exponential-ish gaps score low, batchy gaps high") {
+    // geometric-ish spread vs all-mass-at-two-points
+    val smooth = (1 to 200).scanLeft(0L)((t, i) => t + (i % 7 + 1) * 100L)
+      .zipWithIndex.map { case (t, i) => ("s", t, i.toLong) }
+    val batchy = (1 to 200).scanLeft(0L)((t, i) =>
+      t + (if (i % 20 == 0) 100000L else 1L))
+      .zipWithIndex.map { case (t, i) => ("b", t, i.toLong) }
+    val got = TimeSeries.interarrivalKs((smooth ++ batchy).toDF("k", "ts", "id"),
+      "k", "ts", "id").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("b") > got("s"))
+    assert(got("b") > 0.5) // two-point mass is nowhere near exponential
+  }
+
   test("changepoint: invariant under input partitioning") {
     val rows = (1 to 500).map(i => (s"k${i % 4}", (i * 7).toLong, i.toLong,
       if (i % 4 == 0 && i > 250) 9.0 else (i % 5).toDouble))
