@@ -915,6 +915,33 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q183_skew_report" -> ((s, dir) =>
+      // pre-flight skew diagnostic for a prospective join key: heavy
+      // hitters + count quantiles + the salt factor for 32 reducers
+      Layout.skewReport(t(s, dir, "lineitem"), Seq("l_suppkey"), parts = 32)
+        .orderBy("rank")),
+    "q184_reshard_plan" -> ((s, dir) =>
+      // grow 8 -> 12 shards: mod layout vs range-stable unit-hash layout,
+      // measured rows moved each way
+      Layout.reshardPlan(t(s, dir, "documents"), "doc_id", 8, 12)
+        .orderBy("strategy")),
+    "q185_fertility" -> ((s, dir) =>
+      // tokenizer fertility per language: subword-per-word ratio from the
+      // q58 subword regex — the data-card line that flags a language the
+      // tokenizer fragments
+      tp(s, dir, "documents").groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("tokens"),
+          sum(TextAnalysis.subwordCount(col("text"))).as("subwords"))
+        .select(col("lang"), col("n_docs"), col("tokens"), col("subwords"),
+          round(col("subwords").cast("double") / col("tokens").cast("double"), 6)
+            .as("fertility"))
+        .orderBy("lang")),
+    "q186_lsh_plan" -> ((s, dir) =>
+      // the minhashLshPairs parameter table: S-curve FP/FN areas for every
+      // (bands, rows) split of the 64-hash signature at the 0.35 default
+      Dedup.lshPlan(s, signatureSize = 64, threshold = 0.35)
+        .orderBy("bands")),
     "q179_bradley_terry" -> ((s, dir) => {
       // preference ranking from pairwise outcomes: adjacent event pairs as
       // synthetic "A beat B" comparisons (higher value wins, type asc tie
@@ -3035,6 +3062,108 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q183_skew_report" -> // skewReport replayed: ascending rank for the
+        // integer target-rank quantiles, descending for the top-10, salt
+        // from the same ceil-division
+        """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+          |           CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+          |rk AS (SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt ASC,
+          |       key ASC) AS BIGINT) AS rn FROM c),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |        CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |        CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+          |q50 AS (SELECT cnt AS p50_cnt FROM rk CROSS JOIN tot
+          |        WHERE rn = (n_keys * 50 + 99) // 100),
+          |q90 AS (SELECT cnt AS p90_cnt FROM rk CROSS JOIN tot
+          |        WHERE rn = (n_keys * 90 + 99) // 100),
+          |q99 AS (SELECT cnt AS p99_cnt FROM rk CROSS JOIN tot
+          |        WHERE rn = (n_keys * 99 + 99) // 100),
+          |st AS (SELECT n_keys, n_rows, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+          |       CAST(greatest(1, (max_cnt * 32 + n_rows - 1) // n_rows)
+          |         AS BIGINT) AS salt_rec
+          |       FROM tot CROSS JOIN q50 CROSS JOIN q90 CROSS JOIN q99),
+          |top AS (SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt DESC,
+          |        key ASC) AS BIGINT) AS rank FROM c QUALIFY rank <= 10)
+          |SELECT rank, key, cnt,
+          |  round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share,
+          |  n_rows, n_keys, p50_cnt, p90_cnt, p99_cnt, max_cnt, salt_rec
+          |FROM top CROSS JOIN st ORDER BY rank""".stripMargin,
+      "q184_reshard_plan" -> // reshardPlan replayed: the same unit-hash
+        // token ring, argmin as a (d, shard) rank window
+        s"""WITH r AS (SELECT doc_id AS rid,
+           |           ${Sampling.unitHashSql("doc_id")} AS u FROM documents),
+           |tk AS (SELECT i % 8 AS shard,
+           |              ${Sampling.unitHashSql("(i % 8) * 131071 + i // 8")}
+           |                AS pos, 'old' AS era
+           |       FROM (SELECT unnest(range(0, 128)) AS i)
+           |       UNION ALL
+           |       SELECT i % 12,
+           |              ${Sampling.unitHashSql("(i % 12) * 131071 + i // 12")},
+           |              'new'
+           |       FROM (SELECT unnest(range(0, 192)) AS i)),
+           |x AS (SELECT rid, era, shard,
+           |      CASE WHEN pos >= u THEN pos - u
+           |           ELSE pos - u + 1.0e0 END AS d
+           |      FROM r CROSS JOIN tk),
+           |rk AS (SELECT rid, era, shard, row_number() OVER (
+           |       PARTITION BY rid, era ORDER BY d, shard) AS rn FROM x),
+           |asg AS (SELECT rid,
+           |        max(CASE WHEN era = 'old' AND rn = 1 THEN shard END)
+           |          AS old_shard,
+           |        max(CASE WHEN era = 'new' AND rn = 1 THEN shard END)
+           |          AS new_shard
+           |        FROM rk GROUP BY rid),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |      CAST(sum(CASE WHEN rid % 8 <> rid % 12 THEN 1 ELSE 0 END)
+           |        AS BIGINT) AS modm,
+           |      CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+           |        AS BIGINT) AS rngm
+           |      FROM asg)
+           |SELECT 'mod' AS strategy, n_rows, modm AS n_moved,
+           |  round(CAST(modm AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+           |    AS moved_share FROM a
+           |UNION ALL
+           |SELECT 'ring', n_rows, rngm,
+           |  round(CAST(rngm AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) FROM a
+           |ORDER BY strategy""".stripMargin,
+      "q185_fertility" -> // fertility replayed: space-split words, the q58
+        // subword regex, round-6 ratio
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+           |  CAST(sum(len(regexp_extract_all(lower(text),
+           |    '${TextAnalysis.SubwordPattern}'))) AS BIGINT) AS subwords,
+           |  round(CAST(sum(len(regexp_extract_all(lower(text),
+           |      '${TextAnalysis.SubwordPattern}'))) AS DOUBLE)
+           |    / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
+           |    AS fertility
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      "q186_lsh_plan" -> // lshPlan replayed: divisor splits of 64, midpoint
+        // S-curve grid, round-6 terms as DECIMAL sums, min-(err, bands) pick
+        """WITH sp AS (SELECT b AS bands, 64 // b AS rows_per_band
+          |  FROM (SELECT unnest(range(1, 65)) AS b) WHERE 64 % b = 0),
+          |g AS (SELECT bands, rows_per_band,
+          |      (CAST(i AS DOUBLE) - 0.5e0) / 100 AS s
+          |      FROM sp CROSS JOIN (SELECT unnest(range(1, 101)) AS i)),
+          |pt AS (SELECT bands, rows_per_band, s,
+          |  round(1.0e0 - pow(1.0e0 - pow(s, CAST(rows_per_band AS DOUBLE)),
+          |    CAST(bands AS DOUBLE)), 6) AS p FROM g),
+          |ar AS (SELECT bands, rows_per_band,
+          |  CAST(sum(CASE WHEN s < 0.35e0 THEN CAST(p AS DECIMAL(38,6))
+          |    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / 100 AS fp_raw,
+          |  CAST(sum(CASE WHEN s >= 0.35e0 THEN CAST(1.0e0 - p AS DECIMAL(38,6))
+          |    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / 100 AS fn_raw
+          |  FROM pt GROUP BY 1, 2),
+          |sc AS (SELECT CAST(bands AS BIGINT) AS bands,
+          |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+          |  round(pow(1.0e0 / CAST(bands AS DOUBLE),
+          |    1.0e0 / CAST(rows_per_band AS DOUBLE)), 6) AS s50,
+          |  round(fp_raw, 6) AS fp_area, round(fn_raw, 6) AS fn_area,
+          |  round(fp_raw + fn_raw, 6) AS total_err FROM ar),
+          |best AS (SELECT total_err AS best_err, bands AS best_bands
+          |         FROM sc ORDER BY total_err, bands LIMIT 1)
+          |SELECT bands, rows_per_band, s50, fp_area, fn_area, total_err,
+          |  (total_err = best_err AND bands = best_bands) AS chosen
+          |FROM sc CROSS JOIN best ORDER BY bands""".stripMargin,
       "q179_bradley_terry" -> {
         // bradleyTerry unrolled: the same 5 MM rounds, round-6 terms as
         // DECIMAL(38,6) sums, the 1e-6 clamp, share over a decimal total

@@ -826,4 +826,57 @@ object Dedup {
       .filter(col("a_id") < col("b_id") && cos >= threshold)
       .select(col("a_id"), col("b_id"), col("cid"), cos.as("cos"))
   }
+
+  /** LSH parameter planner (Leskovec, Rajaraman & Ullman, MMDS §3.4):
+    * for every (bands, rowsPerBand) split of a `signatureSize`-hash
+    * MinHash signature, integrate the S-curve
+    * P(candidate | similarity s) = 1 − (1 − s^r)^b against the target
+    * `threshold` — false-positive area below it, false-negative area
+    * above — and flag the split minimizing total error. The planning
+    * table behind [[minhashLshPairs]]'s (numHashes, bands) defaults:
+    * run it BEFORE a 100 TB dedup, not after.
+    *
+    * Pure computation over a divisor-sized frame (spark.range — no
+    * corpus touch): midpoint-rule sums of round-6 P terms as
+    * DECIMAL(38,6) over `steps` fixed grid points, so the areas are
+    * engine-replayable. s50 = (1/b)^(1/r), the MMDS steepest-rise
+    * approximation of the split's effective threshold (where P reaches
+    * 1 − (1 − 1/b)^b ≈ 0.63).
+    * Output: (bands, rows_per_band, s50, fp_area, fn_area, total_err,
+    * chosen), chosen = min total_err, ties to fewer bands. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, signatureSize: Int,
+      threshold: Double, steps: Int = 100): DataFrame = {
+    require(signatureSize >= 2 && threshold > 0 && threshold < 1 && steps >= 10)
+    val splits = (1 to signatureSize)
+      .filter(b => signatureSize % b == 0)
+      .map(b => (b, signatureSize / b))
+    import spark.implicits._
+    val grid = splits.toDF("bands", "rows_per_band")
+      .crossJoin(spark.range(1, steps + 1).select(
+        ((col("id").cast("double") - 0.5) / steps).as("s")))
+    val p = round(lit(1.0) - pow(lit(1.0)
+      - pow(col("s"), col("rows_per_band").cast("double")),
+      col("bands").cast("double")), 6)
+    val areas = grid.groupBy("bands", "rows_per_band").agg(
+      (sum(when(col("s") < threshold, p.cast("decimal(38,6)"))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")))
+        .cast("double") / steps).as("fp_raw"),
+      (sum(when(col("s") >= threshold, (lit(1.0) - p).cast("decimal(38,6)"))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")))
+        .cast("double") / steps).as("fn_raw"))
+    val scored = areas.select(col("bands").cast("long").as("bands"),
+      col("rows_per_band").cast("long").as("rows_per_band"),
+      round(pow(lit(1.0) / col("bands").cast("double"),
+        lit(1.0) / col("rows_per_band").cast("double")), 6).as("s50"),
+      round(col("fp_raw"), 6).as("fp_area"),
+      round(col("fn_raw"), 6).as("fn_area"),
+      round(col("fp_raw") + col("fn_raw"), 6).as("total_err"))
+    val best = scored.agg(min(struct(col("total_err"), col("bands"))).as("b"))
+      .select(col("b.total_err").as("best_err"), col("b.bands").as("best_bands"))
+    scored.crossJoin(best)
+      .select(col("bands"), col("rows_per_band"), col("s50"), col("fp_area"),
+        col("fn_area"), col("total_err"),
+        (col("total_err") === col("best_err") &&
+          col("bands") === col("best_bands")).as("chosen"))
+  }
 }

@@ -468,6 +468,13 @@ object ScaleProbe {
       TextAnalysis.zipfFit(docs).count() +
         TextAnalysis.readability(docs).agg(count(lit(1))).first().getLong(0)
     }
+    time("skew_reshard") {
+      val a = graft.operators.Layout.skewReport(events, Seq("user_id"), 64)
+        .count()
+      val b = graft.operators.Layout.reshardPlan(events, "event_id", 8, 12)
+        .count()
+      a + b
+    }
     time("bradley_terry") {
       val ev = events.select(col("event_id"), col("event_type"), col("value"))
       val nxt = ev.select((col("event_id") - 1).as("event_id"),

@@ -344,4 +344,22 @@ class DedupSpec extends SparkSpec {
       corpus.filter(col("doc_id") isin (10L, 12L, 13L)), 8)
     assert(again.filter(col("n_removed") > 0).count() == 1) // only 13's self-repeat
   }
+
+  test("lshPlan: divisor grid, S-curve monotonicity, one chosen row") {
+    val plan = Dedup.lshPlan(spark, 16, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(plan.map(_._1).sorted.toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    assert(plan.forall(p => p._1 * p._2 == 16L))
+    // b=1 (one band of 16 rows): s50 = 1, nearly everything below the
+    // curve -> tiny FP, huge FN; b=16 (16 bands of 1 row): the opposite
+    val byB = plan.map(p => p._1 -> p).toMap
+    assert(byB(1L)._4 < byB(16L)._4)  // fp grows with bands
+    assert(byB(1L)._5 > byB(16L)._5)  // fn shrinks with bands
+    assert(plan.count(_._7) == 1)     // exactly one chosen split
+    val chosen = plan.find(_._7).get
+    assert(chosen._6 == plan.map(_._6).min) // it minimizes total error
+    // s50 check: b=4, r=4 -> (1/4)^(1/4)
+    assert(byB(4L)._3 == math.rint(math.pow(0.25, 0.25) * 1e6) / 1e6)
+  }
 }
