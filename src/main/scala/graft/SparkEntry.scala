@@ -915,6 +915,31 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q187_canonical_pick" -> ((s, dir) => {
+      // the keep-rule that keeps the BEST cluster member, not an arbitrary
+      // one: CC labels + quality score -> per-cluster argmax
+      graft.util.Checkpoints.ensureDir(s)
+      val docs = tp(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, 3, 0.5).select("a_id", "b_id"))
+      Dedup.canonicalPick(cc,
+        docs.withColumn("q", TextAnalysis.qualityScore(col("text"))), "q")
+        .orderBy("rep_id")
+    }),
+    "q188_ndcg" -> ((s, dir) => {
+      // ranking quality of BM25 against graded term-coverage relevance:
+      // NDCG@10 pays log-discounted attention to ORDER, which q90's
+      // recall cannot see
+      val docs = tp(s, dir, "documents")
+      val res = Retrieval.bm25TopK(docs, Bm25Terms, 20)
+        .select(lit("q0").as("qid"), col("doc_id").as("item"), col("rank"))
+      val rel = Bm25Terms.map(t =>
+        when(array_contains(split(col("text"), " "), t), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val lab = docs.select(col("doc_id").as("item"), rel.as("rel"))
+        .filter(col("rel") > 0).withColumn("qid", lit("q0"))
+      Retrieval.ndcgAtK(res, lab, 10).orderBy("qid")
+    }),
     "q183_skew_report" -> ((s, dir) =>
       // pre-flight skew diagnostic for a prospective join key: heavy
       // hitters + count quantiles + the salt factor for 32 reducers
@@ -3062,6 +3087,72 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q187_canonical_pick" -> // the q174 recursive-CC fixpoint + the q37
+        // quality formula: per-cluster (score desc, id asc) argmax
+        s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |pe AS (SELECT a_id, b_id FROM pairs
+           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |e AS (SELECT a_id AS s, b_id AS d FROM pe
+           |      UNION ALL SELECT b_id, a_id FROM pe),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id),
+           |cc AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id),
+           |m AS (SELECT cc.doc_id, cc.rep_id, $qualitySql AS sc
+           |      FROM cc JOIN documents d ON d.doc_id = cc.doc_id),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY rep_id
+           |       ORDER BY sc DESC, doc_id ASC) AS rn FROM m)
+           |SELECT rep_id,
+           |  min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  max(round(sc, 6)) AS best_score,
+           |  CAST(sum(CAST(round(sc, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           |    AS total_score
+           |FROM rk GROUP BY rep_id ORDER BY rep_id""".stripMargin,
+      "q188_ndcg" -> {
+        // the q64 BM25 chain at rank<=10 scored by NDCG against graded
+        // term-coverage relevance, every term round-6 and DECIMAL-summed
+        val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        val relSql = Bm25Terms.map(t =>
+          s"(CASE WHEN list_contains(string_split(text, ' '), '$t') " +
+            s"THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |consts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl FROM documents),
+           |qt AS (SELECT * FROM tok WHERE token IN ($terms)),
+           |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+           |dfr AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+           |s AS (SELECT tf.doc_id,
+           |      round((ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+           |                / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+           |             * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)))
+           |            / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0)
+           |               + 0.75e0 * (CAST(dl AS DOUBLE)
+           |                           / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))), 6) AS ts
+           |      FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN consts),
+           |sc AS (SELECT doc_id, CAST(sum(CAST(ts AS DECIMAL(38,6))) AS DOUBLE) AS score
+           |       FROM s GROUP BY doc_id),
+           |r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc),
+           |lab AS (SELECT * FROM (SELECT doc_id AS item,
+           |        CAST($relSql AS BIGINT) AS rel FROM documents)
+           |        WHERE rel > 0),
+           |dcgt AS (SELECT CAST(count(*) AS BIGINT) AS n_results,
+           |  CAST(sum(CAST(round((pow(2.0e0, CAST(COALESCE(l.rel, 0) AS DOUBLE)) - 1.0e0)
+           |    / log2(CAST(r.rank AS DOUBLE) + 1.0e0), 6) AS DECIMAL(38,6))) AS DOUBLE) AS dcg
+           |  FROM r LEFT JOIN lab l ON r.doc_id = l.item WHERE r.rank <= 10),
+           |ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, item ASC) AS pos FROM lab),
+           |idcgt AS (SELECT CAST(sum(CAST(round((pow(2.0e0, CAST(rel AS DOUBLE)) - 1.0e0)
+           |  / log2(CAST(pos AS DOUBLE) + 1.0e0), 6) AS DECIMAL(38,6))) AS DOUBLE) AS idcg
+           |  FROM ideal WHERE pos <= 10)
+           |SELECT 'q0' AS qid, n_results, round(dcg, 6) AS dcg,
+           |  round(COALESCE(idcg, 0), 6) AS idcg,
+           |  CASE WHEN COALESCE(idcg, 0) > 0 THEN round(dcg / idcg, 6)
+           |       ELSE 0.0e0 END AS ndcg
+           |FROM dcgt CROSS JOIN idcgt""".stripMargin
+      },
       "q183_skew_report" -> // skewReport replayed: ascending rank for the
         // integer target-rank quantiles, descending for the top-10, salt
         // from the same ceil-division

@@ -827,6 +827,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cid"), cos.as("cos"))
   }
 
+  /** Canonical-representative pick for near-dup clusters: given the
+    * [[connectedComponents]] labels and a per-doc score, keep the
+    * highest-scoring member of each cluster (ties to the smallest id) —
+    * the keep-rule a curation pipeline actually wants (min-id keeps an
+    * arbitrary copy; this keeps the best one: longest, cleanest,
+    * highest-quality).
+    *
+    * One join + one per-cluster rank window (cluster-sized partitions —
+    * a pathological mega-cluster is a sort problem, not a heap one).
+    * Output: (rep_id, canonical_id, n_docs, best_score, total_score) —
+    * scores round-6, total as a DECIMAL sum. */
+  def canonicalPick(labels: DataFrame, docs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val scored = labels.join(
+      docs.select(col("doc_id"), col(scoreCol).cast("double").as("sc")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep_id").orderBy(col("sc").desc, col("doc_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .groupBy("rep_id")
+      .agg(min(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        max(round(col("sc"), 6)).as("best_score"),
+        sum(round(col("sc"), 6).cast("decimal(18,6)")).cast("double")
+          .as("total_score"))
+  }
+
   /** LSH parameter planner (Leskovec, Rajaraman & Ullman, MMDS §3.4):
     * for every (bands, rowsPerBand) split of a `signatureSize`-hash
     * MinHash signature, integrate the S-curve

@@ -213,4 +213,50 @@ object Retrieval {
           .cast("long"))
       .select(col("id"), col("rrf"), col("n_lists"), col("rank"))
   }
+
+  /** NDCG@k (Järvelin & Kekäläinen, TOIS 2002): grade a ranked result
+    * list against graded relevance labels — the retrieval-eval yardstick
+    * that q90's recall number can't express (recall treats rank 1 and
+    * rank k the same; NDCG pays log-discounted attention to order).
+    *
+    * DCG = Σ_{pos ≤ k} (2^rel − 1)/log2(pos + 1) over the RESULT order;
+    * IDCG = the same sum over the label set's own ideal order (rel desc,
+    * item asc — the deterministic ideal). Each term is a round-6 double
+    * summed as DECIMAL(38,6); ndcg = round(dcg/idcg, 6), 0 when the
+    * query has no relevant item. Unlabeled result items are rel 0; label
+    * items outside the results still count toward IDCG (missing a
+    * relevant doc costs you, exactly as it should).
+    *
+    * Scale shape: one equi-join (results × labels on (qid, item)) + one
+    * per-query rank window over the LABEL set (query-sized partitions)
+    * + per-query aggregates. Input: results (qid, item, rank), labels
+    * (qid, item, rel ≥ 0). Output: (qid, n_results, dcg, idcg, ndcg). */
+  def ndcgAtK(results: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val res = results.select(col("qid"), col("item"),
+      col("rank").cast("long").as("rank")).filter(col("rank") <= k)
+    val lab = labels.select(col("qid"), col("item"),
+      col("rel").cast("long").as("rel"))
+    val gain: Column => Column = r =>
+      pow(lit(2.0), r.cast("double")) - lit(1.0)
+    val disc: Column => Column = p =>
+      log(2.0, p.cast("double") + lit(1.0))
+    val dcg = res.join(lab, Seq("qid", "item"), "left")
+      .withColumn("g", round(gain(coalesce(col("rel"), lit(0L)))
+        / disc(col("rank")), 6))
+      .groupBy("qid").agg(count(lit(1)).as("n_results"),
+        sum(col("g").cast("decimal(38,6)")).cast("double").as("dcg"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rel").desc, col("item").asc)
+    val idcg = lab.withColumn("pos", row_number().over(wIdeal).cast("long"))
+      .filter(col("pos") <= k)
+      .withColumn("g", round(gain(col("rel")) / disc(col("pos")), 6))
+      .groupBy("qid")
+      .agg(sum(col("g").cast("decimal(38,6)")).cast("double").as("idcg"))
+    dcg.join(idcg, Seq("qid"), "left")
+      .select(col("qid"), col("n_results"), round(col("dcg"), 6).as("dcg"),
+        round(coalesce(col("idcg"), lit(0.0)), 6).as("idcg"),
+        when(coalesce(col("idcg"), lit(0.0)) > 0.0,
+          round(col("dcg") / col("idcg"), 6)).otherwise(0.0).as("ndcg"))
+  }
 }

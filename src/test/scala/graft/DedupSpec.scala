@@ -345,6 +345,18 @@ class DedupSpec extends SparkSpec {
     assert(again.filter(col("n_removed") > 0).count() == 1) // only 13's self-repeat
   }
 
+  test("canonicalPick: best member wins, ties to smallest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("doc_id", "rep_id")
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.2))
+      .toDF("doc_id", "q")
+    val got = Dedup.canonicalPick(labels, docs, "q").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((2L, 3L, 0.9, 2.3))) // 2 beats 3 on the id tie
+    assert(got(7L) == ((7L, 1L, 0.2, 0.2))) // singleton keeps itself
+  }
+
   test("lshPlan: divisor grid, S-curve monotonicity, one chosen row") {
     val plan = Dedup.lshPlan(spark, 16, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),

@@ -352,4 +352,45 @@ class PlanSpec extends SparkSpec {
         s"$q: margin/expected joins are tiny and must broadcast:\n$p")
     }
   }
+
+  test("link prediction: wedge and degree joins are equi, never nested loop") {
+    // synthetic edges (the sf0.001 near-dup graph predicts no links, so
+    // AQE collapses the fixture plan to EmptyRelation — no shape to check)
+    import spark.implicits._
+    val e = (0 until 300).map(i => (i.toLong % 29, (i.toLong * 11 + 3) % 29))
+      .toDF("src", "dst")
+    val p = plan(graft.operators.Graph.linkPrediction(e))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"wedges must form on the apex equi-key with the nb ordering as a " +
+        s"post-condition:\n$p")
+    assert(p.contains("partial_"), "per-pair scores must combine map-side")
+  }
+
+  test("q176/q185 readability + fertility: narrow codegen, no unexpected shuffle") {
+    val p = plan(SparkEntry.queries("q176_readability")(spark, dir))
+    assert("Exchange".r.findAllIn(p).size <= 2, // tp() fan-out + final sort
+      s"readability is per-row column math — only the harness repartition " +
+        s"and the output sort may exchange:\n$p")
+    val f = plan(SparkEntry.queries("q185_fertility")(spark, dir))
+    assert(f.contains("partial_"), "per-lang sums must combine map-side")
+  }
+
+  test("q181 quantile normalization: bucket CDF broadcast back, never shuffled") {
+    val p = plan(SparkEntry.queries("q181_quantile_norm")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the range condition against the tiny bucket table must be a " +
+        s"BROADCAST nested loop (buckets are O(100)), not a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the corpus side must never materialize a cartesian:\n$p")
+  }
+
+  test("q179 bradley-terry: MM rounds run on checkpointed matchup tables") {
+    val df = SparkEntry.queries("q179_bradley_terry")(spark, dir)
+    val p = plan(df)
+    // the lineage barrier makes each round read LogicalRDDs, so the
+    // corpus-sized match aggregate appears ZERO times in the final plan
+    assert(!p.contains("parquet"),
+      s"rounds must fold over the checkpointed matchup/item tables, not " +
+        s"re-embed the events scan 2^iters times:\n$p")
+  }
 }

@@ -136,4 +136,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).toSeq == (1L to 5L))
     assert(got.map(_.getLong(0)).toSeq == (1L to 5L)) // best ranks win
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG, unlabeled results, missing labels") {
+    import spark.implicits._
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val res = Seq(("q0", 20L, 1L), ("q0", 30L, 2L), ("q0", 99L, 3L))
+      .toDF("qid", "item", "rank") // b, a, unlabeled
+    val lab = Seq(("q0", 30L, 3L), ("q0", 20L, 2L), ("q0", 40L, 1L))
+      .toDF("qid", "item", "rel") // a=3, b=2, c=1 (c never retrieved)
+    val Array(row) = Retrieval.ndcgAtK(res, lab, 3).collect()
+    val dcg = r6(3.0 / 1.0) + r6(7.0 / (math.log(3.0) / math.log(2.0))) + 0.0
+    val idcg = r6(7.0) + r6(3.0 / (math.log(3.0) / math.log(2.0))) +
+      r6(1.0 / 2.0)
+    assert(row.getLong(1) == 3L)
+    assert(row.getDouble(2) == r6(dcg) && row.getDouble(3) == r6(idcg))
+    assert(row.getDouble(4) == r6(dcg / idcg))
+    assert(row.getDouble(4) > 0 && row.getDouble(4) < 1) // imperfect order
+  }
+
+  test("ndcgAtK: perfect ordering scores 1, no relevant labels scores 0") {
+    import spark.implicits._
+    val res = Seq(("p", 1L, 1L), ("p", 2L, 2L), ("z", 9L, 1L))
+      .toDF("qid", "item", "rank")
+    val lab = Seq(("p", 1L, 2L), ("p", 2L, 1L)).toDF("qid", "item", "rel")
+    val got = Retrieval.ndcgAtK(res, lab, 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("p") == 1.0) // result order == ideal order
+    assert(got("z") == 0.0) // query with no labeled item at all
+  }
 }
