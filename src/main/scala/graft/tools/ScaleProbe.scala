@@ -468,6 +468,20 @@ object ScaleProbe {
       TextAnalysis.zipfFit(docs).count() +
         TextAnalysis.readability(docs).agg(count(lit(1))).first().getLong(0)
     }
+    time("canonical_ndcg") {
+      // canonical pick rides the measured CC pipeline + one cluster window;
+      // ndcg is label-set-sized after the bm25 probe's retrieval
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).select("a_id", "b_id")
+      val cc = Dedup.connectedComponents(pairs)
+      val a = Dedup.canonicalPick(cc,
+        docs.withColumn("q", TextAnalysis.qualityScore(col("text"))), "q")
+        .count()
+      val res = Retrieval.bm25TopK(docs, Seq("spark", "vector", "stream"), 20)
+        .select(lit("q0").as("qid"), col("doc_id").as("item"), col("rank"))
+      val lab = docs.select(col("doc_id").as("item"),
+        lit(1L).as("rel")).limit(5000).withColumn("qid", lit("q0"))
+      a + Retrieval.ndcgAtK(res, lab, 10).count()
+    }
     time("skew_reshard") {
       val a = graft.operators.Layout.skewReport(events, Seq("user_id"), 64)
         .count()
