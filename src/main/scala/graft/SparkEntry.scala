@@ -915,6 +915,24 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q189_clustering_coeff" -> ((s, dir) => {
+      // community-vs-chain diagnostic on the near-dup graph: per-node
+      // fraction of neighbor pairs that are themselves connected
+      val pairs = Dedup.ngramJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graph.clusteringCoefficient(pairs).orderBy("node")
+    }),
+    "q190_copurchase" -> ((s, dir) =>
+      // "bought X also bought Y": Apriori-pruned item-pair Jaccard/cosine
+      // over order baskets
+      Association.itemPairSimilarity(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 2).orderBy("item_a", "item_b")),
+    "q191_rfm" -> ((s, dir) =>
+      // RFM quintile segmentation of customers from their orders
+      Warehouse.rfm(t(s, dir, "orders")
+          .withColumn("ots",
+            unix_micros(col("o_orderdate").cast("timestamp"))),
+        "o_custkey", "ots", "o_totalprice").orderBy("entity")),
     "q187_canonical_pick" -> ((s, dir) => {
       // the keep-rule that keeps the BEST cluster member, not an arbitrary
       // one: CC labels + quality score -> per-cluster argmax
@@ -3087,6 +3105,75 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q189_clustering_coeff" -> // the q86 triangle chain + a degree left
+        // join; coeff = one fixed round-6 formula over exact integers
+        s"""$ngramPairsWith,
+           |ed AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |        FROM ed WHERE src <> dst),
+           |degt AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |         SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+           |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+           |                  THEN u ELSE v END AS s,
+           |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+           |                  THEN v ELSE u END AS t,
+           |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v)
+           |                  THEN db.deg ELSE da.deg END AS dt
+           |      FROM und JOIN degt da ON da.node = und.u
+           |               JOIN degt db ON db.node = und.v),
+           |w AS (SELECT a.s AS apex, a.t AS t1, b.t AS t2 FROM o a JOIN o b
+           |      ON a.s = b.s AND (a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t))),
+           |tri AS (SELECT apex, t1, t2 FROM w JOIN o ON o.s = w.t1 AND o.t = w.t2),
+           |n AS (SELECT unnest([apex, t1, t2]) AS node FROM tri),
+           |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n
+           |       GROUP BY 1)
+           |SELECT degt.node, degt.deg,
+           |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+           |  round(2.0e0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)
+           |    / CAST(degt.deg * (degt.deg - 1) AS DOUBLE), 6) AS coeff
+           |FROM degt LEFT JOIN tc ON degt.node = tc.node
+           |WHERE degt.deg >= 2 ORDER BY degt.node""".stripMargin,
+      "q190_copurchase" -> // itemPairSimilarity replayed: Apriori prune at
+        // sup>=2, per-basket pair join, fixed round-6 ratio formulas
+        """WITH p AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          |           FROM lineitem),
+          |fi AS (SELECT item, CAST(count(*) AS BIGINT) AS sup FROM p
+          |       GROUP BY 1 HAVING count(*) >= 2),
+          |pr AS (SELECT a.item AS item_a, b.item AS item_b,
+          |       CAST(count(*) AS BIGINT) AS sup_ab
+          |       FROM p a JOIN p b ON a.basket = b.basket AND a.item < b.item
+          |       WHERE a.item IN (SELECT item FROM fi)
+          |         AND b.item IN (SELECT item FROM fi)
+          |       GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT item_a, item_b, fa.sup AS sup_a, fb.sup AS sup_b, sup_ab,
+          |  round(CAST(sup_ab AS DOUBLE)
+          |    / CAST(fa.sup + fb.sup - sup_ab AS DOUBLE), 6) AS jaccard,
+          |  round(CAST(sup_ab AS DOUBLE)
+          |    / sqrt(CAST(fa.sup * fb.sup AS DOUBLE)), 6) AS cosine
+          |FROM pr JOIN fi fa ON fa.item = pr.item_a
+          |        JOIN fi fb ON fb.item = pr.item_b
+          |ORDER BY item_a, item_b""".stripMargin,
+      "q191_rfm" -> // rfm replayed: one rollup + three deterministic ntile
+        // windows over (metric asc, entity asc)
+        """WITH per AS (SELECT CAST(o_custkey AS VARCHAR) AS entity,
+          |  CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS recency_ts,
+          |  CAST(count(*) AS BIGINT) AS frequency,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+          |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+          |sc AS (SELECT entity, recency_ts, frequency,
+          |  CAST(m AS DOUBLE) AS monetary,
+          |  CAST(ntile(5) OVER (ORDER BY recency_ts ASC, entity ASC)
+          |    AS BIGINT) AS r_score,
+          |  CAST(ntile(5) OVER (ORDER BY frequency ASC, entity ASC)
+          |    AS BIGINT) AS f_score,
+          |  CAST(ntile(5) OVER (ORDER BY m ASC, entity ASC)
+          |    AS BIGINT) AS m_score
+          |  FROM per)
+          |SELECT entity, recency_ts, frequency, monetary, r_score, f_score,
+          |  m_score, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          |    || CAST(m_score AS VARCHAR) AS segment
+          |FROM sc ORDER BY entity""".stripMargin,
       "q187_canonical_pick" -> // the q174 recursive-CC fixpoint + the q37
         // quality formula: per-cluster (score desc, id asc) argmax
         s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},

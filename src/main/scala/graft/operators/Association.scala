@@ -84,4 +84,35 @@ object Association {
       .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
       .limit(k)
   }
+
+  /** Item-item co-occurrence similarity (the co-purchase / "customers who
+    * bought X also bought Y" staple — Sarwar et al., WWW'01 item-based
+    * CF, computed set-wise): for every frequent item pair, Jaccard and
+    * cosine over their BASKET sets, from the same Apriori-pruned pair
+    * counts as [[frequentPairs]].
+    *
+    * Scale shape: identical to frequentPairs (the prune bounds the
+    * per-basket quadratic term) plus two broadcast item-support joins.
+    * jaccard = round(c/(na + nb − c), 6) and
+    * cosine = round(c/sqrt(na·nb), 6) — one fixed formula each over
+    * exact integer counts, so both engines agree without a term-sum
+    * contract. Output: (item_a, item_b, sup_a, sup_b, sup_ab, jaccard,
+    * cosine). */
+  def itemPairSimilarity(tx: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val items = frequentItems(tx, basketCol, itemCol, minSupport)
+    frequentPairs(tx, basketCol, itemCol, minSupport)
+      .join(broadcast(items.select(col("item").as("item_a"),
+        col("sup").as("sup_a"))), Seq("item_a"))
+      .join(broadcast(items.select(col("item").as("item_b"),
+        col("sup").as("sup_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("sup_a"), col("sup_b"),
+        col("sup_ab"),
+        round(col("sup_ab").cast("double")
+          / (col("sup_a") + col("sup_b") - col("sup_ab")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("sup_ab").cast("double")
+          / sqrt((col("sup_a") * col("sup_b")).cast("double")), 6)
+          .as("cosine"))
+  }
 }

@@ -614,6 +614,33 @@ object Graph {
     done
   }
 
+  /** Local clustering coefficient (Watts & Strogatz, Nature 1998):
+    * per node, the fraction of its neighbor pairs that are themselves
+    * connected — coeff = 2·triangles/(deg·(deg−1)) — the "is this a
+    * community or a hub-and-spoke" diagnostic on the near-dup graph
+    * (a chain-merged cluster has coeff ≈ 0 at its bridges; a true
+    * clique ≈ 1).
+    *
+    * Rides [[trianglesPerNode]] (degree-ordered, O(m^1.5) bound) plus
+    * one degree aggregate and a left join — nodes in no triangle get
+    * coeff 0, degree-1 nodes are excluded (coefficient undefined).
+    * The ratio is one fixed round-6 formula over exact integers.
+    * Output: (node, deg, n_triangles, coeff). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(trianglesPerNode(edges), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double"), 6).as("coeff"))
+  }
+
   /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
     * CIKM'03; Adamic & Adar, Social Networks 2003): for every NON-adjacent
     * node pair sharing at least one neighbor, score the missing edge by

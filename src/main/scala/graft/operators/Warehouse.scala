@@ -147,6 +147,38 @@ object Warehouse {
     AsOfJoin.asOf(fact, d, keyCol, tsCol, attrCols)
   }
 
+  /** RFM segmentation (Hughes, "Strategic Database Marketing", 1994):
+    * score every customer 1–5 on Recency (latest activity), Frequency
+    * (activity count), and Monetary (DECIMAL-exact spend), by ntile
+    * quintiles under TOTAL orders (metric, entity) — deterministic, so
+    * the 555/111 segments replay exactly in SQL. Higher = better on all
+    * three axes (newest, most frequent, biggest spender = 5).
+    *
+    * Scale shape: ONE fact-sized aggregate (per-entity rollup, map-side
+    * combined); the three ntile windows run over the ENTITY table —
+    * dimension-sized, the abcAnalysis stance. Output: (entity,
+    * recency_ts, frequency, monetary, r_score, f_score, m_score,
+    * segment). */
+  def rfm(df: DataFrame, entityCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.filter(col(amountCol).isNotNull)
+      .groupBy(col(entityCol).cast("string").as("entity"))
+      .agg(max(col(tsCol).cast("long")).as("recency_ts"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,2)")).as("m"))
+    def score(c: String) = ntile(5).over(
+      Window.orderBy(col(c).asc, col("entity").asc)).cast("long")
+    per
+      .withColumn("r_score", score("recency_ts"))
+      .withColumn("f_score", score("frequency"))
+      .withColumn("m_score", score("m"))
+      .select(col("entity"), col("recency_ts"), col("frequency"),
+        col("m").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
+
   /** ABC / Pareto contribution analysis: rank entities by a DECIMAL-exact
     * measure, accumulate their share of the total, and class them A
     * (the head up to `aPct`% cumulative), B (to `bPct`%), C (the tail) —

@@ -468,6 +468,14 @@ object ScaleProbe {
       TextAnalysis.zipfFit(docs).count() +
         TextAnalysis.readability(docs).agg(count(lit(1))).first().getLong(0)
     }
+    time("copurchase_rfm") {
+      val a = graft.operators.Association.itemPairSimilarity(
+        events.select(col("user_id").as("basket"),
+          (col("event_id") % 500).as("item")), "basket", "item", 2).count()
+      val b = graft.operators.Warehouse.rfm(events, "user_id", "ts", "value")
+        .count()
+      a + b
+    }
     time("canonical_ndcg") {
       // canonical pick rides the measured CC pipeline + one cluster window;
       // ndcg is label-set-sized after the bm25 probe's retrieval

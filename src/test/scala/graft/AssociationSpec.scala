@@ -51,4 +51,17 @@ class AssociationSpec extends SparkSpec {
       2L, 10).collect().toSeq
     assert(a == b)
   }
+
+  test("itemPairSimilarity: hand-computed jaccard/cosine, infrequent pruned") {
+    val tx = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (3L, "z")).toDF("basket", "item")
+    val got = Association.itemPairSimilarity(tx, "basket", "item", 2L)
+      .collect()
+    assert(got.length == 1) // z (sup 1) pruned before pairing
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == (("x", "y")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((3L, 2L, 2L)))
+    assert(r.getDouble(5) == 0.666667) // 2/(3+2-2)
+    assert(r.getDouble(6) == math.rint(2.0 / math.sqrt(6.0) * 1e6) / 1e6)
+  }
 }

@@ -509,6 +509,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPrediction(star, maxApexDegree = 64).count() == 6L)
   }
 
+  test("clusteringCoefficient: clique 1.0, chain 0.0, pendant dilutes") {
+    // K4: every node deg 3 with 3 triangles -> coeff 1
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("src", "dst")
+    val c4 = Graph.clusteringCoefficient(k4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(c4.values.forall(_ == 1.0) && c4.size == 4)
+    // path 1-2-3: middle node deg 2, no triangle -> 0; deg-1 ends excluded
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val cp = Graph.clusteringCoefficient(path).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(cp == Map(2L -> ((2L, 0.0))))
+    // triangle + pendant on node 1: deg 3, 1 triangle -> 2/(3*2)
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val ct = Graph.clusteringCoefficient(tp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ct(1L) == 0.333333 && ct(2L) == 1.0 && ct(3L) == 1.0)
+  }
+
   test("linkPrediction is invariant under input partitioning") {
     val e = (0 until 400).map(i => (i.toLong % 29, (i.toLong * 11 + 3) % 29))
       .toDF("src", "dst")

@@ -147,6 +147,29 @@ class WarehouseSpec extends SparkSpec {
     assert(got("p4") == ((5.0, 100.0, "C")))
   }
 
+  test("rfm: distinct metrics land each customer in its own quintile") {
+    // customer i: i orders of amount i*10, latest ts i -> all scores = i
+    val rows = (1 to 5).flatMap(i =>
+      (1 to i).map(j => (s"c$i", i.toLong * 100 + j, i * 10.0)))
+    val got = Warehouse.rfm(rows.toDF("cust", "ts", "amt"),
+      "cust", "ts", "amt").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(7)))).toMap
+    for (i <- 1 to 5) {
+      val (rec, freq, mon, seg) = got(s"c$i")
+      assert(rec == i.toLong * 100 + i && freq == i.toLong)
+      assert(mon == i * i * 10.0)
+      assert(seg == s"$i$i$i")
+    }
+  }
+
+  test("rfm: invariant under input partitioning") {
+    val rows = (1 to 300).map(i => (s"c${i % 40}", i.toLong, (i % 13) * 2.0))
+    def run(p: Int) = Warehouse.rfm(rows.toDF("c", "t", "a").repartition(p),
+      "c", "t", "a").orderBy("entity").collect().toSeq
+    assert(run(1) == run(9))
+  }
+
   test("abc: deterministic under ties and partitioning") {
     val rows = (1 to 300).map(i => (s"e${i % 40}", (i % 9) + 1.0))
     def run(p: Int) = Warehouse.abcAnalysis(rows.toDF("e", "v").repartition(p),
