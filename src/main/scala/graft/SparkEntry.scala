@@ -915,6 +915,11 @@ object SparkEntry {
         Dq.inRange(li, "l_quantity", 1.0, 25.0)))
         .orderBy("constraint")
     }),
+    "q192_balance" -> ((s, dir) =>
+      // mixture-dimension balance: per-column Shannon entropy over the
+      // documents' lang and source marginals
+      Dq.balanceReport(t(s, dir, "documents"), Seq("lang", "source"))
+        .orderBy("column")),
     "q189_clustering_coeff" -> ((s, dir) => {
       // community-vs-chain diagnostic on the near-dup graph: per-node
       // fraction of neighbor pairs that are themselves connected
@@ -3105,6 +3110,32 @@ object SparkEntry {
           |       tot_new AS n_new,
           |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
           |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY feature""".stripMargin,
+      "q192_balance" -> // balanceReport replayed: melt, value counts,
+        // round-6 -p*ln(p) terms as DECIMAL sums, H/ln(k) normalization
+        """WITH m AS (
+          |  SELECT 'lang' AS col0, CAST(lang AS VARCHAR) AS value
+          |  FROM documents WHERE lang IS NOT NULL
+          |  UNION ALL
+          |  SELECT 'source', CAST(source AS VARCHAR) FROM documents
+          |  WHERE source IS NOT NULL),
+          |c AS (SELECT col0, value, CAST(count(*) AS BIGINT) AS ct
+          |      FROM m GROUP BY 1, 2),
+          |t AS (SELECT col0, CAST(sum(ct) AS BIGINT) AS n_rows,
+          |      CAST(count(*) AS BIGINT) AS n_values,
+          |      CAST(max(ct) AS BIGINT) AS top_ct FROM c GROUP BY 1),
+          |h AS (SELECT c.col0, t.n_rows, t.n_values, t.top_ct,
+          |  CAST(sum(CAST(round(-(CAST(ct AS DOUBLE) / CAST(n_rows AS DOUBLE))
+          |    * ln(CAST(ct AS DOUBLE) / CAST(n_rows AS DOUBLE)), 6)
+          |    AS DECIMAL(38,6))) AS DOUBLE) AS h
+          |  FROM c JOIN t ON c.col0 = t.col0 GROUP BY 1, 2, 3, 4)
+          |SELECT col0 AS "column", n_rows, n_values,
+          |  round(CAST(top_ct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+          |    AS top_share,
+          |  round(h, 6) AS entropy,
+          |  CASE WHEN n_values > 1
+          |       THEN round(h / ln(CAST(n_values AS DOUBLE)), 6)
+          |       ELSE 0.0e0 END AS norm_entropy
+          |FROM h ORDER BY col0""".stripMargin,
       "q189_clustering_coeff" -> // the q86 triangle chain + a degree left
         // join; coeff = one fixed round-6 formula over exact integers
         s"""$ngramPairsWith,

@@ -147,4 +147,40 @@ object Dq {
           .as("expected"))
       .withColumn("dev", round(col("share") - col("expected"), 6))
   }
+
+  /** Categorical balance report: Shannon entropy per column — the
+    * data-card line that says whether a mixture dimension (language,
+    * source, label) is balanced or collapsed onto one value. Normalized
+    * entropy = H/ln(k) ∈ [0,1] (1 = uniform over the observed values,
+    * 0 = a single value; defined 0 when k = 1).
+    *
+    * One melt + two word-count-shaped aggregates per column — the
+    * numericProfile stance; nothing wider than (column, value) reaches
+    * an exchange. Entropy terms −p·ln p are round-6 doubles summed as
+    * DECIMAL(38,6). Output: (column, n_rows, n_values, top_share,
+    * entropy, norm_entropy). */
+  def balanceReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "balanceReport needs columns")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*))
+      .as("m"))
+      .select(col("m.column").as("column"), col("m.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = melted.groupBy("column", "value").agg(count(lit(1)).as("ct"))
+    val tot = counts.groupBy("column").agg(sum(col("ct")).as("n_rows"),
+      count(lit(1)).as("n_values"), max(col("ct")).as("top_ct"))
+    val p = col("ct").cast("double") / col("n_rows").cast("double")
+    counts.join(tot, "column")
+      .select(col("column"), col("n_rows"), col("n_values"), col("top_ct"),
+        round(-p * log(p), 6).cast("decimal(38,6)").as("term"))
+      .groupBy("column", "n_rows", "n_values", "top_ct")
+      .agg(sum(col("term")).cast("double").as("h"))
+      .select(col("column"), col("n_rows"), col("n_values"),
+        round(col("top_ct").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top_share"),
+        round(col("h"), 6).as("entropy"),
+        when(col("n_values") > 1,
+          round(col("h") / log(col("n_values").cast("double")), 6))
+          .otherwise(0.0).as("norm_entropy"))
+  }
 }

@@ -93,4 +93,25 @@ class DqSpec extends SparkSpec {
     assert(maxDev("clip") > maxDev("spread"))
     assert(maxDev("clip") > 0.5) // every clipped amount leads with 5
   }
+
+  test("balanceReport: uniform is 1, constant is 0, nulls dropped") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val df = Seq(("a", "x", Some("only")), ("b", "x", Some("only")),
+      ("c", "y", None), ("d", "y", Some("only")))
+      .toDF("u4", "u2", "k1")
+    val got = Dq.balanceReport(df, Seq("u4", "u2", "k1")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // per-term round-6 then sum (the DECIMAL contract): H = k*round6(term),
+    // a hair above ln(k), so norm lands at 1.000001 — pinned, not hidden
+    val h4 = 4 * r6(0.25 * math.log(4.0))
+    val h2 = 2 * r6(0.5 * math.log(2.0))
+    assert(got("u4") == ((4L, 4L, 0.25, r6(h4), r6(h4 / math.log(4.0)))))
+    assert(got("u2") == ((4L, 2L, 0.5, r6(h2), r6(h2 / math.log(2.0)))))
+    assert(got("k1") == ((3L, 1L, 1.0, 0.0, 0.0))) // null row dropped, k=1
+    // skew: 3-vs-1 over two values sits strictly between 0 and 1
+    val skew = Dq.balanceReport(Seq("a", "a", "a", "b").toDF("s"), Seq("s"))
+      .collect().head
+    assert(skew.getDouble(5) > 0.0 && skew.getDouble(5) < 1.0)
+  }
 }
