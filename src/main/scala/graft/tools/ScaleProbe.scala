@@ -468,6 +468,11 @@ object ScaleProbe {
       TextAnalysis.zipfFit(docs).count() +
         TextAnalysis.readability(docs).agg(count(lit(1))).first().getLong(0)
     }
+    time("balance_entropy") {
+      graft.operators.Dq.balanceReport(docs, Seq("lang", "source")).count() +
+        graft.operators.Dq.balanceReport(events,
+          Seq("event_type", "user_id")).count()
+    }
     time("copurchase_rfm") {
       val a = graft.operators.Association.itemPairSimilarity(
         events.select(col("user_id").as("basket"),
