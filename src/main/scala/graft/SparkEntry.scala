@@ -2587,8 +2587,8 @@ object SparkEntry {
            |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
            |       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            |         AS n_hits,
-           |       (sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
-           |         // count(*) AS recall_ppm
+           |       CAST((sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+           |         // count(*) AS BIGINT) AS recall_ppm
            |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
            |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
       "q92_two_stage_search" -> {
@@ -2663,8 +2663,8 @@ object SparkEntry {
            |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
            |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-           |       (sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
-           |         AS novelty_ppm
+           |       CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+           |         AS BIGINT) AS novelty_ppm
            |FROM g JOIN df USING (gram)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q99_shard_assign" -> {
@@ -3729,10 +3729,12 @@ object SparkEntry {
            |       FROM ac GROUP BY 1, 2),
            |gb AS (SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
            |       FROM bc GROUP BY 1, 2),
-           |ip AS (SELECT ga.rw, sum(ga.cnt * gb.cnt) AS ip
-           |       FROM ga JOIN gb ON ga.rw = gb.rw AND ga.bucket = gb.bucket
-           |       GROUP BY ga.rw),
-           |es AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est FROM ip),
+           |ipm AS (SELECT ga.rw, sum(ga.cnt * gb.cnt) AS ip
+           |        FROM ga JOIN gb ON ga.rw = gb.rw AND ga.bucket = gb.bucket
+           |        GROUP BY ga.rw),
+           |ip AS (SELECT r.i AS rw, coalesce(ip, 0) AS ip
+           |       FROM range(0, 4) r(i) LEFT JOIN ipm ON ipm.rw = r.i),
+           |es AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ip),
            |ca AS (SELECT k, CAST(count(*) AS BIGINT) AS na FROM a GROUP BY 1),
            |cb AS (SELECT k, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY 1),
            |ex AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact
@@ -3936,8 +3938,9 @@ object SparkEntry {
           |agg AS (SELECT CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
           |          AS chi2raw, CAST(count(*) AS BIGINT) AS k, max(n) AS n
           |        FROM terms)
-          |SELECT round(chi2raw, 6) AS chi2, k - 1 AS dof, n,
-          |       round(chi2raw, 6) > 3.841459e0 AS suspect FROM agg""".stripMargin,
+          |SELECT round(chi2raw, 6) AS chi2, k - 1 AS dof, CAST(n AS BIGINT) AS n,
+          |       CAST(0 AS BIGINT) AS unexpected_arms,
+          |       round(chi2raw, 6) > 5.991465e0 AS suspect FROM agg""".stripMargin,
       "q159_gini" -> // giniPerGroup replayed: per-user DECIMAL totals,
         // rank-sum formula (tie order cannot move the sum), round-6
         """WITH per AS (SELECT event_type AS grp, user_id,
@@ -4254,14 +4257,15 @@ object SparkEntry {
           |    CAST(count(DISTINCT r) - 1 AS BIGINT) AS dof_r,
           |    CAST(count(DISTINCT c) - 1 AS BIGINT) AS dof_c,
           |    max(nn) AS n FROM terms)
-          |SELECT round(chi2, 6) AS chi2, dof_r * dof_c AS dof, n,
+          |SELECT round(chi2, 6) AS chi2, dof_r * dof_c AS dof,
+          |       CAST(n AS BIGINT) AS n,
           |       round(sqrt(chi2 / (CAST(n AS DOUBLE)
           |         * CAST(least(dof_r, dof_c) AS DOUBLE))), 6) AS cramers_v
           |FROM agg""".stripMargin,
-      "q146_welch" -> // welchTTest replayed: per-arm DECIMAL(12,6)
+      "q146_welch" -> // welchTTest replayed: per-arm DECIMAL(18,6)
         // sufficient statistics, the identical variance / t / Satterthwaite
         // formulas in the identical evaluation order
-        """WITH r AS (SELECT event_type AS g, CAST(value AS DECIMAL(12,6)) AS v
+        """WITH r AS (SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS v
           |  FROM events WHERE event_type IN ('click', 'purchase')
           |    AND value IS NOT NULL),
           |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(v) AS sv,
@@ -4327,8 +4331,9 @@ object SparkEntry {
           |        - (1.0e0 - CAST(post - posl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
           |          * (1.0e0 - CAST(post - posl AS DOUBLE) / CAST(nt - nl AS DOUBLE))))
           |      / CAST(nt AS DOUBLE), 6) AS gini,
-          |    nl AS n_left, posl AS pos_left,
-          |    nt - nl AS n_right, post - posl AS pos_right FROM sp),
+          |    CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
+          |    CAST(nt - nl AS BIGINT) AS n_right,
+          |    CAST(post - posl AS BIGINT) AS pos_right FROM sp),
           |rk AS (SELECT *, row_number() OVER (PARTITION BY feature
           |         ORDER BY gini ASC, threshold ASC) AS rn FROM g)
           |SELECT feature, threshold, gini, n_left, pos_left, n_right, pos_right

@@ -256,29 +256,6 @@ object Classify {
         col("brier"))
   }
 
-  /** Depth-1 decision tree ("stump") over bucketized numeric features —
-    * the CART split search (Breiman et al. '84) expressed as one melt +
-    * one aggregate + a bounded window: for every candidate feature, find
-    * the threshold minimizing weighted Gini impurity of the binary split,
-    * the primitive inside every boosted-tree / feature-screening loop.
-    *
-    * Candidate thresholds are the bucket boundaries `bucket·binWidth`
-    * (the q75 histogram convention — `floor(v / binWidth)`, exact integer
-    * bucketing both engines replay); the split "v < threshold" takes
-    * buckets below b (values exactly on the boundary go right). Scale shape: the melt (one row per (row, feature)) is
-    * narrow; per-(feature, bucket) label counts are ONE word-count-shaped
-    * aggregate with map-side combine; the cumulative/Gini window runs over
-    * ≤ buckets rows per feature, never the corpus.
-    *
-    * Gini arithmetic: counts are exact integers; each split's impurity is
-    * ONE fixed-parenthesization double formula rounded to 6 —
-    *   g(p) = 1 − p² − (1−p)²,  gini = (n_l·g_l + n_r·g_r)/n
-    * Best split per feature by (gini asc, threshold asc) — deterministic.
-    *
-    * Output: (feature, threshold, gini, n_left, pos_left, n_right,
-    * pos_right) — one row per feature; the caller's argmin over features
-    * is a `rank=1` filter away. Degenerate splits (empty side) are
-    * excluded; a feature with a single occupied bucket yields no row. */
   /** Split-conformal prediction intervals per group (Vovk's inductive
     * conformal; Lei et al. JASA'18): calibrate a distribution-free
     * interval around a per-group mean predictor and report its EMPIRICAL
@@ -340,6 +317,29 @@ object Classify {
           .as("coverage"))
   }
 
+  /** Depth-1 decision tree ("stump") over bucketized numeric features —
+    * the CART split search (Breiman et al. '84) expressed as one melt +
+    * one aggregate + a bounded window: for every candidate feature, find
+    * the threshold minimizing weighted Gini impurity of the binary split,
+    * the primitive inside every boosted-tree / feature-screening loop.
+    *
+    * Candidate thresholds are the bucket boundaries `bucket·binWidth`
+    * (the q75 histogram convention — `floor(v / binWidth)`, exact integer
+    * bucketing both engines replay); the split "v < threshold" takes
+    * buckets below b (values exactly on the boundary go right). Scale shape: the melt (one row per (row, feature)) is
+    * narrow; per-(feature, bucket) label counts are ONE word-count-shaped
+    * aggregate with map-side combine; the cumulative/Gini window runs over
+    * ≤ buckets rows per feature, never the corpus.
+    *
+    * Gini arithmetic: counts are exact integers; each split's impurity is
+    * ONE fixed-parenthesization double formula rounded to 6 —
+    *   g(p) = 1 − p² − (1−p)²,  gini = (n_l·g_l + n_r·g_r)/n
+    * Best split per feature by (gini asc, threshold asc) — deterministic.
+    *
+    * Output: (feature, threshold, gini, n_left, pos_left, n_right,
+    * pos_right) — one row per feature; the caller's argmin over features
+    * is a `rank=1` filter away. Degenerate splits (empty side) are
+    * excluded; a feature with a single occupied bucket yields no row. */
   def decisionStump(df: DataFrame, labelCol: String,
       features: Seq[(String, Double)]): DataFrame = {
     require(features.nonEmpty && features.forall(_._2 > 0),

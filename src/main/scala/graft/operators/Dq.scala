@@ -85,23 +85,6 @@ object Dq {
     checks.reduce(_.unionByName(_))
   }
 
-  /** Benford first-digit conformance per group — the classic synthetic- /
-    * tampered-data smell test (Benford '38; Nigrini's audit practice):
-    * naturally occurring multi-magnitude amounts put digit d first with
-    * probability log10(1 + 1/d); fabricated or clipped data doesn't.
-    *
-    * The amount is read as integer cents (`round(value·100)` cast to
-    * BIGINT) and the leading digit taken from the integer's decimal string
-    * — integer-to-string is bit-portable across engines where
-    * double-to-string is not. Non-positive amounts are excluded (no
-    * leading digit). One word-count-shaped aggregate (per-(group, digit)
-    * counts, map-side combined, ≤ 9 rows per group on the exchange);
-    * shares and deviations evaluate on the 9-row-per-group table.
-    *
-    * Output: (group, digit, n, share, expected, dev) — share and dev
-    * rounded to 6; dev = share − expected, the per-digit excess a
-    * reviewer scans for spikes. Absent digits report n=0 rows via the
-    * dense digit grid so every group shows all 9 rows. */
   /** Numeric column profile — the one-pass table summary (per column:
     * counts, nulls, exact distincts, range, round-6 mean) a warehouse
     * publishes next to every table. One melt (a row per (row, column)) +
@@ -128,6 +111,23 @@ object Dq {
           .as("mean_v"))
   }
 
+  /** Benford first-digit conformance per group — the classic synthetic- /
+    * tampered-data smell test (Benford '38; Nigrini's audit practice):
+    * naturally occurring multi-magnitude amounts put digit d first with
+    * probability log10(1 + 1/d); fabricated or clipped data doesn't.
+    *
+    * The amount is read as integer cents (`round(value·100)` cast to
+    * BIGINT) and the leading digit taken from the integer's decimal string
+    * — integer-to-string is bit-portable across engines where
+    * double-to-string is not. Non-positive amounts are excluded (no
+    * leading digit). One word-count-shaped aggregate (per-(group, digit)
+    * counts, map-side combined, ≤ 9 rows per group on the exchange);
+    * shares and deviations evaluate on the 9-row-per-group table.
+    *
+    * Output: (group, digit, n, share, expected, dev) — share and dev
+    * rounded to 6; dev = share − expected, the per-digit excess a
+    * reviewer scans for spikes. Absent digits report n=0 rows via the
+    * dense digit grid so every group shows all 9 rows. */
   def benfordReport(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100.0, 0).cast("long")
     val obs = df

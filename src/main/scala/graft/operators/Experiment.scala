@@ -28,19 +28,31 @@ object Experiment {
     * statistic evaluates on the ≤ |arms| count table: term_i =
     * round((o_i − n·p_i)²/(n·p_i), 6), summed as DECIMAL(38,6). No
     * p-value column (chi-square CDF is not portable arithmetic);
-    * `suspect` flags chi2 above the caller's critical value. */
+    * `suspect` flags chi2 above the α=0.05 critical value for
+    * dof = |arms| − 1 (built-in table for dof 1..10; pass `critical` for
+    * a different α or dof > 10). Observed arms absent from the design are
+    * never silently dropped: the totals `n` counts only designed arms, the
+    * stray rows are counted in `unexpected_arms`, and any stray arm flips
+    * `suspect` (broken assignment by definition). */
   def srmCheck(df: DataFrame, armCol: String, expected: Seq[(String, Double)],
-      critical: Double = 3.841459): DataFrame = {
+      critical: Option[Double] = None): DataFrame = {
     require(expected.nonEmpty && math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
       "expected shares must sum to 1")
-    val obs = df.select(col(armCol).cast("string").as("arm"))
+    val dof = expected.size - 1
+    val crit = critical.getOrElse(chi2Critical95.getOrElse(dof,
+      throw new IllegalArgumentException(
+        s"no built-in 95% chi-square critical for dof=$dof; pass `critical`")))
+    val allObs = df.select(col(armCol).cast("string").as("arm"))
       .groupBy("arm").agg(count(lit(1)).as("o"))
     val exp = df.sparkSession.range(1)
       .select(explode(array(expected.map { case (a, p) =>
         struct(lit(a).as("arm"), lit(p).as("p"))
       }: _*)).as("s"))
       .select(col("s.arm").as("arm"), col("s.p").as("p"))
-    val tot = obs.agg(sum(col("o")).as("n"))
+    val obs = allObs.join(broadcast(exp.select("arm")), Seq("arm"), "left_semi")
+    val stray = allObs.join(broadcast(exp.select("arm")), Seq("arm"), "left_anti")
+      .agg(count(lit(1)).as("unexpected_arms"))
+    val tot = obs.agg(sum(col("o")).cast("bigint").as("n"))
     val terms = broadcast(exp).join(obs, Seq("arm"), "left").crossJoin(tot)
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .withColumn("e", col("n").cast("double") * col("p"))
@@ -49,9 +61,19 @@ object Experiment {
     terms.agg(
         sum(col("term").cast("decimal(38,6)")).cast("double").as("chi2raw"),
         count(lit(1)).as("k"), max(col("n")).as("n"))
+      .crossJoin(stray)
       .select(round(col("chi2raw"), 6).as("chi2"), (col("k") - 1L).as("dof"),
-        col("n"), (round(col("chi2raw"), 6) > critical).as("suspect"))
+        col("n"), col("unexpected_arms"),
+        (round(col("chi2raw"), 6) > crit || col("unexpected_arms") > 0L)
+          .as("suspect"))
   }
+
+  /** Upper-tail chi-square critical values at α = 0.05, dof 1..10 — the
+    * standard table (Abramowitz & Stegun 26.4), round-6. */
+  private val chi2Critical95: Map[Int, Double] = Map(
+    1 -> 3.841459, 2 -> 5.991465, 3 -> 7.814728, 4 -> 9.487729,
+    5 -> 11.070498, 6 -> 12.591587, 7 -> 14.06714, 8 -> 15.507313,
+    9 -> 16.918978, 10 -> 18.307038)
 
   /** CUPED variance reduction: per-unit pre-period covariate x and
     * experiment-period metric y, adjusted metric y' = y − θ(x − x̄) with

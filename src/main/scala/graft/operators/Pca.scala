@@ -80,10 +80,6 @@ object Pca {
       col("nrm"))
   }
 
-  /** Power-iterate `iters` rounds from the uniform start vector and return
-    * (i, loading, eigval, var_pct): the round-6 component, the sample-
-    * covariance eigenvalue estimate, and its share of total variance —
-    * `dim` rows. */
   /** round(x, 6) with exactly Spark's/DuckDB's semantics — HALF_UP on the
     * canonical (Double.toString) decimal rendering, which is what Spark's
     * Round expression does for doubles (BigDecimal.valueOf). */
@@ -91,6 +87,10 @@ object Pca {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Power-iterate `iters` rounds from the uniform start vector and return
+    * (i, loading, eigval, var_pct): the round-6 component, the sample-
+    * covariance eigenvalue estimate, and its share of total variance —
+    * `dim` rows. */
   def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
       iters: Int = 3): DataFrame = {
     require(dim > 0 && iters > 0, "dim and iters must be positive")

@@ -403,22 +403,6 @@ object Sampling {
           .otherwise("test").as("split"))
   }
 
-  /** Neyman-optimal stratified allocation (Neyman '34; Cochran §5.5): how
-    * to spend a sampling budget across strata so the stratified mean's
-    * variance is minimal — alloc_h ∝ N_h·σ_h, i.e. bigger AND noisier
-    * strata get more budget. The design step in front of
-    * [[quotaPerGroup]]: run this to get per-stratum quotas, then sample.
-    *
-    * One word-count-shaped aggregate (per-stratum n, Σv, Σv² as
-    * DECIMAL(18,6) sums); σ and the weights evaluate on the strata-sized
-    * table with fixed double formulas; shares round to 6 and the integer
-    * allocation is round(budget·share) per stratum — deterministic, so
-    * the SQL oracle replays it (the ±1 rounding drift vs an exact
-    * largest-remainder apportionment is documented; callers needing
-    * Σalloc == budget exactly post-adjust the largest stratum).
-    * Single-value strata (σ = 0) get allocation 0 — one probe tells you
-    * everything about a constant stratum. Output: (stratum, n, sd, share,
-    * alloc). */
   /** Token-budget mixture plan: given target source WEIGHTS (the mixture
     * recipe) and a total token budget, report per source how many tokens
     * it must contribute and the implied EPOCH count — the
@@ -455,6 +439,22 @@ object Sampling {
           col("tokens").cast("double"), 6))
   }
 
+  /** Neyman-optimal stratified allocation (Neyman '34; Cochran §5.5): how
+    * to spend a sampling budget across strata so the stratified mean's
+    * variance is minimal — alloc_h ∝ N_h·σ_h, i.e. bigger AND noisier
+    * strata get more budget. The design step in front of
+    * [[quotaPerGroup]]: run this to get per-stratum quotas, then sample.
+    *
+    * One word-count-shaped aggregate (per-stratum n, Σv, Σv² as
+    * DECIMAL(18,6) sums); σ and the weights evaluate on the strata-sized
+    * table with fixed double formulas; shares round to 6 and the integer
+    * allocation is round(budget·share) per stratum — deterministic, so
+    * the SQL oracle replays it (the ±1 rounding drift vs an exact
+    * largest-remainder apportionment is documented; callers needing
+    * Σalloc == budget exactly post-adjust the largest stratum).
+    * Single-value strata (σ = 0) get allocation 0 — one probe tells you
+    * everything about a constant stratum. Output: (stratum, n, sd, share,
+    * alloc). */
   def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")

@@ -427,10 +427,15 @@ object Sketches {
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val ga = cmsKeyGrid(a, keyCol, depth, width)
     val gb = cmsKeyGrid(b, keyCol, depth, width)
-    val est = ga.join(gb.withColumnRenamed("cnt", "cntb"), Seq("row", "bucket"))
+    val ip = ga.join(gb.withColumnRenamed("cnt", "cntb"), Seq("row", "bucket"))
       .groupBy("row").agg(sum(col("cnt") * col("cntb")).as("ip"))
-      // grids with no shared occupied cell estimate 0, not null
-      .agg(coalesce(min(col("ip")), lit(0L)).as("est"))
+    // a depth-row with NO shared occupied cell has true inner product 0 —
+    // it must reach the min (right-join against the full depth range), not
+    // silently vanish and let a noisier row's collisions set the estimate
+    val est = a.sparkSession.range(depth).select(col("id").as("row"))
+      .join(ip, Seq("row"), "left")
+      .select(coalesce(col("ip"), lit(0L)).as("ip"))
+      .agg(min(col("ip")).as("est"))
     val ca = a.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("k")).agg(count(lit(1)).as("na"))
     val cb = b.filter(col(keyCol).isNotNull)

@@ -221,7 +221,7 @@ object Stats {
     * Output: (group, n, b0, b1, b2, r2). */
   def ols2(df: DataFrame, groupCol: String, yCol: String,
       x1Col: String, x2Col: String): DataFrame = {
-    def d6(c: Column): Column = c.cast("decimal(12,6)")
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
     val (x1, x2, y) = (d6(col(x1Col)), d6(col(x2Col)), d6(col(yCol)))
     val sums = df
       .filter(col(x1Col).isNotNull && col(x2Col).isNotNull && col(yCol).isNotNull)
@@ -271,7 +271,8 @@ object Stats {
     * complementing [[twoProportionZTest]]'s conversion-rate form.
     *
     * Sufficient statistics only: per-arm (n, Σv, Σv²) with v cast to
-    * DECIMAL(12,6) — exact, map-side-combined, two rows reach the driver
+    * DECIMAL(18,6) (the sibling-operator width: |v| up to 1e12 without
+    * ANSI overflow, and the Σv² products still fit DECIMAL(38)) — exact, map-side-combined, two rows reach the driver
     * plan regardless of corpus size. Mean / variance / t / Welch–
     * Satterthwaite df then evaluate ONCE per comparison in doubles with
     * fixed parenthesization:
@@ -285,7 +286,7 @@ object Stats {
     * the thousands for any corpus-scale arm, where t ≈ z (documented
     * approximation; small-sample callers read t/df directly). */
   def welchTTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    def d6(c: Column): Column = c.cast("decimal(12,6)")
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
     val v = d6(col(valueCol))
     val agg = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"), v.as("v"))
@@ -391,13 +392,13 @@ object Stats {
     * feature-redundancy profile ("is discount just a function of quantity")
     * run before model features or mixture covariates are chosen. One melt
     * (a row per (row, pair)) + ONE word-count-shaped aggregate: per-pair
-    * (n, Σx, Σy, Σxy, Σx², Σy²) as exact DECIMAL(12,6)-cast sums, then the
+    * (n, Σx, Σy, Σxy, Σx², Σy²) as exact DECIMAL(18,6)-cast sums, then the
     * [[trendPerGroup]] correlation formula once per pair, round-6. Pairs
     * are the upper triangle, named "a~b" in the caller's column order.
     * Rows where either side is null drop from that pair only. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
-    def d6(c: Column): Column = c.cast("decimal(12,6)")
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield struct(lit(s"${cols(i)}~${cols(j)}").as("pair"),

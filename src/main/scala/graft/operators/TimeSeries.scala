@@ -83,25 +83,6 @@ object TimeSeries {
       .withColumn("anomaly", when(col("z").isNotNull, abs(col("z")) > threshold))
   }
 
-  /** Exponentially time-decayed top-k per group — "trending items": each
-    * event contributes `0.5^(age / halfLife)` to its item's score, so a
-    * burst of recent activity outranks a larger but stale total (the
-    * decayed-count stream-analytics staple, e.g. Cormode et al.'s
-    * forward-decay formulation, VLDB'09, computed here at rest).
-    *
-    * Determinism/portability: `asOf` is the corpus max timestamp (a 1-row
-    * aggregate cross-joined into the plan — a catalog statistic, no driver
-    * state); age quantizes to whole hours by INTEGER floor-division of the
-    * nanosecond timestamps (exact at any epoch magnitude, where double
-    * division is not), each weight = round(0.5^(age_h/halfLife_h), 6) (the
-    * round-6 libm rule) and scores are DECIMAL(38,6) sums of those —
-    * reduction-order-independent, so ranks replay exactly in SQL.
-    *
-    * Scale shape: one word-count-shaped (group, item) aggregate (map-side
-    * combined), then the bounded [[graft.functions.RowTopKAggregator]]
-    * carries at most k rows per partition per group — no global window,
-    * no corpus-sized sort. Output: (group, item, score, rank), score
-    * rounded to 6, rank 1..k by (score desc, item asc). */
   /** Seasonal-baseline anomaly flags: score each observation against the
     * mean ± 3σ of ITS OWN seasonal slot (key × hour-of-day here) instead
     * of a global band — the fix for metrics with a daily rhythm, where a
@@ -304,6 +285,25 @@ object TimeSeries {
           .as("exp_reject"))
   }
 
+  /** Exponentially time-decayed top-k per group — "trending items": each
+    * event contributes `0.5^(age / halfLife)` to its item's score, so a
+    * burst of recent activity outranks a larger but stale total (the
+    * decayed-count stream-analytics staple, e.g. Cormode et al.'s
+    * forward-decay formulation, VLDB'09, computed here at rest).
+    *
+    * Determinism/portability: `asOf` is the corpus max timestamp (a 1-row
+    * aggregate cross-joined into the plan — a catalog statistic, no driver
+    * state); age quantizes to whole hours by INTEGER floor-division of the
+    * nanosecond timestamps (exact at any epoch magnitude, where double
+    * division is not), each weight = round(0.5^(age_h/halfLife_h), 6) (the
+    * round-6 libm rule) and scores are DECIMAL(38,6) sums of those —
+    * reduction-order-independent, so ranks replay exactly in SQL.
+    *
+    * Scale shape: one word-count-shaped (group, item) aggregate (map-side
+    * combined), then the bounded [[graft.functions.RowTopKAggregator]]
+    * carries at most k rows per partition per group — no global window,
+    * no corpus-sized sort. Output: (group, item, score, rank), score
+    * rounded to 6, rank 1..k by (score desc, item asc). */
   def decayedTopK(df: DataFrame, groupCol: String, itemCol: String,
       tsCol: String, halfLifeHours: Long, k: Int): DataFrame = {
     require(halfLifeHours > 0 && k > 0, "halfLifeHours and k must be positive")

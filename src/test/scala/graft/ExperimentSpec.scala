@@ -10,13 +10,13 @@ class ExperimentSpec extends SparkSpec {
     val even = (0 until 30).map(i => Tuple1((i % 3).toString)).toDF("arm")
     val Array(ok) = Experiment.srmCheck(even, "arm",
       Seq("0" -> (1.0 / 3), "1" -> (1.0 / 3), "2" -> (1.0 / 3))).collect()
-    assert(ok.getDouble(0) == 0.0 && ok.getLong(1) == 2 && !ok.getBoolean(3))
+    assert(ok.getDouble(0) == 0.0 && ok.getLong(1) == 2 && !ok.getBoolean(4))
     // 40/10/10 vs uniform 60/3: terms 20 + 5 + 5 = 30
     val skew = (Seq.fill(40)("0") ++ Seq.fill(10)("1") ++ Seq.fill(10)("2"))
       .map(Tuple1(_)).toDF("arm")
     val Array(bad) = Experiment.srmCheck(skew, "arm",
       Seq("0" -> (1.0 / 3), "1" -> (1.0 / 3), "2" -> (1.0 / 3))).collect()
-    assert(bad.getDouble(0) == 30.0 && bad.getBoolean(3))
+    assert(bad.getDouble(0) == 30.0 && bad.getBoolean(4))
   }
 
   test("srm: an arm with zero observations counts as o = 0, not a dropped row") {
@@ -24,7 +24,35 @@ class ExperimentSpec extends SparkSpec {
     val Array(r) = Experiment.srmCheck(df, "arm",
       Seq("0" -> 0.5, "1" -> 0.25, "2" -> 0.25)).collect()
     assert(r.getLong(1) == 2) // dof = 3 arms - 1
-    assert(r.getBoolean(3)) // 0/5 expected-5 arm alone contributes 5
+    assert(r.getLong(3) == 0) // all observed arms are designed
+    assert(r.getBoolean(4)) // 0/5 expected-5 arm alone contributes 5
+  }
+
+  test("srm: the critical value tracks dof, and a stray arm always flags") {
+    import org.apache.spark.sql.functions.col
+    // 3 arms, dof 2 -> critical 5.991; chi2 4.266 would flag under the old
+    // dof=1 value 3.841 but must NOT flag here: 38/22/30 vs uniform 90/3
+    val mild = (Seq.fill(38)("0") ++ Seq.fill(22)("1") ++ Seq.fill(30)("2"))
+      .map(Tuple1(_)).toDF("arm")
+    val third = 1.0 / 3
+    val Array(m) = Experiment.srmCheck(mild, "arm",
+      Seq("0" -> third, "1" -> third, "2" -> third)).collect()
+    assert(m.getDouble(0) > 3.841459 && m.getDouble(0) < 5.991465)
+    assert(!m.getBoolean(4))
+    // an observed arm outside the design flips suspect and is counted,
+    // while n covers only the designed arms
+    val stray = (Seq.fill(15)("0") ++ Seq.fill(15)("1") ++ Seq.fill(5)("zz"))
+      .map(Tuple1(_)).toDF("arm")
+    val Array(s) = Experiment.srmCheck(stray, "arm",
+      Seq("0" -> 0.5, "1" -> 0.5)).collect()
+    assert(s.getDouble(0) == 0.0 && s.getLong(2) == 30 && s.getLong(3) == 1)
+    assert(s.getBoolean(4))
+    // explicit critical still wins
+    val Array(e) = Experiment.srmCheck(mild, "arm",
+      Seq("0" -> third, "1" -> third, "2" -> third),
+      critical = Some(3.841459)).collect()
+    assert(e.getBoolean(4))
+    assert(mild.select(col("arm")).distinct().count() == 3)
   }
 
   test("cuped: a perfectly predictive covariate removes all variance") {

@@ -250,4 +250,22 @@ class SketchesSpec extends SparkSpec {
       .collect().head.toSeq
     assert(run(1) == run(7))
   }
+
+  test("joinSize: a depth-row with no shared cells drives the min to 0") {
+    // crafted disjoint key sets where rows 0/2/3 each have exactly one
+    // bucket collision but row 1 has none (verified against the portable
+    // hash family offline): the true inner product of row 1 is 0, so the
+    // estimate must be 0 — a min that skips non-overlapping rows would
+    // report >= 1 here
+    val a = (1 to 30).map(i => 7919L * i + 3).toDF("uid")
+    val b = (1 to 30).map(i => 104729L * i).toDF("uid")
+    val ga = Sketches.cmsKeyGrid(a, "uid")
+    val gb = Sketches.cmsKeyGrid(b, "uid")
+    val overlappedRows = ga.join(gb, Seq("row", "bucket"))
+      .select("row").distinct().count()
+    assert(overlappedRows == 3, "fixture: exactly one row must have no overlap")
+    val Array(r) = Sketches.joinSizeEstimate(a, b, "uid").collect()
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 0L && r.isNullAt(2))
+  }
 }

@@ -45,11 +45,19 @@ def main():
         if len(s) != len(o):
             results[name] = f"ROWCOUNT {len(s)} vs {len(o)}"
             continue
+        # dtype-strict: the driver hashes the typed values, so a DuckDB
+        # HUGEINT/DOUBLE result that is value-equal to Spark's BIGINT still
+        # fails there. No coercion here — a dtype mismatch IS a failure.
+        bad_dtypes = [f"{c}: spark={s[c].dtype} duck={o[c].dtype}"
+                      for c in s.columns if s[c].dtype != o[c].dtype]
+        if bad_dtypes:
+            results[name] = "DTYPE_MISMATCH " + "; ".join(bad_dtypes[:4])
+            continue
         s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
         o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
         diff_cols = []
         for c in s.columns:
-            a, b = s[c], o[c].astype(s[c].dtype) if s[c].dtype != o[c].dtype else o[c]
+            a, b = s[c], o[c]
             if not a.equals(b):
                 neq = (a != b) & ~(a.isna() & b.isna())
                 if neq.any():
