@@ -158,6 +158,27 @@ object OracleSql {
   /** Mirrors TextAnalysis.fingerprint. */
   val fingerprintSql: String = polyHashSql("text")
 
+  /** CTE chain ending in `h(doc_id, ahash)` (with `px` alongside): the
+    * [[graft.operators.Multimodal.aHashFromPixels]] arithmetic replayed
+    * over the materialized pixel fixture at `path` — 8×8 point-sample
+    * lattice by integer floor-division, total as an exact sum, bit i set
+    * iff 64·sample > total, packed with two's-complement weights (bit 63
+    * = −2^63; DuckDB's `1 << 63` traps, the literal doesn't). */
+  def grayHashSql(path: String): String =
+    s"""px AS (SELECT doc_id, width, height, gray FROM '$path/*.parquet'),
+       |s AS (SELECT doc_id, b.i AS i,
+       |        gray[CAST(least(height - 1, ((b.i // 8) * height) // 8) * width
+       |             + least(width - 1, ((b.i % 8) * width) // 8) AS BIGINT) + 1]
+       |          AS v
+       |      FROM px CROSS JOIN range(0, 64) b(i)),
+       |t AS (SELECT doc_id, sum(v) AS total FROM s GROUP BY 1),
+       |h AS (SELECT s.doc_id,
+       |        CAST(sum(CASE WHEN 64 * v > total THEN
+       |          CASE WHEN i = 63 THEN -9223372036854775808
+       |               ELSE 1::BIGINT << CAST(i AS INT) END ELSE 0 END)
+       |          AS BIGINT) AS ahash
+       |      FROM s JOIN t USING (doc_id) GROUP BY s.doc_id)""".stripMargin
+
   /** Sequential-fold cosine over DOUBLE lists (mirrors ArrayMath.cosine:
     * list_dot_product folds left-to-right, verified bit-equal). */
   def cosineSql(a: String, b: String): String =

@@ -101,6 +101,14 @@ object SparkEntry {
   def ivfPq2IndexPath(dir: String): String =
     s"/root/repo/target/ivfpq2_index/${new java.io.File(dir).getName}"
 
+  /** Where q167 materializes the decoded grayscale pixel frame — the
+    * codec's output as parquet, so the oracle can replay every post-decode
+    * stage (grid sample, aHash bits, Hamming pairs) as SQL. Same per-SF
+    * keying as [[ivfIndexPath]]; q193 uses a `_pairs` sibling path so the
+    * two queries' write/read windows never interleave. */
+  def grayPixelsPath(dir: String): String =
+    s"/root/repo/target/gray_pixels/${new java.io.File(dir).getName}"
+
   /** Where q62 persists the MinHash-LSH dedup index — same per-SF keying
     * and Verify-pinned oracle path contract as [[ivfIndexPath]]. */
   def lshIndexPath(dir: String): String =
@@ -1113,14 +1121,32 @@ object SparkEntry {
       // Kneser-Ney perplexity filter: the continuation-probability
       // smoothing real LM filters use, next to q65's add-one baseline
       LangModel.kneserNeyNll(tp(s, dir, "documents")).orderBy("doc_id")),
-    "q167_image_ahash" -> ((s, dir) =>
+    "q167_image_ahash" -> ((s, dir) => {
       // perceptual hashes over REAL decoded containers (BMP/PPM pixel
-      // reads): the multimodal member of the dedup family. Rows-only by
-      // necessity — the codec is JVM-side — with the algorithm gated by
-      // MultimodalSpec's brute-force-equality pair test instead
-      Multimodal.imageHashes(s,
-        Multimodal.synthMedia(s, tp(s, dir, "documents")))
-        .toDF().orderBy("doc_id")),
+      // reads): the codec materializes the grayscale frame as a parquet
+      // fixture, then the aHash evaluates with Column arithmetic only —
+      // the oracle replays grid sample + bit pack from the same fixture,
+      // so only the byte decode itself stays spec-gated (MultimodalSpec
+      // pins aHashFromPixels == the JVM imageHashes loop)
+      val path = grayPixelsPath(dir)
+      Multimodal.grayPixels(s,
+          Multimodal.synthMedia(s, tp(s, dir, "documents")))
+        .write.mode("overwrite").parquet(path)
+      Multimodal.aHashFromPixels(s.read.parquet(path)).orderBy("doc_id")
+    }),
+    "q193_image_pairs" -> ((s, dir) => {
+      // the pigeonhole Hamming pair join over the fixture-derived hashes;
+      // the oracle runs the brute-force all-pairs bit_count(xor) from the
+      // same pixel frame, so a green hash proves the chunk join loses no
+      // pairs (the q129 exact-mirror convention)
+      val path = grayPixelsPath(dir) + "_pairs"
+      Multimodal.grayPixels(s,
+          Multimodal.synthMedia(s, tp(s, dir, "documents")))
+        .write.mode("overwrite").parquet(path)
+      Multimodal.imageNearDupPairs(
+          Multimodal.aHashFromPixels(s.read.parquet(path)), maxDist = 6)
+        .orderBy("a_id", "b_id")
+    }),
     "q166_neyman" -> ((s, dir) =>
       // sampling-design step: Neyman-optimal budget split across sources
       // (alloc ∝ N_h·σ_h of doc length) for a 1000-doc audit sample
@@ -3759,6 +3785,31 @@ object SparkEntry {
           |       round(CAST(CAST(round(1000000.0e0 * weight, 0) AS BIGINT)
           |           AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS epochs
           |FROM t JOIN w ON t.source = w.source ORDER BY t.source""".stripMargin,
+      "q167_image_ahash" -> {
+        // aHash replayed from the materialized pixel frame: the 8×8
+        // point-sample lattice, the strict-integer "64·sample > total"
+        // bit rule, and the two's-complement bit-63 weight — everything
+        // after the byte decode, exactly the arithmetic the Spark plan
+        // evaluates from the same fixture
+        val p = sys.props.getOrElse("graft.graypx.path",
+          grayPixelsPath("/root/testdata/sf0.01"))
+        s"""WITH ${grayHashSql(p)}
+           |SELECT px.doc_id, ahash, width, height
+           |FROM h JOIN px USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
+      "q193_image_pairs" -> {
+        // the brute-force all-pairs mirror of the pigeonhole chunk join:
+        // every pair within 6 bits by bit_count(xor) over the
+        // fixture-derived hashes — a green hash proves zero lost pairs
+        val p = sys.props.getOrElse("graft.graypx2.path",
+          grayPixelsPath("/root/testdata/sf0.01") + "_pairs")
+        s"""WITH ${grayHashSql(p)}
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+           |FROM h a JOIN h b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+           |ORDER BY a_id, b_id""".stripMargin
+      },
       "q168_kn_score" -> // kneserNeyNll replayed: the four exact count
         // tables (c12, left totals, distinct successors/predecessors, the
         // bigram-type scalar), the interpolated-KN formula in the identical

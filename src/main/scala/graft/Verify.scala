@@ -19,6 +19,9 @@ object Verify {
     System.setProperty("graft.pq.path", SparkEntry.pqIndexPath(sfDir))
     System.setProperty("graft.ivfpq.path", SparkEntry.ivfPqIndexPath(sfDir))
     System.setProperty("graft.ivfpq2.path", SparkEntry.ivfPq2IndexPath(sfDir))
+    System.setProperty("graft.graypx.path", SparkEntry.grayPixelsPath(sfDir))
+    System.setProperty("graft.graypx2.path",
+      SparkEntry.grayPixelsPath(sfDir) + "_pairs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -391,6 +391,52 @@ object Multimodal {
     bits
   }
 
+  case class PixelRow(doc_id: Long, width: Long, height: Long, gray: Array[Long])
+
+  /** Materialized decode boundary: the first-frame grayscale rows as a
+    * (doc_id, width, height, gray[]) frame — the ONE product of the
+    * JVM-only byte codec. Everything downstream of this frame (the 8×8
+    * grid sample, the [[aHash]] bit pack, the pigeonhole Hamming join) is
+    * integer arithmetic any engine replays, so persisting it as parquet
+    * turns the rest of the multimodal dedup pipeline oracle-checkable;
+    * only the byte decode itself stays spec-gated. Same narrow
+    * mapPartitions shape as [[decodeMeta]] — decode runs where the payload
+    * row lives, nothing shuffles. */
+  def grayPixels(spark: SparkSession, media: DataFrame): Dataset[PixelRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val (w, h, g) = grayGrid(r.doc_id, r.payload)
+        PixelRow(r.doc_id, w.toLong, h.toLong, g.map(_.toLong))
+      })
+  }
+
+  /** [[aHash]] recomputed from the materialized pixel frame with Column
+    * arithmetic ONLY — bit-identical to the JVM loop (spec-pinned), but
+    * the plan is declarative: 64 literal-index `element_at` samples, one
+    * integer total, and a conditional bit sum, all inside whole-stage
+    * codegen and replayable by the SQL oracle. Bit 63's weight is
+    * Long.MinValue (two's complement); the fold adds bits 0..62 first so
+    * no partial sum leaves the long range under ANSI mode. Output matches
+    * [[MediaHash]]: (doc_id, ahash, width, height). */
+  def aHashFromPixels(px: DataFrame): DataFrame = {
+    val samples = (0 until 64).map { i =>
+      val bx = i % 8; val by = i / 8
+      expr(s"element_at(gray, CAST(least(height - 1, ($by * height) div 8)" +
+        s" * width + least(width - 1, ($bx * width) div 8) AS INT) + 1)")
+    }
+    val bits = (0 until 64).map { i =>
+      val weight = if (i == 63) Long.MinValue else 1L << i
+      when(lit(64L) * element_at(col("s"), i + 1) > col("total"), lit(weight))
+        .otherwise(lit(0L))
+    }
+    px.select(col("doc_id"), col("width"), col("height"),
+        array(samples: _*).as("s"))
+      .withColumn("total", aggregate(col("s"), lit(0L), (a, v) => a + v))
+      .select(col("doc_id"), bits.reduce(_ + _).as("ahash"),
+        col("width"), col("height"))
+  }
+
   /** Per-image perceptual hashes over a (doc_id, payload) frame — the same
     * narrow mapPartitions shape as [[decodeMeta]]; decode runs where the
     * payload row lives, nothing shuffles. */

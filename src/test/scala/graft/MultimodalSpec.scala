@@ -185,4 +185,30 @@ class MultimodalSpec extends SparkSpec {
       .map(m => m.doc_id -> ((m.width, m.height))).toMap
     a.foreach(x => assert((x.width, x.height) == meta(x.doc_id)))
   }
+
+  test("aHashFromPixels: bit-identical to the JVM aHash loop, both formats") {
+    // wide spread of dims so lattice clamping, bit 63, and both codecs
+    // (even=BMP, odd=PPM) are all exercised
+    val docs = (0L until 80L).map(i => (i, "wxyz" * (i.toInt % 17 + 1)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthMedia(spark, docs)
+    val jvm = Multimodal.imageHashes(spark, media).collect()
+      .map(h => h.doc_id -> ((h.ahash, h.width, h.height))).toMap
+    val px = Multimodal.grayPixels(spark, media)
+    val cols = Multimodal.aHashFromPixels(px.toDF()).collect()
+    assert(cols.length == 80)
+    cols.foreach { r =>
+      assert(jvm(r.getLong(0)) == ((r.getLong(1), r.getLong(2), r.getLong(3))),
+        s"doc ${r.getLong(0)}")
+    }
+    // at least one hash should carry the sign bit across 80 varied images,
+    // or the Long.MinValue weight path would be dead code in this spec
+    assert(cols.exists(_.getLong(1) < 0L))
+    // pixel fixture round-trips through parquet unchanged
+    val tmp = java.nio.file.Files.createTempDirectory("graypx").toString
+    px.write.mode("overwrite").parquet(tmp)
+    val back = Multimodal.aHashFromPixels(spark.read.parquet(tmp)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cols.foreach(r => assert(back(r.getLong(0)) == r.getLong(1)))
+  }
 }
