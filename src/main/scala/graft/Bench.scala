@@ -120,6 +120,13 @@ object Bench {
       }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+    // Ambient-load stamp: a >3x max/min spread within one query's runs is
+    // the recurring host-contamination signature (q68 in r7 and r8, both
+    // root-caused to ambient load with GC logs — SCALING.md:282). Stamp
+    // those queries in the artifact so future readers see "contaminated
+    // window, min is the quiet number" instead of re-investigating.
+    val contaminated = (results.map(r => r._1 -> r._2) ++ extraResults)
+      .collect { case (k, ts) if ts.size >= 2 && ts.max / ts.min > 3.0 => k }
     // The driver captures only a bounded TAIL (~2 KB) of stdout and parses
     // the final JSON line out of it. BENCH_r06 AND r07 came back
     // "parsed": null because per-query content pushed that single line past
@@ -128,7 +135,7 @@ object Bench {
     // per-query (mins, per-run arrays, bench-only twins) lives on earlier
     // stdout lines and in bench_out.json / bench_out_detail.json.
     val detail =
-      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
     println(detail)
@@ -144,6 +151,28 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Append-only per-round history (round, sf, per-query mins) so
+    // round-over-round diffs stop depending on the clobberable working
+    // detail file (commit c2a88bf restored it once already). Full-board
+    // runs only — a SPARK_GRAFT_BENCH_ONLY iteration must never pollute
+    // the history. The round label comes from SPARK_GRAFT_ROUND when the
+    // caller sets it, else "r<max BENCH_r*.json + 1>" (the driver writes
+    // BENCH_r{N}.json AFTER the round's bench, so at bench time the
+    // newest artifact on disk is the previous round's).
+    if (only.isEmpty) {
+      val label = sys.env.get("SPARK_GRAFT_ROUND").getOrElse {
+        val pat = "BENCH_r(\\d+)\\.json".r
+        val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (prev.isEmpty) "adhoc" else s"r${prev.max + 1}"
+      }
+      val hist =
+        s"""{"round":"$label","sf":"$sfDir","contaminated":${arr(contaminated)},"queries":$qs,"bench_only":$extraJson}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     if (failed.nonEmpty || flaky.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
