@@ -113,6 +113,52 @@ object Stats {
       .select(col("p"), col("rank"), col("v").as("value"))
   }
 
+  /** Exact global 1-based rank for EVERY row under the total order
+    * (`valueCol` asc, `tieCol` asc) — [[exactQuantiles]]'s bucket
+    * refinement generalized from "a few target ranks" to "rank all
+    * rows", replacing the single-partition sort that an unpartitioned
+    * window (`ntile`/`row_number` over a global ORDER BY) would run:
+    *
+    *  1. one aggregate pass buckets values into ≤ `buckets` fixed-width
+    *     cells and collects the count table (bounded-collect contract —
+    *     ≤ `buckets` rows reach the driver, like the IVF centroid table);
+    *  2. `row_number` windows partitioned BY BUCKET (parallel, spillable)
+    *     plus each bucket's broadcast cumulative offset give the exact
+    *     global rank.
+    *
+    * Equal values always share a bucket (bucketing is a function of the
+    * value alone), so cross-bucket order is strict and within-bucket ties
+    * break by `tieCol` — the same total order as the global window.
+    * Monotone-but-lossy double casts of DECIMAL/LONG values are safe:
+    * they can only merge adjacent buckets, never reorder them; ordering
+    * itself uses the typed columns. A constant value column degenerates
+    * to one bucket — i.e. a global sort by the tie column, which is the
+    * honest cost of ranking an all-ties order. Nulls in `valueCol` are
+    * the caller's to filter. Adds `rank`. */
+  def bucketedRanks(df: DataFrame, valueCol: String, tieCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "bucketedRanks: need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vd = col(valueCol).cast("double")
+    val s = df.agg(min(vd).as("mn"), max(vd).as("mx")).collect()(0)
+    if (s.isNullAt(0)) return df.withColumn("rank", lit(null).cast("long"))
+    val (mn, mx) = (s.getDouble(0), s.getDouble(1))
+    val w = if (mx > mn) (mx - mn) / buckets else 1.0
+    val withB = df.withColumn("b",
+      least(floor((vd - mn) / w).cast("long"), lit(buckets - 1L)))
+    val counts = withB.groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
+    val offDf = broadcast(offsets.toSeq.toDF("b", "off"))
+    withB.join(offDf, "b")
+      .withColumn("rank", row_number().over(
+          Window.partitionBy("b").orderBy(col(valueCol).asc, col(tieCol).asc))
+        .cast("long") + col("off"))
+      .drop("b", "off")
+  }
+
   /** Two-proportion z-test — the A/B experiment readout (standard normal
     * approximation with the pooled variance; e.g. Casella & Berger §10.3):
     *

@@ -155,24 +155,45 @@ object Warehouse {
     * three axes (newest, most frequent, biggest spender = 5).
     *
     * Scale shape: ONE fact-sized aggregate (per-entity rollup, map-side
-    * combined); the three ntile windows run over the ENTITY table —
-    * dimension-sized, the abcAnalysis stance. Output: (entity,
-    * recency_ts, frequency, monetary, r_score, f_score, m_score,
-    * segment). */
+    * combined, then checkpointed — it feeds four sub-plans); each
+    * quintile assignment routes through [[Stats.bucketedRanks]] (the q138
+    * bucket refinement, bucket-partitioned windows + broadcast offsets)
+    * instead of a global `ntile` window, so NO single-partition sort runs
+    * at any entity count. The tile is computed from the exact global rank
+    * with the standard NTILE rule (first n mod 5 tiles take ⌈n/5⌉ rows) —
+    * value-identical to `ntile(5) OVER (ORDER BY metric, entity)`,
+    * spec-pinned against the window form. Output: (entity, recency_ts,
+    * frequency, monetary, r_score, f_score, m_score, segment). */
   def rfm(df: DataFrame, entityCol: String, tsCol: String,
       amountCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    graft.util.Checkpoints.ensureDir(df.sparkSession)
     val per = df.filter(col(amountCol).isNotNull)
       .groupBy(col(entityCol).cast("string").as("entity"))
       .agg(max(col(tsCol).cast("long")).as("recency_ts"),
         count(lit(1)).as("frequency"),
         sum(col(amountCol).cast("decimal(18,2)")).as("m"))
-    def score(c: String) = ntile(5).over(
-      Window.orderBy(col(c).asc, col("entity").asc)).cast("long")
+      .checkpoint(eager = true)
+    val n = per.count()
+    // NTILE(5) from the exact rank: tiles 1..rem hold size+1 rows, the
+    // rest hold size (the Spark/DuckDB bucket rule). Driver-side n makes
+    // the cut a literal; the division operands stay < 2^53, so the
+    // floor-of-double-division is exact.
+    val size = n / 5
+    val rem = n % 5
+    val cut = rem * (size + 1)
+    def tile(rank: Column): Column =
+      if (size == 0) rank // n < 5: every row is its own tile
+      else when(rank <= cut,
+          floor((rank - 1L).cast("double") / (size + 1L).toDouble) + 1.0)
+        .otherwise(lit(rem.toDouble) +
+          floor((rank - cut - 1L).cast("double") / size.toDouble) + 1.0)
+    def scored(c: String, name: String) =
+      Stats.bucketedRanks(per, c, "entity")
+        .select(col("entity"), tile(col("rank")).cast("long").as(name))
     per
-      .withColumn("r_score", score("recency_ts"))
-      .withColumn("f_score", score("frequency"))
-      .withColumn("m_score", score("m"))
+      .join(scored("recency_ts", "r_score"), "entity")
+      .join(scored("frequency", "f_score"), "entity")
+      .join(scored("m", "m_score"), "entity")
       .select(col("entity"), col("recency_ts"), col("frequency"),
         col("m").cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

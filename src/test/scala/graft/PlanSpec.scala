@@ -393,4 +393,17 @@ class PlanSpec extends SparkSpec {
       s"rounds must fold over the checkpointed matchup/item tables, not " +
         s"re-embed the events scan 2^iters times:\n$p")
   }
+
+  test("q191 rfm: every rank window is bucket-partitioned, no global sort") {
+    val p = plan(SparkEntry.queries("q191_rfm")(spark, dir))
+    assert(!p.contains("ntile"),
+      s"quintiles must derive from bucketed ranks, not a global ntile:\n$p")
+    // the only SinglePartition exchange a correct plan may carry is none:
+    // the final orderBy is rangepartitioned and every row_number window
+    // partitions by its refinement bucket
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition sort may survive in the rfm plan:\n$p")
+    assert("hashpartitioning\\(b#".r.findAllIn(p).nonEmpty,
+      s"rank windows must partition by the refinement bucket:\n$p")
+  }
 }

@@ -170,6 +170,33 @@ class WarehouseSpec extends SparkSpec {
     assert(run(1) == run(9))
   }
 
+  test("rfm: rank-derived tiles equal the global ntile(5) window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy cross-entity ties on every metric + a non-multiple-of-5 entity
+    // count, so the NTILE remainder rule and the entity tie-break are both
+    // load-bearing
+    val rows = (1 to 500).map(i => (s"c${i % 47}", (i % 11).toLong, (i % 7) * 3.0))
+    val per = rows.toDF("c", "t", "a")
+      .groupBy(col("c").cast("string").as("entity"))
+      .agg(max(col("t").cast("long")).as("recency_ts"),
+        count(lit(1)).as("frequency"),
+        sum(col("a").cast("decimal(18,2)")).as("m"))
+    def win(c: String) = ntile(5).over(
+      Window.orderBy(col(c).asc, col("entity").asc)).cast("long")
+    val expect = per.withColumn("r_score", win("recency_ts"))
+      .withColumn("f_score", win("frequency"))
+      .withColumn("m_score", win("m"))
+      .select("entity", "r_score", "f_score", "m_score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = Warehouse.rfm(rows.toDF("c", "t", "a"), "c", "t", "a").collect()
+    assert(got.length == 47)
+    got.foreach { r =>
+      assert(expect(r.getString(0)) ==
+        ((r.getLong(4), r.getLong(5), r.getLong(6))), s"entity ${r.getString(0)}")
+    }
+  }
+
   test("abc: deterministic under ties and partitioning") {
     val rows = (1 to 300).map(i => (s"e${i % 40}", (i % 9) + 1.0))
     def run(p: Int) = Warehouse.abcAnalysis(rows.toDF("e", "v").repartition(p),
