@@ -2654,22 +2654,29 @@ object SparkEntry {
            |              cent.center[CAST(books.sub*8+1 AS INTEGER):CAST(books.sub*8+8 AS INTEGER)],
            |              books.center), 12) AS DECIMAL(38,12)) AS xterm
            |       FROM cent CROSS JOIN books),
+           |bn AS (SELECT sub, code,
+           |       CAST(round(list_dot_product(center, center), 12)
+           |            AS DECIMAL(38,12)) AS bpart FROM books),
+           |rv AS (SELECT codes.vec_id, codes.cell,
+           |       sum(xterm) AS xsum, sum(bpart) AS rn2
+           |       FROM codes JOIN xt ON xt.cell = codes.cell AND xt.sub = codes.sub
+           |                          AND xt.code = codes.code
+           |                  JOIN bn ON bn.sub = codes.sub AND bn.code = codes.code
+           |       GROUP BY 1, 2),
+           |vno AS (SELECT rv.vec_id, cn.cn2 + rv.xsum + rv.xsum + rv.rn2 AS rnorm2
+           |        FROM rv JOIN cn ON cn.cell = rv.cell),
            |qn AS (SELECT q_id, sqrt(list_dot_product(q_emb, q_emb)) AS qnorm FROM q),
            |sc AS (SELECT pr.q_id, codes.vec_id,
-           |       max(pr.qcdot) AS qcdot, max(cn.cn2) AS cn2,
-           |       sum(qpart) AS rdots, sum(cpart) AS rn2, sum(xterm) AS xsum
+           |       max(pr.qcdot) AS qcdot, sum(qpart) AS rdots
            |       FROM probes pr JOIN codes ON codes.cell = pr.cell
            |            JOIN part ON part.q_id = pr.q_id AND part.sub = codes.sub
            |                     AND part.code = codes.code
-           |            JOIN xt ON xt.cell = codes.cell AND xt.sub = codes.sub
-           |                   AND xt.code = codes.code
-           |            JOIN cn ON cn.cell = codes.cell
            |       GROUP BY 1, 2),
-           |co AS (SELECT q_id, vec_id,
+           |co AS (SELECT sc.q_id, sc.vec_id,
            |       round((CAST(qcdot AS DOUBLE) + CAST(rdots AS DOUBLE)) /
-           |             (qnorm * sqrt((CAST(cn2 AS DOUBLE) + 2.0e0 * CAST(xsum AS DOUBLE))
-           |                           + CAST(rn2 AS DOUBLE))), 6) AS cos_pq
-           |       FROM sc JOIN qn USING (q_id) WHERE q_id <> vec_id),
+           |             (qnorm * sqrt(CAST(rnorm2 AS DOUBLE))), 6) AS cos_pq
+           |       FROM sc JOIN vno ON vno.vec_id = sc.vec_id
+           |               JOIN qn ON qn.q_id = sc.q_id WHERE sc.q_id <> sc.vec_id),
            |cand AS (SELECT q_id, vec_id FROM (
            |           SELECT q_id, vec_id, row_number() OVER (
            |             PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rank FROM co)
@@ -5355,9 +5362,10 @@ object SparkEntry {
       "q81_sim_topk_ivfpq" -> {
         // q42's probe-selection mirror composed with q74's ADC mirror over
         // the RESIDUAL coding, all off the SAME materialized centroid/
-        // codebook/code parquet: x̂ = c_cell + r̂, so the score adds the
-        // (q, cell) dot and the (cell, sub, code) centroid×book cross
-        // terms; every double addition keeps the operator's association
+        // codebook/code parquet: x̂ = c_cell + r̂. The reconstruction norm
+        // is RE-DERIVED here from codes×books×centroids (rv/vno CTEs)
+        // rather than read from the index's precomputed vnorms table, so a
+        // green hash also verifies the build-time precompute
         val p = sys.props.getOrElse("graft.ivfpq.path",
           ivfPqIndexPath("/root/testdata/sf0.01"))
         s"""WITH cent AS (SELECT cid, center::DOUBLE[] AS center
@@ -5390,22 +5398,29 @@ object SparkEntry {
            |              cent.center[CAST(books.sub*8+1 AS INTEGER):CAST(books.sub*8+8 AS INTEGER)],
            |              books.center), 12) AS DECIMAL(38,12)) AS xterm
            |       FROM cent CROSS JOIN books),
+           |bn AS (SELECT sub, code,
+           |       CAST(round(list_dot_product(center, center), 12)
+           |            AS DECIMAL(38,12)) AS bpart FROM books),
+           |rv AS (SELECT codes.vec_id, codes.cell,
+           |       sum(xterm) AS xsum, sum(bpart) AS rn2
+           |       FROM codes JOIN xt ON xt.cell = codes.cell AND xt.sub = codes.sub
+           |                          AND xt.code = codes.code
+           |                  JOIN bn ON bn.sub = codes.sub AND bn.code = codes.code
+           |       GROUP BY 1, 2),
+           |vno AS (SELECT rv.vec_id, cn.cn2 + rv.xsum + rv.xsum + rv.rn2 AS rnorm2
+           |        FROM rv JOIN cn ON cn.cell = rv.cell),
            |qn AS (SELECT q_id, sqrt(list_dot_product(q_emb, q_emb)) AS qnorm FROM q),
            |sc AS (SELECT pr.q_id, codes.vec_id,
-           |       max(pr.qcdot) AS qcdot, max(cn.cn2) AS cn2,
-           |       sum(qpart) AS rdots, sum(cpart) AS rn2, sum(xterm) AS xsum
+           |       max(pr.qcdot) AS qcdot, sum(qpart) AS rdots
            |       FROM probes pr JOIN codes ON codes.cell = pr.cell
            |            JOIN part ON part.q_id = pr.q_id AND part.sub = codes.sub
            |                     AND part.code = codes.code
-           |            JOIN xt ON xt.cell = codes.cell AND xt.sub = codes.sub
-           |                   AND xt.code = codes.code
-           |            JOIN cn ON cn.cell = codes.cell
            |       GROUP BY 1, 2),
-           |co AS (SELECT q_id, vec_id,
+           |co AS (SELECT sc.q_id, sc.vec_id,
            |       round((CAST(qcdot AS DOUBLE) + CAST(rdots AS DOUBLE)) /
-           |             (qnorm * sqrt((CAST(cn2 AS DOUBLE) + 2.0e0 * CAST(xsum AS DOUBLE))
-           |                           + CAST(rn2 AS DOUBLE))), 6) AS cos_pq
-           |       FROM sc JOIN qn USING (q_id) WHERE q_id <> vec_id),
+           |             (qnorm * sqrt(CAST(rnorm2 AS DOUBLE))), 6) AS cos_pq
+           |       FROM sc JOIN vno ON vno.vec_id = sc.vec_id
+           |               JOIN qn ON qn.q_id = sc.q_id WHERE sc.q_id <> sc.vec_id),
            |r AS (SELECT q_id, vec_id, cos_pq,
            |      row_number() OVER (PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rank
            |      FROM co)

@@ -191,6 +191,40 @@ object Pq {
     cells.join(assignCodes(pqCorpus, books, m, dim), Seq("vec_id"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    if (residual) {
+      // Vector-side reconstruction norm, precomputed ONCE at build: |x̂|² =
+      // |c|² + 2·Σs dot(c_s, book_s[code]) + Σs |book_s[code]|² is a pure
+      // function of (cell, codes) — query-independent, so carrying it in
+      // the index (cid-partitioned like the codes) removes two broadcast
+      // joins and three decimal aggregate columns from EVERY probe.
+      // Decimal additions only (x + x, never 2·x) keep the value exact and
+      // engine-portable; the probe casts to double once, under the sqrt.
+      val dsub = dim / m
+      val codesW = spark.read.parquet(s"$path/codes")
+      val cn = cents.select(col("cid"),
+        round(ArrayMath.dot(col("center"), col("center")), 12)
+          .cast("decimal(38,12)").as("cn2"))
+      val xt = cents.select(col("cid"), col("center"))
+        .crossJoin(books.select(col("sub"), col("cid").as("code"),
+          col("center").as("bc")))
+        .select(col("cid"), col("sub"), col("code"),
+          round(ArrayMath.dot(
+            slice(col("center"), col("sub").cast("int") * dsub + 1, lit(dsub)),
+            col("bc")), 12).cast("decimal(38,12)").as("xterm"))
+      val bn = books.select(col("sub"), col("cid").as("code"),
+        round(ArrayMath.dot(col("center"), col("center")), 12)
+          .cast("decimal(38,12)").as("bpart"))
+      codesW
+        .join(broadcast(xt), Seq("cid", "sub", "code"))
+        .join(broadcast(bn), Seq("sub", "code"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("xterm")).as("xsum"), sum(col("bpart")).as("rn2"))
+        .join(broadcast(cn), "cid")
+        .select(col("vec_id"), col("cid"),
+          (col("cn2") + col("xsum") + col("xsum") + col("rn2")).as("rnorm2"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vnorms")
+    }
     Seq((residual, nlist.toLong, m.toLong, ksub.toLong, dim.toLong))
       .toDF("residual", "nlist", "m", "ksub", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -205,12 +239,13 @@ object Pq {
     *
     * The coding is read from the index's `meta` table. For a residual index
     * the reconstruction is x̂ = c_cell + r̂, so
-    * dot(q, x̂) = dot(q, c_cell) + Σs qpart and
-    * |x̂|² = |c_cell|² + 2·Σs dot(c_cell_s, book_s[code]) + Σs |book_s[code]|²
-    * — the two extra terms are a per-(query, cell) scalar carried on the
-    * probe rows and a per-(cell, sub, code) broadcast lookup (nlist·m·ksub
-    * rows of index metadata); the corpus-sized side still exchanges one
-    * (q_id, vec_id) group of decimals. Output: (q_id, vec_id, cos_pq, rank). */
+    * dot(q, x̂) = dot(q, c_cell) + Σs qpart; the reconstruction norm |x̂|²
+    * is QUERY-INDEPENDENT and precomputed at build time into the index's
+    * `vnorms` table (one decimal per vector, cid-partitioned — see
+    * [[writeIvfPqIndex]]), so the residual probe keeps the non-residual
+    * aggregate shape: one qcdot carry + one qpart sum per candidate, plus
+    * a cell-pruned join against vnorms. Output: (q_id, vec_id, cos_pq,
+    * rank). */
   def ivfPqTopK(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, m: Int = 8, dim: Int = 64): DataFrame = {
     val dsub = dim / m
@@ -245,36 +280,27 @@ object Pq {
         .join(broadcast(partials), Seq("q_id", "sub", "code"))
       adcRank(joined, queryNorms(qDistinct).distinct(), k)
     } else {
-      val cn = cents.select(col("cid"),
-        round(ArrayMath.dot(col("center"), col("center")), 12)
-          .cast("decimal(38,12)").as("cn2"))
-      val xt = cents.select(col("cid"), col("center"))
-        .crossJoin(books.select(col("sub"), col("cid").as("code"),
-          col("center").as("bc")))
-        .select(col("cid"), col("sub"), col("code"),
-          round(ArrayMath.dot(
-            slice(col("center"), col("sub").cast("int") * dsub + 1, lit(dsub)),
-            col("bc")), 12).cast("decimal(38,12)").as("xterm"))
+      // the vector-side reconstruction norm was precomputed at build (one
+      // decimal per vector, cid-partitioned beside the codes) — the probe
+      // scans it under the SAME pushed cell filter and the per-candidate
+      // aggregate shrinks to the non-residual shape (one carry + one sum)
+      val vn = spark.read.parquet(s"$path/vnorms")
+        .filter(col("cid").isin(probed: _*))
+        .select(col("vec_id"), col("rnorm2"))
       val joined = codes
         .join(broadcast(qLocal.select("q_id", "cid", "qcdot")), Seq("cid"))
         .join(broadcast(partials), Seq("q_id", "sub", "code"))
-        .join(broadcast(xt), Seq("cid", "sub", "code"))
-        .join(broadcast(cn), Seq("cid"))
-      // qcdot/cn2 are constant within a (q_id, vec_id) group (one cell per
-      // vector); max() is pure carry. The double additions below keep ONE
-      // fixed association, mirrored verbatim by the oracle SQL.
+      // qcdot is constant within a (q_id, vec_id) group (one cell per
+      // vector); max() is pure carry.
       val scored = joined
         .groupBy(col("q_id"), col("vec_id"))
-        .agg(max(col("qcdot")).as("qcdot"), max(col("cn2")).as("cn2"),
-          sum(col("qpart")).as("rdots"), sum(col("cpart")).as("rn2"),
-          sum(col("xterm")).as("xsum"))
+        .agg(max(col("qcdot")).as("qcdot"), sum(col("qpart")).as("rdots"))
         .filter(col("q_id") =!= col("vec_id"))
+        .join(vn, Seq("vec_id"))
         .join(broadcast(queryNorms(qDistinct).distinct()), Seq("q_id"))
         .withColumn("cos_pq", round(
           (col("qcdot").cast("double") + col("rdots").cast("double")) /
-            (col("qnorm") * sqrt(
-              (col("cn2").cast("double") + lit(2.0) * col("xsum").cast("double"))
-                + col("rn2").cast("double"))), 6))
+            (col("qnorm") * sqrt(col("rnorm2").cast("double"))), 6))
       val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
