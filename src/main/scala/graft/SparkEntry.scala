@@ -755,6 +755,22 @@ object SparkEntry {
       Dedup.ccInsert(Dedup.connectedComponents(pairs.filter(!touched)),
         pairs.filter(touched)).orderBy("doc_id")
     }),
+    "q194_lp_incremental" -> ((s, dir) => {
+      // incremental community maintenance: 90% of the customer–supplier
+      // graph settles over 5 label-propagation rounds, the late 10% folds
+      // in as a batch with 2 warm rounds — q96's daemon path applied to
+      // communities; the oracle unrolls BOTH phases (the warm trajectory
+      // is not the cold q108 one)
+      val directed = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"),
+          (col("o_orderkey") % 10 === 0).as("late"))
+      val base = Graph.symmetrize(directed.filter(!col("late")).drop("late"))
+      val batch = Graph.symmetrize(directed.filter(col("late")).drop("late"))
+      val warm = Graph.lpRounds(Graph.lpInit(base), 5)
+      Graph.lpInsert(warm, batch, rounds = 2).labels.orderBy("node")
+    }),
     "q96_pagerank_incremental" -> ((s, dir) => {
       // incremental rank maintenance: 90% of the customer–supplier order
       // graph builds warm checkpointed state (5 rounds), the remaining 10%
@@ -3013,6 +3029,40 @@ object SparkEntry {
           |SELECT cohort, d.b - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_users
           |FROM d JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+      "q194_lp_incremental" -> {
+        // lpInit(5 rounds on the base graph) → lpInsert(late batch, 2 warm
+        // rounds) unrolled: the q108 vote/arg-max CTE pair per round, first
+        // over the base edge set, then over the merged one with new nodes
+        // entering self-labeled and settled nodes keeping their l5 label
+        def voteRounds(k0: Int, n: Int, edges: String, prev: String): String =
+          (1 to n).map { i =>
+            val k = k0 + i
+            val p = if (i == 1) prev else s"l${k - 1}"
+            s"""v$k AS (SELECT e.dst AS node, p.label, count(*) AS cnt
+               |  FROM $edges e JOIN $p p ON e.src = p.node GROUP BY 1, 2),
+               |w$k AS (SELECT node, label FROM (
+               |  SELECT node, label, row_number() OVER
+               |    (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v$k)
+               |  WHERE rn = 1),
+               |l$k AS (SELECT l.node, coalesce(w$k.label, l.label) AS label
+               |  FROM $p l LEFT JOIN w$k ON l.node = w$k.node)""".stripMargin
+          }.mkString(",\n")
+        s"""WITH d AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           |             CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst,
+           |             (o_orderkey % 10 = 0) AS late
+           |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |b0 AS (SELECT DISTINCT src, dst FROM d WHERE NOT late),
+           |eb AS (SELECT src, dst FROM b0 UNION SELECT dst, src FROM b0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+           |${voteRounds(0, 5, "eb", "l0")},
+           |m0 AS (SELECT DISTINCT src, dst FROM d),
+           |em AS (SELECT src, dst FROM m0 UNION SELECT dst, src FROM m0),
+           |lw AS (SELECT n.node, coalesce(l5.label, n.node) AS label
+           |       FROM (SELECT DISTINCT src AS node FROM em) n
+           |       LEFT JOIN l5 ON l5.node = n.node),
+           |${voteRounds(5, 2, "em", "lw")}
+           |SELECT node, label FROM l7 ORDER BY node""".stripMargin
+      },
       "q108_label_prop" -> { // Graph.labelPropagation unrolled: one CTE pair
         // per round — per-(node, label) vote counts over the symmetrized
         // edge set, then the (cnt DESC, label ASC) arg-max; the left join +

@@ -360,19 +360,38 @@ object Graph {
     * table moves), then a (node,label)-keyed count that partial-combines
     * map-side, then a node-keyed arg-max as a plain `max(struct)` aggregate
     * — no window, so a celebrity node's votes collapse before the exchange.
-    * Output: (node, label). */
-  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
-    require(rounds >= 0, "rounds must be non-negative")
+    * Output: (node, label). Cold wrapper over the warm-foldable
+    * [[lpInit]]/[[lpRounds]] state (same pattern as [[rankInit]]). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame =
+    lpRounds(lpInit(edges), rounds).labels
+
+  /** Warm label-propagation state, the [[RankState]] pattern: `edges` is
+    * the src-partitioned checkpointed layout, `labels` the node-sized
+    * (node, label) table at the current iterate. A daemon folds batches
+    * with [[lpInsert]]; bounded lineage via eager checkpoints throughout. */
+  final case class LabelState private[operators] (
+      edges: DataFrame, labels: DataFrame)
+
+  /** Build label state (every node its own community); run [[lpRounds]]
+    * to iterate. Same dangling-free contract as [[labelPropagation]]. */
+  def lpInit(edges: DataFrame): LabelState = {
     val spark = edges.sparkSession
     graft.util.Checkpoints.ensureDir(spark)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).sortWithinPartitions("src")
       .checkpoint(eager = true)
-    val nodes = e.select(col("src").as("node")).distinct()
-    val labels0 = nodes.select(col("node"), col("node").as("label"))
-    (1 to rounds).foldLeft(labels0) { (labels, _) =>
-      val votes = e.join(labels, e("src") === labels("node"))
-        .groupBy(e("dst").as("node"), col("label"))
+    val labels0 = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    LabelState(e, labels0.checkpoint(eager = true))
+  }
+
+  /** Advance `rounds` synchronous vote rounds from the CURRENT labels
+    * (warm start) and checkpoint the result. */
+  def lpRounds(st: LabelState, rounds: Int): LabelState = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val out = (1 to rounds).foldLeft(st.labels) { (labels, _) =>
+      val votes = st.edges.join(labels, st.edges("src") === labels("node"))
+        .groupBy(st.edges("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       // arg-max as one aggregate: max (cnt, -label) picks the highest
       // count, then the smallest label — no per-node window sort
@@ -382,6 +401,33 @@ object Graph {
       labels.join(winners, Seq("node"), "left")
         .select(col("node"), coalesce(col("__next"), col("label")).as("label"))
     }
+    if (rounds == 0) st else st.copy(labels = out.checkpoint(eager = true))
+  }
+
+  /** Fold a batch of edge INSERTS into the state and advance `rounds`
+    * warm vote rounds — the per-batch daemon path ([[rankInsert]]'s
+    * pattern applied to community maintenance). Batch edges already
+    * present are ignored (set semantics); genuinely new nodes enter in
+    * their own community (the init rule) while every existing node keeps
+    * its CURRENT label — a batch that attaches to a settled community
+    * re-converges in the few rounds it takes votes to reach the new
+    * nodes, instead of the full cold round budget. The merged graph must
+    * keep the dangling-free contract (a symmetrized batch always does).
+    *
+    * Scale shape: the anti-join delta is batch-sized; the one corpus-sized
+    * step is re-checkpointing the merged src-partitioned edge layout
+    * (the same compact-on-write [[rankInsert]] pays, for the same reason:
+    * every later round must join ONE layout, not base ∪ delta). */
+  def lpInsert(st: LabelState, batch: DataFrame, rounds: Int): LabelState = {
+    val delta = batch.select(col("src"), col("dst")).distinct()
+      .join(st.edges, Seq("src", "dst"), "left_anti")
+    val merged = st.edges.union(delta)
+      .repartition(col("src")).sortWithinPartitions("src")
+      .checkpoint(eager = true)
+    val warm = merged.select(col("src").as("node")).distinct()
+      .join(st.labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    lpRounds(LabelState(merged, warm.checkpoint(eager = true)), rounds)
   }
 
   /** Per-node triangle counts by degree-ordered wedge enumeration

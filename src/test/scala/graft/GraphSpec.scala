@@ -297,6 +297,50 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("lp incremental: warm insert reaches the cold fixpoint on cliques + bridge") {
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val base = Graph.symmetrize(
+      (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++ clique(Seq(10L, 11L, 12L, 13L, 14L)))
+        .toDF("src", "dst"))
+    // settle both communities cold, then fold in a bridge plus a new
+    // pendant node attached to the second clique
+    val warm0 = Graph.lpRounds(Graph.lpInit(base), 5)
+    val batch = Graph.symmetrize(Seq((5L, 10L), (14L, 20L)).toDF("src", "dst"))
+    val warm = Graph.lpInsert(warm0, batch, rounds = 3)
+    val warmMap = warm.labels.as[(Long, Long)].collect().toMap
+    // cold run on the merged graph to its own fixpoint
+    val merged = Graph.symmetrize(base.union(batch))
+    val coldMap = Graph.labelPropagation(merged, 8).as[(Long, Long)]
+      .collect().toMap
+    assert(warmMap == coldMap, s"warm $warmMap vs cold $coldMap")
+    // and the communities are the expected ones: each clique keeps its min
+    // label, the bridge does not merge them, the new node joins clique 2
+    assert((1L to 5L).map(warmMap).toSet == Set(1L))
+    assert(((10L to 14L) :+ 20L).map(warmMap).toSet == Set(10L))
+  }
+
+  test("lp incremental: re-inserting existing edges with 0 rounds is identity") {
+    val e = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+    val st = Graph.lpRounds(Graph.lpInit(e), 4)
+    val before = st.labels.orderBy("node").as[(Long, Long)].collect().toSeq
+    val st2 = Graph.lpInsert(st, e, rounds = 0)
+    val after = st2.labels.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(before == after)
+    assert(st2.edges.count() == st.edges.count())
+  }
+
+  test("lp incremental: invariant under input partitioning") {
+    val rows = (1 to 120).map(i => (i.toLong % 30, (i.toLong * 7) % 30))
+      .filter(t => t._1 != t._2)
+    def run(p: Int) = {
+      val e = Graph.symmetrize(rows.toDF("src", "dst").repartition(p))
+      val st = Graph.lpInsert(Graph.lpRounds(Graph.lpInit(e), 2),
+        Graph.symmetrize(Seq((100L, 0L)).toDF("src", "dst")), rounds = 2)
+      st.labels.orderBy("node").as[(Long, Long)].collect().toSeq
+    }
+    assert(run(1) == run(9))
+  }
+
   test("label propagation: parallel edges weight their endpoint's vote") {
     // node 3 sees 1 once and 2 twice (parallel edges kept as rows) -> 2 wins
     // despite the smaller-label tie-break preferring 1 on equal counts
