@@ -755,6 +755,42 @@ object SparkEntry {
       Dedup.ccInsert(Dedup.connectedComponents(pairs.filter(!touched)),
         pairs.filter(touched)).orderBy("doc_id")
     }),
+    "q195_containment" -> ((s, dir) =>
+      // asymmetric near-dup: 3-gram containment >= 0.8 — catches a doc
+      // quoted/embedded inside a much larger one, which symmetric Jaccard
+      // (q31) misses when sizes differ; same inverted-index core
+      Dedup.containmentPairs(tp(s, dir, "documents"), 3, 0.8)
+        .orderBy("a_id", "b_id")),
+    "q196_group_quantiles" -> ((s, dir) =>
+      // per-source exact token-length P25/P50/P90 — the q138 bucket
+      // refinement per group, every driver collect replaced by a
+      // distributed stage (holds at any group count)
+      Stats.exactQuantilesPerGroup(
+          tp(s, dir, "documents")
+            .select(col("source"), TextAnalysis.tokenCount(col("text")).as("v")),
+          "source", "v", Seq(0.25, 0.5, 0.9))
+        .orderBy("grp", "p")),
+    "q197_mad" -> ((s, dir) =>
+      // robust center/spread per event type: median + MAD via two grouped
+      // bucket-refinement passes — the outlier gate a whale value can't move
+      Stats.madPerGroup(
+          t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", "value")
+        .orderBy("grp")),
+    "q198_self_bleu" -> ((s, dir) => {
+      // corpus-diversity readout: BLEU-2 of each doc against the next doc
+      // in its source (self-BLEU — high = templated text); the pairing is
+      // a narrow +1 equi-join, never a per-source window sort
+      val docs = tp(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val pairs = docs.alias("a").join(docs.alias("b"),
+          col("a.source") === col("b.source") &&
+            col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pair_id"), col("a.text").as("cand"),
+          col("b.text").as("ref"))
+      TextAnalysis.bleuPairs(pairs, "pair_id", "cand", "ref", 2)
+        .orderBy("pair_id")
+    }),
     "q194_lp_incremental" -> ((s, dir) => {
       // incremental community maintenance: 90% of the customer–supplier
       // graph settles over 5 label-propagation rounds, the late 10% folds
@@ -3029,6 +3065,90 @@ object SparkEntry {
           |SELECT cohort, d.b - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_users
           |FROM d JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+      "q195_containment" -> // containmentPairs replayed off the shared
+        // inverted-index pair-count CTE: only the ratio differs from q31
+        s"""$ngramPairsWith
+           |SELECT a_id, b_id, common,
+           |       round(CAST(common AS DOUBLE) / least(a_n, b_n), 6)
+           |         AS containment
+           |FROM pairs
+           |WHERE CAST(common AS DOUBLE) / least(a_n, b_n) >= 0.8e0
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q196_group_quantiles" -> // the oracle never sees the buckets: the
+        // per-group ceil-rank order statistic by a plain per-group
+        // row_number (the q138 convention, grouped)
+        """WITH v AS (SELECT CAST(source AS VARCHAR) AS grp,
+          |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS v FROM documents),
+          |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+          |t AS (SELECT grp, n, p FROM n
+          |      CROSS JOIN (VALUES (0.25e0), (0.5e0), (0.9e0)) pv(p)),
+          |k AS (SELECT grp, p, CAST(ceil(p * n) AS BIGINT) AS k FROM t),
+          |r AS (SELECT grp, v, CAST(row_number() OVER (
+          |        PARTITION BY grp ORDER BY v) AS BIGINT) AS rw FROM v)
+          |SELECT k.grp, k.p, k.k AS rank, r.v AS value
+          |FROM k JOIN r ON r.grp = k.grp AND r.rw = k.k
+          |ORDER BY k.grp, k.p""".stripMargin,
+      "q197_mad" -> // median and MAD by the same ceil-rank rule, the
+        // deviation pass off the joined median
+        """WITH v AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+          |    CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+          |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+          |r AS (SELECT grp, v, row_number() OVER (
+          |        PARTITION BY grp ORDER BY v) AS rw FROM v),
+          |med AS (SELECT r.grp, r.v AS median FROM r JOIN n ON n.grp = r.grp
+          |        WHERE r.rw = CAST(ceil(0.5e0 * n) AS BIGINT)),
+          |d AS (SELECT v.grp, abs(v.v - med.median) AS v
+          |      FROM v JOIN med ON med.grp = v.grp),
+          |rd AS (SELECT grp, v, row_number() OVER (
+          |         PARTITION BY grp ORDER BY v) AS rw FROM d),
+          |mad AS (SELECT rd.grp, rd.v AS mad FROM rd JOIN n ON n.grp = rd.grp
+          |        WHERE rd.rw = CAST(ceil(0.5e0 * n) AS BIGINT))
+          |SELECT n.grp, n.n, med.median, mad.mad
+          |FROM n JOIN med ON med.grp = n.grp JOIN mad ON mad.grp = n.grp
+          |ORDER BY n.grp""".stripMargin,
+      "q198_self_bleu" -> {
+        // bleuPairs replayed: exact clipped counts per order, round-6
+        // precisions, the round-6-libm ln/exp chain, brevity penalty
+        def side(c: String, out: String): String =
+          s"""SELECT pid, n, gram, CAST(count(*) AS BIGINT) AS $out FROM (
+             |  SELECT pid, 1 AS n, unnest(${gramsNAll(c, 1)}) AS gram FROM pr
+             |  UNION ALL
+             |  SELECT pid, 2 AS n, unnest(${gramsNAll(c, 2)}) AS gram FROM pr)
+             |GROUP BY 1, 2, 3""".stripMargin
+        s"""WITH pr AS (SELECT a.doc_id AS pid, a.text AS cand, b.text AS ref
+           |      FROM documents a JOIN documents b
+           |        ON a.source = b.source AND b.doc_id = a.doc_id + 1),
+           |cc AS (${side("cand", "cc")}),
+           |rc AS (${side("ref", "rc")}),
+           |pn AS (SELECT cc.pid, cc.n,
+           |         sum(least(cc, coalesce(rc, 0))) AS clipped,
+           |         sum(cc) AS total
+           |       FROM cc LEFT JOIN rc ON rc.pid = cc.pid AND rc.n = cc.n
+           |                           AND rc.gram = cc.gram
+           |       GROUP BY 1, 2),
+           |p AS (SELECT pid, n, round(CAST(clipped AS DOUBLE)
+           |        / CAST(total AS DOUBLE), 6) AS p FROM pn),
+           |pp AS (SELECT pid, max(CASE WHEN n = 1 THEN p END) AS p1,
+           |         max(CASE WHEN n = 2 THEN p END) AS p2,
+           |         min(p) AS pmin,
+           |         sum(CASE WHEN p > 0.0e0 THEN round(ln(p), 6) END) AS slog,
+           |         CAST(count(*) AS BIGINT) AS kn
+           |       FROM p GROUP BY 1),
+           |lens AS (SELECT pid,
+           |           CAST(len(string_split(cand, ' ')) AS BIGINT) AS cand_len,
+           |           CAST(len(string_split(ref, ' ')) AS BIGINT) AS ref_len
+           |         FROM pr)
+           |SELECT l.pid AS pair_id, cand_len, ref_len,
+           |       coalesce(p1, 0.0e0) AS p1, coalesce(p2, 0.0e0) AS p2,
+           |       coalesce(CASE WHEN pmin > 0.0e0 AND kn = 2 THEN
+           |         round((CASE WHEN cand_len >= ref_len THEN 1.0e0
+           |                ELSE round(exp(1.0e0 - CAST(ref_len AS DOUBLE)
+           |                  / CAST(cand_len AS DOUBLE)), 6) END)
+           |           * round(exp(slog / 2), 6), 6)
+           |         ELSE 0.0e0 END, 0.0e0) AS bleu
+           |FROM lens l LEFT JOIN pp ON pp.pid = l.pid
+           |ORDER BY pair_id""".stripMargin
+      },
       "q194_lp_incremental" -> {
         // lpInit(5 rounds on the base graph) → lpInsert(late batch, 2 warm
         // rounds) unrolled: the q108 vote/arg-max CTE pair per round, first

@@ -101,6 +101,42 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs: common / min(|A|, |B|) >= threshold —
+    * the ASYMMETRIC near-dup detector (Broder '97 §2 distinguishes
+    * resemblance from containment) that catches one document quoted,
+    * excerpted, or concatenated inside another. Symmetric Jaccard misses
+    * exactly these: a 50-gram doc fully embedded in a 500-gram doc has
+    * J = 50/500 = 0.1 but containment 1.0 — the quote/boilerplate case a
+    * curation pipeline must catch (eval-set leakage hides this way too).
+    *
+    * Same inverted-index candidate core and df-cap contract as
+    * [[ngramJaccardPairs]] (cap bounds the per-gram quadratic term;
+    * exact over the df-filtered gram space); only the final ratio
+    * differs. Output: (a_id, b_id, common, containment round-6). */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxGramDocs: Int = 10000): DataFrame = {
+    val g = gramRows(docs, n)
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > 1 && col("gdf") <= maxGramDocs)
+      .select("gram")
+    val gf = g.join(keep, "gram")
+    val pairs = gf.select(col("gram"), col("doc_id").as("a_id"))
+      .join(gf.select(col("gram"), col("doc_id").as("b_id")), "gram")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_grams", "a_n"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_grams", "b_n"), "b_id")
+      .withColumn("containment",
+        col("common").cast("double") / least(col("a_n"), col("b_n")))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("common"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Prefix-filtered exact n-gram Jaccard pairs (the prefix-filter principle
     * of PPJoin — Xiao et al., WWW'08; Chaudhuri et al., ICDE'06): the SOUND
     * replacement for [[ngramJaccardPairs]]'s df-gate heuristic. Order every

@@ -113,6 +113,89 @@ object Stats {
       .select(col("p"), col("rank"), col("v").as("value"))
   }
 
+  /** EXACT quantiles PER GROUP without any per-group sort of the corpus —
+    * [[exactQuantiles]]'s two-pass bucket refinement with every driver
+    * collect replaced by a distributed stage, so it holds at ANY group
+    * count (the global form's collect is bounded by `buckets`; a grouped
+    * collect would be groups × buckets — unbounded):
+    *
+    *  1. per-group (n, min, max) aggregate; rows bucket against their OWN
+    *     group's range;
+    *  2. per-(group, bucket) counts with a cumulative window over ≤
+    *     `buckets` rows per group (bucket-ordered, group-partitioned —
+    *     parallel);
+    *  3. each target rank k = ⌈p·n⌉ locates its bucket by a range join on
+    *     the cumulative table, and ONE ranked pass over just the targeted
+    *     (group, bucket) cells picks the exact order statistics.
+    *
+    * Ties share a bucket, so the k-th smallest VALUE is well-defined. A
+    * constant-valued group collapses to one bucket (its window degenerates
+    * to that group's rows — the honest cost). Output: (grp, p, rank,
+    * value) per group × requested p, p in (0, 1]. */
+  def exactQuantilesPerGroup(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], buckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "exactQuantilesPerGroup: probabilities must be in (0, 1]")
+    require(buckets >= 2, "exactQuantilesPerGroup: need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val stats = rows.groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+    val withB = rows.join(stats, "grp")
+      .withColumn("w", when(col("mx") > col("mn"),
+        (col("mx") - col("mn")) / buckets).otherwise(lit(1.0)))
+      .select(col("grp"),
+        least(floor((col("v") - col("mn")) / col("w")).cast("long"),
+          lit(buckets - 1L)).as("b"),
+        col("v"))
+    val cumW = Window.partitionBy("grp").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = withB.groupBy("grp", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cb", coalesce(sum(col("c")).over(cumW), lit(0L)))
+    val targets = stats
+      .select(col("grp"), col("n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("k", ceil(col("p") * col("n")).cast("long"))
+    val located = targets.join(cum, Seq("grp"))
+      .filter(col("cb") < col("k") && col("k") <= col("cb") + col("c"))
+      .select(col("grp"), col("p"), col("k"), col("b"),
+        (col("k") - col("cb")).as("within"))
+    val wanted = located.select("grp", "b").distinct()
+    val ranked = withB.join(wanted, Seq("grp", "b"))
+      .withColumn("rw", row_number().over(
+        Window.partitionBy("grp", "b").orderBy("v")).cast("long"))
+      .select(col("grp"), col("b"), col("v"), col("rw"))
+    located.join(ranked, Seq("grp", "b"))
+      .filter(col("within") === col("rw"))
+      .select(col("grp"), col("p"), col("k").as("rank"), col("v").as("value"))
+  }
+
+  /** Median and MAD (median absolute deviation) per group — the robust
+    * center/spread pair that one whale value cannot move (breakdown point
+    * 50%, vs 0% for mean/σ): the outlier-gate statistic when values are
+    * heavy-tailed, which corpus token counts and spend columns always are.
+    * Two [[exactQuantilesPerGroup]] passes (median of v, then median of
+    * |v − median|) — each is the bucket-refinement shape, no per-group
+    * sort; the deviations join is one group-keyed equi-join. |v − m| is a
+    * single IEEE subtraction both engines replay bit-identically. Output:
+    * (grp, n, median, mad). */
+  def madPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val med = exactQuantilesPerGroup(rows, "grp", "v", Seq(0.5), buckets)
+      .select(col("grp"), col("value").as("median"))
+    val dev = rows.join(med, "grp")
+      .select(col("grp"), abs(col("v") - col("median")).as("v"))
+    val mad = exactQuantilesPerGroup(dev, "grp", "v", Seq(0.5), buckets)
+      .select(col("grp"), col("value").as("mad"))
+    rows.groupBy("grp").agg(count(lit(1)).as("n"))
+      .join(med, "grp").join(mad, "grp")
+      .select(col("grp"), col("n"), col("median"), col("mad"))
+  }
+
   /** Exact global 1-based rank for EVERY row under the total order
     * (`valueCol` asc, `tieCol` asc) — [[exactQuantiles]]'s bucket
     * refinement generalized from "a few target ranks" to "rank all

@@ -165,6 +165,71 @@ object TextAnalysis {
       .join(top, Seq("doc_id"))
   }
 
+  /** BLEU-style n-gram overlap per (candidate, reference) pair — the
+    * classic MT metric (Papineni et al., ACL'02) as a corpus operator:
+    * per pair, modified n-gram precision p_n = Σ_g min(cnt_cand(g),
+    * cnt_ref(g)) / |cand n-grams| for n = 1..maxN, geometric mean with
+    * the brevity penalty BP = min(1, e^(1 − ref_len/cand_len)). In a
+    * data pipeline this scores paraphrase/near-copy pairs, and with
+    * within-corpus pairings it is SELF-BLEU (Zhu et al. '18) — the
+    * corpus-diversity readout (high self-BLEU = templated text).
+    *
+    * Determinism: clipped counts and lengths are exact integers; each
+    * precision rounds to 6; every transcendental follows the round-6 libm
+    * rule (round(ln p, 6) summed, round(exp ·, 6) once) — the q78/q168
+    * convention, replayable in SQL. Any p_n = 0 makes bleu 0 (the
+    * standard degenerate case, no ln(0) evaluated).
+    *
+    * Scale shape: one (pair, n, gram)-keyed count per side (word-count
+    * aggregates, map-side combined), one equi-join on the gram key, one
+    * per-(pair, n) collapse, one per-pair collapse — all narrow or
+    * key-partitioned; nothing pair-quadratic. Output: (pair id, cand_len,
+    * ref_len, p1..pmaxN, bleu). */
+  def bleuPairs(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, "maxN in [1, 4]")
+    def gramsAll(c: Column, n: Int): Column = {
+      val toks = split(c, " ")
+      when(size(toks) >= n, transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    def sideCounts(c: String, out: String) = (1 to maxN).map { n =>
+      pairs.select(col(idCol).as("pid"), explode(gramsAll(col(c), n)).as("gram"))
+        .groupBy("pid", "gram").agg(count(lit(1)).as(out))
+        .withColumn("n", lit(n))
+    }.reduce(_.unionByName(_))
+    val cand = sideCounts(candCol, "cc")
+    val ref = sideCounts(refCol, "rc")
+    val perN = cand.join(ref, Seq("pid", "n", "gram"), "left")
+      .groupBy("pid", "n")
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("clipped"),
+        sum(col("cc")).as("total"))
+      .withColumn("p", round(col("clipped").cast("double") /
+        col("total").cast("double"), 6))
+    val lens = pairs.select(col(idCol).as("pid"),
+      size(split(col(candCol), " ")).cast("long").as("cand_len"),
+      size(split(col(refCol), " ")).cast("long").as("ref_len"))
+    val pCols = (1 to maxN).map(n =>
+      max(when(col("n") === n, col("p"))).as(s"p$n"))
+    val aggCols = pCols :+ min(col("p")).as("pmin") :+
+      sum(when(col("p") > 0.0, round(log(col("p")), 6))).as("slog") :+
+      count(lit(1)).as("kn")
+    val perPair = perN.groupBy("pid").agg(aggCols.head, aggCols.tail: _*)
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(round(exp(lit(1.0) - col("ref_len").cast("double") /
+        col("cand_len").cast("double")), 6))
+    // a pair too short for every order (kn < maxN) or with a zero
+    // precision scores 0 — no ln(0) is ever evaluated
+    val bleu = when(col("pmin") > 0.0 && col("kn") === maxN,
+        round(bp * round(exp(col("slog") / maxN), 6), 6))
+      .otherwise(lit(0.0))
+    lens.join(perPair, Seq("pid"), "left")
+      .select(Seq(col("pid").as(idCol), col("cand_len"), col("ref_len")) ++
+        (1 to maxN).map(n => coalesce(col(s"p$n"), lit(0.0)).as(s"p$n")) :+
+        coalesce(bleu, lit(0.0)).as("bleu"): _*)
+  }
+
   /** Token-window chunking with overlap — the standard context-window /
     * retrieval chunker: windows of `chunkSize` tokens starting every
     * `stride` tokens (overlap = chunkSize - stride; stride = chunkSize means

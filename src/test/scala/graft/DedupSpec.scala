@@ -42,6 +42,40 @@ class DedupSpec extends SparkSpec {
     assert(groups.head.getLong(1) == 0L && groups.head.getLong(2) == 2L) // keep 0, count 2
   }
 
+  test("containment pairs: an embedded doc scores 1.0 where jaccard misses it") {
+    // doc 20 is doc 6's text embedded inside a much longer doc 21
+    val extra = Seq(
+      (20L, "spark catalyst tungsten shuffle partition broadcast join agg scan sort"),
+      (21L, "intro words before the payload spark catalyst tungsten shuffle " +
+        "partition broadcast join agg scan sort and a long tail of unrelated " +
+        "filler content keeps the union large and the jaccard small")
+    ).toDF("doc_id", "text")
+    val all = docs.union(extra)
+    val cont = Dedup.containmentPairs(all, 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cont((20L, 21L)) == 1.0) // every 3-gram of 20 appears in 21
+    assert(cont((6L, 20L)) == 1.0) // identical docs contain each other
+    assert(cont((6L, 21L)) == 1.0)
+    // symmetric jaccard at the same threshold misses the embedding pair
+    val jac = Dedup.ngramJaccardPairs(all, 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((20L, 21L)))
+    // brute-force value check at a loose threshold
+    val txts = all.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Dedup.containmentPairs(all, 3, 0.1).collect().foreach { r =>
+      val (ga, gb) = (grams3(txts(r.getLong(0))), grams3(txts(r.getLong(1))))
+      val expected = ga.intersect(gb).size.toDouble / math.min(ga.size, gb.size)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-6)
+      assert(r.getLong(2) == ga.intersect(gb).size)
+    }
+  }
+
+  test("containment pairs: invariant under input partitioning") {
+    def run(p: Int) = Dedup.containmentPairs(docs.repartition(p), 3, 0.3)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(run(1) == run(7))
+  }
+
   test("ngram jaccard pairs match brute force") {
     val got = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -85,6 +85,52 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("grouped quantiles: every group matches its own sorted-array statistics") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 4000).map { _ =>
+      val g = s"g${rnd.nextInt(5)}"
+      (g, rnd.nextInt(300) / 3.0) // heavy ties
+    }
+    val df = rows.toDF("grp", "v")
+    val ps = Seq(0.1, 0.5, 0.9, 1.0)
+    val got = Stats.exactQuantilesPerGroup(df, "grp", "v", ps, buckets = 32)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      ps.foreach { p =>
+        val k = math.ceil(p * sorted.length).toLong
+        assert(got((g, p)) == ((k, sorted((k - 1).toInt))), s"grp=$g p=$p")
+      }
+    }
+    assert(got.size == 5 * ps.size)
+  }
+
+  test("grouped quantiles: constant group, singleton group, partition invariance") {
+    val df = (Seq.fill(20)(("flat", 4.5)) ++ Seq(("one", 9.0)) ++
+      (1 to 50).map(i => ("spread", i.toDouble))).toDF("grp", "v")
+    def run(p: Int, b: Int) =
+      Stats.exactQuantilesPerGroup(df.repartition(p), "grp", "v",
+        Seq(0.5, 1.0), b).orderBy("grp", "p").collect().toSeq
+    val a = run(1, 16)
+    assert(a == run(9, 512))
+    val m = a.map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    assert(m(("flat", 0.5)) == 4.5 && m(("flat", 1.0)) == 4.5)
+    assert(m(("one", 0.5)) == 9.0 && m(("one", 1.0)) == 9.0)
+    assert(m(("spread", 0.5)) == 25.0 && m(("spread", 1.0)) == 50.0)
+  }
+
+  test("mad: hand-computed median/MAD; a planted whale cannot move either") {
+    // 1..9: median 5 (ceil-rank), deviations 0..4 -> MAD = ceil-rank median 2
+    val base = (1 to 9).map(i => ("a", i.toDouble))
+    val Array(r) = Stats.madPerGroup(base.toDF("grp", "v"), "grp", "v").collect()
+    assert(r.getLong(1) == 9 && r.getDouble(2) == 5.0 && r.getDouble(3) == 2.0)
+    // replace the top value with a whale: median and MAD are unchanged
+    val whale = base.init :+ (("a", 1e9))
+    val Array(w) = Stats.madPerGroup(whale.toDF("grp", "v"), "grp", "v").collect()
+    assert(w.getDouble(2) == 5.0 && w.getDouble(3) == 2.0)
+  }
+
   test("ab test: hand-computed z on a known split; equal rates read z = 0") {
     // control: 80/100 success; treatment: 60/100: p̂ = .7
     // z = 0.2 / sqrt(.7*.3*(1/100+1/100)) = 0.2/0.0648074 = 3.086067

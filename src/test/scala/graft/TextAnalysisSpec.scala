@@ -283,6 +283,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert((r2.getLong(2), r2.getLong(3)) == ((1L, 3L)))
   }
 
+  test("bleu: identical, hand-computed partial, clipped, brevity, disjoint") {
+    val pairs = Seq(
+      (0L, "a b c d", "a b c d"), // identical -> 1.0
+      (1L, "a b c d", "a b x d"), // p1 = 3/4, p2 = 1/3 -> bleu 0.5
+      (2L, "the the the the", "the cat"), // clipping: p1 = 1/4, p2 = 0
+      (3L, "a b", "a b c d"), // brevity penalty engages
+      (4L, "p q r s", "w x y z") // disjoint -> 0
+    ).toDF("pair_id", "cand", "ref")
+    val got = TextAnalysis.bleuPairs(pairs, "pair_id", "cand", "ref", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(0L) == ((4L, 4L, 1.0, 1.0, 1.0)))
+    // p2 rounds to 0.333333; slog = round(ln .75) + round(ln .333333) =
+    // -1.386295, exp(/2) rounds to 0.5, bp = 1
+    assert(got(1L) == ((4L, 4L, 0.75, 0.333333, 0.5)))
+    assert(got(2L) == ((4L, 2L, 0.25, 0.0, 0.0))) // min(4 cand 'the', 1 ref)
+    // identical prefix pair: p1 = 1, p2 = 1, bp = round(exp(1-2), 6)
+    assert(got(3L) == ((2L, 4L, 1.0, 1.0, 0.367879)))
+    assert(got(4L) == ((4L, 4L, 0.0, 0.0, 0.0)))
+  }
+
+  test("bleu: partitioning-invariant and robust to one-token candidates") {
+    val pairs = (1 to 60).map(i =>
+      (i.toLong, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 5} common tail",
+        s"w${i % 5} w${(i + 2) % 7} common tail end")).toDF("pid", "c", "r")
+    def run(p: Int) = TextAnalysis.bleuPairs(pairs.repartition(p), "pid", "c", "r")
+      .orderBy("pid").collect().toSeq
+    assert(run(1) == run(9))
+    // a one-token candidate has no bigram: kn < maxN -> bleu 0, p1 exact
+    val tiny = Seq((0L, "common", "common tail")).toDF("pid", "c", "r")
+    val Array(t) = TextAnalysis.bleuPairs(tiny, "pid", "c", "r").collect()
+    assert(t.getDouble(3) == 1.0 && t.getDouble(4) == 0.0 && t.getDouble(5) == 0.0)
+  }
+
   test("zipfFit matches a brute OLS over the same rounded log terms") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
     val r = TextAnalysis.zipfFit(docs).collect().head
