@@ -755,6 +755,18 @@ object SparkEntry {
       Dedup.ccInsert(Dedup.connectedComponents(pairs.filter(!touched)),
         pairs.filter(touched)).orderBy("doc_id")
     }),
+    "q199_bm25_incremental" -> ((s, dir) => {
+      // the retrieval daemon path: index 90% of the corpus at rest, fold
+      // the late 10% in as an LSM-style batch append (no base rewrite),
+      // then serve — the oracle recomputes BM25 from ALL documents, so a
+      // green hash proves incremental == full rebuild
+      val docs = tp(s, dir, "documents")
+      val path = invIndexPath(dir) + "_inc"
+      Retrieval.writeInvertedIndex(docs.filter(col("doc_id") % 10 =!= 0), path)
+      Retrieval.invIndexInsert(s, path, docs.filter(col("doc_id") % 10 === 0))
+      Retrieval.bm25TopKIndexed(s, path, Seq("scan", "vector", "stream"), 15)
+        .orderBy("rank")
+    }),
     "q195_containment" -> ((s, dir) =>
       // asymmetric near-dup: 3-gram containment >= 0.8 — catches a doc
       // quoted/embedded inside a much larger one, which symmetric Jaccard
@@ -3065,6 +3077,33 @@ object SparkEntry {
           |SELECT cohort, d.b - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_users
           |FROM d JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+      "q199_bm25_incremental" -> {
+        // the q102 from-scratch mirror over ALL documents with q199's
+        // terms: a green hash proves base-build + batch append serves the
+        // identical scores a full rebuild would
+        val terms = Seq("scan", "vector", "stream").map(t => s"'$t'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |consts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl FROM documents),
+           |qt AS (SELECT * FROM tok WHERE token IN ($terms)),
+           |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+           |dfr AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+           |s AS (SELECT tf.doc_id,
+           |      round((ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+           |                / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+           |             * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)))
+           |            / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0)
+           |               + 0.75e0 * (CAST(dl AS DOUBLE)
+           |                           / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))), 6) AS ts
+           |      FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN consts),
+           |sc AS (SELECT doc_id, CAST(sum(CAST(ts AS DECIMAL(38,6))) AS DOUBLE) AS score
+           |       FROM s GROUP BY doc_id),
+           |r AS (SELECT doc_id, score,
+           |      row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+           |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM r
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin
+      },
       "q195_containment" -> // containmentPairs replayed off the shared
         // inverted-index pair-count CTE: only the ratio differs from q31
         s"""$ngramPairsWith

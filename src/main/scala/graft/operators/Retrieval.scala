@@ -114,6 +114,49 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
   }
 
+  /** Fold a batch of NEW documents into a materialized
+    * [[writeInvertedIndex]] index — the warm-fold family
+    * ([[Graph.rankInsert]]/[[Graph.lpInsert]]) applied to retrieval: the
+    * daemon path that keeps a served index fresh at batch cost, never
+    * re-tokenizing the corpus.
+    *
+    * The batch tokenizes ALONE (batch-sized aggregates) and its posting
+    * rows APPEND into the existing tb=… directories — an LSM-style insert:
+    * the base postings are never rewritten, each bucket directory just
+    * gains batch files. The stats row then rewrites with the bumped
+    * (n_docs, sum_dl). Write order is postings-then-stats: a reader that
+    * races the fold sees the old constants with a few extra postings
+    * (marginally stale idf/avgdl), never missing documents with inflated
+    * constants. Batch doc_ids MUST be new — same-id re-ingest is an
+    * upsert, which the CDC compactor handles upstream of the index (a
+    * doc-keyed existence probe here would full-scan the token-partitioned
+    * layout; the ingest cursor already guarantees newness). */
+  def invIndexInsert(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, textCol: String = "text"): Unit = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    val nBuckets = stats.getAs[Long]("n_buckets")
+    val toks = batch.select(col("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("tb",
+        pmod(graft.functions.PortableHashes.tokenSlot(col("token")),
+          lit(nBuckets)))
+      .repartition(col("tb"))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+    val b = batch
+      .agg(count(lit(1)).as("bn"),
+        coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
+          .as("bdl"))
+      .collect()(0)
+    Seq((stats.getAs[Long]("n_docs") + b.getLong(0),
+        stats.getAs[Long]("sum_dl") + b.getLong(1), nBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25 top-k served from a materialized [[writeInvertedIndex]] index:
     * the query terms' buckets are computed driver-side with the SAME
     * polynomial hash the writer used ([[graft.functions.expressions

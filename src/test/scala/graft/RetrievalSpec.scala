@@ -82,6 +82,29 @@ class RetrievalSpec extends SparkSpec {
       ("a", 1L, 2L, 3L), ("d", 1L, 1L, 3L)))
   }
 
+  test("incremental index fold serves exactly what a full rebuild serves") {
+    val all = (0L until 80L).map(i =>
+      i -> s"alpha${i % 7} beta${i % 5} cat dog${i % 3} word$i")
+    val base = all.filter(_._1 % 10 != 0)
+    val late = all.filter(_._1 % 10 == 0)
+    val incPath = java.nio.file.Files.createTempDirectory("inv-inc").toString + "/idx"
+    Retrieval.writeInvertedIndex(docsDf(base: _*), incPath, nBuckets = 16)
+    Retrieval.invIndexInsert(spark, incPath, docsDf(late: _*))
+    val fullPath = java.nio.file.Files.createTempDirectory("inv-full").toString + "/idx"
+    Retrieval.writeInvertedIndex(docsDf(all: _*), fullPath, nBuckets = 16)
+    val terms = Seq("cat", "dog0", "alpha3")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(rows(Retrieval.bm25TopKIndexed(spark, incPath, terms, 10)) ===
+      rows(Retrieval.bm25TopKIndexed(spark, fullPath, terms, 10)))
+    // stats carry the folded constants; base posting files were not
+    // rewritten (the append only ADDS files)
+    val st = spark.read.parquet(s"$incPath/stats").collect()(0)
+    assert(st.getAs[Long]("n_docs") === 80L)
+    val fullSt = spark.read.parquet(s"$fullPath/stats").collect()(0)
+    assert(st.getAs[Long]("sum_dl") === fullSt.getAs[Long]("sum_dl"))
+  }
+
   test("phraseHits: exact counts, overlaps, boundaries, short docs") {
     val docs = docsDf(
       0L -> "ban me not ban me",   // 2 hits of "ban me", at start and end
