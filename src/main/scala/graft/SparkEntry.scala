@@ -755,6 +755,29 @@ object SparkEntry {
       Dedup.ccInsert(Dedup.connectedComponents(pairs.filter(!touched)),
         pairs.filter(touched)).orderBy("doc_id")
     }),
+    "q200_cube" -> ((s, dir) =>
+      // the OLAP summary lattice: one pass emits every (returnflag,
+      // linestatus) grouping-set aggregate plus both margins and the
+      // grand total, grouping_id disambiguating real NULLs from
+      // rolled-up dimensions — Catalyst expands the cube BEFORE the
+      // aggregate, so it is still one shuffle with map-side combine
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+    "q201_pivot" -> ((s, dir) =>
+      // the wide summary table: per-source doc counts pivoted over the
+      // closed language set — one groupBy with conditional aggregates
+      // under the hood (values pinned, so no discovery pass)
+      tp(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source")),
     "q199_bm25_incremental" -> ((s, dir) => {
       // the retrieval daemon path: index 90% of the corpus at rest, fold
       // the late 10% in as an LSM-style batch append (no base rewrite),
@@ -3077,6 +3100,23 @@ object SparkEntry {
           |SELECT cohort, d.b - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_users
           |FROM d JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+      "q200_cube" -> // the same lattice via GROUP BY CUBE; grouping() bit
+        // order (leftmost = MSB) matches Spark's grouping_id()
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q201_pivot" -> // conditional aggregation is exactly what the pivot
+        // lowers to
+        """SELECT source,
+          |  CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+          |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+          |  CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+          |  CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+          |  CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q199_bm25_incremental" -> {
         // the q102 from-scratch mirror over ALL documents with q199's
         // terms: a green hash proves base-build + batch append serves the
