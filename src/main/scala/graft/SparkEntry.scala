@@ -813,14 +813,15 @@ object SparkEntry {
           "event_type", "value")
         .orderBy("grp")),
     "q198_self_bleu" -> ((s, dir) => {
-      // corpus-diversity readout: BLEU-2 of each doc against the next doc
-      // in its source (self-BLEU — high = templated text); the pairing is
-      // a narrow +1 equi-join, never a per-source window sort
+      // corpus-diversity readout: BLEU-2 of each doc against its source
+      // SUCCESSOR (ids stride by the source arity, so +20 is the next doc
+      // of the same source — self-BLEU, high = templated text); the
+      // pairing is a narrow equi-join, never a per-source window sort
       val docs = tp(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       val pairs = docs.alias("a").join(docs.alias("b"),
           col("a.source") === col("b.source") &&
-            col("b.doc_id") === col("a.doc_id") + 1)
+            col("b.doc_id") === col("a.doc_id") + 20)
         .select(col("a.doc_id").as("pair_id"), col("a.text").as("cand"),
           col("b.text").as("ref"))
       TextAnalysis.bleuPairs(pairs, "pair_id", "cand", "ref", 2)
@@ -3196,7 +3197,7 @@ object SparkEntry {
              |GROUP BY 1, 2, 3""".stripMargin
         s"""WITH pr AS (SELECT a.doc_id AS pid, a.text AS cand, b.text AS ref
            |      FROM documents a JOIN documents b
-           |        ON a.source = b.source AND b.doc_id = a.doc_id + 1),
+           |        ON a.source = b.source AND b.doc_id = a.doc_id + 20),
            |cc AS (${side("cand", "cc")}),
            |rc AS (${side("ref", "rc")}),
            |pn AS (SELECT cc.pid, cc.n,

@@ -529,6 +529,31 @@ object ScaleProbe {
           .cast("decimal(18,6)").as("x"))
       w + Stats.giniPerGroup(per, "grp", "x").count()
     }
+    time("group_quantiles_mad") {
+      val q = Stats.exactQuantilesPerGroup(
+        docs.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("v")),
+        "source", "v", Seq(0.25, 0.5, 0.9)).count()
+      q + Stats.madPerGroup(events.filter(col("value").isNotNull),
+        "event_type", "value").count()
+    }
+    time("containment_pairs") {
+      Dedup.containmentPairs(docs, 3, 0.8).count()
+    }
+    time("self_bleu") {
+      val d = docs.select(col("doc_id"), col("source"), col("text"))
+      val pairs = d.alias("a").join(d.alias("b"),
+          col("a.source") === col("b.source") &&
+            col("b.doc_id") === col("a.doc_id") + 20)
+        .select(col("a.doc_id").as("pid"), col("a.text").as("cand"),
+          col("b.text").as("ref"))
+      TextAnalysis.bleuPairs(pairs, "pid", "cand", "ref", 2).count()
+    }
+    time("rfm_bucketed") {
+      graft.operators.Warehouse.rfm(
+        events.filter(col("value").isNotNull).select(col("user_id"),
+          col("ts"), col("value")), "user_id", "ts", "value").count()
+    }
     spark.stop()
   }
 }
