@@ -394,6 +394,21 @@ class PlanSpec extends SparkSpec {
         s"re-embed the events scan 2^iters times:\n$p")
   }
 
+  test("q196/q197 grouped quantiles: every window carries a partition spec") {
+    for (q <- Seq("q196_group_quantiles", "q197_mad")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      // analyzed-plan window specs: an unpartitioned window renders an
+      // EMPTY partition list between the frame and ordering clauses
+      val specs = "windowspecdefinition\\([^)]*\\)".r
+        .findAllIn(df.queryExecution.analyzed.toString).toSeq
+      assert(specs.nonEmpty, s"$q: expected window specs")
+      val p = plan(df)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must not run a single-partition sort:\n$p")
+    }
+  }
+
   test("q191 rfm: every rank window is bucket-partitioned, no global sort") {
     val p = plan(SparkEntry.queries("q191_rfm")(spark, dir))
     assert(!p.contains("ntile"),
