@@ -349,5 +349,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in approximate mode: COUNT(DISTINCT x) -> native HLL++ when
     // spark.graft.approxDistinct.rsd is set (sketch-sized exchanges)
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // opt-in top-N-per-group: row_number window + rn <= k filter -> the
+    // bounded-heap physical operator when spark.graft.topk.rewrite=true
+    // (rule and strategy install together — one without the other is
+    // either a no-op or an unplannable node)
+    e.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
