@@ -755,6 +755,21 @@ object SparkEntry {
       Dedup.ccInsert(Dedup.connectedComponents(pairs.filter(!touched)),
         pairs.filter(touched)).orderBy("doc_id")
     }),
+    "q202_equidepth" -> ((s, dir) =>
+      // optimizer-statistics artifact: 8 equal-count price buckets with
+      // EXACT order-statistic boundaries (bucket refinement, no sort) —
+      // the histogram a CBO publishes next to a column
+      Stats.equiDepthHistogram(
+          t(s, dir, "lineitem").select(col("l_extendedprice")),
+          "l_extendedprice", 8)
+        .orderBy("bucket")),
+    "q203_robust_outliers" -> ((s, dir) =>
+      // whale-proof outlier gate: modified z-score off median/MAD per
+      // event type — the heavy-tail-safe replacement for mean ± 3σ
+      Stats.robustOutliers(
+          t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", "value", "event_id")
+        .orderBy("grp", "id")),
     "q200_cube" -> ((s, dir) =>
       // the OLAP summary lattice: one pass emits every (returnflag,
       // linestatus) grouping-set aggregate plus both margins and the
@@ -3101,6 +3116,46 @@ object SparkEntry {
           |SELECT cohort, d.b - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_users
           |FROM d JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+      "q202_equidepth" -> // boundaries by the same driver-side ceil((i/k)·n)
+        // targets as exact order statistics, then lowest-admitting-bucket
+        // assignment over the distinct-value table
+        """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+          |           WHERE l_extendedprice IS NOT NULL),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+          |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rw FROM v),
+          |b AS (SELECT CAST(i.i AS BIGINT) AS bucket, r.v AS hi
+          |      FROM range(1, 9) i(i) CROSS JOIN n
+          |      JOIN r ON r.rw = CAST(ceil((CAST(i.i AS DOUBLE) / 8.0e0)
+          |                               * CAST(n AS DOUBLE)) AS BIGINT)),
+          |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY v),
+          |a AS (SELECT vc.v, max(vc.cnt) AS cnt, min(b.bucket) AS bucket
+          |      FROM vc JOIN b ON vc.v <= b.hi GROUP BY vc.v),
+          |c AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_rows
+          |      FROM a GROUP BY 1)
+          |SELECT b.bucket, b.hi, coalesce(c.n_rows, CAST(0 AS BIGINT)) AS n_rows
+          |FROM b LEFT JOIN c ON c.bucket = b.bucket ORDER BY b.bucket""".stripMargin,
+      "q203_robust_outliers" -> // the q197 median/MAD CTEs, then the
+        // round-6 modified z-score filter at 3.5
+        """WITH v AS (SELECT CAST(event_type AS VARCHAR) AS grp, event_id AS id,
+          |    CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+          |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+          |r AS (SELECT grp, v, row_number() OVER (
+          |        PARTITION BY grp ORDER BY v) AS rw FROM v),
+          |med AS (SELECT r.grp, r.v AS median FROM r JOIN n ON n.grp = r.grp
+          |        WHERE r.rw = CAST(ceil(0.5e0 * n) AS BIGINT)),
+          |d AS (SELECT v.grp, abs(v.v - med.median) AS v
+          |      FROM v JOIN med ON med.grp = v.grp),
+          |rd AS (SELECT grp, v, row_number() OVER (
+          |         PARTITION BY grp ORDER BY v) AS rw FROM d),
+          |mad AS (SELECT rd.grp, rd.v AS mad FROM rd JOIN n ON n.grp = rd.grp
+          |        WHERE rd.rw = CAST(ceil(0.5e0 * n) AS BIGINT)),
+          |sc AS (SELECT v.grp, v.id, v.v, med.median, mad.mad,
+          |         round(0.6745e0 * (v.v - med.median) / mad.mad, 6) AS mz
+          |       FROM v JOIN med ON med.grp = v.grp
+          |              JOIN mad ON mad.grp = v.grp
+          |       WHERE mad.mad > 0.0e0)
+          |SELECT grp, id, v, median, mad, mz FROM sc
+          |WHERE abs(mz) > 3.5e0 ORDER BY grp, id""".stripMargin,
       "q200_cube" -> // the same lattice via GROUP BY CUBE; grouping() bit
         // order (leftmost = MSB) matches Spark's grouping_id()
         """SELECT l_returnflag, l_linestatus,

@@ -171,6 +171,39 @@ object Stats {
       .select(col("grp"), col("p"), col("k").as("rank"), col("v").as("value"))
   }
 
+  /** Equi-depth histogram — the optimizer-statistics artifact (equal-COUNT
+    * buckets, unlike [[Sketches]]' equal-WIDTH form): bucket i of `k`
+    * spans (boundary_{i-1}, boundary_i] where boundary_i is the EXACT
+    * ⌈i·n/k⌉-th order statistic from [[exactQuantiles]]' bucket
+    * refinement — no sort, no sampling, deterministic under ties. The
+    * per-bucket counts come from ONE conditional pass against the
+    * broadcast k-row boundary table (rows on a boundary value go to the
+    * LOWEST bucket whose boundary admits them, so duplicate boundary
+    * values yield honest zero-count buckets instead of double counting).
+    * Output: (bucket 1..k, hi, n_rows) — `hi` the bucket's inclusive
+    * upper boundary. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(k >= 1, "equiDepthHistogram: need k >= 1")
+    val v = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ps = (1 to k).map(i => i.toDouble / k)
+    val bounds = exactQuantiles(v, "v", ps, buckets)
+      .select(round(col("p") * k, 0).cast("long").as("bucket"),
+        col("value").as("hi"))
+    // collapse to the distinct-value table first (word-count shape), THEN
+    // resolve each value's bucket against the broadcast boundaries — the
+    // k-way fan-out touches values, never rows
+    val valCounts = v.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val assigned = valCounts.crossJoin(broadcast(bounds))
+      .filter(col("v") <= col("hi"))
+      .groupBy("v").agg(max(col("cnt")).as("cnt"), min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(sum(col("cnt")).as("n_rows"))
+    broadcast(bounds).join(assigned, Seq("bucket"), "left")
+      .select(col("bucket"), col("hi"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** Median and MAD (median absolute deviation) per group — the robust
     * center/spread pair that one whale value cannot move (breakdown point
     * 50%, vs 0% for mean/σ): the outlier-gate statistic when values are
@@ -194,6 +227,32 @@ object Stats {
     rows.groupBy("grp").agg(count(lit(1)).as("n"))
       .join(med, "grp").join(mad, "grp")
       .select(col("grp"), col("n"), col("median"), col("mad"))
+  }
+
+  /** Robust per-group outlier flags by the modified z-score (Iglewicz &
+    * Hoaglin '93): mz = 0.6745·(v − median)/MAD, flag |mz| > `threshold`
+    * (their recommended 3.5). The median/MAD center-spread pair has a 50%
+    * breakdown point, so the whales this gate exists to catch cannot
+    * first inflate the gate itself — the failure mode of the mean±3σ
+    * rule on heavy-tailed pipeline metrics. Groups with MAD = 0 (over
+    * half the group at one value) emit no flags: there is no spread
+    * signal to score against, and pretending σ exists would flag every
+    * non-modal row. One [[madPerGroup]] pass + one group-keyed join +
+    * a narrow filter; mz rounds to 6. Output: (grp, id, v, median, mad,
+    * mz) — flagged rows only. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, threshold: Double = 3.5): DataFrame = {
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val stats = madPerGroup(rows, "grp", "v").filter(col("mad") > 0.0)
+      .select(col("grp"), col("median"), col("mad"))
+    val mz = round(lit(0.6745) * (col("v") - col("median")) / col("mad"), 6)
+    rows.join(stats, "grp")
+      .withColumn("mz", mz)
+      .filter(abs(col("mz")) > threshold)
+      .select(col("grp"), col("id"), col("v"), col("median"), col("mad"),
+        col("mz"))
   }
 
   /** Exact global 1-based rank for EVERY row under the total order

@@ -120,6 +120,34 @@ class StatsSpec extends SparkSpec {
     assert(m(("spread", 0.5)) == 25.0 && m(("spread", 1.0)) == 50.0)
   }
 
+  test("equi-depth histogram: equal counts, exact boundaries, tie collapse") {
+    // 1..800: 8 buckets of 100 rows, boundary i*100
+    val df = (1 to 800).map(i => Tuple1(i.toDouble)).toDF("v")
+    val got = Stats.equiDepthHistogram(df, "v", 8).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == (1 to 8).map(i => (i.toLong, i * 100.0, 100L)))
+    // heavy ties: 90% of rows share one value -> that value's bucket takes
+    // them ALL, duplicate boundaries read as honest zero-count buckets
+    val skew = (Seq.fill(900)(5.0) ++ (1 to 100).map(_ + 10.0))
+      .map(Tuple1(_)).toDF("v")
+    val s = Stats.equiDepthHistogram(skew, "v", 4).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(s.map(_._3).sum == 1000L)
+    assert(s.head == ((1L, 5.0, 900L)), s.toString) // all ties in bucket 1
+    assert(s.count(_._3 == 0L) >= 1) // the duplicate-boundary buckets
+  }
+
+  test("robust outliers: a whale is flagged and cannot hide itself") {
+    val base = (1 to 99).map(i => ("a", i.toLong, (i % 11).toDouble + 10.0))
+    val whale = ("a", 1000L, 1e6)
+    val got = Stats.robustOutliers((base :+ whale).toDF("g", "id", "v"),
+      "g", "v", "id").collect()
+    assert(got.map(_.getLong(1)).toSet == Set(1000L), "only the whale flags")
+    // no-spread group (MAD = 0): no flags, even for a far value
+    val flat = (Seq.fill(50)(("b", 1L, 7.0)) :+ (("b", 2L, 999.0))).toDF("g", "id", "v")
+    assert(Stats.robustOutliers(flat, "g", "v", "id").collect().isEmpty)
+  }
+
   test("mad: hand-computed median/MAD; a planted whale cannot move either") {
     // 1..9: median 5 (ceil-rank), deviations 0..4 -> MAD = ceil-rank median 2
     val base = (1 to 9).map(i => ("a", i.toDouble))
