@@ -136,13 +136,30 @@ object Stats {
       valueCol: String, ps: Seq[Double], buckets: Int = 1024): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       "exactQuantilesPerGroup: probabilities must be in (0, 1]")
-    require(buckets >= 2, "exactQuantilesPerGroup: need at least 2 buckets")
-    import org.apache.spark.sql.expressions.Window
     val rows = df.select(col(groupCol).cast("string").as("grp"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-    val stats = rows.groupBy("grp")
-      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+    val targets = rows.groupBy("grp").agg(count(lit(1)).as("n"))
+      .select(col("grp"), col("n"), explode(array(ps.map(lit): _*)).as("tag"))
+      .select(col("grp"), col("tag"),
+        ceil(col("tag") * col("n")).cast("long").as("k"))
+    selectRanksPerGroup(rows, targets, buckets)
+      .select(col("grp"), col("tag").as("p"), col("k").as("rank"), col("value"))
+  }
+
+  /** Shared grouped order-statistic core: given per-group integer rank
+    * targets (grp, tag, k) with 1 <= k <= |group|, return each target's
+    * exact k-th smallest value — the distributed bucket-refinement stages
+    * of [[exactQuantilesPerGroup]], factored so every "pick a per-group
+    * rank" operator ([[winsorizedMeans]]' percentile bounds, the grouped
+    * quantiles themselves) shares one audited shape instead of each
+    * keeping its own per-group sort window. `tag` is an opaque caller
+    * label carried through (a probability, a lo/hi marker). */
+  private[operators] def selectRanksPerGroup(rows: DataFrame,
+      targets: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, "selectRanksPerGroup: need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val stats = rows.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
     val withB = rows.join(stats, "grp")
       .withColumn("w", when(col("mx") > col("mn"),
         (col("mx") - col("mn")) / buckets).otherwise(lit(1.0)))
@@ -154,12 +171,9 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = withB.groupBy("grp", "b").agg(count(lit(1)).as("c"))
       .withColumn("cb", coalesce(sum(col("c")).over(cumW), lit(0L)))
-    val targets = stats
-      .select(col("grp"), col("n"), explode(array(ps.map(lit): _*)).as("p"))
-      .withColumn("k", ceil(col("p") * col("n")).cast("long"))
     val located = targets.join(cum, Seq("grp"))
       .filter(col("cb") < col("k") && col("k") <= col("cb") + col("c"))
-      .select(col("grp"), col("p"), col("k"), col("b"),
+      .select(col("grp"), col("tag"), col("k"), col("b"),
         (col("k") - col("cb")).as("within"))
     val wanted = located.select("grp", "b").distinct()
     val ranked = withB.join(wanted, Seq("grp", "b"))
@@ -168,7 +182,7 @@ object Stats {
       .select(col("grp"), col("b"), col("v"), col("rw"))
     located.join(ranked, Seq("grp", "b"))
       .filter(col("within") === col("rw"))
-      .select(col("grp"), col("p"), col("k").as("rank"), col("v").as("value"))
+      .select(col("grp"), col("tag"), col("k"), col("v").as("value"))
   }
 
   /** Equi-depth histogram — the optimizer-statistics artifact (equal-COUNT
@@ -618,25 +632,25 @@ object Stats {
     * that keeps one whale user or one 10^6-token document from dominating
     * a mixture weight or a metric readout.
     *
-    * One per-group rank window picks both bounds (per-key sort,
-    * spillable); raw and clipped means are DECIMAL(18,6) sums collapsed
-    * by one double division each, round-6. Output: (grp, n, lo, hi,
-    * mean_raw, mean_winsorized). */
+    * Both bounds come from [[selectRanksPerGroup]] (the grouped bucket
+    * refinement — r8's "per-group rank window is sort-bound on hot
+    * groups" caveat, retired); raw and clipped means are DECIMAL(18,6)
+    * sums collapsed by one double division each, round-6. Output: (grp,
+    * n, lo, hi, mean_raw, mean_winsorized). */
   def winsorizedMeans(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Int = 5, pHi: Int = 95): DataFrame = {
     require(pLo >= 1 && pHi <= 100 && pLo < pHi, "need 1 <= pLo < pHi <= 100")
     val rows = df.select(col(groupCol).cast("string").as("grp"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp").orderBy(col("v").asc)
-    val ranked = rows.withColumn("rn", row_number().over(w))
     val counts = rows.groupBy("grp").agg(count(lit(1)).as("n"))
-      .withColumn("t_lo", expr(s"(n * $pLo + 99) div 100"))
-      .withColumn("t_hi", expr(s"(n * $pHi + 99) div 100"))
-    val bounds = ranked.join(counts, "grp")
-      .filter(col("rn") === col("t_lo") || col("rn") === col("t_hi"))
-      .groupBy("grp").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val targets = counts
+      .select(col("grp"), explode(array(
+        struct(lit(0.0).as("tag"), expr(s"(n * $pLo + 99) div 100").as("k")),
+        struct(lit(1.0).as("tag"), expr(s"(n * $pHi + 99) div 100").as("k")))).as("s"))
+      .select(col("grp"), col("s.tag").as("tag"), col("s.k").as("k"))
+    val bounds = selectRanksPerGroup(rows, targets, 1024)
+      .groupBy("grp").agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
     rows.join(broadcast(bounds), "grp")
       .withColumn("cv", least(greatest(col("v"), col("lo")), col("hi")))
       .groupBy("grp")
