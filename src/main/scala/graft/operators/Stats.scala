@@ -159,8 +159,12 @@ object Stats {
       targets: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2, "selectRanksPerGroup: need at least 2 buckets")
     import org.apache.spark.sql.expressions.Window
+    // the per-group range/target/located tables are GROUP-sized — broadcast
+    // them so the corpus side never hash-partitions on grp (a few-group
+    // input would otherwise collapse the whole refinement onto |groups|
+    // tasks; with broadcasts the heavy stages key on (grp, b) and spread)
     val stats = rows.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
-    val withB = rows.join(stats, "grp")
+    val withB = rows.join(broadcast(stats), "grp")
       .withColumn("w", when(col("mx") > col("mn"),
         (col("mx") - col("mn")) / buckets).otherwise(lit(1.0)))
       .select(col("grp"),
@@ -176,11 +180,11 @@ object Stats {
       .select(col("grp"), col("tag"), col("k"), col("b"),
         (col("k") - col("cb")).as("within"))
     val wanted = located.select("grp", "b").distinct()
-    val ranked = withB.join(wanted, Seq("grp", "b"))
+    val ranked = withB.join(broadcast(wanted), Seq("grp", "b"))
       .withColumn("rw", row_number().over(
         Window.partitionBy("grp", "b").orderBy("v")).cast("long"))
       .select(col("grp"), col("b"), col("v"), col("rw"))
-    located.join(ranked, Seq("grp", "b"))
+    ranked.join(broadcast(located), Seq("grp", "b"))
       .filter(col("within") === col("rw"))
       .select(col("grp"), col("tag"), col("k"), col("v").as("value"))
   }
@@ -232,9 +236,15 @@ object Stats {
     val rows = df.select(col(groupCol).cast("string").as("grp"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
+    // the median table feeds EVERY pass of the second refinement via the
+    // deviations join — left lazy, each of those passes would re-run the
+    // whole first refinement (the q69/q89 multiply-consumed-pool lesson);
+    // it is group-sized, so the checkpoint is a table-stat write
+    graft.util.Checkpoints.ensureDir(df.sparkSession)
     val med = exactQuantilesPerGroup(rows, "grp", "v", Seq(0.5), buckets)
       .select(col("grp"), col("value").as("median"))
-    val dev = rows.join(med, "grp")
+      .checkpoint(eager = true)
+    val dev = rows.join(broadcast(med), "grp")
       .select(col("grp"), abs(col("v") - col("median")).as("v"))
     val mad = exactQuantilesPerGroup(dev, "grp", "v", Seq(0.5), buckets)
       .select(col("grp"), col("value").as("mad"))
@@ -259,10 +269,12 @@ object Stats {
     val rows = df.select(col(groupCol).cast("string").as("grp"),
         col(idCol).as("id"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
+    graft.util.Checkpoints.ensureDir(df.sparkSession)
     val stats = madPerGroup(rows, "grp", "v").filter(col("mad") > 0.0)
       .select(col("grp"), col("median"), col("mad"))
+      .checkpoint(eager = true) // group-sized; feeds the corpus-wide score join
     val mz = round(lit(0.6745) * (col("v") - col("median")) / col("mad"), 6)
-    rows.join(stats, "grp")
+    rows.join(broadcast(stats), "grp")
       .withColumn("mz", mz)
       .filter(abs(col("mz")) > threshold)
       .select(col("grp"), col("id"), col("v"), col("median"), col("mad"),

@@ -530,12 +530,22 @@ object ScaleProbe {
       w + Stats.giniPerGroup(per, "grp", "x").count()
     }
     time("group_quantiles_mad") {
-      val q = Stats.exactQuantilesPerGroup(
-        docs.select(col("source"),
-          TextAnalysis.tokenCount(col("text")).as("v")),
-        "source", "v", Seq(0.25, 0.5, 0.9)).count()
-      q + Stats.madPerGroup(events.filter(col("value").isNotNull),
-        "event_type", "value").count()
+      // multi-pass operators re-read their input once per stage; the
+      // k-way-union probe harness must materialize it or the union cost
+      // multiplies into the number (the r8b attribution lesson) — real
+      // inputs are at-rest parquet where the re-read is a cheap scan
+      val dv = docs.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ev = events.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        dv.count(); ev.count()
+        val q = Stats.exactQuantilesPerGroup(dv, "source", "v",
+          Seq(0.25, 0.5, 0.9)).count()
+        q + Stats.madPerGroup(ev, "event_type", "value").count()
+      } finally { dv.unpersist(); ev.unpersist(); () }
     }
     time("containment_pairs") {
       Dedup.containmentPairs(docs, 3, 0.8).count()
