@@ -281,6 +281,7 @@ object Classify {
       valueCol: String, calFrac: Double = 0.5, alphaPct: Int = 10): DataFrame = {
     require(calFrac > 0 && calFrac < 1 && alphaPct >= 1 && alphaPct <= 50,
       "calFrac in (0,1), alphaPct in [1,50]")
+    graft.util.Checkpoints.ensureDir(df.sparkSession)
     val rows = df.select(col(groupCol).cast("string").as("grp"),
         col(idCol).cast("long").as("id"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
@@ -298,14 +299,20 @@ object Classify {
       .withColumn("target",
         least(col("n_cal"),
           expr(s"((n_cal + 1) * ${100 - alphaPct} + 99) div 100")))
-    val calRes = calRows.join(model, "grp")
+      // group-sized and consumed by three downstream stages — checkpoint
+      // (recompute-per-consumer) and broadcast (a few-group corpus must
+      // not hash-partition the residual passes onto |groups| tasks)
+      .checkpoint(eager = true)
+    val calRes = calRows.join(broadcast(model), "grp")
       .withColumn("r", round(abs(col("v") - col("mean_cal")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("r").asc, col("id").asc)
     val qhat = calRes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === col("target"))
       .select(col("grp"), col("r").as("qhat"))
-    val test = rows.filter(!col("cal")).join(model, "grp").join(qhat, "grp")
+      .checkpoint(eager = true) // ditto: derived through a corpus window
+    val test = rows.filter(!col("cal"))
+      .join(broadcast(model), "grp").join(broadcast(qhat), "grp")
       .withColumn("covered",
         (round(abs(col("v") - col("mean_cal")), 6) <= col("qhat")).cast("long"))
       .groupBy("grp")

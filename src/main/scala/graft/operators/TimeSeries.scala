@@ -214,11 +214,15 @@ object TimeSeries {
       .withColumn("t", sum(col("v")).over(wAll).cast("decimal(24,6)"))
       .withColumn("d", abs((col("n").cast("decimal(12,0)") * col("s")
         - col("k").cast("decimal(12,0)") * col("t")).cast("decimal(38,6)")))
+    graft.util.Checkpoints.ensureDir(df.sparkSession)
     val peak = cum.groupBy("key").agg(max(col("d")).as("maxd"))
-    val cp = cum.join(peak, "key").filter(col("d") === col("maxd"))
+    // peak/cp are key-sized; broadcast them into the corpus-side joins and
+    // checkpoint cp (it rides the cumulative windows and feeds two stages)
+    val cp = cum.join(broadcast(peak), "key").filter(col("d") === col("maxd"))
       .groupBy("key").agg(min(col("tsn")).as("cp_ts"),
         max(col("n")).as("n"), max(col("maxd")).as("maxd"))
-    val sides = rows.join(cp.select("key", "cp_ts"), "key")
+      .checkpoint(eager = true)
+    val sides = rows.join(broadcast(cp.select("key", "cp_ts")), "key")
       .groupBy("key").agg(
         sum(when(col("tsn") <= col("cp_ts"), col("v"))).as("sb"),
         count(when(col("tsn") <= col("cp_ts"), lit(1))).as("nb"),
