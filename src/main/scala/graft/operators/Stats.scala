@@ -147,6 +147,43 @@ object Stats {
       .select(col("grp"), col("tag").as("p"), col("k").as("rank"), col("value"))
   }
 
+  /** Exact per-group 1-based rank for EVERY row under (valueCol asc,
+    * tieCols asc) — the grouped form of [[bucketedRanks]], shared by the
+    * operators that previously each kept a per-group rank window
+    * ([[giniPerGroup]], [[quantileNormalize]]): per-(group, bucket)
+    * offsets from a cumulative window over ≤ `buckets` rows per group,
+    * plus within-(group, bucket) row_number windows. Fully distributed
+    * (no collect), and the heavy stages key on (grp, b) — a few-group
+    * corpus still spreads across the cluster instead of collapsing onto
+    * |groups| sort tasks. The double cast of `valueCol` only coarsens
+    * buckets (monotone); ordering uses the typed columns. Adds `rank`
+    * and the group size `n`. */
+  private[operators] def bucketedRanksPerGroup(rows: DataFrame,
+      valueCol: String, tieCols: Seq[String],
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vd = col(valueCol).cast("double")
+    val stats = rows.groupBy("grp").agg(count(lit(1)).as("n"),
+      min(vd).as("mn"), max(vd).as("mx"))
+    val withB = rows.join(broadcast(stats), "grp")
+      .withColumn("w", when(col("mx") > col("mn"),
+        (col("mx") - col("mn")) / buckets).otherwise(lit(1.0)))
+      .withColumn("b", least(floor((vd - col("mn")) / col("w")).cast("long"),
+        lit(buckets - 1L)))
+      .drop("mn", "mx", "w")
+    val cumW = Window.partitionBy("grp").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy("grp", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cb", coalesce(sum(col("c")).over(cumW), lit(0L)))
+      .select("grp", "b", "cb")
+    val ord = col(valueCol).asc +: tieCols.map(col(_).asc)
+    withB.join(offs, Seq("grp", "b"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy("grp", "b").orderBy(ord: _*)).cast("long")
+        + col("cb"))
+      .drop("b", "cb")
+  }
+
   /** Shared grouped order-statistic core: given per-group integer rank
     * targets (grp, tag, k) with 1 <= k <= |group|, return each target's
     * exact k-th smallest value — the distributed bucket-refinement stages
@@ -588,11 +625,12 @@ object Stats {
     val rows = df.select(col(groupCol).cast("string").as("grp"),
         col(valueCol).cast("decimal(18,6)").as("x"))
       .filter(col("x").isNotNull && col("x") >= 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp").orderBy(col("x").asc)
-    val ranked = rows.withColumn("r", row_number().over(w))
+    // rank every row via the grouped bucket refinement (Σ x·r is
+    // invariant under tie permutations, so bucketed ranks replay the
+    // window form exactly) — no per-group sort of the corpus
+    val ranked = bucketedRanksPerGroup(rows, "x", Nil)
     val agg = ranked.groupBy("grp").agg(count(lit(1)).as("n"),
-      sum(col("x")).as("sx"), sum(col("x") * col("r")).as("srx"))
+      sum(col("x")).as("sx"), sum(col("x") * col("rank")).as("srx"))
     agg.filter(col("sx").cast("double") > 0.0)
       .select(col("grp"), col("n"),
         round(col("sx").cast("double"), 6).as("total"),
@@ -689,7 +727,8 @@ object Stats {
     * buckets or none; only the final interpolation collapses to a
     * round-6 double.
     *
-    * Scale shape: per-group rank windows (hot group = sort problem);
+    * Scale shape: per-group ranks via [[bucketedRanksPerGroup]] (the
+    * bucket refinement — no per-group sort, the former hot-group wall);
     * the histogram is one corpus-sized aggregate, its CDF a bucket-table
     * window (dimension-sized), broadcast back for the per-row bucket
     * lookup (bounded nested-loop: rows × buckets with buckets in the
@@ -700,12 +739,10 @@ object Stats {
     val rows = df.select(col(groupCol).cast("string").as("grp"),
         col(idCol).cast("long").as("rid"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp").orderBy(col("v"), col("rid"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-    val ranked = rows
-      .withColumn("rn", row_number().over(wOrd).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    // per-group midpoint ranks via the grouped bucket refinement (same
+    // (v, id) total order; n rides along) — no per-group sort windows
+    val ranked = bucketedRanksPerGroup(rows, "v", Seq("rid"))
+      .withColumnRenamed("rank", "rn")
     val hist = rows
       .groupBy(floor(col("v") / lit(binWidth)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -514,8 +514,16 @@ object ScaleProbe {
       Experiment.bradleyTerry(m).count()
     }
     time("quantile_normalize") {
-      Stats.quantileNormalize(events, "event_type", "value", "event_id", 10.0)
-        .agg(count(lit(1))).first().getLong(0)
+      // persisted input: the operator is multi-pass and the k-way-union
+      // harness would otherwise multiply the union cost into the number
+      val ev = events.filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        ev.count()
+        Stats.quantileNormalize(ev, "event_type", "value", "event_id", 10.0)
+          .agg(count(lit(1))).first().getLong(0)
+      } finally { ev.unpersist(); () }
     }
     time("interarrival_ks") {
       graft.operators.TimeSeries.interarrivalKs(events, "event_type", "ts",
