@@ -305,12 +305,16 @@ object Classify {
       .checkpoint(eager = true)
     val calRes = calRows.join(broadcast(model), "grp")
       .withColumn("r", round(abs(col("v") - col("mean_cal")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp").orderBy(col("r").asc, col("id").asc)
-    val qhat = calRes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === col("target"))
-      .select(col("grp"), col("r").as("qhat"))
-      .checkpoint(eager = true) // ditto: derived through a corpus window
+    // the conformal rank pick reads the residual VALUE at the target rank
+    // — ties in r make the value well-defined whatever the id order, so
+    // the grouped bucket-refinement selection replaces the per-group
+    // (r, id) sort window exactly
+    val qhat = Stats.selectRanksPerGroup(
+        calRes.select(col("grp"), col("r").as("v")),
+        model.select(col("grp"), lit(0.0).as("tag"),
+          col("target").cast("long").as("k")), buckets = 1024)
+      .select(col("grp"), col("value").as("qhat"))
+      .checkpoint(eager = true) // ditto: derived through corpus-wide stages
     val test = rows.filter(!col("cal"))
       .join(broadcast(model), "grp").join(broadcast(qhat), "grp")
       .withColumn("covered",
