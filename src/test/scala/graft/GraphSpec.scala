@@ -247,6 +247,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("lp incremental: community state folds through a streaming pipeline") {
+    // the daemon shape for communities: clique edges arrive over three
+    // micro-batches, each folds via lpInsert (2 warm rounds); the settled
+    // labels must equal a cold run on the union
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    var st: Option[Graph.LabelState] = None
+    val q = source.toDF().toDF("src", "dst").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sym = Graph.symmetrize(batch)
+        st = Some(st.fold(Graph.lpRounds(Graph.lpInit(sym), 4))(
+          Graph.lpInsert(_, sym, rounds = 2)))
+        ()
+    }.start()
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val batches = Seq(
+      clique(Seq(1L, 2L, 3L, 4L)),
+      clique(Seq(10L, 11L, 12L, 13L)),
+      Seq((13L, 20L), (20L, 21L))) // a pendant chain joins clique 2
+    batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val warm = st.get.labels.as[(Long, Long)].collect().toMap
+    val cold = Graph.labelPropagation(
+      Graph.symmetrize(batches.flatten.toDF("src", "dst")), 8)
+      .as[(Long, Long)].collect().toMap
+    assert(warm == cold, s"warm $warm vs cold $cold")
+    assert((1L to 4L).map(warm).toSet == Set(1L))
+  }
+
   test("incremental: new nodes on a personalized walk join with teleport 0") {
     val e = Graph.symmetrize(Seq((1L, 2L)).toDF("src", "dst"))
     val st = Graph.rankRounds(
