@@ -755,6 +755,38 @@ object SparkEntry {
       Dedup.ccInsert(Dedup.connectedComponents(pairs.filter(!touched)),
         pairs.filter(touched)).orderBy("doc_id")
     }),
+    "q204_topk_exec" -> ((s, dir) => {
+      // the custom whole-operator path on the oracle board: top-10 events
+      // per type through TopKWindowRewrite + the bounded-heap execs. The
+      // conf is scoped to THIS query: the rule fires while the optimized
+      // plan materializes below, then the flag drops — rule and strategy
+      // stay attached but are inert without it (and without TopKPerKey
+      // nodes). A green hash proves the heap execs reproduce the window
+      // form's rows AND ranks exactly.
+      import graft.plans.{TopKStrategy, TopKWindowRewrite}
+      if (!s.experimental.extraOptimizations.contains(TopKWindowRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ TopKWindowRewrite
+      if (!s.experimental.extraStrategies.contains(TopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ TopKStrategy
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .createOrReplaceTempView("graft_q204_events")
+      s.conf.set(TopKWindowRewrite.EnabledConf, "true")
+      try {
+        val df = s.sql(
+          """SELECT event_type, event_id, value, rn FROM (
+            |  SELECT event_type, event_id, value, row_number() OVER
+            |    (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+            |  FROM graft_q204_events) WHERE rn <= 10
+            |ORDER BY event_type, rn""".stripMargin)
+        val planned = df.queryExecution.optimizedPlan // rewrite fires HERE
+        require(planned.collect { case p: graft.plans.TopKPerKey => p }.nonEmpty,
+          "q204 must exercise the TopKPerKey operator")
+        df
+      } finally s.conf.unset(TopKWindowRewrite.EnabledConf)
+    }),
     "q202_equidepth" -> ((s, dir) =>
       // optimizer-statistics artifact: 8 equal-count price buckets with
       // EXACT order-statistic boundaries (bucket refinement, no sort) —
@@ -3116,6 +3148,14 @@ object SparkEntry {
           |SELECT cohort, d.b - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_users
           |FROM d JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+      "q204_topk_exec" -> // the plain window form — the heap execs must
+        // reproduce its rows and ranks bit-for-bit
+        """SELECT event_type, event_id, value, CAST(rn AS INTEGER) AS rn FROM (
+          |  SELECT event_type, event_id, value, row_number() OVER
+          |    (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+          |  FROM (SELECT event_type, event_id, CAST(value AS DOUBLE) AS value
+          |        FROM events WHERE value IS NOT NULL))
+          |WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin,
       "q202_equidepth" -> // boundaries by the same driver-side ceil((i/k)·n)
         // targets as exact order statistics, then lowest-admitting-bucket
         // assignment over the distinct-value table
