@@ -755,6 +755,12 @@ object SparkEntry {
       Dedup.ccInsert(Dedup.connectedComponents(pairs.filter(!touched)),
         pairs.filter(touched)).orderBy("doc_id")
     }),
+    "q205_gopher_gate" -> ((s, dir) =>
+      // the MassiveText hygiene rules over the corpus — per-rule measures
+      // plus the conjunction; the word-count bound splits this fixture,
+      // so both pass and fail rows exercise
+      TextAnalysis.gopherGate(tp(s, dir, "documents"), minWords = 40)
+        .orderBy("doc_id")),
     "q204_topk_exec" -> ((s, dir) => {
       // the custom whole-operator path on the oracle board: top-10 events
       // per type through TopKWindowRewrite + the bounded-heap execs. The
@@ -3148,6 +3154,34 @@ object SparkEntry {
           |SELECT cohort, d.b - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_users
           |FROM d JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+      "q205_gopher_gate" -> // every rule measure as exact integer ratios
+        // rounded at 6; the conjunction with the identical thresholds
+        """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          |            FROM documents),
+          |pt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+          |       FROM tk GROUP BY 1, 2),
+          |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |         CAST(max(c) AS BIGINT) AS top_c FROM pt GROUP BY 1),
+          |ln AS (SELECT doc_id, CAST(sum(len(t)) AS BIGINT) AS chars,
+          |         CAST(sum(CASE WHEN regexp_matches(t, '[A-Za-z]')
+          |                  THEN 1 ELSE 0 END) AS BIGINT) AS alpha,
+          |         CAST(sum(CASE WHEN t IN ('the', 'a') THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS stop_hits
+          |       FROM tk GROUP BY 1),
+          |m AS (SELECT pd.doc_id, n_words,
+          |        round(CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+          |          AS mean_word_len,
+          |        round(CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+          |          AS alpha_ratio,
+          |        stop_hits,
+          |        round(CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+          |          AS top_token_share
+          |      FROM pd JOIN ln ON ln.doc_id = pd.doc_id)
+          |SELECT *, (n_words >= 40 AND n_words <= 100000
+          |  AND mean_word_len >= 3.0e0 AND mean_word_len <= 10.0e0
+          |  AND alpha_ratio >= 0.8e0 AND stop_hits >= 2
+          |  AND top_token_share <= 0.2e0) AS pass
+          |FROM m ORDER BY doc_id""".stripMargin,
       "q204_topk_exec" -> // the plain window form — the heap execs must
         // reproduce its rows and ranks bit-for-bit
         """SELECT event_type, event_id, value, CAST(rn AS INTEGER) AS rn FROM (

@@ -165,6 +165,51 @@ object TextAnalysis {
       .join(top, Seq("doc_id"))
   }
 
+  /** Gopher-style rule gate (Rae et al. '21 §A1.1, the MassiveText
+    * quality filters — the de-facto standard pretraining hygiene set),
+    * restricted to the rules whose signals exist in a whitespace-token
+    * corpus: word-count bounds, mean-word-length bounds, a minimum
+    * alphabetic-word fraction, a required stopword-hit count, and a
+    * top-token concentration cap (the [[repetitionStats]] measure as a
+    * hard rule). Every measure is an exact integer ratio or a round-6
+    * double, so the gate replays in SQL; each rule reports individually
+    * (the tuning view) alongside the conjunction.
+    *
+    * Scale shape: one token explode + two word-count-shaped aggregates
+    * keyed by doc — map-side combined, nothing wider than (doc, token)
+    * on any exchange. Output: (doc_id, n_words, mean_word_len,
+    * alpha_ratio, stop_hits, top_token_share, pass). */
+  def gopherGate(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
+      maxTopTokenShare: Double = 0.2): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val perTok = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy("doc_id").agg(
+      sum(col("c")).as("n_words"),
+      max(col("c")).as("top_c"))
+    val lens = toks.groupBy("doc_id").agg(
+      sum(length(col("t")).cast("long")).as("chars"),
+      sum(when(col("t").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("alpha"),
+      sum(when(col("t").isin(Stopwords: _*), 1L).otherwise(0L)).as("stop_hits"))
+    perDoc.join(lens, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(col("chars").cast("double") / col("n_words").cast("double"), 6)
+          .as("mean_word_len"),
+        round(col("alpha").cast("double") / col("n_words").cast("double"), 6)
+          .as("alpha_ratio"),
+        col("stop_hits"),
+        round(col("top_c").cast("double") / col("n_words").cast("double"), 6)
+          .as("top_token_share"))
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("stop_hits") >= minStopHits &&
+          col("top_token_share") <= maxTopTokenShare)
+  }
+
   /** BLEU-style n-gram overlap per (candidate, reference) pair — the
     * classic MT metric (Papineni et al., ACL'02) as a corpus operator:
     * per pair, modified n-gram precision p_n = Σ_g min(cnt_cand(g),

@@ -283,6 +283,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert((r2.getLong(2), r2.getLong(3)) == ((1L, 3L)))
   }
 
+  test("gopher gate: hand-computed measures, each rule independently trips") {
+    val long = ("the quick brown fox " * 15).trim // 60 words, stopword 'the' x15
+    val docs = Seq(
+      (0L, long), // passes every rule at minWords=50
+      (1L, "short doc here"), // n_words = 3 < minWords
+      (2L, ("the " * 60).trim), // top_token_share = 1 > 0.2
+      (3L, ("aaaaaaaaaaaaaaa " * 60).trim + " the the") // mean len > 10
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d0 = got(0L)
+    assert(d0.getLong(1) == 60)
+    // chars: (3+5+5+3)*15 = 240 -> mean 4.0; alpha all; stops 15; top 15/60
+    assert(d0.getDouble(2) == 4.0 && d0.getDouble(3) == 1.0)
+    assert(d0.getLong(4) == 15 && d0.getDouble(5) == 0.25)
+    // 'quick' x15 = 25% > 0.2 -> doc 0 FAILS the concentration cap, honest
+    assert(!d0.getBoolean(6))
+    assert(!got(1L).getBoolean(6) && !got(2L).getBoolean(6) && !got(3L).getBoolean(6))
+    // relaxing only the concentration cap lets doc 0 through
+    val relaxed = TextAnalysis.gopherGate(docs, maxTopTokenShare = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(relaxed(0L) && !relaxed(1L) && !relaxed(2L) && !relaxed(3L))
+  }
+
   test("bleu: identical, hand-computed partial, clipped, brevity, disjoint") {
     val pairs = Seq(
       (0L, "a b c d", "a b c d"), // identical -> 1.0
