@@ -235,10 +235,15 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
     "q21_window_topk" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders").withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // top-3 orders per customer through the bounded-heap TopKPerKey node
+      // (the direct-API adoption of the q204 operator — map-side prune to
+      // ≤ 3 rows per customer before the exchange, no partition sort);
+      // total order via the o_orderkey tiebreaker, so rows AND ranks match
+      // the window form the oracle replays
+      graft.plans.TopK.perKey(t(s, dir, "orders"),
+          keys = Seq(col("o_custkey")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rank").cast("long").as("rank"))
         .orderBy("o_custkey", "rank")
@@ -762,23 +767,22 @@ object SparkEntry {
       TextAnalysis.gopherGate(tp(s, dir, "documents"), minWords = 40)
         .orderBy("doc_id")),
     "q204_topk_exec" -> ((s, dir) => {
-      // the custom whole-operator path on the oracle board: top-10 events
-      // per type through TopKWindowRewrite + the bounded-heap execs. The
-      // conf is scoped to THIS query: the rule fires while the optimized
-      // plan materializes below, then the flag drops — rule and strategy
-      // stay attached but are inert without it (and without TopKPerKey
-      // nodes). A green hash proves the heap execs reproduce the window
-      // form's rows AND ranks exactly.
-      import graft.plans.{TopKStrategy, TopKWindowRewrite}
-      if (!s.experimental.extraOptimizations.contains(TopKWindowRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ TopKWindowRewrite
-      if (!s.experimental.extraStrategies.contains(TopKStrategy))
-        s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ TopKStrategy
+      // the SQL-REWRITE path on the oracle board: top-10 events per type
+      // through TopKWindowRewrite + the bounded-heap execs (the direct
+      // TopK.perKey node API is proven separately by q21 / knnGraph).
+      // Rule and strategy ride the session via GraftExtensions; the conf
+      // is scoped to THIS query with its prior value restored. Because
+      // every df.write builds a FRESH QueryExecution, a re-plan after the
+      // conf drops would silently fall back to WindowExec — so the result
+      // is materialized THROUGH the heap execs here (persist + count; a
+      // ≤ types×10-row cache) and downstream writes scan that cache. A
+      // green hash proves the heap execs reproduce the window form's rows
+      // AND ranks exactly.
+      import graft.plans.TopKWindowRewrite
       t(s, dir, "events").filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("value"))
         .createOrReplaceTempView("graft_q204_events")
+      val prev = s.conf.getOption(TopKWindowRewrite.EnabledConf)
       s.conf.set(TopKWindowRewrite.EnabledConf, "true")
       try {
         val df = s.sql(
@@ -790,8 +794,13 @@ object SparkEntry {
         val planned = df.queryExecution.optimizedPlan // rewrite fires HERE
         require(planned.collect { case p: graft.plans.TopKPerKey => p }.nonEmpty,
           "q204 must exercise the TopKPerKey operator")
+        df.persist()
+        df.count() // executes the heap execs while the conf is still set
         df
-      } finally s.conf.unset(TopKWindowRewrite.EnabledConf)
+      } finally prev match {
+        case Some(v) => s.conf.set(TopKWindowRewrite.EnabledConf, v)
+        case None => s.conf.unset(TopKWindowRewrite.EnabledConf)
+      }
     }),
     "q202_equidepth" -> ((s, dir) =>
       // optimizer-statistics artifact: 8 equal-count price buckets with
@@ -1187,11 +1196,15 @@ object SparkEntry {
       TimeSeries.interarrivalKs(t(s, dir, "events"), "event_type", "ts",
         "event_id").orderBy("key")),
     "q175_link_predict" -> ((s, dir) => {
-      // link prediction on the near-dup graph: non-adjacent doc pairs
+      // link prediction on the weak-affinity graph (share ≥2 rare shingles,
+      // below the 0.5 near-dup bar — the near-dup graph itself is clique-
+      // structured / transitively closed, so it has NO open wedge and link
+      // prediction on it is vacuously empty): non-adjacent doc pairs
       // sharing a neighbor, scored by common-neighbor count, Adamic-Adar,
       // and neighborhood Jaccard — the "pairs the similarity join missed"
       // review queue
-      val pairs = Dedup.ngramJaccardPairs(tp(s, dir, "documents"), 3, 0.5)
+      val pairs = Dedup.affinityPairs(tp(s, dir, "documents"), 3,
+          minCommon = 2, maxJaccard = 0.5)
         .select(col("a_id").as("src"), col("b_id").as("dst"))
       Graph.linkPrediction(pairs).orderBy("u", "v")
     }),
@@ -1516,15 +1529,19 @@ object SparkEntry {
       Sampling.bootstrapMeanCI(t(s, dir, "events"), "event_id", "value")),
     "q135_survival" -> ((s, dir) => {
       // churn curve: per-user activity span in hours; a user whose last
-      // event is > 7 days before the corpus cutoff has churned (event),
+      // event is > 6 hours before the corpus cutoff has churned (event),
       // later ones are censored — Kaplan-Meier product-limit over the
-      // distinct event times
+      // distinct event times. (6 h, not the classic 7 d: the events
+      // fixture spans ~30 days but per-user trailing gaps top out around
+      // 2 days, so a day-scale threshold never fires and the KM chain
+      // would be oracle-checked on zero rows — at 6 h a real majority
+      // churns and the rest stay censored, exercising both branches.)
       val ev = t(s, dir, "events")
       val per = ev.groupBy("user_id")
         .agg(min("ts").as("first"), max("ts").as("last"))
       val subj = per.crossJoin(ev.agg(max("ts").as("tend")))
         .select(expr("(last - first) div 3600000000000").as("dur"),
-          when(col("tend") - col("last") > 604800000000000L, 1L)
+          when(col("tend") - col("last") > 21600000000000L, 1L)
             .otherwise(0L).as("churned"))
       Survival.kaplanMeier(subj, "dur", "churned").orderBy("t")
     }),
@@ -3911,12 +3928,15 @@ object SparkEntry {
           |  (max(term) > round(1.36e0 / sqrt(CAST(max(ng) AS DOUBLE)), 6))
           |    AS exp_reject
           |FROM tm GROUP BY key ORDER BY key""".stripMargin,
-      "q175_link_predict" -> // linkPrediction replayed over the q86 graph:
-        // canonical edges, degrees, capped apexes, wedge pairs, round-6
-        // decimal Adamic-Adar sums, NOT EXISTS anti-join
+      "q175_link_predict" -> // linkPrediction replayed over the weak-affinity
+        // graph (common >= 2, jaccard < 0.5 — the near-dup graph is clique-
+        // structured, no open wedges): canonical edges, degrees, capped
+        // apexes, wedge pairs, round-6 decimal Adamic-Adar sums, NOT EXISTS
+        // anti-join
         s"""$ngramPairsWith,
            |ed AS (SELECT a_id AS src, b_id AS dst FROM pairs
-           |       WHERE CAST(common AS DOUBLE) / (a_n + b_n - common) >= 0.5e0),
+           |       WHERE common >= 2
+           |         AND CAST(common AS DOUBLE) / (a_n + b_n - common) < 0.5e0),
            |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
            |        FROM ed WHERE src <> dst),
            |degt AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
@@ -5015,7 +5035,7 @@ object SparkEntry {
           |        max(epoch_ns(ts)) AS l FROM events GROUP BY 1),
           |te AS (SELECT max(epoch_ns(ts)) AS tend FROM events),
           |subj AS (SELECT (l - f) // 3600000000000 AS t,
-          |         CASE WHEN tend - l > 604800000000000 THEN 1 ELSE 0 END AS ev
+          |         CASE WHEN tend - l > 21600000000000 THEN 1 ELSE 0 END AS ev
           |         FROM per CROSS JOIN te),
           |pd AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
           |        CAST(sum(ev) AS BIGINT) AS d FROM subj GROUP BY 1),
@@ -6058,12 +6078,16 @@ object SparkEntry {
       // mirrors synthMedia's dimension contract: the Spark side must recover
       // these numbers by parsing real BMP / PPM bytes; the oracle computes
       // them from the same document fields (incl. the BMP 54-byte header +
-      // 4-byte row padding and the PPM per-frame ASCII header arithmetic)
+      // 4-byte row padding and the PPM per-frame ASCII header arithmetic).
+      // The planted near-dup ids (doc_id % 16 IN (2, 4)) are fixed 32×32
+      // BMPs — the oracle predicts that branch from the id alone.
       "q41_multimodal_meta" ->
         """WITH d AS (
           |  SELECT doc_id,
-          |    1 + octet_length(encode(text)) % 64 AS w,
-          |    1 + doc_id % 64 AS h,
+          |    CASE WHEN doc_id % 16 IN (2, 4) THEN 32
+          |         ELSE 1 + octet_length(encode(text)) % 64 END AS w,
+          |    CASE WHEN doc_id % 16 IN (2, 4) THEN 32
+          |         ELSE 1 + doc_id % 64 END AS h,
           |    1 + doc_id % 8 AS f
           |  FROM documents)
           |SELECT doc_id,

@@ -25,6 +25,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // production posture: native functions + optimizer rules + the TopK
+      // planner strategy ride the session from birth (rules stay inert
+      // without their opt-in confs / custom nodes)
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "true") // pin, don't inherit

@@ -101,6 +101,39 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Weak-affinity doc pairs: share at least `minCommon` kept (df-filtered)
+    * n-grams but sit BELOW the near-dup Jaccard bar (`jaccard < maxJaccard`).
+    * The near-dup graph itself is useless for link prediction — copies of
+    * one source form cliques, which are transitively closed and have no
+    * open wedge — so the "pairs the similarity join missed" queue needs
+    * this weaker relation: topical affinity (shared rare shingles) without
+    * duplication. Same inverted-index candidate core and df-cap contract
+    * as [[ngramJaccardPairs]]; only the final gate differs.
+    * Output: (a_id, b_id, common, jaccard round-6). */
+  def affinityPairs(docs: DataFrame, n: Int, minCommon: Long,
+      maxJaccard: Double, maxGramDocs: Int = 10000): DataFrame = {
+    val g = gramRows(docs, n)
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > 1 && col("gdf") <= maxGramDocs)
+      .select("gram")
+    val gf = g.join(keep, "gram")
+    val pairs = gf.select(col("gram"), col("doc_id").as("a_id"))
+      .join(gf.select(col("gram"), col("doc_id").as("b_id")), "gram")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_grams", "a_n"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_grams", "b_n"), "b_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("common") >= minCommon && col("jaccard") < maxJaccard)
+      .select(col("a_id"), col("b_id"), col("common"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram CONTAINMENT pairs: common / min(|A|, |B|) >= threshold —
     * the ASYMMETRIC near-dup detector (Broder '97 §2 distinguishes
     * resemblance from containment) that catches one document quoted,

@@ -34,27 +34,61 @@ object Multimodal {
   /** Derived media dimensions for a document — the deterministic contract
     * the oracle mirrors: width from the UTF-8 byte length, height and frame
     * count from the id, format alternating by id parity (even → BMP,
-    * odd → multi-frame PPM). */
+    * odd → multi-frame PPM). Exception: the PLANTED near-dup ids
+    * (`doc_id % 16 ∈ {2, 4}`, both even → BMP) are fixed 32×32 so each
+    * 16-id block carries one near-duplicate image pair — see [[synthMedia]]. */
   private def dims(docId: Long, utf8Len: Int): (Int, Int, Int, Boolean) = {
-    val w = 1 + utf8Len % 64
-    val h = 1 + (docId % 64).toInt
-    val frames = 1 + (docId % 8).toInt
-    (w, h, frames, (docId % 2) == 0L)
+    if (isPlant(docId)) (32, 32, 1, true)
+    else {
+      val w = 1 + utf8Len % 64
+      val h = 1 + (docId % 64).toInt
+      val frames = 1 + (docId % 8).toInt
+      (w, h, frames, (docId % 2) == 0L)
+    }
+  }
+
+  /** Planted near-dup membership: ids ≡ 2 and ≡ 4 (mod 16). */
+  private def isPlant(docId: Long): Boolean =
+    docId % 16 == 2 || docId % 16 == 4
+
+  /** Perturb the planted-pair variant in place: force the two aHash lattice
+    * sample sites (bx,by)=(1,1)→pixel(4,4) and (5,3)→pixel(20,12) of the
+    * 32×32 grid to white. A handful of hash bits move (the two forced
+    * samples plus any sample the ~1.5% mean shift crosses), so the pair
+    * lands at a small nonzero Hamming distance — the near-dup case the
+    * pigeonhole chunk join (and its brute-force oracle mirror) must find. */
+  private def plantPerturb(bmp: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    for ((x, y) <- Seq((4, 4), (20, 12))) {
+      val off = 54 + (h - 1 - y) * rowSize + 3 * x // bottom-up raster
+      bmp(off) = 0xFF.toByte; bmp(off + 1) = 0xFF.toByte
+      bmp(off + 2) = 0xFF.toByte
+    }
+    bmp
   }
 
   /** Attach a binary payload column holding a REAL image container per
     * document: even doc_ids get a 24-bit BMP, odd a multi-frame P6 PPM,
-    * sized by [[dims]]. Byte assembly is per-row imperative work Catalyst
-    * cannot express — the one legitimate mapPartitions case — and it is
-    * narrow: no shuffle, encode runs where the document row lives. */
+    * sized by [[dims]]. The planted ids (`doc_id % 16 ∈ {2, 4}`) share one
+    * 32×32 BMP seeded by the block index (`doc_id div 16`), with the ≡ 4
+    * member perturbed at two lattice sites — a deterministic near-duplicate
+    * image pair per block, so Hamming-join fixtures contain real positives.
+    * Byte assembly is per-row imperative work Catalyst cannot express — the
+    * one legitimate mapPartitions case — and it is narrow: no shuffle,
+    * encode runs where the document row lives. */
   def synthMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val (w, h, frames, bmp) = dims(id, utf8.length)
-        MediaRow(id, if (bmp) encodeBmp(w, h, seed = id)
-                     else encodePpm(w, h, frames, seed = id))
+        val payload =
+          if (isPlant(id)) {
+            val base = encodeBmp(w, h, seed = id / 16)
+            if (id % 16 == 4) plantPerturb(base, w, h) else base
+          } else if (bmp) encodeBmp(w, h, seed = id)
+          else encodePpm(w, h, frames, seed = id)
+        MediaRow(id, payload)
       }).toDF()
   }
 

@@ -327,9 +327,16 @@ object Similarity {
     // a pair colliding in several bands appears once per band; the rounded
     // cosine is identical on every copy, so min() is pure dedup
     val uniq = scored.groupBy("a_id", "b_id").agg(min(col("cos")).as("cos"))
-    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
-    uniq.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // per-node neighbor cut through the bounded-heap TopKPerKey node: a
+    // hub node's candidate list never gets partition-sorted — each map
+    // partition prunes to ≤ k candidates per node before the exchange,
+    // and the final heap ranks the survivors. Total order via the b_id
+    // tiebreaker, so rows and ranks equal the window row_number form
+    // (the shape this call site ran through round 9).
+    graft.plans.TopK.perKey(uniq,
+        keys = Seq(col("a_id")),
+        order = Seq(col("cos").desc, col("b_id").asc),
+        k = k)
       .select(col("a_id"), col("b_id"), col("cos"), col("rank").cast("long"))
   }
 

@@ -54,12 +54,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("synthMedia payloads decode back to the documented dimension contract") {
-    val docs = Seq((0L, "hello world"), (1L, "x"), (2L, ""), (3L, "émoji"),
-      (64L, "wrap"), (65L, "a" * 200)).toDF("doc_id", "text")
+    val fixture = Seq((0L, "hello world"), (1L, "x"), (6L, ""), (3L, "émoji"),
+      (64L, "wrap"), (65L, "a" * 200))
+    val docs = fixture.toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(spark, Multimodal.synthMedia(spark, docs),
       batchSize = 2).collect().sortBy(_.doc_id)
-    for ((id, text) <- Seq((0L, "hello world"), (1L, "x"), (2L, ""), (3L, "émoji"),
-        (64L, "wrap"), (65L, "a" * 200))) {
+    for ((id, text) <- fixture) {
       val m = meta.find(_.doc_id == id).get
       assert(m.width == 1 + text.getBytes("UTF-8").length % 64, s"doc $id width")
       assert(m.height == 1 + id % 64, s"doc $id height")
@@ -67,10 +67,38 @@ class MultimodalSpec extends SparkSpec {
     }
     // payload bytes really are parsed containers, not metadata passed along:
     // the empty-text doc still carries a full 1-wide BMP
-    val payload2 = Multimodal.synthMedia(spark, docs)
-      .filter($"doc_id" === 2L).as[MediaRow].head().payload
-    assert(payload2.length == 54 + 4 * 3) // 1px row pads 3->4 bytes, h=3
-    assert(payload2(0) == 'B' && payload2(1) == 'M')
+    val payload6 = Multimodal.synthMedia(spark, docs)
+      .filter($"doc_id" === 6L).as[MediaRow].head().payload
+    assert(payload6.length == 54 + 4 * 7) // 1px row pads 3->4 bytes, h=7
+    assert(payload6(0) == 'B' && payload6(1) == 'M')
+  }
+
+  test("synthMedia plants one near-dup 32×32 BMP pair per 16-id block") {
+    // ids ≡ 2 and ≡ 4 (mod 16) share a block seed; the ≡ 4 member is
+    // perturbed at two aHash lattice sites, so the pair sits at a SMALL
+    // NONZERO Hamming distance — the positive case the pigeonhole join
+    // fixture needs — while different blocks stay uncorrelated (far apart)
+    val docs = Seq((2L, "plant a"), (4L, "plant b, different text"),
+      (18L, "next block"), (20L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.synthMedia(spark, docs)
+    val meta = Multimodal.decodeMeta(spark, media).collect().sortBy(_.doc_id)
+    for (m <- meta)
+      assert((m.width, m.height, m.n_frames) == ((32L, 32L, 1L)), s"doc ${m.doc_id}")
+    val hashes = Multimodal.imageHashes(spark, media).collect()
+      .map(h => h.doc_id -> h.ahash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    // both planted pairs stay within the join's maxDist; the perturbation
+    // only moves bits whose forced-white sample was previously below the
+    // mean, so an individual pair may land at 0 (block 1 does, block 0
+    // does not — both deterministic under the fixed block seeds)
+    assert(ham(2L, 4L) > 0 && ham(2L, 4L) <= 6, s"block-0 pair ${ham(2L, 4L)}")
+    assert(ham(18L, 20L) <= 6, s"block-1 pair ${ham(18L, 20L)}")
+    assert(ham(2L, 18L) > 6, "cross-block hashes must stay uncorrelated")
+    // the planted pair differs ONLY at the two perturbed lattice sites:
+    // payload bytes are otherwise identical
+    val payloads = media.as[MediaRow].collect().map(r => r.doc_id -> r.payload).toMap
+    val diff = payloads(2L).zip(payloads(4L)).count { case (a, b) => a != b }
+    assert(diff > 0 && diff <= 6, s"pair must differ in at most 2 pixels ($diff bytes)")
   }
 
   test("arrow-columnar decode matches the row-batched decoder exactly") {

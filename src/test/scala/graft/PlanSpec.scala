@@ -421,4 +421,33 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(b#".r.findAllIn(p).nonEmpty,
       s"rank windows must partition by the refinement bucket:\n$p")
   }
+
+  test("q21 top-k: plans through the bounded-heap execs, never a window sort") {
+    // the direct TopK.perKey adoption — the node is IN the logical plan, so
+    // every re-plan (including Verify's write-time fresh QueryExecution)
+    // keeps the heap pair; no conf, no rewrite-matching fragility
+    val p = plan(SparkEntry.queries("q21_window_topk")(spark, dir))
+    assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"),
+      s"q21 must plan through the heap exec pair:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      s"no window machinery may survive in the q21 plan:\n$p")
+    // partial prune must sit BELOW the key exchange (map-side ≤ k per key)
+    val partialIdx = p.indexOf("TopKPerKeyPartial")
+    val exchangeIdx = p.lastIndexOf("Exchange hashpartitioning(o_custkey")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial prune must run below the o_custkey exchange:\n$p")
+  }
+
+  test("knnGraph: per-node neighbor cut is the heap exec, not a rank window") {
+    import spark.implicits._
+    val emb = (0L until 200L).map(i =>
+      (i, Array.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Similarity.knnGraph(emb, k = 5, bands = 2,
+      planesPerBand = 4, dim = 16))
+    assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"),
+      s"knnGraph's neighbor cut must plan through the heap pair:\n$p")
+    assert(!p.contains("Window"),
+      s"a hub node's candidates must never be partition-sorted:\n$p")
+  }
 }
