@@ -848,7 +848,8 @@ object SparkEntry {
       val docs = tp(s, dir, "documents")
       val path = invIndexPath(dir) + "_inc"
       Retrieval.writeInvertedIndex(docs.filter(col("doc_id") % 10 =!= 0), path)
-      Retrieval.invIndexInsert(s, path, docs.filter(col("doc_id") % 10 === 0))
+      Retrieval.invIndexInsert(s, path, docs.filter(col("doc_id") % 10 === 0),
+        batchId = 1L)
       Retrieval.bm25TopKIndexed(s, path, Seq("scan", "vector", "stream"), 15)
         .orderBy("rank")
     }),

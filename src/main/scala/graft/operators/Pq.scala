@@ -283,7 +283,15 @@ object Pq {
       // the vector-side reconstruction norm was precomputed at build (one
       // decimal per vector, cid-partitioned beside the codes) — the probe
       // scans it under the SAME pushed cell filter and the per-candidate
-      // aggregate shrinks to the non-residual shape (one carry + one sum)
+      // aggregate shrinks to the non-residual shape (one carry + one sum).
+      // A residual index materialized BEFORE the vnorms precompute landed
+      // has no such table — fail with the remedy, not a parquet path error
+      require(new org.apache.hadoop.fs.Path(s"$path/vnorms")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(s"$path/vnorms")),
+        s"residual IVF-PQ index at $path predates the precomputed " +
+          "reconstruction-norm table (vnorms/) — rebuild it with " +
+          "writeIvfPqIndex to serve residual probes")
       val vn = spark.read.parquet(s"$path/vnorms")
         .filter(col("cid").isin(probed: _*))
         .select(col("vec_id"), col("rnorm2"))

@@ -109,6 +109,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " "))).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets.toLong))
+      .withColumn("last_batch", lit(-1L)) // no incremental fold applied yet
       .write.mode("overwrite").parquet(s"$path/stats")
     postings.repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
@@ -121,7 +122,7 @@ object Retrieval {
     * re-tokenizing the corpus.
     *
     * The batch tokenizes ALONE (batch-sized aggregates) and its posting
-    * rows APPEND into the existing tb=… directories — an LSM-style insert:
+    * rows land in the existing tb=… directories — an LSM-style insert:
     * the base postings are never rewritten, each bucket directory just
     * gains batch files. The stats row then rewrites with the bumped
     * (n_docs, sum_dl). Write order is postings-then-stats: a reader that
@@ -130,11 +131,40 @@ object Retrieval {
     * constants. Batch doc_ids MUST be new — same-id re-ingest is an
     * upsert, which the CDC compactor handles upstream of the index (a
     * doc-keyed existence probe here would full-scan the token-partitioned
-    * layout; the ingest cursor already guarantees newness). */
+    * layout; the ingest cursor already guarantees newness).
+    *
+    * CRASH/RETRY SAFETY — the fold is a staged two-phase commit keyed by
+    * `batchId` (unique per fold over the index's life; a streaming
+    * sink's epoch id is the natural choice, single writer by contract):
+    * the batch's postings first materialize under `$path/staged`, then
+    * every data file renames into its tb= directory under a
+    * batch-marked name (`b<id>-…`), then stats rewrites carrying
+    * `last_batch = batchId`. A retry after ANY crash point is safe:
+    * `last_batch == batchId` means the fold completed (no-op); otherwise
+    * a recovery sweep deletes exactly this batch's marked files (the
+    * partial move, if any) and the staged dir, then redoes the fold —
+    * the double-append window of a naive read-modify-write is gone. */
   def invIndexInsert(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, textCol: String = "text"): Unit = {
+      batch: DataFrame, batchId: Long, textCol: String = "text"): Unit = {
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    if (stats.schema.fieldNames.contains("last_batch") &&
+        stats.getAs[Long]("last_batch") == batchId)
+      return // this fold already committed — idempotent retry
+    val marker = s"b$batchId-"
+    val postingsRoot = new Path(s"$path/postings")
+    // recovery sweep: remove any files a crashed attempt of THIS batch
+    // moved into place, plus its staged dir
+    if (fs.exists(postingsRoot))
+      fs.listStatus(postingsRoot).filter(_.isDirectory).foreach { tbDir =>
+        fs.listStatus(tbDir.getPath)
+          .filter(f => f.getPath.getName.startsWith(marker))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    val staged = new Path(s"$path/staged")
+    fs.delete(staged, true)
     val nBuckets = stats.getAs[Long]("n_buckets")
     val toks = batch.select(col("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("token"))
@@ -145,15 +175,30 @@ object Retrieval {
         pmod(graft.functions.PortableHashes.tokenSlot(col("token")),
           lit(nBuckets)))
       .repartition(col("tb"))
-      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("tb").parquet(staged.toString)
+    // commit phase 1: move staged data files into their tb= dirs under
+    // batch-marked names (per-file renames; any partial state is exactly
+    // what the recovery sweep above identifies and removes)
+    fs.listStatus(staged).filter(_.isDirectory).foreach { tbDir =>
+      val target = new Path(postingsRoot, tbDir.getPath.getName)
+      fs.mkdirs(target)
+      fs.listStatus(tbDir.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .foreach { f =>
+          fs.rename(f.getPath, new Path(target, marker + f.getPath.getName))
+        }
+    }
+    fs.delete(staged, true)
+    // commit phase 2: stats rewrite with the batch marker
     val b = batch
       .agg(count(lit(1)).as("bn"),
         coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
           .as("bdl"))
       .collect()(0)
     Seq((stats.getAs[Long]("n_docs") + b.getLong(0),
-        stats.getAs[Long]("sum_dl") + b.getLong(1), nBuckets))
-      .toDF("n_docs", "sum_dl", "n_buckets")
+        stats.getAs[Long]("sum_dl") + b.getLong(1), nBuckets, batchId))
+      .toDF("n_docs", "sum_dl", "n_buckets", "last_batch")
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 

@@ -115,9 +115,10 @@ object Stats {
 
   /** EXACT quantiles PER GROUP without any per-group sort of the corpus —
     * [[exactQuantiles]]'s two-pass bucket refinement with every driver
-    * collect replaced by a distributed stage, so it holds at ANY group
-    * count (the global form's collect is bounded by `buckets`; a grouped
-    * collect would be groups × buckets — unbounded):
+    * collect replaced by a distributed stage, so it holds at any group
+    * count up to [[selectRanksPerGroup]]'s broadcast bound (no driver
+    * collect ever; the global form's collect is bounded by `buckets`; a
+    * grouped collect would be groups × buckets — unbounded):
     *
     *  1. per-group (n, min, max) aggregate; rows bucket against their OWN
     *     group's range;
@@ -158,10 +159,14 @@ object Stats {
     * |groups| sort tasks. The double cast of `valueCol` only coarsens
     * buckets (monotone); ordering uses the typed columns. Adds `rank`
     * and the group size `n`. */
-  private[operators] def bucketedRanksPerGroup(rows: DataFrame,
+  private[operators] def bucketedRanksPerGroup(rowsIn: DataFrame,
       valueCol: String, tieCols: Seq[String],
       buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same null contract as bucketedRanks: null values carry no rank and
+    // are excluded (least() would otherwise route them into bucket
+    // buckets-1 and corrupt that bucket's ranks)
+    val rows = rowsIn.filter(col(valueCol).isNotNull)
     val vd = col(valueCol).cast("double")
     val stats = rows.groupBy("grp").agg(count(lit(1)).as("n"),
       min(vd).as("mn"), max(vd).as("mx"))
@@ -191,7 +196,16 @@ object Stats {
     * rank" operator ([[winsorizedMeans]]' percentile bounds, the grouped
     * quantiles themselves) shares one audited shape instead of each
     * keeping its own per-group sort window. `tag` is an opaque caller
-    * label carried through (a probability, a lo/hi marker). */
+    * label carried through (a probability, a lo/hi marker).
+    *
+    * Broadcast bound: the stats/located/wanted side tables are GROUP-sized
+    * (× target count), so this shape assumes the group count fits Spark's
+    * broadcast ceiling (8 GB hard / driver memory practical — order 10⁷–10⁸
+    * groups at these row widths). Beyond that, drop the `broadcast()` hints
+    * and let the planner shuffle-join: the refinement stays correct — the
+    * few-group-skew protection the broadcasts buy just stops mattering at
+    * that cardinality, since |groups| ≫ cluster parallelism spreads fine
+    * on its own. */
   private[operators] def selectRanksPerGroup(rows: DataFrame,
       targets: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2, "selectRanksPerGroup: need at least 2 buckets")
@@ -338,14 +352,19 @@ object Stats {
     * they can only merge adjacent buckets, never reorder them; ordering
     * itself uses the typed columns. A constant value column degenerates
     * to one bucket — i.e. a global sort by the tie column, which is the
-    * honest cost of ranking an all-ties order. Nulls in `valueCol` are
-    * the caller's to filter. Adds `rank`. */
-  def bucketedRanks(df: DataFrame, valueCol: String, tieCol: String,
+    * honest cost of ranking an all-ties order. NULL values have no rank
+    * under the total order and are EXCLUDED from the output (before this
+    * guard, `least()` skipping nulls silently routed them into the top
+    * bucket, where they ranked nulls-first and shifted real top-bucket
+    * ranks); callers that must keep null-valued rows re-join on the tie
+    * column. Adds `rank`. */
+  def bucketedRanks(dfIn: DataFrame, valueCol: String, tieCol: String,
       buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, "bucketedRanks: need at least 2 buckets")
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
+    val spark = dfIn.sparkSession
     import spark.implicits._
+    val df = dfIn.filter(col(valueCol).isNotNull)
     val vd = col(valueCol).cast("double")
     val s = df.agg(min(vd).as("mn"), max(vd).as("mx")).collect()(0)
     if (s.isNullAt(0)) return df.withColumn("rank", lit(null).cast("long"))

@@ -38,6 +38,13 @@ object Survival {
       .filter(col("t").isNotNull)
       .groupBy("t")
       .agg(count(lit(1)).as("cnt"), sum(col("ev")).as("d"))
+    // global window, but DIMENSION-SIZED BY CONSTRUCTION: it runs over the
+    // distinct-duration table (≤ the duration domain — hours/days since
+    // entry — not the subject corpus), the one global window here that is
+    // corpus-DERIVED rather than fixed; if distinct durations could reach
+    // corpus size in a deployment (nanosecond-grain durations, no
+    // pre-rounding), route through Stats.bucketedRanks' recursive
+    // bucketing instead — the scaladoc's ~10⁶ escape hatch
     val w = Window.orderBy("t")
     val risked = perDur
       .withColumn("cumBefore",

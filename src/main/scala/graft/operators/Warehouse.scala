@@ -163,11 +163,15 @@ object Warehouse {
     * with the standard NTILE rule (first n mod 5 tiles take ⌈n/5⌉ rows) —
     * value-identical to `ntile(5) OVER (ORDER BY metric, entity)`,
     * spec-pinned against the window form. Output: (entity, recency_ts,
-    * frequency, monetary, r_score, f_score, m_score, segment). */
+    * frequency, monetary, r_score, f_score, m_score, segment). An entity
+    * whose timestamps are ALL null cannot be ordered on recency and is
+    * excluded up front (explicitly, rather than falling into
+    * [[Stats.bucketedRanks]]' null-exclusion path and silently vanishing
+    * at the score join). */
   def rfm(df: DataFrame, entityCol: String, tsCol: String,
       amountCol: String): DataFrame = {
     graft.util.Checkpoints.ensureDir(df.sparkSession)
-    val per = df.filter(col(amountCol).isNotNull)
+    val per = df.filter(col(amountCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(entityCol).cast("string").as("entity"))
       .agg(max(col(tsCol).cast("long")).as("recency_ts"),
         count(lit(1)).as("frequency"),

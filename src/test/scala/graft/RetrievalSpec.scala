@@ -89,7 +89,7 @@ class RetrievalSpec extends SparkSpec {
     val late = all.filter(_._1 % 10 == 0)
     val incPath = java.nio.file.Files.createTempDirectory("inv-inc").toString + "/idx"
     Retrieval.writeInvertedIndex(docsDf(base: _*), incPath, nBuckets = 16)
-    Retrieval.invIndexInsert(spark, incPath, docsDf(late: _*))
+    Retrieval.invIndexInsert(spark, incPath, docsDf(late: _*), batchId = 1L)
     val fullPath = java.nio.file.Files.createTempDirectory("inv-full").toString + "/idx"
     Retrieval.writeInvertedIndex(docsDf(all: _*), fullPath, nBuckets = 16)
     val terms = Seq("cat", "dog0", "alpha3")
@@ -103,6 +103,49 @@ class RetrievalSpec extends SparkSpec {
     assert(st.getAs[Long]("n_docs") === 80L)
     val fullSt = spark.read.parquet(s"$fullPath/stats").collect()(0)
     assert(st.getAs[Long]("sum_dl") === fullSt.getAs[Long]("sum_dl"))
+  }
+
+  test("invIndexInsert is crash/retry safe: completed folds no-op, partial moves sweep") {
+    val all = (0L until 40L).map(i => i -> s"tok${i % 5} cat word$i")
+    val base = all.filter(_._1 % 4 != 0)
+    val late = all.filter(_._1 % 4 == 0)
+    val p = java.nio.file.Files.createTempDirectory("inv-retry").toString + "/idx"
+    Retrieval.writeInvertedIndex(docsDf(base: _*), p, nBuckets = 8)
+    Retrieval.invIndexInsert(spark, p, docsDf(late: _*), batchId = 7L)
+    val served = Retrieval.bm25TopKIndexed(spark, p, Seq("cat"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // retry of the SAME batch id is a committed-fold no-op: stats and
+    // served results are byte-identical, no posting file double-appends
+    def postingFiles() = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/postings"))
+        .filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath).map(_.getPath.toString)).toSet
+    }
+    val filesAfterCommit = postingFiles()
+    Retrieval.invIndexInsert(spark, p, docsDf(late: _*), batchId = 7L)
+    assert(postingFiles() === filesAfterCommit, "retry must not re-append")
+    assert(spark.read.parquet(s"$p/stats").collect()(0)
+      .getAs[Long]("n_docs") === 40L)
+    // simulate a crash mid-move of batch 9: a marked file is in place but
+    // stats never advanced — the retry sweeps it and redoes the fold once
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val someTb = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/postings"))
+      .filter(_.isDirectory).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(someTb, "b9-orphan.parquet")
+    fs.create(orphan).close()
+    Retrieval.invIndexInsert(spark, p,
+      docsDf(100L -> "cat extra", 101L -> "tok1 more").toDF("doc_id", "text"),
+      batchId = 9L)
+    assert(!fs.exists(orphan), "recovery sweep must remove the partial move")
+    assert(spark.read.parquet(s"$p/stats").collect()(0)
+      .getAs[Long]("n_docs") === 42L)
+    val served2 = Retrieval.bm25TopKIndexed(spark, p, Seq("cat"), 50).collect()
+    assert(served2.map(_.getLong(0)).contains(100L),
+      "the redone fold must serve the new batch")
+    assert(served.nonEmpty && served2.length >= served.length)
   }
 
   test("phraseHits: exact counts, overlaps, boundaries, short docs") {
