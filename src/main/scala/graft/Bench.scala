@@ -10,6 +10,41 @@ import org.apache.spark.sql.functions._
   * bit_xor — closed over Long, so it can never overflow under ANSI mode the
   * way sum(xxhash64) does on full-range 64-bit hashes. */
 object Bench {
+
+  /** Round-over-round regression detection over BENCH_HISTORY.jsonl lines:
+    * diff `current` per-query minimums against the LAST history entry at
+    * the same SF; return queries slower than 1.5× their previous-round
+    * minimum — excluding queries stamped contaminated in EITHER round and
+    * sub-0.3 s absolute deltas (scheduler jitter) — worst ratio first.
+    * History lines are this main's own output, so the flat-regex parse is
+    * parsing a format this file controls. */
+  private[graft] def findRegressions(histLines: Seq[String], sfDir: String,
+      current: Seq[(String, Double)],
+      contaminatedNow: Set[String]): Seq[(String, Double, Double)] = {
+    val prevLine = histLines
+      .filter(_.contains("\"sf\":\"" + sfDir + "\"")).lastOption
+    prevLine.map { prev =>
+      val kv = "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r
+      val qStart = prev.indexOf("\"queries\":")
+      val prevMins =
+        if (qStart < 0) Map.empty[String, Double]
+        else kv.findAllMatchIn(prev.substring(qStart))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val cStart = prev.indexOf("\"contaminated\":[")
+      val prevContam =
+        if (cStart < 0) Set.empty[String]
+        else "\"([A-Za-z0-9_]+)\"".r
+          .findAllMatchIn(prev.substring(cStart, prev.indexOf(']', cStart) + 1))
+          .map(_.group(1)).toSet
+      current.collect {
+        case (k, v) if prevMins.contains(k) && !contaminatedNow(k) &&
+            !prevContam(k) && v > 1.5 * prevMins(k) &&
+            v - prevMins(k) > 0.3 =>
+          (k, prevMins(k), v)
+      }.sortBy { case (_, p, v) => -(v / p) }
+    }.getOrElse(Seq.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -131,6 +166,30 @@ object Bench {
     // window, min is the quiet number" instead of re-investigating.
     val contaminated = (results.map(r => r._1 -> r._2) ++ extraResults)
       .collect { case (k, ts) if ts.size >= 2 && ts.max / ts.min > 3.0 => k }
+    // ---- round-over-round regression gate --------------------------------
+    // Diff this run's per-query minimums against the PREVIOUS full-board
+    // history entry at the same SF (BENCH_HISTORY.jsonl) and flag any query
+    // slower than 1.5x its previous-round minimum — excluding queries whose
+    // run window was stamped contaminated in EITHER round, and sub-0.3 s
+    // absolute deltas (pure scheduler jitter). r9's q68 2.0->5.0 s and
+    // q69 3.5->5.4 s were only caught by a manual audit; this makes the
+    // history actionable in the artifact itself.
+    val regressions: Seq[(String, Double, Double)] = {
+      val histFile = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      if (!java.nio.file.Files.exists(histFile) || only.nonEmpty) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        findRegressions(
+          java.nio.file.Files.readAllLines(histFile).asScala.toSeq,
+          sfDir, ok, contaminated.toSet)
+      }
+    }
+    val regJson = regressions.map { case (k, p, v) =>
+      "\"" + k + "\":{\"prev\":" + f3(p) + ",\"now\":" + f3(v) + "}"
+    }.mkString("{", ",", "}")
+    if (regressions.nonEmpty)
+      System.err.println(s"[bench] REGRESSIONS vs previous round (>1.5x min): " +
+        regressions.map { case (k, p, v) => s"$k $p->$v" }.mkString(", "))
     // The driver captures only a bounded TAIL (~2 KB) of stdout and parses
     // the final JSON line out of it. BENCH_r06 AND r07 came back
     // "parsed": null because per-query content pushed that single line past
@@ -139,9 +198,9 @@ object Bench {
     // per-query (mins, per-run arrays, bench-only twins) lives on earlier
     // stdout lines and in bench_out.json / bench_out_detail.json.
     val detail =
-      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"sf":"$sfDir"}"""
+      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"regressions":$regJson,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
     println(detail)
     println(line)
     // The file artifact has no size constraint, so it keeps the full
