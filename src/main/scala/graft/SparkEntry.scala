@@ -802,6 +802,30 @@ object SparkEntry {
         case None => s.conf.unset(TopKWindowRewrite.EnabledConf)
       }
     }),
+    "q206_bt_incremental" -> ((s, dir) => {
+      // incremental preference aggregation: 90% of the q179 event-type
+      // matches settle over 5 MM rounds, the late 10% folds in as a batch
+      // with 2 warm rounds — the q194/q96 daemon pattern applied to
+      // Bradley–Terry (the count fold is purely additive, the cheapest
+      // warm state in the family); the oracle unrolls BOTH phases, so the
+      // green hash proves the warm trajectory, not the cold mirror
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value"))
+      val nxt = ev.select((col("event_id") - 1).as("event_id"),
+        col("event_type").as("t2"), col("value").as("v2"))
+      val win = col("value") > col("v2") ||
+        (col("value") === col("v2") && col("event_type") < col("t2"))
+      val m = ev.join(nxt, "event_id")
+        .filter(col("event_type") =!= col("t2"))
+        .select(when(win, col("event_type")).otherwise(col("t2")).as("winner"),
+          when(win, col("t2")).otherwise(col("event_type")).as("loser"),
+          (col("event_id") % 10 === 0).as("late"))
+      val warm = Experiment.btRounds(
+        Experiment.btInit(m.filter(!col("late"))), 5)
+      Experiment.btScores(
+          Experiment.btInsert(warm, m.filter(col("late")), iters = 2))
+        .orderBy("item")
+    }),
     "q202_equidepth" -> ((s, dir) =>
       // optimizer-statistics artifact: 8 equal-count price buckets with
       // EXACT order-statistic boundaries (bucket refinement, no sort) —
@@ -3803,6 +3827,66 @@ object SparkEntry {
           |SELECT bands, rows_per_band, s50, fp_area, fn_area, total_err,
           |  (total_err = best_err AND bands = best_bands) AS chosen
           |FROM sc CROSS JOIN best ORDER BY bands""".stripMargin,
+      "q206_bt_incremental" -> {
+        // btInit(5 MM rounds on the 90% base matches) → btInsert(late 10%,
+        // 2 warm rounds) unrolled: phase-1 rounds over the base matchup
+        // counts, then the ADDITIVELY merged counts with new items entering
+        // at p=1 and settled items carrying their bp5 strength — the warm
+        // trajectory, not the cold q179 mirror
+        def mmRounds(pre: String, sym: String, it: String): Int => String =
+          k => s"""${pre}d$k AS (SELECT $sym.a AS item,
+             |  sum(CAST(round(CAST(n AS DOUBLE) / (pa.p + pb.p), 6)
+             |      AS DECIMAL(38,6))) AS s
+             |  FROM $sym JOIN ${pre}p${k - 1} pa ON pa.item = $sym.a
+             |           JOIN ${pre}p${k - 1} pb ON pb.item = $sym.b GROUP BY 1),
+             |${pre}p$k AS (SELECT $it.item,
+             |  greatest(round(CAST(wins AS DOUBLE) / CAST(s AS DOUBLE), 6),
+             |           0.000001e0) AS p
+             |  FROM $it JOIN ${pre}d$k ON $it.item = ${pre}d$k.item)""".stripMargin
+        val baseRounds = (1 to 5).map(mmRounds("b", "symb", "itb")).mkString(",\n")
+        val warmRounds = (1 to 2).map(mmRounds("w", "symm", "itm")).mkString(",\n")
+        s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+           |mm AS (SELECT a.event_id,
+           |  CASE WHEN (a.value > b.value) OR (a.value = b.value
+           |       AND a.event_type < b.event_type)
+           |       THEN a.event_type ELSE b.event_type END AS w,
+           |  CASE WHEN (a.value > b.value) OR (a.value = b.value
+           |       AND a.event_type < b.event_type)
+           |       THEN b.event_type ELSE a.event_type END AS l,
+           |  (a.event_id % 10 = 0) AS late
+           |  FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+           |  WHERE a.event_type <> b.event_type),
+           |pcb AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+           |       CAST(count(*) AS BIGINT) AS n FROM mm WHERE NOT late GROUP BY 1, 2),
+           |symb AS (SELECT i AS a, j AS b, n FROM pcb
+           |        UNION ALL SELECT j, i, n FROM pcb),
+           |itbg AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS games
+           |          FROM symb GROUP BY 1),
+           |wtb AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+           |       FROM mm WHERE NOT late GROUP BY 1),
+           |itb AS (SELECT itbg.item, games, COALESCE(wtb.wins, 0) AS wins
+           |       FROM itbg LEFT JOIN wtb ON itbg.item = wtb.item),
+           |bp0 AS (SELECT item, 1.0e0 AS p FROM itb),
+           |$baseRounds,
+           |pcm AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+           |       CAST(count(*) AS BIGINT) AS n FROM mm GROUP BY 1, 2),
+           |symm AS (SELECT i AS a, j AS b, n FROM pcm
+           |        UNION ALL SELECT j, i, n FROM pcm),
+           |itmg AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS games
+           |          FROM symm GROUP BY 1),
+           |wtm AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+           |       FROM mm GROUP BY 1),
+           |itm AS (SELECT itmg.item, games, COALESCE(wtm.wins, 0) AS wins
+           |       FROM itmg LEFT JOIN wtm ON itmg.item = wtm.item),
+           |wp0 AS (SELECT itm.item, COALESCE(bp5.p, 1.0e0) AS p
+           |       FROM itm LEFT JOIN bp5 ON itm.item = bp5.item),
+           |$warmRounds,
+           |tot AS (SELECT sum(CAST(p AS DECIMAL(18,6))) AS tp FROM wp2)
+           |SELECT itm.item, wins, games, wp2.p AS strength,
+           |       round(wp2.p / CAST(tp AS DOUBLE), 6) AS strength_share
+           |FROM itm JOIN wp2 ON itm.item = wp2.item CROSS JOIN tot
+           |ORDER BY itm.item""".stripMargin
+      },
       "q179_bradley_terry" -> {
         // bradleyTerry unrolled: the same 5 MM rounds, round-6 terms as
         // DECIMAL(38,6) sums, the 1e-6 clamp, share over a decimal total

@@ -229,10 +229,43 @@ object Experiment {
     * plan would re-embed the corpus-sized match aggregate 2^iters times
     * (the q69/q89 lesson; measured 52 s -> sub-second on a 1M-match
     * probe). Output: (item, wins, games, strength, strength_share),
-    * share = p/Σp round-6. */
+    * share = p/Σp round-6. Cold wrapper over the warm-foldable
+    * [[btInit]]/[[btRounds]] state (the [[Graph.rankInit]] pattern). */
   def bradleyTerry(matches: DataFrame, winnerCol: String = "winner",
-      loserCol: String = "loser", iters: Int = 5): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
+      loserCol: String = "loser", iters: Int = 5): DataFrame =
+    btScores(btRounds(btInit(matches, winnerCol, loserCol), iters))
+
+  /** Warm Bradley–Terry state, the [[Graph.RankState]] pattern for
+    * preference aggregation: `pairCounts` is the canonical (i < j)
+    * matchup table (i, j, n, w_i) — n games, w_i wins by the smaller-named
+    * item — checkpointed; `strengths` the item-sized (item, p) iterate. A
+    * daemon folds new match batches with [[btInsert]]; the count fold is
+    * PURELY ADDITIVE (per-matchup sums), which is what makes this family
+    * the cleanest warm fold: merging state is one pair-type-sized
+    * aggregate, no graph relayout. */
+  final case class BtState private[operators] (
+      pairCounts: DataFrame, strengths: DataFrame)
+
+  /** The symmetric matchup view and per-item (games, wins) table derived
+    * from canonical pair counts — pair-type-sized, rebuilt per call (two
+    * narrow projections + one aggregate; wins(item) folds w_i when the
+    * item is the pair's smaller name and n − w_i when the larger). */
+  private def btDerived(pairCounts: DataFrame): (DataFrame, DataFrame) = {
+    val sym = pairCounts.select(col("i").as("a"), col("j").as("b"), col("n"))
+      .unionByName(pairCounts.select(col("j").as("a"), col("i").as("b"), col("n")))
+    val items = pairCounts
+      .select(col("i").as("item"), col("n"), col("w_i").as("w"))
+      .unionByName(pairCounts.select(col("j").as("item"), col("n"),
+        (col("n") - col("w_i")).as("w")))
+      .groupBy("item")
+      .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
+    (sym, items)
+  }
+
+  /** Build warm state from a match frame: aggregate the canonical matchup
+    * counts (the ONE corpus-sized pass) and start every item at p = 1. */
+  def btInit(matches: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser"): BtState = {
     graft.util.Checkpoints.ensureDir(matches.sparkSession)
     val m = matches.select(col(winnerCol).cast("string").as("w"),
       col(loserCol).cast("string").as("l"))
@@ -242,16 +275,28 @@ object Experiment {
         when(col("w") < col("l"), 1L).otherwise(0L).as("wi"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("wi")).as("w_i"))
-    val sym = pairCounts.select(col("i").as("a"), col("j").as("b"), col("n"))
-      .unionByName(pairCounts.select(col("j").as("a"), col("i").as("b"), col("n")))
       .checkpoint(eager = true)
-    val items = sym.groupBy(col("a").as("item"))
-      .agg(sum(col("n")).as("games"))
-      .join(m.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins")),
-        Seq("item"), "left")
-      .select(col("item"), col("games"), coalesce(col("wins"), lit(0L)).as("wins"))
-      .checkpoint(eager = true)
-    var p = items.select(col("item"), lit(1.0).as("p"))
+    val strengths = btDerived(pairCounts)._2
+      .select(col("item"), lit(1.0).as("p"))
+    BtState(pairCounts, strengths.checkpoint(eager = true))
+  }
+
+  /** Advance `iters` MM rounds from the CURRENT strengths (warm start)
+    * and checkpoint the iterate. Identical arithmetic to the cold form
+    * (round-6 terms, DECIMAL(38,6) sums, 1e-6 clamp), so cold == init +
+    * rounds bit-for-bit and a warm trajectory is oracle-replayable. */
+  def btRounds(st: BtState, iters: Int): BtState = {
+    require(iters >= 0, "iters must be non-negative")
+    if (iters == 0) return st
+    // checkpoint the derived matchup views once per advance, and the
+    // item-sized iterate EVERY round — each round references sym/items/p
+    // twice, so an unbarriered chain re-embeds subtrees 2^rounds deep
+    // (the q69/q89 lazy-composition lesson; the un-barriered form blew
+    // past 15 min at 14 rounds in the fixpoint spec)
+    val (symRaw, itemsRaw) = btDerived(st.pairCounts)
+    val sym = symRaw.checkpoint(eager = true)
+    val items = itemsRaw.checkpoint(eager = true)
+    var p = st.strengths
     for (_ <- 1 to iters) {
       val denom = sym
         .join(p.select(col("item").as("a"), col("p").as("pa")), "a")
@@ -263,7 +308,44 @@ object Experiment {
         .select(col("item"),
           greatest(round(col("wins").cast("double")
             / col("s").cast("double"), 6), lit(0.000001)).as("p"))
+        .checkpoint(eager = true)
     }
+    st.copy(strengths = p)
+  }
+
+  /** Fold a batch of NEW matches into the state and advance `iters` warm
+    * MM rounds — the per-batch daemon path ([[Graph.lpInsert]]'s contract
+    * for preference data): matchup counts merge by per-pair ADDITION (a
+    * pair-type-sized aggregate — no corpus relayout, the cheapest fold in
+    * the warm family), new items enter at the p = 1 init while existing
+    * items keep their current strength, and the few warm rounds
+    * re-converge the neighborhood the batch actually moved instead of
+    * re-running the full cold budget. */
+  def btInsert(st: BtState, batch: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser", iters: Int = 5): BtState = {
+    val bm = batch.select(col(winnerCol).cast("string").as("w"),
+      col(loserCol).cast("string").as("l"))
+    val bp = bm
+      .select(least(col("w"), col("l")).as("i"),
+        greatest(col("w"), col("l")).as("j"),
+        when(col("w") < col("l"), 1L).otherwise(0L).as("wi"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("wi")).as("w_i"))
+    val merged = st.pairCounts.unionByName(bp)
+      .groupBy("i", "j")
+      .agg(sum(col("n")).as("n"), sum(col("w_i")).as("w_i"))
+      .checkpoint(eager = true)
+    val warm = btDerived(merged)._2.select(col("item"))
+      .join(st.strengths, Seq("item"), "left")
+      .select(col("item"), coalesce(col("p"), lit(1.0)).as("p"))
+    btRounds(BtState(merged, warm.checkpoint(eager = true)), iters)
+  }
+
+  /** Final scores off the current state: (item, wins, games, strength,
+    * strength_share) — the [[bradleyTerry]] output contract. */
+  def btScores(st: BtState): DataFrame = {
+    val items = btDerived(st.pairCounts)._2
+    val p = st.strengths
     val tot = p.agg(sum(col("p").cast("decimal(18,6)")).as("tp"))
     items.join(p, "item").crossJoin(tot)
       .select(col("item"), col("wins"), col("games"),

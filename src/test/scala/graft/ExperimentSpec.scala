@@ -142,4 +142,58 @@ class ExperimentSpec extends SparkSpec {
       .orderBy("item").collect().toSeq
     assert(run(1) == run(13))
   }
+
+  test("bt warm fold: merged counts equal the cold aggregate exactly") {
+    // btInsert's additive matchup merge must be indistinguishable from
+    // aggregating all matches at once — counts are the sufficient
+    // statistic, so this is THE warm-fold soundness invariant
+    val all = (1 to 240).map(i => (s"i${i % 6}", s"i${(i * 5 + 2) % 6}", i % 10 == 0))
+      .filter(p => p._1 != p._2)
+    val base = all.filter(!_._3).map(t => (t._1, t._2)).toDF("winner", "loser")
+    val late = all.filter(_._3).map(t => (t._1, t._2)).toDF("winner", "loser")
+    val folded = Experiment.btInsert(Experiment.btInit(base), late, iters = 0)
+      .pairCounts.orderBy("i", "j").collect().toSeq
+    val cold = Experiment
+      .btInit(all.map(t => (t._1, t._2)).toDF("winner", "loser"))
+      .pairCounts.orderBy("i", "j").collect().toSeq
+    assert(folded == cold)
+  }
+
+  test("bt warm fold: warm insert reaches the cold fixpoint (shares)") {
+    // run both trajectories PAST convergence: cold 14 rounds on the full
+    // match set vs warm init(5) -> insert(2) -> 12 more warm rounds. BT
+    // strengths are identified only up to SCALE (the MM map is
+    // scale-equivariant; fixpoints form a ray), so a warm start converges
+    // to the same ray at a different scale — strength_share is the
+    // identified, comparable quantity, and wins/games are exact
+    val all = (1 to 400).map(i => (s"i${i % 5}", s"i${(i * 7 + 3) % 5}", i % 10 == 0))
+      .filter(p => p._1 != p._2)
+    val base = all.filter(!_._3).map(t => (t._1, t._2)).toDF("winner", "loser")
+    val late = all.filter(_._3).map(t => (t._1, t._2)).toDF("winner", "loser")
+    val warm = Experiment.btRounds(
+      Experiment.btInsert(Experiment.btRounds(Experiment.btInit(base), 5),
+        late, iters = 2), 12)
+    val cold = Experiment.btRounds(
+      Experiment.btInit(all.map(t => (t._1, t._2)).toDF("winner", "loser")), 14)
+    def shares(st: Experiment.BtState) = Experiment.btScores(st)
+      .orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .toSeq
+    val (w, c) = (shares(warm), shares(cold))
+    assert(w.map(t => (t._1, t._2, t._3)) == c.map(t => (t._1, t._2, t._3)),
+      "wins/games are exact sufficient statistics and must match verbatim")
+    val gap = w.zip(c).map { case (a, b) => math.abs(a._4 - b._4) }.max
+    // the round-6 iterate freezes each trajectory a few 1e-6 quanta off
+    // the common ray (the rankInsert spec's quantization-noise argument)
+    assert(gap <= 2e-5, s"warm and cold shares must agree within round-6 " +
+      s"quantization noise, gap=$gap")
+    // and a new item arriving ONLY in the batch enters at the init rule
+    // and converges too
+    val late2 = (late.collect().map(r => (r.getString(0), r.getString(1)))
+      :+ (("i0", "zNew")) :+ (("zNew", "i1"))).toSeq.toDF("winner", "loser")
+    val warm2 = Experiment.btScores(Experiment.btInsert(
+      Experiment.btRounds(Experiment.btInit(base), 5), late2, iters = 8))
+    val znew = warm2.filter($"item" === "zNew").collect()
+    assert(znew.length == 1 && znew(0).getLong(2) == 2L) // 2 games
+  }
 }
