@@ -115,6 +115,21 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
   }
 
+  /** Bootstrap an EMPTY inverted index: the stats row alone (n_docs = 0,
+    * sum_dl = 0, last_batch = -1), no posting directories yet — the
+    * daemon's cold-start target, so every document ever indexed flows
+    * through the same [[invIndexInsert]] batch protocol (uniform
+    * crash/retry semantics from batch 0 on). Serving starts after the
+    * first fold lands postings; [[bm25TopKIndexed]] against a never-fed
+    * index has no postings tree to read. */
+  def initInvertedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      nBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    Seq((0L, 0L, nBuckets.toLong, -1L))
+      .toDF("n_docs", "sum_dl", "n_buckets", "last_batch")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Fold a batch of NEW documents into a materialized
     * [[writeInvertedIndex]] index — the warm-fold family
     * ([[Graph.rankInsert]]/[[Graph.lpInsert]]) applied to retrieval: the

@@ -65,7 +65,8 @@ object DocIngest {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       gramHashes: (Column, Int) => Seq[Column] =
         (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
-      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*)): BatchResult = {
+      bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*),
+      invIndexPath: Option[String] = None): BatchResult = {
     val b = batch.persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
@@ -104,6 +105,22 @@ object DocIngest {
       admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
       Dedup.appendToLshIndex(admitted, indexPath, s"batch-$batchId",
         n, numHashes, bands, gramHashes, bandBucket)
+      // Served-retrieval maintenance (the q199 shape as the ACTUAL daemon
+      // path): fold the admitted docs into the at-rest BM25 index. The
+      // fold is the staged two-phase commit keyed by this batch id, so the
+      // streaming engine's retry of a crashed batch either no-ops (fold
+      // committed) or sweeps the partial move and redoes it — and the
+      // admitted set itself reconverges on replay per the class scaladoc,
+      // so the redone fold indexes the same documents. Cold start
+      // bootstraps an empty index so batch 0 rides the same protocol.
+      invIndexPath.foreach { p =>
+        val statsPath = new org.apache.hadoop.fs.Path(s"$p/stats")
+        if (!statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(statsPath))
+          graft.operators.Retrieval.initInvertedIndex(spark, p)
+        graft.operators.Retrieval.invIndexInsert(spark, p,
+          admitted.select(col("doc_id"), col("text")), batchId)
+      }
       val r = BatchResult(nAdmitted, withinDrops.count(), indexDrops.count(),
         redelivered.count())
       System.err.println(s"[docingest] batch $batchId: admitted=${r.admitted} " +
@@ -126,13 +143,15 @@ object DocIngest {
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       corpusDir: String, indexPath: String,
       threshold: Double = 0.35,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      invIndexPath: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream.schema(docSchema).json(inputDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitDocBatch(spark, batch, batchId, corpusDir, indexPath, threshold)
+        commitDocBatch(spark, batch, batchId, corpusDir, indexPath, threshold,
+          invIndexPath = invIndexPath)
         ()
       }
       .start()

@@ -96,4 +96,50 @@ class DocIngestSpec extends SparkSpec {
     q2.awaitTermination()
     assert(corpusIds(corpus) == Set(0L, 3L, 4L))
   }
+
+  test("daemon maintains the served BM25 index: incremental == full rebuild after each drop") {
+    import graft.operators.Retrieval
+    val in = Files.createTempDirectory("doc-in3").toString
+    val ckpt = Files.createTempDirectory("doc-ckpt3").toString
+    val corpus = Files.createTempDirectory("doc-corpus3").toString + "/sink"
+    val index = Files.createTempDirectory("doc-index3").toString + "/idx"
+    val inv = Files.createTempDirectory("doc-inv3").toString + "/bm25"
+
+    def jsonl(rows: (Long, String)*): String = rows.map { case (id, t) =>
+      s"""{"doc_id": $id, "text": "$t", "lang": "en", "source": "s", "n_chars": ${t.length}}"""
+    }.mkString("\n")
+    val terms = Seq("alpha", "three", "blue", "ipsum", "catalyst")
+    def served() = Retrieval.bm25TopKIndexed(spark, inv, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    def rebuilt(): Seq[(Long, Double)] = {
+      val p = Files.createTempDirectory("doc-rebuild").toString + "/idx"
+      Retrieval.writeInvertedIndex(
+        DocIngest.readCorpus(spark, corpus).select("doc_id", "text"), p)
+      Retrieval.bm25TopKIndexed(spark, p, terms, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    }
+
+    // drop 1: a dup (1 copies 0) is gated BEFORE indexing, so the served
+    // index only ever holds admitted docs
+    Files.writeString(Path.of(in, "w1.jsonl"),
+      jsonl(0L -> tA, 1L -> tA, 3L -> tB, 5L -> tC))
+    DocIngest.start(spark, in, ckpt, corpus, index,
+      trigger = Trigger.AvailableNow(), invIndexPath = Some(inv))
+      .awaitTermination()
+    assert(served().nonEmpty && served() == rebuilt(),
+      "served index after drop 1 must equal a full rebuild of the corpus")
+
+    // drop 2: novel docs fold in as an LSM batch append (base untouched)
+    Files.writeString(Path.of(in, "w2.jsonl"), jsonl(6L -> tD, 7L -> tE))
+    DocIngest.start(spark, in, ckpt, corpus, index,
+      trigger = Trigger.AvailableNow(), invIndexPath = Some(inv))
+      .awaitTermination()
+    assert(corpusIds(corpus) == Set(0L, 3L, 5L, 6L, 7L))
+    assert(served() == rebuilt(),
+      "served index after drop 2 must equal a full rebuild of the corpus")
+    // and the fold really was incremental: the stats row carries the last
+    // committed batch id, not the -1 bootstrap marker
+    assert(spark.read.parquet(s"$inv/stats").collect()(0)
+      .getAs[Long]("last_batch") >= 1L)
+  }
 }
