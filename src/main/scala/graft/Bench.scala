@@ -11,38 +11,79 @@ import org.apache.spark.sql.functions._
   * way sum(xxhash64) does on full-range 64-bit hashes. */
 object Bench {
 
-  /** Round-over-round regression detection over BENCH_HISTORY.jsonl lines:
-    * diff `current` per-query minimums against the LAST history entry at
-    * the same SF; return queries slower than 1.5× their previous-round
-    * minimum — excluding queries stamped contaminated in EITHER round and
-    * sub-0.3 s absolute deltas (scheduler jitter) — worst ratio first.
+  /** Parse the flat numeric `"queries":{...}` map out of a history line,
+    * bounded at the map's closing brace so the `bench_only` twin map that
+    * follows can never overwrite a board query's baseline (the values are
+    * plain numbers, so the first '}' after the opener closes the map).
     * History lines are this main's own output, so the flat-regex parse is
     * parsing a format this file controls. */
+  private def queriesOf(line: String): Map[String, Double] = {
+    val qStart = line.indexOf("\"queries\":")
+    if (qStart < 0) Map.empty
+    else {
+      val qEnd = line.indexOf('}', qStart)
+      "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r
+        .findAllMatchIn(line.substring(qStart, qEnd + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Round-over-round regression detection over BENCH_HISTORY.jsonl lines.
+    *
+    * Baseline = the LAST full-board history entry at the same SF, overlaid
+    * with any LATER `"quiet":true` rows (QuietProbe appends them): a quiet
+    * idle-host minimum replaces a contaminated bench min and lowers a loaded
+    * one, so the gate compares against the engine's honest cost rather than
+    * whatever the last bench window happened to read (r10 lesson: a loaded
+    * window minted 34 false regressions against itself).
+    *
+    * Window-awareness: before flagging, compute the stable-set median
+    * inflation — median of now/prev over queries clean in both rounds with
+    * a ≥0.2 s baseline (sub-0.2 s timings are scheduler jitter, not signal).
+    * Uniform ambient load moves that median (r10: 1.11×); per-query
+    * regressions don't. The gate divides current timings by the median
+    * before applying the 1.5× threshold, and a median > 1.2 additionally
+    * stamps the whole artifact window-contaminated.
+    *
+    * Returns (stable-set median inflation, flagged regressions worst-first);
+    * flags exclude queries stamped contaminated in either round and sub-0.3 s
+    * absolute deltas. */
   private[graft] def findRegressions(histLines: Seq[String], sfDir: String,
       current: Seq[(String, Double)],
-      contaminatedNow: Set[String]): Seq[(String, Double, Double)] = {
-    val prevLine = histLines
-      .filter(_.contains("\"sf\":\"" + sfDir + "\"")).lastOption
-    prevLine.map { prev =>
-      val kv = "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r
-      val qStart = prev.indexOf("\"queries\":")
-      val prevMins =
-        if (qStart < 0) Map.empty[String, Double]
-        else kv.findAllMatchIn(prev.substring(qStart))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      val cStart = prev.indexOf("\"contaminated\":[")
-      val prevContam =
-        if (cStart < 0) Set.empty[String]
-        else "\"([A-Za-z0-9_]+)\"".r
-          .findAllMatchIn(prev.substring(cStart, prev.indexOf(']', cStart) + 1))
-          .map(_.group(1)).toSet
-      current.collect {
-        case (k, v) if prevMins.contains(k) && !contaminatedNow(k) &&
-            !prevContam(k) && v > 1.5 * prevMins(k) &&
-            v - prevMins(k) > 0.3 =>
-          (k, prevMins(k), v)
-      }.sortBy { case (_, p, v) => -(v / p) }
-    }.getOrElse(Seq.empty)
+      contaminatedNow: Set[String]): (Double, Seq[(String, Double, Double)]) = {
+    val sameSf = histLines.filter(_.contains("\"sf\":\"" + sfDir + "\""))
+    val baseIdx = sameSf.lastIndexWhere(!_.contains("\"quiet\":true"))
+    if (baseIdx < 0) return (1.0, Seq.empty)
+    val prev = sameSf(baseIdx)
+    var prevMins = queriesOf(prev)
+    val cStart = prev.indexOf("\"contaminated\":[")
+    var prevContam =
+      if (cStart < 0) Set.empty[String]
+      else "\"([A-Za-z0-9_]+)\"".r
+        .findAllMatchIn(prev.substring(cStart, prev.indexOf(']', cStart) + 1))
+        .map(_.group(1)).toSet
+    for (q <- sameSf.drop(baseIdx + 1) if q.contains("\"quiet\":true");
+         (k, v) <- queriesOf(q)) {
+      prevMins += k -> (if (prevContam(k)) v
+                        else math.min(prevMins.getOrElse(k, v), v))
+      prevContam -= k // a quiet number is trustworthy by construction
+    }
+    val ratios = current.collect {
+      case (k, v) if prevMins.contains(k) && !contaminatedNow(k) &&
+          !prevContam(k) && prevMins(k) >= 0.2 => v / prevMins(k)
+    }.sorted
+    // The median only reads as AMBIENT load when a stable majority exists —
+    // on a handful of queries a couple of real regressions drag it and the
+    // rescale would mask them. Below 8 samples, trust the raw numbers.
+    val inflation = if (ratios.size < 8) 1.0 else ratios(ratios.size / 2)
+    val scale = math.max(1.0, inflation)
+    val regs = current.collect {
+      case (k, v) if prevMins.contains(k) && !contaminatedNow(k) &&
+          !prevContam(k) && v / scale > 1.5 * prevMins(k) &&
+          v / scale - prevMins(k) > 0.3 =>
+        (k, prevMins(k), v)
+    }.sortBy { case (_, p, v) => -(v / p) }
+    (inflation, regs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,9 +215,10 @@ object Bench {
     // absolute deltas (pure scheduler jitter). r9's q68 2.0->5.0 s and
     // q69 3.5->5.4 s were only caught by a manual audit; this makes the
     // history actionable in the artifact itself.
-    val regressions: Seq[(String, Double, Double)] = {
+    val (windowInflation, regressions) = {
       val histFile = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
-      if (!java.nio.file.Files.exists(histFile) || only.nonEmpty) Seq.empty
+      if (!java.nio.file.Files.exists(histFile) || only.nonEmpty)
+        (1.0, Seq.empty[(String, Double, Double)])
       else {
         import scala.jdk.CollectionConverters._
         findRegressions(
@@ -184,11 +226,20 @@ object Bench {
           sfDir, ok, contaminated.toSet)
       }
     }
+    // >1.2x uniform inflation of the mutually-clean majority = the whole
+    // window was loaded (r10's signature: 151 stable queries all +11%);
+    // stamp the artifact so readers treat every number as an upper bound.
+    val windowContaminated = windowInflation > 1.2
+    if (windowContaminated)
+      System.err.println(f"[bench] WINDOW CONTAMINATED: stable-set median " +
+        f"inflation $windowInflation%.2fx vs previous round — timings are " +
+        "upper bounds; re-run on an idle host or trust QuietProbe rows")
     val regJson = regressions.map { case (k, p, v) =>
       "\"" + k + "\":{\"prev\":" + f3(p) + ",\"now\":" + f3(v) + "}"
     }.mkString("{", ",", "}")
     if (regressions.nonEmpty)
-      System.err.println(s"[bench] REGRESSIONS vs previous round (>1.5x min): " +
+      System.err.println(s"[bench] REGRESSIONS vs previous round (>1.5x min, " +
+        f"load-normalized by $windowInflation%.2fx): " +
         regressions.map { case (k, p, v) => s"$k $p->$v" }.mkString(", "))
     // The driver captures only a bounded TAIL (~2 KB) of stdout and parses
     // the final JSON line out of it. BENCH_r06 AND r07 came back
@@ -198,9 +249,9 @@ object Bench {
     // per-query (mins, per-run arrays, bench-only twins) lives on earlier
     // stdout lines and in bench_out.json / bench_out_detail.json.
     val detail =
-      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"regressions":$regJson,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"window_inflation":${f3(windowInflation)},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
     println(detail)
     println(line)
     // The file artifact has no size constraint, so it keeps the full

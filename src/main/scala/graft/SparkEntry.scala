@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** q204's persisted result from the PREVIOUS invocation in this JVM.
+    * Unpersisted (blocking) at the next q204 entry: a still-live cache
+    * entry would be substituted into the rebuilt query's analyzed plan
+    * before the TopKWindowRewrite fires, erasing the TopKPerKey node the
+    * query asserts on (the BENCH_r10 deterministic re-run failure). */
+  @volatile private var q204Cache: Option[DataFrame] = None
+
   /** q180's field priors — shared by the query and the oracle SQL so the
     * embedded log2(m/u) weight literals are identical by construction. */
   private val FsFields: Seq[(String, Double, Double)] = Seq(
@@ -778,7 +785,18 @@ object SparkEntry {
       // ≤ types×10-row cache) and downstream writes scan that cache. A
       // green hash proves the heap execs reproduce the window form's rows
       // AND ranks exactly.
+      //
+      // Re-entrancy: the cache manager substitutes InMemoryRelation for any
+      // analyzed subtree matching a PREVIOUS invocation's still-persisted
+      // result BEFORE the optimizer runs — so on run 2+ the optimized plan
+      // would hold an in-memory scan, no TopKPerKey node, and the require
+      // below would throw (the deterministic min-of-N bench failure in
+      // BENCH_r10). Unpersist the prior invocation's cache at entry
+      // (blocking, so the substitution window is fully closed) and track
+      // the new one for the next entry; the leak ADVICE noted is gone too.
       import graft.plans.TopKWindowRewrite
+      q204Cache.foreach(_.unpersist(blocking = true))
+      q204Cache = None
       t(s, dir, "events").filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("value"))
         .createOrReplaceTempView("graft_q204_events")
@@ -796,6 +814,7 @@ object SparkEntry {
           "q204 must exercise the TopKPerKey operator")
         df.persist()
         df.count() // executes the heap execs while the conf is still set
+        q204Cache = Some(df)
         df
       } finally prev match {
         case Some(v) => s.conf.set(TopKWindowRewrite.EnabledConf, v)

@@ -158,12 +158,42 @@ object Retrieval {
     * `last_batch == batchId` means the fold completed (no-op); otherwise
     * a recovery sweep deletes exactly this batch's marked files (the
     * partial move, if any) and the staged dir, then redoes the fold —
-    * the double-append window of a naive read-modify-write is gone. */
+    * the double-append window of a naive read-modify-write is gone.
+    *
+    * The stats rewrite itself is ALSO atomic: the new row lands in
+    * `$path/stats_staged_b<id>`, then two directory renames swap it in
+    * (`stats`→`stats_old_b<id>`, staged→`stats`) and the old dir is
+    * deleted. A crash between the renames leaves `stats` briefly absent —
+    * but with the staged twin complete, so the entry-time recovery rolls
+    * FORWARD (postings for the batch are already fully in place at that
+    * point, making the staged stats the correct state); a Spark
+    * `overwrite` here would instead delete-then-rewrite in place, and a
+    * crash in that window silently zeroes n_docs/sum_dl over a full
+    * postings tree on the next cold-looking start. */
   def invIndexInsert(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, batchId: Long, textCol: String = "text"): Unit = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsPath = new Path(s"$path/stats")
+    // stats-swap recovery: a crash between the phase-2 renames of a prior
+    // fold leaves `stats` absent with a completed staged twin (roll
+    // forward — that fold's postings were already fully in place) or, if
+    // the staged twin is gone too, the renamed-away old dir (roll back —
+    // the interrupted fold then redoes cleanly below).
+    def twins(prefix: String): Seq[Path] =
+      if (!fs.exists(new Path(path))) Seq.empty
+      else fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(_.getName.startsWith(prefix)).toSeq
+    if (!fs.exists(statsPath)) {
+      val staged = twins("stats_staged_b")
+      val old = twins("stats_old_b")
+      if (staged.nonEmpty) fs.rename(staged.head, statsPath)
+      else if (old.nonEmpty) fs.rename(old.head, statsPath)
+    }
+    // with stats in place, any remaining twins are committed-fold debris
+    (twins("stats_staged_b") ++ twins("stats_old_b"))
+      .foreach(p => fs.delete(p, true))
     val stats = spark.read.parquet(s"$path/stats").collect()(0)
     if (stats.schema.fieldNames.contains("last_batch") &&
         stats.getAs[Long]("last_batch") == batchId)
@@ -205,16 +235,22 @@ object Retrieval {
         }
     }
     fs.delete(staged, true)
-    // commit phase 2: stats rewrite with the batch marker
+    // commit phase 2: stats rewrite with the batch marker — staged write
+    // plus two atomic renames, never an in-place overwrite (see scaladoc)
     val b = batch
       .agg(count(lit(1)).as("bn"),
         coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
           .as("bdl"))
       .collect()(0)
+    val stagedStats = new Path(s"$path/stats_staged_b$batchId")
     Seq((stats.getAs[Long]("n_docs") + b.getLong(0),
         stats.getAs[Long]("sum_dl") + b.getLong(1), nBuckets, batchId))
       .toDF("n_docs", "sum_dl", "n_buckets", "last_batch")
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").parquet(stagedStats.toString)
+    val oldStats = new Path(s"$path/stats_old_b$batchId")
+    fs.rename(statsPath, oldStats)
+    fs.rename(stagedStats, statsPath)
+    fs.delete(oldStats, true)
   }
 
   /** BM25 top-k served from a materialized [[writeInvertedIndex]] index:

@@ -115,9 +115,27 @@ object DocIngest {
       // bootstraps an empty index so batch 0 rides the same protocol.
       invIndexPath.foreach { p =>
         val statsPath = new org.apache.hadoop.fs.Path(s"$p/stats")
-        if (!statsPath.getFileSystem(spark.sessionState.newHadoopConf())
-            .exists(statsPath))
-          graft.operators.Retrieval.initInvertedIndex(spark, p)
+        val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(statsPath)) {
+          // Cold start ONLY when the postings tree is absent too (and no
+          // mid-swap twins exist — those invIndexInsert repairs itself).
+          // A missing stats dir OVER live postings is damage, and
+          // bootstrapping zeroed n_docs/sum_dl onto it would permanently
+          // serve wrong idf/avgdl with no error — fail loudly instead so
+          // stats can be repaired from the postings.
+          val postings = new org.apache.hadoop.fs.Path(s"$p/postings")
+          val swapTwins = fs.exists(new org.apache.hadoop.fs.Path(p)) &&
+            fs.listStatus(new org.apache.hadoop.fs.Path(p))
+              .exists(s => s.getPath.getName.startsWith("stats_staged_b") ||
+                s.getPath.getName.startsWith("stats_old_b"))
+          require(!fs.exists(postings) || swapTwins,
+            s"inverted index at $p has postings but no stats row and no " +
+              "recoverable stats twin: refusing to bootstrap an empty " +
+              "index over live postings — rebuild stats from the postings " +
+              "(n_docs/sum_dl are derivable) before restarting the daemon")
+          if (!fs.exists(postings) && !swapTwins)
+            graft.operators.Retrieval.initInvertedIndex(spark, p)
+        }
         graft.operators.Retrieval.invIndexInsert(spark, p,
           admitted.select(col("doc_id"), col("text")), batchId)
       }

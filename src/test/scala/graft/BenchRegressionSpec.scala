@@ -3,7 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench regression gate parses history lines Bench itself wrote —
-  * pin the parse + flag rules so a format tweak can't silently disarm it. */
+  * pin the parse + flag rules so a format tweak can't silently disarm it.
+  * Covers the r11 gate extensions: quiet-probe overlay rows, the bounded
+  * queries-map parse (bench_only twins can't clobber baselines), and the
+  * stable-set median-inflation rescale + window-contamination stamp. */
 class BenchRegressionSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.1"
@@ -13,11 +16,15 @@ class BenchRegressionSpec extends AnyFunSuite {
     val q = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     s"""{"round":"$round","sf":"$sf","contaminated":$c,"queries":$q,"bench_only":{}}"""
   }
+  private def quiet(round: String, qs: (String, Double)*): String = {
+    val q = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    s"""{"round":"$round","sf":"$sf","quiet":true,"contaminated":[],"queries":$q,"bench_only":{}}"""
+  }
 
   test("flags >1.5x slowdowns, worst ratio first; small deltas and new queries pass") {
     val lines = Seq(hist("r9", Seq.empty,
       "q68" -> 2.0, "q01" -> 0.9, "q05" -> 0.1, "q69" -> 3.5))
-    val got = Bench.findRegressions(lines, sf,
+    val (_, got) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 5.0, "q01" -> 1.0, "q05" -> 0.25, "q69" -> 5.4,
         "q_new" -> 9.9),
       contaminatedNow = Set.empty)
@@ -28,23 +35,108 @@ class BenchRegressionSpec extends AnyFunSuite {
 
   test("contamination in either round suppresses the flag") {
     val lines = Seq(hist("r9", Seq("q68"), "q68" -> 2.0, "q69" -> 3.5))
-    val got = Bench.findRegressions(lines, sf,
+    val (_, got) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 9.0, "q69" -> 9.0), contaminatedNow = Set("q69"))
     assert(got.isEmpty)
   }
 
-  test("only the LAST same-sf entry is the baseline; other SFs are ignored") {
+  test("only the LAST same-sf full-board entry is the baseline; other SFs ignored") {
     val lines = Seq(
       hist("r8", Seq.empty, "q68" -> 9.0), // stale round: would not flag
       s"""{"round":"rX","sf":"/elsewhere","contaminated":[],"queries":{"q68":0.1},"bench_only":{}}""",
       hist("r9", Seq.empty, "q68" -> 2.0)) // the real baseline
-    val got = Bench.findRegressions(lines, sf, Seq("q68" -> 5.0), Set.empty)
+    val (_, got) = Bench.findRegressions(lines, sf, Seq("q68" -> 5.0), Set.empty)
     assert(got === Seq(("q68", 2.0, 5.0)))
   }
 
   test("no history, or no same-sf line, means no flags") {
-    assert(Bench.findRegressions(Seq.empty, sf, Seq("q" -> 9.0), Set.empty).isEmpty)
+    assert(Bench.findRegressions(Seq.empty, sf, Seq("q" -> 9.0), Set.empty)
+      ._2.isEmpty)
     val other = Seq(s"""{"round":"r9","sf":"/other","contaminated":[],"queries":{"q":1.0},"bench_only":{}}""")
-    assert(Bench.findRegressions(other, sf, Seq("q" -> 9.0), Set.empty).isEmpty)
+    assert(Bench.findRegressions(other, sf, Seq("q" -> 9.0), Set.empty)
+      ._2.isEmpty)
+  }
+
+  test("bench_only twins cannot clobber a board query's baseline") {
+    // Same key appears in queries (2.0) and bench_only (0.1): an unbounded
+    // parse would keep the bench_only 0.1 and flag 2.1 as a 21x regression.
+    val line =
+      s"""{"round":"r9","sf":"$sf","contaminated":[],"queries":{"q68":2.0},"bench_only":{"q68":0.1}}"""
+    val (_, got) = Bench.findRegressions(Seq(line), sf, Seq("q68" -> 2.1),
+      Set.empty)
+    assert(got.isEmpty)
+  }
+
+  test("a quiet row after the baseline replaces a contaminated bench min") {
+    // r9 stamped q68 contaminated at 15.0; the quiet probe pinned it at 2.0.
+    // Without the overlay the gate would skip q68 entirely; with it, a 9.0
+    // reading flags against the honest 2.0.
+    val lines = Seq(hist("r9", Seq("q68"), "q68" -> 15.0, "q01" -> 1.0),
+      quiet("r10q", "q68" -> 2.0))
+    val (_, got) = Bench.findRegressions(lines, sf,
+      Seq("q68" -> 9.0, "q01" -> 1.0), Set.empty)
+    assert(got === Seq(("q68", 2.0, 9.0)))
+  }
+
+  test("a quiet row lowers a loaded (unstamped) baseline via min") {
+    val lines = Seq(hist("r9", Seq.empty, "q68" -> 5.0, "q01" -> 1.0),
+      quiet("r10q", "q68" -> 2.0))
+    val (_, got) = Bench.findRegressions(lines, sf,
+      Seq("q68" -> 4.0, "q01" -> 1.0), Set.empty)
+    // vs the bench 5.0 no flag; vs the quiet 2.0, 4.0 is a 2x regression
+    assert(got === Seq(("q68", 2.0, 4.0)))
+  }
+
+  test("quiet rows BEFORE the last full-board entry do not overlay it") {
+    val lines = Seq(quiet("r8q", "q68" -> 0.5),
+      hist("r9", Seq.empty, "q68" -> 2.0))
+    val (_, got) = Bench.findRegressions(lines, sf, Seq("q68" -> 2.2),
+      Set.empty)
+    assert(got.isEmpty) // 2.2 vs 2.0, not vs the stale 0.5
+  }
+
+  private def board(n: Int, factor: Double): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    val prev = (1 to n).map(i => s"qs$i" -> (1.0 + i * 0.25))
+    (prev, prev.map { case (k, v) => k -> v * factor })
+  }
+
+  test("uniform window inflation rescales the gate instead of minting flags") {
+    // Every query 2x slower — the loaded-window signature, not 10 regressions.
+    val (prev, now) = board(10, 2.0)
+    val lines = Seq(hist("r9", Seq.empty, prev: _*))
+    val (inflation, got) = Bench.findRegressions(lines, sf, now, Set.empty)
+    assert(math.abs(inflation - 2.0) < 1e-9)
+    assert(got.isEmpty) // load-normalized, every ratio is exactly 1.0
+  }
+
+  test("a real per-query regression survives the load normalization") {
+    // Window at 1.2x ambient, but q_bad is 6x: 6/1.2 = 5x >> 1.5x.
+    val (prev, now) = board(10, 1.2)
+    val lines = Seq(hist("r9", Seq.empty, prev :+ ("q_bad" -> 1.0): _*))
+    val (inflation, got) = Bench.findRegressions(lines, sf,
+      now :+ ("q_bad" -> 6.0), Set.empty)
+    assert(inflation > 1.0 && inflation < 1.5)
+    assert(got.map(_._1) === Seq("q_bad"))
+  }
+
+  test("sub-0.2s baselines are excluded from the inflation median") {
+    // Jittery tiny queries at 10x must not drag the median above the
+    // honest 1.0 of the real ones.
+    val (prev, now) = board(10, 1.0)
+    val tiny = (1 to 9).map(i => s"t$i" -> 0.05)
+    val lines = Seq(hist("r9", Seq.empty, prev ++ tiny: _*))
+    val (inflation, _) = Bench.findRegressions(lines, sf,
+      now ++ tiny.map { case (k, _) => k -> 0.5 }, Set.empty)
+    assert(math.abs(inflation - 1.0) < 1e-9)
+  }
+
+  test("below 8 stable samples the median is not trusted (no rescale)") {
+    // 3 queries, all 3x: with a rescale this would read as load; with only
+    // 3 samples the gate must flag all three instead of normalizing away.
+    val (prev, now) = board(3, 3.0)
+    val lines = Seq(hist("r9", Seq.empty, prev: _*))
+    val (inflation, got) = Bench.findRegressions(lines, sf, now, Set.empty)
+    assert(inflation === 1.0)
+    assert(got.size === 3)
   }
 }

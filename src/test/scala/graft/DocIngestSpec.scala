@@ -142,4 +142,36 @@ class DocIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$inv/stats").collect()(0)
       .getAs[Long]("last_batch") >= 1L)
   }
+
+  test("missing stats over live postings refuses to bootstrap (no silent zeroed idf)") {
+    import graft.operators.Retrieval
+    val corpus = Files.createTempDirectory("doc-corpus4").toString
+    val index = Files.createTempDirectory("doc-index4").toString
+    val inv = Files.createTempDirectory("doc-inv4").toString + "/bm25"
+    DocIngest.commitDocBatch(spark, docsDf(0L -> tA, 3L -> tB), 0L,
+      corpus, index, invIndexPath = Some(inv))
+    // damage: stats vanishes (no recoverable swap twin) over live postings.
+    // A cold-start bootstrap here would permanently serve BM25 with
+    // n_docs=0 — the daemon must fail loudly instead.
+    val fs = new org.apache.hadoop.fs.Path(inv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$inv/stats"), true)
+    val e = intercept[IllegalArgumentException] {
+      DocIngest.commitDocBatch(spark, docsDf(6L -> tD), 1L,
+        corpus, index, invIndexPath = Some(inv))
+    }
+    assert(e.getMessage.contains("refusing to bootstrap"))
+    // but a mid-swap crash twin IS recoverable: restore via the staged
+    // path and the daemon proceeds
+    Retrieval.initInvertedIndex(spark, inv)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$inv/stats"),
+      new org.apache.hadoop.fs.Path(s"$inv/stats_old_b0"))
+    // stats absent + old twin present -> invIndexInsert rolls back, then
+    // the fold of batch 1 proceeds (bootstrap row had n_docs=0; this is
+    // only exercising the twin-recovery path through the daemon guard)
+    DocIngest.commitDocBatch(spark, docsDf(7L -> tE), 1L,
+      corpus, index, invIndexPath = Some(inv))
+    assert(spark.read.parquet(s"$inv/stats").collect()(0)
+      .getAs[Long]("last_batch") === 1L)
+  }
 }

@@ -148,6 +148,38 @@ class RetrievalSpec extends SparkSpec {
     assert(served.nonEmpty && served2.length >= served.length)
   }
 
+  test("stats swap is crash-safe: roll forward from staged, roll back from old") {
+    val p = java.nio.file.Files.createTempDirectory("inv-swap").toString + "/idx"
+    Retrieval.writeInvertedIndex(
+      docsDf((0L until 20L).map(i => i -> s"cat tok${i % 3} w$i"): _*),
+      p, nBuckets = 8)
+    Retrieval.invIndexInsert(spark, p,
+      docsDf(20L -> "cat late", 21L -> "tok1 late"), batchId = 6L)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pth(s: String) = new org.apache.hadoop.fs.Path(s"$p/$s")
+    // crash window A: stats renamed away AND the staged twin complete —
+    // batch 6's postings are fully in place, so recovery rolls FORWARD
+    // and the retry of batch 6 is then a committed no-op
+    fs.rename(pth("stats"), pth("stats_staged_b6"))
+    Retrieval.invIndexInsert(spark, p,
+      docsDf(20L -> "cat late", 21L -> "tok1 late"), batchId = 6L)
+    assert(fs.exists(pth("stats")) && !fs.exists(pth("stats_staged_b6")))
+    assert(spark.read.parquet(s"$p/stats").collect()(0)
+      .getAs[Long]("n_docs") === 22L)
+    // crash window B (defensive): only the renamed-away old dir survives —
+    // recovery rolls BACK and the interrupted batch redoes cleanly
+    fs.rename(pth("stats"), pth("stats_old_b8"))
+    Retrieval.invIndexInsert(spark, p, docsDf(30L -> "cat newest"),
+      batchId = 8L)
+    assert(fs.exists(pth("stats")) && !fs.exists(pth("stats_old_b8")))
+    val st = spark.read.parquet(s"$p/stats").collect()(0)
+    assert(st.getAs[Long]("n_docs") === 23L)
+    assert(st.getAs[Long]("last_batch") === 8L)
+    assert(Retrieval.bm25TopKIndexed(spark, p, Seq("cat"), 50).collect()
+      .map(_.getLong(0)).contains(30L))
+  }
+
   test("phraseHits: exact counts, overlaps, boundaries, short docs") {
     val docs = docsDf(
       0L -> "ban me not ban me",   // 2 hits of "ban me", at start and end
