@@ -1247,8 +1247,11 @@ object SparkEntry {
       // sharing a neighbor, scored by common-neighbor count, Adamic-Adar,
       // and neighborhood Jaccard — the "pairs the similarity join missed"
       // review queue
+      // maxGramDocs pinned at the old default: the oracle mirrors this
+      // cap, and the fixture's gram-df distribution is known (bounded by
+      // the corpus size) — the operator's production default is 1000
       val pairs = Dedup.affinityPairs(tp(s, dir, "documents"), 3,
-          minCommon = 2, maxJaccard = 0.5)
+          minCommon = 2, maxJaccard = 0.5, maxGramDocs = 10000)
         .select(col("a_id").as("src"), col("b_id").as("dst"))
       Graph.linkPrediction(pairs).orderBy("u", "v")
     }),

@@ -107,11 +107,24 @@ object Dedup {
     * one source form cliques, which are transitively closed and have no
     * open wedge — so the "pairs the similarity join missed" queue needs
     * this weaker relation: topical affinity (shared rare shingles) without
-    * duplication. Same inverted-index candidate core and df-cap contract
-    * as [[ngramJaccardPairs]]; only the final gate differs.
-    * Output: (a_id, b_id, common, jaccard round-6). */
+    * duplication. Same inverted-index candidate core as
+    * [[ngramJaccardPairs]]; only the final gate differs.
+    *
+    * THE DF-CAP MATTERS MORE HERE THAN IN THE SIBLINGS: the quadratic
+    * term is gdf²/2 candidate pairs per kept gram either way, but the
+    * near-dup operators' high-Jaccard gate discards almost all of them
+    * after the count, while THIS operator's gate (common >= minCommon,
+    * jaccard BELOW the bar) is exactly the region hot shingles populate —
+    * a boilerplate 3-gram shared by gdf documents mints gdf²/2 weak pairs
+    * that mostly SURVIVE. "Affinity" through a shingle thousands of
+    * documents share is also semantically worthless (that's a stopword
+    * phrase, not a topic), so the default cap sits an order of magnitude
+    * below the near-dup operators' 10000: rare-shingle affinity is the
+    * contract, and output size stays O(docs x cap) instead of O(cap²)
+    * per hot gram. Raise it deliberately (as q175's fixture-shaping call
+    * does) only when the gram-df distribution is known. */
   def affinityPairs(docs: DataFrame, n: Int, minCommon: Long,
-      maxJaccard: Double, maxGramDocs: Int = 10000): DataFrame = {
+      maxJaccard: Double, maxGramDocs: Int = 1000): DataFrame = {
     val g = gramRows(docs, n)
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))

@@ -83,8 +83,10 @@ object Funnel {
     *
     * Per-user `lead` windows build the n-grams (per-key, never global;
     * ties sequence by (ts, id) — the [[markovTransitions]] order), one
-    * word-count-shaped aggregate counts paths, and the global top-k is a
-    * bounded TakeOrderedAndProject (count desc, path asc). */
+    * word-count-shaped aggregate counts paths, and the global top-k runs
+    * through the bounded-heap execs ([[graft.plans.TopK.global]]: map-side
+    * <= k prune, one k-sized reducer heap) ordered (count desc, path
+    * asc) — no sort at any width. */
   def pathNgrams(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, idCol: String, n: Int = 3, k: Int = 10): DataFrame = {
     require(n >= 2 && n <= 5 && k >= 1, "n in [2,5], k >= 1")
@@ -96,11 +98,11 @@ object Funnel {
       df.withColumn(s"t$o", lead(col("t0"), o).over(w))
     }
     val full = (1 until n).map(o => col(s"t$o").isNotNull).reduce(_ && _)
-    withLeads.filter(full)
+    val counts = withLeads.filter(full)
       .select(concat_ws(">", (0 until n).map(o => col(s"t$o")): _*).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("path").asc)
-      .limit(k)
+    graft.plans.TopK.global(counts, Seq(col("n").desc, col("path").asc), k)
+      .select("path", "n")
   }
 
   /** Retention half-life: fold [[retentionCohorts]] across cohorts into a

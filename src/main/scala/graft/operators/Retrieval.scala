@@ -71,11 +71,12 @@ object Retrieval {
     val scored = perTerm
       .groupBy("doc_id")
       .agg(sum(termScore.cast("decimal(38,6)")).cast("double").as("score"))
-    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
-    // rank over <= k rows — the single-partition window is bounded by k
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id").asc)
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    // ranked global top-k through the bounded-heap execs (map-side <= k
+    // prune, one k-sized reducer heap) — ranks identical to the former
+    // orderBy/limit + row_number pair under this total order
+    graft.plans.TopK.global(scored,
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .withColumn("rank", col("rank").cast("long"))
       .select("doc_id", "score", "rank")
   }
 
@@ -338,7 +339,6 @@ object Retrieval {
   def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one list")
     require(k >= 1, s"rrfFuse needs k >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
     val tagged = lists.map(_.select(col("id").cast("long").as("id"),
       round(lit(1.0) / (lit(c).cast("double") + col("rank").cast("double")), 9)
         .cast("decimal(18,9)").as("contrib")))
@@ -346,10 +346,10 @@ object Retrieval {
       .groupBy("id")
       .agg(sum(col("contrib")).cast("double").as("rrf"),
         count(lit(1)).as("n_lists"))
-      .orderBy(col("rrf").desc, col("id").asc).limit(k)
-    fused.withColumn("rank",
-        row_number().over(Window.orderBy(col("rrf").desc, col("id").asc))
-          .cast("long"))
+    // ranked global top-k through the bounded-heap execs — same rows and
+    // ranks as the former orderBy/limit + row_number pair (total order)
+    graft.plans.TopK.global(fused, Seq(col("rrf").desc, col("id").asc), k)
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("id"), col("rrf"), col("n_lists"), col("rank"))
   }
 
@@ -385,10 +385,11 @@ object Retrieval {
         / disc(col("rank")), 6))
       .groupBy("qid").agg(count(lit(1)).as("n_results"),
         sum(col("g").cast("decimal(38,6)")).cast("double").as("dcg"))
-    val wIdeal = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("rel").desc, col("item").asc)
-    val idcg = lab.withColumn("pos", row_number().over(wIdeal).cast("long"))
-      .filter(col("pos") <= k)
+    // per-qid ideal ranking through the heap execs: top-k by (rel desc,
+    // item asc) per query, never a partition sort over the label set
+    val idcg = graft.plans.TopK.perKey(lab, Seq(col("qid")),
+        Seq(col("rel").desc, col("item").asc), k, rankCol = "pos")
+      .withColumn("pos", col("pos").cast("long"))
       .withColumn("g", round(gain(col("rel")) / disc(col("pos")), 6))
       .groupBy("qid")
       .agg(sum(col("g").cast("decimal(38,6)")).cast("double").as("idcg"))

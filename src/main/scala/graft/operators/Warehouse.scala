@@ -165,17 +165,22 @@ object Warehouse {
     * spec-pinned against the window form. Output: (entity, recency_ts,
     * frequency, monetary, r_score, f_score, m_score, segment). An entity
     * whose timestamps are ALL null cannot be ordered on recency and is
-    * excluded up front (explicitly, rather than falling into
+    * excluded after the rollup (explicitly, rather than falling into
     * [[Stats.bucketedRanks]]' null-exclusion path and silently vanishing
-    * at the score join). */
+    * at the score join). Null handling is AGGREGATE-level, not row-level:
+    * a row with an amount but a null timestamp still counts toward
+    * frequency and monetary (max() already ignores nulls), so a
+    * mixed-null entity keeps its full activity history — only the
+    * recency axis is computed over the rows that can order it. */
   def rfm(df: DataFrame, entityCol: String, tsCol: String,
       amountCol: String): DataFrame = {
     graft.util.Checkpoints.ensureDir(df.sparkSession)
-    val per = df.filter(col(amountCol).isNotNull && col(tsCol).isNotNull)
+    val per = df.filter(col(amountCol).isNotNull)
       .groupBy(col(entityCol).cast("string").as("entity"))
       .agg(max(col(tsCol).cast("long")).as("recency_ts"),
         count(lit(1)).as("frequency"),
         sum(col(amountCol).cast("decimal(18,2)")).as("m"))
+      .filter(col("recency_ts").isNotNull)
       .checkpoint(eager = true)
     val n = per.count()
     // NTILE(5) from the exact rank: tiles 1..rem hold size+1 rows, the

@@ -50,4 +50,17 @@ object TopK {
       k, rankAttr, df.queryExecution.analyzed)
     DatasetBridge.ofRows(spark, node)
   }
+
+  /** Global (un-keyed) ranked top-k — `orderBy(order).limit(k)` plus a
+    * 1-based rank column, in one operator: the grouping key is a constant
+    * literal, so the partial exec prunes every map partition to <= k rows
+    * and the ClusteredDistribution hashes those <= k x partitions partial
+    * winners to ONE reducer whose k-sized heap emits the ranked result.
+    * Replaces the `TakeOrderedAndProject` + single-partition
+    * `row_number()` window pair the rank tails used to run — same rows
+    * and ranks for a total `order` (callers append a tiebreaker), one
+    * less sort, rank computed in the same pass as the merge. */
+  def global(df: DataFrame, order: Seq[Column], k: Int,
+      rankCol: String = "rank"): DataFrame =
+    perKey(df, Seq(org.apache.spark.sql.functions.lit(1)), order, k, rankCol)
 }

@@ -173,8 +173,9 @@ class PlanSpec extends SparkSpec {
     // only ever see query-term rows
     assert("Filter token#\\d+ IN \\(spark,vector,stream\\)".r.findFirstIn(p).isDefined,
       s"term IN-filter must sit directly on the exploded tokens:\n$p")
-    assert(p.contains("TakeOrderedAndProject(limit=20"),
-      "global top-k must be partial per partition, never a full sort")
+    assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"),
+      "global top-k must be the heap exec pair (map-side <= k prune), " +
+        "never a full sort")
     assert(p.contains("partial_sum(cast(round("),
       "decimal score sum must combine map-side")
     assert(p.contains("ReusedExchange"), "the documents scan feeds tf, df and dl once")
@@ -436,6 +437,28 @@ class PlanSpec extends SparkSpec {
     val exchangeIdx = p.lastIndexOf("Exchange hashpartitioning(o_custkey")
     assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
       s"partial prune must run below the o_custkey exchange:\n$p")
+  }
+
+  test("rank tails plan through the heap execs: bm25, rrf, ndcg ideal, paths") {
+    // the r11 adoption wave: every remaining row_number/limit rank tail on
+    // a served path runs TopKPerKeyFinalExec — global tails via the
+    // constant-key form (map-side <= k prune, one k-sized reducer heap),
+    // ndcg's ideal ranking via the per-qid form
+    val sites: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q64_bm25" -> SparkEntry.queries("q64_bm25")(spark, dir),
+      "q131_hybrid_rrf" -> SparkEntry.queries("q131_hybrid_rrf")(spark, dir),
+      "q188_ndcg" -> SparkEntry.queries("q188_ndcg")(spark, dir),
+      "q163_user_paths" -> SparkEntry.queries("q163_user_paths")(spark, dir))
+    for ((name, df) <- sites) {
+      val p = plan(df)
+      assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"),
+        s"$name must plan through the heap exec pair:\n$p")
+    }
+    // the pure rank tails must carry NO window machinery at all (q188/q163
+    // keep their per-user lead windows — those are sequence builders, not
+    // top-k sorts)
+    assert(!plan(sites.head._2).contains("WindowExec"),
+      "q64's rank tail must not fall back to a window sort")
   }
 
   test("knnGraph: per-node neighbor cut is the heap exec, not a rank window") {

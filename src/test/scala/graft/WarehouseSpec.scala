@@ -163,6 +163,24 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("rfm: mixed-null timestamps keep full frequency/monetary; all-null entities drop") {
+    // c1: 3 orders, one with a null ts — frequency must stay 3 and
+    // monetary must sum ALL amounts (aggregate-level null handling, not a
+    // row filter); recency comes from the orderable rows. c2: every ts
+    // null -> excluded. c3: plain control.
+    val rows = Seq(
+      ("c1", Some(100L), 10.0), ("c1", None, 20.0), ("c1", Some(50L), 30.0),
+      ("c2", None, 99.0), ("c2", None, 1.0),
+      ("c3", Some(200L), 5.0))
+    val got = Warehouse.rfm(rows.toDF("c", "t", "a"), "c", "t", "a")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains("c2"), "all-null-ts entity must be excluded")
+    assert(got("c1") == ((100L, 3L, 60.0)),
+      "null-ts rows still count toward frequency and monetary")
+    assert(got("c3") == ((200L, 1L, 5.0)))
+  }
+
   test("rfm: invariant under input partitioning") {
     val rows = (1 to 300).map(i => (s"c${i % 40}", i.toLong, (i % 13) * 2.0))
     def run(p: Int) = Warehouse.rfm(rows.toDF("c", "t", "a").repartition(p),
