@@ -430,6 +430,101 @@ object Graph {
     lpRounds(LabelState(merged, warm.checkpoint(eager = true)), rounds)
   }
 
+  /** Fold one streaming batch of edges into AT-REST label-propagation
+    * state — [[lpInsert]] lifted onto disk with the
+    * [[Retrieval.invIndexInsert]] crash/retry protocol, so a daemon
+    * maintains graph state exactly the way it maintains the BM25 index
+    * (one idempotent fold per streaming batch id, single writer by
+    * contract).
+    *
+    * Layout under `path`:
+    *   edges/batch-<id>/: that batch's NEW symmetrized edges. Per-batch
+    *     `overwrite` is naturally idempotent — a retried batch rewrites
+    *     the same deterministic rows into the same directory.
+    *   state/: labels/ (node, label at the current iterate) + meta/
+    *     (one row: last_batch). Committed as ONE directory swap
+    *     (state_staged_b<id> write → rename state→state_old_b<id> →
+    *     rename staged→state → delete old), so labels and the batch
+    *     marker can never disagree: a retry sees either the old state
+    *     (redoes the fold from the same warm labels — deterministic) or
+    *     the new marker (no-ops). Entry-time recovery rolls a mid-swap
+    *     crash forward from the staged twin or back from the old one,
+    *     mirroring the invIndexInsert stats swap.
+    *
+    * Fold semantics = [[lpInsert]] (set-union edges, warm labels, `rounds`
+    * vote rounds); a cold path (no state yet) runs [[lpInit]] +
+    * `coldRounds` so batch 0 rides the same protocol. Batch edges are
+    * symmetrized here — the merged graph keeps lpRounds' dangling-free
+    * contract no matter what pair orientation the caller found. */
+  def lpCommitBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      batchEdges: DataFrame, batchId: Long, rounds: Int = 2,
+      coldRounds: Int = 5): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.util.Checkpoints.ensureDir(spark)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statePath = new Path(s"$path/state")
+    def twins(prefix: String): Seq[Path] =
+      if (!fs.exists(new Path(path))) Seq.empty
+      else fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(_.getName.startsWith(prefix)).toSeq
+    if (!fs.exists(statePath)) {
+      val staged = twins("state_staged_b")
+      val old = twins("state_old_b")
+      if (staged.nonEmpty) fs.rename(staged.head, statePath)
+      else if (old.nonEmpty) fs.rename(old.head, statePath)
+    }
+    (twins("state_staged_b") ++ twins("state_old_b"))
+      .foreach(p => fs.delete(p, true))
+    val lastBatch =
+      if (fs.exists(statePath))
+        spark.read.parquet(s"$path/state/meta").collect()(0).getLong(0)
+      else -1L
+    if (lastBatch == batchId) return // committed fold — idempotent retry
+    val sym = symmetrize(batchEdges)
+    sym.write.mode("overwrite").parquet(s"$path/edges/batch-$batchId")
+    val prevDirs =
+      if (!fs.exists(new Path(s"$path/edges"))) Seq.empty[String]
+      else fs.listStatus(new Path(s"$path/edges")).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch-") &&
+          p.getName != s"batch-$batchId")
+        .map(_.toString).toSeq
+    val next =
+      // no committed state: cold rebuild over EVERYTHING at rest (prev
+      // dirs survive a crash-after-edges-write retry, or a manually
+      // repaired tree) plus this batch — never a warm read of labels
+      // that don't exist
+      if (lastBatch < 0) {
+        val all = if (prevDirs.isEmpty) sym
+          else sym.unionByName(spark.read.parquet(prevDirs: _*))
+        lpRounds(lpInit(all), coldRounds)
+      } else {
+        // reconstruct the warm LabelState from rest: prior edges in the
+        // src-partitioned checkpointed layout the round joins require,
+        // labels as the stored iterate — then the standard warm fold
+        val e = spark.read.parquet(prevDirs: _*)
+          .repartition(col("src")).sortWithinPartitions("src")
+          .checkpoint(eager = true)
+        val labels = spark.read.parquet(s"$path/state/labels")
+          .checkpoint(eager = true)
+        lpInsert(LabelState(e, labels), sym, rounds)
+      }
+    import spark.implicits._
+    val staged = new Path(s"$path/state_staged_b$batchId")
+    fs.delete(staged, true)
+    next.labels.write.mode("overwrite").parquet(s"$staged/labels")
+    Seq(batchId).toDF("last_batch").write.mode("overwrite")
+      .parquet(s"$staged/meta")
+    val old = new Path(s"$path/state_old_b$batchId")
+    if (fs.exists(statePath)) fs.rename(statePath, old)
+    fs.rename(staged, statePath)
+    fs.delete(old, true)
+  }
+
+  /** The labels an at-rest [[lpCommitBatch]] tree currently serves. */
+  def lpServedLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/state/labels")
+
   /** Per-node triangle counts by degree-ordered wedge enumeration
     * (Schank & Wagner 2005; the standard distributed-triangle algorithm,
     * cf. Cohen, CiSE 2009; Suri & Vassilvitskii, WWW 2011): orient every

@@ -254,6 +254,92 @@ object Retrieval {
     fs.delete(oldStats, true)
   }
 
+  /** Compact an [[invIndexInsert]]-grown index: rewrite every tb= bucket
+    * whose LSM fragment count exceeds `maxFilesPerBucket` into one fresh
+    * file set, content-identical, under a per-bucket staged swap. The
+    * daemon appends batch-marked files into the bucket dirs forever;
+    * after thousands of batches the per-bucket file count is what
+    * degrades probe scans (each file is an open+footer+seek), so
+    * periodic compaction is the missing half of the LSM contract.
+    *
+    * CRASH/RETRY SAFETY — runs under the index's single-writer contract
+    * (never concurrently with a fold):
+    *   0. incomplete-fold sweep: any `b<id>-` file with id > the stats
+    *      row's last_batch is a crashed fold's partial move. It MUST be
+    *      removed before merging — compacted into an unmarked file it
+    *      would escape the fold's own recovery sweep and double-append
+    *      when that batch retries. The staged dir is swept with it.
+    *   1. per bucket: rewrite to `compact_staged/tb=<B>`, then
+    *      rename tb=<B> → `compact_old/tb=<B>` → rename staged in →
+    *      delete old. A crash between the renames leaves the bucket
+    *      recoverable from either twin (content-equal by construction);
+    *      entry-time recovery rolls forward from staged when complete,
+    *      else back from old — rerunning compaction afterwards is
+    *      always safe because it is content-preserving.
+    * Stats are untouched: compaction changes the file layout, never
+    * n_docs/sum_dl/last_batch, so served BM25 scores are bit-identical
+    * (the spec pins it). */
+  def invIndexCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerBucket: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postingsRoot = new Path(s"$path/postings")
+    if (!fs.exists(postingsRoot)) return
+    // bucket-swap recovery from a previous crashed compaction; both twin
+    // roots live OUTSIDE postings/ so a reader's partition discovery never
+    // sees a non-tb= directory mid-compaction
+    val stagedRoot = new Path(s"$path/compact_staged")
+    val oldRoot = new Path(s"$path/compact_old")
+    if (fs.exists(oldRoot))
+      fs.listStatus(oldRoot).map(_.getPath).foreach { old =>
+        val tb = new Path(postingsRoot, old.getName)
+        val st = new Path(stagedRoot, old.getName)
+        if (!fs.exists(tb)) {
+          if (fs.exists(st)) fs.rename(st, tb) else fs.rename(old, tb)
+        }
+        fs.delete(old, true)
+      }
+    fs.delete(stagedRoot, true)
+    fs.delete(oldRoot, true)
+    // incomplete-fold sweep (step 0 above)
+    val lastBatch = {
+      val st = spark.read.parquet(s"$path/stats").collect()(0)
+      if (st.schema.fieldNames.contains("last_batch"))
+        st.getAs[Long]("last_batch") else -1L
+    }
+    val marked = "^b(\\d+)-".r
+    fs.listStatus(postingsRoot).filter(_.isDirectory).foreach { tbDir =>
+      fs.listStatus(tbDir.getPath).foreach { f =>
+        marked.findFirstMatchIn(f.getPath.getName).foreach { m =>
+          if (m.group(1).toLong > lastBatch) fs.delete(f.getPath, false)
+        }
+      }
+    }
+    fs.delete(new Path(s"$path/staged"), true)
+    def dataFiles(dir: Path) = fs.listStatus(dir).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val fragmented = fs.listStatus(postingsRoot).map(_.getPath)
+      .filter(p => p.getName.startsWith("tb=") &&
+        dataFiles(p).length > maxFilesPerBucket)
+    for (tb <- fragmented) {
+      val st = new Path(stagedRoot, tb.getName)
+      // coalesce(1): a bucket is 1/nBuckets of the postings by hash
+      // construction — the rewrite target is exactly one file
+      spark.read.parquet(tb.toString).coalesce(1)
+        .write.mode("overwrite").parquet(st.toString)
+      // drop Spark's _SUCCESS etc. so the swapped-in dir is file-clean
+      fs.listStatus(st).filterNot(f => dataFiles(st).map(_.getPath)
+        .contains(f.getPath)).foreach(f => fs.delete(f.getPath, false))
+      fs.mkdirs(oldRoot)
+      val old = new Path(oldRoot, tb.getName)
+      fs.rename(tb, old)
+      fs.rename(st, tb)
+      fs.delete(old, true)
+    }
+    fs.delete(stagedRoot, true)
+    fs.delete(oldRoot, true)
+  }
+
   /** BM25 top-k served from a materialized [[writeInvertedIndex]] index:
     * the query terms' buckets are computed driver-side with the SAME
     * polynomial hash the writer used ([[graft.functions.expressions

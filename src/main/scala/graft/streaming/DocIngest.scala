@@ -66,14 +66,18 @@ object DocIngest {
       gramHashes: (Column, Int) => Seq[Column] =
         (g, k) => (0 until k).map(i => xxhash64(g, lit(i))),
       bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*),
-      invIndexPath: Option[String] = None): BatchResult = {
+      invIndexPath: Option[String] = None,
+      lpStatePath: Option[String] = None,
+      compactEvery: Int = 0): BatchResult = {
     val b = batch.persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
     try {
-      val withinDrops = cache(Dedup
+      val withinPairs = cache(Dedup
         .minhashLshPairs(b, n, numHashes, bands, threshold, gramHashes, bandBucket)
-        .select(col("b_id").as("doc_id")).distinct())
+        .select(col("a_id"), col("b_id")))
+      val withinDrops = cache(
+        withinPairs.select(col("b_id").as("doc_id")).distinct())
       // existence through the path's own filesystem — a java.io.File check
       // would silently disable the gate on hdfs:// / s3:// deployments
       val bandsPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
@@ -93,11 +97,13 @@ object DocIngest {
             .select("doc_id").distinct(),
           Seq("doc_id"), "left_semi").select("doc_id").distinct()
       else withinDrops.limit(0))
-      val indexDrops = cache(if (indexExists)
+      val indexPairs = cache(if (indexExists)
         Dedup.minhashLshAgainstIndex(spark, indexPath, b, threshold, n,
             numHashes, bands, gramHashes, bandBucket)
-          .select(col("a_id").as("doc_id")).distinct()
-      else withinDrops.limit(0))
+          .select(col("a_id"), col("b_id"))
+      else withinPairs.limit(0))
+      val indexDrops = cache(indexPairs.select(col("a_id").as("doc_id"))
+        .distinct())
       val admitted = cache(b
         .join(withinDrops.union(indexDrops).union(redelivered).distinct(),
           Seq("doc_id"), "left_anti"))
@@ -138,6 +144,27 @@ object DocIngest {
         }
         graft.operators.Retrieval.invIndexInsert(spark, p,
           admitted.select(col("doc_id"), col("text")), batchId)
+        // periodic LSM maintenance: every `compactEvery` batches, merge
+        // each bucket's accumulated fragments back to one file. Runs
+        // inside the single-writer batch slot (never racing a fold) and
+        // is content-preserving, so a retried batch redoing it is a
+        // no-op on the served results.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.operators.Retrieval.invIndexCompact(spark, p)
+      }
+      // Graph-state maintenance, the same per-batch idempotent protocol:
+      // the dedup gate's pair evidence (within-batch + vs-index near-dup
+      // pairs) folds into at-rest label-propagation communities — the
+      // duplicate-cluster map over EVERY doc ever seen, dropped ones
+      // included (each dropped doc pairs with the admitted doc that
+      // displaced it, so clusters stay connected through their reps).
+      // The daemon now maintains text state (BM25 index) AND graph state
+      // (cluster labels) under one batch-id-keyed crash/retry contract.
+      lpStatePath.foreach { sp =>
+        graft.operators.Graph.lpCommitBatch(spark, sp,
+          withinPairs.union(indexPairs)
+            .select(col("a_id").as("src"), col("b_id").as("dst")),
+          batchId)
       }
       val r = BatchResult(nAdmitted, withinDrops.count(), indexDrops.count(),
         redelivered.count())
@@ -162,14 +189,17 @@ object DocIngest {
       corpusDir: String, indexPath: String,
       threshold: Double = 0.35,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
-      invIndexPath: Option[String] = None): StreamingQuery = {
+      invIndexPath: Option[String] = None,
+      lpStatePath: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val stream = spark.readStream.schema(docSchema).json(inputDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitDocBatch(spark, batch, batchId, corpusDir, indexPath, threshold,
-          invIndexPath = invIndexPath)
+          invIndexPath = invIndexPath, lpStatePath = lpStatePath,
+          compactEvery = compactEvery)
         ()
       }
       .start()

@@ -143,6 +143,56 @@ class DocIngestSpec extends SparkSpec {
       .getAs[Long]("last_batch") >= 1L)
   }
 
+  test("daemon maintains at-rest LP communities: warm == cold rebuild after each drop") {
+    import graft.operators.Graph
+    val in = Files.createTempDirectory("doc-in5").toString
+    val ckpt = Files.createTempDirectory("doc-ckpt5").toString
+    val corpus = Files.createTempDirectory("doc-corpus5").toString + "/sink"
+    val index = Files.createTempDirectory("doc-index5").toString + "/idx"
+    val lp = Files.createTempDirectory("doc-lp5").toString + "/communities"
+    def jsonl(rows: (Long, String)*): String = rows.map { case (id, t) =>
+      s"""{"doc_id": $id, "text": "$t", "lang": "en", "source": "s", "n_chars": ${t.length}}"""
+    }.mkString("\n")
+    def served(): Map[Long, Long] = Graph.lpServedLabels(spark, lp)
+      .as[(Long, Long)].collect().toMap
+    def coldRebuild(): Map[Long, Long] = Graph.labelPropagation(
+      Graph.symmetrize(spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$lp/edges")), 5).as[(Long, Long)].collect().toMap
+    // dup groups of size >= 3: a 2-clique oscillates under synchronous LP
+    // (no self-vote), so pair evidence must triangulate — which LSH dup
+    // groups naturally do (every copy pairs with every other copy)
+    Files.writeString(Path.of(in, "w1.jsonl"),
+      jsonl(0L -> tA, 1L -> tA, 2L -> tA, 3L -> tB, 5L -> tC))
+    DocIngest.start(spark, in, ckpt, corpus, index,
+      trigger = Trigger.AvailableNow(), lpStatePath = Some(lp))
+      .awaitTermination()
+    assert(served() == coldRebuild(),
+      "labels after drop 1 must equal a cold LP rebuild over the edge tree")
+    assert(served() == Map(0L -> 0L, 1L -> 0L, 2L -> 0L),
+      "the drop-1 dup triple must settle on its min id")
+    // drop 2: 8 attaches to the {0,1,2} cluster via the index (pendant on
+    // a settled community); 9/10 copy the admitted 3 (within pair + two
+    // index pairs = a new triangle); 6 is novel (edge-free, label-free)
+    Files.writeString(Path.of(in, "w2.jsonl"),
+      jsonl(8L -> tA, 9L -> tB, 10L -> tB, 6L -> tD))
+    DocIngest.start(spark, in, ckpt, corpus, index,
+      trigger = Trigger.AvailableNow(), lpStatePath = Some(lp))
+      .awaitTermination()
+    val got = served()
+    assert(got == coldRebuild(),
+      "labels after drop 2 must equal a cold LP rebuild over the edge tree")
+    assert(Seq(0L, 1L, 2L, 8L).map(got).toSet.size == 1,
+      "8 must join the settled dup cluster through its admitted rep")
+    assert(Seq(3L, 9L, 10L).map(got).toSet == Set(3L))
+    assert(!got.contains(6L), "an edge-free novel doc carries no label")
+    // idempotent retry of the LAST batch: a re-delivered fold no-ops
+    val before = got
+    DocIngest.commitDocBatch(spark,
+      docsDf(8L -> tA, 9L -> tB, 10L -> tB, 6L -> tD), 1L,
+      corpus, index, lpStatePath = Some(lp))
+    assert(served() == before, "retry of a committed batch must not move labels")
+  }
+
   test("missing stats over live postings refuses to bootstrap (no silent zeroed idf)") {
     import graft.operators.Retrieval
     val corpus = Files.createTempDirectory("doc-corpus4").toString

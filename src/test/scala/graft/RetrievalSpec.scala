@@ -148,6 +148,59 @@ class RetrievalSpec extends SparkSpec {
     assert(served.nonEmpty && served2.length >= served.length)
   }
 
+  test("invIndexCompact: identical BM25, per-bucket file count drops, debris swept") {
+    val p = java.nio.file.Files.createTempDirectory("inv-compact").toString + "/idx"
+    Retrieval.writeInvertedIndex(
+      docsDf((0L until 30L).map(i => i -> s"cat tok${i % 4} w$i"): _*),
+      p, nBuckets = 4)
+    // three daemon folds -> every hot bucket holds base + 3 LSM fragments
+    for (bid <- 1L to 3L)
+      Retrieval.invIndexInsert(spark, p,
+        docsDf((30L + bid * 2) -> s"cat late$bid",
+          (31L + bid * 2) -> s"tok1 more$bid"), batchId = bid)
+    val terms = Seq("cat", "tok1", "tok3")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    val before = rows(Retrieval.bm25TopKIndexed(spark, p, terms, 50))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles(): Map[String, Int] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$p/postings"))
+      .filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+      }.toMap
+    assert(bucketFiles().values.max > 1, "folds must have fragmented a bucket")
+    // plant a crashed-fold partial move (batch 9 never committed): the
+    // compactor must sweep it, NOT merge it into an unmarked file where
+    // batch 9's retry could no longer remove it
+    val someTb = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/postings"))
+      .filter(_.isDirectory).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(someTb, "b9-orphan.parquet")
+    fs.create(orphan).close()
+    Retrieval.invIndexCompact(spark, p)
+    assert(!fs.exists(orphan), "incomplete-fold debris must be swept, not merged")
+    assert(bucketFiles().values.max == 1,
+      s"every bucket must compact to one file: ${bucketFiles()}")
+    assert(rows(Retrieval.bm25TopKIndexed(spark, p, terms, 50)) === before,
+      "compaction must serve bit-identical BM25 results")
+    // and the LSM keeps working: a post-compaction fold appends cleanly
+    Retrieval.invIndexInsert(spark, p, docsDf(90L -> "cat post compact"),
+      batchId = 4L)
+    assert(rows(Retrieval.bm25TopKIndexed(spark, p, Seq("cat"), 60))
+      .map(_._1).contains(90L))
+    // crash-window recovery: bucket renamed away with its old twin intact
+    val tb0 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/postings"))
+      .filter(_.isDirectory).head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/compact_old"))
+    fs.rename(tb0, new org.apache.hadoop.fs.Path(s"$p/compact_old/${tb0.getName}"))
+    val served = rows(Retrieval.bm25TopKIndexed(spark, p, terms, 50))
+    Retrieval.invIndexCompact(spark, p) // entry recovery rolls the bucket back
+    assert(fs.exists(tb0), "recovery must restore the renamed-away bucket")
+    assert(rows(Retrieval.bm25TopKIndexed(spark, p, terms, 50)).size >= served.size)
+  }
+
   test("stats swap is crash-safe: roll forward from staged, roll back from old") {
     val p = java.nio.file.Files.createTempDirectory("inv-swap").toString + "/idx"
     Retrieval.writeInvertedIndex(
