@@ -341,6 +341,79 @@ object Experiment {
     btRounds(BtState(merged, warm.checkpoint(eager = true)), iters)
   }
 
+  /** Fold one streaming batch of matches into AT-REST Bradley–Terry
+    * state — [[btInsert]] lifted onto disk with the
+    * [[Retrieval.invIndexInsert]] crash/retry protocol (the
+    * [[Graph.lpCommitBatch]] sibling for preference streams; a
+    * [[graft.streaming.PrefIngest]] daemon drives it per micro-batch).
+    *
+    * Layout under `path` — `state/` holding pair_counts/ (the canonical
+    * i<j matchup table), strengths/ (the item-sized iterate) and meta/
+    * (one row: last_batch), committed as ONE directory swap
+    * (state_staged_b<id> → rename state away → rename staged in →
+    * delete old). The additive count fold makes idempotence here purely
+    * a marker question: a retry either sees last_batch == batchId
+    * (no-op — the counts were already added exactly once) or redoes the
+    * whole deterministic fold from the unswapped old state. No per-batch
+    * data dirs are needed at all, unlike the LP tree — the accumulated
+    * pairCounts IS the sufficient statistic. Entry-time recovery rolls a
+    * mid-swap crash forward from the staged twin or back from the old
+    * one. */
+  def btCommitBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, batchId: Long, winnerCol: String = "winner",
+      loserCol: String = "loser", iters: Int = 2, coldIters: Int = 5): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.util.Checkpoints.ensureDir(spark)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statePath = new Path(s"$path/state")
+    def twins(prefix: String): Seq[Path] =
+      if (!fs.exists(new Path(path))) Seq.empty
+      else fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(_.getName.startsWith(prefix)).toSeq
+    if (!fs.exists(statePath)) {
+      val staged = twins("state_staged_b")
+      val old = twins("state_old_b")
+      if (staged.nonEmpty) fs.rename(staged.head, statePath)
+      else if (old.nonEmpty) fs.rename(old.head, statePath)
+    }
+    (twins("state_staged_b") ++ twins("state_old_b"))
+      .foreach(p => fs.delete(p, true))
+    val lastBatch =
+      if (fs.exists(statePath))
+        spark.read.parquet(s"$path/state/meta").collect()(0).getLong(0)
+      else -1L
+    if (lastBatch == batchId) return // committed fold — idempotent retry
+    val next =
+      if (lastBatch < 0)
+        btRounds(btInit(batch, winnerCol, loserCol), coldIters)
+      else {
+        val st = BtState(
+          spark.read.parquet(s"$path/state/pair_counts")
+            .checkpoint(eager = true),
+          spark.read.parquet(s"$path/state/strengths")
+            .checkpoint(eager = true))
+        btInsert(st, batch, winnerCol, loserCol, iters)
+      }
+    import spark.implicits._
+    val staged = new Path(s"$path/state_staged_b$batchId")
+    fs.delete(staged, true)
+    next.pairCounts.write.mode("overwrite").parquet(s"$staged/pair_counts")
+    next.strengths.write.mode("overwrite").parquet(s"$staged/strengths")
+    Seq(batchId).toDF("last_batch").write.mode("overwrite")
+      .parquet(s"$staged/meta")
+    val old = new Path(s"$path/state_old_b$batchId")
+    if (fs.exists(statePath)) fs.rename(statePath, old)
+    fs.rename(staged, statePath)
+    fs.delete(old, true)
+  }
+
+  /** The scores an at-rest [[btCommitBatch]] tree currently serves —
+    * the [[bradleyTerry]] output contract off the stored iterate. */
+  def btServedScores(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    btScores(BtState(spark.read.parquet(s"$path/state/pair_counts"),
+      spark.read.parquet(s"$path/state/strengths")))
+
   /** Final scores off the current state: (item, wins, games, strength,
     * strength_share) — the [[bradleyTerry]] output contract. */
   def btScores(st: BtState): DataFrame = {

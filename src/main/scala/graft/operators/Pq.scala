@@ -140,9 +140,9 @@ object Pq {
       .join(broadcast(qNorm), Seq("q_id"))
       .withColumn("cos_pq", round(
         col("dots").cast("double") / (col("qnorm") * sqrt(col("n2s").cast("double"))), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // per-query cut through the heap execs (total order: vec_id tiebreak)
+    graft.plans.TopK.perKey(scored, Seq(col("q_id")),
+        Seq(col("cos_pq").desc, col("vec_id").asc), k)
       .select(col("q_id"), col("vec_id"), col("cos_pq"), col("rank").cast("long"))
   }
 
@@ -309,10 +309,10 @@ object Pq {
         .withColumn("cos_pq", round(
           (col("qcdot").cast("double") + col("rdots").cast("double")) /
             (col("qnorm") * sqrt(col("rnorm2").cast("double"))), 6))
-      val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("vec_id"), col("cos_pq"), col("rank").cast("long"))
+      graft.plans.TopK.perKey(scored, Seq(col("q_id")),
+          Seq(col("cos_pq").desc, col("vec_id").asc), k)
+        .select(col("q_id"), col("vec_id"), col("cos_pq"),
+          col("rank").cast("long"))
     }
   }
 
@@ -341,9 +341,8 @@ object Pq {
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         ArrayMath.cosineKey(col("q_emb"), col("embedding")).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perKey(exact, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id").asc), k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
   }
 

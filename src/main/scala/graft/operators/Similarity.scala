@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Shared ranked per-query neighbor cut: exact top-k by (cos desc,
+    * vec_id asc — total order) through the bounded-heap execs
+    * ([[graft.plans.TopK.perKey]]): map-side <= k rows per q_id before
+    * the exchange, k-sized reducer heaps — never a per-query partition
+    * sort over the candidate set. Rows and ranks equal the window
+    * row_number form under this total order (the knnGraph adoption
+    * argument, now shared by every ANN serving path). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("vec_id").asc), k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+
   /** Exact top-k neighbors for each query vector (self excluded).
     * Output: (q_id, vec_id, cos, rank), rank 1..k. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -25,10 +37,7 @@ object Similarity {
     val c = corpus.select(col("vec_id"), col("embedding"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
@@ -101,10 +110,7 @@ object Similarity {
     val scored = assigned.join(broadcast(qProbes), Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+    rankTopK(scored, k)
   }
 
   /** Materialize the IVF index at rest: the corpus parquet-partitioned BY
@@ -157,10 +163,7 @@ object Similarity {
     val scored = vectors.join(broadcast(qLocal), Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket; exact re-rank
@@ -182,10 +185,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", ArrayMath.cosineKey(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long"))
+    rankTopK(scored, k)
   }
 
   /** Semantic clustering off the kNN graph: mutual-kNN edges (each

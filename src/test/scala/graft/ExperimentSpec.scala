@@ -196,4 +196,49 @@ class ExperimentSpec extends SparkSpec {
     val znew = warm2.filter($"item" === "zNew").collect()
     assert(znew.length == 1 && znew(0).getLong(2) == 2L) // 2 games
   }
+
+  test("PrefIngest daemon: at-rest BT state folds per drop, idempotent retry") {
+    import java.nio.file.{Files, Path => JPath}
+    val in = Files.createTempDirectory("pref-in").toString
+    val ckpt = Files.createTempDirectory("pref-ckpt").toString
+    val st = Files.createTempDirectory("pref-st").toString + "/bt"
+    val all = (1 to 300).map(i => (s"i${i % 5}", s"i${(i * 7 + 3) % 5}", i % 10 == 0))
+      .filter(p => p._1 != p._2)
+    def jsonl(rows: Seq[(String, String)], off: Int): String =
+      rows.zipWithIndex.map { case ((w, l), ix) =>
+        s"""{"match_id": ${off + ix}, "winner": "$w", "loser": "$l"}"""
+      }.mkString("\n")
+    val base = all.filter(!_._3).map(t => (t._1, t._2))
+    val late = all.filter(_._3).map(t => (t._1, t._2))
+    Files.writeString(JPath.of(in, "w1.jsonl"), jsonl(base, 0))
+    graft.streaming.PrefIngest.start(spark, in, ckpt, st, iters = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    def served() = Experiment.btServedScores(spark, st).orderBy("item")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // drop 1 rides the cold path: bit-identical to btInit + coldIters
+    val cold1 = Experiment.btScores(Experiment.btRounds(
+      Experiment.btInit(base.toDF("winner", "loser")), 5)).orderBy("item")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(served() == cold1, "drop 1 must equal the cold init trajectory")
+    Files.writeString(JPath.of(in, "w2.jsonl"), jsonl(late, 100000))
+    graft.streaming.PrefIngest.start(spark, in, ckpt, st, iters = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    // drop 2 rides the warm path: bit-identical to the programmatic
+    // btInsert trajectory (the q206 contract, now through the daemon)
+    val warm2 = Experiment.btScores(Experiment.btInsert(
+      Experiment.btRounds(Experiment.btInit(base.toDF("winner", "loser")), 5),
+      late.toDF("winner", "loser"), iters = 2)).orderBy("item")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val after2 = served()
+    assert(after2 == warm2, "drop 2 must equal the programmatic warm fold")
+    // retry of the committed batch 1: counts must NOT double-add
+    Experiment.btCommitBatch(spark, st, late.toDF("winner", "loser"), 1L,
+      iters = 2)
+    assert(served() == after2, "a retried committed batch must no-op")
+  }
 }
