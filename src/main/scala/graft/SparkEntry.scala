@@ -845,6 +845,29 @@ object SparkEntry {
           Experiment.btInsert(warm, m.filter(col("late")), iters = 2))
         .orderBy("item")
     }),
+    "q207_ivf_incremental" -> ((s, dir) => {
+      // the vector-daemon path: IVF index trained+built on 90% of the
+      // embeddings, the late 10% folded in as a cell-assigned LSM batch
+      // against the FROZEN centroids (no base rewrite), then served. The
+      // oracle recomputes assignment for EVERY vector from the embeddings
+      // table against the stored centroid parquet, so a green hash proves
+      // the folded tree holds exactly the assignment a full re-assignment
+      // would produce — incremental == rebuild, the q199 contract for ANN
+      val emb = t(s, dir, "embeddings")
+      val path = ivfIndexPath(dir) + "_inc"
+      // reset the tree: a prior invocation's meta (last_batch=1) would
+      // otherwise no-op this run's fold over the freshly overwritten base
+      // (the q204 cache-substitution lesson, at-rest edition)
+      graft.util.Lsm.fs(s, path)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path,
+        nlist = 16)
+      Similarity.ivfInsert(s, path, emb.filter(col("vec_id") % 10 === 0),
+        batchId = 1L)
+      Similarity.ivfTopKIndexed(s, path, emb.filter(col("vec_id") < 5), 10,
+        nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
     "q202_equidepth" -> ((s, dir) =>
       // optimizer-statistics artifact: 8 equal-count price buckets with
       // EXACT order-statistic boundaries (bucket refinement, no sort) —
@@ -3849,6 +3872,39 @@ object SparkEntry {
           |SELECT bands, rows_per_band, s50, fp_area, fn_area, total_err,
           |  (total_err = best_err AND bands = best_bands) AS chosen
           |FROM sc CROSS JOIN best ORDER BY bands""".stripMargin,
+      "q207_ivf_incremental" -> {
+        // The q199 incremental==rebuild contract for the vector index:
+        // the oracle reads ONLY the stored centroid table (trained on the
+        // 90% base) and recomputes the cell assignment for EVERY vector
+        // from the embeddings TABLE — never the folded tree the Spark
+        // side serves from — so a green hash proves the LSM-folded cells
+        // hold exactly what a full re-assignment would produce, each
+        // vector once. Assignment ties mirror assignToCentroids'
+        // max(struct(cos, cid)): cos DESC then cid DESC; probe-selection
+        // ties mirror the probe window: cos DESC then cid ASC.
+        val p = sys.props.getOrElse("graft.ivf.path",
+          ivfIndexPath("/root/testdata/sf0.01")) + "_inc"
+        s"""WITH cent AS (SELECT cid, center FROM read_parquet('$p/centroids/*.parquet')),
+           |vec AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |asg AS (SELECT vec_id, emb, cid FROM (
+           |    SELECT v.vec_id, v.emb, c.cid,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${cosineSql("v.emb", "c.center")} DESC, c.cid DESC) AS arn
+           |    FROM vec v CROSS JOIN cent c) _a WHERE arn = 1),
+           |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           |      FROM embeddings WHERE vec_id < 5),
+           |probes AS (SELECT q_id, q_emb, cid FROM (
+           |    SELECT q.q_id, q.q_emb, c.cid,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${cosineSql("q.q_emb", "c.center")} DESC, c.cid ASC) AS prn
+           |    FROM q CROSS JOIN cent c) _p WHERE prn <= 4),
+           |scored AS (SELECT p.q_id, a.vec_id, ${cosineSql("p.q_emb", "a.emb")} AS cos
+           |           FROM asg a JOIN probes p ON a.cid = p.cid AND p.q_id <> a.vec_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |             ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+           |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      },
       "q206_bt_incremental" -> {
         // btInit(5 MM rounds on the 90% base matches) → btInsert(late 10%,
         // 2 warm rounds) unrolled: phase-1 rounds over the base matchup

@@ -459,24 +459,13 @@ object Graph {
   def lpCommitBatch(spark: org.apache.spark.sql.SparkSession, path: String,
       batchEdges: DataFrame, batchId: Long, rounds: Int = 2,
       coldRounds: Int = 5): Unit = {
+    import graft.util.Lsm
     import org.apache.hadoop.fs.Path
     graft.util.Checkpoints.ensureDir(spark)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statePath = new Path(s"$path/state")
-    def twins(prefix: String): Seq[Path] =
-      if (!fs.exists(new Path(path))) Seq.empty
-      else fs.listStatus(new Path(path)).map(_.getPath)
-        .filter(_.getName.startsWith(prefix)).toSeq
-    if (!fs.exists(statePath)) {
-      val staged = twins("state_staged_b")
-      val old = twins("state_old_b")
-      if (staged.nonEmpty) fs.rename(staged.head, statePath)
-      else if (old.nonEmpty) fs.rename(old.head, statePath)
-    }
-    (twins("state_staged_b") ++ twins("state_old_b"))
-      .foreach(p => fs.delete(p, true))
+    val fs = Lsm.fs(spark, path)
+    Lsm.recoverSwap(fs, path, "state")
     val lastBatch =
-      if (fs.exists(statePath))
+      if (fs.exists(new Path(s"$path/state")))
         spark.read.parquet(s"$path/state/meta").collect()(0).getLong(0)
       else -1L
     if (lastBatch == batchId) return // committed fold — idempotent retry
@@ -509,15 +498,12 @@ object Graph {
         lpInsert(LabelState(e, labels), sym, rounds)
       }
     import spark.implicits._
-    val staged = new Path(s"$path/state_staged_b$batchId")
-    fs.delete(staged, true)
+    val staged = Lsm.stagedPath(path, "state", batchId)
+    fs.delete(new Path(staged), true)
     next.labels.write.mode("overwrite").parquet(s"$staged/labels")
     Seq(batchId).toDF("last_batch").write.mode("overwrite")
       .parquet(s"$staged/meta")
-    val old = new Path(s"$path/state_old_b$batchId")
-    if (fs.exists(statePath)) fs.rename(statePath, old)
-    fs.rename(staged, statePath)
-    fs.delete(old, true)
+    Lsm.commitSwap(fs, path, "state", batchId)
   }
 
   /** The labels an at-rest [[lpCommitBatch]] tree currently serves. */

@@ -174,27 +174,15 @@ object Retrieval {
   def invIndexInsert(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, batchId: Long, textCol: String = "text"): Unit = {
     import spark.implicits._
+    import graft.util.Lsm
     import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statsPath = new Path(s"$path/stats")
-    // stats-swap recovery: a crash between the phase-2 renames of a prior
-    // fold leaves `stats` absent with a completed staged twin (roll
-    // forward — that fold's postings were already fully in place) or, if
-    // the staged twin is gone too, the renamed-away old dir (roll back —
-    // the interrupted fold then redoes cleanly below).
-    def twins(prefix: String): Seq[Path] =
-      if (!fs.exists(new Path(path))) Seq.empty
-      else fs.listStatus(new Path(path)).map(_.getPath)
-        .filter(_.getName.startsWith(prefix)).toSeq
-    if (!fs.exists(statsPath)) {
-      val staged = twins("stats_staged_b")
-      val old = twins("stats_old_b")
-      if (staged.nonEmpty) fs.rename(staged.head, statsPath)
-      else if (old.nonEmpty) fs.rename(old.head, statsPath)
-    }
-    // with stats in place, any remaining twins are committed-fold debris
-    (twins("stats_staged_b") ++ twins("stats_old_b"))
-      .foreach(p => fs.delete(p, true))
+    val fs = Lsm.fs(spark, path)
+    // stats-swap recovery ([[graft.util.Lsm]] protocol 1): a crash between
+    // the phase-2 renames of a prior fold leaves `stats` absent with a
+    // completed staged twin (roll forward — that fold's postings were
+    // already fully in place) or only the renamed-away old dir (roll
+    // back — the interrupted fold then redoes cleanly below).
+    Lsm.recoverSwap(fs, path, "stats")
     val stats = spark.read.parquet(s"$path/stats").collect()(0)
     if (stats.schema.fieldNames.contains("last_batch") &&
         stats.getAs[Long]("last_batch") == batchId)
@@ -203,12 +191,7 @@ object Retrieval {
     val postingsRoot = new Path(s"$path/postings")
     // recovery sweep: remove any files a crashed attempt of THIS batch
     // moved into place, plus its staged dir
-    if (fs.exists(postingsRoot))
-      fs.listStatus(postingsRoot).filter(_.isDirectory).foreach { tbDir =>
-        fs.listStatus(tbDir.getPath)
-          .filter(f => f.getPath.getName.startsWith(marker))
-          .foreach(f => fs.delete(f.getPath, false))
-      }
+    Lsm.sweepMarked(fs, postingsRoot, marker)
     val staged = new Path(s"$path/staged")
     fs.delete(staged, true)
     val nBuckets = stats.getAs[Long]("n_buckets")
@@ -225,33 +208,20 @@ object Retrieval {
     // commit phase 1: move staged data files into their tb= dirs under
     // batch-marked names (per-file renames; any partial state is exactly
     // what the recovery sweep above identifies and removes)
-    fs.listStatus(staged).filter(_.isDirectory).foreach { tbDir =>
-      val target = new Path(postingsRoot, tbDir.getPath.getName)
-      fs.mkdirs(target)
-      fs.listStatus(tbDir.getPath)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
-          && !f.getPath.getName.startsWith("."))
-        .foreach { f =>
-          fs.rename(f.getPath, new Path(target, marker + f.getPath.getName))
-        }
-    }
+    Lsm.moveMarked(fs, staged, postingsRoot, marker)
     fs.delete(staged, true)
     // commit phase 2: stats rewrite with the batch marker — staged write
-    // plus two atomic renames, never an in-place overwrite (see scaladoc)
+    // plus the protocol-1 swap, never an in-place overwrite (see scaladoc)
     val b = batch
       .agg(count(lit(1)).as("bn"),
         coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
           .as("bdl"))
       .collect()(0)
-    val stagedStats = new Path(s"$path/stats_staged_b$batchId")
     Seq((stats.getAs[Long]("n_docs") + b.getLong(0),
         stats.getAs[Long]("sum_dl") + b.getLong(1), nBuckets, batchId))
       .toDF("n_docs", "sum_dl", "n_buckets", "last_batch")
-      .write.mode("overwrite").parquet(stagedStats.toString)
-    val oldStats = new Path(s"$path/stats_old_b$batchId")
-    fs.rename(statsPath, oldStats)
-    fs.rename(stagedStats, statsPath)
-    fs.delete(oldStats, true)
+      .write.mode("overwrite").parquet(Lsm.stagedPath(path, "stats", batchId))
+    Lsm.commitSwap(fs, path, "stats", batchId)
   }
 
   /** Compact an [[invIndexInsert]]-grown index: rewrite every tb= bucket
@@ -281,8 +251,9 @@ object Retrieval {
     * (the spec pins it). */
   def invIndexCompact(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerBucket: Int = 1): Unit = {
+    import graft.util.Lsm
     import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = Lsm.fs(spark, path)
     val postingsRoot = new Path(s"$path/postings")
     if (!fs.exists(postingsRoot)) return
     // bucket-swap recovery from a previous crashed compaction; both twin
@@ -290,54 +261,17 @@ object Retrieval {
     // sees a non-tb= directory mid-compaction
     val stagedRoot = new Path(s"$path/compact_staged")
     val oldRoot = new Path(s"$path/compact_old")
-    if (fs.exists(oldRoot))
-      fs.listStatus(oldRoot).map(_.getPath).foreach { old =>
-        val tb = new Path(postingsRoot, old.getName)
-        val st = new Path(stagedRoot, old.getName)
-        if (!fs.exists(tb)) {
-          if (fs.exists(st)) fs.rename(st, tb) else fs.rename(old, tb)
-        }
-        fs.delete(old, true)
-      }
-    fs.delete(stagedRoot, true)
-    fs.delete(oldRoot, true)
+    Lsm.recoverBucketSwap(fs, postingsRoot, stagedRoot, oldRoot)
     // incomplete-fold sweep (step 0 above)
     val lastBatch = {
       val st = spark.read.parquet(s"$path/stats").collect()(0)
       if (st.schema.fieldNames.contains("last_batch"))
         st.getAs[Long]("last_batch") else -1L
     }
-    val marked = "^b(\\d+)-".r
-    fs.listStatus(postingsRoot).filter(_.isDirectory).foreach { tbDir =>
-      fs.listStatus(tbDir.getPath).foreach { f =>
-        marked.findFirstMatchIn(f.getPath.getName).foreach { m =>
-          if (m.group(1).toLong > lastBatch) fs.delete(f.getPath, false)
-        }
-      }
-    }
+    Lsm.sweepAboveBatch(fs, postingsRoot, lastBatch)
     fs.delete(new Path(s"$path/staged"), true)
-    def dataFiles(dir: Path) = fs.listStatus(dir).filter(f => f.isFile &&
-      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-    val fragmented = fs.listStatus(postingsRoot).map(_.getPath)
-      .filter(p => p.getName.startsWith("tb=") &&
-        dataFiles(p).length > maxFilesPerBucket)
-    for (tb <- fragmented) {
-      val st = new Path(stagedRoot, tb.getName)
-      // coalesce(1): a bucket is 1/nBuckets of the postings by hash
-      // construction — the rewrite target is exactly one file
-      spark.read.parquet(tb.toString).coalesce(1)
-        .write.mode("overwrite").parquet(st.toString)
-      // drop Spark's _SUCCESS etc. so the swapped-in dir is file-clean
-      fs.listStatus(st).filterNot(f => dataFiles(st).map(_.getPath)
-        .contains(f.getPath)).foreach(f => fs.delete(f.getPath, false))
-      fs.mkdirs(oldRoot)
-      val old = new Path(oldRoot, tb.getName)
-      fs.rename(tb, old)
-      fs.rename(st, tb)
-      fs.delete(old, true)
-    }
-    fs.delete(stagedRoot, true)
-    fs.delete(oldRoot, true)
+    Lsm.compactBuckets(spark, fs, postingsRoot, stagedRoot, oldRoot, "tb=",
+      maxFilesPerBucket)
   }
 
   /** BM25 top-k served from a materialized [[writeInvertedIndex]] index:

@@ -166,6 +166,120 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Fold a batch of NEW vectors into a materialized [[writeIvfIndex]]
+    * layout — the warm-fold family ([[Retrieval.invIndexInsert]] /
+    * [[Graph.lpCommitBatch]] / [[Experiment.btCommitBatch]]) applied to
+    * the vector index: the daemon path that keeps a served ANN index
+    * fresh at batch cost, never re-assigning the corpus.
+    *
+    * Centroids are FROZEN: the batch assigns against the stored centroid
+    * table (the [[writeIvfIndex]] consistency argument — stored cells
+    * must agree with stored centroids) and its vector rows land in the
+    * existing cid=… directories as an LSM append, base files never
+    * rewritten. This is the standard IVF incremental contract (FAISS
+    * `add` does the same): cell geometry drifts as the corpus grows, so
+    * recall against the original training distribution degrades slowly;
+    * the escape hatch is a full [[writeIvfIndex]] rebuild once inserted
+    * volume rivals the trained base — cheap relative to the fold cadence
+    * and the same story the BM25 index tells for compaction. Batch
+    * vec_ids MUST be new (same-id re-ingest is an upsert, handled
+    * upstream by the ingest cursor — an id-keyed existence probe here
+    * would full-scan the cell-partitioned layout).
+    *
+    * CRASH/RETRY SAFETY — [[graft.util.Lsm]] protocol 2 keyed by
+    * `batchId` (single writer by contract): staged cid-partitioned
+    * write, per-file batch-marked renames into the cells, then the
+    * meta marker (`last_batch`) commits LAST via the protocol-1 swap.
+    * A retry no-ops on a committed id or sweeps exactly its own partial
+    * move and redoes the fold. [[ivfTopKIndexed]] serves the folded tree
+    * unchanged — partition discovery sees the marked files like any
+    * other cell data; a reader racing the fold sees a subset of the
+    * batch's rows (per-file renames), never a duplicate or a torn file. */
+  def ivfInsert(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = Lsm.fs(spark, path)
+    Lsm.recoverSwap(fs, path, "meta")
+    val lastBatch =
+      if (fs.exists(new Path(s"$path/meta")))
+        spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
+      else -1L // a pre-incremental writeIvfIndex tree being adopted
+    if (lastBatch == batchId) return // committed fold — idempotent retry
+    val marker = s"b$batchId-"
+    val vectorsRoot = new Path(s"$path/vectors")
+    Lsm.sweepMarked(fs, vectorsRoot, marker)
+    val staged = new Path(s"$path/staged")
+    fs.delete(staged, true)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assignToCentroids(batch, centroids)
+      .join(batch, "vec_id")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(staged.toString)
+    Lsm.moveMarked(fs, staged, vectorsRoot, marker)
+    fs.delete(staged, true)
+    Seq(batchId).toDF("last_batch").write.mode("overwrite")
+      .parquet(Lsm.stagedPath(path, "meta", batchId))
+    Lsm.commitSwap(fs, path, "meta", batchId)
+  }
+
+  /** Compact an [[ivfInsert]]-grown index: merge every cid= cell whose
+    * LSM fragment count exceeds `maxFilesPerCell` into one fresh file,
+    * content-identical, under the per-bucket staged swap of
+    * [[graft.util.Lsm.compactBuckets]] (crashed-swap recovery at entry;
+    * a crashed fold's orphan files swept FIRST so they can never be
+    * merged beyond their retry's reach). Centroids and meta untouched —
+    * served results are bit-identical, only the per-cell open/footer
+    * cost drops. Runs in the single-writer slot, never concurrently
+    * with a fold. */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerCell: Int = 1): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    val fs = Lsm.fs(spark, path)
+    val vectorsRoot = new Path(s"$path/vectors")
+    if (!fs.exists(vectorsRoot)) return
+    val stagedRoot = new Path(s"$path/compact_staged")
+    val oldRoot = new Path(s"$path/compact_old")
+    Lsm.recoverBucketSwap(fs, vectorsRoot, stagedRoot, oldRoot)
+    Lsm.recoverSwap(fs, path, "meta")
+    val lastBatch =
+      if (fs.exists(new Path(s"$path/meta")))
+        spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
+      else -1L
+    Lsm.sweepAboveBatch(fs, vectorsRoot, lastBatch)
+    fs.delete(new Path(s"$path/staged"), true)
+    Lsm.compactBuckets(spark, fs, vectorsRoot, stagedRoot, oldRoot, "cid=",
+      maxFilesPerCell)
+  }
+
+  /** One daemon batch against the at-rest IVF index: cold start (no
+    * centroid table yet) trains the coarse quantizer on THIS batch and
+    * commits it atomically via the protocol-1 swap — then every batch
+    * including this one folds through [[ivfInsert]]'s marked protocol,
+    * so batch 0 rides the same crash/retry contract as batch 1000.
+    * Centroid training is the one non-deterministic plan in the family
+    * (Lloyd's avg() reductions can differ in last-ulp across runs —
+    * the [[writeIvfIndex]] lesson), which is exactly why it commits by
+    * swap BEFORE any assignment: a retry either sees the committed table
+    * (assigns identically) or no table (retrains; nothing was assigned
+    * yet, by protocol order). */
+  def ivfCommitBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, batchId: Long, nlist: Int = 16,
+      dim: Int = 64): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    val fs = Lsm.fs(spark, path)
+    Lsm.recoverSwap(fs, path, "centroids")
+    if (!fs.exists(new Path(s"$path/centroids"))) {
+      ivfCentroids(batch, nlist, dim).write.mode("overwrite")
+        .parquet(Lsm.stagedPath(path, "centroids", batchId))
+      Lsm.commitSwap(fs, path, "centroids", batchId)
+    }
+    ivfInsert(spark, path, batch, batchId)
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket; exact re-rank
     * within candidates. Recall < 1 by design; the operator trades it for a
     * bucket-local join instead of a full cross product.

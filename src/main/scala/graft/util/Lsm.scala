@@ -1,0 +1,181 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The shared crash/retry primitives behind every at-rest incremental
+  * state tree in the library — the BM25 inverted index
+  * ([[graft.operators.Retrieval.invIndexInsert]]), label-propagation
+  * communities ([[graft.operators.Graph.lpCommitBatch]]), Bradley–Terry
+  * preference state ([[graft.operators.Experiment.btCommitBatch]]) and
+  * the IVF vector index ([[graft.operators.Similarity.ivfInsert]]).
+  * All four daemons ride the same two protocols; this module is the
+  * single implementation so a fix to one crash window fixes them all.
+  *
+  * == Protocol 1: atomic directory swap ==
+  *
+  * A state directory (`stats`, `state`, `meta`, …) is replaced by
+  * writing its successor to `<name>_staged_b<id>`, renaming the live
+  * dir to `<name>_old_b<id>`, renaming the staged twin in, and deleting
+  * the old twin — two metadata renames, never an in-place overwrite
+  * whose delete-then-rewrite window can zero live state. Entry-time
+  * [[recoverSwap]] handles every crash point: a missing live dir with a
+  * complete staged twin rolls FORWARD (the data the swap was publishing
+  * is already in place by protocol order), a missing live dir with only
+  * the old twin rolls BACK (the interrupted fold then redoes cleanly),
+  * and with the live dir present any remaining twin is committed-swap
+  * debris and is swept.
+  *
+  * == Protocol 2: batch-marked LSM append ==
+  *
+  * Data files append into hash-bucketed partition dirs (`tb=…`,
+  * `cid=…`) under batch-marked names (`b<id>-…`): the batch first
+  * materializes under a staged root ([[moveMarked]] then renames each
+  * file into its bucket), and the batch's marker commits LAST via
+  * protocol 1. A retry either sees its id committed (no-op) or
+  * [[sweepMarked]]s exactly its own partial move and redoes the fold —
+  * the double-append window of a naive read-modify-write cannot occur.
+  * [[compactBuckets]] closes the loop: fragments merge per-bucket under
+  * a staged swap ([[recoverBucketSwap]] at entry), after
+  * [[sweepAboveBatch]] removes any crashed fold's orphans so they can
+  * never be compacted into unmarked files beyond their retry's reach.
+  *
+  * Single writer per tree by contract (a streaming checkpoint's
+  * exclusivity, or the caller's); readers never see twin roots because
+  * they live beside — not inside — the partition roots.
+  */
+object Lsm {
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** `<parent>/<name>_staged_b<id>` — where a swap's successor is written. */
+  def stagedPath(parent: String, name: String, batchId: Long): String =
+    s"$parent/${name}_staged_b$batchId"
+
+  /** Protocol-1 entry recovery for `<parent>/<name>`: roll a mid-swap
+    * crash forward from the staged twin or back from the old one, then
+    * sweep committed-swap debris. Always call before reading the dir. */
+  def recoverSwap(fs: FileSystem, parent: String, name: String): Unit = {
+    val live = new Path(s"$parent/$name")
+    def twins(prefix: String): Seq[Path] =
+      if (!fs.exists(new Path(parent))) Seq.empty
+      else fs.listStatus(new Path(parent)).map(_.getPath)
+        .filter(_.getName.startsWith(prefix)).toSeq
+    if (!fs.exists(live)) {
+      val staged = twins(s"${name}_staged_b")
+      val old = twins(s"${name}_old_b")
+      if (staged.nonEmpty) fs.rename(staged.head, live)
+      else if (old.nonEmpty) fs.rename(old.head, live)
+    }
+    (twins(s"${name}_staged_b") ++ twins(s"${name}_old_b"))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** Protocol-1 commit: swap `<parent>/<name>_staged_b<id>` (already
+    * written by the caller) into `<parent>/<name>`. */
+  def commitSwap(fs: FileSystem, parent: String, name: String,
+      batchId: Long): Unit = {
+    val live = new Path(s"$parent/$name")
+    val old = new Path(s"$parent/${name}_old_b$batchId")
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(new Path(stagedPath(parent, name, batchId)), live)
+    fs.delete(old, true)
+  }
+
+  private def dataFiles(fs: FileSystem, dir: Path) =
+    fs.listStatus(dir).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+
+  /** Protocol-2 move: rename every data file under `stagedRoot`'s
+    * partition dirs into the same-named dir under `bucketsRoot`, each
+    * prefixed with `marker` (`b<id>-`). Partial moves are exactly what
+    * [[sweepMarked]] identifies and removes on retry. */
+  def moveMarked(fs: FileSystem, stagedRoot: Path, bucketsRoot: Path,
+      marker: String): Unit = {
+    fs.listStatus(stagedRoot).filter(_.isDirectory).foreach { part =>
+      val target = new Path(bucketsRoot, part.getPath.getName)
+      fs.mkdirs(target)
+      dataFiles(fs, part.getPath).foreach { f =>
+        fs.rename(f.getPath, new Path(target, marker + f.getPath.getName))
+      }
+    }
+  }
+
+  /** Remove every `marker`-prefixed file under `bucketsRoot`'s partition
+    * dirs — a crashed attempt's partial move, before its retry refolds. */
+  def sweepMarked(fs: FileSystem, bucketsRoot: Path, marker: String): Unit =
+    if (fs.exists(bucketsRoot))
+      fs.listStatus(bucketsRoot).filter(_.isDirectory).foreach { part =>
+        fs.listStatus(part.getPath)
+          .filter(f => f.getPath.getName.startsWith(marker))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+
+  /** Remove every batch-marked file whose id exceeds `lastBatch` — a
+    * crashed (uncommitted) fold's orphans. MUST run before compaction:
+    * merged into an unmarked file they would escape the fold's own
+    * recovery sweep and double-append when the batch retries. */
+  def sweepAboveBatch(fs: FileSystem, bucketsRoot: Path,
+      lastBatch: Long): Unit = {
+    val marked = "^b(\\d+)-".r
+    if (fs.exists(bucketsRoot))
+      fs.listStatus(bucketsRoot).filter(_.isDirectory).foreach { part =>
+        fs.listStatus(part.getPath).foreach { f =>
+          marked.findFirstMatchIn(f.getPath.getName).foreach { m =>
+            if (m.group(1).toLong > lastBatch) fs.delete(f.getPath, false)
+          }
+        }
+      }
+  }
+
+  /** Entry recovery for a crashed [[compactBuckets]]: restore any bucket
+    * renamed away mid-swap from whichever twin is complete (staged when
+    * present — content-equal by construction — else old), then drop both
+    * twin roots. The twin roots live OUTSIDE the partition root so a
+    * reader's partition discovery never sees them. */
+  def recoverBucketSwap(fs: FileSystem, bucketsRoot: Path, stagedRoot: Path,
+      oldRoot: Path): Unit = {
+    if (fs.exists(oldRoot))
+      fs.listStatus(oldRoot).map(_.getPath).foreach { old =>
+        val live = new Path(bucketsRoot, old.getName)
+        val st = new Path(stagedRoot, old.getName)
+        if (!fs.exists(live)) {
+          if (fs.exists(st)) fs.rename(st, live) else fs.rename(old, live)
+        }
+        fs.delete(old, true)
+      }
+    fs.delete(stagedRoot, true)
+    fs.delete(oldRoot, true)
+  }
+
+  /** Merge every partition dir under `bucketsRoot` (name-prefixed
+    * `bucketPrefix`, e.g. "tb=" / "cid=") holding more than
+    * `maxFilesPerBucket` data files into one fresh file, content-
+    * identical, under a per-bucket staged swap. Caller must have run
+    * [[recoverBucketSwap]] and [[sweepAboveBatch]] first. A bucket is
+    * 1/n of the data by hash construction, so coalesce(1) is the
+    * per-bucket rewrite target. */
+  def compactBuckets(spark: SparkSession, fsys: FileSystem, bucketsRoot: Path,
+      stagedRoot: Path, oldRoot: Path, bucketPrefix: String,
+      maxFilesPerBucket: Int): Unit = {
+    val fragmented = fsys.listStatus(bucketsRoot).map(_.getPath)
+      .filter(p => p.getName.startsWith(bucketPrefix) &&
+        dataFiles(fsys, p).length > maxFilesPerBucket)
+    for (bucket <- fragmented) {
+      val st = new Path(stagedRoot, bucket.getName)
+      spark.read.parquet(bucket.toString).coalesce(1)
+        .write.mode("overwrite").parquet(st.toString)
+      // drop Spark's _SUCCESS etc. so the swapped-in dir is file-clean
+      fsys.listStatus(st).filterNot(f => dataFiles(fsys, st).map(_.getPath)
+        .contains(f.getPath)).foreach(f => fsys.delete(f.getPath, false))
+      fsys.mkdirs(oldRoot)
+      val old = new Path(oldRoot, bucket.getName)
+      fsys.rename(bucket, old)
+      fsys.rename(st, bucket)
+      fsys.delete(old, true)
+    }
+    fsys.delete(stagedRoot, true)
+    fsys.delete(oldRoot, true)
+  }
+}

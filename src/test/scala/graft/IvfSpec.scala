@@ -63,4 +63,130 @@ class IvfSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a1 == a2 && a1.size == 48)
   }
+
+  // --- incremental index (the vector daemon path) --------------------------
+
+  private def treeAssign(path: String): Seq[(Long, Long)] =
+    spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  private def servedRows(path: String, q: org.apache.spark.sql.DataFrame,
+      k: Int, nprobe: Int): Seq[(Long, Long, Long)] =
+    Similarity.ivfTopKIndexed(spark, path, q, k, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+      .sorted.toSeq
+
+  test("ivfInsert: folded tree == full re-assignment; served == rebuild; retry no-ops") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-inc").toString + "/idx"
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.writeIvfIndex(base, path, nlist = 6, dim = 16)
+    Similarity.ivfInsert(spark, path, batch, 1L)
+    // the folded tree holds every vector exactly once, in the cell a full
+    // re-assignment against the FROZEN stored centroids would choose
+    val cents = spark.read.parquet(s"$path/centroids")
+    val expected = Similarity.assignToCentroids(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(treeAssign(path) == expected)
+    // serving: the folded index answers exactly like a from-scratch tree
+    // rebuilt from the same centroids over the full corpus
+    val ref = path + "_ref"
+    cents.write.parquet(s"$ref/centroids")
+    Similarity.assignToCentroids(emb, cents).join(emb, "vec_id")
+      .repartition(col("cid"))
+      .write.partitionBy("cid").parquet(s"$ref/vectors")
+    val q = emb.filter(col("vec_id") < 4)
+    assert(servedRows(path, q, 5, 2) == servedRows(ref, q, 5, 2))
+    // a retried committed batch must not double-append
+    Similarity.ivfInsert(spark, path, batch, 1L)
+    assert(treeAssign(path) == expected, "retry of a committed fold must no-op")
+  }
+
+  test("ivfInsert: a crashed attempt's partial move is swept before the refold") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-crash").toString + "/idx"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path,
+      nlist = 6, dim = 16)
+    // simulate batch 2 crashing mid-phase-1: a batch-marked file sits in a
+    // cell dir (here: a copy of an existing cell file — duplicate rows if
+    // it survived) with NO meta marker for the batch
+    val fs = graft.util.Lsm.fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val cell = fs.listStatus(root).filter(_.isDirectory).head.getPath
+    val victim = fs.listStatus(cell).filter(_.isFile).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs,
+      new org.apache.hadoop.fs.Path(cell, "b2-crashed.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    // the retry folds the REAL batch 2; the planted partial move must go
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 10 === 0), 2L)
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(treeAssign(path) == Similarity.assignToCentroids(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "the crashed attempt's files must be swept, not double-counted")
+  }
+
+  test("ivfCompact: fragments merge, served results identical, later folds work") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-cpt").toString + "/idx"
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    Similarity.writeIvfIndex(base, path, nlist = 4, dim = 16)
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 1), 1L)
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 2), 2L)
+    val q = emb.filter(col("vec_id") < 4)
+    val before = servedRows(path, q, 5, 2)
+    val fs = graft.util.Lsm.fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    def maxFiles: Int = fs.listStatus(root).filter(_.isDirectory).map { d =>
+      fs.listStatus(d.getPath).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    }.max
+    assert(maxFiles > 1, "fixture must actually be fragmented")
+    Similarity.ivfCompact(spark, path)
+    assert(maxFiles == 1, "every cell must compact to one file")
+    assert(servedRows(path, q, 5, 2) == before,
+      "compaction must be content-preserving")
+    assert(treeAssign(path) == treeAssign(path).distinct, "no duplicates")
+    // the compacted tree keeps accepting folds
+    val extra = (100 until 104).map(i =>
+      (i.toLong, Array.tabulate(16)(d => (dirs(i % 4)(d) + 0.01 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfInsert(spark, path, extra, 3L)
+    assert(treeAssign(path).map(_._1).toSet ==
+      (base.collect().map(_.getLong(0)).toSet ++
+        emb.filter(col("vec_id") % 3 =!= 0).collect().map(_.getLong(0)) ++
+        (100L until 104L)))
+  }
+
+  test("EmbIngest daemon: cold batch trains, warm drops fold, retry no-ops") {
+    import java.nio.file.{Files, Path => JPath}
+    val in = Files.createTempDirectory("emb-in").toString
+    val ckpt = Files.createTempDirectory("emb-ckpt").toString
+    val idx = Files.createTempDirectory("emb-idx").toString + "/idx"
+    def jsonl(rows: Seq[(Long, Array[Float])]): String =
+      rows.map { case (id, e) =>
+        s"""{"vec_id": $id, "embedding": [${e.mkString(", ")}]}"""
+      }.mkString("\n")
+    val first = vecs.filter(_._1 % 10 != 0)
+    val late = vecs.filter(_._1 % 10 == 0)
+    Files.writeString(JPath.of(in, "w1.jsonl"), jsonl(first))
+    graft.streaming.EmbIngest.start(spark, in, ckpt, idx, nlist = 6, dim = 16,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val cents = spark.read.parquet(s"$idx/centroids")
+    assert(treeAssign(idx) ==
+      Similarity.assignToCentroids(first.toDF("vec_id", "embedding"), cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "cold batch must train on itself and fold through the same protocol")
+    Files.writeString(JPath.of(in, "w2.jsonl"), jsonl(late))
+    graft.streaming.EmbIngest.start(spark, in, ckpt, idx, nlist = 6, dim = 16,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val after2 = treeAssign(idx)
+    assert(after2 == Similarity.assignToCentroids(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "warm drop must fold against the FROZEN batch-0 centroids")
+    // retry of committed batch 1 must not double-append
+    Similarity.ivfCommitBatch(spark, idx, late.toDF("vec_id", "embedding"), 1L,
+      nlist = 6, dim = 16)
+    assert(treeAssign(idx) == after2)
+  }
 }
