@@ -868,6 +868,33 @@ object SparkEntry {
         nprobe = 4)
         .orderBy("q_id", "rank")
     }),
+    "q208_emb_dedup_gate" -> ((s, dir) => {
+      // the vector daemon's admission gate as a pure operator: an IVF
+      // tree on the 90% base, then a batch holding novel vectors
+      // (vec_id%10==0), verbatim re-deliveries (%10==1), planted index
+      // near-dups (copies of stored %10==3 vectors under +100000 ids) and
+      // planted within-batch near-dups (+200000 copies of the batch's own
+      // %10==0 members). The oracle replays the whole gate from the
+      // embeddings table + stored centroids — probe cells, cell-local
+      // pair candidates, cosine verify, drop-the-higher rule, status
+      // precedence — so a green hash proves the gate admits exactly what
+      // the algorithm promises
+      val emb = t(s, dir, "embeddings")
+      val path = ivfIndexPath(dir) + "_gate"
+      graft.util.Lsm.fs(s, path)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path,
+        nlist = 16)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+        .unionByName(emb.filter(col("vec_id") % 10 === 1))
+        .unionByName(emb.filter(col("vec_id") % 10 === 3)
+          .withColumn("vec_id", col("vec_id") + 100000))
+        .unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 200000))
+        .select("vec_id", "embedding")
+      Similarity.embGateVerdicts(s, path, batch, threshold = 0.95, nprobe = 2)
+        .orderBy("vec_id")
+    }),
     "q202_equidepth" -> ((s, dir) =>
       // optimizer-statistics artifact: 8 equal-count price buckets with
       // EXACT order-statistic boundaries (bucket refinement, no sort) —
@@ -3904,6 +3931,55 @@ object SparkEntry {
            |             ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
            |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked
            |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      },
+      "q208_emb_dedup_gate" -> {
+        // Full algorithm mirror of the vector admission gate: the oracle
+        // rebuilds the batch (novel + re-delivered + two plant families),
+        // recomputes every base vector's stored cell from the centroid
+        // parquet (assignment ties cos DESC, cid DESC — the
+        // assignToCentroids convention), each batch vector's nprobe=2
+        // probe cells (ties cid ASC — the probe-window convention), the
+        // cell-local candidate pairs with the 6-decimal cosine verify,
+        // the drop-the-higher within-batch rule, and the
+        // redelivered > within > index > admitted precedence.
+        val p = sys.props.getOrElse("graft.ivf.path",
+          ivfIndexPath("/root/testdata/sf0.01")) + "_gate"
+        s"""WITH cent AS (SELECT cid, center FROM read_parquet('$p/centroids/*.parquet')),
+           |base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+           |         WHERE vec_id % 10 <> 0),
+           |batch AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id % 10 = 0
+           |  UNION ALL SELECT vec_id, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 10 = 1
+           |  UNION ALL SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 10 = 3
+           |  UNION ALL SELECT vec_id + 200000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 10 = 0),
+           |asg AS (SELECT vec_id, emb, cid FROM (
+           |    SELECT v.vec_id, v.emb, c.cid,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${cosineSql("v.emb", "c.center")} DESC, c.cid DESC) AS arn
+           |    FROM base v CROSS JOIN cent c) _a WHERE arn = 1),
+           |probes AS (SELECT vec_id, emb, cid FROM (
+           |    SELECT b.vec_id, b.emb, c.cid,
+           |           row_number() OVER (PARTITION BY b.vec_id
+           |             ORDER BY ${cosineSql("b.emb", "c.center")} DESC, c.cid ASC) AS prn
+           |    FROM batch b CROSS JOIN cent c) _p WHERE prn <= 2),
+           |within AS (SELECT DISTINCT p2.vec_id FROM probes p1
+           |           JOIN probes p2 ON p1.cid = p2.cid AND p1.vec_id < p2.vec_id
+           |           WHERE ${cosineSql("p1.emb", "p2.emb")} >= 0.95e0),
+           |vsidx AS (SELECT DISTINCT p.vec_id FROM probes p
+           |          JOIN asg a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+           |          WHERE ${cosineSql("p.emb", "a.emb")} >= 0.95e0),
+           |re AS (SELECT DISTINCT b.vec_id FROM batch b
+           |       JOIN base s ON b.vec_id = s.vec_id)
+           |SELECT b.vec_id,
+           |  CASE WHEN r.vec_id IS NOT NULL THEN 'redelivered'
+           |       WHEN w.vec_id IS NOT NULL THEN 'neardup_within'
+           |       WHEN i.vec_id IS NOT NULL THEN 'neardup_index'
+           |       ELSE 'admitted' END AS status
+           |FROM batch b
+           |LEFT JOIN re r ON b.vec_id = r.vec_id
+           |LEFT JOIN within w ON b.vec_id = w.vec_id
+           |LEFT JOIN vsidx i ON b.vec_id = i.vec_id
+           |ORDER BY b.vec_id""".stripMargin
       },
       "q206_bt_incremental" -> {
         // btInit(5 MM rounds on the 90% base matches) → btInsert(late 10%,

@@ -280,6 +280,110 @@ object Similarity {
     ivfInsert(spark, path, batch, batchId)
   }
 
+  /** Exploded cell probes for a batch of vectors against a (tiny,
+    * broadcast) centroid table: each vector's `nprobe` best cells by
+    * cosine, ties broken cid ASC — the [[ivfTopKIndexed]] probe-selection
+    * order, shared so the gate family below agrees with the serving path.
+    * Output: (vec_id, embedding, cid), `nprobe` rows per vector, computed
+    * with a vec_id-partitioned window (batch-sized, fully distributed —
+    * no driver collect, unlike ivfTopKIndexed's query-sized contract). */
+  def ivfProbes(batch: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    batch.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", ArrayMath.cosineKey(col("embedding"), col("center")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+
+  /** Embedding near-dup pairs WITHIN one batch: two vectors are candidates
+    * iff they share a probed cell (the IVF-bucketed analogue of the banded
+    * MinHash candidate rule — cell-local join, never batch × batch), then
+    * verify exactly with one cosine. Output (a_id, b_id, cos), a < b,
+    * cos >= threshold. Recall < 1 by construction for pairs whose probe
+    * sets are disjoint — raising `nprobe` in [[ivfProbes]] widens the net,
+    * the same knob the serving path trades recall with. */
+  def embNearDupWithin(probes: DataFrame, threshold: Double): DataFrame = {
+    val a = probes.select(col("cid"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = probes.select(col("cid"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", ArrayMath.cosineKey(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos")).distinct()
+  }
+
+  /** Embedding near-dup pairs of a probed batch AGAINST a materialized
+    * [[writeIvfIndex]]/[[ivfInsert]] tree: candidates are (batch vector,
+    * stored vector) sharing a cell — the stored side scans ONLY the probed
+    * cid partitions (<= nlist values, collected bounded and pushed as
+    * PartitionFilters, the ivfTopKIndexed pruning argument). Same-id rows
+    * are excluded so a replayed batch never pairs with its own stored
+    * copy (re-delivery is the caller's id-gate, not this operator's).
+    * Output (a_id = batch, b_id = stored, cos), cos >= threshold. */
+  def embNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, threshold: Double): DataFrame = {
+    val cells = probes.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val stored = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(cells: _*))
+      .select(col("cid"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+    stored.join(probes.select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb")), Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", ArrayMath.cosineKey(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos")).distinct()
+  }
+
+  /** Per-row admission verdict for an embedding batch against an IVF
+    * tree — the vector edition of the [[graft.streaming.DocIngest]] dedup
+    * gate, factored as a pure read so it is both the daemon's gate
+    * ([[graft.streaming.EmbIngest.commitEmbBatch]]) and an
+    * oracle-checkable operator. Status precedence per batch vector:
+    *   - `redelivered`: its vec_id is already stored (id scan is a
+    *     column-pruned single-column read of the tree, the DocIngest
+    *     sizes-table argument);
+    *   - `neardup_within`: it is the HIGHER id of a within-batch pair
+    *     ([[embNearDupWithin]]; drop-the-higher is the deterministic
+    *     DocIngest rule, replay-stable);
+    *   - `neardup_index`: within threshold of a stored vector
+    *     ([[embNearDupAgainstIndex]]);
+    *   - `admitted` otherwise.
+    * Duplicate vec_id rows in the batch are collapsed first (min
+    * embedding — deterministic under array ordering). */
+  def embGateVerdicts(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, threshold: Double, nprobe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val uniq = batch.groupBy("vec_id")
+      .agg(min(col("embedding")).as("embedding"))
+    // cached only for this scope: the bounded cell collect inside
+    // embNearDupAgainstIndex evaluates it once here; the RETURNED plan
+    // re-derives the (cheap, broadcast-join) probe frame lazily rather
+    // than pinning a cache on the session past the call (the q204 lesson)
+    val probes = ivfProbes(uniq, centroids, nprobe).persist()
+    try {
+      val stored = spark.read.parquet(s"$path/vectors")
+        .select(col("vec_id")).distinct().withColumn("f_re", lit(1))
+      val within = embNearDupWithin(probes, threshold)
+        .select(col("b_id").as("vec_id")).distinct().withColumn("f_w", lit(1))
+      val vsIdx = embNearDupAgainstIndex(spark, path, probes, threshold)
+        .select(col("a_id").as("vec_id")).distinct().withColumn("f_i", lit(1))
+      uniq.select(col("vec_id"))
+        .join(stored, Seq("vec_id"), "left")
+        .join(within, Seq("vec_id"), "left")
+        .join(vsIdx, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("f_re") === 1, "redelivered")
+            .when(col("f_w") === 1, "neardup_within")
+            .when(col("f_i") === 1, "neardup_index")
+            .otherwise("admitted").as("status"))
+    } finally probes.unpersist()
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket; exact re-rank
     * within candidates. Recall < 1 by design; the operator trades it for a
     * bucket-local join instead of a full cross product.

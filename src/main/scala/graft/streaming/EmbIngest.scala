@@ -1,16 +1,20 @@
 package graft.streaming
 
 import graft.operators.Similarity
+import graft.util.Lsm
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming embedding ingest — the [[DocIngest]] pattern for vectors:
   * a JSONL file-drop of (vec_id, embedding) records, each micro-batch
-  * folded into the at-rest IVF index by [[Similarity.ivfCommitBatch]]
-  * under the batch-id-keyed protocol (batch 0 trains the coarse
-  * quantizer on itself and swap-commits it; every batch then LSM-appends
-  * cell-assigned vectors). The daemon therefore serves fresh ANN top-k
+  * gated (exact re-delivery always; cosine near-dup optionally) and then
+  * folded into the at-rest IVF index by [[Similarity.ivfInsert]] under
+  * the batch-id-keyed protocol (batch 0 trains the coarse quantizer on
+  * itself and swap-commits it; every batch then LSM-appends cell-assigned
+  * vectors). The daemon therefore serves fresh ANN top-k
   * ([[Similarity.ivfTopKIndexed]]) at batch cost — one broadcast
   * centroid assignment over the batch, never a corpus re-assignment.
   *
@@ -21,8 +25,9 @@ import org.apache.spark.sql.types._
   * compaction.
   *
   * Crash posture: file-source offsets checkpoint the stream; a replayed
-  * batch re-delivers the same rows and the fold is idempotent per the
-  * operator scaladoc. Single writer by the checkpoint's exclusivity.
+  * batch re-delivers the same rows, [[commitEmbBatch]] no-ops on a
+  * committed batch id and sweeps + redoes a crashed one. Single writer
+  * by the checkpoint's exclusivity.
   */
 object EmbIngest {
 
@@ -31,9 +36,97 @@ object EmbIngest {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
-  /** Start the streaming fold: JSONL drops -> per-batch ivfCommitBatch. */
+  /** Commit one embedding micro-batch idempotently — the vector edition
+    * of [[DocIngest.commitDocBatch]], sharing its [[DocIngest.BatchResult]]
+    * audit record. Gate order per batch:
+    *   1. duplicate vec_id rows collapse deterministically (min embedding);
+    *   2. vec_ids already stored by an EARLIER batch drop (re-delivery);
+    *   3. with `dedupThreshold` set, cosine near-dups drop — within the
+    *      batch (higher id of each [[Similarity.embNearDupWithin]] pair)
+    *      and against the index ([[Similarity.embNearDupAgainstIndex]]);
+    *   4. survivors fold via [[Similarity.ivfInsert]] (meta marker commits
+    *      last, so the fold is the idempotence point).
+    *
+    * CRASH/RETRY — the fold's batch-id protocol, extended over the gate:
+    * a committed batch id no-ops at entry; an uncommitted retry FIRST
+    * sweeps its own crashed partial move ([[Lsm.sweepMarked]]) so the
+    * gate's re-delivery and near-dup probes never see the first
+    * attempt's partial files — the gate recomputation is then a
+    * deterministic function of the batch and the pre-batch tree, and the
+    * redone fold admits the same set. Cold start (no centroid table)
+    * trains on the deduplicated batch and swap-commits the centroids
+    * BEFORE any assignment, the [[Similarity.ivfCommitBatch]] argument. */
+  def commitEmbBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
+      batchId: Long, nlist: Int = 16, dim: Int = 64,
+      dedupThreshold: Option[Double] = None, nprobe: Int = 2,
+      compactEvery: Int = 0): DocIngest.BatchResult = {
+    val fs = Lsm.fs(spark, indexPath)
+    Lsm.recoverSwap(fs, indexPath, "meta")
+    Lsm.recoverSwap(fs, indexPath, "centroids")
+    val lastBatch =
+      if (fs.exists(new Path(s"$indexPath/meta")))
+        spark.read.parquet(s"$indexPath/meta").collect()(0).getLong(0)
+      else -1L
+    if (lastBatch == batchId) { // committed fold — idempotent retry
+      System.err.println(s"[embingest] batch $batchId: already committed")
+      return DocIngest.BatchResult(0, 0, 0, 0)
+    }
+    // sweep a crashed attempt's partial move BEFORE the gate probes the
+    // tree (ivfInsert re-sweeps; harmless)
+    Lsm.sweepMarked(fs, new Path(s"$indexPath/vectors"), s"b$batchId-")
+    val uniq = batch.groupBy("vec_id")
+      .agg(min(col("embedding")).as("embedding")).persist()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](uniq)
+    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    try {
+      uniq.count() // materialize the cache before train + gate fan out on it
+      if (!fs.exists(new Path(s"$indexPath/centroids"))) {
+        Similarity.ivfCentroids(uniq, nlist, dim).write.mode("overwrite")
+          .parquet(Lsm.stagedPath(indexPath, "centroids", batchId))
+        Lsm.commitSwap(fs, indexPath, "centroids", batchId)
+      }
+      val indexExists = fs.exists(new Path(s"$indexPath/vectors"))
+      val redelivered = cache(if (indexExists)
+        uniq.join(spark.read.parquet(s"$indexPath/vectors")
+            .select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+          .select("vec_id")
+      else uniq.select("vec_id").limit(0))
+      val (withinDrops, indexDrops) = dedupThreshold match {
+        case Some(t) =>
+          val centroids = spark.read.parquet(s"$indexPath/centroids")
+          val probes = cache(Similarity.ivfProbes(uniq, centroids, nprobe))
+          val w = cache(Similarity.embNearDupWithin(probes, t)
+            .select(col("b_id").as("vec_id")).distinct())
+          val i = cache(if (indexExists)
+            Similarity.embNearDupAgainstIndex(spark, indexPath, probes, t)
+              .select(col("a_id").as("vec_id")).distinct()
+          else w.limit(0))
+          (w, i)
+        case None =>
+          val empty = cache(uniq.select("vec_id").limit(0))
+          (empty, empty)
+      }
+      val admitted = cache(uniq.join(
+        withinDrops.union(indexDrops).union(redelivered).distinct(),
+        Seq("vec_id"), "left_anti"))
+      val nAdmitted = admitted.count() // materialize before the fold reuses it
+      Similarity.ivfInsert(spark, indexPath, admitted, batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        Similarity.ivfCompact(spark, indexPath)
+      val r = DocIngest.BatchResult(nAdmitted,
+        withinDrops.count(), indexDrops.count(), redelivered.count())
+      System.err.println(s"[embingest] batch $batchId: admitted=${r.admitted} " +
+        s"dropped_within=${r.droppedWithinBatch} " +
+        s"dropped_vs_index=${r.droppedVsIndex} " +
+        s"dropped_redelivered=${r.droppedRedelivered}")
+      r
+    } finally cached.foreach(_.unpersist())
+  }
+
+  /** Start the streaming fold: JSONL drops -> per-batch gated commit. */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       indexPath: String, nlist: Int = 16, dim: Int = 64,
+      dedupThreshold: Option[Double] = None, nprobe: Int = 2,
       compactEvery: Int = 0,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     spark.readStream.schema(embSchema).json(inputDir)
@@ -41,10 +134,9 @@ object EmbIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.ivfCommitBatch(spark, indexPath, batch, batchId,
-          nlist = nlist, dim = dim)
-        if (compactEvery > 0 && batchId % compactEvery == 0)
-          Similarity.ivfCompact(spark, indexPath)
+        commitEmbBatch(spark, indexPath, batch, batchId, nlist = nlist,
+          dim = dim, dedupThreshold = dedupThreshold, nprobe = nprobe,
+          compactEvery = compactEvery)
         ()
       }
       .start()

@@ -156,6 +156,45 @@ class IvfSpec extends SparkSpec {
         (100L until 104L)))
   }
 
+  test("commitEmbBatch gate: re-deliveries, index near-dups and within-batch near-dups drop") {
+    import graft.streaming.EmbIngest
+    val path = java.nio.file.Files.createTempDirectory("emb-gate").toString + "/idx"
+    // batch 0: first 36 vectors — same-cluster cosines (~0.995) sit BELOW
+    // the 0.9999 gate, so nothing drops and the fixture stays non-collapsed
+    val b0 = vecs.take(36).toDF("vec_id", "embedding")
+    val r0 = EmbIngest.commitEmbBatch(spark, path, b0, 0L, nlist = 6,
+      dim = 16, dedupThreshold = Some(0.9999))
+    assert(r0 == graft.streaming.DocIngest.BatchResult(36, 0, 0, 0))
+    // batch 1: 12 novel + one verbatim re-delivery (id 5) + an exact copy
+    // of stored id 0 under a new id (index near-dup) + two exact copies of
+    // batch-member id 40 under new ids (within-batch near-dups; the
+    // drop-the-higher rule removes both copies, keeps 40)
+    val byId = vecs.toMap
+    val b1 = (vecs.drop(36) ++ Seq(5L -> byId(5L), 1000L -> byId(0L),
+        1001L -> byId(40L), 1002L -> byId(40L)))
+      .toDF("vec_id", "embedding")
+    val r1 = EmbIngest.commitEmbBatch(spark, path, b1, 1L, nlist = 6,
+      dim = 16, dedupThreshold = Some(0.9999))
+    assert(r1 == graft.streaming.DocIngest.BatchResult(12, 2, 1, 1),
+      s"unexpected gate tallies: $r1")
+    assert(treeAssign(path).map(_._1) == (0L until 48L),
+      "the tree must hold exactly the 48 distinct fixture vectors")
+    // the pure-verdict operator agrees with what the commit admitted
+    val v = Similarity.embGateVerdicts(spark, path, b1, 0.9999, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(5L) == "redelivered" && v(1001L) == "neardup_within" &&
+      v(1002L) == "neardup_within" && v(1000L) == "neardup_index")
+    // verdicts run AFTER the commit, so batch-1 members are now stored:
+    // their own copies are self-id-filtered, hence still 'admitted'
+    assert(vecs.drop(36).forall { case (id, _) => v(id) == "redelivered" },
+      "post-commit verdicts see batch 1's own admissions as re-deliveries")
+    // retry of the committed batch is a marker no-op
+    val r1b = EmbIngest.commitEmbBatch(spark, path, b1, 1L, nlist = 6,
+      dim = 16, dedupThreshold = Some(0.9999))
+    assert(r1b == graft.streaming.DocIngest.BatchResult(0, 0, 0, 0))
+    assert(treeAssign(path).map(_._1) == (0L until 48L))
+  }
+
   test("EmbIngest daemon: cold batch trains, warm drops fold, retry no-ops") {
     import java.nio.file.{Files, Path => JPath}
     val in = Files.createTempDirectory("emb-in").toString
