@@ -895,6 +895,37 @@ object SparkEntry {
       Similarity.embGateVerdicts(s, path, batch, threshold = 0.95, nprobe = 2)
         .orderBy("vec_id")
     }),
+    "q209_media_gate" -> ((s, dir) => {
+      // the media daemon's admission gate over the REAL decoded hash
+      // fixture: an at-rest pigeonhole chunk index on the 90% base, then
+      // a batch of novel hashes (doc_id%10==0), verbatim re-deliveries
+      // (%10==1), planted index near-dups (stored %10==3 hashes under
+      // +100000 ids) and within-batch near-dups (+200000 copies of the
+      // batch's own %10==0 hashes). Pigeonhole is LOSSLESS for pairs
+      // within maxDist, so the oracle's brute-force bit_count(xor)
+      // replay from the same pixel fixture is an exact mirror — a green
+      // hash proves the chunk-join gate admits exactly the brute-force
+      // admission set
+      val pxPath = grayPixelsPath(dir) + "_gate"
+      Multimodal.grayPixels(s,
+          Multimodal.synthMedia(s, tp(s, dir, "documents")))
+        .write.mode("overwrite").parquet(pxPath)
+      val hashes = Multimodal.aHashFromPixels(s.read.parquet(pxPath))
+        .select("doc_id", "ahash")
+      val idxPath = pxPath + "_idx"
+      graft.util.Lsm.fs(s, idxPath)
+        .delete(new org.apache.hadoop.fs.Path(idxPath), true)
+      Multimodal.hashIndexInsert(s, idxPath,
+        hashes.filter(col("doc_id") % 10 =!= 0), batchId = 0L)
+      val batch = hashes.filter(col("doc_id") % 10 === 0)
+        .unionByName(hashes.filter(col("doc_id") % 10 === 1))
+        .unionByName(hashes.filter(col("doc_id") % 10 === 3)
+          .withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(hashes.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000))
+      Multimodal.mediaGateVerdicts(s, idxPath, batch, maxDist = 6)
+        .orderBy("doc_id")
+    }),
     "q202_equidepth" -> ((s, dir) =>
       // optimizer-statistics artifact: 8 equal-count price buckets with
       // EXACT order-statistic boundaries (bucket refinement, no sort) —
@@ -3980,6 +4011,42 @@ object SparkEntry {
            |LEFT JOIN within w ON b.vec_id = w.vec_id
            |LEFT JOIN vsidx i ON b.vec_id = i.vec_id
            |ORDER BY b.vec_id""".stripMargin
+      },
+      "q209_media_gate" -> {
+        // Brute-force mirror of the media admission gate: pigeonhole
+        // chunk candidates are lossless within maxDist (the q193
+        // argument), so the oracle replays the aHash from the pixel
+        // fixture and runs plain all-pairs bit_count(xor) for both the
+        // within-batch rule (drop the higher id of every pair) and the
+        // vs-index rule, plus the id-equality re-delivery gate, under
+        // the redelivered > within > index > admitted precedence.
+        val p = sys.props.getOrElse("graft.graypx.path",
+          grayPixelsPath("/root/testdata/sf0.01")) + "_gate"
+        s"""WITH ${grayHashSql(p)},
+           |base AS (SELECT doc_id, ahash FROM h WHERE doc_id % 10 <> 0),
+           |batch AS (
+           |  SELECT doc_id, ahash FROM h WHERE doc_id % 10 = 0
+           |  UNION ALL SELECT doc_id, ahash FROM h WHERE doc_id % 10 = 1
+           |  UNION ALL SELECT doc_id + 100000, ahash FROM h WHERE doc_id % 10 = 3
+           |  UNION ALL SELECT doc_id + 200000, ahash FROM h WHERE doc_id % 10 = 0),
+           |within AS (SELECT DISTINCT b2.doc_id FROM batch b1 JOIN batch b2
+           |           ON b1.doc_id < b2.doc_id
+           |           AND bit_count(xor(b1.ahash, b2.ahash)) <= 6),
+           |vsidx AS (SELECT DISTINCT b.doc_id FROM batch b JOIN base s
+           |          ON b.doc_id <> s.doc_id
+           |          AND bit_count(xor(b.ahash, s.ahash)) <= 6),
+           |re AS (SELECT DISTINCT b.doc_id FROM batch b
+           |       JOIN base s ON b.doc_id = s.doc_id)
+           |SELECT b.doc_id,
+           |  CASE WHEN r.doc_id IS NOT NULL THEN 'redelivered'
+           |       WHEN w.doc_id IS NOT NULL THEN 'neardup_within'
+           |       WHEN i.doc_id IS NOT NULL THEN 'neardup_index'
+           |       ELSE 'admitted' END AS status
+           |FROM batch b
+           |LEFT JOIN re r ON b.doc_id = r.doc_id
+           |LEFT JOIN within w ON b.doc_id = w.doc_id
+           |LEFT JOIN vsidx i ON b.doc_id = i.doc_id
+           |ORDER BY b.doc_id""".stripMargin
       },
       "q206_bt_incremental" -> {
         // btInit(5 MM rounds on the 90% base matches) → btInsert(late 10%,

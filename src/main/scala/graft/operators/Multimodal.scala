@@ -490,20 +490,32 @@ object Multimodal {
     * candidate join is chunk-equality (word-count-shaped buckets), never
     * all-pairs, and each candidate verifies exactly with one
     * bit_count(xor). Output: (a_id, b_id, hamming), a_id < b_id. */
-  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+  /** The pigeonhole chunk pieces of a 64-bit hash column: `maxDist + 1`
+    * (j, cv) structs — shared by the in-plan pair join, the at-rest index
+    * layout and its probe, so all three agree bit-for-bit on the family. */
+  private def hashChunkPieces(hash: org.apache.spark.sql.Column,
+      maxDist: Int): Seq[org.apache.spark.sql.Column] = {
     require(maxDist >= 0 && maxDist < 64, "maxDist in [0, 64)")
     val chunks = maxDist + 1
     val step = 64 / chunks
-    val pieces = (0 until chunks).map { j =>
+    (0 until chunks).map { j =>
       val width = if (j == chunks - 1) 64 - j * step else step
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(j).as("j"),
-        (shiftrightunsigned(col("ahash"), j * step)
-          .bitwiseAND(lit(mask))).as("cv"))
+        (shiftrightunsigned(hash, j * step).bitwiseAND(lit(mask))).as("cv"))
     }
-    val exploded = hashes.select(col("doc_id"), col("ahash"),
-        explode(array(pieces: _*)).as("p"))
-      .select(col("doc_id"), col("ahash"), col("p.j").as("j"), col("p.cv").as("cv"))
+  }
+
+  /** Exploded pigeonhole chunk rows of a (doc_id, ahash) frame:
+    * (doc_id, ahash, j, cv), `maxDist + 1` rows per hash. */
+  def hashChunkRows(hashes: DataFrame, maxDist: Int): DataFrame =
+    hashes.select(col("doc_id"), col("ahash"),
+        explode(array(hashChunkPieces(col("ahash"), maxDist): _*)).as("p"))
+      .select(col("doc_id"), col("ahash"), col("p.j").as("j"),
+        col("p.cv").as("cv"))
+
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    val exploded = hashChunkRows(hashes, maxDist)
     val a = exploded.select(col("j"), col("cv"), col("doc_id").as("a_id"),
       col("ahash").as("a_hash"))
     val b = exploded.select(col("j"), col("cv"), col("doc_id").as("b_id"),
@@ -515,5 +527,142 @@ object Multimodal {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- at-rest perceptual-hash index (the media daemon's state tree) -------
+
+  /** Fold a batch of (doc_id, ahash) rows into an at-rest pigeonhole
+    * chunk index — the perceptual-hash member of the warm-fold family
+    * ([[graft.operators.Similarity.ivfInsert]] /
+    * [[graft.operators.Retrieval.invIndexInsert]]): chunk rows land in
+    * `tb=` hash buckets (xxhash64(j, cv) mod `nBuckets`) as a batch-marked
+    * LSM append under [[graft.util.Lsm]] protocol 2, the meta marker
+    * (`last_batch`, plus the chunking family `max_dist`/`n_buckets` —
+    * signatures are data, the family is their schema) committing LAST via
+    * the protocol-1 swap. Retry of a committed id no-ops; an uncommitted
+    * retry sweeps exactly its own partial move and redoes the fold.
+    * Batch doc_ids must be new — re-delivery is the caller's id gate. */
+  def hashIndexInsert(spark: SparkSession, path: String, hashes: DataFrame,
+      batchId: Long, maxDist: Int = 6, nBuckets: Int = 8): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = Lsm.fs(spark, path)
+    Lsm.recoverSwap(fs, path, "meta")
+    if (fs.exists(new Path(s"$path/meta"))) {
+      val m = spark.read.parquet(s"$path/meta").collect()(0)
+      require(m.getAs[Long]("max_dist") == maxDist &&
+        m.getAs[Long]("n_buckets") == nBuckets,
+        s"index at $path was built with max_dist=${m.getAs[Long]("max_dist")} " +
+          s"n_buckets=${m.getAs[Long]("n_buckets")}; the probe/fold family " +
+          "must match at every call")
+      if (m.getAs[Long]("last_batch") == batchId) return // committed fold
+    }
+    val marker = s"b$batchId-"
+    val chunksRoot = new Path(s"$path/chunks")
+    Lsm.sweepMarked(fs, chunksRoot, marker)
+    val staged = new Path(s"$path/staged")
+    fs.delete(staged, true)
+    hashChunkRows(hashes, maxDist)
+      .withColumn("tb", pmod(xxhash64(col("j"), col("cv")), lit(nBuckets.toLong)))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(staged.toString)
+    Lsm.moveMarked(fs, staged, chunksRoot, marker)
+    fs.delete(staged, true)
+    Seq((batchId, maxDist.toLong, nBuckets.toLong))
+      .toDF("last_batch", "max_dist", "n_buckets")
+      .write.mode("overwrite").parquet(Lsm.stagedPath(path, "meta", batchId))
+    Lsm.commitSwap(fs, path, "meta", batchId)
+  }
+
+  /** Merge each `tb=` bucket's LSM fragments back to one file,
+    * content-identical — [[graft.util.Lsm.compactBuckets]] with the
+    * crashed-swap recovery and orphan sweep at entry. */
+  def hashIndexCompact(spark: SparkSession, path: String,
+      maxFilesPerBucket: Int = 1): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    val fs = Lsm.fs(spark, path)
+    val chunksRoot = new Path(s"$path/chunks")
+    if (!fs.exists(chunksRoot)) return
+    val stagedRoot = new Path(s"$path/compact_staged")
+    val oldRoot = new Path(s"$path/compact_old")
+    Lsm.recoverBucketSwap(fs, chunksRoot, stagedRoot, oldRoot)
+    Lsm.recoverSwap(fs, path, "meta")
+    val lastBatch =
+      if (fs.exists(new Path(s"$path/meta")))
+        spark.read.parquet(s"$path/meta").collect()(0)
+          .getAs[Long]("last_batch")
+      else -1L
+    Lsm.sweepAboveBatch(fs, chunksRoot, lastBatch)
+    fs.delete(new Path(s"$path/staged"), true)
+    Lsm.compactBuckets(spark, fs, chunksRoot, stagedRoot, oldRoot, "tb=",
+      maxFilesPerBucket)
+  }
+
+  /** The (doc_id, ahash) rows a [[hashIndexInsert]] tree currently serves:
+    * chunk j = 0 holds every indexed hash exactly once (column-pruned scan;
+    * the separate-ids-table trick the text index uses via `sizes`). */
+  def servedHashes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/chunks")
+      .filter(col("j") === 0).select(col("doc_id"), col("ahash"))
+
+  /** Image near-dup pairs of a batch AGAINST a [[hashIndexInsert]] tree:
+    * the batch side explodes into chunk rows and BROADCASTS (an ingest
+    * batch is orders of magnitude smaller than the corpus — the
+    * [[Dedup.minhashLshAgainstIndex]] regime), so the stored chunk scan
+    * streams map-side with no shuffle of either side; candidates verify
+    * exactly with one bit_count(xor). The stored index is hashes only
+    * (16 bytes/doc exploded ~7x) — the payload bytes that dominate a
+    * 100 TB media corpus are never rescanned. `maxDist` must equal the
+    * index's family (checked against meta). Output (a_id = batch,
+    * b_id = stored, hamming), same-id rows excluded. */
+  def imageNearDupAgainstIndex(spark: SparkSession, path: String,
+      batchHashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    require(m.getAs[Long]("max_dist") == maxDist,
+      s"index family is max_dist=${m.getAs[Long]("max_dist")}, probe asked $maxDist")
+    val stored = spark.read.parquet(s"$path/chunks")
+      .select(col("j"), col("cv"), col("doc_id").as("b_id"),
+        col("ahash").as("b_hash"))
+    broadcast(hashChunkRows(batchHashes, maxDist)
+        .select(col("j"), col("cv"), col("doc_id").as("a_id"),
+          col("ahash").as("a_hash")))
+      .join(stored, Seq("j", "cv"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Per-row admission verdict for a batch of image hashes against a
+    * [[hashIndexInsert]] tree — the media edition of
+    * [[Similarity.embGateVerdicts]], same status precedence
+    * (redelivered > neardup_within > neardup_index > admitted) and the
+    * same deterministic drop-the-higher within-batch rule. Pure read,
+    * shared by the daemon gate and the oracle check. Unlike the IVF gate
+    * the candidate rule here is LOSSLESS (pigeonhole guarantees every
+    * pair within `maxDist` shares a chunk), so a brute-force Hamming
+    * oracle is an exact mirror. */
+  def mediaGateVerdicts(spark: SparkSession, path: String,
+      batchHashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    val uniq = batchHashes.groupBy("doc_id").agg(min(col("ahash")).as("ahash"))
+    val stored = servedHashes(spark, path)
+      .select(col("doc_id")).distinct().withColumn("f_re", lit(1))
+    val within = imageNearDupPairs(uniq, maxDist)
+      .select(col("b_id").as("doc_id")).distinct().withColumn("f_w", lit(1))
+    val vsIdx = imageNearDupAgainstIndex(spark, path, uniq, maxDist)
+      .select(col("a_id").as("doc_id")).distinct().withColumn("f_i", lit(1))
+    uniq.select(col("doc_id"))
+      .join(stored, Seq("doc_id"), "left")
+      .join(within, Seq("doc_id"), "left")
+      .join(vsIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("f_re") === 1, "redelivered")
+          .when(col("f_w") === 1, "neardup_within")
+          .when(col("f_i") === 1, "neardup_index")
+          .otherwise("admitted").as("status"))
   }
 }

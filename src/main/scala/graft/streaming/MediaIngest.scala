@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import graft.util.Lsm
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming media ingest — the [[DocIngest]] pattern for image payloads:
+  * a JSONL file-drop of (doc_id, base64 payload) records, each micro-batch
+  * decoded where it lands ([[Multimodal.imageHashes]] — the payload bytes
+  * never shuffle), perceptual-hash gated (exact re-delivery, then
+  * pigeonhole Hamming near-dup within the batch and against the at-rest
+  * chunk index), and the survivors' payloads written to per-batch corpus
+  * directories while their hashes fold into the index via
+  * [[Multimodal.hashIndexInsert]] under the batch-id-keyed protocol.
+  * The daemon therefore maintains a duplicate-free media corpus at batch
+  * cost: the corpus payload bytes — the part that dominates 100 TB — are
+  * written once and never rescanned; every gate touches only the 16-byte
+  * hash rows.
+  *
+  * With `compactEvery > 0`, every Nth batch also merges the index's LSM
+  * fragments ([[Multimodal.hashIndexCompact]]) inside the single-writer
+  * slot — the same maintenance loop as [[DocIngest]] and [[EmbIngest]].
+  *
+  * Crash posture: file-source offsets checkpoint the stream; a replayed
+  * batch no-ops on a committed id and sweeps + redoes a crashed one
+  * ([[commitMediaBatch]]); corpus batch directories rewrite with
+  * overwrite semantics, so replay converges ([[Ingest.commitBatch]]).
+  */
+object MediaIngest {
+
+  /** JSONL media-event schema for the file drop (payload base64-encoded —
+    * JSONL is the drop format the daemon family shares; a production drop
+    * of raw containers would use the binaryFile source with identical
+    * downstream plumbing). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload_b64", StringType)))
+
+  /** Commit one media micro-batch idempotently — the [[DocIngest]] gate
+    * order for images: decode + hash per partition, collapse duplicate
+    * doc_ids, drop exact re-deliveries, drop Hamming near-dups (the
+    * higher id of each within-batch pair; any batch id within `maxDist`
+    * of a stored hash), write admitted payloads to
+    * `corpusDir/batch-<id>`, fold admitted hashes into `indexPath`.
+    * The meta marker commits last, so the index fold is the idempotence
+    * point; the corpus write is overwrite-idempotent per batch dir. */
+  def commitMediaBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      corpusDir: String, indexPath: String, maxDist: Int = 6,
+      nBuckets: Int = 8, compactEvery: Int = 0): DocIngest.BatchResult = {
+    val fs = Lsm.fs(spark, indexPath)
+    Lsm.recoverSwap(fs, indexPath, "meta")
+    if (fs.exists(new Path(s"$indexPath/meta")) &&
+        spark.read.parquet(s"$indexPath/meta").collect()(0)
+          .getAs[Long]("last_batch") == batchId) {
+      System.err.println(s"[mediaingest] batch $batchId: already committed")
+      return DocIngest.BatchResult(0, 0, 0, 0)
+    }
+    // sweep a crashed attempt's partial move BEFORE the gate probes the
+    // tree (hashIndexInsert re-sweeps; harmless)
+    Lsm.sweepMarked(fs, new Path(s"$indexPath/chunks"), s"b$batchId-")
+    val b = batch.persist()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
+    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    try {
+      val hashes = cache(Multimodal.imageHashes(spark, b).toDF()
+        .groupBy("doc_id").agg(min(col("ahash")).as("ahash")))
+      val indexExists = fs.exists(new Path(s"$indexPath/chunks"))
+      val redelivered = cache(if (indexExists)
+        hashes.join(Multimodal.servedHashes(spark, indexPath)
+            .select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .select("doc_id")
+      else hashes.select("doc_id").limit(0))
+      val withinDrops = cache(Multimodal.imageNearDupPairs(hashes, maxDist)
+        .select(col("b_id").as("doc_id")).distinct())
+      val indexDrops = cache(if (indexExists)
+        Multimodal.imageNearDupAgainstIndex(spark, indexPath, hashes, maxDist)
+          .select(col("a_id").as("doc_id")).distinct()
+      else withinDrops.limit(0))
+      val admittedIds = cache(hashes.select("doc_id").join(
+        withinDrops.union(indexDrops).union(redelivered).distinct(),
+        Seq("doc_id"), "left_anti"))
+      // payloads of admitted ids, written where they already live — the
+      // join is id-against-id; the binary column never shuffles
+      b.join(admittedIds, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
+      val admittedHashes = hashes.join(admittedIds, Seq("doc_id"), "left_semi")
+      Multimodal.hashIndexInsert(spark, indexPath, admittedHashes, batchId,
+        maxDist, nBuckets)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        Multimodal.hashIndexCompact(spark, indexPath)
+      val r = DocIngest.BatchResult(admittedIds.count(), withinDrops.count(),
+        indexDrops.count(), redelivered.count())
+      System.err.println(s"[mediaingest] batch $batchId: admitted=${r.admitted} " +
+        s"dropped_within=${r.droppedWithinBatch} " +
+        s"dropped_vs_index=${r.droppedVsIndex} " +
+        s"dropped_redelivered=${r.droppedRedelivered}")
+      r
+    } finally cached.foreach(_.unpersist())
+  }
+
+  /** Read the admitted media corpus back (all batch directories). */
+  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(corpusDir)
+
+  /** Start the streaming ingest: JSONL drops -> decode -> hash gate ->
+    * per-batch corpus + index fold. */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+      corpusDir: String, indexPath: String, maxDist: Int = 6,
+      nBuckets: Int = 8, compactEvery: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    spark.readStream.schema(mediaSchema).json(inputDir)
+      .select(col("doc_id"), unbase64(col("payload_b64")).as("payload"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitMediaBatch(spark, batch, batchId, corpusDir, indexPath,
+          maxDist, nBuckets, compactEvery)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.streaming.{DocIngest, MediaIngest}
+import org.apache.spark.sql.functions._
+
+class MediaIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // distinct random BMPs: aHashes of independent seeds are ~32 bits apart,
+  // far above the maxDist=6 gate, so only planted byte-copies pair up
+  private def bmp(seed: Long): Array[Byte] = Multimodal.encodeBmp(24, 16, seed)
+  private def batchDf(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("doc_id", "payload")
+
+  private def served(path: String): Map[Long, Long] =
+    Multimodal.servedHashes(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("commitMediaBatch gate: re-delivery, within-batch and vs-index copies drop") {
+    val tmp = java.nio.file.Files.createTempDirectory("media-gate").toString
+    val corpus = s"$tmp/corpus"; val idx = s"$tmp/idx"
+    val d1 = (1L to 6L).map(i => i -> bmp(i))
+    val r0 = MediaIngest.commitMediaBatch(spark, batchDf(d1), 0L, corpus, idx)
+    assert(r0 == DocIngest.BatchResult(6, 0, 0, 0))
+    // drop 2: three novel + re-delivery of id 3 + a byte-copy of image 1
+    // under a new id (vs-index) + two byte-copies of new image 7 under
+    // fresh ids (within-batch; drop-the-higher keeps 7 itself)
+    val d2 = Seq(7L -> bmp(7), 8L -> bmp(8), 9L -> bmp(9),
+      3L -> bmp(3), 100L -> bmp(1), 101L -> bmp(7), 102L -> bmp(7))
+    val r1 = MediaIngest.commitMediaBatch(spark, batchDf(d2), 1L, corpus, idx)
+    assert(r1 == DocIngest.BatchResult(3, 2, 1, 1), s"tallies: $r1")
+    // served index == hashes of exactly the admitted corpus (rebuild
+    // equivalence, the incremental == rebuild contract)
+    val corpusHashes = Multimodal.imageHashes(spark,
+        MediaIngest.readCorpus(spark, corpus)).collect()
+      .map(h => h.doc_id -> h.ahash).toMap
+    assert(served(idx) == corpusHashes && corpusHashes.keySet == (1L to 9L).toSet)
+    // retry of the committed batch is a marker no-op
+    val r1b = MediaIngest.commitMediaBatch(spark, batchDf(d2), 1L, corpus, idx)
+    assert(r1b == DocIngest.BatchResult(0, 0, 0, 0))
+    assert(served(idx) == corpusHashes)
+    // the pure-verdict operator agrees (run pre-commit semantics on a
+    // THIRD batch so the index state is known)
+    val b3 = Multimodal.imageHashes(spark,
+      batchDf(Seq(10L -> bmp(10), 5L -> bmp(5), 200L -> bmp(2)))).toDF()
+    val v = Multimodal.mediaGateVerdicts(spark, idx, b3, maxDist = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(10L -> "admitted", 5L -> "redelivered",
+      200L -> "neardup_index"))
+  }
+
+  test("crashed partial move is swept before the gate probes") {
+    val tmp = java.nio.file.Files.createTempDirectory("media-crash").toString
+    val corpus = s"$tmp/corpus"; val idx = s"$tmp/idx"
+    MediaIngest.commitMediaBatch(spark,
+      batchDf((1L to 4L).map(i => i -> bmp(i))), 0L, corpus, idx)
+    // plant batch-1 debris: a marked copy of an existing chunk file — if it
+    // survived, the gate would see batch 1's ids as already stored
+    val fs = graft.util.Lsm.fs(spark, idx)
+    val root = new org.apache.hadoop.fs.Path(s"$idx/chunks")
+    val cell = fs.listStatus(root).filter(_.isDirectory).head.getPath
+    val victim = fs.listStatus(cell).filter(_.isFile).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs,
+      new org.apache.hadoop.fs.Path(cell, "b1-crashed.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val r = MediaIngest.commitMediaBatch(spark,
+      batchDf(Seq(5L -> bmp(5))), 1L, corpus, idx)
+    assert(r == DocIngest.BatchResult(1, 0, 0, 0),
+      "the planted partial move must be swept, not gate or double-count")
+    assert(served(idx).keySet == (1L to 5L).toSet)
+    assert(served(idx).toSeq.map(_._1).sorted ==
+      Multimodal.servedHashes(spark, idx).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq, "no duplicate hash rows")
+  }
+
+  test("compaction merges fragments, serves identical results, later folds work") {
+    val tmp = java.nio.file.Files.createTempDirectory("media-cpt").toString
+    val corpus = s"$tmp/corpus"; val idx = s"$tmp/idx"
+    MediaIngest.commitMediaBatch(spark,
+      batchDf(Seq(1L -> bmp(1), 2L -> bmp(2))), 0L, corpus, idx)
+    MediaIngest.commitMediaBatch(spark,
+      batchDf(Seq(3L -> bmp(3))), 1L, corpus, idx)
+    MediaIngest.commitMediaBatch(spark,
+      batchDf(Seq(4L -> bmp(4))), 2L, corpus, idx)
+    val before = served(idx)
+    val probeBefore = Multimodal.imageNearDupAgainstIndex(spark, idx,
+      Seq((100L, before(2L))).toDF("doc_id", "ahash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val fs = graft.util.Lsm.fs(spark, idx)
+    val root = new org.apache.hadoop.fs.Path(s"$idx/chunks")
+    def maxFiles: Int = fs.listStatus(root).filter(_.isDirectory).map { d =>
+      fs.listStatus(d.getPath).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    }.max
+    assert(maxFiles > 1, "fixture must actually be fragmented")
+    Multimodal.hashIndexCompact(spark, idx)
+    assert(maxFiles == 1, "every bucket must compact to one file")
+    assert(served(idx) == before, "compaction must be content-preserving")
+    assert(Multimodal.imageNearDupAgainstIndex(spark, idx,
+      Seq((100L, before(2L))).toDF("doc_id", "ahash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == probeBefore)
+    MediaIngest.commitMediaBatch(spark,
+      batchDf(Seq(5L -> bmp(5))), 3L, corpus, idx)
+    assert(served(idx).keySet == (1L to 5L).toSet)
+  }
+
+  test("streaming daemon: JSONL drops end-to-end with the hash gate") {
+    import java.nio.file.{Files, Path => JPath}
+    import java.util.Base64
+    val in = Files.createTempDirectory("media-in").toString
+    val ckpt = Files.createTempDirectory("media-ckpt").toString
+    val out = Files.createTempDirectory("media-out").toString
+    val corpus = s"$out/corpus"; val idx = s"$out/idx"
+    def jsonl(rows: Seq[(Long, Array[Byte])]): String =
+      rows.map { case (id, p) =>
+        s"""{"doc_id": $id, "payload_b64": "${Base64.getEncoder.encodeToString(p)}"}"""
+      }.mkString("\n")
+    Files.writeString(JPath.of(in, "w1.jsonl"),
+      jsonl((1L to 4L).map(i => i -> bmp(i))))
+    def drain(): Unit = MediaIngest.start(spark, in, ckpt, corpus, idx,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    drain()
+    assert(served(idx).keySet == (1L to 4L).toSet)
+    // second drop: one novel + a byte-copy of image 2 under a new id
+    Files.writeString(JPath.of(in, "w2.jsonl"),
+      jsonl(Seq(5L -> bmp(5), 300L -> bmp(2))))
+    drain()
+    assert(served(idx).keySet == (1L to 5L).toSet,
+      "the near-dup re-encode must be gated out by the index probe")
+    val corpusIds = MediaIngest.readCorpus(spark, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == (1L to 5L).toSet)
+  }
+}
