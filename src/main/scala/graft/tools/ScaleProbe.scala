@@ -572,6 +572,76 @@ object ScaleProbe {
         events.filter(col("value").isNotNull).select(col("user_id"),
           col("ts"), col("value")), "user_id", "ts", "value").count()
     }
+
+    // -- round-11 additions: the daemon fold + gate family -------------------
+    locally {
+      // perturbed amplification (the Sf1Ladder convention: copy 0 verbatim,
+      // clone copies spread per-dim) so the cosine gate measures 10x MORE
+      // DATA, not 10x-clone cliques of the same vectors
+      val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embP = (0 until k).map { i =>
+        val d = emb0.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        if (i == 0) d else d.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            (x * (lit(1.0f) + ((lit(i) * 31 + j * 7) % 13 - 6)
+              .cast("float") / 100.0f)).cast("float")))
+      }.reduce(_.unionByName(_))
+      val dir5 = java.nio.file.Files.createTempDirectory(s"graft_scaleprobe_ivfd_x$k")
+      try {
+        val base = embP.filter(col("vec_id") % 10 =!= 0)
+        val batch = embP.filter(col("vec_id") % 10 === 0)
+        time("ivf_daemon_base_build") {
+          Similarity.writeIvfIndex(base, dir5.toString, nlist = 16)
+          spark.read.parquet(s"${dir5.toString}/vectors").count()
+        }
+        time("emb_gate_verdicts") {
+          Similarity.embGateVerdicts(spark, dir5.toString, batch,
+            threshold = 0.95, nprobe = 2).count()
+        }
+        time("ivf_fold") {
+          Similarity.ivfInsert(spark, dir5.toString, batch, 1L)
+          spark.read.parquet(s"${dir5.toString}/vectors").count()
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir5.toFile)
+      }
+    }
+    locally {
+      // media daemon: decode runs ONCE into a cached hash frame (decode
+      // cost is image_ahash's row above) so the fold + gate measure the
+      // hash-only index work on their own — the 100 TB argument is exactly
+      // that the gates never touch payload bytes again
+      val hashes = graft.operators.Multimodal.imageHashes(spark,
+          graft.operators.Multimodal.synthMedia(spark, docs)).toDF()
+        .select(col("doc_id"), col("ahash")).persist()
+      if (only.forall(s => s.contains("media_hash_fold") ||
+          s.contains("media_gate_verdicts"))) hashes.count()
+      val dir6 = java.nio.file.Files.createTempDirectory(s"graft_scaleprobe_media_x$k")
+      try {
+        val base = hashes.filter(col("doc_id") % 10 =!= 0)
+        val batch = hashes.filter(col("doc_id") % 10 === 0)
+        time("media_hash_fold") {
+          graft.operators.Multimodal.hashIndexInsert(spark, dir6.toString,
+            base, 0L)
+          graft.operators.Multimodal.servedHashes(spark, dir6.toString).count()
+        }
+        time("media_gate_verdicts") {
+          graft.operators.Multimodal.mediaGateVerdicts(spark, dir6.toString,
+            batch, maxDist = 6).count()
+        }
+      } finally {
+        hashes.unpersist()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir6.toFile)
+      }
+    }
     spark.stop()
   }
 }

@@ -193,6 +193,13 @@ class IvfSpec extends SparkSpec {
       dim = 16, dedupThreshold = Some(0.9999))
     assert(r1b == graft.streaming.DocIngest.BatchResult(0, 0, 0, 0))
     assert(treeAssign(path).map(_._1) == (0L until 48L))
+    // plan shape: the vs-index probe's stored scan must prune at the
+    // directory level (PartitionFilters on cid), the ivfTopKIndexed rule
+    val probes = Similarity.ivfProbes(b1, spark.read.parquet(s"$path/centroids"), 2)
+    val plan = Similarity.embNearDupAgainstIndex(spark, path, probes, 0.9999)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"gate probe must reach PartitionFilters:\n$plan")
   }
 
   test("EmbIngest daemon: cold batch trains, warm drops fold, retry no-ops") {

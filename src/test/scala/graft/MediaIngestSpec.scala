@@ -48,6 +48,12 @@ class MediaIngestSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v == Map(10L -> "admitted", 5L -> "redelivered",
       200L -> "neardup_index"))
+    // plan shape: the index probe must broadcast the (small) batch side
+    // and stream the stored chunk scan map-side — no shuffle of the index
+    val plan = Multimodal.imageNearDupAgainstIndex(spark, idx, b3)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side must broadcast against the stored chunks:\n$plan")
   }
 
   test("crashed partial move is swept before the gate probes") {
