@@ -895,6 +895,26 @@ object SparkEntry {
       Similarity.embGateVerdicts(s, path, batch, threshold = 0.95, nprobe = 2)
         .orderBy("vec_id")
     }),
+    "q210_ivfpq_incremental" -> ((s, dir) => {
+      // the compressed-index daemon path: IVF-PQ tree built on 90% of the
+      // embeddings, the late 10% folded in encoded against the FROZEN
+      // stored centroids AND codebooks (no rewrite of base codes). The
+      // oracle recomputes cell + all 8 sub-codes for EVERY vector from the
+      // stored tables, so a green hash proves the folded codes equal a
+      // full re-encode — incremental == rebuild for the compressed tree
+      val emb = t(s, dir, "embeddings")
+      val path = ivfPqIndexPath(dir) + "_inc"
+      graft.util.Lsm.fs(s, path)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 10 =!= 0), path,
+        nlist = 16, residual = false)
+      Pq.ivfPqInsert(s, path, emb.filter(col("vec_id") % 10 === 0),
+        batchId = 1L)
+      s.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("cid").cast("long").as("cell"),
+          col("sub"), col("code"))
+        .orderBy("vec_id", "sub")
+    }),
     "q209_media_gate" -> ((s, dir) => {
       // the media daemon's admission gate over the REAL decoded hash
       // fixture: an at-rest pigeonhole chunk index on the 90% base, then
@@ -4011,6 +4031,40 @@ object SparkEntry {
            |LEFT JOIN within w ON b.vec_id = w.vec_id
            |LEFT JOIN vsidx i ON b.vec_id = i.vec_id
            |ORDER BY b.vec_id""".stripMargin
+      },
+      "q210_ivfpq_incremental" -> {
+        // Incremental == rebuild for the compressed tree: the oracle reads
+        // ONLY the stored centroid + codebook tables and re-derives every
+        // vector's cell (cos DESC, cid DESC — assignToCentroids) and every
+        // (vector, sub) code (squared-L2 expanded to the same three dot
+        // products, round-6, ties code ASC — assignCodes' min(struct)),
+        // never the folded codes it is checking.
+        val p = sys.props.getOrElse("graft.ivfpq.path",
+          ivfPqIndexPath("/root/testdata/sf0.01")) + "_inc"
+        s"""WITH cent AS (SELECT cid, center::DOUBLE[] AS center
+           |              FROM read_parquet('$p/centroids/*.parquet')),
+           |books AS (SELECT sub, cid AS code, center::DOUBLE[] AS center
+           |          FROM read_parquet('$p/codebooks/*.parquet')),
+           |vec AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |asg AS (SELECT vec_id, cid AS cell FROM (
+           |    SELECT v.vec_id, c.cid,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${cosineSql("v.emb", "c.center")} DESC, c.cid DESC) AS arn
+           |    FROM vec v CROSS JOIN cent c) _a WHERE arn = 1),
+           |sv AS (SELECT vec_id, s.i AS sub,
+           |         emb[CAST(s.i*8+1 AS INTEGER):CAST(s.i*8+8 AS INTEGER)] AS subvec
+           |       FROM vec CROSS JOIN range(0, 8) s(i)),
+           |codes AS (SELECT vec_id, sub, code FROM (
+           |    SELECT sv.vec_id, sv.sub, b.code,
+           |           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+           |             ORDER BY round(list_dot_product(sv.subvec, sv.subvec)
+           |               - 2 * list_dot_product(sv.subvec, b.center)
+           |               + list_dot_product(b.center, b.center), 6) ASC,
+           |               b.code ASC) AS rn
+           |    FROM sv JOIN books b ON b.sub = sv.sub) _c WHERE rn = 1)
+           |SELECT a.vec_id, a.cell, c.sub, c.code
+           |FROM asg a JOIN codes c ON a.vec_id = c.vec_id
+           |ORDER BY a.vec_id, c.sub""".stripMargin
       },
       "q209_media_gate" -> {
         // Brute-force mirror of the media admission gate: pigeonhole

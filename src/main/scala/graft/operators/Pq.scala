@@ -167,6 +167,52 @@ object Pq {
     * terms). A `meta` table records the coding so the probe configures
     * itself from the index — a residual index can never be silently scored
     * as a raw one or vice versa. */
+  /** Vector-side reconstruction norms |x̂|² for a codes frame under frozen
+    * centroids + codebooks: |x̂|² = |c|² + 2·Σs dot(c_s, book_s[code]) +
+    * Σs |book_s[code]|² is a pure function of (cell, codes) —
+    * query-independent, so carrying it in the index (cid-partitioned like
+    * the codes) removes two broadcast joins and three decimal aggregate
+    * columns from EVERY probe. Decimal additions only (x + x, never 2·x)
+    * keep the value exact and engine-portable; the probe casts to double
+    * once, under the sqrt. Shared by the full build and the incremental
+    * fold so both produce bit-identical rows for the same codes. */
+  private def vnormRows(codesW: DataFrame, cents: DataFrame,
+      books: DataFrame, dsub: Int): DataFrame = {
+    val cn = cents.select(col("cid"),
+      round(ArrayMath.dot(col("center"), col("center")), 12)
+        .cast("decimal(38,12)").as("cn2"))
+    val xt = cents.select(col("cid"), col("center"))
+      .crossJoin(books.select(col("sub"), col("cid").as("code"),
+        col("center").as("bc")))
+      .select(col("cid"), col("sub"), col("code"),
+        round(ArrayMath.dot(
+          slice(col("center"), col("sub").cast("int") * dsub + 1, lit(dsub)),
+          col("bc")), 12).cast("decimal(38,12)").as("xterm"))
+    val bn = books.select(col("sub"), col("cid").as("code"),
+      round(ArrayMath.dot(col("center"), col("center")), 12)
+        .cast("decimal(38,12)").as("bpart"))
+    codesW
+      .join(broadcast(xt), Seq("cid", "sub", "code"))
+      .join(broadcast(bn), Seq("sub", "code"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("xterm")).as("xsum"), sum(col("bpart")).as("rn2"))
+      .join(broadcast(cn), "cid")
+      .select(col("vec_id"), col("cid"),
+        (col("cn2") + col("xsum") + col("xsum") + col("rn2")).as("rnorm2"))
+  }
+
+  /** The PQ encode input for a vector frame under a FROZEN cell
+    * assignment: raw vectors, or their per-cell residuals x − c_cell.
+    * Shared by the full build and the incremental fold. */
+  private def pqEncodeInput(vecs: DataFrame, cells: DataFrame,
+      cents: DataFrame, residual: Boolean): DataFrame =
+    if (!residual) vecs.select(col("vec_id"), col("embedding"))
+    else vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(cells, "vec_id")
+      .join(broadcast(cents.select(col("cid"), col("center"))), "cid")
+      .select(col("vec_id"),
+        zip_with(col("emb"), col("center"), (x, c) => x - c).as("embedding"))
+
   def writeIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
       m: Int = 8, ksub: Int = 16, dim: Int = 64,
       residual: Boolean = true): Unit = {
@@ -177,14 +223,7 @@ object Pq {
     // assign against the WRITTEN tables (the writeIvfIndex lesson)
     val cents = spark.read.parquet(s"$path/centroids")
     val cells = Similarity.assignToCentroids(corpus, cents)
-    // the PQ training corpus: raw vectors, or their per-cell residuals
-    val pqCorpus =
-      if (!residual) corpus.select(col("vec_id"), col("embedding"))
-      else corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        .join(cells, "vec_id")
-        .join(broadcast(cents.select(col("cid"), col("center"))), "cid")
-        .select(col("vec_id"),
-          zip_with(col("emb"), col("center"), (x, c) => x - c).as("embedding"))
+    val pqCorpus = pqEncodeInput(corpus, cells, cents, residual)
     pqCodebooks(pqCorpus, m, ksub, dim).write.mode("overwrite")
       .parquet(s"$path/codebooks")
     val books = spark.read.parquet(s"$path/codebooks")
@@ -192,42 +231,73 @@ object Pq {
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
     if (residual) {
-      // Vector-side reconstruction norm, precomputed ONCE at build: |x̂|² =
-      // |c|² + 2·Σs dot(c_s, book_s[code]) + Σs |book_s[code]|² is a pure
-      // function of (cell, codes) — query-independent, so carrying it in
-      // the index (cid-partitioned like the codes) removes two broadcast
-      // joins and three decimal aggregate columns from EVERY probe.
-      // Decimal additions only (x + x, never 2·x) keep the value exact and
-      // engine-portable; the probe casts to double once, under the sqrt.
-      val dsub = dim / m
-      val codesW = spark.read.parquet(s"$path/codes")
-      val cn = cents.select(col("cid"),
-        round(ArrayMath.dot(col("center"), col("center")), 12)
-          .cast("decimal(38,12)").as("cn2"))
-      val xt = cents.select(col("cid"), col("center"))
-        .crossJoin(books.select(col("sub"), col("cid").as("code"),
-          col("center").as("bc")))
-        .select(col("cid"), col("sub"), col("code"),
-          round(ArrayMath.dot(
-            slice(col("center"), col("sub").cast("int") * dsub + 1, lit(dsub)),
-            col("bc")), 12).cast("decimal(38,12)").as("xterm"))
-      val bn = books.select(col("sub"), col("cid").as("code"),
-        round(ArrayMath.dot(col("center"), col("center")), 12)
-          .cast("decimal(38,12)").as("bpart"))
-      codesW
-        .join(broadcast(xt), Seq("cid", "sub", "code"))
-        .join(broadcast(bn), Seq("sub", "code"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(col("xterm")).as("xsum"), sum(col("bpart")).as("rn2"))
-        .join(broadcast(cn), "cid")
-        .select(col("vec_id"), col("cid"),
-          (col("cn2") + col("xsum") + col("xsum") + col("rn2")).as("rnorm2"))
+      vnormRows(spark.read.parquet(s"$path/codes"), cents, books, dim / m)
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vnorms")
     }
     Seq((residual, nlist.toLong, m.toLong, ksub.toLong, dim.toLong))
       .toDF("residual", "nlist", "m", "ksub", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold NEW vectors into a materialized [[writeIvfPqIndex]] tree — the
+    * compressed-index member of the warm-fold family
+    * ([[Similarity.ivfInsert]] with PQ encoding): the batch assigns
+    * against the FROZEN stored centroids, encodes against the FROZEN
+    * stored codebooks (the FAISS `add` contract — codebook drift is the
+    * documented cost, the escape hatch a full rebuild), and its code rows
+    * (plus, for a residual index, their precomputed reconstruction norms —
+    * the SAME [[vnormRows]] arithmetic as the build, so folded rows are
+    * bit-identical to built rows) LSM-append into the cid= partitions
+    * under [[graft.util.Lsm]] protocol 2. The meta swap (build params +
+    * `last_batch`) commits LAST, so a retry no-ops on a committed id or
+    * sweeps exactly its own partial move from BOTH bucket roots and
+    * redoes the fold. [[ivfPqTopK]]/[[ivfPqTopKRefined]] serve the folded
+    * tree unchanged. Batch vec_ids must be new — re-delivery is the
+    * caller's id gate ([[graft.streaming.EmbIngest]]'s contract). */
+  def ivfPqInsert(spark: SparkSession, path: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = Lsm.fs(spark, path)
+    Lsm.recoverSwap(fs, path, "meta")
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val residual = meta.getAs[Boolean]("residual")
+    val m = meta.getAs[Long]("m").toInt
+    val dim = meta.getAs[Long]("dim").toInt
+    val lastBatch =
+      if (meta.schema.fieldNames.contains("last_batch"))
+        meta.getAs[Long]("last_batch")
+      else -1L // a pre-incremental writeIvfPqIndex tree being adopted
+    if (lastBatch == batchId) return // committed fold — idempotent retry
+    val marker = s"b$batchId-"
+    val codesRoot = new Path(s"$path/codes")
+    val vnormsRoot = new Path(s"$path/vnorms")
+    Lsm.sweepMarked(fs, codesRoot, marker)
+    Lsm.sweepMarked(fs, vnormsRoot, marker)
+    val staged = new Path(s"$path/staged")
+    fs.delete(staged, true)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val cells = Similarity.assignToCentroids(batch, cents)
+    cells.join(assignCodes(pqEncodeInput(batch, cells, cents, residual),
+        books, m, dim), Seq("vec_id"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$staged/codes")
+    if (residual)
+      vnormRows(spark.read.parquet(s"$staged/codes"), cents, books, dim / m)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$staged/vnorms")
+    Lsm.moveMarked(fs, new Path(s"$staged/codes"), codesRoot, marker)
+    if (residual)
+      Lsm.moveMarked(fs, new Path(s"$staged/vnorms"), vnormsRoot, marker)
+    fs.delete(staged, true)
+    Seq((residual, meta.getAs[Long]("nlist"), m.toLong,
+        meta.getAs[Long]("ksub"), dim.toLong, batchId))
+      .toDF("residual", "nlist", "m", "ksub", "dim", "last_batch")
+      .write.mode("overwrite").parquet(Lsm.stagedPath(path, "meta", batchId))
+    Lsm.commitSwap(fs, path, "meta", batchId)
   }
 
   /** IVF-PQ top-k: probe the `nprobe` nearest cells per query (the q42

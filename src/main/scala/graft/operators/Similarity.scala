@@ -201,6 +201,7 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = Lsm.fs(spark, path)
+    recoverRetrain(spark, path) // a crashed retrain rolls forward first
     Lsm.recoverSwap(fs, path, "meta")
     val lastBatch =
       if (fs.exists(new Path(s"$path/meta")))
@@ -240,6 +241,7 @@ object Similarity {
     val fs = Lsm.fs(spark, path)
     val vectorsRoot = new Path(s"$path/vectors")
     if (!fs.exists(vectorsRoot)) return
+    recoverRetrain(spark, path) // a crashed retrain rolls forward first
     val stagedRoot = new Path(s"$path/compact_staged")
     val oldRoot = new Path(s"$path/compact_old")
     Lsm.recoverBucketSwap(fs, vectorsRoot, stagedRoot, oldRoot)
@@ -252,6 +254,97 @@ object Similarity {
     fs.delete(new Path(s"$path/staged"), true)
     Lsm.compactBuckets(spark, fs, vectorsRoot, stagedRoot, oldRoot, "cid=",
       maxFilesPerCell)
+  }
+
+  /** Entry recovery for a crashed [[ivfRetrain]]: the retrain stages BOTH
+    * new tables, then commits them under a `retrain_ready` marker file —
+    * the marker's presence means "both staged twins are complete; roll
+    * FORWARD", its absence means any retrain staging is debris to sweep.
+    * Without the marker, a crash between the two table swaps would leave
+    * the generic per-dir recovery ([[graft.util.Lsm.recoverSwap]]) to
+    * roll ONE table back and strand the other forward — a tree whose
+    * cells disagree with its centroids. Called at every writer entry. */
+  private def recoverRetrain(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    val fs = Lsm.fs(spark, path)
+    val marker = new Path(s"$path/retrain_ready")
+    def twins(prefix: String): Seq[Path] =
+      if (!fs.exists(new Path(path))) Seq.empty
+      else fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(_.getName.startsWith(prefix)).toSeq
+    if (fs.exists(marker)) {
+      // roll forward: finish whichever swaps the crash interrupted.
+      // commitSwap order per table: live->old, staged->live, delete old;
+      // a staged twin still present means that table's swap hasn't
+      // completed — redo it; a lone old twin means it crashed between
+      // the renames — the staged-nonEmpty branch above it already ran.
+      Seq("vectors", "centroids").foreach { n =>
+        val live = new Path(s"$path/$n")
+        val staged = twins(s"${n}_staged_b")
+        if (staged.nonEmpty) {
+          if (fs.exists(live))
+            fs.rename(live, new Path(s"$path/${n}_old_brt"))
+          fs.rename(staged.head, live)
+        }
+        (twins(s"${n}_old_b") ++ twins(s"${n}_old_brt"))
+          .foreach(p => fs.delete(p, true))
+      }
+      fs.delete(marker, false)
+    } else {
+      // no retrain committed: staged twins are a crashed retrain's
+      // pre-marker debris (and old twins a completed swap's leftovers)
+      Seq("vectors", "centroids").foreach(n => Lsm.recoverSwap(fs, path, n))
+    }
+  }
+
+  /** Retrain an [[ivfInsert]]-grown tree on everything it serves — the
+    * drift escape hatch the fold scaladoc names: centroids are frozen at
+    * fold time, so once inserted volume rivals the trained base, recall
+    * against the drifted corpus degrades; this rebuilds the coarse
+    * quantizer over the FULL folded vector set and re-assigns every
+    * vector, in place.
+    *
+    * Protocol: both successor tables stage completely (new centroids
+    * first — the new assignment is computed against the WRITTEN staged
+    * table, the [[writeIvfIndex]] determinism lesson), then a
+    * `retrain_ready` marker commits the PAIR: after the marker exists a
+    * crash at any point rolls forward at the next writer entry
+    * ([[recoverRetrain]]); before it, staging is swept as debris. The
+    * meta marker (`last_batch`) is carried UNCHANGED, so a streaming
+    * retry of an already-committed batch still no-ops after a retrain.
+    *
+    * Runs in the single-writer maintenance slot (compaction's contract).
+    * CONCURRENT READERS: the two table swaps are not one atomic rename —
+    * a reader racing the swap window can pair new centroids with old
+    * cells (well-formed results, reduced recall, never an error beyond a
+    * transient missing-dir on the rename itself); quiesce reads across
+    * retrain, or serve from a snapshot, if that window matters. */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
+      nlist: Int = 16, dim: Int = 64): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    val fs = Lsm.fs(spark, path)
+    recoverRetrain(spark, path)
+    Lsm.recoverSwap(fs, path, "meta")
+    val lastBatch =
+      if (fs.exists(new Path(s"$path/meta")))
+        spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
+      else -1L
+    val all = spark.read.parquet(s"$path/vectors").drop("cid")
+    val stagedCents = Lsm.stagedPath(path, "centroids", lastBatch)
+    ivfCentroids(all, nlist, dim).write.mode("overwrite").parquet(stagedCents)
+    val newCents = spark.read.parquet(stagedCents)
+    assignToCentroids(all, newCents).join(all, "vec_id")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(Lsm.stagedPath(path, "vectors", lastBatch))
+    // the marker is the commit point for the PAIR
+    fs.create(new Path(s"$path/retrain_ready")).close()
+    Lsm.commitSwap(fs, path, "vectors", lastBatch)
+    Lsm.commitSwap(fs, path, "centroids", lastBatch)
+    fs.delete(new Path(s"$path/retrain_ready"), false)
   }
 
   /** One daemon batch against the at-rest IVF index: cold start (no

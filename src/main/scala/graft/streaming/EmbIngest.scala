@@ -59,7 +59,7 @@ object EmbIngest {
   def commitEmbBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
       batchId: Long, nlist: Int = 16, dim: Int = 64,
       dedupThreshold: Option[Double] = None, nprobe: Int = 2,
-      compactEvery: Int = 0): DocIngest.BatchResult = {
+      compactEvery: Int = 0, retrainEvery: Int = 0): DocIngest.BatchResult = {
     val fs = Lsm.fs(spark, indexPath)
     Lsm.recoverSwap(fs, indexPath, "meta")
     Lsm.recoverSwap(fs, indexPath, "centroids")
@@ -113,6 +113,12 @@ object EmbIngest {
       Similarity.ivfInsert(spark, indexPath, admitted, batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         Similarity.ivfCompact(spark, indexPath)
+      // periodic drift repair in the same single-writer slot: retrain the
+      // coarse quantizer on everything served and re-assign (the fold's
+      // frozen-centroid contract made whole); last_batch carries forward,
+      // so a replay of THIS batch after the retrain still no-ops
+      if (retrainEvery > 0 && batchId > 0 && batchId % retrainEvery == 0)
+        Similarity.ivfRetrain(spark, indexPath, nlist, dim)
       val r = DocIngest.BatchResult(nAdmitted,
         withinDrops.count(), indexDrops.count(), redelivered.count())
       System.err.println(s"[embingest] batch $batchId: admitted=${r.admitted} " +
@@ -127,7 +133,7 @@ object EmbIngest {
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       indexPath: String, nlist: Int = 16, dim: Int = 64,
       dedupThreshold: Option[Double] = None, nprobe: Int = 2,
-      compactEvery: Int = 0,
+      compactEvery: Int = 0, retrainEvery: Int = 0,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     spark.readStream.schema(embSchema).json(inputDir)
       .writeStream
@@ -136,7 +142,7 @@ object EmbIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitEmbBatch(spark, indexPath, batch, batchId, nlist = nlist,
           dim = dim, dedupThreshold = dedupThreshold, nprobe = nprobe,
-          compactEvery = compactEvery)
+          compactEvery = compactEvery, retrainEvery = retrainEvery)
         ()
       }
       .start()

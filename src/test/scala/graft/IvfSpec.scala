@@ -202,6 +202,55 @@ class IvfSpec extends SparkSpec {
       s"gate probe must reach PartitionFilters:\n$plan")
   }
 
+  test("ivfRetrain: tree re-assigned against retrained centroids; marker carries last_batch") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-rt").toString + "/idx"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 === 0), path,
+      nlist = 4, dim = 16)
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 1), 1L)
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 2), 2L)
+    Similarity.ivfRetrain(spark, path, nlist = 6, dim = 16)
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(cents.count() == 6, "retrain must honor the new nlist")
+    assert(treeAssign(path) == Similarity.assignToCentroids(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "every vector re-assigned against the RETRAINED stored centroids")
+    // last_batch carried forward: a streaming retry of committed batch 2
+    // must still no-op after the retrain
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(treeAssign(path).map(_._1) == (0L until 48L),
+      "retried committed batch must not double-fold into the retrained tree")
+  }
+
+  test("ivfRetrain crash recovery: marker rolls the pair forward, debris sweeps without it") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val path = java.nio.file.Files.createTempDirectory("ivf-rtc").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path, nlist = 4, dim = 16)
+    Similarity.ivfInsert(spark, path, emb.limit(0), 7L) // stamp last_batch=7
+    val fs = graft.util.Lsm.fs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def stageTwins(): Unit = for (t <- Seq("centroids", "vectors"))
+      FileUtil.copy(fs, new Path(s"$path/$t"), fs,
+        new Path(s"$path/${t}_staged_b7"), false, conf)
+    // (1) crash BEFORE the marker: staging is debris, swept at entry
+    stageTwins()
+    Similarity.ivfInsert(spark, path, emb.limit(0), 7L) // entry recovery only
+    assert(!fs.exists(new Path(s"$path/centroids_staged_b7")) &&
+      !fs.exists(new Path(s"$path/vectors_staged_b7")),
+      "pre-marker staging must sweep as debris")
+    // (2) crash AFTER the marker: the pair rolls FORWARD at entry
+    stageTwins()
+    fs.create(new Path(s"$path/retrain_ready")).close()
+    Similarity.ivfInsert(spark, path, emb.limit(0), 7L)
+    assert(!fs.exists(new Path(s"$path/retrain_ready")) &&
+      !fs.exists(new Path(s"$path/centroids_staged_b7")) &&
+      !fs.exists(new Path(s"$path/vectors_staged_b7")),
+      "post-marker staging must swap in and clear the marker")
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(treeAssign(path) == Similarity.assignToCentroids(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "rolled-forward tree must be internally consistent")
+  }
+
   test("EmbIngest daemon: cold batch trains, warm drops fold, retry no-ops") {
     import java.nio.file.{Files, Path => JPath}
     val in = Files.createTempDirectory("emb-in").toString

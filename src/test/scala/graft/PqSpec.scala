@@ -245,4 +245,71 @@ class PqSpec extends SparkSpec {
         s"dim ${r.getLong(0)}: max_err ${r.getDouble(4)} > half-step ${step / 2}")
     }
   }
+
+  // --- incremental fold (the compressed-index daemon path) ------------------
+
+  private def codeRows(p: String): Seq[(Long, Long, Long, Long)] =
+    spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("cid").cast("long"), col("sub"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+
+  test("ivfPqInsert: folded codes == full re-encode; residual vnorms bit-identical; retry no-ops") {
+    for (residual <- Seq(false, true)) {
+      val p = java.nio.file.Files.createTempDirectory("ivfpq-inc").toString + "/idx"
+      val base = corpus.filter(col("vec_id") % 4 =!= 0)
+      val batch = corpus.filter(col("vec_id") % 4 === 0)
+      Pq.writeIvfPqIndex(base, p, nlist = 4, m = 4, ksub = 8, dim = 16,
+        residual = residual)
+      Pq.ivfPqInsert(spark, p, batch, 1L)
+      // reference: same frozen tables, full corpus encoded from scratch
+      val ref = p + "_ref"
+      val fs = graft.util.Lsm.fs(spark, p)
+      for (t <- Seq("centroids", "codebooks", "meta"))
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$p/$t"), fs,
+          new org.apache.hadoop.fs.Path(s"$ref/$t"), false,
+          spark.sparkContext.hadoopConfiguration)
+      Pq.ivfPqInsert(spark, ref, corpus, 2L) // fold EVERYTHING in one batch
+      assert(codeRows(p) == codeRows(ref),
+        s"residual=$residual: folded tree must equal a full re-encode")
+      if (residual) {
+        def vn(x: String) = spark.read.parquet(s"$x/vnorms")
+          .select(col("vec_id"), col("rnorm2").cast("string"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        assert(vn(p) == vn(ref),
+          "folded reconstruction norms must be bit-identical to built ones")
+        // served results ride the folded tree unchanged
+        val q = corpus.filter(col("vec_id") < 3)
+        def served(x: String) = Pq.ivfPqTopK(spark, x, q, 5, nprobe = 2,
+            m = 4, dim = 16).collect()
+          .map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+        assert(served(p) == served(ref))
+      }
+      // retry of the committed batch must not double-append
+      Pq.ivfPqInsert(spark, p, batch, 1L)
+      assert(codeRows(p).map(_._1).groupBy(identity).forall(_._2.size == 4),
+        "every vector exactly m=4 code rows after the retried fold")
+    }
+  }
+
+  test("ivfPqInsert: a crashed attempt's partial move is swept from both roots") {
+    val p = java.nio.file.Files.createTempDirectory("ivfpq-crash").toString + "/idx"
+    Pq.writeIvfPqIndex(corpus.filter(col("vec_id") % 4 =!= 0), p,
+      nlist = 4, m = 4, ksub = 8, dim = 16, residual = true)
+    val fs = graft.util.Lsm.fs(spark, p)
+    for (root <- Seq("codes", "vnorms")) {
+      val r = new org.apache.hadoop.fs.Path(s"$p/$root")
+      val cell = fs.listStatus(r).filter(_.isDirectory).head.getPath
+      val victim = fs.listStatus(cell).filter(_.isFile).head.getPath
+      org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs,
+        new org.apache.hadoop.fs.Path(cell, "b2-crashed.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    Pq.ivfPqInsert(spark, p, corpus.filter(col("vec_id") % 4 === 0), 2L)
+    assert(codeRows(p).map(_._1).groupBy(identity).forall(_._2.size == 4),
+      "planted partial moves must be swept, not double-counted")
+    assert(spark.read.parquet(s"$p/vnorms").groupBy("vec_id").count()
+      .filter(col("count") =!= 1).count() == 0, "one vnorm row per vector")
+  }
 }
