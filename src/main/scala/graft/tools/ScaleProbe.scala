@@ -602,12 +602,35 @@ object ScaleProbe {
           Similarity.ivfInsert(spark, dir5.toString, batch, 1L)
           spark.read.parquet(s"${dir5.toString}/vectors").count()
         }
+        time("ivf_retrain") {
+          Similarity.ivfRetrain(spark, dir5.toString, nlist = 16)
+          spark.read.parquet(s"${dir5.toString}/vectors").count()
+        }
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(); ()
         }
         rm(dir5.toFile)
+      }
+      val dir5b = java.nio.file.Files.createTempDirectory(s"graft_scaleprobe_ivfpqd_x$k")
+      try {
+        val base = embP.filter(col("vec_id") % 10 =!= 0)
+        val batch = embP.filter(col("vec_id") % 10 === 0)
+        time("ivfpq_daemon_base_build") {
+          graft.operators.Pq.writeIvfPqIndex(base, dir5b.toString, nlist = 16)
+          spark.read.parquet(s"${dir5b.toString}/codes").count()
+        }
+        time("ivfpq_fold") {
+          graft.operators.Pq.ivfPqInsert(spark, dir5b.toString, batch, 1L)
+          spark.read.parquet(s"${dir5b.toString}/codes").count()
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir5b.toFile)
       }
     }
     locally {
