@@ -12,6 +12,10 @@ import org.apache.spark.sql.types._
   * at-rest MinHash-LSH index ([[Dedup.writeLshIndex]] layout); only novel
   * documents are appended to the corpus sink AND admitted into the index,
   * so every batch dedups against everything admitted before it.
+  * With `embIndexPath` set (and embeddings in the drop), the admission
+  * decision is MULTIMODAL: cosine near-dups against the at-rest IVF tree
+  * ([[EmbIngest]]'s gate) drop alongside the text near-dups, and admitted
+  * docs' embeddings fold into that tree under the same batch id.
   *
   * Scale shape, per batch: batch hashing + bands join + candidate verify
   * (the audited [[Dedup.minhashLshAgainstIndex]] plan) + one per-batch
@@ -49,6 +53,13 @@ object DocIngest {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** [[docSchema]] plus an embedding column — the drop format when the
+    * daemon also gates on vector similarity and maintains the IVF tree
+    * ([[commitDocBatch]]'s `embIndexPath`). Docs may omit the field
+    * (null embedding = text gates only for that doc). */
+  val docEmbSchema: StructType = StructType(docSchema.fields :+
+    StructField("embedding", ArrayType(FloatType)))
+
   /** Per-batch admission counts, for the audit log line. The three drop
     * counts can overlap (a re-delivered doc may also near-dup something);
     * they are audit tallies, not a partition of the batch. */
@@ -68,7 +79,10 @@ object DocIngest {
       bandBucket: Seq[Column] => Column = cs => xxhash64(cs: _*),
       invIndexPath: Option[String] = None,
       lpStatePath: Option[String] = None,
-      compactEvery: Int = 0): BatchResult = {
+      compactEvery: Int = 0,
+      embIndexPath: Option[String] = None,
+      embThreshold: Double = 0.95, embNprobe: Int = 2,
+      embNlist: Int = 16, embDim: Int = 64): BatchResult = {
     val b = batch.persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
@@ -104,8 +118,58 @@ object DocIngest {
       else withinPairs.limit(0))
       val indexDrops = cache(indexPairs.select(col("a_id").as("doc_id"))
         .distinct())
+      // Vector gate (embIndexPath set and the drop carries embeddings):
+      // the [[EmbIngest]] gate run on the same batch under the same batch
+      // id — cell-local cosine near-dups within the batch and against the
+      // at-rest IVF tree drop alongside the text near-dups, so ONE daemon
+      // admission decision sees both modalities. Null-embedding docs pass
+      // this gate (text rules still apply). Crash order matches EmbIngest:
+      // the tree's own marker sweeps BEFORE the probes, so a retried
+      // batch's gate recomputation is a function of the batch and the
+      // pre-batch tree only.
+      val embFrame = embIndexPath.flatMap { p =>
+        if (!b.columns.contains("embedding")) None
+        else Some((p, cache(b.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding")))))
+      }
+      val (embWithinPairs, embIndexPairs) = embFrame match {
+        case Some((p, vecs)) =>
+          val fs = graft.util.Lsm.fs(spark, p)
+          graft.util.Lsm.recoverSwap(fs, p, "meta")
+          graft.util.Lsm.recoverSwap(fs, p, "centroids")
+          val metaPath = new org.apache.hadoop.fs.Path(s"$p/meta")
+          val committed = fs.exists(metaPath) &&
+            spark.read.parquet(s"$p/meta").collect()(0).getLong(0) == batchId
+          if (!committed)
+            graft.util.Lsm.sweepMarked(fs,
+              new org.apache.hadoop.fs.Path(s"$p/vectors"), s"b$batchId-")
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$p/centroids"))) {
+            graft.operators.Similarity.ivfCentroids(vecs, embNlist, embDim)
+              .write.mode("overwrite")
+              .parquet(graft.util.Lsm.stagedPath(p, "centroids", batchId))
+            graft.util.Lsm.commitSwap(fs, p, "centroids", batchId)
+          }
+          val cents = spark.read.parquet(s"$p/centroids")
+          val probes = cache(
+            graft.operators.Similarity.ivfProbes(vecs, cents, embNprobe))
+          val w = cache(graft.operators.Similarity
+            .embNearDupWithin(probes, embThreshold)
+            .select(col("a_id"), col("b_id")))
+          val i = cache(
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$p/vectors")))
+              graft.operators.Similarity
+                .embNearDupAgainstIndex(spark, p, probes, embThreshold)
+                .select(col("a_id"), col("b_id"))
+            else w.limit(0))
+          (w, i)
+        case None => (withinPairs.limit(0), withinPairs.limit(0))
+      }
+      val withinAllDrops = cache(withinDrops
+        .union(embWithinPairs.select(col("b_id").as("doc_id"))).distinct())
+      val indexAllDrops = cache(indexDrops
+        .union(embIndexPairs.select(col("a_id").as("doc_id"))).distinct())
       val admitted = cache(b
-        .join(withinDrops.union(indexDrops).union(redelivered).distinct(),
+        .join(withinAllDrops.union(indexAllDrops).union(redelivered).distinct(),
           Seq("doc_id"), "left_anti"))
       val nAdmitted = admitted.count() // materialize before the writes reuse it
       admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
@@ -160,14 +224,23 @@ object DocIngest {
       // displaced it, so clusters stay connected through their reps).
       // The daemon now maintains text state (BM25 index) AND graph state
       // (cluster labels) under one batch-id-keyed crash/retry contract.
+      // Vector-index maintenance: admitted docs' embeddings fold into the
+      // IVF tree under the same batch id (idempotence per ivfInsert) —
+      // the daemon then serves fresh ANN over exactly the admitted corpus.
+      embFrame.foreach { case (p, _) =>
+        graft.operators.Similarity.ivfInsert(spark, p,
+          admitted.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding")), batchId)
+      }
       lpStatePath.foreach { sp =>
         graft.operators.Graph.lpCommitBatch(spark, sp,
           withinPairs.union(indexPairs)
+            .union(embWithinPairs).union(embIndexPairs)
             .select(col("a_id").as("src"), col("b_id").as("dst")),
           batchId)
       }
-      val r = BatchResult(nAdmitted, withinDrops.count(), indexDrops.count(),
-        redelivered.count())
+      val r = BatchResult(nAdmitted, withinAllDrops.count(),
+        indexAllDrops.count(), redelivered.count())
       System.err.println(s"[docingest] batch $batchId: admitted=${r.admitted} " +
         s"dropped_within=${r.droppedWithinBatch} " +
         s"dropped_vs_index=${r.droppedVsIndex} " +
@@ -191,15 +264,21 @@ object DocIngest {
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
       invIndexPath: Option[String] = None,
       lpStatePath: Option[String] = None,
-      compactEvery: Int = 0): StreamingQuery = {
-    val stream = spark.readStream.schema(docSchema).json(inputDir)
+      compactEvery: Int = 0,
+      embIndexPath: Option[String] = None,
+      embThreshold: Double = 0.95, embNprobe: Int = 2,
+      embNlist: Int = 16, embDim: Int = 64): StreamingQuery = {
+    val schema = if (embIndexPath.isDefined) docEmbSchema else docSchema
+    val stream = spark.readStream.schema(schema).json(inputDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitDocBatch(spark, batch, batchId, corpusDir, indexPath, threshold,
           invIndexPath = invIndexPath, lpStatePath = lpStatePath,
-          compactEvery = compactEvery)
+          compactEvery = compactEvery, embIndexPath = embIndexPath,
+          embThreshold = embThreshold, embNprobe = embNprobe,
+          embNlist = embNlist, embDim = embDim)
         ()
       }
       .start()

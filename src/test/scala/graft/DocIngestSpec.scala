@@ -72,6 +72,60 @@ class DocIngestSpec extends SparkSpec {
       .filter($"doc_id" === 0L).count() == 1L)
   }
 
+  test("commitDocBatch multimodal gate: text AND vector near-dups drop, both indexes fold") {
+    import org.apache.spark.sql.functions._
+    val corpus = Files.createTempDirectory("dm-corpus").toString
+    val index = Files.createTempDirectory("dm-index").toString
+    val embIdx = Files.createTempDirectory("dm-emb").toString + "/idx"
+    val tF = "quark lepton boson hadron meson baryon photon gluon neutrino muon"
+    val tG = "sonata prelude fugue etude nocturne rondo scherzo minuet aria toccata"
+    val tH = "granite basalt marble slate quartzite gneiss schist shale obsidian pumice"
+    def v(i: Int): Array[Float] =
+      Array.tabulate(16)(d => math.sin(i * 17 + d * 3).toFloat)
+    def df(rows: (Long, String, Array[Float])*) =
+      rows.map { case (id, t, e) =>
+        (id, t, "en", s"src${id % 3}", t.length.toLong, e)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    def commit(b: org.apache.spark.sql.DataFrame, id: Long) =
+      DocIngest.commitDocBatch(spark, b, id, corpus, index,
+        embIndexPath = Some(embIdx), embThreshold = 0.9999,
+        embNlist = 3, embDim = 16)
+    val r0 = commit(df((0L, tA, v(0)), (3L, tB, v(1)), (5L, tC, v(2))), 0L)
+    assert(r0 == DocIngest.BatchResult(3, 0, 0, 0), s"r0=$r0")
+    // batch 1: 6 fully novel; 8 = TEXT copy of indexed tB (new vector);
+    // 9 = VECTOR copy of indexed v(2) (novel text); 10/11 = novel distinct
+    // texts sharing one new vector -> within-batch vector pair, 11 drops
+    val b1 = df((6L, tE, v(3)), (8L, tB, v(4)), (9L, tD, v(2)),
+      (10L, tF, v(5)), (11L, tG, v(5)))
+    val r1 = commit(b1, 1L)
+    assert(r1 == DocIngest.BatchResult(2, 1, 2, 0), s"r1=$r1")
+    assert(corpusIds(corpus) == Set(0L, 3L, 5L, 6L, 10L))
+    // the IVF tree serves exactly the admitted corpus's embeddings,
+    // assigned against the stored centroids (incremental == rebuild)
+    val cents = spark.read.parquet(s"$embIdx/centroids")
+    def treeIds = spark.read.parquet(s"$embIdx/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(treeIds == Set(0L, 3L, 5L, 6L, 10L))
+    val assigned = graft.operators.Similarity.assignToCentroids(
+        DocIngest.readCorpus(spark, corpus)
+          .select(col("doc_id").as("vec_id"), col("embedding")), cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tree = spark.read.parquet(s"$embIdx/vectors")
+      .select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tree == assigned, "folded cells must equal a re-assignment")
+    // crash replay of batch 1 reconverges: same corpus, no double-fold
+    val r1b = commit(b1, 1L)
+    assert(r1b.admitted == 2 && corpusIds(corpus) == Set(0L, 3L, 5L, 6L, 10L))
+    assert(treeIds == Set(0L, 3L, 5L, 6L, 10L), "ivf fold must be a no-op on replay")
+    // a text-only batch (no embedding column upstream defaulting to null)
+    // still passes the vector gate untouched
+    val b2 = df((12L, tH, null))
+    val r2 = commit(b2, 2L)
+    assert(r2 == DocIngest.BatchResult(1, 0, 0, 0), s"r2=$r2")
+    assert(treeIds == Set(0L, 3L, 5L, 6L, 10L), "null-embedding doc folds nowhere")
+  }
+
   test("streaming JSONL file-drop end-to-end with the dedup gate") {
     val in = Files.createTempDirectory("doc-in").toString
     val ckpt = Files.createTempDirectory("doc-ckpt").toString
