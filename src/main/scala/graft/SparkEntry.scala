@@ -895,6 +895,21 @@ object SparkEntry {
       Similarity.embGateVerdicts(s, path, batch, threshold = 0.95, nprobe = 2)
         .orderBy("vec_id")
     }),
+    "q211_html_extract" -> ((s, dir) => {
+      // web-crawl boilerplate stripping: documents wrapped in a
+      // deterministic HTML container (script with a bare '<' and quoted
+      // entities, style, comment, nav/footer boilerplate, literal
+      // entities), then the fixed-order extraction chain recovers the
+      // main text. The oracle rebuilds the SAME container from the table
+      // and replays every rule in SQL — zero-shuffle narrow codegen on
+      // the Spark side
+      val h = TextAnalysis.synthHtml(t(s, dir, "documents"))
+      h.select(col("doc_id"),
+          length(col("html")).cast("long").as("raw_len"),
+          TextAnalysis.htmlExtract(col("html")).as("clean"))
+        .withColumn("clean_len", length(col("clean")).cast("long"))
+        .orderBy("doc_id")
+    }),
     "q210_ivfpq_incremental" -> ((s, dir) => {
       // the compressed-index daemon path: IVF-PQ tree built on 90% of the
       // embeddings, the late 10% folded in encoded against the FROZEN
@@ -4032,6 +4047,36 @@ object SparkEntry {
            |LEFT JOIN vsidx i ON b.vec_id = i.vec_id
            |ORDER BY b.vec_id""".stripMargin
       },
+      "q211_html_extract" ->
+        // The synthHtml template rebuilt with || concatenation, then the
+        // six-rule extraction chain replayed in the identical order:
+        // script/style/comment spans ((?s), non-greedy, 'g'), tag strip,
+        // entity decode with &amp; last, whitespace collapse + trim.
+        // Patterns sit in the Java/RE2 common subset by construction.
+        """WITH h AS (SELECT doc_id,
+          |  '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          |  '</title><style>body{font-size:' || CAST(doc_id % 7 AS VARCHAR) ||
+          |  'px}</style><script>var x=' || CAST(doc_id AS VARCHAR) ||
+          |  '; if (x < 10) { y = "&amp;"; }</script></head><body>' ||
+          |  '<!-- build ' || CAST(doc_id AS VARCHAR) || ' --><nav><a href="/home">' ||
+          |  'home</a><a href="/about">about</a></nav><p>' || text ||
+          |  ' &amp; entities &lt;b&gt;bold&#39;s&quot;quote&nbsp;end</p>' ||
+          |  '<footer>(c) ' || source || '</footer></body></html>' AS html
+          |  FROM documents),
+          |c AS (SELECT doc_id, html,
+          |  trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |        '(?s)<!--.*?-->', ' ', 'g'),
+          |        '<[^>]+>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          |    '\s+', ' ', 'g')) AS clean FROM h)
+          |SELECT doc_id, CAST(length(html) AS BIGINT) AS raw_len, clean,
+          |  CAST(length(clean) AS BIGINT) AS clean_len
+          |FROM c ORDER BY doc_id""".stripMargin,
       "q210_ivfpq_incremental" -> {
         // Incremental == rebuild for the compressed tree: the oracle reads
         // ONLY the stored centroid + codebook tables and re-derives every

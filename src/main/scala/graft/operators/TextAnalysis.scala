@@ -88,6 +88,49 @@ object TextAnalysis {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+?[0-9][0-9 -]{6,}[0-9]"
 
+  /** Deterministic HTML wrapping of a document frame — the fixture
+    * synthesizer for [[htmlExtract]] (the [[Multimodal.synthMedia]]
+    * convention: derive the raw container from document fields so the
+    * DuckDB oracle can rebuild the identical input and replay the whole
+    * extraction as SQL). The template exercises every extraction rule:
+    * a style block, a script block CONTAINING a bare `<` and quoted
+    * entities, an HTML comment, nav/footer boilerplate tags around real
+    * text, and literal entities in the body. */
+  def synthHtml(docs: DataFrame): DataFrame =
+    docs.withColumn("html", concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>body{font-size:"), pmod(col("doc_id"), lit(7)),
+      lit("px}</style><script>var x="), col("doc_id"),
+      lit("; if (x < 10) { y = \"&amp;\"; }</script></head><body>"),
+      lit("<!-- build "), col("doc_id"), lit(" --><nav><a href=\"/home\">"),
+      lit("home</a><a href=\"/about\">about</a></nav><p>"), col("text"),
+      lit(" &amp; entities &lt;b&gt;bold&#39;s&quot;quote&nbsp;end</p>"),
+      lit("<footer>(c) "), col("source"), lit("</footer></body></html>")))
+
+  /** Main-content extraction from raw HTML — the boilerplate-stripping
+    * step every web-crawl curation pipeline runs before any text gate.
+    * Fixed rule order (the oracle replays it verbatim):
+    *   1. script blocks, 2. style blocks, 3. comments (all three with
+    *      (?s) non-greedy spans, so a bare `<` or entity INSIDE a script
+    *      never leaks), 4. every remaining tag -> space,
+    *   5. entity decode with `&amp;` LAST (so `&amp;lt;` decodes to the
+    *      literal `&lt;` the author wrote, never double-decodes),
+    *   6. whitespace collapse + trim.
+    * Narrow codegen'd regexp chain — linear in characters, zero shuffle;
+    * patterns stay in the Java/RE2 common subset so the DuckDB mirror is
+    * bit-identical. A DOM-fidelity build would swap this body for a real
+    * parser behind the same Column signature. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Redact emails then phones with typed placeholder tokens. Narrow,
     * codegen'd regexp_replace (global) — linear in characters, no shuffle.
     * Email runs first so a phone-like digit run inside an address can't be

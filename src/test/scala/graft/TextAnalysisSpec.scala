@@ -23,6 +23,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2).getLong(2) == 1 && rows(2).getLong(3) == 4)
   }
 
+  test("htmlExtract: hand-built containers strip to exactly the main text") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script holding a bare '<' and an entity never leaks into the text
+      (0L, "<html><script>if (a < b) { s = \"&amp;\"; }</script><p>hello world</p></html>",
+        "hello world"),
+      // style + comment removed; nav boilerplate keeps only its text
+      (1L, "<style>p{x:1}</style><!-- hidden --><nav><a href=\"/x\">home</a></nav><p>body</p>",
+        "home body"),
+      // entity decode order: &amp;lt; is the LITERAL '&lt;' the author
+      // wrote — must not double-decode into '<'
+      (2L, "<p>a &amp;lt; b &lt;i&gt;c&#39;d&quot;e&nbsp;f</p>",
+        "a &lt; b <i>c'd\"e f"),
+      // multi-line script span ((?s)) and whitespace collapse
+      (3L, "<script>\nvar a = 1;\nvar b = 2;\n</script>\n\n<p>one\n two</p>",
+        "one two"))
+    val got = cases.map(c => (c._1, c._2)).toDF("doc_id", "html")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.htmlExtract(col("html")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"doc $id: got '${got(id)}' want '$want'")
+    }
+  }
+
   test("fingerprint is the documented rolling hash") {
     val docs = Seq((0L, "ab")).toDF("doc_id", "text")
     val fp = TextAnalysis.docStats(docs).collect().head.getLong(6)
