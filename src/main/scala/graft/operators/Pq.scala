@@ -300,6 +300,39 @@ object Pq {
     Lsm.commitSwap(fs, path, "meta", batchId)
   }
 
+  /** Compact an [[ivfPqInsert]]-grown tree: merge every cid= cell whose
+    * LSM fragment count exceeds `maxFilesPerCell` back to one file — in
+    * BOTH bucket roots (codes, and vnorms when the index is residual) —
+    * under [[graft.util.Lsm.compactBuckets]]'s per-bucket staged swap,
+    * with crashed-swap recovery and the above-last_batch orphan sweep at
+    * entry. Content-preserving; runs in the single-writer slot. */
+  def ivfPqCompact(spark: SparkSession, path: String,
+      maxFilesPerCell: Int = 1): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    val fs = Lsm.fs(spark, path)
+    Lsm.recoverSwap(fs, path, "meta")
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val lastBatch =
+      if (meta.schema.fieldNames.contains("last_batch"))
+        meta.getAs[Long]("last_batch")
+      else -1L
+    val roots = Seq(s"$path/codes") ++
+      (if (meta.getAs[Boolean]("residual")) Seq(s"$path/vnorms") else Nil)
+    for (r <- roots) {
+      val root = new Path(r)
+      if (fs.exists(root)) {
+        val stagedRoot = new Path(s"${r}_compact_staged")
+        val oldRoot = new Path(s"${r}_compact_old")
+        Lsm.recoverBucketSwap(fs, root, stagedRoot, oldRoot)
+        Lsm.sweepAboveBatch(fs, root, lastBatch)
+        Lsm.compactBuckets(spark, fs, root, stagedRoot, oldRoot, "cid=",
+          maxFilesPerCell)
+      }
+    }
+    fs.delete(new Path(s"$path/staged"), true)
+  }
+
   /** IVF-PQ top-k: probe the `nprobe` nearest cells per query (the q42
     * contract), then ADC-score ONLY those cells' codes. The scan of the
     * cid-partitioned codes table carries the probed-cell IN filter as

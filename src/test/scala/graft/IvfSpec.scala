@@ -272,13 +272,18 @@ class IvfSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
       "cold batch must train on itself and fold through the same protocol")
     Files.writeString(JPath.of(in, "w2.jsonl"), jsonl(late))
+    // retrainEvery=1: batch 1's slot also retrains the quantizer in place,
+    // so the daemon path exercises fold THEN drift repair end-to-end
     graft.streaming.EmbIngest.start(spark, in, ckpt, idx, nlist = 6, dim = 16,
+      retrainEvery = 1,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .awaitTermination()
+    val centsAfter = spark.read.parquet(s"$idx/centroids")
     val after2 = treeAssign(idx)
-    assert(after2 == Similarity.assignToCentroids(emb, cents)
+    assert(after2 == Similarity.assignToCentroids(emb, centsAfter)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
-      "warm drop must fold against the FROZEN batch-0 centroids")
+      "after the in-slot retrain the tree must be consistent with the " +
+        "RETRAINED stored centroids over the full folded corpus")
     // retry of committed batch 1 must not double-append
     Similarity.ivfCommitBatch(spark, idx, late.toDF("vec_id", "embedding"), 1L,
       nlist = 6, dim = 16)

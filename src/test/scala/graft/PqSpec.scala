@@ -293,6 +293,39 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqCompact: both roots merge to one file per cell, served results identical") {
+    val p = java.nio.file.Files.createTempDirectory("ivfpq-cpt").toString + "/idx"
+    Pq.writeIvfPqIndex(corpus.filter(col("vec_id") % 3 === 0), p,
+      nlist = 4, m = 4, ksub = 8, dim = 16, residual = true)
+    Pq.ivfPqInsert(spark, p, corpus.filter(col("vec_id") % 3 === 1), 1L)
+    Pq.ivfPqInsert(spark, p, corpus.filter(col("vec_id") % 3 === 2), 2L)
+    val q = corpus.filter(col("vec_id") < 3)
+    def served = Pq.ivfPqTopK(spark, p, q, 5, nprobe = 2, m = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+      .sorted.toSeq
+    val before = served
+    val fs = graft.util.Lsm.fs(spark, p)
+    def maxFiles(root: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/$root"))
+        .filter(_.isDirectory).map { d =>
+          fs.listStatus(d.getPath).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        }.max
+    assert(maxFiles("codes") > 1 && maxFiles("vnorms") > 1,
+      "fixture must actually be fragmented in both roots")
+    Pq.ivfPqCompact(spark, p)
+    assert(maxFiles("codes") == 1 && maxFiles("vnorms") == 1,
+      "every cell must compact to one file in both roots")
+    assert(served == before, "compaction must be content-preserving")
+    // the compacted tree keeps accepting folds
+    Pq.ivfPqInsert(spark, p,
+      (100 until 104).map(i => (i.toLong,
+        Array.tabulate(16)(d => math.sin(i * 17 + d * 3).toFloat)))
+        .toDF("vec_id", "embedding"), 3L)
+    assert(codeRows(p).map(_._1).distinct.size == 28)
+  }
+
   test("ivfPqInsert: a crashed attempt's partial move is swept from both roots") {
     val p = java.nio.file.Files.createTempDirectory("ivfpq-crash").toString + "/idx"
     Pq.writeIvfPqIndex(corpus.filter(col("vec_id") % 4 =!= 0), p,
