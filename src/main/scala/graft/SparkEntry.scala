@@ -895,6 +895,25 @@ object SparkEntry {
       Similarity.embGateVerdicts(s, path, batch, threshold = 0.95, nprobe = 2)
         .orderBy("vec_id")
     }),
+    "q212_domain_cap" -> ((s, dir) => {
+      // crawl-curation domain capping: deterministic URLs derived from the
+      // table (the synthHtml sibling convention), components extracted
+      // with portable anchored regexes, then each host keeps only its 2
+      // longest documents (n_chars DESC, doc_id ASC) — the CCNet-style
+      // hot-site cap, planned through the bounded-heap TopKPerKey execs.
+      // The oracle rebuilds the URLs, re-extracts every part, and replays
+      // the cap as a rank window
+      val u = TextAnalysis.synthUrls(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.urlHost(col("url")).as("host"),
+          TextAnalysis.urlDomain(col("url")).as("domain"),
+          TextAnalysis.urlTld(col("url")).as("tld"),
+          TextAnalysis.urlPath(col("url")).as("path"))
+      TextAnalysis.domainCap(u, "host", col("n_chars"), k = 2)
+        .select(col("doc_id"), col("host"), col("domain"), col("tld"),
+          col("path"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id")
+    }),
     "q211_html_extract" -> ((s, dir) => {
       // web-crawl boilerplate stripping: documents wrapped in a
       // deterministic HTML container (script with a bare '<' and quoted
@@ -4047,6 +4066,25 @@ object SparkEntry {
            |LEFT JOIN vsidx i ON b.vec_id = i.vec_id
            |ORDER BY b.vec_id""".stripMargin
       },
+      "q212_domain_cap" ->
+        // URL rebuild + the same anchored extracts + the cap replayed as a
+        // rank window under the identical (n_chars DESC, doc_id ASC) order.
+        """WITH u AS (SELECT doc_id, n_chars,
+          |  'https://' || source || '-' || CAST(doc_id % 3 AS VARCHAR) ||
+          |  '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+          |  '?ref=' || lang AS url FROM documents),
+          |p AS (SELECT doc_id, n_chars,
+          |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+          |  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+          |                 '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS domain,
+          |  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+          |                 '\.([a-z0-9-]+)$', 1) AS tld,
+          |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path
+          |  FROM u),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY host
+          |        ORDER BY n_chars DESC, doc_id ASC) AS rank FROM p)
+          |SELECT doc_id, host, domain, tld, path, CAST(rank AS BIGINT) AS rank
+          |FROM r WHERE rank <= 2 ORDER BY doc_id""".stripMargin,
       "q211_html_extract" ->
         // The synthHtml template rebuilt with || concatenation, then the
         // six-rule extraction chain replayed in the identical order:

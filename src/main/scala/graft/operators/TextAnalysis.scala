@@ -131,6 +131,40 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Deterministic URL column for a document frame — [[synthHtml]]'s
+    * sibling synthesizer, so the URL curation family below is
+    * oracle-replayable from the same table. */
+  def synthUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url", concat(
+      lit("https://"), col("source"), lit("-"), pmod(col("doc_id"), lit(3)),
+      lit(".example.com/p/"), col("doc_id"), lit("?ref="), col("lang")))
+
+  /** URL components via anchored regexp_extract in the Java/RE2 common
+    * subset (portable to the DuckDB oracle): scheme-stripped host, the
+    * last host label (tld), the registered-ish domain (last two labels),
+    * and the path without query. Unmatched parts extract as ''. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/?#]+)", 1)
+  def urlTld(url: Column): Column =
+    regexp_extract(urlHost(url), "\\.([a-z0-9-]+)$", 1)
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://[^/?#]+(/[^?#]*)", 1)
+
+  /** Per-domain document cap — the CCNet/Gopher-style crawl-curation rule:
+    * a single hot site must not dominate the corpus, so each domain keeps
+    * only its `k` best documents by (`quality` DESC, doc_id ASC — total
+    * order, replay-stable). Plans through the bounded-heap TopKPerKey
+    * execs ([[graft.plans.TopK.perKey]]): map-side <= k rows per domain
+    * before the exchange, never a per-domain sort — the same plan shape
+    * at 148 domains or 10^8. Output: the kept rows + their `rank`. */
+  def domainCap(docs: DataFrame, domainCol: String, quality: Column,
+      k: Int): DataFrame =
+    graft.plans.TopK.perKey(docs.withColumn("__q", quality),
+        Seq(col(domainCol)), Seq(col("__q").desc, col("doc_id").asc), k)
+      .drop("__q")
+
   /** Redact emails then phones with typed placeholder tokens. Narrow,
     * codegen'd regexp_replace (global) — linear in characters, no shuffle.
     * Email runs first so a phone-like digit run inside an address can't be

@@ -48,6 +48,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("url parts and domain cap: hand cases, and the cap plans through the heap execs") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis._
+    val u = Seq(
+      (1L, "https://a-1.example.com/p/1?ref=en", 10L),
+      (2L, "https://a-1.example.com/p/2?ref=en", 30L),
+      (3L, "https://a-1.example.com/p/3?ref=en", 20L),
+      (4L, "https://b-2.example.org/x", 5L))
+      .toDF("doc_id", "url", "n_chars")
+      .select(col("doc_id"), col("n_chars"), col("url"),
+        urlHost(col("url")).as("host"), urlDomain(col("url")).as("domain"),
+        urlTld(col("url")).as("tld"), urlPath(col("url")).as("path"))
+    val parts = u.collect().map(r => r.getLong(0) ->
+      (r.getString(3), r.getString(4), r.getString(5), r.getString(6))).toMap
+    assert(parts(1L) == (("a-1.example.com", "example.com", "com", "/p/1")))
+    assert(parts(4L) == (("b-2.example.org", "example.org", "org", "/x")))
+    val capped = domainCap(u, "host", col("n_chars"), k = 2)
+    val kept = capped.collect().map(r => r.getLong(0)).toSet
+    // host a-1: n_chars 30 (doc 2), 20 (doc 3) kept; 10 (doc 1) capped out
+    assert(kept == Set(2L, 3L, 4L))
+    val plan = capped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      s"domain cap must plan through the bounded-heap execs:\n$plan")
+    assert(!plan.contains("WindowExec"), "no rank window on the cap path")
+  }
+
   test("fingerprint is the documented rolling hash") {
     val docs = Seq((0L, "ab")).toDF("doc_id", "text")
     val fp = TextAnalysis.docStats(docs).collect().head.getLong(6)
