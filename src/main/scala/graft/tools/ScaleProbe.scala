@@ -573,6 +573,20 @@ object ScaleProbe {
           col("ts"), col("value")), "user_id", "ts", "value").count()
     }
 
+    time("html_extract") {
+      TextAnalysis.synthHtml(docs)
+        .select(col("doc_id"),
+          TextAnalysis.htmlExtract(col("html")).as("clean"))
+        .agg(sum(length(col("clean")))).collect()
+      docs.count()
+    }
+    time("domain_cap") {
+      TextAnalysis.domainCap(
+        TextAnalysis.synthUrls(docs).select(col("doc_id"), col("n_chars"),
+          TextAnalysis.urlHost(col("url")).as("host")),
+        "host", col("n_chars"), k = 2).count()
+    }
+
     // -- round-11 additions: the daemon fold + gate family -------------------
     locally {
       // perturbed amplification (the Sf1Ladder convention: copy 0 verbatim,
