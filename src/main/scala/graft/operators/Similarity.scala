@@ -299,6 +299,19 @@ object Similarity {
     }
   }
 
+  /** Writer-entry recovery for an IVF tree: a crashed retrain FIRST (the
+    * pair-marker protocol — a raw [[graft.util.Lsm.recoverSwap]] on
+    * `centroids` would sweep a post-marker retrain's staged twin as
+    * debris and permanently strand the re-assigned vectors against the
+    * old centroid table), then the meta swap. Every external writer
+    * (the streaming daemons) must enter through this, never through raw
+    * per-dir recoverSwap calls. */
+  def recoverIvfTree(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    recoverRetrain(spark, path)
+    graft.util.Lsm.recoverSwap(graft.util.Lsm.fs(spark, path), path, "meta")
+  }
+
   /** Retrain an [[ivfInsert]]-grown tree on everything it serves — the
     * drift escape hatch the fold scaladoc names: centroids are frozen at
     * fold time, so once inserted volume rivals the trained base, recall
@@ -332,6 +345,11 @@ object Similarity {
       if (fs.exists(new Path(s"$path/meta")))
         spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
       else -1L
+    // a crashed UNCOMMITTED fold's batch-marked orphans must go before the
+    // rebuild reads the tree (the ivfCompact guard): absorbed into unmarked
+    // base files they would escape the fold's own retry sweep and
+    // double-append when the batch retries
+    Lsm.sweepAboveBatch(fs, new Path(s"$path/vectors"), lastBatch)
     val all = spark.read.parquet(s"$path/vectors").drop("cid")
     val stagedCents = Lsm.stagedPath(path, "centroids", lastBatch)
     ivfCentroids(all, nlist, dim).write.mode("overwrite").parquet(stagedCents)

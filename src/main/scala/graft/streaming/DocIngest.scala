@@ -127,16 +127,27 @@ object DocIngest {
       // the tree's own marker sweeps BEFORE the probes, so a retried
       // batch's gate recomputation is a function of the batch and the
       // pre-batch tree only.
+      // duplicate doc_id rows collapse deterministically BEFORE any vector
+      // work (the embGateVerdicts rule): a producer-retried duplicate line
+      // would otherwise fold the same vec_id twice into the tree
       val embFrame = embIndexPath.flatMap { p =>
         if (!b.columns.contains("embedding")) None
-        else Some((p, cache(b.filter(col("embedding").isNotNull)
-          .select(col("doc_id").as("vec_id"), col("embedding")))))
+        else {
+          val vecs = cache(b.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+            .groupBy("vec_id").agg(min(col("embedding")).as("embedding")))
+          // an all-null-embedding batch must not train (and swap-commit) an
+          // EMPTY centroid table on cold start — skip the vector side; text
+          // rules still apply and a later non-empty batch trains normally
+          if (vecs.count() == 0L) None else Some((p, vecs))
+        }
       }
       val (embWithinPairs, embIndexPairs) = embFrame match {
         case Some((p, vecs)) =>
           val fs = graft.util.Lsm.fs(spark, p)
-          graft.util.Lsm.recoverSwap(fs, p, "meta")
-          graft.util.Lsm.recoverSwap(fs, p, "centroids")
+          // retrain-aware entry recovery (raw recoverSwap("centroids")
+          // would sweep a crashed post-marker retrain's staged twin)
+          graft.operators.Similarity.recoverIvfTree(spark, p)
           val metaPath = new org.apache.hadoop.fs.Path(s"$p/meta")
           val committed = fs.exists(metaPath) &&
             spark.read.parquet(s"$p/meta").collect()(0).getLong(0) == batchId
@@ -227,10 +238,12 @@ object DocIngest {
       // Vector-index maintenance: admitted docs' embeddings fold into the
       // IVF tree under the same batch id (idempotence per ivfInsert) —
       // the daemon then serves fresh ANN over exactly the admitted corpus.
-      embFrame.foreach { case (p, _) =>
+      embFrame.foreach { case (p, vecs) =>
+        // fold from the COLLAPSED vector frame (one row per vec_id), not
+        // the admitted rows — ivfInsert's unique-id contract
         graft.operators.Similarity.ivfInsert(spark, p,
-          admitted.filter(col("embedding").isNotNull)
-            .select(col("doc_id").as("vec_id"), col("embedding")), batchId)
+          vecs.join(admitted.select(col("doc_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_semi"), batchId)
       }
       lpStatePath.foreach { sp =>
         graft.operators.Graph.lpCommitBatch(spark, sp,

@@ -61,8 +61,9 @@ object EmbIngest {
       dedupThreshold: Option[Double] = None, nprobe: Int = 2,
       compactEvery: Int = 0, retrainEvery: Int = 0): DocIngest.BatchResult = {
     val fs = Lsm.fs(spark, indexPath)
-    Lsm.recoverSwap(fs, indexPath, "meta")
-    Lsm.recoverSwap(fs, indexPath, "centroids")
+    // retrain-aware entry recovery (a raw recoverSwap("centroids") here
+    // would sweep a crashed post-marker retrain's staged twin as debris)
+    Similarity.recoverIvfTree(spark, indexPath)
     val lastBatch =
       if (fs.exists(new Path(s"$indexPath/meta")))
         spark.read.parquet(s"$indexPath/meta").collect()(0).getLong(0)
@@ -79,7 +80,14 @@ object EmbIngest {
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](uniq)
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
     try {
-      uniq.count() // materialize the cache before train + gate fan out on it
+      // materialize the cache before train + gate fan out on it — and guard
+      // the empty drop: training on zero vectors would swap-commit an EMPTY
+      // centroid table, after which every later batch assigns against
+      // nothing and silently folds zero rows forever
+      if (uniq.count() == 0L) {
+        System.err.println(s"[embingest] batch $batchId: empty drop, skipped")
+        return DocIngest.BatchResult(0, 0, 0, 0)
+      }
       if (!fs.exists(new Path(s"$indexPath/centroids"))) {
         Similarity.ivfCentroids(uniq, nlist, dim).write.mode("overwrite")
           .parquet(Lsm.stagedPath(indexPath, "centroids", batchId))

@@ -167,8 +167,11 @@ object Lsm {
       spark.read.parquet(bucket.toString).coalesce(1)
         .write.mode("overwrite").parquet(st.toString)
       // drop Spark's _SUCCESS etc. so the swapped-in dir is file-clean
-      fsys.listStatus(st).filterNot(f => dataFiles(fsys, st).map(_.getPath)
-        .contains(f.getPath)).foreach(f => fsys.delete(f.getPath, false))
+      // (keep-set computed once — a per-file dataFiles() recompute would
+      // issue O(n^2) listStatus RPCs per bucket)
+      val keep = dataFiles(fsys, st).map(_.getPath).toSet
+      fsys.listStatus(st).filterNot(f => keep.contains(f.getPath))
+        .foreach(f => fsys.delete(f.getPath, false))
       fsys.mkdirs(oldRoot)
       val old = new Path(oldRoot, bucket.getName)
       fsys.rename(bucket, old)

@@ -124,6 +124,14 @@ class DocIngestSpec extends SparkSpec {
     val r2 = commit(b2, 2L)
     assert(r2 == DocIngest.BatchResult(1, 0, 0, 0), s"r2=$r2")
     assert(treeIds == Set(0L, 3L, 5L, 6L, 10L), "null-embedding doc folds nowhere")
+    // a producer-retried duplicate line (same doc_id twice in one drop)
+    // folds its vec_id into the tree exactly ONCE
+    val tI = "alpha2 beta2 gamma2 delta2 epsilon2 zeta2 eta2 theta2 iota2 kappa2"
+    val b3 = df((13L, tI, v(6)), (13L, tI, v(6)))
+    commit(b3, 3L)
+    assert(spark.read.parquet(s"$embIdx/vectors")
+      .filter(col("vec_id") === 13L).count() == 1L,
+      "duplicate drop lines must not double-fold a vec_id")
   }
 
   test("streaming JSONL file-drop end-to-end with the dedup gate") {

@@ -251,6 +251,64 @@ class IvfSpec extends SparkSpec {
       "rolled-forward tree must be internally consistent")
   }
 
+  test("commitEmbBatch: an empty cold drop must not commit an empty centroid table") {
+    import graft.streaming.EmbIngest
+    val path = java.nio.file.Files.createTempDirectory("emb-empty").toString + "/idx"
+    val empty = emb.limit(0)
+    val r0 = EmbIngest.commitEmbBatch(spark, path, empty, 0L, nlist = 6, dim = 16)
+    assert(r0 == graft.streaming.DocIngest.BatchResult(0, 0, 0, 0))
+    val fs = graft.util.Lsm.fs(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")),
+      "no centroid table may exist after an empty cold drop")
+    // the next non-empty drop trains normally and folds everything
+    val r1 = EmbIngest.commitEmbBatch(spark, path, emb, 1L, nlist = 6, dim = 16)
+    assert(r1.admitted == 48 && treeAssign(path).size == 48)
+  }
+
+  test("a crashed uncommitted fold's orphans are swept before a retrain absorbs them") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-orph").toString + "/idx"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), path,
+      nlist = 4, dim = 16)
+    Similarity.ivfInsert(spark, path, emb.limit(0), 1L) // last_batch = 1
+    // simulate batch 2 crashing mid-move: one b2- marked file in a cell,
+    // meta still at 1
+    val fs = graft.util.Lsm.fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val cell = fs.listStatus(root).filter(_.isDirectory).head.getPath
+    val victim = fs.listStatus(cell).filter(_.isFile).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs,
+      new org.apache.hadoop.fs.Path(cell, "b2-crashed.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    // the maintenance retrain must sweep the orphan FIRST — absorbed into
+    // unmarked base files it would double-append when batch 2 retries
+    Similarity.ivfRetrain(spark, path, nlist = 4, dim = 16)
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 2 =!= 0), 2L)
+    assert(treeAssign(path).map(_._1).sorted == (0L until 48L),
+      "every vector exactly once: the orphan must not survive the retrain")
+  }
+
+  test("EmbIngest entry rolls a crashed post-marker retrain forward (never sweeps it)") {
+    import graft.streaming.EmbIngest
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val path = java.nio.file.Files.createTempDirectory("emb-rtfwd").toString + "/idx"
+    EmbIngest.commitEmbBatch(spark, path, emb, 0L, nlist = 6, dim = 16)
+    // stage a crashed post-marker retrain (staged twins + retrain_ready)
+    val fs = graft.util.Lsm.fs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (t <- Seq("centroids", "vectors"))
+      FileUtil.copy(fs, new Path(s"$path/$t"), fs,
+        new Path(s"$path/${t}_staged_b0"), false, conf)
+    fs.create(new Path(s"$path/retrain_ready")).close()
+    // a committed-batch retry enters the daemon: the recovery must roll the
+    // retrain FORWARD, not sweep the staged centroids as debris
+    EmbIngest.commitEmbBatch(spark, path, emb, 0L, nlist = 6, dim = 16)
+    assert(!fs.exists(new Path(s"$path/retrain_ready")) &&
+      !fs.exists(new Path(s"$path/centroids_staged_b0")) &&
+      fs.exists(new Path(s"$path/centroids")),
+      "post-marker retrain must swap in at daemon entry")
+    assert(treeAssign(path).size == 48)
+  }
+
   test("EmbIngest daemon: cold batch trains, warm drops fold, retry no-ops") {
     import java.nio.file.{Files, Path => JPath}
     val in = Files.createTempDirectory("emb-in").toString
