@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * With `embIndexPath` set (and embeddings in the drop), the admission
   * decision is MULTIMODAL: cosine near-dups against the at-rest IVF tree
   * ([[EmbIngest]]'s gate) drop alongside the text near-dups, and admitted
-  * docs' embeddings fold into that tree under the same batch id.
+  * docs' embeddings fold into that tree under the same batch id. With
+  * `evalPath` set, docs sharing any n-gram with the at-rest eval set drop
+  * too — continuous benchmark decontamination at the admission point.
   *
   * Scale shape, per batch: batch hashing + bands join + candidate verify
   * (the audited [[Dedup.minhashLshAgainstIndex]] plan) + one per-batch
@@ -60,11 +62,12 @@ object DocIngest {
   val docEmbSchema: StructType = StructType(docSchema.fields :+
     StructField("embedding", ArrayType(FloatType)))
 
-  /** Per-batch admission counts, for the audit log line. The three drop
-    * counts can overlap (a re-delivered doc may also near-dup something);
-    * they are audit tallies, not a partition of the batch. */
+  /** Per-batch admission counts, for the audit log line. The drop counts
+    * can overlap (a re-delivered doc may also near-dup something); they
+    * are audit tallies, not a partition of the batch. */
   final case class BatchResult(admitted: Long, droppedWithinBatch: Long,
-      droppedVsIndex: Long, droppedRedelivered: Long = 0L)
+      droppedVsIndex: Long, droppedRedelivered: Long = 0L,
+      droppedContaminated: Long = 0L)
 
   /** Commit one document micro-batch idempotently: self-dedup, probe the
     * index (if one exists yet), write admitted docs to
@@ -82,7 +85,8 @@ object DocIngest {
       compactEvery: Int = 0,
       embIndexPath: Option[String] = None,
       embThreshold: Double = 0.95, embNprobe: Int = 2,
-      embNlist: Int = 16, embDim: Int = 64): BatchResult = {
+      embNlist: Int = 16, embDim: Int = 64,
+      evalPath: Option[String] = None, decontamN: Int = 5): BatchResult = {
     val b = batch.persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
@@ -179,8 +183,21 @@ object DocIngest {
         .union(embWithinPairs.select(col("b_id").as("doc_id"))).distinct())
       val indexAllDrops = cache(indexDrops
         .union(embIndexPairs.select(col("a_id").as("doc_id"))).distinct())
+      // Eval-set decontamination gate (evalPath): a batch doc sharing any
+      // distinct decontamN-gram with the (tiny, broadcast) at-rest eval set
+      // never enters the corpus OR any index — the q54 operator run per
+      // batch, so the daemon guards benchmark contamination continuously
+      // instead of requiring a corpus-scale backfill sweep. Deterministic
+      // function of the batch and the static eval parquet, so replays
+      // reconverge like every other gate.
+      val contamDrops = cache(evalPath match {
+        case Some(ep) => Dedup.contaminatedBy(b,
+            spark.read.parquet(ep), decontamN).select("doc_id").distinct()
+        case None => withinDrops.limit(0)
+      })
       val admitted = cache(b
-        .join(withinAllDrops.union(indexAllDrops).union(redelivered).distinct(),
+        .join(withinAllDrops.union(indexAllDrops).union(redelivered)
+            .union(contamDrops).distinct(),
           Seq("doc_id"), "left_anti"))
       val nAdmitted = admitted.count() // materialize before the writes reuse it
       admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
@@ -253,11 +270,12 @@ object DocIngest {
           batchId)
       }
       val r = BatchResult(nAdmitted, withinAllDrops.count(),
-        indexAllDrops.count(), redelivered.count())
+        indexAllDrops.count(), redelivered.count(), contamDrops.count())
       System.err.println(s"[docingest] batch $batchId: admitted=${r.admitted} " +
         s"dropped_within=${r.droppedWithinBatch} " +
         s"dropped_vs_index=${r.droppedVsIndex} " +
-        s"dropped_redelivered=${r.droppedRedelivered}")
+        s"dropped_redelivered=${r.droppedRedelivered} " +
+        s"dropped_contaminated=${r.droppedContaminated}")
       r
     } finally cached.foreach(_.unpersist()) // also on a mid-batch failure:
     // the streaming engine retries the batch, and leaked caches would
@@ -280,7 +298,8 @@ object DocIngest {
       compactEvery: Int = 0,
       embIndexPath: Option[String] = None,
       embThreshold: Double = 0.95, embNprobe: Int = 2,
-      embNlist: Int = 16, embDim: Int = 64): StreamingQuery = {
+      embNlist: Int = 16, embDim: Int = 64,
+      evalPath: Option[String] = None, decontamN: Int = 5): StreamingQuery = {
     val schema = if (embIndexPath.isDefined) docEmbSchema else docSchema
     val stream = spark.readStream.schema(schema).json(inputDir)
     stream.writeStream
@@ -291,7 +310,8 @@ object DocIngest {
           invIndexPath = invIndexPath, lpStatePath = lpStatePath,
           compactEvery = compactEvery, embIndexPath = embIndexPath,
           embThreshold = embThreshold, embNprobe = embNprobe,
-          embNlist = embNlist, embDim = embDim)
+          embNlist = embNlist, embDim = embDim,
+          evalPath = evalPath, decontamN = decontamN)
         ()
       }
       .start()

@@ -134,6 +134,32 @@ class DocIngestSpec extends SparkSpec {
       "duplicate drop lines must not double-fold a vec_id")
   }
 
+  test("commitDocBatch decontamination gate: eval-overlapping docs never enter corpus or index") {
+    val corpus = Files.createTempDirectory("dc-corpus").toString
+    val index = Files.createTempDirectory("dc-index").toString
+    val evalDir = Files.createTempDirectory("dc-eval").toString + "/eval"
+    // eval doc shares its full 5-gram window with tA's prefix; tB/tC clean
+    docsDf(9000L -> tA).select("doc_id", "text")
+      .write.parquet(evalDir)
+    val b0 = docsDf(0L -> tA, 3L -> tB, 5L -> tC)
+    val r0 = DocIngest.commitDocBatch(spark, b0, 0L, corpus, index,
+      evalPath = Some(evalDir))
+    assert(r0 == DocIngest.BatchResult(2, 0, 0, 0, 1), s"r0=$r0")
+    assert(corpusIds(corpus) == Set(3L, 5L),
+      "the contaminated doc must never reach the corpus")
+    // ...nor the LSH index: a later near-dup of the contaminated doc is
+    // NOVEL as far as the index knows (it was never admitted)
+    val r1 = DocIngest.commitDocBatch(spark, docsDf(7L -> tD), 1L, corpus,
+      index, evalPath = Some(evalDir))
+    assert(r1 == DocIngest.BatchResult(1, 0, 0, 0, 0), s"r1=$r1")
+    // replay of batch 0 reconverges (gate is deterministic vs the static
+    // eval parquet)
+    val r0b = DocIngest.commitDocBatch(spark, b0, 0L, corpus, index,
+      evalPath = Some(evalDir))
+    assert(r0b.admitted == 2 && r0b.droppedContaminated == 1)
+    assert(corpusIds(corpus) == Set(3L, 5L, 7L))
+  }
+
   test("streaming JSONL file-drop end-to-end with the dedup gate") {
     val in = Files.createTempDirectory("doc-in").toString
     val ckpt = Files.createTempDirectory("doc-ckpt").toString
