@@ -122,7 +122,14 @@ object Dedup {
     * below the near-dup operators' 10000: rare-shingle affinity is the
     * contract, and output size stays O(docs x cap) instead of O(cap²)
     * per hot gram. Raise it deliberately (as q175's fixture-shaping call
-    * does) only when the gram-df distribution is known. */
+    * does) only when the gram-df distribution is known.
+    *
+    * BREAKING DEFAULT CHANGE (round 11): `maxGramDocs` default dropped
+    * 10000 → 1000. A caller relying on the old default silently loses
+    * affinity pairs routed through grams with df in (1000, 10000] — if
+    * those mattered to you, pass `maxGramDocs = 10000` explicitly. The
+    * tighter cap is the intended production contract per the rationale
+    * above (rare-shingle affinity; hot shingles are stopword phrases). */
   def affinityPairs(docs: DataFrame, n: Int, minCommon: Long,
       maxJaccard: Double, maxGramDocs: Int = 1000): DataFrame = {
     val g = gramRows(docs, n)

@@ -367,11 +367,11 @@ object Experiment {
     graft.util.Checkpoints.ensureDir(spark)
     val fs = Lsm.fs(spark, path)
     Lsm.recoverSwap(fs, path, "state")
-    val lastBatch =
-      if (fs.exists(new Path(s"$path/state")))
-        spark.read.parquet(s"$path/state/meta").collect()(0).getLong(0)
-      else -1L
-    if (lastBatch == batchId) return // committed fold — idempotent retry
+    // shared entry (no marked bucket roots — state commits as ONE swap)
+    val entry = Lsm.enterBatch(spark, fs, path, batchId,
+      metaDir = "state/meta")
+    if (entry.alreadyCommitted) return
+    val lastBatch = entry.lastBatch
     val next =
       if (lastBatch < 0)
         btRounds(btInit(batch, winnerCol, loserCol), coldIters)

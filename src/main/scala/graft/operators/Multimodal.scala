@@ -556,11 +556,12 @@ object Multimodal {
         s"index at $path was built with max_dist=${m.getAs[Long]("max_dist")} " +
           s"n_buckets=${m.getAs[Long]("n_buckets")}; the probe/fold family " +
           "must match at every call")
-      if (m.getAs[Long]("last_batch") == batchId) return // committed fold
     }
+    // shared entry: committed no-op, or sweep this batch's partial move
+    if (Lsm.enterBatch(spark, fs, path, batchId,
+        markedRoots = Seq("chunks")).alreadyCommitted) return
     val marker = s"b$batchId-"
     val chunksRoot = new Path(s"$path/chunks")
-    Lsm.sweepMarked(fs, chunksRoot, marker)
     val staged = new Path(s"$path/staged")
     fs.delete(staged, true)
     hashChunkRows(hashes, maxDist)

@@ -266,16 +266,13 @@ object Pq {
     val residual = meta.getAs[Boolean]("residual")
     val m = meta.getAs[Long]("m").toInt
     val dim = meta.getAs[Long]("dim").toInt
-    val lastBatch =
-      if (meta.schema.fieldNames.contains("last_batch"))
-        meta.getAs[Long]("last_batch")
-      else -1L // a pre-incremental writeIvfPqIndex tree being adopted
-    if (lastBatch == batchId) return // committed fold — idempotent retry
+    // shared entry: committed no-op, or sweep this batch's partial move
+    // from BOTH bucket roots (-1 = a pre-incremental tree being adopted)
+    if (Lsm.enterBatch(spark, fs, path, batchId,
+        markedRoots = Seq("codes", "vnorms")).alreadyCommitted) return
     val marker = s"b$batchId-"
     val codesRoot = new Path(s"$path/codes")
     val vnormsRoot = new Path(s"$path/vnorms")
-    Lsm.sweepMarked(fs, codesRoot, marker)
-    Lsm.sweepMarked(fs, vnormsRoot, marker)
     val staged = new Path(s"$path/staged")
     fs.delete(staged, true)
     val cents = spark.read.parquet(s"$path/centroids")
@@ -298,6 +295,64 @@ object Pq {
       .toDF("residual", "nlist", "m", "ksub", "dim", "last_batch")
       .write.mode("overwrite").parquet(Lsm.stagedPath(path, "meta", batchId))
     Lsm.commitSwap(fs, path, "meta", batchId)
+  }
+
+  /** One daemon batch against an at-rest IVF-PQ tree — the
+    * [[graft.operators.Similarity.ivfCommitBatch]] contract for the
+    * compressed twin: cold start (no stored tables yet) trains the coarse
+    * quantizer, then the sub-codebooks, then writes the initial meta
+    * (params + `last_batch = -1`), EACH committed by a protocol-1 swap
+    * BEFORE any encoding — training is the non-deterministic plan in the
+    * family (Lloyd's avg() reductions), so a retry either sees a
+    * committed table (encodes identically) or no table (retrains;
+    * nothing was encoded yet, by commit order — the meta marker that
+    * makes codes servable commits last of all, inside the fold). Every
+    * batch then folds through [[ivfPqInsert]]'s marked protocol.
+    *
+    * `trainOn` lets the caller train the quantizer on a wider frame than
+    * it folds (the [[graft.streaming.EmbIngest]] daemon trains on the
+    * whole deduplicated drop but folds only gate-admitted vectors).
+    * A tree that already exists pins its build family: params must match. */
+  def ivfPqCommitBatch(spark: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, residual: Boolean = true,
+      trainOn: Option[DataFrame] = None): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = Lsm.fs(spark, path)
+    val train = trainOn.getOrElse(batch)
+    Seq("centroids", "codebooks", "meta").foreach(Lsm.recoverSwap(fs, path, _))
+    if (fs.exists(new Path(s"$path/meta"))) {
+      val meta = spark.read.parquet(s"$path/meta").collect()(0)
+      require(meta.getAs[Boolean]("residual") == residual &&
+        meta.getAs[Long]("nlist") == nlist && meta.getAs[Long]("m") == m &&
+        meta.getAs[Long]("ksub") == ksub && meta.getAs[Long]("dim") == dim,
+        s"IVF-PQ tree at $path was built with different params " +
+          s"(${meta.mkString(",")}); the encode family must match at every call")
+    }
+    if (!fs.exists(new Path(s"$path/centroids"))) {
+      Similarity.ivfCentroids(train, nlist, dim).write.mode("overwrite")
+        .parquet(Lsm.stagedPath(path, "centroids", batchId))
+      Lsm.commitSwap(fs, path, "centroids", batchId)
+    }
+    if (!fs.exists(new Path(s"$path/codebooks"))) {
+      // train on the residuals the stored centroids imply (the
+      // writeIvfPqIndex lesson: encode-time inputs must match train-time)
+      val cents = spark.read.parquet(s"$path/centroids")
+      val cells = Similarity.assignToCentroids(train, cents)
+      pqCodebooks(pqEncodeInput(train, cells, cents, residual), m, ksub, dim)
+        .write.mode("overwrite")
+        .parquet(Lsm.stagedPath(path, "codebooks", batchId))
+      Lsm.commitSwap(fs, path, "codebooks", batchId)
+    }
+    if (!fs.exists(new Path(s"$path/meta"))) {
+      Seq((residual, nlist.toLong, m.toLong, ksub.toLong, dim.toLong, -1L))
+        .toDF("residual", "nlist", "m", "ksub", "dim", "last_batch")
+        .write.mode("overwrite").parquet(Lsm.stagedPath(path, "meta", batchId))
+      Lsm.commitSwap(fs, path, "meta", batchId)
+    }
+    ivfPqInsert(spark, path, batch, batchId)
   }
 
   /** Compact an [[ivfPqInsert]]-grown tree: merge every cid= cell whose

@@ -183,15 +183,13 @@ object Retrieval {
     // already fully in place) or only the renamed-away old dir (roll
     // back — the interrupted fold then redoes cleanly below).
     Lsm.recoverSwap(fs, path, "stats")
+    // shared entry (meta = the stats row): committed no-op, or sweep the
+    // files a crashed attempt of THIS batch moved into place
+    if (Lsm.enterBatch(spark, fs, path, batchId, metaDir = "stats",
+        markedRoots = Seq("postings")).alreadyCommitted) return
     val stats = spark.read.parquet(s"$path/stats").collect()(0)
-    if (stats.schema.fieldNames.contains("last_batch") &&
-        stats.getAs[Long]("last_batch") == batchId)
-      return // this fold already committed — idempotent retry
     val marker = s"b$batchId-"
     val postingsRoot = new Path(s"$path/postings")
-    // recovery sweep: remove any files a crashed attempt of THIS batch
-    // moved into place, plus its staged dir
-    Lsm.sweepMarked(fs, postingsRoot, marker)
     val staged = new Path(s"$path/staged")
     fs.delete(staged, true)
     val nBuckets = stats.getAs[Long]("n_buckets")

@@ -203,14 +203,11 @@ object Similarity {
     val fs = Lsm.fs(spark, path)
     recoverRetrain(spark, path) // a crashed retrain rolls forward first
     Lsm.recoverSwap(fs, path, "meta")
-    val lastBatch =
-      if (fs.exists(new Path(s"$path/meta")))
-        spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
-      else -1L // a pre-incremental writeIvfIndex tree being adopted
-    if (lastBatch == batchId) return // committed fold — idempotent retry
+    // shared entry: committed no-op, or sweep this batch's partial move
+    if (Lsm.enterBatch(spark, fs, path, batchId,
+        markedRoots = Seq("vectors")).alreadyCommitted) return
     val marker = s"b$batchId-"
     val vectorsRoot = new Path(s"$path/vectors")
-    Lsm.sweepMarked(fs, vectorsRoot, marker)
     val staged = new Path(s"$path/staged")
     fs.delete(staged, true)
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -382,7 +379,12 @@ object Similarity {
     import graft.util.Lsm
     import org.apache.hadoop.fs.Path
     val fs = Lsm.fs(spark, path)
-    Lsm.recoverSwap(fs, path, "centroids")
+    // retrain-aware recovery, NOT a raw recoverSwap("centroids"): a
+    // crashed post-marker retrain leaves centroids_staged beside a LIVE
+    // centroid table, and the raw sweep would discard it as debris here —
+    // recoverRetrain inside ivfInsert would then pair the re-assigned
+    // staged vectors with the OLD centroid table
+    recoverIvfTree(spark, path)
     if (!fs.exists(new Path(s"$path/centroids"))) {
       ivfCentroids(batch, nlist, dim).write.mode("overwrite")
         .parquet(Lsm.stagedPath(path, "centroids", batchId))

@@ -89,7 +89,15 @@ object DocIngest {
       evalPath: Option[String] = None, decontamN: Int = 5): BatchResult = {
     val b = batch.persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
-    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    // storageLevel guard: two gates can hand back plan-identical frames
+    // (the limit(0) placeholders when index/eval gates are off), and a
+    // second persist() of an already-cached plan noisy-warns the daemon's
+    // logs every batch
+    def cache(df: DataFrame): DataFrame = {
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        cached += df.persist()
+      df
+    }
     try {
       val withinPairs = cache(Dedup
         .minhashLshPairs(b, n, numHashes, bands, threshold, gramHashes, bandBucket)
@@ -97,10 +105,13 @@ object DocIngest {
       val withinDrops = cache(
         withinPairs.select(col("b_id").as("doc_id")).distinct())
       // existence through the path's own filesystem — a java.io.File check
-      // would silently disable the gate on hdfs:// / s3:// deployments
+      // would silently disable the gate on hdfs:// / s3:// deployments —
+      // and by DATA files, not the bare dir: a crashed batch-0 append
+      // leaves bands/batch-0 holding only _temporary debris, and a bare
+      // read would throw on every retry
       val bandsPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-      val indexExists = bandsPath
-        .getFileSystem(spark.sessionState.newHadoopConf()).exists(bandsPath)
+      val indexExists = graft.util.Lsm.hasBucketData(
+        bandsPath.getFileSystem(spark.sessionState.newHadoopConf()), bandsPath)
       // Re-delivery gate (class scaladoc): a doc_id already admitted by an
       // EARLIER batch is dropped before the near-dup probe even runs — the
       // probe's self-id filter must never re-admit it. The current batch's
@@ -150,14 +161,13 @@ object DocIngest {
         case Some((p, vecs)) =>
           val fs = graft.util.Lsm.fs(spark, p)
           // retrain-aware entry recovery (raw recoverSwap("centroids")
-          // would sweep a crashed post-marker retrain's staged twin)
+          // would sweep a crashed post-marker retrain's staged twin),
+          // then the shared entry: a committed retry keeps its marked
+          // files, an uncommitted one sweeps its own partial move before
+          // the gate probes the tree
           graft.operators.Similarity.recoverIvfTree(spark, p)
-          val metaPath = new org.apache.hadoop.fs.Path(s"$p/meta")
-          val committed = fs.exists(metaPath) &&
-            spark.read.parquet(s"$p/meta").collect()(0).getLong(0) == batchId
-          if (!committed)
-            graft.util.Lsm.sweepMarked(fs,
-              new org.apache.hadoop.fs.Path(s"$p/vectors"), s"b$batchId-")
+          graft.util.Lsm.enterBatch(spark, fs, p, batchId,
+            markedRoots = Seq("vectors"))
           if (!fs.exists(new org.apache.hadoop.fs.Path(s"$p/centroids"))) {
             graft.operators.Similarity.ivfCentroids(vecs, embNlist, embDim)
               .write.mode("overwrite")
@@ -170,8 +180,11 @@ object DocIngest {
           val w = cache(graft.operators.Similarity
             .embNearDupWithin(probes, embThreshold)
             .select(col("a_id"), col("b_id")))
+          // DATA-file probe, not dir existence (the crashed-first-fold
+          // sweep leaves empty cid= dirs that would wedge a bare read)
           val i = cache(
-            if (fs.exists(new org.apache.hadoop.fs.Path(s"$p/vectors")))
+            if (graft.util.Lsm.hasBucketData(fs,
+                new org.apache.hadoop.fs.Path(s"$p/vectors")))
               graft.operators.Similarity
                 .embNearDupAgainstIndex(spark, p, probes, embThreshold)
                 .select(col("a_id"), col("b_id"))

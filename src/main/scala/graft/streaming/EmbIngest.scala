@@ -59,26 +59,32 @@ object EmbIngest {
   def commitEmbBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
       batchId: Long, nlist: Int = 16, dim: Int = 64,
       dedupThreshold: Option[Double] = None, nprobe: Int = 2,
-      compactEvery: Int = 0, retrainEvery: Int = 0): DocIngest.BatchResult = {
+      compactEvery: Int = 0, retrainEvery: Int = 0,
+      pqIndexPath: Option[String] = None, pqM: Int = 8, pqKsub: Int = 16,
+      pqResidual: Boolean = true): DocIngest.BatchResult = {
     val fs = Lsm.fs(spark, indexPath)
     // retrain-aware entry recovery (a raw recoverSwap("centroids") here
-    // would sweep a crashed post-marker retrain's staged twin as debris)
+    // would sweep a crashed post-marker retrain's staged twin as debris),
+    // then the shared entry: committed no-op, or sweep this batch's own
+    // partial move BEFORE the gate probes the tree (ivfInsert re-sweeps;
+    // harmless)
     Similarity.recoverIvfTree(spark, indexPath)
-    val lastBatch =
-      if (fs.exists(new Path(s"$indexPath/meta")))
-        spark.read.parquet(s"$indexPath/meta").collect()(0).getLong(0)
-      else -1L
-    if (lastBatch == batchId) { // committed fold — idempotent retry
+    if (Lsm.enterBatch(spark, fs, indexPath, batchId,
+        markedRoots = Seq("vectors")).alreadyCommitted) {
       System.err.println(s"[embingest] batch $batchId: already committed")
       return DocIngest.BatchResult(0, 0, 0, 0)
     }
-    // sweep a crashed attempt's partial move BEFORE the gate probes the
-    // tree (ivfInsert re-sweeps; harmless)
-    Lsm.sweepMarked(fs, new Path(s"$indexPath/vectors"), s"b$batchId-")
     val uniq = batch.groupBy("vec_id")
       .agg(min(col("embedding")).as("embedding")).persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](uniq)
-    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    // storageLevel guard: two gates can hand back plan-identical frames
+    // (the limit(0) placeholders), and a second persist() of an already-
+    // cached plan noisy-warns the daemon's logs every batch
+    def cache(df: DataFrame): DataFrame = {
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        cached += df.persist()
+      df
+    }
     try {
       // materialize the cache before train + gate fan out on it — and guard
       // the empty drop: training on zero vectors would swap-commit an EMPTY
@@ -93,7 +99,10 @@ object EmbIngest {
           .parquet(Lsm.stagedPath(indexPath, "centroids", batchId))
         Lsm.commitSwap(fs, indexPath, "centroids", batchId)
       }
-      val indexExists = fs.exists(new Path(s"$indexPath/vectors"))
+      // DATA-file probe, not dir existence: a crashed first fold's sweep
+      // leaves empty cid= dirs behind, and a bare-dir read would throw
+      // "unable to infer schema" on every retry, wedging the daemon
+      val indexExists = Lsm.hasBucketData(fs, new Path(s"$indexPath/vectors"))
       val redelivered = cache(if (indexExists)
         uniq.join(spark.read.parquet(s"$indexPath/vectors")
             .select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
@@ -118,13 +127,32 @@ object EmbIngest {
         withinDrops.union(indexDrops).union(redelivered).distinct(),
         Seq("vec_id"), "left_anti"))
       val nAdmitted = admitted.count() // materialize before the fold reuses it
+      // Compressed twin folds FIRST (SCALING deferred #10 closed): the
+      // gate above reads only the uncompressed tree, so "IVF meta
+      // committed" must imply "PQ fold committed" for the entry's
+      // committed no-op to be safe. A crash between the two folds then
+      // replays into a gate recomputation against the pre-batch serving
+      // tree (identical admitted set), a PQ no-op on its own marker, and
+      // a redone IVF fold. The PQ quantizer cold-trains on the whole
+      // deduplicated drop (the uncompressed tree's centroid contract) but
+      // folds only the admitted set, under the SAME batch id.
+      pqIndexPath.foreach { p =>
+        graft.operators.Pq.ivfPqCommitBatch(spark, p, admitted, batchId,
+          nlist = nlist, m = pqM, ksub = pqKsub, dim = dim,
+          residual = pqResidual, trainOn = Some(uniq))
+      }
       Similarity.ivfInsert(spark, indexPath, admitted, batchId)
-      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
         Similarity.ivfCompact(spark, indexPath)
+        pqIndexPath.foreach(graft.operators.Pq.ivfPqCompact(spark, _))
+      }
       // periodic drift repair in the same single-writer slot: retrain the
       // coarse quantizer on everything served and re-assign (the fold's
       // frozen-centroid contract made whole); last_batch carries forward,
-      // so a replay of THIS batch after the retrain still no-ops
+      // so a replay of THIS batch after the retrain still no-ops.
+      // UNCOMPRESSED tree only: the PQ twin's quantizer + codebooks stay
+      // frozen at cold-start (the FAISS add contract) — its drift escape
+      // hatch is a writeIvfPqIndex rebuild, not an in-place retrain
       if (retrainEvery > 0 && batchId > 0 && batchId % retrainEvery == 0)
         Similarity.ivfRetrain(spark, indexPath, nlist, dim)
       val r = DocIngest.BatchResult(nAdmitted,
@@ -137,11 +165,15 @@ object EmbIngest {
     } finally cached.foreach(_.unpersist())
   }
 
-  /** Start the streaming fold: JSONL drops -> per-batch gated commit. */
+  /** Start the streaming fold: JSONL drops -> per-batch gated commit.
+    * With `pqIndexPath` set the daemon maintains the compressed (IVF-PQ)
+    * twin alongside the serving tree — ADC top-k at daemon freshness. */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       indexPath: String, nlist: Int = 16, dim: Int = 64,
       dedupThreshold: Option[Double] = None, nprobe: Int = 2,
       compactEvery: Int = 0, retrainEvery: Int = 0,
+      pqIndexPath: Option[String] = None, pqM: Int = 8, pqKsub: Int = 16,
+      pqResidual: Boolean = true,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     spark.readStream.schema(embSchema).json(inputDir)
       .writeStream
@@ -150,7 +182,9 @@ object EmbIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitEmbBatch(spark, indexPath, batch, batchId, nlist = nlist,
           dim = dim, dedupThreshold = dedupThreshold, nprobe = nprobe,
-          compactEvery = compactEvery, retrainEvery = retrainEvery)
+          compactEvery = compactEvery, retrainEvery = retrainEvery,
+          pqIndexPath = pqIndexPath, pqM = pqM, pqKsub = pqKsub,
+          pqResidual = pqResidual)
         ()
       }
       .start()

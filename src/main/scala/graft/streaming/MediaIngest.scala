@@ -53,22 +53,30 @@ object MediaIngest {
       nBuckets: Int = 8, compactEvery: Int = 0): DocIngest.BatchResult = {
     val fs = Lsm.fs(spark, indexPath)
     Lsm.recoverSwap(fs, indexPath, "meta")
-    if (fs.exists(new Path(s"$indexPath/meta")) &&
-        spark.read.parquet(s"$indexPath/meta").collect()(0)
-          .getAs[Long]("last_batch") == batchId) {
+    // shared entry: committed no-op, or sweep this batch's own partial
+    // move BEFORE the gate probes the tree (hashIndexInsert re-sweeps;
+    // harmless)
+    if (Lsm.enterBatch(spark, fs, indexPath, batchId,
+        markedRoots = Seq("chunks")).alreadyCommitted) {
       System.err.println(s"[mediaingest] batch $batchId: already committed")
       return DocIngest.BatchResult(0, 0, 0, 0)
     }
-    // sweep a crashed attempt's partial move BEFORE the gate probes the
-    // tree (hashIndexInsert re-sweeps; harmless)
-    Lsm.sweepMarked(fs, new Path(s"$indexPath/chunks"), s"b$batchId-")
     val b = batch.persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
-    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    // storageLevel guard: plan-identical frames (the limit(0)
+    // placeholders) must not re-persist and warn every batch
+    def cache(df: DataFrame): DataFrame = {
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        cached += df.persist()
+      df
+    }
     try {
       val hashes = cache(Multimodal.imageHashes(spark, b).toDF()
         .groupBy("doc_id").agg(min(col("ahash")).as("ahash")))
-      val indexExists = fs.exists(new Path(s"$indexPath/chunks"))
+      // DATA-file probe, not dir existence: a crashed first fold's sweep
+      // leaves empty tb= dirs behind, and a bare-dir read would throw on
+      // every retry, wedging the daemon
+      val indexExists = Lsm.hasBucketData(fs, new Path(s"$indexPath/chunks"))
       val redelivered = cache(if (indexExists)
         hashes.join(Multimodal.servedHashes(spark, indexPath)
             .select("doc_id").distinct(), Seq("doc_id"), "left_semi")

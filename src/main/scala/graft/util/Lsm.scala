@@ -19,12 +19,14 @@ import org.apache.spark.sql.SparkSession
   * dir to `<name>_old_b<id>`, renaming the staged twin in, and deleting
   * the old twin — two metadata renames, never an in-place overwrite
   * whose delete-then-rewrite window can zero live state. Entry-time
-  * [[recoverSwap]] handles every crash point: a missing live dir with a
-  * complete staged twin rolls FORWARD (the data the swap was publishing
-  * is already in place by protocol order), a missing live dir with only
-  * the old twin rolls BACK (the interrupted fold then redoes cleanly),
-  * and with the live dir present any remaining twin is committed-swap
-  * debris and is swept.
+  * [[recoverSwap]] handles every crash point: a missing live dir with
+  * BOTH twins rolls FORWARD from the staged one (the old twin proves
+  * commitSwap started, hence staged was fully written), a missing live
+  * dir with only the old twin rolls BACK (the interrupted fold then
+  * redoes cleanly), a missing live dir with only a staged twin is a
+  * cold-start crash mid-staged-write — possibly partial — and is swept
+  * so the batch retry rebuilds it, and with the live dir present any
+  * remaining twin is committed-swap debris and is swept.
   *
   * == Protocol 2: batch-marked LSM append ==
   *
@@ -53,9 +55,79 @@ object Lsm {
   def stagedPath(parent: String, name: String, batchId: Long): String =
     s"$parent/${name}_staged_b$batchId"
 
+  /** Writer-entry state for one batch against an at-rest tree:
+    * the tree's committed batch id and whether THIS batch already is it. */
+  final case class BatchEntry(lastBatch: Long, alreadyCommitted: Boolean)
+
+  /** The committed batch id a tree's meta table records, or -1 when the
+    * meta dir is absent or predates the incremental protocol (no
+    * `last_batch` column — a pre-fold tree being adopted). The caller
+    * must have run its swap recovery for the meta dir first. */
+  def committedBatch(spark: SparkSession, fs: FileSystem, path: String,
+      metaDir: String = "meta"): Long = {
+    if (!fs.exists(new Path(s"$path/$metaDir"))) -1L
+    else {
+      val row = spark.read.parquet(s"$path/$metaDir").collect()(0)
+      if (row.schema.fieldNames.contains("last_batch"))
+        row.getAs[Long]("last_batch")
+      else -1L
+    }
+  }
+
+  /** The shared daemon writer entry, hoisted from the per-tree folds
+    * (BM25 postings, IVF vectors, IVF-PQ codes, perceptual-hash chunks,
+    * LP/BT state): read the committed batch id from `metaDir`; a
+    * committed retry returns `alreadyCommitted = true` (the caller
+    * no-ops — and the batch's marked files MUST stay); otherwise sweep
+    * exactly this batch's partial move from every `markedRoots` bucket
+    * tree (protocol 2's retry rule) so the caller's gate probes and
+    * redone fold see only the pre-batch tree. The caller runs its
+    * tree-specific swap recovery (recoverSwap / recoverIvfTree) BEFORE
+    * this — recovery order is where the retrain/fold crash interactions
+    * live, and it differs per tree. */
+  def enterBatch(spark: SparkSession, fs: FileSystem, path: String,
+      batchId: Long, metaDir: String = "meta",
+      markedRoots: Seq[String] = Seq.empty): BatchEntry = {
+    val lastBatch = committedBatch(spark, fs, path, metaDir)
+    if (lastBatch == batchId) BatchEntry(lastBatch, alreadyCommitted = true)
+    else {
+      markedRoots.foreach(r =>
+        sweepMarked(fs, new Path(s"$path/$r"), s"b$batchId-"))
+      BatchEntry(lastBatch, alreadyCommitted = false)
+    }
+  }
+
+  /** True iff the tree under `root` holds at least one DATA file,
+    * recursively — the existence probe gates must use instead of
+    * `fs.exists(root)`: after a crashed first fold's sweep the partition
+    * dirs remain but hold nothing, and a bare-dir parquet read throws
+    * "unable to infer schema" on every retry, wedging the daemon until
+    * the dir is deleted by hand. Short-circuits on the first data file. */
+  def hasBucketData(fs: FileSystem, root: Path): Boolean =
+    fs.exists(root) && {
+      // hidden entries (_SUCCESS, _temporary/, .crc) are invisible to the
+      // reader, so they are invisible here too — a pending task file
+      // inside _temporary/ must not count as served data
+      val entries = fs.listStatus(root).filter(s =>
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      entries.exists(_.isFile) ||
+      entries.exists(s => s.isDirectory && hasBucketData(fs, s.getPath))
+    }
+
   /** Protocol-1 entry recovery for `<parent>/<name>`: roll a mid-swap
     * crash forward from the staged twin or back from the old one, then
-    * sweep committed-swap debris. Always call before reading the dir. */
+    * sweep committed-swap debris. Always call before reading the dir.
+    *
+    * The staged twin proves itself COMPLETE only when the matching old
+    * twin also exists (commitSwap renamed live away, which happens after
+    * the caller finished writing staged). A staged twin beside a missing
+    * live dir with NO old twin is a cold-start crash mid-staged-write —
+    * possibly PARTIAL (a cold commitSwap skips the live→old rename and
+    * its staged→live rename is atomic, so no post-write crash point
+    * leaves this state) — and rolling it forward would publish a
+    * half-written table that fs.exists checks then treat as live state
+    * forever. It is swept instead: the batch marker always commits after
+    * the swapped dir, so the crashed batch retries and rebuilds it. */
   def recoverSwap(fs: FileSystem, parent: String, name: String): Unit = {
     val live = new Path(s"$parent/$name")
     def twins(prefix: String): Seq[Path] =
@@ -65,8 +137,9 @@ object Lsm {
     if (!fs.exists(live)) {
       val staged = twins(s"${name}_staged_b")
       val old = twins(s"${name}_old_b")
-      if (staged.nonEmpty) fs.rename(staged.head, live)
+      if (staged.nonEmpty && old.nonEmpty) fs.rename(staged.head, live)
       else if (old.nonEmpty) fs.rename(old.head, live)
+      // staged-only: cold-start partial write — fall through to the sweep
     }
     (twins(s"${name}_staged_b") ++ twins(s"${name}_old_b"))
       .foreach(p => fs.delete(p, true))

@@ -309,6 +309,114 @@ class IvfSpec extends SparkSpec {
     assert(treeAssign(path).size == 48)
   }
 
+  test("cold-start crash mid-centroid-staging: the partial twin sweeps, the retry retrains") {
+    import graft.streaming.EmbIngest
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("emb-coldcrash").toString + "/idx"
+    val fs = graft.util.Lsm.fs(spark, path)
+    // simulate batch 0 crashing MID-staged-centroid-write: a partial
+    // (unreadable) staged dir, no live centroids, no old twin. Rolling it
+    // forward would suppress cold-start training forever and wedge every
+    // later batch on an unreadable table.
+    fs.mkdirs(new Path(s"$path/centroids_staged_b0"))
+    fs.create(new Path(s"$path/centroids_staged_b0/part-0.parquet")).close()
+    val r = EmbIngest.commitEmbBatch(spark, path, emb, 0L, nlist = 6, dim = 16)
+    assert(r.admitted == 48, "the retry must retrain from the batch")
+    assert(spark.read.parquet(s"$path/centroids").count() > 0,
+      "the served centroid table must be the retry's complete one")
+    assert(treeAssign(path).size == 48)
+  }
+
+  test("first-fold crash between move and meta commit: the retry reconverges, never wedges") {
+    import graft.streaming.EmbIngest
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("emb-foldcrash").toString + "/idx"
+    // run a real cold batch 0, then rewind it to the crash point between
+    // Lsm.moveMarked and the meta commitSwap: no meta, and the b0- files
+    // swept by the retry leave EMPTY cid= dirs on disk — a dir-existence
+    // indexExists would then read a zero-data-file tree and throw
+    // "unable to infer schema" on every retry, wedging the daemon
+    EmbIngest.commitEmbBatch(spark, path, emb, 0L, nlist = 6, dim = 16)
+    val fs = graft.util.Lsm.fs(spark, path)
+    fs.delete(new Path(s"$path/meta"), true)
+    graft.util.Lsm.sweepMarked(fs, new Path(s"$path/vectors"), "b0-")
+    assert(fs.exists(new Path(s"$path/vectors")),
+      "fixture: the empty partition skeleton must be on disk")
+    val r = EmbIngest.commitEmbBatch(spark, path, emb, 0L, nlist = 6,
+      dim = 16, dedupThreshold = Some(0.999999))
+    assert(r.admitted == 48 && r.droppedRedelivered == 0,
+      "the retry is a fresh fold against the pre-batch (empty) tree")
+    assert(treeAssign(path).size == 48)
+  }
+
+  test("EmbIngest dual-tree: PQ twin folds per batch; codes == single-shot encode; crash between folds reconverges") {
+    import graft.operators.Pq
+    import graft.streaming.EmbIngest
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val root = java.nio.file.Files.createTempDirectory("emb-dual").toString
+    val (idx, pq) = (s"$root/idx", s"$root/pq")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val drops = Seq(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2))
+    def pqRows(path: String): Seq[String] =
+      spark.read.parquet(s"$path/codes").select("vec_id", "cid", "sub", "code")
+        .collect().map(_.mkString(",")).sorted.toSeq
+    def vnRows(path: String): Seq[String] =
+      spark.read.parquet(s"$path/vnorms").select("vec_id", "rnorm2")
+        .collect().map(_.mkString(",")).sorted.toSeq
+    var folded = drops.head.limit(0)
+    for ((drop, i) <- drops.zipWithIndex) {
+      EmbIngest.commitEmbBatch(spark, idx, drop, i.toLong, nlist = 4,
+        dim = 16, pqIndexPath = Some(pq), pqM = 4, pqKsub = 8)
+      folded = folded.union(drop)
+      // single-shot re-encode of everything admitted so far against the
+      // FOLD tree's own frozen quantizer: codes and vnorms bit-identical
+      val ref = s"$root/ref$i"
+      val fs = graft.util.Lsm.fs(spark, ref)
+      for (t <- Seq("centroids", "codebooks", "meta"))
+        FileUtil.copy(fs, new Path(s"$pq/$t"), fs, new Path(s"$ref/$t"),
+          false, conf)
+      Pq.ivfPqInsert(spark, ref, folded, 100L + i)
+      assert(pqRows(pq) == pqRows(ref),
+        s"after drop $i the folded PQ tree must equal a single-shot encode")
+      assert(vnRows(pq) == vnRows(ref), s"vnorms bit-identical after drop $i")
+      // ADC serving agrees end-to-end, not just at-rest content
+      val q = emb.filter(col("vec_id") < 3)
+      def adc(p: String) = Pq.ivfPqTopK(spark, p, q, 5, nprobe = 4,
+          m = 4, dim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+        .sorted.toSeq
+      assert(adc(pq) == adc(ref), s"served ADC top-k after drop $i")
+    }
+    // both trees carry every admitted id under the same batch protocol
+    assert(treeAssign(idx).map(_._1).sorted == (0L until 48L))
+    assert(spark.read.parquet(s"$pq/codes").select("vec_id").distinct()
+      .count() == 48L)
+    // crash between the two folds: the PQ twin committed batch 3, the IVF
+    // fold did not run. The daemon retry must no-op the PQ fold (its own
+    // marker) and redo the IVF fold — both trees converge.
+    val late = (100 until 104).map(i =>
+      (i.toLong, Array.tabulate(16)(d => (dirs(i % 4)(d) + 0.01 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    Pq.ivfPqCommitBatch(spark, pq, late, 3L, nlist = 4, m = 4, ksub = 8,
+      dim = 16, trainOn = Some(late))
+    val r = EmbIngest.commitEmbBatch(spark, idx, late, 3L, nlist = 4,
+      dim = 16, pqIndexPath = Some(pq), pqM = 4, pqKsub = 8)
+    assert(r.admitted == 4)
+    assert(treeAssign(idx).map(_._1).toSet ==
+      ((0L until 48L) ++ (100L until 104L)).toSet)
+    assert(spark.read.parquet(s"$pq/codes")
+      .filter(col("vec_id") >= 100).select("vec_id").distinct().count() == 4L,
+      "the PQ twin holds batch 3 exactly once after the replay")
+    // a fully-committed retry no-ops on both trees
+    val before = (treeAssign(idx), pqRows(pq))
+    val r2 = EmbIngest.commitEmbBatch(spark, idx, late, 3L, nlist = 4,
+      dim = 16, pqIndexPath = Some(pq), pqM = 4, pqKsub = 8)
+    assert(r2.admitted == 0 && (treeAssign(idx), pqRows(pq)) == before)
+  }
+
   test("EmbIngest daemon: cold batch trains, warm drops fold, retry no-ops") {
     import java.nio.file.{Files, Path => JPath}
     val in = Files.createTempDirectory("emb-in").toString

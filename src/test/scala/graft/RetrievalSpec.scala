@@ -211,10 +211,15 @@ class RetrievalSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def pth(s: String) = new org.apache.hadoop.fs.Path(s"$p/$s")
-    // crash window A: stats renamed away AND the staged twin complete —
-    // batch 6's postings are fully in place, so recovery rolls FORWARD
-    // and the retry of batch 6 is then a committed no-op
-    fs.rename(pth("stats"), pth("stats_staged_b6"))
+    // crash window A: between commitSwap's two renames — live renamed
+    // away (old twin present) with the staged twin complete. Batch 6's
+    // postings are fully in place, so recovery rolls FORWARD from staged
+    // and the retry of batch 6 is then a committed no-op. (A staged twin
+    // with NO old twin is the cold-start partial-write state and sweeps
+    // instead — LsmSpec pins that rule.)
+    org.apache.hadoop.fs.FileUtil.copy(fs, pth("stats"), fs,
+      pth("stats_staged_b6"), false, spark.sparkContext.hadoopConfiguration)
+    fs.rename(pth("stats"), pth("stats_old_b6"))
     Retrieval.invIndexInsert(spark, p,
       docsDf(20L -> "cat late", 21L -> "tok1 late"), batchId = 6L)
     assert(fs.exists(pth("stats")) && !fs.exists(pth("stats_staged_b6")))
