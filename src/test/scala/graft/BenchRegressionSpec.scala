@@ -24,7 +24,7 @@ class BenchRegressionSpec extends AnyFunSuite {
   test("flags >1.5x slowdowns, worst ratio first; small deltas and new queries pass") {
     val lines = Seq(hist("r9", Seq.empty,
       "q68" -> 2.0, "q01" -> 0.9, "q05" -> 0.1, "q69" -> 3.5))
-    val (_, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 5.0, "q01" -> 1.0, "q05" -> 0.25, "q69" -> 5.4,
         "q_new" -> 9.9),
       contaminatedNow = Set.empty)
@@ -35,7 +35,7 @@ class BenchRegressionSpec extends AnyFunSuite {
 
   test("contamination in either round suppresses the flag") {
     val lines = Seq(hist("r9", Seq("q68"), "q68" -> 2.0, "q69" -> 3.5))
-    val (_, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 9.0, "q69" -> 9.0), contaminatedNow = Set("q69"))
     assert(got.isEmpty)
   }
@@ -45,16 +45,16 @@ class BenchRegressionSpec extends AnyFunSuite {
       hist("r8", Seq.empty, "q68" -> 9.0), // stale round: would not flag
       s"""{"round":"rX","sf":"/elsewhere","contaminated":[],"queries":{"q68":0.1},"bench_only":{}}""",
       hist("r9", Seq.empty, "q68" -> 2.0)) // the real baseline
-    val (_, got) = Bench.findRegressions(lines, sf, Seq("q68" -> 5.0), Set.empty)
+    val (_, _, got) = Bench.findRegressions(lines, sf, Seq("q68" -> 5.0), Set.empty)
     assert(got === Seq(("q68", 2.0, 5.0)))
   }
 
   test("no history, or no same-sf line, means no flags") {
     assert(Bench.findRegressions(Seq.empty, sf, Seq("q" -> 9.0), Set.empty)
-      ._2.isEmpty)
+      ._3.isEmpty)
     val other = Seq(s"""{"round":"r9","sf":"/other","contaminated":[],"queries":{"q":1.0},"bench_only":{}}""")
     assert(Bench.findRegressions(other, sf, Seq("q" -> 9.0), Set.empty)
-      ._2.isEmpty)
+      ._3.isEmpty)
   }
 
   test("bench_only twins cannot clobber a board query's baseline") {
@@ -62,7 +62,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // parse would keep the bench_only 0.1 and flag 2.1 as a 21x regression.
     val line =
       s"""{"round":"r9","sf":"$sf","contaminated":[],"queries":{"q68":2.0},"bench_only":{"q68":0.1}}"""
-    val (_, got) = Bench.findRegressions(Seq(line), sf, Seq("q68" -> 2.1),
+    val (_, _, got) = Bench.findRegressions(Seq(line), sf, Seq("q68" -> 2.1),
       Set.empty)
     assert(got.isEmpty)
   }
@@ -73,7 +73,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // reading flags against the honest 2.0.
     val lines = Seq(hist("r9", Seq("q68"), "q68" -> 15.0, "q01" -> 1.0),
       quiet("r10q", "q68" -> 2.0))
-    val (_, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 9.0, "q01" -> 1.0), Set.empty)
     assert(got === Seq(("q68", 2.0, 9.0)))
   }
@@ -81,7 +81,7 @@ class BenchRegressionSpec extends AnyFunSuite {
   test("a quiet row lowers a loaded (unstamped) baseline via min") {
     val lines = Seq(hist("r9", Seq.empty, "q68" -> 5.0, "q01" -> 1.0),
       quiet("r10q", "q68" -> 2.0))
-    val (_, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 4.0, "q01" -> 1.0), Set.empty)
     // vs the bench 5.0 no flag; vs the quiet 2.0, 4.0 is a 2x regression
     assert(got === Seq(("q68", 2.0, 4.0)))
@@ -90,7 +90,7 @@ class BenchRegressionSpec extends AnyFunSuite {
   test("quiet rows BEFORE the last full-board entry do not overlay it") {
     val lines = Seq(quiet("r8q", "q68" -> 0.5),
       hist("r9", Seq.empty, "q68" -> 2.0))
-    val (_, got) = Bench.findRegressions(lines, sf, Seq("q68" -> 2.2),
+    val (_, _, got) = Bench.findRegressions(lines, sf, Seq("q68" -> 2.2),
       Set.empty)
     assert(got.isEmpty) // 2.2 vs 2.0, not vs the stale 0.5
   }
@@ -104,16 +104,68 @@ class BenchRegressionSpec extends AnyFunSuite {
     // Every query 2x slower — the loaded-window signature, not 10 regressions.
     val (prev, now) = board(10, 2.0)
     val lines = Seq(hist("r9", Seq.empty, prev: _*))
-    val (inflation, got) = Bench.findRegressions(lines, sf, now, Set.empty)
+    val (inflation, contaminated, got) =
+      Bench.findRegressions(lines, sf, now, Set.empty)
     assert(math.abs(inflation - 2.0) < 1e-9)
+    assert(contaminated, "a 2x median is a loaded window, stamped as such")
     assert(got.isEmpty) // load-normalized, every ratio is exactly 1.0
+  }
+
+  test("SPIKY load: >5% per-query contamination stamps the window and suppresses all flags") {
+    // r11's shipped-artifact signature: median ~1.0 (the uniform gate is
+    // blind), but a tail of queries ran 5-6x under transient load. Some of
+    // the slow ones carry per-query spread stamps; others were slow in
+    // every run of the window and are NOT stamped — those minted r11's 14
+    // false regressions. With >5% of the board stamped, the whole window
+    // is untrustworthy: zero flags, contaminated artifact.
+    val stable = (1 to 24).map(i => s"qs$i" -> (1.0 + i * 0.1))
+    val spiky = Seq("qa" -> 1.0, "qb" -> 1.2, "qc" -> 1.4) // stamped
+    val unstampedSlow = Seq("qd" -> 1.0) // 6x slow, no spread stamp
+    val lines = Seq(hist("r9", Seq.empty, stable ++ spiky ++ unstampedSlow: _*))
+    val now = stable ++ spiky.map { case (k, v) => k -> v * 5.0 } ++
+      unstampedSlow.map { case (k, v) => k -> v * 6.0 }
+    val (inflation, contaminated, got) = Bench.findRegressions(lines, sf,
+      now, contaminatedNow = Set("qa", "qb", "qc"))
+    assert(math.abs(inflation - 1.0) < 1e-9, "the median gate alone is blind")
+    assert(contaminated, "3/28 stamped > 5% must stamp the window")
+    assert(got.isEmpty, "a loaded window ships zero regression flags")
+  }
+
+  test("spiky stamp needs a board-sized run: scoped boards don't trip it") {
+    // 5 queries with 1 stamped is 20% — but on a short board that's one
+    // noisy query, not ambient load.
+    val prev = (1 to 5).map(i => s"q$i" -> 1.0)
+    val lines = Seq(hist("r9", Seq.empty, prev: _*))
+    val (_, contaminated, _) = Bench.findRegressions(lines, sf,
+      prev, contaminatedNow = Set("q1"))
+    assert(!contaminated)
+  }
+
+  test("a query at its historical time in an earlier same-round window is not flagged") {
+    // The r11 adjudication in the gate: this window reads q68 at 6.3 s, but
+    // an earlier full-board window of the SAME round timed it at 2.1 s —
+    // host noise here, not a regression.
+    val lines = Seq(hist("r9", Seq.empty, "q68" -> 2.0, "q01" -> 1.0))
+    val (_, _, got) = Bench.findRegressions(lines, sf,
+      Seq("q68" -> 6.3, "q01" -> 1.0), Set.empty,
+      sameRoundMins = Map("q68" -> 2.1))
+    assert(got.isEmpty)
+  }
+
+  test("a regression slow in EVERY window of the round still flags") {
+    val lines = Seq(hist("r9", Seq.empty, "q68" -> 2.0, "q01" -> 1.0))
+    val (_, _, got) = Bench.findRegressions(lines, sf,
+      Seq("q68" -> 6.3, "q01" -> 1.0), Set.empty,
+      sameRoundMins = Map("q68" -> 5.9))
+    assert(got === Seq(("q68", 2.0, 5.9)),
+      "the flag carries the round's best (still-slow) time")
   }
 
   test("a real per-query regression survives the load normalization") {
     // Window at 1.2x ambient, but q_bad is 6x: 6/1.2 = 5x >> 1.5x.
     val (prev, now) = board(10, 1.2)
     val lines = Seq(hist("r9", Seq.empty, prev :+ ("q_bad" -> 1.0): _*))
-    val (inflation, got) = Bench.findRegressions(lines, sf,
+    val (inflation, _, got) = Bench.findRegressions(lines, sf,
       now :+ ("q_bad" -> 6.0), Set.empty)
     assert(inflation > 1.0 && inflation < 1.5)
     assert(got.map(_._1) === Seq("q_bad"))
@@ -125,7 +177,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     val (prev, now) = board(10, 1.0)
     val tiny = (1 to 9).map(i => s"t$i" -> 0.05)
     val lines = Seq(hist("r9", Seq.empty, prev ++ tiny: _*))
-    val (inflation, _) = Bench.findRegressions(lines, sf,
+    val (inflation, _, _) = Bench.findRegressions(lines, sf,
       now ++ tiny.map { case (k, _) => k -> 0.5 }, Set.empty)
     assert(math.abs(inflation - 1.0) < 1e-9)
   }
@@ -135,7 +187,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // 3 samples the gate must flag all three instead of normalizing away.
     val (prev, now) = board(3, 3.0)
     val lines = Seq(hist("r9", Seq.empty, prev: _*))
-    val (inflation, got) = Bench.findRegressions(lines, sf, now, Set.empty)
+    val (inflation, _, got) = Bench.findRegressions(lines, sf, now, Set.empty)
     assert(inflation === 1.0)
     assert(got.size === 3)
   }
