@@ -141,7 +141,10 @@ object Similarity {
     * equal parameters. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    // snapshot isolation: resolve the versioned root ONCE, then read both
+    // tables under it — a racing retrain can never split the pair
+    val root = ivfRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/centroids")
     val qProbes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
       .withColumn("ccos", ArrayMath.cosineKey(col("q_emb"), col("center")))
@@ -158,7 +161,7 @@ object Similarity {
     val probed = probeRows.map(_.getLong(2)).distinct.sorted
     val qLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), qProbes.schema)
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors = spark.read.parquet(s"$root/vectors")
       .filter(col("cid").isin(probed: _*))
     val scored = vectors.join(broadcast(qLocal), Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -201,16 +204,18 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = Lsm.fs(spark, path)
-    recoverRetrain(spark, path) // a crashed retrain rolls forward first
-    Lsm.recoverSwap(fs, path, "meta")
+    recoverIvfTree(spark, path) // a crashed retrain's debris sweeps first
+    // the fold targets the CURRENT version's tables (single writer, so
+    // the resolution cannot race a retrain)
+    val root = ivfRoot(spark, path)
     // shared entry: committed no-op, or sweep this batch's partial move
-    if (Lsm.enterBatch(spark, fs, path, batchId,
-        markedRoots = Seq("vectors")).alreadyCommitted) return
+    if (Lsm.enterBatch(spark, fs, path, batchId).alreadyCommitted) return
+    Lsm.sweepMarked(fs, new Path(s"$root/vectors"), s"b$batchId-")
     val marker = s"b$batchId-"
-    val vectorsRoot = new Path(s"$path/vectors")
-    val staged = new Path(s"$path/staged")
+    val vectorsRoot = new Path(s"$root/vectors")
+    val staged = new Path(s"$root/staged")
     fs.delete(staged, true)
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = spark.read.parquet(s"$root/centroids")
     assignToCentroids(batch, centroids)
       .join(batch, "vec_id")
       .repartition(col("cid"))
@@ -236,77 +241,67 @@ object Similarity {
     import graft.util.Lsm
     import org.apache.hadoop.fs.Path
     val fs = Lsm.fs(spark, path)
-    val vectorsRoot = new Path(s"$path/vectors")
+    recoverIvfTree(spark, path) // a crashed retrain's debris sweeps first
+    val root = ivfRoot(spark, path)
+    val vectorsRoot = new Path(s"$root/vectors")
     if (!fs.exists(vectorsRoot)) return
-    recoverRetrain(spark, path) // a crashed retrain rolls forward first
-    val stagedRoot = new Path(s"$path/compact_staged")
-    val oldRoot = new Path(s"$path/compact_old")
+    val stagedRoot = new Path(s"$root/compact_staged")
+    val oldRoot = new Path(s"$root/compact_old")
     Lsm.recoverBucketSwap(fs, vectorsRoot, stagedRoot, oldRoot)
-    Lsm.recoverSwap(fs, path, "meta")
-    val lastBatch =
-      if (fs.exists(new Path(s"$path/meta")))
-        spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
-      else -1L
+    val lastBatch = Lsm.committedBatch(spark, fs, path, "meta")
     Lsm.sweepAboveBatch(fs, vectorsRoot, lastBatch)
-    fs.delete(new Path(s"$path/staged"), true)
+    fs.delete(new Path(s"$root/staged"), true)
     Lsm.compactBuckets(spark, fs, vectorsRoot, stagedRoot, oldRoot, "cid=",
       maxFilesPerCell)
   }
 
-  /** Entry recovery for a crashed [[ivfRetrain]]: the retrain stages BOTH
-    * new tables, then commits them under a `retrain_ready` marker file —
-    * the marker's presence means "both staged twins are complete; roll
-    * FORWARD", its absence means any retrain staging is debris to sweep.
-    * Without the marker, a crash between the two table swaps would leave
-    * the generic per-dir recovery ([[graft.util.Lsm.recoverSwap]]) to
-    * roll ONE table back and strand the other forward — a tree whose
-    * cells disagree with its centroids. Called at every writer entry. */
-  private def recoverRetrain(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    import graft.util.Lsm
+  private val versionDir = "^v(\\d+)$".r
+
+  /** The COMMITTED version numbers of an IVF tree at `path`: every
+    * `v<n>/` child holding a `_committed` marker. The legacy layout
+    * (tables at `path` itself) is implicit version 0. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Int] = {
     import org.apache.hadoop.fs.Path
-    val fs = Lsm.fs(spark, path)
-    val marker = new Path(s"$path/retrain_ready")
-    def twins(prefix: String): Seq[Path] =
-      if (!fs.exists(new Path(path))) Seq.empty
-      else fs.listStatus(new Path(path)).map(_.getPath)
-        .filter(_.getName.startsWith(prefix)).toSeq
-    if (fs.exists(marker)) {
-      // roll forward: finish whichever swaps the crash interrupted.
-      // commitSwap order per table: live->old, staged->live, delete old;
-      // a staged twin still present means that table's swap hasn't
-      // completed — redo it; a lone old twin means it crashed between
-      // the renames — the staged-nonEmpty branch above it already ran.
-      Seq("vectors", "centroids").foreach { n =>
-        val live = new Path(s"$path/$n")
-        val staged = twins(s"${n}_staged_b")
-        if (staged.nonEmpty) {
-          if (fs.exists(live))
-            fs.rename(live, new Path(s"$path/${n}_old_brt"))
-          fs.rename(staged.head, live)
-        }
-        (twins(s"${n}_old_b") ++ twins(s"${n}_old_brt"))
-          .foreach(p => fs.delete(p, true))
-      }
-      fs.delete(marker, false)
-    } else {
-      // no retrain committed: staged twins are a crashed retrain's
-      // pre-marker debris (and old twins a completed swap's leftovers)
-      Seq("vectors", "centroids").foreach(n => Lsm.recoverSwap(fs, path, n))
-    }
+    if (!fs.exists(new Path(path))) Seq.empty
+    else fs.listStatus(new Path(path)).filter(_.isDirectory)
+      .flatMap(d => versionDir.findFirstMatchIn(d.getPath.getName)
+        .map(_.group(1).toInt))
+      .filter(n => fs.exists(new Path(s"$path/v$n/_committed")))
+      .toSeq.sorted
   }
 
-  /** Writer-entry recovery for an IVF tree: a crashed retrain FIRST (the
-    * pair-marker protocol — a raw [[graft.util.Lsm.recoverSwap]] on
-    * `centroids` would sweep a post-marker retrain's staged twin as
-    * debris and permanently strand the re-assigned vectors against the
-    * old centroid table), then the meta swap. Every external writer
-    * (the streaming daemons) must enter through this, never through raw
-    * per-dir recoverSwap calls. */
+  /** Resolve the root an IVF reader must use — the snapshot-isolation
+    * point of the versioned tree: the HIGHEST committed version dir
+    * (`path/v<n>`), or `path` itself for a never-retrained tree. A
+    * reader resolves ONCE per query and reads BOTH tables (centroids +
+    * vectors) under that root, so it can never pair new centroids with
+    * old cells however it races a retrain: [[ivfRetrain]] publishes a
+    * complete successor pair under a NEW version dir, commits it with
+    * one atomic marker-file create, and keeps the superseded version on
+    * disk for a full retrain cycle before retiring it. */
+  def ivfRoot(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val vs = committedVersions(graft.util.Lsm.fs(spark, path), path)
+    if (vs.isEmpty) path else s"$path/v${vs.max}"
+  }
+
+  /** Writer-entry recovery for an IVF tree: sweep any UNCOMMITTED
+    * version dir (a crashed retrain's debris — the `_committed` marker
+    * commits the successor pair atomically, so its absence means the
+    * build never finished and no reader references the dir), then the
+    * meta swap. Every external writer (the streaming daemons) enters
+    * through this. */
   def recoverIvfTree(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    recoverRetrain(spark, path)
-    graft.util.Lsm.recoverSwap(graft.util.Lsm.fs(spark, path), path, "meta")
+    import org.apache.hadoop.fs.Path
+    val fs = graft.util.Lsm.fs(spark, path)
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path)).filter(_.isDirectory)
+        .filter(d => versionDir.findFirstMatchIn(d.getPath.getName).isDefined)
+        .filterNot(d => fs.exists(new Path(d.getPath, "_committed")))
+        .foreach(d => fs.delete(d.getPath, true))
+    graft.util.Lsm.recoverSwap(fs, path, "meta")
   }
 
   /** Retrain an [[ivfInsert]]-grown tree on everything it serves — the
@@ -314,52 +309,60 @@ object Similarity {
     * fold time, so once inserted volume rivals the trained base, recall
     * against the drifted corpus degrades; this rebuilds the coarse
     * quantizer over the FULL folded vector set and re-assigns every
-    * vector, in place.
+    * vector.
     *
-    * Protocol: both successor tables stage completely (new centroids
-    * first — the new assignment is computed against the WRITTEN staged
-    * table, the [[writeIvfIndex]] determinism lesson), then a
-    * `retrain_ready` marker commits the PAIR: after the marker exists a
-    * crash at any point rolls forward at the next writer entry
-    * ([[recoverRetrain]]); before it, staging is swept as debris. The
-    * meta marker (`last_batch`) is carried UNCHANGED, so a streaming
-    * retry of an already-committed batch still no-ops after a retrain.
-    *
-    * Runs in the single-writer maintenance slot (compaction's contract).
-    * CONCURRENT READERS: the two table swaps are not one atomic rename —
-    * a reader racing the swap window can pair new centroids with old
-    * cells (well-formed results, reduced recall, never an error beyond a
-    * transient missing-dir on the rename itself); quiesce reads across
-    * retrain, or serve from a snapshot, if that window matters. */
+    * Protocol — MVCC version dirs (the Iceberg/Delta snapshot pattern,
+    * replacing the earlier two-table in-place swap whose reader race was
+    * SCALING deferred #8): the successor pair (new centroids, then the
+    * re-assignment computed against the WRITTEN successor table — the
+    * [[writeIvfIndex]] determinism lesson) builds COMPLETELY under a
+    * fresh `path/v<n+1>/`, then one atomic `_committed` marker-file
+    * create publishes it. Readers resolve [[ivfRoot]] once and are
+    * snapshot-consistent throughout: the superseded root stays on disk
+    * until the NEXT retrain retires it (a full retrain cycle of grace
+    * for in-flight readers — 2× tree storage transiently, the standard
+    * MVCC cost). A crash anywhere before the marker leaves an
+    * uncommitted dir that [[recoverIvfTree]] sweeps; after it, the
+    * retrain IS committed and only the retirement cleanup is redone by
+    * the next cycle. The meta marker (`last_batch`) is carried UNCHANGED
+    * at the tree top, so a streaming retry of an already-committed batch
+    * still no-ops after a retrain. Runs in the single-writer maintenance
+    * slot (compaction's contract). */
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
       nlist: Int = 16, dim: Int = 64): Unit = {
     import graft.util.Lsm
     import org.apache.hadoop.fs.Path
     val fs = Lsm.fs(spark, path)
-    recoverRetrain(spark, path)
-    Lsm.recoverSwap(fs, path, "meta")
-    val lastBatch =
-      if (fs.exists(new Path(s"$path/meta")))
-        spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
-      else -1L
+    recoverIvfTree(spark, path)
+    val root = ivfRoot(spark, path)
+    val lastBatch = Lsm.committedBatch(spark, fs, path, "meta")
     // a crashed UNCOMMITTED fold's batch-marked orphans must go before the
-    // rebuild reads the tree (the ivfCompact guard): absorbed into unmarked
-    // base files they would escape the fold's own retry sweep and
-    // double-append when the batch retries
-    Lsm.sweepAboveBatch(fs, new Path(s"$path/vectors"), lastBatch)
-    val all = spark.read.parquet(s"$path/vectors").drop("cid")
-    val stagedCents = Lsm.stagedPath(path, "centroids", lastBatch)
-    ivfCentroids(all, nlist, dim).write.mode("overwrite").parquet(stagedCents)
-    val newCents = spark.read.parquet(stagedCents)
+    // rebuild reads the tree (the ivfCompact guard): absorbed into the new
+    // version's base files they would escape the fold's own retry sweep
+    // and double-append when the batch retries
+    Lsm.sweepAboveBatch(fs, new Path(s"$root/vectors"), lastBatch)
+    val all = spark.read.parquet(s"$root/vectors").drop("cid")
+    val prevVersions = committedVersions(fs, path)
+    val nextN = if (prevVersions.isEmpty) 1 else prevVersions.max + 1
+    val next = s"$path/v$nextN"
+    ivfCentroids(all, nlist, dim).write.mode("overwrite")
+      .parquet(s"$next/centroids")
+    val newCents = spark.read.parquet(s"$next/centroids")
     assignToCentroids(all, newCents).join(all, "vec_id")
       .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(Lsm.stagedPath(path, "vectors", lastBatch))
-    // the marker is the commit point for the PAIR
-    fs.create(new Path(s"$path/retrain_ready")).close()
-    Lsm.commitSwap(fs, path, "vectors", lastBatch)
-    Lsm.commitSwap(fs, path, "centroids", lastBatch)
-    fs.delete(new Path(s"$path/retrain_ready"), false)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$next/vectors")
+    fs.create(new Path(s"$next/_committed")).close() // THE commit point
+    // retire everything OLDER than the version just superseded: a reader
+    // that resolved the previous root finishes on intact tables; anything
+    // older has had a full retrain cycle to drain
+    prevVersions.filter(_ < nextN - 1)
+      .foreach(n => fs.delete(new Path(s"$path/v$n"), true))
+    if (prevVersions.nonEmpty) {
+      // the implicit legacy v0 (tables at the tree top) is older than the
+      // superseded v<max>: retire it now that two newer versions exist
+      fs.delete(new Path(s"$path/centroids"), true)
+      fs.delete(new Path(s"$path/vectors"), true)
+    }
   }
 
   /** One daemon batch against the at-rest IVF index: cold start (no
@@ -379,13 +382,12 @@ object Similarity {
     import graft.util.Lsm
     import org.apache.hadoop.fs.Path
     val fs = Lsm.fs(spark, path)
-    // retrain-aware recovery, NOT a raw recoverSwap("centroids"): a
-    // crashed post-marker retrain leaves centroids_staged beside a LIVE
-    // centroid table, and the raw sweep would discard it as debris here —
-    // recoverRetrain inside ivfInsert would then pair the re-assigned
-    // staged vectors with the OLD centroid table
+    // version-aware recovery + resolution: cold-start training applies
+    // only to a fresh tree (resolved root == path); a versioned tree
+    // always carries its centroid table inside the committed version dir
     recoverIvfTree(spark, path)
-    if (!fs.exists(new Path(s"$path/centroids"))) {
+    val root = ivfRoot(spark, path)
+    if (!fs.exists(new Path(s"$root/centroids"))) {
       ivfCentroids(batch, nlist, dim).write.mode("overwrite")
         .parquet(Lsm.stagedPath(path, "centroids", batchId))
       Lsm.commitSwap(fs, path, "centroids", batchId)
@@ -440,7 +442,7 @@ object Similarity {
       path: String, probes: DataFrame, threshold: Double): DataFrame = {
     val cells = probes.select(col("cid").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val stored = spark.read.parquet(s"$path/vectors")
+    val stored = spark.read.parquet(s"${ivfRoot(spark, path)}/vectors")
       .filter(col("cid").isin(cells: _*))
       .select(col("cid"), col("vec_id").as("b_id"),
         col("embedding").as("b_emb"))
@@ -470,7 +472,8 @@ object Similarity {
     * embedding — deterministic under array ordering). */
   def embGateVerdicts(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, threshold: Double, nprobe: Int = 2): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val root = ivfRoot(spark, path) // one resolution for the whole gate
+    val centroids = spark.read.parquet(s"$root/centroids")
     val uniq = batch.groupBy("vec_id")
       .agg(min(col("embedding")).as("embedding"))
     // cached only for this scope: the bounded cell collect inside
@@ -479,7 +482,7 @@ object Similarity {
     // than pinning a cache on the session past the call (the q204 lesson)
     val probes = ivfProbes(uniq, centroids, nprobe).persist()
     try {
-      val stored = spark.read.parquet(s"$path/vectors")
+      val stored = spark.read.parquet(s"$root/vectors")
         .select(col("vec_id")).distinct().withColumn("f_re", lit(1))
       val within = embNearDupWithin(probes, threshold)
         .select(col("b_id").as("vec_id")).distinct().withColumn("f_w", lit(1))
@@ -586,8 +589,9 @@ object Similarity {
   def centroidOutliers(spark: org.apache.spark.sql.SparkSession, path: String,
       pPct: Int = 5): DataFrame = {
     require(pPct >= 1 && pPct <= 50, "pPct in [1,50]")
-    val cent = spark.read.parquet(s"$path/centroids")
-    val vec = spark.read.parquet(s"$path/vectors")
+    val root = ivfRoot(spark, path)
+    val cent = spark.read.parquet(s"$root/centroids")
+    val vec = spark.read.parquet(s"$root/vectors")
       .select(col("cid").cast("long").as("cid"), col("vec_id"), col("embedding"))
     val scored = vec.join(broadcast(cent), "cid")
       .withColumn("ccos", ArrayMath.cosineKey(col("embedding"), col("center")))

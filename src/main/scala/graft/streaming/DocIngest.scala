@@ -117,15 +117,28 @@ object DocIngest {
       // probe's self-id filter must never re-admit it. The current batch's
       // own subdirectory is excluded via the file-path metadata column so a
       // replayed batch doesn't anti-join its first attempt away.
-      val redelivered = cache(if (indexExists)
-        b.join(
-          spark.read.option("recursiveFileLookup", "true")
-            .parquet(s"$indexPath/sizes")
-            .select(col("doc_id"), col("_metadata.file_path").as("fp"))
-            .filter(!col("fp").contains(s"/batch-$batchId/"))
-            .select("doc_id").distinct(),
-          Seq("doc_id"), "left_semi").select("doc_id").distinct()
-      else withinDrops.limit(0))
+      // Bloom-sidecar fast path: bloom-negative ids are definitely novel
+      // (the sidecar folds before every index append), so the stored
+      // `sizes/` id scan runs only when a positive exists — an all-novel
+      // batch never touches it. The sidecar may contain a replayed batch's
+      // own first-attempt ids; the exact scan's own-batch-dir exclusion
+      // still decides those correctly.
+      def storedDocIds = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$indexPath/sizes")
+        .select(col("doc_id"), col("_metadata.file_path").as("fp"))
+        .filter(!col("fp").contains(s"/batch-$batchId/"))
+        .select("doc_id").distinct()
+      val redelivered = cache(if (!indexExists) withinDrops.limit(0)
+        else graft.util.BloomSidecar.read(spark, indexPath) match {
+          case Some(bits) =>
+            val positives = b
+              .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
+              .select("doc_id").distinct()
+            if (positives.isEmpty) withinDrops.limit(0)
+            else positives.join(storedDocIds, Seq("doc_id"), "left_semi")
+          case None => b.join(storedDocIds, Seq("doc_id"), "left_semi")
+            .select("doc_id").distinct()
+        })
       val indexPairs = cache(if (indexExists)
         Dedup.minhashLshAgainstIndex(spark, indexPath, b, threshold, n,
             numHashes, bands, gramHashes, bandBucket)
@@ -166,15 +179,20 @@ object DocIngest {
           // files, an uncommitted one sweeps its own partial move before
           // the gate probes the tree
           graft.operators.Similarity.recoverIvfTree(spark, p)
-          graft.util.Lsm.enterBatch(spark, fs, p, batchId,
-            markedRoots = Seq("vectors"))
-          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$p/centroids"))) {
+          val entry = graft.util.Lsm.enterBatch(spark, fs, p, batchId)
+          // versioned-root resolution for the whole gate; an uncommitted
+          // retry sweeps its own partial move at the RESOLVED root
+          val vroot = graft.operators.Similarity.ivfRoot(spark, p)
+          if (!entry.alreadyCommitted)
+            graft.util.Lsm.sweepMarked(fs,
+              new org.apache.hadoop.fs.Path(s"$vroot/vectors"), s"b$batchId-")
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$vroot/centroids"))) {
             graft.operators.Similarity.ivfCentroids(vecs, embNlist, embDim)
               .write.mode("overwrite")
               .parquet(graft.util.Lsm.stagedPath(p, "centroids", batchId))
             graft.util.Lsm.commitSwap(fs, p, "centroids", batchId)
           }
-          val cents = spark.read.parquet(s"$p/centroids")
+          val cents = spark.read.parquet(s"$vroot/centroids")
           val probes = cache(
             graft.operators.Similarity.ivfProbes(vecs, cents, embNprobe))
           val w = cache(graft.operators.Similarity
@@ -184,7 +202,7 @@ object DocIngest {
           // sweep leaves empty cid= dirs that would wedge a bare read)
           val i = cache(
             if (graft.util.Lsm.hasBucketData(fs,
-                new org.apache.hadoop.fs.Path(s"$p/vectors")))
+                new org.apache.hadoop.fs.Path(s"$vroot/vectors")))
               graft.operators.Similarity
                 .embNearDupAgainstIndex(spark, p, probes, embThreshold)
                 .select(col("a_id"), col("b_id"))
@@ -214,6 +232,12 @@ object DocIngest {
           Seq("doc_id"), "left_anti"))
       val nAdmitted = admitted.count() // materialize before the writes reuse it
       admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
+      // sidecar folds BEFORE the index append (the BloomSidecar ordering
+      // contract: a crash after this leaves a harmless superset)
+      graft.util.BloomSidecar.fold(spark, indexPath,
+        admitted.select("doc_id"), "doc_id", batchId,
+        storedIds = if (indexExists) storedDocIds
+          else admitted.select("doc_id").limit(0))
       Dedup.appendToLshIndex(admitted, indexPath, s"batch-$batchId",
         n, numHashes, bands, gramHashes, bandBucket)
       // Served-retrieval maintenance (the q199 shape as the ACTUAL daemon

@@ -69,11 +69,15 @@ object EmbIngest {
     // partial move BEFORE the gate probes the tree (ivfInsert re-sweeps;
     // harmless)
     Similarity.recoverIvfTree(spark, indexPath)
-    if (Lsm.enterBatch(spark, fs, indexPath, batchId,
-        markedRoots = Seq("vectors")).alreadyCommitted) {
+    if (Lsm.enterBatch(spark, fs, indexPath, batchId).alreadyCommitted) {
       System.err.println(s"[embingest] batch $batchId: already committed")
       return DocIngest.BatchResult(0, 0, 0, 0)
     }
+    // versioned-root resolution, once for the whole batch (single writer:
+    // no retrain can race it); this batch's own crashed partial move
+    // sweeps at the RESOLVED root before the gate probes the tree
+    val root = Similarity.ivfRoot(spark, indexPath)
+    Lsm.sweepMarked(fs, new Path(s"$root/vectors"), s"b$batchId-")
     val uniq = batch.groupBy("vec_id")
       .agg(min(col("embedding")).as("embedding")).persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](uniq)
@@ -94,7 +98,9 @@ object EmbIngest {
         System.err.println(s"[embingest] batch $batchId: empty drop, skipped")
         return DocIngest.BatchResult(0, 0, 0, 0)
       }
-      if (!fs.exists(new Path(s"$indexPath/centroids"))) {
+      // cold-start training applies only to a fresh tree, where the
+      // resolved root IS indexPath
+      if (!fs.exists(new Path(s"$root/centroids"))) {
         Similarity.ivfCentroids(uniq, nlist, dim).write.mode("overwrite")
           .parquet(Lsm.stagedPath(indexPath, "centroids", batchId))
         Lsm.commitSwap(fs, indexPath, "centroids", batchId)
@@ -102,15 +108,29 @@ object EmbIngest {
       // DATA-file probe, not dir existence: a crashed first fold's sweep
       // leaves empty cid= dirs behind, and a bare-dir read would throw
       // "unable to infer schema" on every retry, wedging the daemon
-      val indexExists = Lsm.hasBucketData(fs, new Path(s"$indexPath/vectors"))
-      val redelivered = cache(if (indexExists)
-        uniq.join(spark.read.parquet(s"$indexPath/vectors")
-            .select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
-          .select("vec_id")
-      else uniq.select("vec_id").limit(0))
+      val indexExists = Lsm.hasBucketData(fs, new Path(s"$root/vectors"))
+      def storedIds = spark.read.parquet(s"$root/vectors")
+        .select(col("vec_id")).distinct()
+      val emptyIds = uniq.select("vec_id").limit(0)
+      // Re-delivery gate through the Bloom sidecar: bloom-negative ids are
+      // definitely novel (the sidecar commits before every tree fold, so
+      // it can never miss a stored id), and the index's id column is
+      // scanned ONLY when a positive exists — an all-novel batch never
+      // touches it. A sidecar-less (legacy) tree falls back to the scan.
+      val redelivered = cache(if (!indexExists) emptyIds
+        else graft.util.BloomSidecar.read(spark, indexPath) match {
+          case Some(bits) =>
+            val positives = uniq
+              .filter(graft.util.BloomSidecar.probe(bits, col("vec_id")))
+              .select("vec_id")
+            if (positives.isEmpty) emptyIds
+            else positives.join(storedIds, Seq("vec_id"), "left_semi")
+          case None => uniq.join(storedIds, Seq("vec_id"), "left_semi")
+            .select("vec_id")
+        })
       val (withinDrops, indexDrops) = dedupThreshold match {
         case Some(t) =>
-          val centroids = spark.read.parquet(s"$indexPath/centroids")
+          val centroids = spark.read.parquet(s"$root/centroids")
           val probes = cache(Similarity.ivfProbes(uniq, centroids, nprobe))
           val w = cache(Similarity.embNearDupWithin(probes, t)
             .select(col("b_id").as("vec_id")).distinct())
@@ -136,6 +156,12 @@ object EmbIngest {
       // a redone IVF fold. The PQ quantizer cold-trains on the whole
       // deduplicated drop (the uncompressed tree's centroid contract) but
       // folds only the admitted set, under the SAME batch id.
+      // sidecar folds FIRST of all (the BloomSidecar ordering contract:
+      // a crash after this leaves it a harmless superset; the reverse
+      // order could admit a duplicate on a later re-delivery)
+      graft.util.BloomSidecar.fold(spark, indexPath,
+        admitted.select("vec_id"), "vec_id", batchId,
+        storedIds = if (indexExists) storedIds else emptyIds)
       pqIndexPath.foreach { p =>
         graft.operators.Pq.ivfPqCommitBatch(spark, p, admitted, batchId,
           nlist = nlist, m = pqM, ksub = pqKsub, dim = dim,
@@ -145,6 +171,11 @@ object EmbIngest {
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
         Similarity.ivfCompact(spark, indexPath)
         pqIndexPath.foreach(graft.operators.Pq.ivfPqCompact(spark, _))
+        // saturation repair at the same cadence: re-create the sidecar
+        // from the tree's full id scan with fresh headroom (compaction
+        // already pays a full-tree pass)
+        graft.util.BloomSidecar.rebuild(spark, indexPath, storedIds,
+          "vec_id", batchId)
       }
       // periodic drift repair in the same single-writer slot: retrain the
       // coarse quantizer on everything served and re-assign (the fold's

@@ -77,11 +77,22 @@ object MediaIngest {
       // leaves empty tb= dirs behind, and a bare-dir read would throw on
       // every retry, wedging the daemon
       val indexExists = Lsm.hasBucketData(fs, new Path(s"$indexPath/chunks"))
-      val redelivered = cache(if (indexExists)
-        hashes.join(Multimodal.servedHashes(spark, indexPath)
-            .select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-          .select("doc_id")
-      else hashes.select("doc_id").limit(0))
+      def storedIds = Multimodal.servedHashes(spark, indexPath)
+        .select("doc_id").distinct()
+      val emptyIds = hashes.select("doc_id").limit(0)
+      // Bloom-sidecar fast path for the exact re-delivery gate: scan the
+      // served-id column only when a batch id is bloom-positive
+      val redelivered = cache(if (!indexExists) emptyIds
+        else graft.util.BloomSidecar.read(spark, indexPath) match {
+          case Some(bits) =>
+            val positives = hashes
+              .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
+              .select("doc_id")
+            if (positives.isEmpty) emptyIds
+            else positives.join(storedIds, Seq("doc_id"), "left_semi")
+          case None => hashes.join(storedIds, Seq("doc_id"), "left_semi")
+            .select("doc_id")
+        })
       val withinDrops = cache(Multimodal.imageNearDupPairs(hashes, maxDist)
         .select(col("b_id").as("doc_id")).distinct())
       val indexDrops = cache(if (indexExists)
@@ -96,6 +107,9 @@ object MediaIngest {
       b.join(admittedIds, Seq("doc_id"), "left_semi")
         .write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
       val admittedHashes = hashes.join(admittedIds, Seq("doc_id"), "left_semi")
+      // sidecar folds BEFORE the index fold (BloomSidecar ordering contract)
+      graft.util.BloomSidecar.fold(spark, indexPath, admittedIds, "doc_id",
+        batchId, storedIds = if (indexExists) storedIds else emptyIds)
       Multimodal.hashIndexInsert(spark, indexPath, admittedHashes, batchId,
         maxDist, nBuckets)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

@@ -618,7 +618,9 @@ object ScaleProbe {
         }
         time("ivf_retrain") {
           Similarity.ivfRetrain(spark, dir5.toString, nlist = 16)
-          spark.read.parquet(s"${dir5.toString}/vectors").count()
+          // count the NEW version root the retrain published
+          spark.read.parquet(
+            s"${Similarity.ivfRoot(spark, dir5.toString)}/vectors").count()
         }
       } finally {
         def rm(f: java.io.File): Unit = {

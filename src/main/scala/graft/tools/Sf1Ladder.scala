@@ -19,20 +19,13 @@ import org.apache.spark.sql.functions._
   * similarity joins; that is the honest shape of a duplicate-heavy corpus
   * (and the documented reason pair ops carry df caps). */
 object Sf1Ladder {
-  def main(args: Array[String]): Unit = {
+
+  /** Materialize (once) and return the sf1 fixture dir — shared with
+    * [[FoldLadder]]. */
+  def ensureFixture(spark: SparkSession): String = {
     val k = 10
     val src = "/root/testdata/sf0.1"
     val out = "target/sf1"
-    val spark = SparkSession.builder().master("local[32]")
-      .withExtensions(new graft.functions.expressions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.ansi.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
     def amplify(df: DataFrame, idCols: Seq[String], step: Long,
         perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
@@ -65,6 +58,21 @@ object Sf1Ladder {
       new java.io.File(s"$out/_READY").createNewFile()
       println("LADDER fixture materialized under target/sf1")
     }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = ensureFixture(spark)
 
     // shuffle metrics: total read/write + the single heaviest stage write
     val totalWrite = new java.util.concurrent.atomic.AtomicLong

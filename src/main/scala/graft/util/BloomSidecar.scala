@@ -1,0 +1,133 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-tree Bloom sidecar over the ids an at-rest index has admitted —
+  * the re-delivery gate's fast path. Each daemon batch must drop ids the
+  * tree already stores; the exact check is an id-column scan of the
+  * index (column-pruned, but still O(corpus ids) per batch — the cost
+  * VERDICT r11 flagged past ~10⁹ ids). The sidecar bounds it: the gate
+  * probes the batch against the filter FIRST (a narrow batch-sized
+  * filter — no join, no index touch) and runs the exact scan only when
+  * at least one id is bloom-positive, verifying exactly those
+  * candidates. An all-novel batch — the steady-state case for an
+  * append-only ingest — never touches the index's id column at all.
+  *
+  * Correctness hinges on no-false-negatives, so the fold ORDER is part
+  * of the contract: the sidecar commits BEFORE the tree fold in every
+  * daemon batch. A crash between the two leaves the bloom a SUPERSET of
+  * the stored ids — its extra positives just trigger the exact scan
+  * (which finds nothing and drops nothing); the reverse order would
+  * leave stored ids the bloom misses, and a later re-delivery of those
+  * would skip the scan and admit a duplicate. Folding is idempotent
+  * (set bits), so a replayed batch re-folds harmlessly.
+  *
+  * Layout: `<tree>/bloom/` — one parquet row (expected_items, fpp,
+  * bits), replaced via [[Lsm]] protocol-1 swap keyed by batch id.
+  * Capacity: `expectedItems`/`fpp` fix the bit size at creation (merges
+  * require it); [[rebuild]] re-creates from the tree's full id scan with
+  * ≥2× headroom — run it at compaction cadence once inserted volume
+  * approaches capacity, since a saturated filter degrades to fpp→1
+  * (every batch scans — correct, just slow). The serialized filter rides
+  * the plan as a binary literal, so size it like Spark's own runtime
+  * bloom filters (spark.sql.optimizer.runtime.bloomFilter.* caps at 8 MB
+  * ≈ 5.6M ids at 1% fpp); past that, shard trees or raise fpp — the
+  * probe stays correct at any fpp, only the scan-skip rate decays.
+  *
+  * Probe plumbing: ids go in raw via putLong (the distributed
+  * `stat.bloomFilter` aggregate on the long id column) and are tested
+  * with Spark's own [[BloomFilterMightContain]] catalyst expression —
+  * `mightContainLong(id)` against `putLong(id)`, no UDF, the same
+  * expression AQE's runtime-filter rewrite injects into scans.
+  */
+object BloomSidecar {
+
+  private def dir(treePath: String) = s"$treePath/bloom"
+
+  /** The serialized filter, or None when the tree predates the sidecar
+    * (callers then fall back to the exact scan unconditionally and
+    * [[fold]] bootstraps the sidecar from the full stored-id frame). */
+  def read(spark: SparkSession, treePath: String): Option[Array[Byte]] = {
+    val fs = Lsm.fs(spark, treePath)
+    Lsm.recoverSwap(fs, treePath, "bloom")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir(treePath)))) None
+    else Some(spark.read.parquet(dir(treePath)).select("bits")
+      .collect()(0).getAs[Array[Byte]](0))
+  }
+
+  /** `true` iff `key` (a long id column) is PROBABLY in the filter — no
+    * false negatives by Bloom construction + the fold-first commit order.
+    * Pure catalyst expression; apply it to the batch side only. */
+  def probe(filterBytes: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(filterBytes, BinaryType),
+      ColumnBridge.catalystExpression(key.cast("long"))))
+
+  private def build(ids: DataFrame, idCol: String, expectedItems: Long,
+      fpp: Double): BloomFilter = {
+    // distributed aggregate (per-partition filters OR-merged), never a
+    // driver-side id loop. Spark's stat.bloomFilter NPEs on an EMPTY
+    // frame (null aggregate buffer) — an all-dropped batch folds the
+    // empty filter at the same capacity instead (bit-size compatible).
+    val prepared = ids.select(col(idCol).cast("long").as("id"))
+    if (prepared.isEmpty) BloomFilter.create(expectedItems, fpp)
+    else prepared.stat.bloomFilter("id", expectedItems, fpp)
+  }
+
+  private def write(spark: SparkSession, treePath: String, f: BloomFilter,
+      expectedItems: Long, fpp: Double, batchId: Long): Unit = {
+    import spark.implicits._
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    val fs = Lsm.fs(spark, treePath)
+    Seq((expectedItems, fpp, bos.toByteArray))
+      .toDF("expected_items", "fpp", "bits")
+      .write.mode("overwrite")
+      .parquet(Lsm.stagedPath(treePath, "bloom", batchId))
+    Lsm.commitSwap(fs, treePath, "bloom", batchId)
+  }
+
+  /** Fold a batch's admitted ids into the sidecar (call BEFORE the tree
+    * fold — see the class contract). Absent sidecar: bootstrap from
+    * `storedIds` (the tree's full id frame — pass the empty frame on a
+    * cold tree) plus the batch, so a legacy tree adopts the sidecar
+    * without false negatives. Present sidecar: merge a batch-built
+    * filter at the STORED capacity (bit-size compatibility). */
+  def fold(spark: SparkSession, treePath: String, newIds: DataFrame,
+      idCol: String, batchId: Long, storedIds: => DataFrame,
+      expectedItems: Long = 500000L, fpp: Double = 0.01): Unit = {
+    val fs = Lsm.fs(spark, treePath)
+    Lsm.recoverSwap(fs, treePath, "bloom")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir(treePath)))) {
+      val all = storedIds.select(col(idCol)).unionByName(newIds.select(col(idCol)))
+      write(spark, treePath, build(all, idCol, expectedItems, fpp),
+        expectedItems, fpp, batchId)
+    } else {
+      val meta = spark.read.parquet(dir(treePath))
+        .select("expected_items", "fpp", "bits").collect()(0)
+      val (cap, p) = (meta.getLong(0), meta.getDouble(1))
+      val stored = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]](2)))
+      stored.mergeInPlace(build(newIds, idCol, cap, p))
+      write(spark, treePath, stored, cap, p, batchId)
+    }
+  }
+
+  /** Re-create the sidecar from the tree's full id frame with ≥2×
+    * headroom over the current id count — the saturation escape hatch,
+    * run at compaction cadence (compaction already pays a full-tree
+    * pass, and the sidecar is correct-but-slow until then). */
+  def rebuild(spark: SparkSession, treePath: String, storedIds: DataFrame,
+      idCol: String, batchId: Long, minItems: Long = 500000L,
+      fpp: Double = 0.01): Unit = {
+    val n = storedIds.count()
+    val cap = math.max(minItems, 2 * n)
+    write(spark, treePath, build(storedIds, idCol, cap, fpp), cap, fpp,
+      batchId)
+  }
+}

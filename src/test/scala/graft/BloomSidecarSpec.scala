@@ -1,0 +1,109 @@
+package graft
+
+import graft.streaming.EmbIngest
+import graft.util.BloomSidecar
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The re-delivery gate's Bloom fast path: no false drops ever (negatives
+  * skip the exact scan because the sidecar provably contains every stored
+  * id; positives are verified exactly), the scan is REALLY skipped for an
+  * all-novel batch (proven with a poison file that would throw if the id
+  * column were read), and a sidecar-less legacy tree falls back to the
+  * scan and bootstraps the sidecar on its next fold. */
+class BloomSidecarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecsDf(ids: Seq[Long]) =
+    ids.map(i => (i, Array.tabulate(16)(d =>
+      math.sin(i * 7.3 + d * 1.7).toFloat))).toDF("vec_id", "embedding")
+
+  test("probe: every folded id positive (no false negatives), novel ids overwhelmingly negative") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString + "/t"
+    BloomSidecar.fold(spark, dir, (0L until 100L).toDF("id"), "id", 0L,
+      storedIds = Seq.empty[Long].toDF("id"))
+    val bits = BloomSidecar.read(spark, dir).get
+    val probed = (0L until 100L).union(10000L until 10100L).toDF("id")
+      .select(col("id"), BloomSidecar.probe(bits, col("id")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 100L).forall(probed(_)), "no false negatives, ever")
+    val falsePos = (10000L until 10100L).count(probed(_))
+    assert(falsePos <= 5, s"~1% fpp expected, got $falsePos/100")
+  }
+
+  test("fold is idempotent and merges at the stored capacity") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString + "/t"
+    val empty = Seq.empty[Long].toDF("id")
+    BloomSidecar.fold(spark, dir, (0L until 50L).toDF("id"), "id", 0L, empty)
+    BloomSidecar.fold(spark, dir, (50L until 80L).toDF("id"), "id", 1L, empty)
+    // replayed batch: same ids again, must not corrupt or shrink coverage
+    BloomSidecar.fold(spark, dir, (50L until 80L).toDF("id"), "id", 1L, empty)
+    val bits = BloomSidecar.read(spark, dir).get
+    val hits = (0L until 80L).toDF("id")
+      .filter(BloomSidecar.probe(bits, col("id"))).count()
+    assert(hits == 80L)
+  }
+
+  test("EmbIngest: all-novel batch skips the id scan; positives verify exactly; nothing falsely dropped") {
+    val idx = java.nio.file.Files.createTempDirectory("bloom-emb").toString + "/idx"
+    val r0 = EmbIngest.commitEmbBatch(spark, idx, vecsDf(0L until 24L), 0L,
+      nlist = 4, dim = 16)
+    assert(r0.admitted == 24)
+    // Poison the vectors tree with a non-parquet data file: ANY read of
+    // the id column now throws, so batch 1 succeeding PROVES the gate
+    // skipped the scan for an all-novel (all-bloom-negative) batch.
+    val fs = graft.util.Lsm.fs(spark, idx)
+    val cell = fs.listStatus(new Path(s"$idx/vectors"))
+      .filter(_.isDirectory).head.getPath
+    val out = fs.create(new Path(cell, "poison.parquet"))
+    out.write("not a parquet file".getBytes); out.close()
+    val r1 = EmbIngest.commitEmbBatch(spark, idx, vecsDf(100L until 124L), 1L,
+      nlist = 4, dim = 16)
+    assert(r1.admitted == 24 && r1.droppedRedelivered == 0,
+      "an all-novel batch must commit without touching the id column")
+    fs.delete(new Path(cell, "poison.parquet"), false)
+    // bloom-positive ids (true re-deliveries) still verify EXACTLY and drop
+    val r2 = EmbIngest.commitEmbBatch(spark, idx,
+      vecsDf((0L until 6L) ++ (100L until 106L) ++ (300L until 306L)), 2L,
+      nlist = 4, dim = 16)
+    assert(r2.droppedRedelivered == 12 && r2.admitted == 6,
+      s"re-deliveries must drop through the positive path, got $r2")
+    val served = spark.read.parquet(s"$idx/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(served.toSeq == ((0L until 24L) ++ (100L until 124L) ++
+      (300L until 306L)).sorted, "exactly one copy of every admitted id")
+  }
+
+  test("legacy tree without a sidecar: exact-scan fallback, then bootstrap on the next fold") {
+    val idx = java.nio.file.Files.createTempDirectory("bloom-leg").toString + "/idx"
+    EmbIngest.commitEmbBatch(spark, idx, vecsDf(0L until 24L), 0L,
+      nlist = 4, dim = 16)
+    val fs = graft.util.Lsm.fs(spark, idx)
+    fs.delete(new Path(s"$idx/bloom"), true) // simulate a pre-sidecar tree
+    assert(BloomSidecar.read(spark, idx).isEmpty)
+    // fallback: re-deliveries still drop via the unconditional scan
+    val r1 = EmbIngest.commitEmbBatch(spark, idx,
+      vecsDf((0L until 4L) ++ (50L until 54L)), 1L, nlist = 4, dim = 16)
+    assert(r1.droppedRedelivered == 4 && r1.admitted == 4)
+    // the fold bootstrapped the sidecar from stored ∪ new: batch-0 ids
+    // (which the sidecar never saw folded) MUST be positive
+    val bits = BloomSidecar.read(spark, idx).get
+    val hits = (0L until 24L).toDF("id")
+      .filter(BloomSidecar.probe(bits, col("id"))).count()
+    assert(hits == 24L, "bootstrap must cover pre-sidecar stored ids")
+  }
+
+  test("rebuild sizes to the tree and keeps full coverage") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom-rb").toString + "/t"
+    BloomSidecar.fold(spark, dir, (0L until 10L).toDF("id"), "id", 0L,
+      storedIds = Seq.empty[Long].toDF("id"))
+    BloomSidecar.rebuild(spark, dir, (0L until 500L).toDF("id"), "id", 1L,
+      minItems = 100L)
+    val row = spark.read.parquet(s"$dir/bloom")
+      .select("expected_items").collect()(0).getLong(0)
+    assert(row == 1000L, "capacity = max(minItems, 2 x current ids)")
+    val bits = BloomSidecar.read(spark, dir).get
+    assert((0L until 500L).toDF("id")
+      .filter(BloomSidecar.probe(bits, col("id"))).count() == 500L)
+  }
+}

@@ -67,7 +67,7 @@ class IvfSpec extends SparkSpec {
   // --- incremental index (the vector daemon path) --------------------------
 
   private def treeAssign(path: String): Seq[(Long, Long)] =
-    spark.read.parquet(s"$path/vectors")
+    spark.read.parquet(s"${Similarity.ivfRoot(spark, path)}/vectors")
       .select(col("vec_id"), col("cid").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
 
@@ -209,7 +209,9 @@ class IvfSpec extends SparkSpec {
     Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 1), 1L)
     Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 2), 2L)
     Similarity.ivfRetrain(spark, path, nlist = 6, dim = 16)
-    val cents = spark.read.parquet(s"$path/centroids")
+    val root = Similarity.ivfRoot(spark, path)
+    assert(root == s"$path/v1", "a retrain publishes a new version root")
+    val cents = spark.read.parquet(s"$root/centroids")
     assert(cents.count() == 6, "retrain must honor the new nlist")
     assert(treeAssign(path) == Similarity.assignToCentroids(emb, cents)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
@@ -221,34 +223,55 @@ class IvfSpec extends SparkSpec {
       "retried committed batch must not double-fold into the retrained tree")
   }
 
-  test("ivfRetrain crash recovery: marker rolls the pair forward, debris sweeps without it") {
+  test("ivfRetrain MVCC: the marker file is the commit; uncommitted versions sweep; a reader's resolved root survives one retrain") {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val path = java.nio.file.Files.createTempDirectory("ivf-rtc").toString + "/idx"
     Similarity.writeIvfIndex(emb, path, nlist = 4, dim = 16)
     Similarity.ivfInsert(spark, path, emb.limit(0), 7L) // stamp last_batch=7
     val fs = graft.util.Lsm.fs(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
-    def stageTwins(): Unit = for (t <- Seq("centroids", "vectors"))
+    // (1) crash BEFORE the _committed marker: the half-built version dir
+    // is debris — swept at the next writer entry, root unchanged
+    for (t <- Seq("centroids", "vectors"))
       FileUtil.copy(fs, new Path(s"$path/$t"), fs,
-        new Path(s"$path/${t}_staged_b7"), false, conf)
-    // (1) crash BEFORE the marker: staging is debris, swept at entry
-    stageTwins()
+        new Path(s"$path/v1/$t"), false, conf)
     Similarity.ivfInsert(spark, path, emb.limit(0), 7L) // entry recovery only
-    assert(!fs.exists(new Path(s"$path/centroids_staged_b7")) &&
-      !fs.exists(new Path(s"$path/vectors_staged_b7")),
-      "pre-marker staging must sweep as debris")
-    // (2) crash AFTER the marker: the pair rolls FORWARD at entry
-    stageTwins()
-    fs.create(new Path(s"$path/retrain_ready")).close()
-    Similarity.ivfInsert(spark, path, emb.limit(0), 7L)
-    assert(!fs.exists(new Path(s"$path/retrain_ready")) &&
-      !fs.exists(new Path(s"$path/centroids_staged_b7")) &&
-      !fs.exists(new Path(s"$path/vectors_staged_b7")),
-      "post-marker staging must swap in and clear the marker")
-    val cents = spark.read.parquet(s"$path/centroids")
-    assert(treeAssign(path) == Similarity.assignToCentroids(emb, cents)
+    assert(!fs.exists(new Path(s"$path/v1")),
+      "an uncommitted version dir must sweep as debris")
+    assert(Similarity.ivfRoot(spark, path) == path)
+    // (2) a committed retrain moves the root atomically (one marker-file
+    // create); the reader that resolved the PREVIOUS root keeps a
+    // complete, mutually-consistent pair for a full retrain cycle
+    val readerRoot = Similarity.ivfRoot(spark, path) // resolved pre-retrain
+    Similarity.ivfRetrain(spark, path, nlist = 6, dim = 16)
+    assert(Similarity.ivfRoot(spark, path) == s"$path/v1")
+    val oldCents = spark.read.parquet(s"$readerRoot/centroids")
+    assert(oldCents.count() == 4, "the snapshot still serves the OLD pair")
+    val oldPair = spark.read.parquet(s"$readerRoot/vectors")
+      .select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(oldPair == Similarity.assignToCentroids(emb, oldCents)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
-      "rolled-forward tree must be internally consistent")
+      "old vectors agree with old centroids — never a split pair")
+    // (3) the NEXT retrain retires the superseded legacy root, keeps v1
+    // for ITS in-flight readers, and serves v2
+    Similarity.ivfRetrain(spark, path, nlist = 6, dim = 16)
+    assert(Similarity.ivfRoot(spark, path) == s"$path/v2")
+    assert(!fs.exists(new Path(s"$path/centroids")) &&
+      !fs.exists(new Path(s"$path/vectors")),
+      "the twice-superseded legacy root is retired")
+    assert(fs.exists(new Path(s"$path/v1/_committed")),
+      "the once-superseded version keeps serving its readers")
+    // (4) last_batch carried: a retry of committed batch 7 still no-ops,
+    // and a NEW fold lands in the current version
+    Similarity.ivfInsert(spark, path, emb.limit(0), 7L)
+    val extra = (200 until 204).map(i =>
+      (i.toLong, Array.tabulate(16)(d => (dirs(i % 4)(d) + 0.01 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfInsert(spark, path, extra, 8L)
+    assert(treeAssign(path).map(_._1).toSet ==
+      ((0L until 48L) ++ (200L until 204L)).toSet,
+      "folds target the current version root")
   }
 
   test("commitEmbBatch: an empty cold drop must not commit an empty centroid table") {
@@ -287,26 +310,34 @@ class IvfSpec extends SparkSpec {
       "every vector exactly once: the orphan must not survive the retrain")
   }
 
-  test("EmbIngest entry rolls a crashed post-marker retrain forward (never sweeps it)") {
+  test("EmbIngest entry keeps a committed retrain version, sweeps an uncommitted one, folds into the current root") {
     import graft.streaming.EmbIngest
     import org.apache.hadoop.fs.{FileUtil, Path}
     val path = java.nio.file.Files.createTempDirectory("emb-rtfwd").toString + "/idx"
     EmbIngest.commitEmbBatch(spark, path, emb, 0L, nlist = 6, dim = 16)
-    // stage a crashed post-marker retrain (staged twins + retrain_ready)
     val fs = graft.util.Lsm.fs(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
+    // a crashed retrain's UNCOMMITTED version dir sweeps at daemon entry
     for (t <- Seq("centroids", "vectors"))
       FileUtil.copy(fs, new Path(s"$path/$t"), fs,
-        new Path(s"$path/${t}_staged_b0"), false, conf)
-    fs.create(new Path(s"$path/retrain_ready")).close()
-    // a committed-batch retry enters the daemon: the recovery must roll the
-    // retrain FORWARD, not sweep the staged centroids as debris
+        new Path(s"$path/v1/$t"), false, conf)
     EmbIngest.commitEmbBatch(spark, path, emb, 0L, nlist = 6, dim = 16)
-    assert(!fs.exists(new Path(s"$path/retrain_ready")) &&
-      !fs.exists(new Path(s"$path/centroids_staged_b0")) &&
-      fs.exists(new Path(s"$path/centroids")),
-      "post-marker retrain must swap in at daemon entry")
-    assert(treeAssign(path).size == 48)
+    assert(!fs.exists(new Path(s"$path/v1")),
+      "uncommitted version dir must sweep at daemon entry")
+    // a COMMITTED retrain moves the daemon's root: the next batch gates
+    // against and folds into v1, and re-deliveries still drop there
+    Similarity.ivfRetrain(spark, path, nlist = 6, dim = 16)
+    val late = (100 until 104).map(i =>
+      (i.toLong, Array.tabulate(16)(d => (dirs(i % 4)(d) + 0.01 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r1 = EmbIngest.commitEmbBatch(spark, path,
+      late.union(emb.filter(col("vec_id") < 4)), 1L, nlist = 6, dim = 16)
+    assert(r1.admitted == 4 && r1.droppedRedelivered == 4,
+      "the gate must see the retrained version's stored ids")
+    assert(Similarity.ivfRoot(spark, path) == s"$path/v1")
+    assert(treeAssign(path).map(_._1).toSet ==
+      ((0L until 48L) ++ (100L until 104L)).toSet,
+      "the fold lands in the committed version root")
   }
 
   test("cold-start crash mid-centroid-staging: the partial twin sweeps, the retry retrains") {
