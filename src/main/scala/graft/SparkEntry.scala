@@ -895,6 +895,15 @@ object SparkEntry {
       Similarity.embGateVerdicts(s, path, batch, threshold = 0.95, nprobe = 2)
         .orderBy("vec_id")
     }),
+    "q213_repetition" -> ((s, dir) =>
+      // Gopher/MassiveText repetition signals (the other half of q205's
+      // hygiene family): duplicate 2-/3-gram fractions and the top
+      // 2-gram's share per doc, thresholds set to split this fixture
+      // (~108/500 docs exceed the dup2 ceiling at sf0.01). The oracle
+      // rebuilds both gram tables with list_transform and replays the
+      // exact integer ratios.
+      TextAnalysis.repetitionSignals(tp(s, dir, "documents"))
+        .orderBy("doc_id")),
     "q212_domain_cap" -> ((s, dir) => {
       // crawl-curation domain capping: deterministic URLs derived from the
       // table (the synthHtml sibling convention), components extracted
@@ -1403,6 +1412,15 @@ object SparkEntry {
       // (ts, event_id) total order, then before/after means
       TimeSeries.changepoint(t(s, dir, "events"), "event_type", "ts",
         "value", "event_id").orderBy("key")),
+    "q214_cross_doc_spans" -> ((s, dir) =>
+      // bounded exact-substring dedup (the Lee et al. verbatim-repeat
+      // signal whole-doc MinHash can't see): per doc, the fraction of its
+      // 8-token spans appearing verbatim in another document. ~1015
+      // spans are genuinely shared at sf0.01 — non-vacuous on the
+      // fixture's near-dup clusters. Oracle rebuilds the distinct span
+      // table with list_transform and replays both aggregations.
+      Dedup.crossDocSpans(tp(s, dir, "documents"), spanLen = 8)
+        .orderBy("doc_id")),
     "q174_dedup_savings" -> ((s, dir) => {
       // the dedup business case: cluster-size histogram + bytes removable
       // if only each near-dup cluster's representative is kept — the
@@ -4066,6 +4084,36 @@ object SparkEntry {
            |LEFT JOIN vsidx i ON b.vec_id = i.vec_id
            |ORDER BY b.vec_id""".stripMargin
       },
+      "q213_repetition" ->
+        // both gram tables rebuilt with list_transform over 1-based token
+        // indexes, then the identical round-6 ratios and ceilings
+        """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
+          |            FROM documents),
+          |tk3 AS (SELECT * FROM tk WHERE len(ts) >= 3),
+          |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+          |         i -> ts[i] || ' ' || ts[i+1])) AS gram FROM tk3),
+          |p2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2,
+          |         CAST(count(*) AS BIGINT) AS d2, CAST(max(c) AS BIGINT) AS m2
+          |       FROM p2 GROUP BY 1),
+          |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+          |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+          |       FROM tk3),
+          |p3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+          |a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total3,
+          |         CAST(count(*) AS BIGINT) AS d3 FROM p3 GROUP BY 1),
+          |m AS (SELECT a2.doc_id AS doc_id,
+          |        CAST(total2 + 1 AS BIGINT) AS n_words,
+          |        round(1 - CAST(d2 AS DOUBLE) / CAST(total2 AS DOUBLE), 6)
+          |          AS dup2_frac,
+          |        round(CAST(m2 AS DOUBLE) / CAST(total2 AS DOUBLE), 6)
+          |          AS top2_share,
+          |        round(1 - CAST(d3 AS DOUBLE) / CAST(total3 AS DOUBLE), 6)
+          |          AS dup3_frac
+          |      FROM a2 JOIN a3 ON a3.doc_id = a2.doc_id)
+          |SELECT *, (dup2_frac <= 0.05e0 AND top2_share <= 0.05e0
+          |           AND dup3_frac <= 0.03e0) AS pass
+          |FROM m ORDER BY doc_id""".stripMargin,
       "q212_domain_cap" ->
         // URL rebuild + the same anchored extracts + the cap replayed as a
         // rank window under the identical (n_chars DESC, doc_id ASC) order.
@@ -4496,6 +4544,27 @@ object SparkEntry {
           |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
           |  ELSE 0.0e0 END AS shift
           |FROM cp JOIN sides ON cp.key = sides.key ORDER BY cp.key""".stripMargin,
+      "q214_cross_doc_spans" -> // distinct 8-token spans per doc via
+        // list_transform, span doc-frequency, then the per-doc rollup with
+        // the identical shared/total round-6 ratio and the df>=2 rule
+        """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
+          |            FROM documents WHERE len(string_split(text, ' ')) >= 8),
+          |g0 AS (SELECT doc_id,
+          |         unnest(list_transform(range(1, len(ts) - 6),
+          |           i -> list_aggregate(ts[i:i+7], 'string_agg', ' ')))
+          |           AS span
+          |       FROM tk),
+          |g AS (SELECT DISTINCT doc_id, span FROM g0),
+          |d AS (SELECT span, CAST(count(*) AS BIGINT) AS span_df FROM g
+          |      GROUP BY 1 HAVING count(*) >= 2)
+          |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          |  CAST(sum(CASE WHEN d.span_df IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS shared_spans,
+          |  coalesce(max(d.span_df), CAST(1 AS BIGINT)) AS max_span_df,
+          |  round(CAST(sum(CASE WHEN d.span_df IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS copied_frac
+          |FROM g LEFT JOIN d ON d.span = g.span
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
       "q174_dedup_savings" -> // the q53 recursive-CC fixpoint joined back
         // to doc sizes: per-cluster-size counts + non-representative bytes
         s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -707,4 +707,59 @@ object TextAnalysis {
       round((d("sy") - (covN / varXN) * d("sx")) / n, 6).as("zipf_intercept"),
       round(covN * covN / (varXN * varYN), 6).as("r2"))
   }
+
+  /** Word n-grams of a token array as a narrow column expression —
+    * `concat_ws`-joined windows over `sequence(1, size-n+1)`; empty for
+    * docs shorter than n tokens. */
+  private def wordGrams(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style intra-document REPETITION signals (Rae et al. 2021,
+    * MassiveText §A1.1 — the repetition half of the hygiene family;
+    * [[gopherGate]] is the composition/length half): per document,
+    *   - `dup2_frac` / `dup3_frac`: the fraction of word 2-/3-grams that
+    *     are repeats of an earlier identical gram (1 − distinct/total —
+    *     gram-count weighted; Gopher weights by characters, an
+    *     implementation choice this operator deliberately simplifies and
+    *     documents);
+    *   - `top2_share`: the most frequent 2-gram's share of all 2-grams
+    *     (the "top n-gram" rule);
+    *   - `pass`: the conjunction under the given ceilings.
+    * A doc stuffed with a repeated phrase fails long before its token
+    * counts or stopword ratios look wrong — which is exactly why the
+    * repetition rules exist alongside the composition rules.
+    *
+    * Scale shape: one explode per n + two hash aggregations keyed by
+    * (doc_id, gram) then doc_id — fully distributed, no windows; docs
+    * with fewer than 3 tokens are excluded (no 3-gram denominator).
+    * Output: (doc_id, n_words, dup2_frac, top2_share, dup3_frac, pass),
+    * measures round-6. */
+  def repetitionSignals(docs: DataFrame, maxDup2: Double = 0.05,
+      maxTop2: Double = 0.05, maxDup3: Double = 0.03): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    def measures(n: Int): DataFrame =
+      toks.select(col("doc_id"), explode(wordGrams(col("ts"), n)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as(s"total$n"),
+          count(lit(1)).as(s"distinct$n"),
+          max(col("c")).as(s"max$n"))
+    measures(2).join(measures(3), "doc_id")
+      .select(col("doc_id"),
+        (col("total2") + 1).as("n_words"), // total 2-grams = words - 1
+        round(lit(1) - col("distinct2").cast("double") /
+          col("total2").cast("double"), 6).as("dup2_frac"),
+        round(col("max2").cast("double") /
+          col("total2").cast("double"), 6).as("top2_share"),
+        round(lit(1) - col("distinct3").cast("double") /
+          col("total3").cast("double"), 6).as("dup3_frac"))
+      .withColumn("pass",
+        col("dup2_frac") <= maxDup2 && col("top2_share") <= maxTop2 &&
+          col("dup3_frac") <= maxDup3)
+  }
 }

@@ -298,6 +298,11 @@ object DocIngest {
         graft.operators.Similarity.ivfInsert(spark, p,
           vecs.join(admitted.select(col("doc_id").as("vec_id")).distinct(),
             Seq("vec_id"), "left_semi"), batchId)
+        // the vector tree needs the same periodic LSM maintenance as the
+        // postings tree — without it per-cell fragments grow one file per
+        // batch forever (the r12 soak caught exactly this)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.operators.Similarity.ivfCompact(spark, p)
       }
       lpStatePath.foreach { sp =>
         graft.operators.Graph.lpCommitBatch(spark, sp,

@@ -22,7 +22,15 @@ import org.apache.spark.sql.types._
   * [[Similarity.ivfCompact]] inside the same single-writer slot, so
   * per-cell fragment counts stay bounded over an unbounded batch
   * history — the full LSM contract, matching [[DocIngest]]'s index
-  * compaction.
+  * compaction. The exact re-delivery gate rides the per-tree
+  * [[graft.util.BloomSidecar]]: an all-novel batch never scans the
+  * index's id column. With `pqIndexPath` set the daemon also folds the
+  * compressed IVF-PQ twin ([[graft.operators.Pq.ivfPqCommitBatch]])
+  * under the same batch id — ADC serving at daemon freshness — ordered
+  * PQ-before-IVF so the gate tree's committed marker implies both folds
+  * landed. Retrain (`retrainEvery`) repairs the uncompressed tree's
+  * quantizer drift via MVCC version dirs; readers stay
+  * snapshot-consistent ([[Similarity.ivfRoot]]).
   *
   * Crash posture: file-source offsets checkpoint the stream; a replayed
   * batch re-delivers the same rows, [[commitEmbBatch]] no-ops on a

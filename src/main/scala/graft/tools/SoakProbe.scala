@@ -93,8 +93,9 @@ object SoakProbe {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(new graft.functions.expressions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // micro-batches are tiny (tens of docs): 8 shuffle partitions keeps
+      // per-stage task overhead from dominating the fold wall it measures
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -116,7 +117,7 @@ object SoakProbe {
       val r = DocIngest.commitDocBatch(spark, batch, b.toLong, corpus, index,
         invIndexPath = Some(inv), compactEvery = compactEvery,
         embIndexPath = Some(emb), embThreshold = 0.999999,
-        evalPath = Some(eval))
+        embNlist = 16, embDim = 16, evalPath = Some(eval))
       val wall = (System.nanoTime() - t0) / 1e9
       walls += wall
       totalAdmitted += r.admitted

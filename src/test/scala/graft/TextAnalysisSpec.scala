@@ -410,4 +410,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - slope) < 2e-6)
     assert(slope < -0.5 && slope > -1.5)
   }
+
+  test("repetition signals: hand-computed gram fractions, short docs excluded") {
+    val docs = Seq(
+      (0L, "a b a b a"),             // 2g: ab,ba,ab,ba  3g: aba,bab,aba
+      // all grams distinct, long enough that top2_share = 1/(n-1) <= 0.05
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")),
+      (2L, "hi there"),              // 2 tokens -> excluded (no 3-gram)
+      (3L, ("spam " * 10).trim)      // one phrase repeated: maximal repetition
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(2L), "docs under 3 tokens have no 3-gram denominator")
+    val d0 = got(0L)
+    // n_words=5; 2-grams total 4 distinct 2 max 2 -> dup 0.5, top 0.5;
+    // 3-grams total 3 distinct 2 -> dup 1 - 2/3
+    assert(d0.getLong(1) == 5L && d0.getDouble(2) == 0.5 &&
+      d0.getDouble(3) == 0.5)
+    assert(d0.getDouble(4) == math.rint((1.0 - 2.0 / 3.0) * 1e6) / 1e6)
+    assert(!d0.getBoolean(5))
+    val d1 = got(1L)
+    assert(d1.getDouble(2) == 0.0 && d1.getDouble(4) == 0.0 &&
+      d1.getBoolean(5), "a long all-distinct doc passes")
+    // the top-share floor is 1/(n_words-1): 1/24 here
+    assert(d1.getDouble(3) == math.rint(1.0 / 24.0 * 1e6) / 1e6)
+    val d3 = got(3L)
+    // "spam"x10: 9 identical 2-grams -> dup 8/9, top 1.0
+    assert(d3.getDouble(2) == math.rint(8.0 / 9.0 * 1e6) / 1e6 &&
+      d3.getDouble(3) == 1.0 && !d3.getBoolean(5))
+  }
 }
