@@ -1412,15 +1412,6 @@ object SparkEntry {
       // (ts, event_id) total order, then before/after means
       TimeSeries.changepoint(t(s, dir, "events"), "event_type", "ts",
         "value", "event_id").orderBy("key")),
-    "q214_cross_doc_spans" -> ((s, dir) =>
-      // bounded exact-substring dedup (the Lee et al. verbatim-repeat
-      // signal whole-doc MinHash can't see): per doc, the fraction of its
-      // 8-token spans appearing verbatim in another document. ~1015
-      // spans are genuinely shared at sf0.01 — non-vacuous on the
-      // fixture's near-dup clusters. Oracle rebuilds the distinct span
-      // table with list_transform and replays both aggregations.
-      Dedup.crossDocSpans(tp(s, dir, "documents"), spanLen = 8)
-        .orderBy("doc_id")),
     "q174_dedup_savings" -> ((s, dir) => {
       // the dedup business case: cluster-size histogram + bytes removable
       // if only each near-dup cluster's representative is kept — the
@@ -4544,27 +4535,6 @@ object SparkEntry {
           |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
           |  ELSE 0.0e0 END AS shift
           |FROM cp JOIN sides ON cp.key = sides.key ORDER BY cp.key""".stripMargin,
-      "q214_cross_doc_spans" -> // distinct 8-token spans per doc via
-        // list_transform, span doc-frequency, then the per-doc rollup with
-        // the identical shared/total round-6 ratio and the df>=2 rule
-        """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
-          |            FROM documents WHERE len(string_split(text, ' ')) >= 8),
-          |g0 AS (SELECT doc_id,
-          |         unnest(list_transform(range(1, len(ts) - 6),
-          |           i -> list_aggregate(ts[i:i+7], 'string_agg', ' ')))
-          |           AS span
-          |       FROM tk),
-          |g AS (SELECT DISTINCT doc_id, span FROM g0),
-          |d AS (SELECT span, CAST(count(*) AS BIGINT) AS span_df FROM g
-          |      GROUP BY 1 HAVING count(*) >= 2)
-          |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-          |  CAST(sum(CASE WHEN d.span_df IS NOT NULL THEN 1 ELSE 0 END)
-          |    AS BIGINT) AS shared_spans,
-          |  coalesce(max(d.span_df), CAST(1 AS BIGINT)) AS max_span_df,
-          |  round(CAST(sum(CASE WHEN d.span_df IS NOT NULL THEN 1 ELSE 0 END)
-          |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS copied_frac
-          |FROM g LEFT JOIN d ON d.span = g.span
-          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
       "q174_dedup_savings" -> // the q53 recursive-CC fixpoint joined back
         // to doc sizes: per-cluster-size counts + non-representative bytes
         s"""${ngramPairsWith.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -67,42 +67,6 @@ object Dedup {
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(gramsOfToks(col("toks"), n)).as("gram"))
 
-  /** Cross-document verbatim span report — the bounded form of exact
-    * substring deduplication (Lee et al. 2022 "Deduplicating Training
-    * Data Makes Language Models Better": their suffix-array pass removes
-    * 50-token verbatim repeats; this measures the same signal over
-    * fixed-length token spans, which Spark can do as two hash
-    * aggregations instead of a distributed suffix array). Whole-doc
-    * MinHash misses exactly this case: a long quotation or boilerplate
-    * block inside an otherwise-novel document.
-    *
-    * Per document: its distinct `spanLen`-token spans, how many of them
-    * also appear VERBATIM in at least one other document, the widest
-    * such replication (`max_span_df`, 1 when nothing is shared), and
-    * `copied_frac` = shared/total (round-6) — the removal-queue ordering
-    * signal. Within-doc repeats do not count (distinct span semantics;
-    * intra-doc repetition is [[graft.operators.TextAnalysis.repetitionSignals]]'
-    * job). Docs shorter than `spanLen` tokens are excluded.
-    *
-    * Scale shape: one explode + two hash aggregations (span df, then
-    * per-doc rollup) and one equi-join on the span — no windows, no
-    * self-join; at 100 TB the span string key would be replaced by its
-    * [[graft.functions.PortableHashes]] polynomial hash (fixed-width
-    * shuffle keys), the same trade the MinHash family makes. */
-  def crossDocSpans(docs: DataFrame, spanLen: Int = 8): DataFrame = {
-    val g = gramRows(docs, spanLen) // distinct (doc_id, span) rows
-    val shared = g.groupBy("gram").agg(count(lit(1)).as("span_df"))
-      .filter(col("span_df") >= 2)
-    g.join(shared, Seq("gram"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("span_df").isNotNull, 1L).otherwise(0L))
-          .as("shared_spans"),
-        coalesce(max(col("span_df")), lit(1L)).as("max_span_df"))
-      .withColumn("copied_frac", round(col("shared_spans").cast("double") /
-        col("n_spans").cast("double"), 6))
-  }
-
   /** Exact n-gram Jaccard similar pairs (jaccard >= threshold).
     * Inverted index as a doc-frequency gate + gram-local self-join: grams with
     * df == 1 (no pair) or df > `maxGramDocs` (stopword shingles) are dropped

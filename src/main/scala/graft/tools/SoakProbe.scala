@@ -42,8 +42,12 @@ object SoakProbe {
   }
 
   private def embedding(text: String): Array[Float] = {
-    val h = text.hashCode
-    Array.tabulate(16)(d => math.sin(h * 0.61803 + d * 1.7).toFloat)
+    // genuinely 16-dimensional (seeded Gaussian), NOT a phase-shifted sine:
+    // a 1-dof synth saturates the near-dup gate once stored phases pack
+    // the circle (~2k docs at 1e-6 cosine tolerance) and the soak's
+    // admitted counts collapse — a fixture artifact, not daemon behavior
+    val r = new scala.util.Random(text.hashCode.toLong * 0x9E3779B9L)
+    Array.fill(16)(r.nextGaussian().toFloat)
   }
 
   /** One deterministic micro-batch: ids partitioned by batch number so

@@ -409,22 +409,4 @@ class DedupSpec extends SparkSpec {
     assert(byB(4L)._3 == math.rint(math.pow(0.25, 0.25) * 1e6) / 1e6)
   }
 
-  test("crossDocSpans: verbatim 8-token spans across docs, hand-computed") {
-    // 10-token docs have 3 spans of 8; doc 8 (11 tokens) has 4.
-    // "alpha..theta" and "beta..iota" appear in docs 0,1,2,8 (df 4);
-    // "gamma..kappa" in 0,2,8 (df 3); docs 3/4 differ at token 6, which
-    // every 8-span covers, so they share NOTHING despite 90% overlap —
-    // exactly the verbatim-span/near-dup distinction.
-    val got = Dedup.crossDocSpans(docs, 8).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
-    assert(!got.contains(9L), "3-token doc has no 8-span")
-    assert(got(0L) == ((3L, 3L, 4L, 1.0)), s"doc0=${got(0L)}")
-    assert(got(2L) == ((3L, 3L, 4L, 1.0)))
-    assert(got(1L) == ((3L, 2L, 4L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
-    assert(got(8L) == ((4L, 3L, 4L, 0.75)))
-    assert(got(3L) == ((3L, 0L, 1L, 0.0)) && got(4L) == ((3L, 0L, 1L, 0.0)),
-      "one differing mid-token kills every span")
-    assert(Seq(5L, 6L, 7L).forall(got(_)._2 == 0L))
-  }
 }
