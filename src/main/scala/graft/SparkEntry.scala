@@ -1466,6 +1466,13 @@ object SparkEntry {
       // Kneser-Ney perplexity filter: the continuation-probability
       // smoothing real LM filters use, next to q65's add-one baseline
       LangModel.kneserNeyNll(tp(s, dir, "documents")).orderBy("doc_id")),
+    "q215_ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail: q168's KN scores cut at EXACT nll
+      // tertiles (ceil-rank order statistics), the quality tiering the
+      // LLaMA-1 web recipe used. Oracle replays the KN CTEs plus the two
+      // rank-located thresholds.
+      LangModel.perplexityBuckets(tp(s, dir, "documents"))
+        .orderBy("doc_id")),
     "q167_image_ahash" -> ((s, dir) => {
       // perceptual hashes over REAL decoded containers (BMP/PPM pixel
       // reads): the codec materializes the grayscale frame as a parquet
@@ -4698,6 +4705,42 @@ object SparkEntry {
            |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
            |ORDER BY a_id, b_id""".stripMargin
       },
+      "q215_ccnet_buckets" -> // the q168 KN CTEs, then the two tertile
+        // thresholds as ceil-rank order statistics over nll_kn (the exact
+        // double products 1.0/3 and 2.0/3 mirror Stats.exactQuantiles'
+        // ceil(p*n) targets bit-for-bit) and the <=-to-the-better-tier rule
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |u AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+          |bg AS (SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+          |       FROM u),
+          |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+          |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+          |nf AS (SELECT w1, CAST(count(*) AS BIGINT) AS nf FROM c12 GROUP BY 1),
+          |np AS (SELECT w2, CAST(count(*) AS BIGINT) AS np FROM c12 GROUP BY 1),
+          |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12),
+          |p AS (SELECT doc_id,
+          |      round(ln(greatest(CAST(c12 AS DOUBLE) - 0.75e0, 0.0e0)
+          |               / CAST(c1 AS DOUBLE)
+          |             + (0.75e0 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE))
+          |               * (CAST(np AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS lnp
+          |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+          |        JOIN nf USING (w1) JOIN np USING (w2) CROSS JOIN nt),
+          |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |        round(-(CAST(sum(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE))
+          |              / CAST(count(*) AS DOUBLE), 6) AS nll_kn
+          |      FROM p GROUP BY doc_id),
+          |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+          |r AS (SELECT nll_kn, row_number() OVER (ORDER BY nll_kn) AS rw FROM m),
+          |t1 AS (SELECT r.nll_kn AS v FROM r CROSS JOIN cnt
+          |       WHERE r.rw = CAST(ceil((1.0e0 / 3.0e0) * CAST(n AS DOUBLE))
+          |                         AS BIGINT)),
+          |t2 AS (SELECT r.nll_kn AS v FROM r CROSS JOIN cnt
+          |       WHERE r.rw = CAST(ceil((2.0e0 / 3.0e0) * CAST(n AS DOUBLE))
+          |                         AS BIGINT))
+          |SELECT m.doc_id, m.n_bigrams, m.nll_kn,
+          |  CASE WHEN m.nll_kn <= t1.v THEN 'head'
+          |       WHEN m.nll_kn <= t2.v THEN 'middle' ELSE 'tail' END AS bucket
+          |FROM m CROSS JOIN t1 CROSS JOIN t2 ORDER BY m.doc_id""".stripMargin,
       "q168_kn_score" -> // kneserNeyNll replayed: the four exact count
         // tables (c12, left totals, distinct successors/predecessors, the
         // bigram-type scalar), the interpolated-KN formula in the identical

@@ -135,4 +135,33 @@ object LangModel {
         round(-(col("s").cast("double")) / col("n_bigrams").cast("double"), 6)
           .as("nll_kn"))
   }
+
+  /** CCNet-style perplexity buckets (Wenzek et al., LREC 2020 — the
+    * head/middle/tail quality tiers CCNet cuts Common Crawl into, later
+    * the LLaMA-1 data recipe's web-quality split): score every document
+    * with [[kneserNeyNll]], then label the most-fluent third `head`, the
+    * next `middle`, the rest `tail`. CCNet cuts at per-language
+    * perplexity TERTILES, not fixed values — mirrored here with EXACT
+    * order statistics: threshold_i = the ceil(i·n/3)-th smallest nll
+    * ([[Stats.exactQuantiles]]' bucket-refinement machinery — two bounded
+    * passes, no global sort; the same ceil-rank convention as
+    * q196/q202). A doc AT a threshold goes to the better tier (`<=`).
+    *
+    * Scale shape: the KN scoring joins (word-count tables, corpus
+    * streams through), one exactQuantiles probe (bounded collect of
+    * bucket counts), then a narrow label projection — the thresholds are
+    * two scalar literals in the plan. Output: (doc_id, n_bigrams,
+    * nll_kn, bucket). */
+  def perplexityBuckets(docs: DataFrame, discount: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    val scored = kneserNeyNll(docs, discount, textCol)
+    val qs = Stats.exactQuantiles(scored, "nll_kn", Seq(1.0 / 3, 2.0 / 3))
+      .select("p", "value").collect().sortBy(_.getDouble(0))
+    require(qs.length == 2, "perplexityBuckets: empty corpus")
+    val (t1, t2) = (qs(0).getDouble(1), qs(1).getDouble(1))
+    scored.select(col("doc_id"), col("n_bigrams"), col("nll_kn"),
+      when(col("nll_kn") <= t1, "head")
+        .when(col("nll_kn") <= t2, "middle")
+        .otherwise("tail").as("bucket"))
+  }
 }

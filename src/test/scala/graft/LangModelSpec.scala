@@ -117,4 +117,32 @@ class LangModelSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(run(1) == run(9))
   }
+
+  test("perplexity buckets: exact tertile cuts, fluent docs head, threshold goes to the better tier") {
+    import spark.implicits._
+    // 9 docs with clearly ordered fluency: repetitive bigrams score the
+    // lowest NLL (head), fully novel word sequences the highest (tail)
+    val rep = (0L until 3L).map(i => (i, ("spark rocks " * 10).trim))
+    val mid = (3L until 6L).map(i =>
+      (i, s"spark rocks w$i x$i spark rocks y$i z$i spark rocks"))
+    val nov = (6L until 9L).map(i =>
+      (i, (0 until 12).map(j => s"n${i}_$j").mkString(" ")))
+    val docs = (rep ++ mid ++ nov).toDF("doc_id", "text")
+    val got = LangModel.perplexityBuckets(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getString(3)))).toMap
+    val byBucket = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    // ceil-rank tertiles on 9 docs: ranks 1-3 head, 4-6 middle, 7-9 tail
+    assert(byBucket == Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"$byBucket")
+    assert((0L until 3L).forall(got(_)._2 == "head"),
+      "repetitive (lowest-nll) docs are the head tier")
+    // the tiers partition the nll ORDER: head <= middle <= tail everywhere
+    // (the <= rule sends a threshold-valued doc to the better tier)
+    def nlls(b: String) = got.values.collect { case (v, `b`) => v }
+    assert(nlls("head").max <= nlls("middle").min &&
+      nlls("middle").max <= nlls("tail").min)
+    // determinism across partitionings (threshold literals re-derived)
+    val again = LangModel.perplexityBuckets(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == got.view.mapValues(_._2).toMap)
+  }
 }
