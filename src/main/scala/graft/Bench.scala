@@ -54,23 +54,34 @@ object Bench {
     *      were all host noise.
     *
     * Same-round refutation: when this round's EARLIER full-board history
-    * rows (same `round` label, same SF — passed as `sameRoundMins`) timed a
-    * query faster, the flag compares min(now, same-round min) against the
-    * baseline: a query at its historical time in any window this round did
-    * not regress, whatever the current window read (the r11 adjudication,
-    * in the gate instead of the postmortem).
+    * rows (same `round` label, same SF, same COMMIT — passed as
+    * `sameRoundMins`; the caller filters on the git HEAD stamped into each
+    * history row, because a window that predates a mid-round regressing
+    * change proves nothing about it) timed a query faster, the flag
+    * compares min(now, same-round min) against the baseline: a query at
+    * its historical time in any same-commit window this round did not
+    * regress, whatever the current window read (the r11 adjudication, in
+    * the gate instead of the postmortem).
     *
     * Returns (stable-set median inflation, windowContaminated, flagged
-    * regressions worst-first); flags exclude queries stamped contaminated
-    * in either round and sub-0.3 s absolute deltas. */
+    * regressions worst-first, needs-re-time worst-first); flags exclude
+    * queries stamped contaminated in either round and sub-0.3 s absolute
+    * deltas. The 4th element is every raw flag that was SUPPRESSED
+    * (window contamination) or REFUTED (same-round min) — reported so a
+    * possibly-real regression is visibly deferred to a quiet re-time, not
+    * silently dropped (the r12 ADVICE). The spiky-window 5% ratio counts
+    * only stamps on BOARD queries: bench-only twins are timed in the same
+    * window but are not in `current`, and counting their stamps against a
+    * board-only denominator over-stamped the window (r12 defect #1). */
   private[graft] def findRegressions(histLines: Seq[String], sfDir: String,
       current: Seq[(String, Double)],
       contaminatedNow: Set[String],
       sameRoundMins: Map[String, Double] = Map.empty)
-      : (Double, Boolean, Seq[(String, Double, Double)]) = {
+      : (Double, Boolean, Seq[(String, Double, Double)],
+         Seq[(String, Double, Double)]) = {
     val sameSf = histLines.filter(_.contains("\"sf\":\"" + sfDir + "\""))
     val baseIdx = sameSf.lastIndexWhere(!_.contains("\"quiet\":true"))
-    if (baseIdx < 0) return (1.0, false, Seq.empty)
+    if (baseIdx < 0) return (1.0, false, Seq.empty, Seq.empty)
     val prev = sameSf(baseIdx)
     var prevMins = queriesOf(prev)
     val cStart = prev.indexOf("\"contaminated\":[")
@@ -95,19 +106,77 @@ object Bench {
     val inflation = if (ratios.size < 8) 1.0 else ratios(ratios.size / 2)
     val scale = math.max(1.0, inflation)
     // spiky-load stamp: needs a board-sized run for the 5% to mean load
-    // rather than one noisy query on a short scoped board
+    // rather than one noisy query on a short scoped board. Numerator and
+    // denominator over ONE population — the board: stamps on bench-only
+    // twins (timed in the window but absent from `current`) must not
+    // inflate the ratio.
+    val stampedOnBoard = contaminatedNow.intersect(current.map(_._1).toSet)
     val windowContaminated = inflation > 1.2 ||
-      (current.size >= 20 && contaminatedNow.size > 0.05 * current.size)
-    val regs = if (windowContaminated) Seq.empty else current.collect {
-      case (k, v0) if prevMins.contains(k) && !contaminatedNow(k) &&
-          !prevContam(k) => (k, math.min(v0, sameRoundMins.getOrElse(k, v0)))
-    }.collect {
-      case (k, v) if v / scale > 1.5 * prevMins(k) &&
-          v / scale - prevMins(k) > 0.3 =>
-        (k, prevMins(k), v)
-    }.sortBy { case (_, p, v) => -(v / p) }
-    (inflation, windowContaminated, regs)
+      (current.size >= 20 && stampedOnBoard.size > 0.05 * current.size)
+    // one flag rule, applied twice: raw (this window's own numbers) and
+    // refuted (min with the same-commit same-round history)
+    def flags(vOf: (String, Double) => Double): Seq[(String, Double, Double)] =
+      current.collect {
+        case (k, v0) if prevMins.contains(k) && !contaminatedNow(k) &&
+            !prevContam(k) => (k, vOf(k, v0))
+      }.collect {
+        case (k, v) if v / scale > 1.5 * prevMins(k) &&
+            v / scale - prevMins(k) > 0.3 =>
+          (k, prevMins(k), v)
+      }.sortBy { case (_, p, v) => -(v / p) }
+    val raw = flags((_, v) => v)
+    val refuted = flags((k, v) => math.min(v, sameRoundMins.getOrElse(k, v)))
+    val regs = if (windowContaminated) Seq.empty else refuted
+    val surviving = regs.map(_._1).toSet
+    val needsRetime = raw.filterNot(r => surviving(r._1))
+    (inflation, windowContaminated, regs, needsRetime)
   }
+
+  /** The current git HEAD (12 hex chars), read from .git directly so the
+    * bench never shells out; "unknown" when unresolvable. Stamped into
+    * every BENCH_HISTORY row so same-round refutation can require the
+    * refuting window to have run at the SAME code (a window predating a
+    * mid-round regressing change must not refute its flag). */
+  private[graft] def gitHead(dir: String = "."): String = try {
+    import java.nio.file.{Files, Paths}
+    val head = new String(Files.readAllBytes(Paths.get(dir, ".git/HEAD")),
+      "UTF-8").trim
+    if (!head.startsWith("ref: ")) head.take(12)
+    else {
+      val ref = head.stripPrefix("ref: ")
+      val refFile = Paths.get(dir, ".git", ref)
+      if (Files.exists(refFile))
+        new String(Files.readAllBytes(refFile), "UTF-8").trim.take(12)
+      else {
+        val packed = Paths.get(dir, ".git/packed-refs")
+        if (!Files.exists(packed)) "unknown"
+        else {
+          import scala.jdk.CollectionConverters._
+          Files.readAllLines(packed).asScala
+            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.take(12)).getOrElse("unknown")
+        }
+      }
+    }
+  } catch { case _: Throwable => "unknown" }
+
+  /** Per-query minimums over THIS round's earlier full-board windows at
+    * the SAME commit — the refutation set for [[findRegressions]]. Rows
+    * without a commit stamp (pre-r13 history) never refute: a window that
+    * can't prove it ran the current code can't clear a flag against it. */
+  private[graft] def sameRoundMinsOf(histLines: Seq[String],
+      roundLabel: String, sfDir: String, commit: String)
+      : Map[String, Double] = histLines
+    .filter(l => l.contains("\"round\":\"" + roundLabel + "\"") &&
+      l.contains("\"sf\":\"" + sfDir + "\"") &&
+      l.contains("\"commit\":\"" + commit + "\"") &&
+      !l.contains("\"quiet\":true"))
+    .map(queriesOf)
+    .foldLeft(Map.empty[String, Double]) { (acc, qs) =>
+      qs.foldLeft(acc) { case (a, (k, v)) =>
+        a + (k -> math.min(a.getOrElse(k, v), v))
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -258,18 +327,14 @@ object Bench {
         java.nio.file.Files.readAllLines(histFile).asScala.toSeq
       }
     }
-    val sameRoundMins: Map[String, Double] = histLines
-      .filter(l => l.contains("\"round\":\"" + roundLabel + "\"") &&
-        l.contains("\"sf\":\"" + sfDir + "\"") && !l.contains("\"quiet\":true"))
-      .map(queriesOf)
-      .foldLeft(Map.empty[String, Double]) { (acc, qs) =>
-        qs.foldLeft(acc) { case (a, (k, v)) =>
-          a + (k -> math.min(a.getOrElse(k, v), v))
-        }
-      }
-    val (windowInflation, windowContaminated, regressions) =
+    val commit = gitHead()
+    // refutation requires SAME round AND same commit: a mid-round change
+    // must not have its regression refuted by a window that predates it
+    val sameRoundMins = sameRoundMinsOf(histLines, roundLabel, sfDir, commit)
+    val (windowInflation, windowContaminated, regressions, needsRetime) =
       if (histLines.isEmpty || only.nonEmpty)
-        (1.0, false, Seq.empty[(String, Double, Double)])
+        (1.0, false, Seq.empty[(String, Double, Double)],
+          Seq.empty[(String, Double, Double)])
       else findRegressions(histLines, sfDir, ok, contaminated.toSet,
         sameRoundMins)
     if (windowContaminated)
@@ -280,10 +345,18 @@ object Bench {
     val regJson = regressions.map { case (k, p, v) =>
       "\"" + k + "\":{\"prev\":" + f3(p) + ",\"now\":" + f3(v) + "}"
     }.mkString("{", ",", "}")
+    val retimeJson = needsRetime.map { case (k, p, v) =>
+      "\"" + k + "\":{\"prev\":" + f3(p) + ",\"now\":" + f3(v) + "}"
+    }.mkString("{", ",", "}")
     if (regressions.nonEmpty)
       System.err.println(s"[bench] REGRESSIONS vs previous round (>1.5x min, " +
         f"load-normalized by $windowInflation%.2fx): " +
         regressions.map { case (k, p, v) => s"$k $p->$v" }.mkString(", "))
+    if (needsRetime.nonEmpty)
+      System.err.println("[bench] NEEDS RE-TIME (raw flags suppressed by " +
+        "window contamination or refuted by a same-commit window — verify " +
+        "with QuietProbe, don't trust silently): " +
+        needsRetime.map { case (k, p, v) => s"$k $p->$v" }.mkString(", "))
     // The driver captures only a bounded TAIL (~2 KB) of stdout and parses
     // the final JSON line out of it. BENCH_r06 AND r07 came back
     // "parsed": null because per-query content pushed that single line past
@@ -295,16 +368,29 @@ object Bench {
     // windows (earlier history rows + this run). When the final window is
     // loaded, this is the round's honest number — the artifact carries it
     // so a reader never has to re-adjudicate against the history by hand.
+    // Label-scoped (NOT commit-scoped like the refutation set): the
+    // round's best observed cost is a performance summary, and a
+    // mid-round commit doesn't invalidate an earlier window's timing of
+    // the queries it didn't touch.
+    val roundLabelMins: Map[String, Double] = histLines
+      .filter(l => l.contains("\"round\":\"" + roundLabel + "\"") &&
+        l.contains("\"sf\":\"" + sfDir + "\"") && !l.contains("\"quiet\":true"))
+      .map(queriesOf)
+      .foldLeft(Map.empty[String, Double]) { (acc, qs) =>
+        qs.foldLeft(acc) { case (a, (k, v)) =>
+          a + (k -> math.min(a.getOrElse(k, v), v))
+        }
+      }
     val roundBest = ok.map { case (k, v) =>
-      k -> math.min(v, sameRoundMins.getOrElse(k, v))
+      k -> math.min(v, roundLabelMins.getOrElse(k, v))
     }
     val roundBestTotal = roundBest.map(_._2).sum
     val roundBestJson = roundBest.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"regressions":$regJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"regressions":$regJson,"needs_retime":$retimeJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"commit":"$commit","sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"round_best_total":${f3(roundBestTotal)},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"needs_retime_n":${needsRetime.size},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"round_best_total":${f3(roundBestTotal)},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
     println(detail)
     println(line)
     // The file artifact has no size constraint, so it keeps the full
@@ -328,7 +414,7 @@ object Bench {
     // newest artifact on disk is the previous round's).
     if (only.isEmpty) {
       val hist =
-        s"""{"round":"$roundLabel","sf":"$sfDir","contaminated":${arr(contaminated)},"queries":$qs,"bench_only":$extraJson}"""
+        s"""{"round":"$roundLabel","sf":"$sfDir","commit":"$commit","contaminated":${arr(contaminated)},"queries":$qs,"bench_only":$extraJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

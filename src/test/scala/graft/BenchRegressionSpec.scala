@@ -24,7 +24,7 @@ class BenchRegressionSpec extends AnyFunSuite {
   test("flags >1.5x slowdowns, worst ratio first; small deltas and new queries pass") {
     val lines = Seq(hist("r9", Seq.empty,
       "q68" -> 2.0, "q01" -> 0.9, "q05" -> 0.1, "q69" -> 3.5))
-    val (_, _, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got, _) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 5.0, "q01" -> 1.0, "q05" -> 0.25, "q69" -> 5.4,
         "q_new" -> 9.9),
       contaminatedNow = Set.empty)
@@ -35,7 +35,7 @@ class BenchRegressionSpec extends AnyFunSuite {
 
   test("contamination in either round suppresses the flag") {
     val lines = Seq(hist("r9", Seq("q68"), "q68" -> 2.0, "q69" -> 3.5))
-    val (_, _, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got, _) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 9.0, "q69" -> 9.0), contaminatedNow = Set("q69"))
     assert(got.isEmpty)
   }
@@ -45,7 +45,7 @@ class BenchRegressionSpec extends AnyFunSuite {
       hist("r8", Seq.empty, "q68" -> 9.0), // stale round: would not flag
       s"""{"round":"rX","sf":"/elsewhere","contaminated":[],"queries":{"q68":0.1},"bench_only":{}}""",
       hist("r9", Seq.empty, "q68" -> 2.0)) // the real baseline
-    val (_, _, got) = Bench.findRegressions(lines, sf, Seq("q68" -> 5.0), Set.empty)
+    val (_, _, got, _) = Bench.findRegressions(lines, sf, Seq("q68" -> 5.0), Set.empty)
     assert(got === Seq(("q68", 2.0, 5.0)))
   }
 
@@ -62,7 +62,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // parse would keep the bench_only 0.1 and flag 2.1 as a 21x regression.
     val line =
       s"""{"round":"r9","sf":"$sf","contaminated":[],"queries":{"q68":2.0},"bench_only":{"q68":0.1}}"""
-    val (_, _, got) = Bench.findRegressions(Seq(line), sf, Seq("q68" -> 2.1),
+    val (_, _, got, _) = Bench.findRegressions(Seq(line), sf, Seq("q68" -> 2.1),
       Set.empty)
     assert(got.isEmpty)
   }
@@ -73,7 +73,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // reading flags against the honest 2.0.
     val lines = Seq(hist("r9", Seq("q68"), "q68" -> 15.0, "q01" -> 1.0),
       quiet("r10q", "q68" -> 2.0))
-    val (_, _, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got, _) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 9.0, "q01" -> 1.0), Set.empty)
     assert(got === Seq(("q68", 2.0, 9.0)))
   }
@@ -81,7 +81,7 @@ class BenchRegressionSpec extends AnyFunSuite {
   test("a quiet row lowers a loaded (unstamped) baseline via min") {
     val lines = Seq(hist("r9", Seq.empty, "q68" -> 5.0, "q01" -> 1.0),
       quiet("r10q", "q68" -> 2.0))
-    val (_, _, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got, _) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 4.0, "q01" -> 1.0), Set.empty)
     // vs the bench 5.0 no flag; vs the quiet 2.0, 4.0 is a 2x regression
     assert(got === Seq(("q68", 2.0, 4.0)))
@@ -90,7 +90,7 @@ class BenchRegressionSpec extends AnyFunSuite {
   test("quiet rows BEFORE the last full-board entry do not overlay it") {
     val lines = Seq(quiet("r8q", "q68" -> 0.5),
       hist("r9", Seq.empty, "q68" -> 2.0))
-    val (_, _, got) = Bench.findRegressions(lines, sf, Seq("q68" -> 2.2),
+    val (_, _, got, _) = Bench.findRegressions(lines, sf, Seq("q68" -> 2.2),
       Set.empty)
     assert(got.isEmpty) // 2.2 vs 2.0, not vs the stale 0.5
   }
@@ -104,7 +104,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // Every query 2x slower — the loaded-window signature, not 10 regressions.
     val (prev, now) = board(10, 2.0)
     val lines = Seq(hist("r9", Seq.empty, prev: _*))
-    val (inflation, contaminated, got) =
+    val (inflation, contaminated, got, _) =
       Bench.findRegressions(lines, sf, now, Set.empty)
     assert(math.abs(inflation - 2.0) < 1e-9)
     assert(contaminated, "a 2x median is a loaded window, stamped as such")
@@ -124,7 +124,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     val lines = Seq(hist("r9", Seq.empty, stable ++ spiky ++ unstampedSlow: _*))
     val now = stable ++ spiky.map { case (k, v) => k -> v * 5.0 } ++
       unstampedSlow.map { case (k, v) => k -> v * 6.0 }
-    val (inflation, contaminated, got) = Bench.findRegressions(lines, sf,
+    val (inflation, contaminated, got, _) = Bench.findRegressions(lines, sf,
       now, contaminatedNow = Set("qa", "qb", "qc"))
     assert(math.abs(inflation - 1.0) < 1e-9, "the median gate alone is blind")
     assert(contaminated, "3/28 stamped > 5% must stamp the window")
@@ -136,7 +136,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // noisy query, not ambient load.
     val prev = (1 to 5).map(i => s"q$i" -> 1.0)
     val lines = Seq(hist("r9", Seq.empty, prev: _*))
-    val (_, contaminated, _) = Bench.findRegressions(lines, sf,
+    val (_, contaminated, _, _) = Bench.findRegressions(lines, sf,
       prev, contaminatedNow = Set("q1"))
     assert(!contaminated)
   }
@@ -146,7 +146,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // an earlier full-board window of the SAME round timed it at 2.1 s —
     // host noise here, not a regression.
     val lines = Seq(hist("r9", Seq.empty, "q68" -> 2.0, "q01" -> 1.0))
-    val (_, _, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got, _) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 6.3, "q01" -> 1.0), Set.empty,
       sameRoundMins = Map("q68" -> 2.1))
     assert(got.isEmpty)
@@ -154,7 +154,7 @@ class BenchRegressionSpec extends AnyFunSuite {
 
   test("a regression slow in EVERY window of the round still flags") {
     val lines = Seq(hist("r9", Seq.empty, "q68" -> 2.0, "q01" -> 1.0))
-    val (_, _, got) = Bench.findRegressions(lines, sf,
+    val (_, _, got, _) = Bench.findRegressions(lines, sf,
       Seq("q68" -> 6.3, "q01" -> 1.0), Set.empty,
       sameRoundMins = Map("q68" -> 5.9))
     assert(got === Seq(("q68", 2.0, 5.9)),
@@ -165,7 +165,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // Window at 1.2x ambient, but q_bad is 6x: 6/1.2 = 5x >> 1.5x.
     val (prev, now) = board(10, 1.2)
     val lines = Seq(hist("r9", Seq.empty, prev :+ ("q_bad" -> 1.0): _*))
-    val (inflation, _, got) = Bench.findRegressions(lines, sf,
+    val (inflation, _, got, _) = Bench.findRegressions(lines, sf,
       now :+ ("q_bad" -> 6.0), Set.empty)
     assert(inflation > 1.0 && inflation < 1.5)
     assert(got.map(_._1) === Seq("q_bad"))
@@ -177,7 +177,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     val (prev, now) = board(10, 1.0)
     val tiny = (1 to 9).map(i => s"t$i" -> 0.05)
     val lines = Seq(hist("r9", Seq.empty, prev ++ tiny: _*))
-    val (inflation, _, _) = Bench.findRegressions(lines, sf,
+    val (inflation, _, _, _) = Bench.findRegressions(lines, sf,
       now ++ tiny.map { case (k, _) => k -> 0.5 }, Set.empty)
     assert(math.abs(inflation - 1.0) < 1e-9)
   }
@@ -187,8 +187,64 @@ class BenchRegressionSpec extends AnyFunSuite {
     // 3 samples the gate must flag all three instead of normalizing away.
     val (prev, now) = board(3, 3.0)
     val lines = Seq(hist("r9", Seq.empty, prev: _*))
-    val (inflation, _, got) = Bench.findRegressions(lines, sf, now, Set.empty)
+    val (inflation, _, got, _) = Bench.findRegressions(lines, sf, now, Set.empty)
     assert(inflation === 1.0)
     assert(got.size === 3)
+  }
+
+  test("stamps on off-board (bench-only twin) queries do not count toward the spiky 5%") {
+    // 24 clean board queries; 3 stamps, all on bench-only twins that are
+    // NOT in `current`. The r12 defect: numerator over board+twins,
+    // denominator board-only — 3 > 0.05*24 stamped the window and
+    // suppressed every flag. The ratio must use one population (the board).
+    val stable = (1 to 24).map(i => s"qs$i" -> (1.0 + i * 0.1))
+    val lines = Seq(hist("r9", Seq.empty, stable :+ ("q_bad" -> 1.0): _*))
+    val now = stable :+ ("q_bad" -> 6.0)
+    val (_, contaminated, got, _) = Bench.findRegressions(lines, sf, now,
+      contaminatedNow = Set("x01_twin", "x02_twin", "x03_twin"))
+    assert(!contaminated, "off-board stamps must not stamp the window")
+    assert(got.map(_._1) === Seq("q_bad"),
+      "the real regression must survive — the old ratio suppressed it")
+  }
+
+  test("a same-round-refuted flag is reported as needs-re-time, not dropped") {
+    val lines = Seq(hist("r9", Seq.empty, "q68" -> 2.0, "q01" -> 1.0))
+    val (_, _, got, retime) = Bench.findRegressions(lines, sf,
+      Seq("q68" -> 6.3, "q01" -> 1.0), Set.empty,
+      sameRoundMins = Map("q68" -> 2.1))
+    assert(got.isEmpty)
+    assert(retime === Seq(("q68", 2.0, 6.3)),
+      "the refuted raw flag must surface for a quiet re-time")
+  }
+
+  test("window-suppressed flags are reported as needs-re-time") {
+    // Uniform 2x load: the window stamps, flags suppress — but a query at
+    // 4x (2x beyond ambient) is a raw flag that must stay visible.
+    val (prev, now) = board(10, 2.0)
+    val lines = Seq(hist("r9", Seq.empty, prev :+ ("q_bad" -> 1.0): _*))
+    val (_, contaminated, got, retime) = Bench.findRegressions(lines, sf,
+      now :+ ("q_bad" -> 4.0), Set.empty)
+    assert(contaminated && got.isEmpty)
+    assert(retime.map(_._1) === Seq("q_bad"),
+      "suppression must defer the flag to a re-time, not erase it")
+  }
+
+  test("sameRoundMinsOf: only same-commit full-board rows of the round refute") {
+    def row(round: String, commit: Option[String], quiet: Boolean,
+        q: Double): String = {
+      val c = commit.map(h => s""""commit":"$h",""").getOrElse("")
+      val qq = if (quiet) """"quiet":true,""" else ""
+      s"""{"round":"$round","sf":"$sf",$qq$c"contaminated":[],"queries":{"q68":$q},"bench_only":{}}"""
+    }
+    val lines = Seq(
+      row("r13", Some("aaaa"), quiet = false, 2.0), // pre-change window
+      row("r13", None, quiet = false, 2.2), // pre-r13 format: no stamp
+      row("r13", Some("bbbb"), quiet = true, 2.1), // quiet rows never here
+      row("r12", Some("bbbb"), quiet = false, 1.9), // other round
+      row("r13", Some("bbbb"), quiet = false, 2.5),
+      row("r13", Some("bbbb"), quiet = false, 2.4))
+    val mins = Bench.sameRoundMinsOf(lines, "r13", sf, "bbbb")
+    assert(mins === Map("q68" -> 2.4),
+      "min over same-round same-commit full-board rows only")
   }
 }
