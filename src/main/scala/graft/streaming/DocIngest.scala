@@ -240,6 +240,17 @@ object DocIngest {
           else admitted.select("doc_id").limit(0))
       Dedup.appendToLshIndex(admitted, indexPath, s"batch-$batchId",
         n, numHashes, bands, gramHashes, bandBucket)
+      // saturation repair for the LSH tree's sidecar at compaction cadence
+      // (the EmbIngest pattern — without it the filter silently saturates
+      // past its fixed capacity and the gate degrades to scan-always).
+      // Rebuilt AFTER the append so the fresh filter covers this batch;
+      // the full sizes/ scan is the price of fresh headroom, paid every
+      // compactEvery batches alongside the other full-tree maintenance.
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        graft.util.BloomSidecar.rebuild(spark, indexPath,
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(s"$indexPath/sizes").select("doc_id"),
+          "doc_id", batchId)
       // Served-retrieval maintenance (the q199 shape as the ACTUAL daemon
       // path): fold the admitted docs into the at-rest BM25 index. The
       // fold is the staged two-phase commit keyed by this batch id, so the

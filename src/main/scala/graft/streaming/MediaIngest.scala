@@ -112,8 +112,15 @@ object MediaIngest {
         batchId, storedIds = if (indexExists) storedIds else emptyIds)
       Multimodal.hashIndexInsert(spark, indexPath, admittedHashes, batchId,
         maxDist, nBuckets)
-      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
         Multimodal.hashIndexCompact(spark, indexPath)
+        // sidecar saturation repair at the same cadence (the EmbIngest
+        // pattern): fresh ≥2x headroom from the tree's served-id scan,
+        // which now includes this batch's own fold
+        graft.util.BloomSidecar.rebuild(spark, indexPath,
+          Multimodal.servedHashes(spark, indexPath).select("doc_id"),
+          "doc_id", batchId)
+      }
       val r = DocIngest.BatchResult(admittedIds.count(), withinDrops.count(),
         indexDrops.count(), redelivered.count())
       System.err.println(s"[mediaingest] batch $batchId: admitted=${r.admitted} " +

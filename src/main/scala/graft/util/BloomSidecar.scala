@@ -80,16 +80,53 @@ object BloomSidecar {
   }
 
   private def write(spark: SparkSession, treePath: String, f: BloomFilter,
-      expectedItems: Long, fpp: Double, batchId: Long): Unit = {
+      expectedItems: Long, fpp: Double, batchId: Long,
+      nItems: Long): Unit = {
     import spark.implicits._
     val bos = new java.io.ByteArrayOutputStream()
     f.writeTo(bos)
     val fs = Lsm.fs(spark, treePath)
-    Seq((expectedItems, fpp, bos.toByteArray))
-      .toDF("expected_items", "fpp", "bits")
+    Seq((expectedItems, fpp, nItems, bos.toByteArray))
+      .toDF("expected_items", "fpp", "n_items", "bits")
       .write.mode("overwrite")
       .parquet(Lsm.stagedPath(treePath, "bloom", batchId))
     Lsm.commitSwap(fs, treePath, "bloom", batchId)
+  }
+
+  /** Saturation telemetry: (capacity, inserted, fill-ratio) of the stored
+    * sidecar, or None when the tree has none. `inserted` is the id count
+    * tracked across folds ([[rebuild]] resets it exactly; a pre-r13
+    * sidecar without the counter reads as -1/unknown until its first
+    * rebuild). A fill ratio past 1.0 means fpp has decayed beyond its
+    * contract and the gate is degrading toward scan-always — rebuild. */
+  final case class Stats(capacity: Long, inserted: Long, fpp: Double) {
+    def fill: Double = if (capacity <= 0) Double.NaN
+      else inserted.toDouble / capacity
+  }
+  def stats(spark: SparkSession, treePath: String): Option[Stats] = {
+    val fs = Lsm.fs(spark, treePath)
+    Lsm.recoverSwap(fs, treePath, "bloom")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir(treePath)))) None
+    else {
+      val row = spark.read.parquet(dir(treePath)).collect()(0)
+      val n = if (row.schema.fieldNames.contains("n_items"))
+        row.getAs[Long]("n_items") else -1L
+      Some(Stats(row.getAs[Long]("expected_items"),
+        n, row.getAs[Double]("fpp")))
+    }
+  }
+
+  /** One telemetry line per fold — a saturating sidecar must be visible
+    * in the daemon log BEFORE it silently degrades to scan-always. */
+  private def logFill(treePath: String, batchId: Long, cap: Long,
+      inserted: Long): Unit = {
+    val fill = if (cap > 0 && inserted >= 0)
+      f"${inserted.toDouble / cap}%.3f" else "unknown"
+    val warn = if (inserted > cap)
+      " SATURATED (fpp past contract — rebuild at next maintenance slot)"
+    else ""
+    System.err.println(s"[bloom] $treePath batch=$batchId " +
+      s"inserted=$inserted capacity=$cap fill=$fill$warn")
   }
 
   /** Fold a batch's admitted ids into the sidecar (call BEFORE the tree
@@ -105,16 +142,29 @@ object BloomSidecar {
     Lsm.recoverSwap(fs, treePath, "bloom")
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir(treePath)))) {
       val all = storedIds.select(col(idCol)).unionByName(newIds.select(col(idCol)))
+        .distinct()
+      val n = all.count()
       write(spark, treePath, build(all, idCol, expectedItems, fpp),
-        expectedItems, fpp, batchId)
+        expectedItems, fpp, batchId, n)
+      logFill(treePath, batchId, expectedItems, n)
     } else {
-      val meta = spark.read.parquet(dir(treePath))
-        .select("expected_items", "fpp", "bits").collect()(0)
-      val (cap, p) = (meta.getLong(0), meta.getDouble(1))
+      val meta = spark.read.parquet(dir(treePath)).collect()(0)
+      val (cap, p) = (meta.getAs[Long]("expected_items"),
+        meta.getAs[Double]("fpp"))
+      // counter carried across folds: stored + this batch (idempotent
+      // replays re-fold the same ids, so the counter can over-count a
+      // crashed batch's retry — an upper bound, which is the conservative
+      // direction for a saturation gauge). A pre-counter sidecar stays
+      // unknown (-1) until its first rebuild resets it exactly.
+      val storedN = if (meta.schema.fieldNames.contains("n_items"))
+        meta.getAs[Long]("n_items") else -1L
+      val n = if (storedN < 0) -1L
+        else storedN + newIds.select(col(idCol)).distinct().count()
       val stored = BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]](2)))
+        new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]]("bits")))
       stored.mergeInPlace(build(newIds, idCol, cap, p))
-      write(spark, treePath, stored, cap, p, batchId)
+      write(spark, treePath, stored, cap, p, batchId, n)
+      logFill(treePath, batchId, cap, n)
     }
   }
 
@@ -125,9 +175,11 @@ object BloomSidecar {
   def rebuild(spark: SparkSession, treePath: String, storedIds: DataFrame,
       idCol: String, batchId: Long, minItems: Long = 500000L,
       fpp: Double = 0.01): Unit = {
-    val n = storedIds.count()
+    val distinctIds = storedIds.select(col(idCol)).distinct()
+    val n = distinctIds.count()
     val cap = math.max(minItems, 2 * n)
-    write(spark, treePath, build(storedIds, idCol, cap, fpp), cap, fpp,
-      batchId)
+    write(spark, treePath, build(distinctIds, idCol, cap, fpp), cap, fpp,
+      batchId, n)
+    logFill(treePath, batchId, cap, n)
   }
 }

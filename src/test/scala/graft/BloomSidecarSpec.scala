@@ -93,6 +93,48 @@ class BloomSidecarSpec extends SparkSpec {
     assert(hits == 24L, "bootstrap must cover pre-sidecar stored ids")
   }
 
+  test("saturation telemetry: the inserted counter tracks folds, reads unknown on a legacy row, and rebuild resets it with headroom") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom-sat").toString + "/t"
+    val empty = Seq.empty[Long].toDF("id")
+    BloomSidecar.fold(spark, dir, (0L until 60L).toDF("id"), "id", 0L, empty,
+      expectedItems = 100L)
+    BloomSidecar.fold(spark, dir, (60L until 90L).toDF("id"), "id", 1L, empty)
+    val s1 = BloomSidecar.stats(spark, dir).get
+    assert(s1.capacity == 100L && s1.inserted == 90L,
+      s"counter must track folds exactly, got $s1")
+    assert(math.abs(s1.fill - 0.9) < 1e-9)
+    // past capacity: the gauge must read saturated (fill > 1), probes stay
+    // correct (no false negatives) — only the scan-skip rate decays
+    BloomSidecar.fold(spark, dir, (90L until 150L).toDF("id"), "id", 2L, empty)
+    val s2 = BloomSidecar.stats(spark, dir).get
+    assert(s2.inserted == 150L && s2.fill > 1.0, s"must read saturated: $s2")
+    val bits = BloomSidecar.read(spark, dir).get
+    assert((0L until 150L).toDF("id")
+      .filter(BloomSidecar.probe(bits, col("id"))).count() == 150L,
+      "saturation never causes a false negative")
+    // rebuild resets the counter exactly and restores >=2x headroom
+    BloomSidecar.rebuild(spark, dir, (0L until 150L).toDF("id"), "id", 3L,
+      minItems = 10L)
+    val s3 = BloomSidecar.stats(spark, dir).get
+    assert(s3.inserted == 150L && s3.capacity == 300L && s3.fill == 0.5)
+    // a legacy (pre-counter) sidecar row reads unknown, not wrong
+    val legacy = spark.read.parquet(s"$dir/bloom")
+      .select(col("expected_items"), col("fpp"), col("bits"))
+    val fs = graft.util.Lsm.fs(spark, dir)
+    legacy.write.mode("overwrite")
+      .parquet(graft.util.Lsm.stagedPath(dir, "bloom", 4L))
+    graft.util.Lsm.commitSwap(fs, dir, "bloom", 4L)
+    val s4 = BloomSidecar.stats(spark, dir).get
+    assert(s4.inserted == -1L, "legacy row must read unknown (-1)")
+    // and a fold onto a legacy row keeps it unknown rather than minting a
+    // wrong number; the next rebuild repairs it exactly
+    BloomSidecar.fold(spark, dir, (150L until 160L).toDF("id"), "id", 5L, empty)
+    assert(BloomSidecar.stats(spark, dir).get.inserted == -1L)
+    BloomSidecar.rebuild(spark, dir, (0L until 160L).toDF("id"), "id", 6L,
+      minItems = 10L)
+    assert(BloomSidecar.stats(spark, dir).get.inserted == 160L)
+  }
+
   test("rebuild sizes to the tree and keeps full coverage") {
     val dir = java.nio.file.Files.createTempDirectory("bloom-rb").toString + "/t"
     BloomSidecar.fold(spark, dir, (0L until 10L).toDF("id"), "id", 0L,
