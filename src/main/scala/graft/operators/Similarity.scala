@@ -253,54 +253,69 @@ object Similarity {
     fs.delete(new Path(s"$root/staged"), true)
     Lsm.compactBuckets(spark, fs, vectorsRoot, stagedRoot, oldRoot, "cid=",
       maxFilesPerCell)
-  }
-
-  private val versionDir = "^v(\\d+)$".r
-
-  /** The COMMITTED version numbers of an IVF tree at `path`: every
-    * `v<n>/` child holding a `_committed` marker. The legacy layout
-    * (tables at `path` itself) is implicit version 0. */
-  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[Int] = {
-    import org.apache.hadoop.fs.Path
-    if (!fs.exists(new Path(path))) Seq.empty
-    else fs.listStatus(new Path(path)).filter(_.isDirectory)
-      .flatMap(d => versionDir.findFirstMatchIn(d.getPath.getName)
-        .map(_.group(1).toInt))
-      .filter(n => fs.exists(new Path(s"$path/v$n/_committed")))
-      .toSeq.sorted
+    // MVCC storage bound: a retrain-superseded version had grace until
+    // this (later) single-writer maintenance slot — retire it here so a
+    // once-retrained tree doesn't carry 2x storage until the NEXT retrain
+    Lsm.retireSupersededVersions(fs, path, Seq("centroids", "vectors"),
+      graceOne = false)
   }
 
   /** Resolve the root an IVF reader must use — the snapshot-isolation
-    * point of the versioned tree: the HIGHEST committed version dir
-    * (`path/v<n>`), or `path` itself for a never-retrained tree. A
-    * reader resolves ONCE per query and reads BOTH tables (centroids +
-    * vectors) under that root, so it can never pair new centroids with
-    * old cells however it races a retrain: [[ivfRetrain]] publishes a
-    * complete successor pair under a NEW version dir, commits it with
-    * one atomic marker-file create, and keeps the superseded version on
-    * disk for a full retrain cycle before retiring it. */
+    * point of the versioned tree ([[graft.util.Lsm.versionedRoot]]): the
+    * HIGHEST committed version dir (`path/v<n>`), or `path` itself for a
+    * never-retrained tree. A reader resolves ONCE per query and reads
+    * BOTH tables (centroids + vectors) under that root, so it can never
+    * pair new centroids with old cells however it races a retrain:
+    * [[ivfRetrain]] publishes a complete successor pair under a NEW
+    * version dir, commits it with one atomic marker-file create, and
+    * keeps the superseded version on disk until the next maintenance
+    * slot retires it ([[ivfCompact]]; the next retrain also retires). */
   def ivfRoot(spark: org.apache.spark.sql.SparkSession,
-      path: String): String = {
-    val vs = committedVersions(graft.util.Lsm.fs(spark, path), path)
-    if (vs.isEmpty) path else s"$path/v${vs.max}"
-  }
+      path: String): String =
+    graft.util.Lsm.versionedRoot(graft.util.Lsm.fs(spark, path), path)
 
   /** Writer-entry recovery for an IVF tree: sweep any UNCOMMITTED
     * version dir (a crashed retrain's debris — the `_committed` marker
     * commits the successor pair atomically, so its absence means the
     * build never finished and no reader references the dir), then the
     * meta swap. Every external writer (the streaming daemons) enters
-    * through this. */
+    * through this.
+    *
+    * Legacy shim (one-time, pre-r12 trees): the old IN-PLACE retrain
+    * protocol staged both successor tables at the tree top and committed
+    * the pair under a `retrain_ready` marker file. A tree crashed AFTER
+    * that marker has its full vector set sitting in staged twins — the
+    * new version-dir recovery alone would strand them (the daemon would
+    * rebuild a tree holding only post-crash batches, silently losing
+    * served data on upgrade). When the marker is present, finish the old
+    * pair swap exactly as the old recovery did, then proceed. */
   def recoverIvfTree(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = graft.util.Lsm.fs(spark, path)
-    if (fs.exists(new Path(path)))
-      fs.listStatus(new Path(path)).filter(_.isDirectory)
-        .filter(d => versionDir.findFirstMatchIn(d.getPath.getName).isDefined)
-        .filterNot(d => fs.exists(new Path(d.getPath, "_committed")))
-        .foreach(d => fs.delete(d.getPath, true))
+    val legacyMarker = new Path(s"$path/retrain_ready")
+    if (fs.exists(legacyMarker)) {
+      def twins(prefix: String): Seq[Path] =
+        fs.listStatus(new Path(path)).map(_.getPath)
+          .filter(_.getName.startsWith(prefix)).toSeq
+      // marker present = both staged twins are complete; roll FORWARD.
+      // commitSwap order per table: live->old, staged->live, delete old;
+      // a staged twin still present means that table's swap hasn't
+      // completed — redo it; lone old twins are completed-swap leftovers.
+      Seq("vectors", "centroids").foreach { n =>
+        val live = new Path(s"$path/$n")
+        val staged = twins(s"${n}_staged_b")
+        if (staged.nonEmpty) {
+          if (fs.exists(live))
+            fs.rename(live, new Path(s"$path/${n}_old_brt"))
+          fs.rename(staged.head, live)
+        }
+        (twins(s"${n}_old_b") ++ twins(s"${n}_old_brt"))
+          .foreach(p => fs.delete(p, true))
+      }
+      fs.delete(legacyMarker, false)
+    }
+    graft.util.Lsm.sweepUncommittedVersions(fs, path)
     graft.util.Lsm.recoverSwap(fs, path, "meta")
   }
 
@@ -342,7 +357,7 @@ object Similarity {
     // and double-append when the batch retries
     Lsm.sweepAboveBatch(fs, new Path(s"$root/vectors"), lastBatch)
     val all = spark.read.parquet(s"$root/vectors").drop("cid")
-    val prevVersions = committedVersions(fs, path)
+    val prevVersions = Lsm.committedVersions(fs, path)
     val nextN = if (prevVersions.isEmpty) 1 else prevVersions.max + 1
     val next = s"$path/v$nextN"
     ivfCentroids(all, nlist, dim).write.mode("overwrite")
@@ -353,16 +368,11 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$next/vectors")
     fs.create(new Path(s"$next/_committed")).close() // THE commit point
     // retire everything OLDER than the version just superseded: a reader
-    // that resolved the previous root finishes on intact tables; anything
-    // older has had a full retrain cycle to drain
-    prevVersions.filter(_ < nextN - 1)
-      .foreach(n => fs.delete(new Path(s"$path/v$n"), true))
-    if (prevVersions.nonEmpty) {
-      // the implicit legacy v0 (tables at the tree top) is older than the
-      // superseded v<max>: retire it now that two newer versions exist
-      fs.delete(new Path(s"$path/centroids"), true)
-      fs.delete(new Path(s"$path/vectors"), true)
-    }
+    // that resolved the previous root finishes on intact tables; the
+    // superseded version itself is retired by the next maintenance slot
+    // (ivfCompact) or the next retrain, whichever runs first
+    Lsm.retireSupersededVersions(fs, path, Seq("centroids", "vectors"),
+      graceOne = true)
   }
 
   /** One daemon batch against the at-rest IVF index: cold start (no

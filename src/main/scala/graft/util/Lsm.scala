@@ -114,6 +114,64 @@ object Lsm {
       entries.exists(s => s.isDirectory && hasBucketData(fs, s.getPath))
     }
 
+  // ---- MVCC version dirs (protocol 3) --------------------------------
+  // A full-tree rebuild (retrain/re-encode) publishes its successor
+  // tables COMPLETELY under a fresh `path/v<n>/`, then one atomic
+  // `_committed` marker-file create commits it. Readers resolve the
+  // highest committed version once per query and are snapshot-consistent;
+  // the legacy layout (tables at `path` itself) is implicit version 0.
+  // Shared by the IVF serving tree (Similarity) and the IVF-PQ twin (Pq).
+
+  private val versionDir = "^v(\\d+)$".r
+
+  /** The COMMITTED version numbers under `path`, ascending. */
+  def committedVersions(fs: FileSystem, path: String): Seq[Int] =
+    if (!fs.exists(new Path(path))) Seq.empty
+    else fs.listStatus(new Path(path)).filter(_.isDirectory)
+      .flatMap(d => versionDir.findFirstMatchIn(d.getPath.getName)
+        .map(_.group(1).toInt))
+      .filter(n => fs.exists(new Path(s"$path/v$n/_committed")))
+      .toSeq.sorted
+
+  /** The root a reader must use: the highest committed version dir, or
+    * `path` itself for a never-rebuilt tree. Resolve ONCE per query. */
+  def versionedRoot(fs: FileSystem, path: String): String = {
+    val vs = committedVersions(fs, path)
+    if (vs.isEmpty) path else s"$path/v${vs.max}"
+  }
+
+  /** Sweep UNCOMMITTED version dirs — a crashed rebuild's debris (the
+    * marker commits atomically, so its absence means no reader ever
+    * resolved the dir). Run at every writer entry. */
+  def sweepUncommittedVersions(fs: FileSystem, path: String): Unit =
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path)).filter(_.isDirectory)
+        .filter(d => versionDir.findFirstMatchIn(d.getPath.getName).isDefined)
+        .filterNot(d => fs.exists(new Path(d.getPath, "_committed")))
+        .foreach(d => fs.delete(d.getPath, true))
+
+  /** Retire superseded committed versions. `graceOne = true` (rebuild
+    * time) keeps the most recently superseded root on disk so readers
+    * that resolved it pre-publish finish on intact tables; `graceOne =
+    * false` (maintenance/compaction time — a later single-writer slot,
+    * so the publish-time readers have had a full slot to drain) keeps
+    * only the current version. `legacyDirs` are the implicit-v0 tables
+    * at the tree top, retired under the same grace rule. Storage is
+    * thereby bounded at 2× transiently and 1× from the next maintenance
+    * slot on — a once-rebuilt tree no longer carries its superseded twin
+    * until the NEXT rebuild (the r12 verdict's MVCC storage gap). */
+  def retireSupersededVersions(fs: FileSystem, path: String,
+      legacyDirs: Seq[String], graceOne: Boolean): Unit = {
+    val vs = committedVersions(fs, path)
+    if (vs.nonEmpty) {
+      val keepMin = if (graceOne) vs.max - 1 else vs.max
+      vs.filter(_ < keepMin)
+        .foreach(n => fs.delete(new Path(s"$path/v$n"), true))
+      if (!graceOne || vs.max >= 2)
+        legacyDirs.foreach(d => fs.delete(new Path(s"$path/$d"), true))
+    }
+  }
+
   /** Protocol-1 entry recovery for `<parent>/<name>`: roll a mid-swap
     * crash forward from the staged twin or back from the old one, then
     * sweep committed-swap debris. Always call before reading the dir.

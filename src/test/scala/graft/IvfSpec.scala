@@ -274,6 +274,76 @@ class IvfSpec extends SparkSpec {
       "folds target the current version root")
   }
 
+  test("ivfCompact retires a retrain-superseded version: storage bounded, served results unchanged, folds keep landing") {
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("ivf-retire").toString + "/idx"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 === 0), path,
+      nlist = 4, dim = 16)
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 1), 1L)
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 2), 2L)
+    Similarity.ivfRetrain(spark, path, nlist = 6, dim = 16)
+    val fs = graft.util.Lsm.fs(spark, path)
+    // grace at retrain time: the superseded legacy root is still on disk
+    assert(fs.exists(new Path(s"$path/vectors")) &&
+      fs.exists(new Path(s"$path/centroids")),
+      "the just-superseded root keeps its grace window at retrain time")
+    val q = emb.filter(col("vec_id") < 4)
+    val before = servedRows(path, q, 5, 2)
+    // the next maintenance slot retires it — 1x storage without waiting
+    // for another retrain
+    Similarity.ivfCompact(spark, path)
+    assert(!fs.exists(new Path(s"$path/vectors")) &&
+      !fs.exists(new Path(s"$path/centroids")),
+      "compaction must retire the superseded root (MVCC storage bound)")
+    assert(Similarity.ivfRoot(spark, path) == s"$path/v1")
+    assert(servedRows(path, q, 5, 2) == before,
+      "retirement must not change served results")
+    // the tree keeps accepting folds and a committed retry still no-ops
+    Similarity.ivfInsert(spark, path, emb.filter(col("vec_id") % 3 === 2), 2L)
+    val extra = (300 until 304).map(i =>
+      (i.toLong, Array.tabulate(16)(d => (dirs(i % 4)(d) + 0.01 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfInsert(spark, path, extra, 3L)
+    assert(treeAssign(path).map(_._1).toSet ==
+      ((0L until 48L) ++ (300L until 304L)).toSet)
+  }
+
+  test("legacy shim: a pre-r12 tree crashed after its retrain_ready marker rolls forward — no stored vector stranded") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("ivf-legacy").toString
+    val path = s"$root/idx"
+    // the pre-crash serving tree: 24 vectors
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 24), path,
+      nlist = 4, dim = 16)
+    // the old in-place protocol's post-marker crash state: BOTH successor
+    // tables (the full 48-vector retrained set) complete in staged twins
+    // at the tree top, retrain_ready present, live tables still the old
+    // pair — the crash hit before either commitSwap ran
+    val staged = s"$root/stagedbuild"
+    Similarity.writeIvfIndex(emb, staged, nlist = 4, dim = 16)
+    val fs = graft.util.Lsm.fs(spark, path)
+    fs.rename(new Path(s"$staged/centroids"),
+      new Path(s"$path/centroids_staged_b9"))
+    fs.rename(new Path(s"$staged/vectors"),
+      new Path(s"$path/vectors_staged_b9"))
+    fs.create(new Path(s"$path/retrain_ready")).close()
+    // any writer entry must finish the old pair swap, not strand it
+    Similarity.recoverIvfTree(spark, path)
+    assert(!fs.exists(new Path(s"$path/retrain_ready")))
+    assert(treeAssign(path).map(_._1).sorted == (0L until 48L),
+      "the completed retrain's full vector set must be the served tree")
+    assert(fs.listStatus(new Path(path)).map(_.getPath.getName).forall(n =>
+      !n.contains("_staged_b") && !n.contains("_old_b")),
+      "no twin dirs may survive the roll-forward")
+    // the rolled-forward tree folds normally under the new protocol
+    val extra = (400 until 404).map(i =>
+      (i.toLong, Array.tabulate(16)(d => (dirs(i % 4)(d) + 0.01 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfInsert(spark, path, extra, 1L)
+    assert(treeAssign(path).map(_._1).toSet ==
+      ((0L until 48L) ++ (400L until 404L)).toSet)
+  }
+
   test("commitEmbBatch: an empty cold drop must not commit an empty centroid table") {
     import graft.streaming.EmbIngest
     val path = java.nio.file.Files.createTempDirectory("emb-empty").toString + "/idx"
