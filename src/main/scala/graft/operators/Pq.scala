@@ -213,31 +213,103 @@ object Pq {
       .select(col("vec_id"),
         zip_with(col("emb"), col("center"), (x, c) => x - c).as("embedding"))
 
+  /** Train + encode the four data tables (centroids, codebooks, codes,
+    * vnorms) of an IVF-PQ tree under `root` — shared by the full build
+    * ([[writeIvfPqIndex]], root = tree top) and the drift repair
+    * ([[ivfPqRetrain]], root = a fresh MVCC version dir). Meta is NOT
+    * written here: the build stamps params, the retrain carries the
+    * existing meta (and its `last_batch`) unchanged. */
+  private def writeIvfPqTables(corpus: DataFrame, root: String, nlist: Int,
+      m: Int, ksub: Int, dim: Int, residual: Boolean): Unit = {
+    val spark = corpus.sparkSession
+    Similarity.ivfCentroids(corpus, nlist, dim).write.mode("overwrite")
+      .parquet(s"$root/centroids")
+    // assign against the WRITTEN tables (the writeIvfIndex lesson)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val cells = Similarity.assignToCentroids(corpus, cents)
+    val pqCorpus = pqEncodeInput(corpus, cells, cents, residual)
+    pqCodebooks(pqCorpus, m, ksub, dim).write.mode("overwrite")
+      .parquet(s"$root/codebooks")
+    val books = spark.read.parquet(s"$root/codebooks")
+    cells.join(assignCodes(pqCorpus, books, m, dim), Seq("vec_id"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/codes")
+    if (residual) {
+      vnormRows(spark.read.parquet(s"$root/codes"), cents, books, dim / m)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$root/vnorms")
+    }
+  }
+
   def writeIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
       m: Int = 8, ksub: Int = 16, dim: Int = 64,
       residual: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    Similarity.ivfCentroids(corpus, nlist, dim).write.mode("overwrite")
-      .parquet(s"$path/centroids")
-    // assign against the WRITTEN tables (the writeIvfIndex lesson)
-    val cents = spark.read.parquet(s"$path/centroids")
-    val cells = Similarity.assignToCentroids(corpus, cents)
-    val pqCorpus = pqEncodeInput(corpus, cells, cents, residual)
-    pqCodebooks(pqCorpus, m, ksub, dim).write.mode("overwrite")
-      .parquet(s"$path/codebooks")
-    val books = spark.read.parquet(s"$path/codebooks")
-    cells.join(assignCodes(pqCorpus, books, m, dim), Seq("vec_id"))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
-    if (residual) {
-      vnormRows(spark.read.parquet(s"$path/codes"), cents, books, dim / m)
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vnorms")
-    }
+    writeIvfPqTables(corpus, path, nlist, m, ksub, dim, residual)
     Seq((residual, nlist.toLong, m.toLong, ksub.toLong, dim.toLong))
       .toDF("residual", "nlist", "m", "ksub", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Resolve the root an IVF-PQ reader must use — the [[Similarity.ivfRoot]]
+    * contract for the compressed twin: the highest committed MVCC version
+    * dir ([[ivfPqRetrain]]'s publish unit), or `path` for a never-retrained
+    * tree. The data tables (centroids/codebooks/codes/vnorms) live under
+    * the resolved root; `meta` (params + `last_batch`) stays at the tree
+    * top so the fold's idempotence survives a retrain. */
+  def ivfPqRoot(spark: SparkSession, path: String): String =
+    graft.util.Lsm.versionedRoot(graft.util.Lsm.fs(spark, path), path)
+
+  /** Writer-entry recovery for an IVF-PQ tree: sweep a crashed retrain's
+    * uncommitted version dirs, then the protocol-1 swaps of the top-level
+    * tables. Every writer (fold, compaction, retrain) enters through this. */
+  def recoverIvfPqTree(spark: SparkSession, path: String): Unit = {
+    val fs = graft.util.Lsm.fs(spark, path)
+    graft.util.Lsm.sweepUncommittedVersions(fs, path)
+    Seq("centroids", "codebooks", "meta")
+      .foreach(graft.util.Lsm.recoverSwap(fs, path, _))
+  }
+
+  /** Drift repair for the compressed twin — the escape hatch the fold
+    * scaladoc names, wired: retrain the coarse quantizer AND the
+    * sub-codebooks on `corpus` and re-encode every vector, publishing the
+    * complete successor table set under a fresh MVCC version dir with one
+    * atomic `_committed` marker-create ([[Similarity.ivfRetrain]]'s
+    * protocol). Readers resolve [[ivfPqRoot]] once per query and are
+    * snapshot-consistent; the superseded root keeps a grace window until
+    * the next maintenance slot ([[ivfPqCompact]] retires it). Meta —
+    * params and `last_batch` — is carried UNCHANGED, so a streaming retry
+    * of a committed batch still no-ops after the retrain.
+    *
+    * `corpus` must be (vec_id, embedding) rows covering EVERYTHING the
+    * tree serves — the caller owns that contract because the compressed
+    * tree stores codes, not vectors. The natural source is the serving
+    * (uncompressed) IVF twin's vector table, read AFTER both trees'
+    * batch folds committed (the [[graft.streaming.EmbIngest]] retrain
+    * slot does exactly this), at which point the two trees hold the same
+    * vec_id set by the PQ-before-IVF fold order. Runs in the
+    * single-writer maintenance slot. */
+  def ivfPqRetrain(spark: SparkSession, path: String,
+      corpus: DataFrame): Unit = {
+    import graft.util.Lsm
+    import org.apache.hadoop.fs.Path
+    val fs = Lsm.fs(spark, path)
+    recoverIvfPqTree(spark, path)
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val residual = meta.getAs[Boolean]("residual")
+    val (nlist, m, ksub, dim) = (meta.getAs[Long]("nlist").toInt,
+      meta.getAs[Long]("m").toInt, meta.getAs[Long]("ksub").toInt,
+      meta.getAs[Long]("dim").toInt)
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    if (vecs.isEmpty) return // nothing to train on; keep serving as-is
+    val prev = Lsm.committedVersions(fs, path)
+    val nextN = if (prev.isEmpty) 1 else prev.max + 1
+    val next = s"$path/v$nextN"
+    writeIvfPqTables(vecs, next, nlist, m, ksub, dim, residual)
+    fs.create(new Path(s"$next/_committed")).close() // THE commit point
+    Lsm.retireSupersededVersions(fs, path,
+      Seq("centroids", "codebooks", "codes", "vnorms"), graceOne = true)
   }
 
   /** Fold NEW vectors into a materialized [[writeIvfPqIndex]] tree — the
@@ -261,22 +333,24 @@ object Pq {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = Lsm.fs(spark, path)
-    Lsm.recoverSwap(fs, path, "meta")
+    recoverIvfPqTree(spark, path)
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val residual = meta.getAs[Boolean]("residual")
     val m = meta.getAs[Long]("m").toInt
     val dim = meta.getAs[Long]("dim").toInt
-    // shared entry: committed no-op, or sweep this batch's partial move
-    // from BOTH bucket roots (-1 = a pre-incremental tree being adopted)
-    if (Lsm.enterBatch(spark, fs, path, batchId,
-        markedRoots = Seq("codes", "vnorms")).alreadyCommitted) return
+    // shared entry (committed no-op), then sweep this batch's partial
+    // move from BOTH bucket roots at the RESOLVED version root (-1 = a
+    // pre-incremental tree being adopted)
+    if (Lsm.enterBatch(spark, fs, path, batchId).alreadyCommitted) return
+    val root = ivfPqRoot(spark, path)
     val marker = s"b$batchId-"
-    val codesRoot = new Path(s"$path/codes")
-    val vnormsRoot = new Path(s"$path/vnorms")
+    val codesRoot = new Path(s"$root/codes")
+    val vnormsRoot = new Path(s"$root/vnorms")
+    Seq(codesRoot, vnormsRoot).foreach(Lsm.sweepMarked(fs, _, marker))
     val staged = new Path(s"$path/staged")
     fs.delete(staged, true)
-    val cents = spark.read.parquet(s"$path/centroids")
-    val books = spark.read.parquet(s"$path/codebooks")
+    val cents = spark.read.parquet(s"$root/centroids")
+    val books = spark.read.parquet(s"$root/codebooks")
     val cells = Similarity.assignToCentroids(batch, cents)
     cells.join(assignCodes(pqEncodeInput(batch, cells, cents, residual),
         books, m, dim), Seq("vec_id"))
@@ -322,7 +396,11 @@ object Pq {
     import spark.implicits._
     val fs = Lsm.fs(spark, path)
     val train = trainOn.getOrElse(batch)
-    Seq("centroids", "codebooks", "meta").foreach(Lsm.recoverSwap(fs, path, _))
+    recoverIvfPqTree(spark, path)
+    // cold-start existence checks at the RESOLVED root: a retrained tree
+    // carries its tables in a version dir (the legacy top-level ones are
+    // retired), and a bare $path check would re-trigger cold training
+    val root = ivfPqRoot(spark, path)
     if (fs.exists(new Path(s"$path/meta"))) {
       val meta = spark.read.parquet(s"$path/meta").collect()(0)
       require(meta.getAs[Boolean]("residual") == residual &&
@@ -331,15 +409,15 @@ object Pq {
         s"IVF-PQ tree at $path was built with different params " +
           s"(${meta.mkString(",")}); the encode family must match at every call")
     }
-    if (!fs.exists(new Path(s"$path/centroids"))) {
+    if (!fs.exists(new Path(s"$root/centroids"))) {
       Similarity.ivfCentroids(train, nlist, dim).write.mode("overwrite")
         .parquet(Lsm.stagedPath(path, "centroids", batchId))
       Lsm.commitSwap(fs, path, "centroids", batchId)
     }
-    if (!fs.exists(new Path(s"$path/codebooks"))) {
+    if (!fs.exists(new Path(s"$root/codebooks"))) {
       // train on the residuals the stored centroids imply (the
       // writeIvfPqIndex lesson: encode-time inputs must match train-time)
-      val cents = spark.read.parquet(s"$path/centroids")
+      val cents = spark.read.parquet(s"$root/centroids")
       val cells = Similarity.assignToCentroids(train, cents)
       pqCodebooks(pqEncodeInput(train, cells, cents, residual), m, ksub, dim)
         .write.mode("overwrite")
@@ -366,14 +444,15 @@ object Pq {
     import graft.util.Lsm
     import org.apache.hadoop.fs.Path
     val fs = Lsm.fs(spark, path)
-    Lsm.recoverSwap(fs, path, "meta")
+    recoverIvfPqTree(spark, path)
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val lastBatch =
       if (meta.schema.fieldNames.contains("last_batch"))
         meta.getAs[Long]("last_batch")
       else -1L
-    val roots = Seq(s"$path/codes") ++
-      (if (meta.getAs[Boolean]("residual")) Seq(s"$path/vnorms") else Nil)
+    val vroot = ivfPqRoot(spark, path)
+    val roots = Seq(s"$vroot/codes") ++
+      (if (meta.getAs[Boolean]("residual")) Seq(s"$vroot/vnorms") else Nil)
     for (r <- roots) {
       val root = new Path(r)
       if (fs.exists(root)) {
@@ -386,6 +465,10 @@ object Pq {
       }
     }
     fs.delete(new Path(s"$path/staged"), true)
+    // MVCC storage bound (the ivfCompact rule): a retrain-superseded
+    // version had grace until this later single-writer slot — retire it
+    Lsm.retireSupersededVersions(fs, path,
+      Seq("centroids", "codebooks", "codes", "vnorms"), graceOne = false)
   }
 
   /** IVF-PQ top-k: probe the `nprobe` nearest cells per query (the q42
@@ -412,8 +495,12 @@ object Pq {
       s"index meta (m=${meta.getAs[Long]("m")}, dim=${meta.getAs[Long]("dim")}) " +
         s"disagrees with caller (m=$m, dim=$dim)")
     val residual = meta.getAs[Boolean]("residual")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val books = spark.read.parquet(s"$path/codebooks")
+    // snapshot isolation: resolve the version root ONCE and read every
+    // table under it — a probe racing a retrain can never pair new
+    // codebooks with old codes
+    val vroot = ivfPqRoot(spark, path)
+    val cents = spark.read.parquet(s"$vroot/centroids")
+    val books = spark.read.parquet(s"$vroot/codebooks")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qProbes = q.crossJoin(broadcast(cents))
       .withColumn("ccos", ArrayMath.cosineKey(col("q_emb"), col("center")))
@@ -430,7 +517,7 @@ object Pq {
       java.util.Arrays.asList(probeRows: _*), qProbes.schema)
     val qDistinct = qLocal.select(col("q_id"), col("q_emb")).distinct()
     val partials = adcPartials(qDistinct, books, dsub)
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(s"$vroot/codes")
       .filter(col("cid").isin(probed: _*))
     if (!residual) {
       val joined = codes
@@ -444,13 +531,13 @@ object Pq {
       // aggregate shrinks to the non-residual shape (one carry + one sum).
       // A residual index materialized BEFORE the vnorms precompute landed
       // has no such table — fail with the remedy, not a parquet path error
-      require(new org.apache.hadoop.fs.Path(s"$path/vnorms")
+      require(new org.apache.hadoop.fs.Path(s"$vroot/vnorms")
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(s"$path/vnorms")),
+          .exists(new org.apache.hadoop.fs.Path(s"$vroot/vnorms")),
         s"residual IVF-PQ index at $path predates the precomputed " +
           "reconstruction-norm table (vnorms/) — rebuild it with " +
           "writeIvfPqIndex to serve residual probes")
-      val vn = spark.read.parquet(s"$path/vnorms")
+      val vn = spark.read.parquet(s"$vroot/vnorms")
         .filter(col("cid").isin(probed: _*))
         .select(col("vec_id"), col("rnorm2"))
       val joined = codes

@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   * compressed IVF-PQ twin ([[graft.operators.Pq.ivfPqCommitBatch]])
   * under the same batch id — ADC serving at daemon freshness — ordered
   * PQ-before-IVF so the gate tree's committed marker implies both folds
-  * landed. Retrain (`retrainEvery`) repairs the uncompressed tree's
-  * quantizer drift via MVCC version dirs; readers stay
-  * snapshot-consistent ([[Similarity.ivfRoot]]).
+  * landed. Retrain (`retrainEvery`) repairs quantizer drift on BOTH
+  * trees via MVCC version dirs — the serving tree re-assigns
+  * ([[Similarity.ivfRetrain]]), the compressed twin re-trains its
+  * codebooks and re-encodes from the serving tree's vectors
+  * ([[graft.operators.Pq.ivfPqRetrain]]); readers stay
+  * snapshot-consistent ([[Similarity.ivfRoot]], [[graft.operators.Pq.ivfPqRoot]]).
   *
   * Crash posture: file-source offsets checkpoint the stream; a replayed
   * batch re-delivers the same rows, [[commitEmbBatch]] no-ops on a
@@ -188,12 +191,21 @@ object EmbIngest {
       // periodic drift repair in the same single-writer slot: retrain the
       // coarse quantizer on everything served and re-assign (the fold's
       // frozen-centroid contract made whole); last_batch carries forward,
-      // so a replay of THIS batch after the retrain still no-ops.
-      // UNCOMPRESSED tree only: the PQ twin's quantizer + codebooks stay
-      // frozen at cold-start (the FAISS add contract) — its drift escape
-      // hatch is a writeIvfPqIndex rebuild, not an in-place retrain
-      if (retrainEvery > 0 && batchId > 0 && batchId % retrainEvery == 0)
+      // so a replay of THIS batch after the retrain still no-ops. The PQ
+      // twin retrains alongside — quantizer AND codebooks re-trained and
+      // every vector re-encoded from the serving tree's vector table
+      // (both trees hold the same vec_id set here: both folds committed
+      // above, PQ first) under the same MVCC version-dir protocol, so
+      // ADC recall no longer decays unrepaired on a drifting corpus.
+      if (retrainEvery > 0 && batchId > 0 && batchId % retrainEvery == 0) {
         Similarity.ivfRetrain(spark, indexPath, nlist, dim)
+        pqIndexPath.foreach { p =>
+          val served = spark.read
+            .parquet(s"${Similarity.ivfRoot(spark, indexPath)}/vectors")
+            .select(col("vec_id"), col("embedding"))
+          graft.operators.Pq.ivfPqRetrain(spark, p, served)
+        }
+      }
       val r = DocIngest.BatchResult(nAdmitted,
         withinDrops.count(), indexDrops.count(), redelivered.count())
       System.err.println(s"[embingest] batch $batchId: admitted=${r.admitted} " +

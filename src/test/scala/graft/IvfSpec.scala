@@ -518,6 +518,130 @@ class IvfSpec extends SparkSpec {
     assert(r2.admitted == 0 && (treeAssign(idx), pqRows(pq)) == before)
   }
 
+  test("ivfPqRetrain: MVCC re-encode == single-shot against the published tables; folds land in the version; retry no-ops; compaction retires") {
+    import graft.operators.Pq
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val root = java.nio.file.Files.createTempDirectory("pq-rt").toString
+    val pq = s"$root/pq"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def pqRows(p: String): Seq[String] = {
+      val r = Pq.ivfPqRoot(spark, p)
+      spark.read.parquet(s"$r/codes").select("vec_id", "cid", "sub", "code")
+        .collect().map(_.mkString(",")).sorted.toSeq
+    }
+    def vnRows(p: String): Seq[String] = {
+      val r = Pq.ivfPqRoot(spark, p)
+      spark.read.parquet(s"$r/vnorms").select("vec_id", "rnorm2")
+        .collect().map(_.mkString(",")).sorted.toSeq
+    }
+    for ((drop, i) <- Seq(
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 === 1),
+        emb.filter(col("vec_id") % 3 === 2)).zipWithIndex)
+      Pq.ivfPqCommitBatch(spark, pq, drop, i.toLong, nlist = 4, m = 4,
+        ksub = 8, dim = 16, trainOn = Some(drop))
+    // drift repair: quantizer + codebooks retrained, everything re-encoded
+    Pq.ivfPqRetrain(spark, pq, emb)
+    assert(Pq.ivfPqRoot(spark, pq) == s"$pq/v1",
+      "the retrain publishes a committed version dir")
+    // post-retrain tree == a single-shot encode against the PUBLISHED v1
+    // tables (the fold-vs-rebuild equivalence, through the retrain)
+    val ref = s"$root/ref"
+    val fs = graft.util.Lsm.fs(spark, pq)
+    for (t <- Seq("centroids", "codebooks"))
+      FileUtil.copy(fs, new Path(s"$pq/v1/$t"), fs, new Path(s"$ref/$t"),
+        false, conf)
+    FileUtil.copy(fs, new Path(s"$pq/meta"), fs, new Path(s"$ref/meta"),
+      false, conf)
+    Pq.ivfPqInsert(spark, ref, emb, 100L)
+    assert(pqRows(pq) == pqRows(ref),
+      "retrained codes must equal a single-shot encode on the v1 tables")
+    assert(vnRows(pq) == vnRows(ref), "vnorms bit-identical through retrain")
+    // ADC serving agrees end-to-end off the versioned root
+    val q = emb.filter(col("vec_id") < 3)
+    def adc(p: String) = Pq.ivfPqTopK(spark, p, q, 5, nprobe = 4,
+        m = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+      .sorted.toSeq
+    assert(adc(pq) == adc(ref))
+    // meta (last_batch) carried: a retry of committed batch 2 no-ops
+    val before = pqRows(pq)
+    Pq.ivfPqInsert(spark, pq, emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(pqRows(pq) == before, "committed retry must no-op post-retrain")
+    // a NEW fold lands inside the version root
+    val extra = (500 until 504).map(i =>
+      (i.toLong, Array.tabulate(16)(d => (dirs(i % 4)(d) + 0.01 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    Pq.ivfPqInsert(spark, pq, extra, 3L)
+    assert(spark.read.parquet(s"$pq/v1/codes").select("vec_id").distinct()
+      .count() == 52L, "the fold must land in the committed version")
+    // compaction retires the superseded legacy tables (storage bound)
+    Pq.ivfPqCompact(spark, pq)
+    assert(!fs.exists(new Path(s"$pq/codes")) &&
+      !fs.exists(new Path(s"$pq/centroids")) &&
+      !fs.exists(new Path(s"$pq/codebooks")) &&
+      !fs.exists(new Path(s"$pq/vnorms")),
+      "the superseded legacy root retires at the next maintenance slot")
+    assert(adc(pq).nonEmpty, "the tree keeps serving after retirement")
+    // an uncommitted (crashed) retrain dir sweeps at the next writer entry
+    fs.mkdirs(new Path(s"$pq/v2/codes"))
+    Pq.ivfPqInsert(spark, pq, emb.limit(0), 3L) // entry recovery (no-op fold)
+    assert(!fs.exists(new Path(s"$pq/v2")),
+      "an uncommitted version dir is a crashed retrain's debris")
+  }
+
+  test("EmbIngest dual retrain slot: both trees repair drift; ADC == rebuild; gate and folds keep working") {
+    import graft.operators.Pq
+    import graft.streaming.EmbIngest
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val root = java.nio.file.Files.createTempDirectory("emb-dualrt").toString
+    val (idx, pq) = (s"$root/idx", s"$root/pq")
+    val conf = spark.sparkContext.hadoopConfiguration
+    for ((drop, i) <- Seq(
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 === 1),
+        emb.filter(col("vec_id") % 3 === 2)).zipWithIndex)
+      EmbIngest.commitEmbBatch(spark, idx, drop, i.toLong, nlist = 4,
+        dim = 16, retrainEvery = 2, pqIndexPath = Some(pq), pqM = 4,
+        pqKsub = 8)
+    // batch 2 triggered the dual retrain: both trees carry version roots
+    assert(Similarity.ivfRoot(spark, idx) == s"$idx/v1")
+    assert(Pq.ivfPqRoot(spark, pq) == s"$pq/v1")
+    // the re-encoded twin serves exactly what a single-shot encode of the
+    // serving tree's vectors against the published v1 tables serves
+    val fs = graft.util.Lsm.fs(spark, pq)
+    val ref = s"$root/ref"
+    for (t <- Seq("centroids", "codebooks"))
+      FileUtil.copy(fs, new Path(s"$pq/v1/$t"), fs, new Path(s"$ref/$t"),
+        false, conf)
+    FileUtil.copy(fs, new Path(s"$pq/meta"), fs, new Path(s"$ref/meta"),
+      false, conf)
+    Pq.ivfPqInsert(spark, ref,
+      spark.read.parquet(s"$idx/v1/vectors").select("vec_id", "embedding"),
+      100L)
+    val q = emb.filter(col("vec_id") < 3)
+    def adc(p: String) = Pq.ivfPqTopK(spark, p, q, 5, nprobe = 4,
+        m = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+      .sorted.toSeq
+    assert(adc(pq) == adc(ref),
+      "post-retrain ADC must equal the single-shot rebuild")
+    // the next daemon batch gates and folds normally into BOTH v1 roots
+    val late = (600 until 604).map(i =>
+      (i.toLong, Array.tabulate(16)(d => (dirs(i % 4)(d) + 0.01 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r3 = EmbIngest.commitEmbBatch(spark, idx,
+      late.union(emb.filter(col("vec_id") < 4)), 3L, nlist = 4, dim = 16,
+      retrainEvery = 2, pqIndexPath = Some(pq), pqM = 4, pqKsub = 8)
+    assert(r3.admitted == 4 && r3.droppedRedelivered == 4,
+      s"gate must see the retrained tree's ids, got $r3")
+    assert(treeAssign(idx).map(_._1).toSet ==
+      ((0L until 48L) ++ (600L until 604L)).toSet)
+    assert(spark.read.parquet(s"$pq/v1/codes")
+      .filter(col("vec_id") >= 600).select("vec_id").distinct().count() == 4L,
+      "the twin's fold lands in its committed version")
+  }
+
   test("EmbIngest daemon: cold batch trains, warm drops fold, retry no-ops") {
     import java.nio.file.{Files, Path => JPath}
     val in = Files.createTempDirectory("emb-in").toString
