@@ -73,7 +73,16 @@ object DocIngest {
     * index (if one exists yet), write admitted docs to
     * `corpusDir/batch-<id>`, admit them into `indexPath` under the same
     * batch tag. Within-batch rule: for every near-dup pair (a < b), b is
-    * dropped — deterministic under replay and partitioning. */
+    * dropped — deterministic under replay and partitioning.
+    *
+    * `phaseWalls` (operational telemetry, None in production): when set,
+    * each gate/fold/maintenance phase is FORCED at its boundary (a
+    * count() on the already-cached frame — no recompute, just earlier
+    * materialization) and its wall seconds accumulate into the map under
+    * a stable phase key. This is how the soak attributes per-batch wall
+    * growth to a phase by measurement instead of inference (r12 verdict
+    * ask #2). With None, nothing extra is forced and the plan boundaries
+    * are exactly the production ones. */
   def commitDocBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       corpusDir: String, indexPath: String, threshold: Double = 0.35,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -86,7 +95,9 @@ object DocIngest {
       embIndexPath: Option[String] = None,
       embThreshold: Double = 0.95, embNprobe: Int = 2,
       embNlist: Int = 16, embDim: Int = 64,
-      evalPath: Option[String] = None, decontamN: Int = 5): BatchResult = {
+      evalPath: Option[String] = None, decontamN: Int = 5,
+      phaseWalls: Option[scala.collection.mutable.Map[String, Double]] = None)
+      : BatchResult = {
     val b = batch.persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
     // storageLevel guard: two gates can hand back plan-identical frames
@@ -98,12 +109,25 @@ object DocIngest {
         cached += df.persist()
       df
     }
+    def phase[T](name: String)(f: => T): T = phaseWalls match {
+      case Some(m) =>
+        val t0 = System.nanoTime()
+        val r = f
+        m(name) = m.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+        r
+      case None => f
+    }
+    // materialize a cached gate frame at its phase boundary (telemetry
+    // only — the frame is persisted, so later uses hit the cache)
+    def settle(df: DataFrame): Unit =
+      if (phaseWalls.isDefined) { df.count(); () }
     try {
       val withinPairs = cache(Dedup
         .minhashLshPairs(b, n, numHashes, bands, threshold, gramHashes, bandBucket)
         .select(col("a_id"), col("b_id")))
       val withinDrops = cache(
         withinPairs.select(col("b_id").as("doc_id")).distinct())
+      phase("gate_text")(settle(withinDrops))
       // existence through the path's own filesystem — a java.io.File check
       // would silently disable the gate on hdfs:// / s3:// deployments —
       // and by DATA files, not the bare dir: a crashed batch-0 append
@@ -128,17 +152,20 @@ object DocIngest {
         .select(col("doc_id"), col("_metadata.file_path").as("fp"))
         .filter(!col("fp").contains(s"/batch-$batchId/"))
         .select("doc_id").distinct()
-      val redelivered = cache(if (!indexExists) withinDrops.limit(0)
-        else graft.util.BloomSidecar.read(spark, indexPath) match {
-          case Some(bits) =>
-            val positives = b
-              .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
+      val redelivered = phase("gate_redelivery") {
+        val df = cache(if (!indexExists) withinDrops.limit(0)
+          else graft.util.BloomSidecar.read(spark, indexPath) match {
+            case Some(bits) =>
+              val positives = b
+                .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
+                .select("doc_id").distinct()
+              if (positives.isEmpty) withinDrops.limit(0)
+              else positives.join(storedDocIds, Seq("doc_id"), "left_semi")
+            case None => b.join(storedDocIds, Seq("doc_id"), "left_semi")
               .select("doc_id").distinct()
-            if (positives.isEmpty) withinDrops.limit(0)
-            else positives.join(storedDocIds, Seq("doc_id"), "left_semi")
-          case None => b.join(storedDocIds, Seq("doc_id"), "left_semi")
-            .select("doc_id").distinct()
-        })
+          })
+        settle(df); df
+      }
       val indexPairs = cache(if (indexExists)
         Dedup.minhashLshAgainstIndex(spark, indexPath, b, threshold, n,
             numHashes, bands, gramHashes, bandBucket)
@@ -146,6 +173,7 @@ object DocIngest {
       else withinPairs.limit(0))
       val indexDrops = cache(indexPairs.select(col("a_id").as("doc_id"))
         .distinct())
+      phase("gate_text")(settle(indexDrops))
       // Vector gate (embIndexPath set and the drop carries embeddings):
       // the [[EmbIngest]] gate run on the same batch under the same batch
       // id — cell-local cosine near-dups within the batch and against the
@@ -170,7 +198,7 @@ object DocIngest {
           if (vecs.count() == 0L) None else Some((p, vecs))
         }
       }
-      val (embWithinPairs, embIndexPairs) = embFrame match {
+      val (embWithinPairs, embIndexPairs) = phase("gate_vector")(embFrame match {
         case Some((p, vecs)) =>
           val fs = graft.util.Lsm.fs(spark, p)
           // retrain-aware entry recovery (raw recoverSwap("centroids")
@@ -207,9 +235,10 @@ object DocIngest {
                 .embNearDupAgainstIndex(spark, p, probes, embThreshold)
                 .select(col("a_id"), col("b_id"))
             else w.limit(0))
+          settle(w); settle(i)
           (w, i)
         case None => (withinPairs.limit(0), withinPairs.limit(0))
-      }
+      })
       val withinAllDrops = cache(withinDrops
         .union(embWithinPairs.select(col("b_id").as("doc_id"))).distinct())
       val indexAllDrops = cache(indexDrops
@@ -221,25 +250,29 @@ object DocIngest {
       // instead of requiring a corpus-scale backfill sweep. Deterministic
       // function of the batch and the static eval parquet, so replays
       // reconverge like every other gate.
-      val contamDrops = cache(evalPath match {
-        case Some(ep) => Dedup.contaminatedBy(b,
-            spark.read.parquet(ep), decontamN).select("doc_id").distinct()
-        case None => withinDrops.limit(0)
-      })
+      val contamDrops = phase("gate_contam") {
+        val df = cache(evalPath match {
+          case Some(ep) => Dedup.contaminatedBy(b,
+              spark.read.parquet(ep), decontamN).select("doc_id").distinct()
+          case None => withinDrops.limit(0)
+        })
+        settle(df); df
+      }
       val admitted = cache(b
         .join(withinAllDrops.union(indexAllDrops).union(redelivered)
             .union(contamDrops).distinct(),
           Seq("doc_id"), "left_anti"))
-      val nAdmitted = admitted.count() // materialize before the writes reuse it
-      admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
+      val nAdmitted = phase("admit")(admitted.count()) // materialize before the writes reuse it
+      phase("corpus_write")(
+        admitted.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId"))
       // sidecar folds BEFORE the index append (the BloomSidecar ordering
       // contract: a crash after this leaves a harmless superset)
-      graft.util.BloomSidecar.fold(spark, indexPath,
+      phase("sidecar_fold")(graft.util.BloomSidecar.fold(spark, indexPath,
         admitted.select("doc_id"), "doc_id", batchId,
         storedIds = if (indexExists) storedDocIds
-          else admitted.select("doc_id").limit(0))
-      Dedup.appendToLshIndex(admitted, indexPath, s"batch-$batchId",
-        n, numHashes, bands, gramHashes, bandBucket)
+          else admitted.select("doc_id").limit(0)))
+      phase("fold_lsh")(Dedup.appendToLshIndex(admitted, indexPath,
+        s"batch-$batchId", n, numHashes, bands, gramHashes, bandBucket))
       // saturation repair for the LSH tree's sidecar at compaction cadence
       // (the EmbIngest pattern — without it the filter silently saturates
       // past its fixed capacity and the gate degrades to scan-always).
@@ -247,10 +280,10 @@ object DocIngest {
       // the full sizes/ scan is the price of fresh headroom, paid every
       // compactEvery batches alongside the other full-tree maintenance.
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-        graft.util.BloomSidecar.rebuild(spark, indexPath,
+        phase("maintenance")(graft.util.BloomSidecar.rebuild(spark, indexPath,
           spark.read.option("recursiveFileLookup", "true")
             .parquet(s"$indexPath/sizes").select("doc_id"),
-          "doc_id", batchId)
+          "doc_id", batchId))
       // Served-retrieval maintenance (the q199 shape as the ACTUAL daemon
       // path): fold the admitted docs into the at-rest BM25 index. The
       // fold is the staged two-phase commit keyed by this batch id, so the
@@ -282,15 +315,15 @@ object DocIngest {
           if (!fs.exists(postings) && !swapTwins)
             graft.operators.Retrieval.initInvertedIndex(spark, p)
         }
-        graft.operators.Retrieval.invIndexInsert(spark, p,
-          admitted.select(col("doc_id"), col("text")), batchId)
+        phase("fold_bm25")(graft.operators.Retrieval.invIndexInsert(spark, p,
+          admitted.select(col("doc_id"), col("text")), batchId))
         // periodic LSM maintenance: every `compactEvery` batches, merge
         // each bucket's accumulated fragments back to one file. Runs
         // inside the single-writer batch slot (never racing a fold) and
         // is content-preserving, so a retried batch redoing it is a
         // no-op on the served results.
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          graft.operators.Retrieval.invIndexCompact(spark, p)
+          phase("maintenance")(graft.operators.Retrieval.invIndexCompact(spark, p))
       }
       // Graph-state maintenance, the same per-batch idempotent protocol:
       // the dedup gate's pair evidence (within-batch + vs-index near-dup
@@ -306,21 +339,21 @@ object DocIngest {
       embFrame.foreach { case (p, vecs) =>
         // fold from the COLLAPSED vector frame (one row per vec_id), not
         // the admitted rows — ivfInsert's unique-id contract
-        graft.operators.Similarity.ivfInsert(spark, p,
+        phase("fold_ivf")(graft.operators.Similarity.ivfInsert(spark, p,
           vecs.join(admitted.select(col("doc_id").as("vec_id")).distinct(),
-            Seq("vec_id"), "left_semi"), batchId)
+            Seq("vec_id"), "left_semi"), batchId))
         // the vector tree needs the same periodic LSM maintenance as the
         // postings tree — without it per-cell fragments grow one file per
         // batch forever (the r12 soak caught exactly this)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          graft.operators.Similarity.ivfCompact(spark, p)
+          phase("maintenance")(graft.operators.Similarity.ivfCompact(spark, p))
       }
       lpStatePath.foreach { sp =>
-        graft.operators.Graph.lpCommitBatch(spark, sp,
+        phase("fold_lp")(graft.operators.Graph.lpCommitBatch(spark, sp,
           withinPairs.union(indexPairs)
             .union(embWithinPairs).union(embIndexPairs)
             .select(col("a_id").as("src"), col("b_id").as("dst")),
-          batchId)
+          batchId))
       }
       val r = BatchResult(nAdmitted, withinAllDrops.count(),
         indexAllDrops.count(), redelivered.count(), contamDrops.count())

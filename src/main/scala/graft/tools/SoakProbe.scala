@@ -114,25 +114,40 @@ object SoakProbe {
       .toDF("doc_id", "text").write.parquet(eval)
 
     val walls = scala.collection.mutable.ArrayBuffer[Double]()
+    // per-batch phase walls (commitDocBatch telemetry) + the retrain slot,
+    // kept per batch so quarters can be compared phase-by-phase
+    val phaseHistory = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     var totalAdmitted = 0L
     for (b <- 0 until nBatches) {
       val batch = mkBatch(spark, b, perBatch)
+      val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
       val t0 = System.nanoTime()
       val r = DocIngest.commitDocBatch(spark, batch, b.toLong, corpus, index,
         invIndexPath = Some(inv), compactEvery = compactEvery,
         embIndexPath = Some(emb), embThreshold = 0.999999,
-        embNlist = 16, embDim = 16, evalPath = Some(eval))
+        embNlist = 16, embDim = 16, evalPath = Some(eval),
+        phaseWalls = Some(phases))
       val wall = (System.nanoTime() - t0) / 1e9
       walls += wall
       totalAdmitted += r.admitted
       // periodic IVF drift repair in the maintenance slot (single writer)
-      if (retrainEvery > 0 && b > 0 && b % retrainEvery == 0)
+      if (retrainEvery > 0 && b > 0 && b % retrainEvery == 0) {
+        val rt0 = System.nanoTime()
         Similarity.ivfRetrain(spark, emb, nlist = 16, dim = 16)
+        phases("retrain") = (System.nanoTime() - rt0) / 1e9
+      }
+      phaseHistory += phases.toMap
       if (b % 10 == 0 || b == nBatches - 1) {
         val invFrag = maxFragments(spark, s"$inv/postings", "tb=")
         val embRoot = Similarity.ivfRoot(spark, emb)
         val embFrag = maxFragments(spark, s"$embRoot/vectors", "cid=")
-        println(f"""SOAK {"batch":$b,"wall":$wall%.2f,"admitted":${r.admitted},"total_admitted":$totalAdmitted,"inv_max_frag":$invFrag,"emb_max_frag":$embFrag}""")
+        // sidecar headroom (the saturation gauge ask): a fill past 1.0
+        // means the gate is silently degrading toward scan-always
+        val fill = graft.util.BloomSidecar.stats(spark, index)
+          .map(s => f"${s.fill}%.4f").getOrElse("null")
+        val phaseJson = phases.map { case (k, v) =>
+          "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+        println(f"""SOAK {"batch":$b,"wall":$wall%.2f,"admitted":${r.admitted},"total_admitted":$totalAdmitted,"inv_max_frag":$invFrag,"emb_max_frag":$embFrag,"lsh_bloom_fill":$fill,"phases":$phaseJson}""")
       }
       if (b > 0 && b % checkpointEvery == 0) {
         // checkpoint 1: BM25 off the folded index == cold rebuild
@@ -167,6 +182,19 @@ object SoakProbe {
     val firstQ = walls.take(nBatches / 4).sum / (nBatches / 4)
     val lastQ = walls.takeRight(nBatches / 4).sum / (nBatches / 4)
     println(f"""SOAK_SUMMARY {"batches":$nBatches,"per_batch":$perBatch,"total_admitted":$totalAdmitted,"wall_p50":${pct(0.5)}%.2f,"wall_p90":${pct(0.9)}%.2f,"wall_max":${sorted.last}%.2f,"first_quarter_mean":$firstQ%.2f,"last_quarter_mean":$lastQ%.2f}""")
+    // per-phase quarter means: WHICH curve grows is now a measurement.
+    // retrain/maintenance are excluded from per-batch means' denominators
+    // only in the sense that batches without the phase contribute 0 —
+    // quarter means over all batches keep the comparison honest.
+    val phaseKeys = phaseHistory.flatMap(_.keys).distinct.sorted
+    val q1 = phaseHistory.take(nBatches / 4)
+    val q4 = phaseHistory.takeRight(nBatches / 4)
+    def mean(qs: Seq[Map[String, Double]], k: String): Double =
+      qs.map(_.getOrElse(k, 0.0)).sum / qs.size
+    val perPhase = phaseKeys.map { k =>
+      "\"" + k + f"""\":{"q1_mean":${mean(q1.toSeq, k)}%.2f,"q4_mean":${mean(q4.toSeq, k)}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""SOAK_PHASES $perPhase""")
     spark.stop()
   }
 }

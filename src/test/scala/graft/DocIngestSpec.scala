@@ -134,6 +134,33 @@ class DocIngestSpec extends SparkSpec {
       "duplicate drop lines must not double-fold a vec_id")
   }
 
+  test("commitDocBatch phase telemetry: same admissions, every live phase timed") {
+    val corpus = Files.createTempDirectory("doc-ph-corpus").toString
+    val index = Files.createTempDirectory("doc-ph-index").toString
+    val evalDir = Files.createTempDirectory("doc-ph-eval").toString + "/eval"
+    Seq((900L, tE)).toDF("doc_id", "text").write.parquet(evalDir)
+    val b0 = docsDf(0L -> tA, 3L -> tB, 5L -> tC)
+    DocIngest.commitDocBatch(spark, b0, 0L, corpus, index)
+    // instrumented batch vs the same batch uninstrumented on a twin tree:
+    // identical BatchResult (the telemetry only forces cached frames)
+    val corpus2 = Files.createTempDirectory("doc-ph-corpus2").toString
+    val index2 = Files.createTempDirectory("doc-ph-index2").toString
+    DocIngest.commitDocBatch(spark, b0, 0L, corpus2, index2)
+    val b1 = docsDf(2L -> tA, 6L -> tE, 7L -> tD, 10L -> tD)
+    val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rInst = DocIngest.commitDocBatch(spark, b1, 1L, corpus, index,
+      evalPath = Some(evalDir), phaseWalls = Some(phases))
+    val rPlain = DocIngest.commitDocBatch(spark, b1, 1L, corpus2, index2,
+      evalPath = Some(evalDir))
+    assert(rInst == rPlain, s"telemetry must not change admissions: $rInst vs $rPlain")
+    assert(corpusIds(corpus) == corpusIds(corpus2))
+    val expected = Set("gate_text", "gate_redelivery", "gate_contam",
+      "admit", "corpus_write", "sidecar_fold", "fold_lsh")
+    assert(expected.subsetOf(phases.keySet),
+      s"every live phase must be timed, got ${phases.keySet}")
+    assert(phases.values.forall(_ >= 0.0))
+  }
+
   test("commitDocBatch decontamination gate: eval-overlapping docs never enter corpus or index") {
     val corpus = Files.createTempDirectory("dc-corpus").toString
     val index = Files.createTempDirectory("dc-index").toString
