@@ -283,31 +283,51 @@ object Lsm {
   /** Merge every partition dir under `bucketsRoot` (name-prefixed
     * `bucketPrefix`, e.g. "tb=" / "cid=") holding more than
     * `maxFilesPerBucket` data files into one fresh file, content-
-    * identical, under a per-bucket staged swap. Caller must have run
-    * [[recoverBucketSwap]] and [[sweepAboveBatch]] first. A bucket is
-    * 1/n of the data by hash construction, so coalesce(1) is the
-    * per-bucket rewrite target. */
+    * identical. Caller must have run [[recoverBucketSwap]] and
+    * [[sweepAboveBatch]] first.
+    *
+    * ONE staging job, per-bucket swap: all fragmented buckets are
+    * re-read through partition discovery (the bucket column prunes to
+    * exactly the fragmented values), repartitioned BY the bucket column
+    * (each bucket lands in exactly one task → one output file) and
+    * written `partitionBy` under `stagedRoot` in a single Spark job —
+    * the r13 EmbSoak finding: the previous one-job-PER-bucket loop made
+    * the maintenance slot job-count-bound at nlist ≥ 256 (~770 tiny
+    * jobs, 137 s; one job stages the same bytes in seconds). The COMMIT
+    * remains per-bucket (live→old, staged→live, delete old — metadata
+    * renames), so crash recovery is [[recoverBucketSwap]] unchanged: a
+    * crash mid-staging leaves a staged root with no old twins (swept),
+    * mid-swap leaves per-bucket twins (restored per bucket). */
   def compactBuckets(spark: SparkSession, fsys: FileSystem, bucketsRoot: Path,
       stagedRoot: Path, oldRoot: Path, bucketPrefix: String,
       maxFilesPerBucket: Int): Unit = {
+    import org.apache.spark.sql.functions.col
     val fragmented = fsys.listStatus(bucketsRoot).map(_.getPath)
       .filter(p => p.getName.startsWith(bucketPrefix) &&
         dataFiles(fsys, p).length > maxFilesPerBucket)
+    if (fragmented.isEmpty) {
+      fsys.delete(stagedRoot, true)
+      fsys.delete(oldRoot, true)
+      return
+    }
+    val partCol = bucketPrefix.stripSuffix("=")
+    val values = fragmented.map(_.getName.stripPrefix(bucketPrefix)).toSeq
+    spark.read.parquet(bucketsRoot.toString)
+      .filter(col(partCol).cast("string").isin(values: _*))
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(stagedRoot.toString)
     for (bucket <- fragmented) {
       val st = new Path(stagedRoot, bucket.getName)
-      spark.read.parquet(bucket.toString).coalesce(1)
-        .write.mode("overwrite").parquet(st.toString)
-      // drop Spark's _SUCCESS etc. so the swapped-in dir is file-clean
-      // (keep-set computed once — a per-file dataFiles() recompute would
-      // issue O(n^2) listStatus RPCs per bucket)
-      val keep = dataFiles(fsys, st).map(_.getPath).toSet
-      fsys.listStatus(st).filterNot(f => keep.contains(f.getPath))
-        .foreach(f => fsys.delete(f.getPath, false))
-      fsys.mkdirs(oldRoot)
-      val old = new Path(oldRoot, bucket.getName)
-      fsys.rename(bucket, old)
-      fsys.rename(st, bucket)
-      fsys.delete(old, true)
+      // a fragmented bucket whose rows were all swept above lastBatch
+      // has no staged twin; skip it (its files are already gone)
+      if (fsys.exists(st)) {
+        fsys.mkdirs(oldRoot)
+        val old = new Path(oldRoot, bucket.getName)
+        fsys.rename(bucket, old)
+        fsys.rename(st, bucket)
+        fsys.delete(old, true)
+      }
     }
     fsys.delete(stagedRoot, true)
     fsys.delete(oldRoot, true)
