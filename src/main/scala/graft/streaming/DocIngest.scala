@@ -98,7 +98,19 @@ object DocIngest {
       evalPath: Option[String] = None, decontamN: Int = 5,
       phaseWalls: Option[scala.collection.mutable.Map[String, Double]] = None)
       : BatchResult = {
-    val b = batch.persist()
+    // duplicate doc_id rows collapse deterministically (whole-row min over
+    // the non-key columns) BEFORE any gate — the EmbIngest producer-retry
+    // rule extended to the text daemon: the within-batch LSH gate pairs
+    // only a_id < b_id, so a duplicated line's copies never gated each
+    // other and BOTH rows flowed into the corpus and the BM25/LSH folds
+    // (double-counted tf; masked by served==rebuild checks because both
+    // sides read the same duplicated corpus — surfaced by the r13
+    // MediaSoak equivalent of this bug)
+    val nonKey = batch.columns.filterNot(_ == "doc_id")
+    val b = batch.groupBy(col("doc_id"))
+      .agg(min(struct(nonKey.map(col): _*)).as("_row"))
+      .select(col("doc_id") +: nonKey.map(c => col(s"_row.`$c`").as(c)): _*)
+      .persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
     // storageLevel guard: two gates can hand back plan-identical frames
     // (the limit(0) placeholders when index/eval gates are off), and a

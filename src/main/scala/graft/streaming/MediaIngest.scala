@@ -61,7 +61,14 @@ object MediaIngest {
       System.err.println(s"[mediaingest] batch $batchId: already committed")
       return DocIngest.BatchResult(0, 0, 0, 0)
     }
-    val b = batch.persist()
+    // duplicate doc_id rows collapse deterministically (min payload) BEFORE
+    // anything else — the EmbIngest producer-retry rule: the hash gate
+    // already collapsed per id, but the payload write joined the RAW batch,
+    // so a duplicated line wrote the same doc twice into the corpus while
+    // the index served it once (caught by MediaSoak's served==rebuild
+    // checkpoint, r13)
+    val b = batch.groupBy("doc_id")
+      .agg(min(col("payload")).as("payload")).persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](b)
     // storageLevel guard: plan-identical frames (the limit(0)
     // placeholders) must not re-persist and warn every batch
@@ -71,8 +78,10 @@ object MediaIngest {
       df
     }
     try {
+      // one row per doc_id by the entry collapse above, so the hash frame
+      // needs no further per-id aggregation
       val hashes = cache(Multimodal.imageHashes(spark, b).toDF()
-        .groupBy("doc_id").agg(min(col("ahash")).as("ahash")))
+        .select("doc_id", "ahash"))
       // DATA-file probe, not dir existence: a crashed first fold's sweep
       // leaves empty tb= dirs behind, and a bare-dir read would throw on
       // every retry, wedging the daemon

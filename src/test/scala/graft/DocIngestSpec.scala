@@ -134,6 +134,26 @@ class DocIngestSpec extends SparkSpec {
       "duplicate drop lines must not double-fold a vec_id")
   }
 
+  test("a producer-retried duplicate line collapses: corpus and index hold the doc ONCE") {
+    val corpus = Files.createTempDirectory("doc-dup-corpus").toString
+    val index = Files.createTempDirectory("doc-dup-index").toString
+    val inv = Files.createTempDirectory("doc-dup-inv").toString + "/inv"
+    // doc 1 delivered twice in one batch (identical line, the producer-
+    // retry case); the within-batch LSH gate pairs only a_id < b_id, so
+    // without the entry collapse BOTH rows flow into corpus + BM25 fold
+    val b0 = docsDf(0L -> tA, 1L -> tB, 1L -> tB, 5L -> tC)
+    val r0 = DocIngest.commitDocBatch(spark, b0, 0L, corpus, index,
+      invIndexPath = Some(inv))
+    assert(r0.admitted == 3, s"duplicate line must collapse, got $r0")
+    val rows = DocIngest.readCorpus(spark, corpus)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count()
+    assert(rows == 1L, "the corpus must hold the duplicated doc ONCE")
+    // the BM25 fold indexed it once: its tf/stats match a corpus rebuild
+    val servedStats = spark.read.parquet(s"$inv/stats").collect()(0)
+    assert(servedStats.getAs[Long]("n_docs") == 3L,
+      "n_docs must count the duplicated doc once")
+  }
+
   test("commitDocBatch phase telemetry: same admissions, every live phase timed") {
     val corpus = Files.createTempDirectory("doc-ph-corpus").toString
     val index = Files.createTempDirectory("doc-ph-index").toString

@@ -56,6 +56,26 @@ class MediaIngestSpec extends SparkSpec {
       s"batch side must broadcast against the stored chunks:\n$plan")
   }
 
+  test("a producer-retried duplicate line collapses: corpus holds the payload ONCE") {
+    val corpus = java.nio.file.Files.createTempDirectory("med-dup-c").toString
+    val idx = java.nio.file.Files.createTempDirectory("med-dup-i").toString + "/idx"
+    // doc 2 delivered twice in one batch — without the entry collapse the
+    // payload write (a left_semi join against the RAW batch) emits both
+    // rows while the hash index serves one (the r13 MediaSoak catch)
+    val r0 = graft.streaming.MediaIngest.commitMediaBatch(spark,
+      batchDf(Seq(1L -> bmp(1), 2L -> bmp(2), 2L -> bmp(2), 3L -> bmp(3))),
+      0L, corpus, idx)
+    assert(r0.admitted == 3, s"duplicate line must collapse, got $r0")
+    val corpusRows = graft.streaming.MediaIngest.readCorpus(spark, corpus)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L).count()
+    assert(corpusRows == 1L, "the corpus must hold the duplicated payload ONCE")
+    // served == a cold hash pass over the corpus, WITH multiplicity
+    val servedN = graft.operators.Multimodal.servedHashes(spark, idx).count()
+    val rebuiltN = graft.operators.Multimodal.imageHashes(spark,
+      graft.streaming.MediaIngest.readCorpus(spark, corpus)).toDF().count()
+    assert(servedN == 3L && rebuiltN == 3L)
+  }
+
   test("crashed partial move is swept before the gate probes") {
     val tmp = java.nio.file.Files.createTempDirectory("media-crash").toString
     val corpus = s"$tmp/corpus"; val idx = s"$tmp/idx"
