@@ -72,11 +72,19 @@ object Bench {
     * silently dropped (the r12 ADVICE). The spiky-window 5% ratio counts
     * only stamps on BOARD queries: bench-only twins are timed in the same
     * window but are not in `current`, and counting their stamps against a
-    * board-only denominator over-stamped the window (r12 defect #1). */
+    * board-only denominator over-stamped the window (r12 defect #1).
+    *
+    * A flag contradicted only by a DIFFERENT-commit window of the same
+    * round (`sameRoundLabelMins`) is neither trusted nor cleared: it
+    * could be a mid-round regression the earlier window predates, or
+    * host noise — it downgrades to needs-re-time instead of shipping as
+    * a regression, so the artifact says "verify on a quiet host" rather
+    * than asserting either way. */
   private[graft] def findRegressions(histLines: Seq[String], sfDir: String,
       current: Seq[(String, Double)],
       contaminatedNow: Set[String],
-      sameRoundMins: Map[String, Double] = Map.empty)
+      sameRoundMins: Map[String, Double] = Map.empty,
+      sameRoundLabelMins: Map[String, Double] = Map.empty)
       : (Double, Boolean, Seq[(String, Double, Double)],
          Seq[(String, Double, Double)]) = {
     val sameSf = histLines.filter(_.contains("\"sf\":\"" + sfDir + "\""))
@@ -126,7 +134,13 @@ object Bench {
       }.sortBy { case (_, p, v) => -(v / p) }
     val raw = flags((_, v) => v)
     val refuted = flags((k, v) => math.min(v, sameRoundMins.getOrElse(k, v)))
-    val regs = if (windowContaminated) Seq.empty else refuted
+    // same-round-but-different-commit contradiction: would the flag
+    // clear under the label-only mins? Then it is unproven (mid-round
+    // change vs host noise) — downgrade, don't ship
+    val labelRefuted = flags((k, v) =>
+      math.min(v, sameRoundLabelMins.getOrElse(k, v))).map(_._1).toSet
+    val regs = if (windowContaminated) Seq.empty
+      else refuted.filter(r => labelRefuted(r._1))
     val surviving = regs.map(_._1).toSet
     val needsRetime = raw.filterNot(r => surviving(r._1))
     (inflation, windowContaminated, regs, needsRetime)
@@ -329,14 +343,25 @@ object Bench {
     }
     val commit = gitHead()
     // refutation requires SAME round AND same commit: a mid-round change
-    // must not have its regression refuted by a window that predates it
+    // must not have its regression refuted by a window that predates it.
+    // Label-only mins (any commit) can only DOWNGRADE a flag to
+    // needs-re-time — contradicted-but-unproven.
     val sameRoundMins = sameRoundMinsOf(histLines, roundLabel, sfDir, commit)
+    val roundLabelMins: Map[String, Double] = histLines
+      .filter(l => l.contains("\"round\":\"" + roundLabel + "\"") &&
+        l.contains("\"sf\":\"" + sfDir + "\"") && !l.contains("\"quiet\":true"))
+      .map(queriesOf)
+      .foldLeft(Map.empty[String, Double]) { (acc, qs) =>
+        qs.foldLeft(acc) { case (a, (k, v)) =>
+          a + (k -> math.min(a.getOrElse(k, v), v))
+        }
+      }
     val (windowInflation, windowContaminated, regressions, needsRetime) =
       if (histLines.isEmpty || only.nonEmpty)
         (1.0, false, Seq.empty[(String, Double, Double)],
           Seq.empty[(String, Double, Double)])
       else findRegressions(histLines, sfDir, ok, contaminated.toSet,
-        sameRoundMins)
+        sameRoundMins, roundLabelMins)
     if (windowContaminated)
       System.err.println(f"[bench] WINDOW CONTAMINATED (median inflation " +
         f"$windowInflation%.2fx, ${contaminated.size}/${ok.size} queries " +
@@ -372,15 +397,6 @@ object Bench {
     // round's best observed cost is a performance summary, and a
     // mid-round commit doesn't invalidate an earlier window's timing of
     // the queries it didn't touch.
-    val roundLabelMins: Map[String, Double] = histLines
-      .filter(l => l.contains("\"round\":\"" + roundLabel + "\"") &&
-        l.contains("\"sf\":\"" + sfDir + "\"") && !l.contains("\"quiet\":true"))
-      .map(queriesOf)
-      .foldLeft(Map.empty[String, Double]) { (acc, qs) =>
-        qs.foldLeft(acc) { case (a, (k, v)) =>
-          a + (k -> math.min(a.getOrElse(k, v), v))
-        }
-      }
     val roundBest = ok.map { case (k, v) =>
       k -> math.min(v, roundLabelMins.getOrElse(k, v))
     }

@@ -229,6 +229,26 @@ class BenchRegressionSpec extends AnyFunSuite {
       "suppression must defer the flag to a re-time, not erase it")
   }
 
+  test("a flag contradicted by a DIFFERENT-commit same-round window downgrades to needs-re-time") {
+    // The driver's final window runs at a new commit (it commits the
+    // builder's work first), so same-commit refutation can never clear
+    // its noise flags; a label-only contradiction must downgrade the
+    // flag rather than ship it as a regression or silently clear it.
+    val lines = Seq(hist("r9", Seq.empty, "q68" -> 2.0, "q01" -> 1.0))
+    val (_, _, got, retime) = Bench.findRegressions(lines, sf,
+      Seq("q68" -> 6.3, "q01" -> 1.0), Set.empty,
+      sameRoundMins = Map.empty, // no same-commit window
+      sameRoundLabelMins = Map("q68" -> 2.1)) // an earlier-commit window
+    assert(got.isEmpty, "contradicted-but-unproven must not ship as a regression")
+    assert(retime === Seq(("q68", 2.0, 6.3)))
+    // but a flag slow in EVERY window of the round (any commit) still ships
+    val (_, _, got2, _) = Bench.findRegressions(lines, sf,
+      Seq("q68" -> 6.3, "q01" -> 1.0), Set.empty,
+      sameRoundMins = Map.empty, sameRoundLabelMins = Map("q68" -> 5.9))
+    assert(got2 === Seq(("q68", 2.0, 6.3)),
+      "uncontradicted flags ship with this window's own reading")
+  }
+
   test("sameRoundMinsOf: only same-commit full-board rows of the round refute") {
     def row(round: String, commit: Option[String], quiet: Boolean,
         q: Double): String = {
