@@ -88,6 +88,12 @@ object SparkEntry {
   def ivfIndexPath(dir: String): String =
     s"/root/repo/target/ivf_index/${new java.io.File(dir).getName}"
 
+  /** Where q216 materializes ITS OWN IVF quantizer (the prototypicality
+    * clusters) — separate from q42's tree so neither query's rebuild can
+    * shift Lloyd last-ulps under the other's already-dumped rows. */
+  def ivfProtoIndexPath(dir: String): String =
+    s"/root/repo/target/ivfproto_index/${new java.io.File(dir).getName}"
+
   /** Where q58 persists its trained BPE merges table — same per-SF keying
     * and Verify-pinned oracle path contract as [[ivfIndexPath]]. */
   def bpeMergesPath(dir: String): String =
@@ -1473,6 +1479,19 @@ object SparkEntry {
       // rank-located thresholds.
       LangModel.perplexityBuckets(tp(s, dir, "documents"))
         .orderBy("doc_id")),
+    "q216_proto_prune" -> ((s, dir) => {
+      // Prototypicality pruning (Sorscher et al. 2022): per-cluster
+      // cosine-to-centroid difficulty over a materialized IVF quantizer
+      // (its OWN tree path — q42's tree must not be rebuilt mid-verify or
+      // the Lloyd last-ulp could shift under q42's already-dumped rows);
+      // keep the 20 hardest per cluster. Oracle replays assignment +
+      // per-cluster cut from the same stored doubles.
+      val emb = t(s, dir, "embeddings")
+      val path = ivfProtoIndexPath(dir)
+      Similarity.writeIvfIndex(emb, path, nlist = 16)
+      graft.operators.Selection.prototypicalityPrune(s, path, emb, 20)
+        .orderBy("cid", "rank")
+    }),
     "q167_image_ahash" -> ((s, dir) => {
       // perceptual hashes over REAL decoded containers (BMP/PPM pixel
       // reads): the codec materializes the grayscale frame as a parquet
@@ -4741,6 +4760,27 @@ object SparkEntry {
           |  CASE WHEN m.nll_kn <= t1.v THEN 'head'
           |       WHEN m.nll_kn <= t2.v THEN 'middle' ELSE 'tail' END AS bucket
           |FROM m CROSS JOIN t1 CROSS JOIN t2 ORDER BY m.doc_id""".stripMargin,
+      "q216_proto_prune" -> {
+        // Assignment (round-6 cosine argmax, cos DESC / cid DESC tiebreak —
+        // assignToCentroids' max(struct) order) and the per-cluster hardest
+        // cut (proto ASC, vec_id ASC) replayed from the SAME stored
+        // centroid doubles q216 materialized; Verify pins the path.
+        val p = sys.props.getOrElse("graft.ivfproto.path",
+          ivfProtoIndexPath("/root/testdata/sf0.01"))
+        s"""WITH cent AS (SELECT cid, center FROM read_parquet('$p/centroids/*.parquet')),
+           |emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |scored AS (SELECT e.vec_id, c.cid,
+           |    ${cosineSql("e.emb", "c.center")} AS cos
+           |  FROM emb e CROSS JOIN cent c),
+           |assigned AS (SELECT vec_id, cid, cos,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, cid DESC) AS arn FROM scored),
+           |best AS (SELECT cid, vec_id, cos AS proto FROM assigned WHERE arn = 1),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY cid
+           |    ORDER BY proto ASC, vec_id ASC) AS rank FROM best)
+           |SELECT cid, vec_id, proto, CAST(rank AS BIGINT) AS rank
+           |FROM ranked WHERE rank <= 20 ORDER BY cid, rank""".stripMargin
+      },
       "q168_kn_score" -> // kneserNeyNll replayed: the four exact count
         // tables (c12, left totals, distinct successors/predecessors, the
         // bigram-type scalar), the interpolated-KN formula in the identical

@@ -14,6 +14,7 @@ object Verify {
     // parquet and q58's the BPE merges parquet that their queries
     // materialized, keyed by the fixture basename.
     System.setProperty("graft.ivf.path", SparkEntry.ivfIndexPath(sfDir))
+    System.setProperty("graft.ivfproto.path", SparkEntry.ivfProtoIndexPath(sfDir))
     System.setProperty("graft.bpe.path", SparkEntry.bpeMergesPath(sfDir))
     System.setProperty("graft.lsh.path", SparkEntry.lshIndexPath(sfDir))
     System.setProperty("graft.pq.path", SparkEntry.pqIndexPath(sfDir))

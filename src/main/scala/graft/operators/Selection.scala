@@ -78,4 +78,50 @@ object Selection {
       .orderBy(col("logw").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Prototypicality pruning (Sorscher, Geirhos, Shekhar, Ganguli, Morcos,
+    * "Beyond neural scaling laws: beating power-law scaling via data
+    * pruning", NeurIPS 2022, arXiv:2206.14486): score every example by
+    * cosine to its cluster centroid — the paper's self-supervised
+    * prototypes metric (high = prototypical/easy, low = hard) — and KEEP
+    * only the `keepPerCluster` LEAST prototypical examples per cluster,
+    * the paper's rule when data is abundant (pruning easy examples beats
+    * random keeps and beats pruning hard ones). Clusters come from a
+    * materialized IVF coarse quantizer at `indexPath`
+    * ([[Similarity.writeIvfIndex]]'s centroid table — the k-means
+    * prototypes), so the metric is replayable from stored doubles.
+    *
+    * Per-cluster (not global) keeps are load-bearing: a global
+    * hardest-fraction cut would empty the tight clusters and keep only
+    * outliers; the per-cluster cut preserves coverage of the space while
+    * pruning each mode's redundant core.
+    *
+    * Scale shape: one broadcast centroid cross-join + per-row argmax
+    * (the [[Similarity.assignToCentroids]] plan — the corpus never
+    * shuffles for assignment), then the per-cluster cut through the
+    * bounded-heap [[graft.plans.TopK.perKey]] execs — k rows per cluster
+    * through partial aggregation, never a per-cluster sort. Assignment
+    * tie-break (cos DESC, cid DESC) and keep tie-break (proto ASC,
+    * vec_id ASC) are total orders over round-6 keys, so the kept set is
+    * bit-stable across engines and partitionings.
+    *
+    * Output: (cid, vec_id, proto, rank) — kept rows only, rank 1 = the
+    * cluster's hardest example. */
+  def prototypicalityPrune(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vecs: DataFrame,
+      keepPerCluster: Int): DataFrame = {
+    import graft.functions.ArrayMath
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val best = vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", ArrayMath.cosineKey(col("embedding"), col("center")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), col("cid"))).as("best"))
+      .select(col("best.cid").as("cid"), col("vec_id"),
+        col("best.cos").as("proto"))
+    graft.plans.TopK.perKey(best, Seq(col("cid")),
+        Seq(col("proto").asc, col("vec_id").asc), keepPerCluster)
+      .select(col("cid"), col("vec_id"), col("proto"),
+        col("rank").cast("long"))
+  }
 }

@@ -72,4 +72,58 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  // ---- prototypicality pruning (Sorscher et al. 2022) --------------------
+
+  test("prototypicalityPrune keeps the hardest k per cluster, not a global cut") {
+    import graft.operators.Similarity
+    // two tight clusters; per cluster, members 0..7 sit ON the direction
+    // (prototypical) and members 8..9 carry large noise (hard). A GLOBAL
+    // hardest cut at the same total budget would drain one cluster.
+    val dirs = Array.tabulate(2, 16)((c, d) => math.sin(c * 2.9 + d * 0.61))
+    val rows = for (c <- 0 until 2; j <- 0 until 10) yield {
+      val r = new scala.util.Random(c * 100L + j)
+      val noise = if (j >= 8) 0.6 else 0.02
+      (c * 100L + j, Array.tabulate(16)(d =>
+        (dirs(c)(d) + r.nextGaussian() * noise).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("proto").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path, nlist = 2, dim = 16)
+    val kept = Selection.prototypicalityPrune(spark, path, emb, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(kept.length == 4, "2 clusters x keep 2")
+    // each cluster keeps ITS OWN two noisy members (the hard ones)
+    val byCluster = kept.groupBy(_._1)
+    assert(byCluster.size == 2)
+    for ((_, ms) <- byCluster) {
+      assert(ms.map(_._2 % 100).toSet == Set(8L, 9L),
+        s"the hard (noisy) members must be kept, got ${ms.mkString(",")}")
+      assert(ms.map(_._4).sorted.toSeq == Seq(1L, 2L), "ranked 1..k")
+    }
+    // rank 1 is the hardest: proto ascending within each cluster
+    for ((_, ms) <- byCluster) {
+      val sorted = ms.sortBy(_._4)
+      assert(sorted(0)._3 <= sorted(1)._3)
+    }
+    // partitioning invariance of the kept set
+    val again = Selection.prototypicalityPrune(spark, path,
+        emb.repartition(7), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == kept.map(k0 => (k0._1, k0._2)).sorted.toSeq)
+  }
+
+  test("prototypicalityPrune with k >= cluster size keeps everything, ranked hardest-first") {
+    import graft.operators.Similarity
+    val rows = (0 until 6).map(j => (j.toLong, Array.tabulate(16)(d =>
+      (math.sin(d * 0.7) + j * 0.01).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("proto2").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path, nlist = 1, dim = 16)
+    val kept = Selection.prototypicalityPrune(spark, path, emb, 100)
+      .collect().map(r => (r.getDouble(2), r.getLong(3)))
+    assert(kept.length == 6)
+    assert(kept.sortBy(_._2).map(_._1).toSeq == kept.map(_._1).sorted.toSeq,
+      "rank order must be proto ascending (hardest first)")
+  }
 }
