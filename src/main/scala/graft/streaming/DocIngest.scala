@@ -134,6 +134,20 @@ object DocIngest {
     def settle(df: DataFrame): Unit =
       if (phaseWalls.isDefined) { df.count(); () }
     try {
+      // id-sidecar entry: recovery + THIS batch's own-marker sweep. The
+      // LSH tree has no committed-batch meta (replays always recompute,
+      // idempotent by per-batch-dir overwrite), so the sidecar's
+      // exactness rests on the entry sweep alone — which is also why its
+      // COMPACTION must run here, BEFORE this batch's fold, with
+      // lastBatch = batchId - 1 (committed by stream serialization): a
+      // post-fold compaction would merge this batch's marked ids into
+      // unmarked files, a replay could no longer sweep them, and the gate
+      // would re-deliver-drop the whole batch against its own first
+      // attempt (admitted = ∅, corpus batch dir overwritten empty).
+      graft.util.IdTree.enterBatch(spark, indexPath, batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        phase("maintenance")(
+          graft.util.IdTree.compact(spark, indexPath, batchId - 1))
       val withinPairs = cache(Dedup
         .minhashLshPairs(b, n, numHashes, bands, threshold, gramHashes, bandBucket)
         .select(col("a_id"), col("b_id")))
@@ -164,6 +178,11 @@ object DocIngest {
         .select(col("doc_id"), col("_metadata.file_path").as("fp"))
         .filter(!col("fp").contains(s"/batch-$batchId/"))
         .select("doc_id").distinct()
+      // Positive verification rides the bucketed id sidecar when present:
+      // the scan is partition-pruned to the positives' hash buckets (and
+      // the entry sweep above removed this batch's own first-attempt ids,
+      // so no own-batch-dir exclusion is needed on this path). Legacy
+      // trees keep the sizes/ scan with its file-path exclusion.
       val redelivered = phase("gate_redelivery") {
         val df = cache(if (!indexExists) withinDrops.limit(0)
           else graft.util.BloomSidecar.read(spark, indexPath) match {
@@ -172,6 +191,8 @@ object DocIngest {
                 .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
                 .select("doc_id").distinct()
               if (positives.isEmpty) withinDrops.limit(0)
+              else if (graft.util.IdTree.exists(spark, indexPath))
+                graft.util.IdTree.verify(spark, indexPath, positives, "doc_id")
               else positives.join(storedDocIds, Seq("doc_id"), "left_semi")
             case None => b.join(storedDocIds, Seq("doc_id"), "left_semi")
               .select("doc_id").distinct()
@@ -283,6 +304,14 @@ object DocIngest {
         admitted.select("doc_id"), "doc_id", batchId,
         storedIds = if (indexExists) storedDocIds
           else admitted.select("doc_id").limit(0)))
+      // id sidecar folds under the same pre-commit rule (here the commit
+      // point is the stream checkpoint; the entry sweep restores
+      // exactness on replay) — a legacy tree adopts it from the sizes/
+      // scan, the one-time bootstrap pass
+      phase("sidecar_fold")(graft.util.IdTree.fold(spark, indexPath,
+        admitted.select("doc_id"), "doc_id", batchId,
+        storedIds = if (indexExists) storedDocIds
+          else admitted.select("doc_id").limit(0)))
       phase("fold_lsh")(Dedup.appendToLshIndex(admitted, indexPath,
         s"batch-$batchId", n, numHashes, bands, gramHashes, bandBucket))
       // saturation repair for the LSH tree's sidecar at compaction cadence
@@ -293,7 +322,9 @@ object DocIngest {
       // compactEvery batches alongside the other full-tree maintenance.
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         phase("maintenance")(graft.util.BloomSidecar.rebuild(spark, indexPath,
-          spark.read.option("recursiveFileLookup", "true")
+          if (graft.util.IdTree.exists(spark, indexPath))
+            graft.util.IdTree.readAll(spark, indexPath, "doc_id")
+          else spark.read.option("recursiveFileLookup", "true")
             .parquet(s"$indexPath/sizes").select("doc_id"),
           "doc_id", batchId))
       // Served-retrieval maintenance (the q199 shape as the ACTUAL daemon

@@ -89,6 +89,9 @@ object EmbIngest {
     // sweeps at the RESOLVED root before the gate probes the tree
     val root = Similarity.ivfRoot(spark, indexPath)
     Lsm.sweepMarked(fs, new Path(s"$root/vectors"), s"b$batchId-")
+    // id-sidecar entry (recovery + own-marker sweep) — lives at the tree
+    // top, not the version root: the admitted-id SET is retrain-invariant
+    graft.util.IdTree.enterBatch(spark, indexPath, batchId)
     val uniq = batch.groupBy("vec_id")
       .agg(min(col("embedding")).as("embedding")).persist()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](uniq)
@@ -125,9 +128,12 @@ object EmbIngest {
       val emptyIds = uniq.select("vec_id").limit(0)
       // Re-delivery gate through the Bloom sidecar: bloom-negative ids are
       // definitely novel (the sidecar commits before every tree fold, so
-      // it can never miss a stored id), and the index's id column is
-      // scanned ONLY when a positive exists — an all-novel batch never
-      // touches it. A sidecar-less (legacy) tree falls back to the scan.
+      // it can never miss a stored id), and positives verify against the
+      // bucketed id sidecar — ONLY the buckets the positives hash to are
+      // read (partition-pruned), never the tree's full id column: the
+      // r13-measured O(corpus)-per-batch verify curve, bounded. A
+      // sidecar-less (legacy) tree falls back to the full scan and adopts
+      // both sidecars at this batch's fold.
       val redelivered = cache(if (!indexExists) emptyIds
         else graft.util.BloomSidecar.read(spark, indexPath) match {
           case Some(bits) =>
@@ -135,6 +141,8 @@ object EmbIngest {
               .filter(graft.util.BloomSidecar.probe(bits, col("vec_id")))
               .select("vec_id")
             if (positives.isEmpty) emptyIds
+            else if (graft.util.IdTree.exists(spark, indexPath))
+              graft.util.IdTree.verify(spark, indexPath, positives, "vec_id")
             else positives.join(storedIds, Seq("vec_id"), "left_semi")
           case None => uniq.join(storedIds, Seq("vec_id"), "left_semi")
             .select("vec_id")
@@ -173,6 +181,13 @@ object EmbIngest {
       graft.util.BloomSidecar.fold(spark, indexPath,
         admitted.select("vec_id"), "vec_id", batchId,
         storedIds = if (indexExists) storedIds else emptyIds)
+      // id sidecar folds under the same pre-commit rule ([[graft.util
+      // .IdTree]] contract: fold before the meta marker, sweep at entry);
+      // a legacy tree bootstraps from the full id scan here — the one-time
+      // adoption pass
+      graft.util.IdTree.fold(spark, indexPath, admitted.select("vec_id"),
+        "vec_id", batchId,
+        storedIds = if (indexExists) storedIds else emptyIds)
       pqIndexPath.foreach { p =>
         graft.operators.Pq.ivfPqCommitBatch(spark, p, admitted, batchId,
           nlist = nlist, m = pqM, ksub = pqKsub, dim = dim,
@@ -182,10 +197,16 @@ object EmbIngest {
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
         Similarity.ivfCompact(spark, indexPath)
         pqIndexPath.foreach(graft.operators.Pq.ivfPqCompact(spark, _))
-        // saturation repair at the same cadence: re-create the sidecar
-        // from the tree's full id scan with fresh headroom (compaction
-        // already pays a full-tree pass)
-        graft.util.BloomSidecar.rebuild(spark, indexPath, storedIds,
+        // id-sidecar fragments merge in the same slot (this batch's meta
+        // committed just above, so batchId is a safe sweep bound)
+        graft.util.IdTree.compact(spark, indexPath, batchId)
+        // saturation repair at the same cadence: re-create the bloom with
+        // fresh headroom — from the compacted single-column id sidecar
+        // when present (strictly cheaper than the tree's id scan)
+        graft.util.BloomSidecar.rebuild(spark, indexPath,
+          if (graft.util.IdTree.exists(spark, indexPath))
+            graft.util.IdTree.readAll(spark, indexPath, "vec_id")
+          else storedIds,
           "vec_id", batchId)
       }
       // periodic drift repair in the same single-writer slot: retrain the

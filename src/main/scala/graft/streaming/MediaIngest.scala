@@ -61,6 +61,9 @@ object MediaIngest {
       System.err.println(s"[mediaingest] batch $batchId: already committed")
       return DocIngest.BatchResult(0, 0, 0, 0)
     }
+    // id-sidecar entry (recovery + own-marker sweep) alongside the chunk
+    // tree's sweep, BEFORE the gate probes it
+    graft.util.IdTree.enterBatch(spark, indexPath, batchId)
     // duplicate doc_id rows collapse deterministically (min payload) BEFORE
     // anything else — the EmbIngest producer-retry rule: the hash gate
     // already collapsed per id, but the payload write joined the RAW batch,
@@ -89,8 +92,10 @@ object MediaIngest {
       def storedIds = Multimodal.servedHashes(spark, indexPath)
         .select("doc_id").distinct()
       val emptyIds = hashes.select("doc_id").limit(0)
-      // Bloom-sidecar fast path for the exact re-delivery gate: scan the
-      // served-id column only when a batch id is bloom-positive
+      // Bloom-sidecar fast path for the exact re-delivery gate; positives
+      // verify against the bucketed id sidecar (partition-pruned to the
+      // positives' hash buckets) instead of the full served-id scan —
+      // legacy trees fall back to the scan and adopt the sidecar at fold
       val redelivered = cache(if (!indexExists) emptyIds
         else graft.util.BloomSidecar.read(spark, indexPath) match {
           case Some(bits) =>
@@ -98,6 +103,8 @@ object MediaIngest {
               .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
               .select("doc_id")
             if (positives.isEmpty) emptyIds
+            else if (graft.util.IdTree.exists(spark, indexPath))
+              graft.util.IdTree.verify(spark, indexPath, positives, "doc_id")
             else positives.join(storedIds, Seq("doc_id"), "left_semi")
           case None => hashes.join(storedIds, Seq("doc_id"), "left_semi")
             .select("doc_id")
@@ -116,18 +123,24 @@ object MediaIngest {
       b.join(admittedIds, Seq("doc_id"), "left_semi")
         .write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
       val admittedHashes = hashes.join(admittedIds, Seq("doc_id"), "left_semi")
-      // sidecar folds BEFORE the index fold (BloomSidecar ordering contract)
+      // sidecar folds BEFORE the index fold (BloomSidecar ordering
+      // contract); the id sidecar folds under the same pre-commit rule
       graft.util.BloomSidecar.fold(spark, indexPath, admittedIds, "doc_id",
+        batchId, storedIds = if (indexExists) storedIds else emptyIds)
+      graft.util.IdTree.fold(spark, indexPath, admittedIds, "doc_id",
         batchId, storedIds = if (indexExists) storedIds else emptyIds)
       Multimodal.hashIndexInsert(spark, indexPath, admittedHashes, batchId,
         maxDist, nBuckets)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
         Multimodal.hashIndexCompact(spark, indexPath)
+        graft.util.IdTree.compact(spark, indexPath, batchId)
         // sidecar saturation repair at the same cadence (the EmbIngest
-        // pattern): fresh ≥2x headroom from the tree's served-id scan,
-        // which now includes this batch's own fold
+        // pattern): fresh ≥2x headroom from the compacted id sidecar
+        // (single column) when present, else the tree's served-id scan
         graft.util.BloomSidecar.rebuild(spark, indexPath,
-          Multimodal.servedHashes(spark, indexPath).select("doc_id"),
+          if (graft.util.IdTree.exists(spark, indexPath))
+            graft.util.IdTree.readAll(spark, indexPath, "doc_id")
+          else Multimodal.servedHashes(spark, indexPath).select("doc_id"),
           "doc_id", batchId)
       }
       val r = DocIngest.BatchResult(admittedIds.count(), withinDrops.count(),

@@ -135,6 +135,51 @@ class BloomSidecarSpec extends SparkSpec {
     assert(BloomSidecar.stats(spark, dir).get.inserted == 160L)
   }
 
+  test("EmbIngest: positive verification never scans the vectors tree and prunes to the positives' id buckets") {
+    val idx = java.nio.file.Files.createTempDirectory("bloom-idt").toString + "/idx"
+    val r0 = EmbIngest.commitEmbBatch(spark, idx, vecsDf(0L until 24L), 0L,
+      nlist = 4, dim = 16)
+    assert(r0.admitted == 24)
+    val fs = graft.util.Lsm.fs(spark, idx)
+    // poison EVERY vectors cell: any scan of the tree's id column now
+    // throws, so the batch below succeeding proves the positive-path
+    // verify reads the id sidecar, never the tree (the r13 O(corpus)
+    // curve, closed)
+    val cells = fs.listStatus(new Path(s"$idx/vectors")).filter(_.isDirectory)
+    cells.foreach { c =>
+      val out = fs.create(new Path(c.getPath, "poison.parquet"))
+      out.write("not a parquet file".getBytes); out.close()
+    }
+    // and poison every ids/tb= bucket the batch's bloom-positives do NOT
+    // hash to: the verify succeeding also proves bucket-level pruning
+    val batch = vecsDf((0L until 6L) ++ (200L until 212L))
+    val bits = BloomSidecar.read(spark, idx).get
+    val positives = batch.select("vec_id")
+      .filter(BloomSidecar.probe(bits, col("vec_id")))
+    val nBuckets = spark.read.parquet(s"$idx/ids_meta")
+      .collect()(0).getAs[Long]("n_buckets").toInt
+    val probedBuckets = positives
+      .select(graft.util.IdTree.bucketOf(col("vec_id"), nBuckets))
+      .collect().map(_.getLong(0)).toSet
+    val idBuckets = fs.listStatus(new Path(s"$idx/ids")).filter(_.isDirectory)
+    val poisoned = idBuckets.filterNot(d =>
+      probedBuckets(d.getPath.getName.stripPrefix("tb=").toLong))
+    assert(poisoned.nonEmpty, "fixture must leave un-probed buckets to poison")
+    poisoned.foreach { d =>
+      val out = fs.create(new Path(d.getPath, "poison.parquet"))
+      out.write("not a parquet file".getBytes); out.close()
+    }
+    val r1 = EmbIngest.commitEmbBatch(spark, idx, batch, 1L, nlist = 4, dim = 16)
+    assert(r1.droppedRedelivered == 6 && r1.admitted == 12,
+      s"re-deliveries must drop through the pruned verify, got $r1")
+    cells.foreach(c => fs.delete(new Path(c.getPath, "poison.parquet"), false))
+    poisoned.foreach(d => fs.delete(new Path(d.getPath, "poison.parquet"), false))
+    val served = spark.read.parquet(s"$idx/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(served.toSeq == ((0L until 24L) ++ (200L until 212L)).sorted,
+      "exactly one copy of every admitted id")
+  }
+
   test("rebuild sizes to the tree and keeps full coverage") {
     val dir = java.nio.file.Files.createTempDirectory("bloom-rb").toString + "/t"
     BloomSidecar.fold(spark, dir, (0L until 10L).toDF("id"), "id", 0L,

@@ -359,4 +359,55 @@ class DocIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$inv/stats").collect()(0)
       .getAs[Long]("last_batch") === 1L)
   }
+
+  test("re-delivery verify prunes to the positives' id buckets (poison-file proof) and the id sidecar tracks the admitted set") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Files.createTempDirectory("idt-corpus").toString
+    val index = Files.createTempDirectory("idt-index").toString
+    val r0 = DocIngest.commitDocBatch(spark,
+      docsDf(0L -> tA, 3L -> tB, 5L -> tC, 7L -> tD, 9L -> tE), 0L,
+      corpus, index)
+    assert(r0.admitted == 5)
+    // the id sidecar mirrors the admitted set exactly
+    assert(graft.util.IdTree.readAll(spark, index, "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L, 5L, 7L, 9L))
+    // batch 1 re-delivers 0 and 3 (different text, so only the id gate can
+    // drop them). Poison every ids/tb= bucket the batch's bloom-positives
+    // do NOT hash to: the gate deciding correctly proves the verify read
+    // only the positives' buckets.
+    val tG = "oxide cobalt nickel copper zinc gallium arsenic selenium bromine krypton"
+    val tH = "sonnet ballad haiku limerick ode elegy epic villanelle sestina rondeau"
+    val b1 = docsDf(0L -> tG, 3L -> tH,
+      30L -> "ampere volt ohm farad henry tesla weber siemens lumen candela")
+    val fs = graft.util.Lsm.fs(spark, index)
+    val bits = graft.util.BloomSidecar.read(spark, index).get
+    val positives = b1.select("doc_id")
+      .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
+    val nBuckets = spark.read.parquet(s"$index/ids_meta")
+      .collect()(0).getAs[Long]("n_buckets").toInt
+    val probed = positives
+      .select(graft.util.IdTree.bucketOf(col("doc_id"), nBuckets))
+      .collect().map(_.getLong(0)).toSet
+    val idBuckets = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$index/ids")).filter(_.isDirectory)
+    val poisoned = idBuckets.filterNot(d =>
+      probed(d.getPath.getName.stripPrefix("tb=").toLong))
+    assert(poisoned.nonEmpty, "fixture must leave un-probed buckets to poison")
+    poisoned.foreach { d =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(d.getPath, "poison.parquet"))
+      out.write("not a parquet file".getBytes); out.close()
+    }
+    val r1 = DocIngest.commitDocBatch(spark, b1, 1L, corpus, index)
+    assert(r1.droppedRedelivered == 2 && r1.admitted == 1, s"r1=$r1")
+    poisoned.foreach(d => fs.delete(
+      new org.apache.hadoop.fs.Path(d.getPath, "poison.parquet"), false))
+    assert(corpusIds(corpus) == Set(0L, 3L, 5L, 7L, 9L, 30L))
+    // replay of batch 1: the entry sweep removes its own first-attempt ids
+    // so the gate reconverges instead of anti-joining the batch away
+    val r1b = DocIngest.commitDocBatch(spark, b1, 1L, corpus, index)
+    assert(r1b.admitted == 1 && r1b.droppedRedelivered == 2, s"replay=$r1b")
+    assert(graft.util.IdTree.readAll(spark, index, "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 3L, 5L, 7L, 9L, 30L), "one sidecar row per admitted id")
+  }
 }
