@@ -146,11 +146,48 @@ object Bench {
     (inflation, windowContaminated, regs, needsRetime)
   }
 
+  /** Content digest (8 hex chars) over the engine sources that define a
+    * bench window's behavior — `src/main` recursively plus `build.sbt` —
+    * deterministic over sorted relative paths and raw bytes. Combined
+    * with [[gitHead]] into the history stamp because HEAD alone lies on a
+    * dirty tree: this repo's workflow benches BEFORE committing, so two
+    * windows at the same HEAD but different uncommitted code would
+    * cross-refute under a sha-only stamp (the exact mid-round-change
+    * hazard commit scoping exists to prevent). Content-scoping is
+    * stricter than a dirty bit — clean trees at the same HEAD still
+    * match (identical sources ⇒ identical digest), while any source edit
+    * breaks the match in the conservative direction (fails to refute). */
+  private[graft] def sourceDigest(dir: String = "."): String = try {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    def files(p: Path): Seq[Path] =
+      if (!Files.exists(p)) Seq.empty
+      else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    val inputs = (files(root.resolve("src/main")) ++
+      Seq(root.resolve("build.sbt")).filter(Files.exists(_)))
+      .sortBy(p => root.relativize(p).toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    inputs.foreach { p =>
+      md.update(root.relativize(p).toString.getBytes("UTF-8"))
+      md.update(0.toByte)
+      md.update(Files.readAllBytes(p))
+    }
+    md.digest().take(4).map(b => f"$b%02x").mkString
+  } catch { case _: Throwable => "unknown" }
+
+  /** The history stamp same-round refutation keys on: `<head12>+<digest8>`.
+    * Rows refute each other only when the FULL stamp matches — same
+    * commit AND same working-tree source bytes. */
+  private[graft] def codeStamp(dir: String = "."): String =
+    gitHead(dir) + "+" + sourceDigest(dir)
+
   /** The current git HEAD (12 hex chars), read from .git directly so the
     * bench never shells out; "unknown" when unresolvable. Stamped into
-    * every BENCH_HISTORY row so same-round refutation can require the
-    * refuting window to have run at the SAME code (a window predating a
-    * mid-round regressing change must not refute its flag). */
+    * every BENCH_HISTORY row (suffixed with [[sourceDigest]] — see
+    * [[codeStamp]]) so same-round refutation can require the refuting
+    * window to have run at the SAME code (a window predating a mid-round
+    * regressing change must not refute its flag). */
   private[graft] def gitHead(dir: String = "."): String = try {
     import java.nio.file.{Files, Paths}
     val head = new String(Files.readAllBytes(Paths.get(dir, ".git/HEAD")),
@@ -341,7 +378,7 @@ object Bench {
         java.nio.file.Files.readAllLines(histFile).asScala.toSeq
       }
     }
-    val commit = gitHead()
+    val commit = codeStamp()
     // refutation requires SAME round AND same commit: a mid-round change
     // must not have its regression refuted by a window that predates it.
     // Label-only mins (any commit) can only DOWNGRADE a flag to
@@ -403,8 +440,19 @@ object Bench {
     val roundBestTotal = roundBest.map(_._2).sum
     val roundBestJson = roundBest.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // One human-readable sentence generated FROM the artifact fields — the
+    // round-closing commit message quotes this instead of describing the
+    // round by hand, so the message can never contradict the artifact
+    // (the r13 close claimed "zero needs-re-time" while its artifact said
+    // needs_retime_n: 5; the board ran after the final commit).
+    val roundSummary = f"$roundLabel board: ${ok.size} queries, " +
+      f"window total ${total}%.1fs (round best ${roundBestTotal}%.1fs), " +
+      s"regressions ${regressions.size}, needs_retime ${needsRetime.size}, " +
+      s"failed ${failed.size}, flaky ${flaky.size}, " +
+      f"window_inflation $windowInflation%.3f, " +
+      s"contaminated $windowContaminated"
     val detail =
-      s"""{"metric":"detail","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"regressions":$regJson,"needs_retime":$retimeJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"commit":"$commit","sf":"$sfDir"}"""
+      s"""{"metric":"detail","round_summary":"$roundSummary","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"regressions":$regJson,"needs_retime":$retimeJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"commit":"$commit","sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"needs_retime_n":${needsRetime.size},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"round_best_total":${f3(roundBestTotal)},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
     println(detail)

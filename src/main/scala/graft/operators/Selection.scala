@@ -106,12 +106,21 @@ object Selection {
     * bit-stable across engines and partitionings.
     *
     * Output: (cid, vec_id, proto, rank) — kept rows only, rank 1 = the
-    * cluster's hardest example. */
+    * cluster's hardest example.
+    *
+    * The centroid table is resolved through [[graft.util.Lsm.versionedRoot]]
+    * — the same MVCC resolution every other IVF reader uses — so pointing
+    * this at a daemon-maintained tree that has been retrained reads the
+    * CURRENT quantizer, not the superseded legacy tables (which compaction
+    * retires after the grace window). A fresh [[Similarity.writeIvfIndex]]
+    * tree has no version dirs and resolves to itself. */
   def prototypicalityPrune(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, vecs: DataFrame,
       keepPerCluster: Int): DataFrame = {
     import graft.functions.ArrayMath
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val root = graft.util.Lsm.versionedRoot(
+      graft.util.Lsm.fs(spark, indexPath), indexPath)
+    val cents = spark.read.parquet(s"$root/centroids")
     val best = vecs.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("cos", ArrayMath.cosineKey(col("embedding"), col("center")))

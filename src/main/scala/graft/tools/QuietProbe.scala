@@ -72,7 +72,7 @@ object QuietProbe {
       val qs = mins.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val hist =
-        s"""{"round":"$label","sf":"$sfDir","quiet":true,"commit":"${graft.Bench.gitHead()}","contaminated":[],"queries":$qs,"bench_only":{}}"""
+        s"""{"round":"$label","sf":"$sfDir","quiet":true,"commit":"${graft.Bench.codeStamp()}","contaminated":[],"queries":$qs,"bench_only":{}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

@@ -81,13 +81,18 @@ object BloomSidecar {
 
   private def write(spark: SparkSession, treePath: String, f: BloomFilter,
       expectedItems: Long, fpp: Double, batchId: Long,
-      nItems: Long): Unit = {
+      nItems: Long, countedBatch: Long): Unit = {
     import spark.implicits._
     val bos = new java.io.ByteArrayOutputStream()
     f.writeTo(bos)
     val fs = Lsm.fs(spark, treePath)
-    Seq((expectedItems, fpp, nItems, bos.toByteArray))
-      .toDF("expected_items", "fpp", "n_items", "bits")
+    // counted_batch = the highest batch id folded into n_items, so a
+    // crashed batch's replay can skip the re-count (see fold) and the
+    // counter stays EXACT under retries instead of a drifting upper
+    // bound. Threaded separately from batchId: a skipped replay must not
+    // LOWER the stored watermark back to its own id.
+    Seq((expectedItems, fpp, nItems, countedBatch, bos.toByteArray))
+      .toDF("expected_items", "fpp", "n_items", "counted_batch", "bits")
       .write.mode("overwrite")
       .parquet(Lsm.stagedPath(treePath, "bloom", batchId))
     Lsm.commitSwap(fs, treePath, "bloom", batchId)
@@ -105,14 +110,32 @@ object BloomSidecar {
   }
   def stats(spark: SparkSession, treePath: String): Option[Stats] = {
     val fs = Lsm.fs(spark, treePath)
-    Lsm.recoverSwap(fs, treePath, "bloom")
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir(treePath)))) None
-    else {
-      val row = spark.read.parquet(dir(treePath)).collect()(0)
+    // READ-ONLY swap resolution: stats is a telemetry path a monitor may
+    // call beside a live writer, so it must not run Lsm.recoverSwap (a
+    // MUTATING protocol-1 recovery — renaming/deleting a staged twin out
+    // from under a writer mid-commitSwap). Resolve the same crash states
+    // without touching the tree: live dir wins; a missing live dir with
+    // BOTH twins reads the staged one (complete by protocol — the old
+    // twin proves commitSwap started); old-twin-only reads the old one;
+    // staged-only is a possibly-partial cold-start write → absent.
+    def twins(prefix: String): Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(treePath))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(treePath))
+        .map(_.getPath).filter(_.getName.startsWith(prefix)).toSeq
+    val resolved: Option[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir(treePath))))
+        Some(dir(treePath))
+      else {
+        val staged = twins("bloom_staged_b")
+        val old = twins("bloom_old_b")
+        if (staged.nonEmpty && old.nonEmpty) Some(staged.head.toString)
+        else old.headOption.map(_.toString)
+      }
+    resolved.map { p =>
+      val row = spark.read.parquet(p).collect()(0)
       val n = if (row.schema.fieldNames.contains("n_items"))
         row.getAs[Long]("n_items") else -1L
-      Some(Stats(row.getAs[Long]("expected_items"),
-        n, row.getAs[Double]("fpp")))
+      Stats(row.getAs[Long]("expected_items"), n, row.getAs[Double]("fpp"))
     }
   }
 
@@ -145,25 +168,35 @@ object BloomSidecar {
         .distinct()
       val n = all.count()
       write(spark, treePath, build(all, idCol, expectedItems, fpp),
-        expectedItems, fpp, batchId, n)
+        expectedItems, fpp, batchId, n, batchId)
       logFill(treePath, batchId, expectedItems, n)
     } else {
       val meta = spark.read.parquet(dir(treePath)).collect()(0)
       val (cap, p) = (meta.getAs[Long]("expected_items"),
         meta.getAs[Double]("fpp"))
-      // counter carried across folds: stored + this batch (idempotent
-      // replays re-fold the same ids, so the counter can over-count a
-      // crashed batch's retry — an upper bound, which is the conservative
-      // direction for a saturation gauge). A pre-counter sidecar stays
-      // unknown (-1) until its first rebuild resets it exactly.
+      // counter carried across folds: stored + this batch, EXACT under
+      // replay — counted_batch records the highest batch already folded
+      // into n_items, so a crashed batch's retry (batchId <=
+      // counted_batch: the sidecar committed before the crash) skips the
+      // increment instead of re-counting the same ids, which could push
+      // fill past 1.0 and trigger spurious SATURATED warnings/rebuilds.
+      // A pre-counter sidecar stays unknown (-1) until its first rebuild
+      // resets it exactly; a pre-counted_batch sidecar (r13) counts once
+      // more on a replay and self-corrects at this fold's write.
       val storedN = if (meta.schema.fieldNames.contains("n_items"))
         meta.getAs[Long]("n_items") else -1L
+      val countedBatch = if (meta.schema.fieldNames.contains("counted_batch"))
+        meta.getAs[Long]("counted_batch") else Long.MinValue
       val n = if (storedN < 0) -1L
+        else if (batchId <= countedBatch && countedBatch != Long.MinValue) storedN
         else storedN + newIds.select(col(idCol)).distinct().count()
       val stored = BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]]("bits")))
       stored.mergeInPlace(build(newIds, idCol, cap, p))
-      write(spark, treePath, stored, cap, p, batchId, n)
+      val countedOut =
+        if (countedBatch == Long.MinValue) batchId
+        else math.max(batchId, countedBatch)
+      write(spark, treePath, stored, cap, p, batchId, n, countedOut)
       logFill(treePath, batchId, cap, n)
     }
   }
@@ -179,7 +212,7 @@ object BloomSidecar {
     val n = distinctIds.count()
     val cap = math.max(minItems, 2 * n)
     write(spark, treePath, build(distinctIds, idCol, cap, fpp), cap, fpp,
-      batchId, n)
+      batchId, n, batchId)
     logFill(treePath, batchId, cap, n)
   }
 }

@@ -319,14 +319,25 @@ object Lsm {
       .parquet(stagedRoot.toString)
     for (bucket <- fragmented) {
       val st = new Path(stagedRoot, bucket.getName)
-      // a fragmented bucket whose rows were all swept above lastBatch
-      // has no staged twin; skip it (its files are already gone)
       if (fsys.exists(st)) {
         fsys.mkdirs(oldRoot)
         val old = new Path(oldRoot, bucket.getName)
         fsys.rename(bucket, old)
         fsys.rename(st, bucket)
         fsys.delete(old, true)
+      } else {
+        // No staged twin ⇒ the filtered read yielded ZERO rows for this
+        // bucket (partitionBy writes a dir for every non-empty value) —
+        // e.g. all its data files are row-less. Left alone it re-lists
+        // as fragmented on every maintenance slot forever; verify the
+        // zero-row claim against the live bucket and clear its residual
+        // data files. A non-empty read here would mean the staging job
+        // dropped live rows (filter/cast mismatch) — never delete then.
+        val empty = spark.read.parquet(bucket.toString).isEmpty
+        if (empty) dataFiles(fsys, bucket).foreach(f =>
+          fsys.delete(f.getPath, false))
+        else System.err.println(s"[lsm] compactBuckets: bucket " +
+          s"${bucket.getName} has rows but no staged twin — left intact")
       }
     }
     fsys.delete(stagedRoot, true)

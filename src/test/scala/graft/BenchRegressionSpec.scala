@@ -249,6 +249,33 @@ class BenchRegressionSpec extends AnyFunSuite {
       "uncontradicted flags ship with this window's own reading")
   }
 
+  test("codeStamp: dirty working trees at the same HEAD cannot cross-refute") {
+    // the stamp is content-scoped: same sources => same digest (clean
+    // trees at one HEAD refute each other), any source edit => different
+    // digest (a window benched on uncommitted code never refutes a window
+    // benched on different uncommitted code, even at the same HEAD)
+    val dir = java.nio.file.Files.createTempDirectory("stamp")
+    val src = dir.resolve("src/main/scala")
+    java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.write(src.resolve("A.scala"), "object A".getBytes)
+    val d1 = Bench.sourceDigest(dir.toString)
+    val d2 = Bench.sourceDigest(dir.toString)
+    assert(d1 == d2 && d1.length == 8 && d1 != "unknown",
+      "digest must be deterministic over unchanged sources")
+    java.nio.file.Files.write(src.resolve("A.scala"), "object A2".getBytes)
+    assert(Bench.sourceDigest(dir.toString) != d1,
+      "an uncommitted source edit must change the stamp")
+    // and the full stamp keys refutation: different digests => different
+    // commit strings => sameRoundMinsOf finds nothing to refute with
+    val stamp1 = "abc123def456+" + d1
+    val hist = Seq(
+      s"""{"round":"r9","sf":"/d","commit":"$stamp1","queries":{"q1":1.0}}""")
+    assert(Bench.sameRoundMinsOf(hist, "r9", "/d", stamp1) == Map("q1" -> 1.0))
+    assert(Bench.sameRoundMinsOf(hist, "r9", "/d",
+      "abc123def456+" + Bench.sourceDigest(dir.toString)).isEmpty,
+      "same HEAD, different working-tree bytes: no refutation")
+  }
+
   test("sameRoundMinsOf: only same-commit full-board rows of the round refute") {
     def row(round: String, commit: Option[String], quiet: Boolean,
         q: Double): String = {

@@ -180,6 +180,53 @@ class BloomSidecarSpec extends SparkSpec {
       "exactly one copy of every admitted id")
   }
 
+  test("inserted counter is exact under replay: a crashed batch's retry does not re-count") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom-rc").toString + "/t"
+    val empty = Seq.empty[Long].toDF("id")
+    BloomSidecar.fold(spark, dir, (0L until 60L).toDF("id"), "id", 0L, empty,
+      expectedItems = 100L)
+    BloomSidecar.fold(spark, dir, (60L until 90L).toDF("id"), "id", 1L, empty)
+    // a crash AFTER the sidecar committed but BEFORE the tree fold's
+    // marker replays the whole batch — the sidecar re-folds batch 1
+    BloomSidecar.fold(spark, dir, (60L until 90L).toDF("id"), "id", 1L, empty)
+    BloomSidecar.fold(spark, dir, (60L until 90L).toDF("id"), "id", 1L, empty)
+    val s = BloomSidecar.stats(spark, dir).get
+    assert(s.inserted == 90L,
+      s"replayed folds must not drift the counter past the truth, got $s")
+    // and the counted-batch watermark still admits the NEXT batch's count
+    BloomSidecar.fold(spark, dir, (90L until 100L).toDF("id"), "id", 2L, empty)
+    assert(BloomSidecar.stats(spark, dir).get.inserted == 100L)
+  }
+
+  test("stats is read-only: a mid-swap crash state is reported without mutating the twins") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom-ro").toString + "/t"
+    val empty = Seq.empty[Long].toDF("id")
+    BloomSidecar.fold(spark, dir, (0L until 40L).toDF("id"), "id", 0L, empty,
+      expectedItems = 100L)
+    val fs = graft.util.Lsm.fs(spark, dir)
+    // manufacture the mid-commitSwap state: live renamed to old, staged
+    // (the successor, fully written) not yet renamed in
+    val staged = new Path(graft.util.Lsm.stagedPath(dir, "bloom", 1L))
+    spark.read.parquet(s"$dir/bloom").write.parquet(staged.toString)
+    fs.rename(new Path(s"$dir/bloom"), new Path(s"$dir/bloom_old_b1"))
+    val s = BloomSidecar.stats(spark, dir)
+    assert(s.exists(_.inserted == 40L), s"stats must resolve the staged twin: $s")
+    // the writer's in-flight swap is untouched: both twins intact, live
+    // still absent — a concurrent monitor can never wedge the commit
+    assert(fs.exists(staged) && fs.exists(new Path(s"$dir/bloom_old_b1")) &&
+      !fs.exists(new Path(s"$dir/bloom")), "stats must not mutate the tree")
+    // old-twin-only (crash before commitSwap's second rename... i.e. a
+    // rolled-back fold): stats reads the old twin, still without mutating
+    fs.delete(staged, true)
+    val s2 = BloomSidecar.stats(spark, dir)
+    assert(s2.exists(_.inserted == 40L) &&
+      fs.exists(new Path(s"$dir/bloom_old_b1")))
+    // staged-only beside a missing live dir is a possibly-partial
+    // cold-start write: absent, not a half-read
+    fs.rename(new Path(s"$dir/bloom_old_b1"), staged)
+    assert(BloomSidecar.stats(spark, dir).isEmpty)
+  }
+
   test("rebuild sizes to the tree and keeps full coverage") {
     val dir = java.nio.file.Files.createTempDirectory("bloom-rb").toString + "/t"
     BloomSidecar.fold(spark, dir, (0L until 10L).toDF("id"), "id", 0L,

@@ -106,4 +106,48 @@ class LsmSpec extends SparkSpec {
     assert(Lsm.enterBatch(spark, fs2, dir2, 0L).lastBatch == -1L,
       "a tree predating the fold protocol is adopted at -1")
   }
+
+  test("compactBuckets: a zero-row fragmented bucket is cleared, not re-listed forever") {
+    import spark.implicits._
+    val (dir, fs) = tmpFs()
+    val buckets = s"$dir/buckets"
+    // tb=0: three real fragments. tb=1: three ZERO-ROW parquet files (valid
+    // footers, no rows) — the staging job's partitionBy writes no twin for
+    // a value with no rows, which used to leave the bucket permanently
+    // fragmented (re-listed every maintenance slot).
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(s"$dir/f0")
+    Seq(3L).toDF("id").coalesce(1).write.parquet(s"$dir/f1")
+    Seq(4L).toDF("id").coalesce(1).write.parquet(s"$dir/f2")
+    Seq.empty[Long].toDF("id").coalesce(1).write.parquet(s"$dir/fe")
+    def dataFile(src: String) = fs.listStatus(new Path(src))
+      .map(_.getPath).filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_")).head
+    for ((src, i) <- Seq("f0", "f1", "f2").zipWithIndex) {
+      fs.mkdirs(new Path(s"$buckets/tb=0"))
+      fs.rename(dataFile(s"$dir/$src"), new Path(s"$buckets/tb=0/b$i-p.parquet"))
+    }
+    val emptyFile = dataFile(s"$dir/fe")
+    for (i <- 0 until 3) {
+      fs.mkdirs(new Path(s"$buckets/tb=1"))
+      org.apache.hadoop.fs.FileUtil.copy(fs, emptyFile, fs,
+        new Path(s"$buckets/tb=1/b$i-p.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    Lsm.compactBuckets(spark, fs, new Path(buckets),
+      new Path(s"$dir/staged"), new Path(s"$dir/old"), "tb=",
+      maxFilesPerBucket = 2)
+    def nData(b: String) = fs.listStatus(new Path(s"$buckets/$b"))
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    assert(nData("tb=0") == 1, "real fragments merge to one file")
+    assert(nData("tb=1") == 0, "zero-row residuals are cleared")
+    val rows = spark.read.parquet(buckets).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L), "content identical")
+    // and the next slot no longer lists tb=1 as fragmented (no data files)
+    Lsm.compactBuckets(spark, fs, new Path(buckets),
+      new Path(s"$dir/staged"), new Path(s"$dir/old"), "tb=",
+      maxFilesPerBucket = 2)
+    assert(nData("tb=1") == 0 && nData("tb=0") == 1)
+  }
 }

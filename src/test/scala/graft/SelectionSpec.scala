@@ -113,6 +113,28 @@ class SelectionSpec extends SparkSpec {
     assert(again == kept.map(k0 => (k0._1, k0._2)).sorted.toSeq)
   }
 
+  test("prototypicalityPrune resolves the MVCC version root: a retrained tree serves the CURRENT quantizer") {
+    import graft.operators.Similarity
+    import graft.util.Lsm
+    val rows = (0 until 6).map(j => (j.toLong, Array.tabulate(16)(d =>
+      (math.sin(d * 0.7) + j * 0.01).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("protov").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path, nlist = 1, dim = 16)
+    // simulate a daemon retrain: publish a v1 centroid table under the
+    // MVCC protocol and RETIRE the legacy top-level tables (the state a
+    // tree reaches after the post-retrain compaction slot)
+    val fs = Lsm.fs(spark, path)
+    spark.read.parquet(s"$path/centroids").write
+      .parquet(s"$path/v1/centroids")
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/v1/_committed")).close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+    // a tree-top read would now throw (legacy centroids gone); the
+    // versioned-root resolution must serve v1
+    val kept = Selection.prototypicalityPrune(spark, path, emb, 100)
+    assert(kept.count() == 6)
+  }
+
   test("prototypicalityPrune with k >= cluster size keeps everything, ranked hardest-first") {
     import graft.operators.Similarity
     val rows = (0 until 6).map(j => (j.toLong, Array.tabulate(16)(d =>
