@@ -289,18 +289,30 @@ object Pq {
     * batch folds committed (the [[graft.streaming.EmbIngest]] retrain
     * slot does exactly this), at which point the two trees hold the same
     * vec_id set by the PQ-before-IVF fold order. Runs in the
-    * single-writer maintenance slot. */
+    * single-writer maintenance slot.
+    *
+    * `nlistOverride` resizes the coarse quantizer at the retrain (the
+    * [[Similarity.adaptiveNlist]] √n rule on a growing corpus); the
+    * encode family (m/ksub/dim/residual) always carries from meta —
+    * those DO pin code shape. When the override differs from the stored
+    * nlist, meta is swap-updated (same fields + `last_batch`) AFTER the
+    * version commit: a crash between the two leaves meta's nlist stale,
+    * which is tolerated because no reader or fold keys on it — serving
+    * and assignment read the centroid TABLE — and the next retrain or
+    * fold meta-swap repairs the record. */
   def ivfPqRetrain(spark: SparkSession, path: String,
-      corpus: DataFrame): Unit = {
+      corpus: DataFrame, nlistOverride: Option[Int] = None): Unit = {
     import graft.util.Lsm
     import org.apache.hadoop.fs.Path
+    import spark.implicits._
     val fs = Lsm.fs(spark, path)
     recoverIvfPqTree(spark, path)
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val residual = meta.getAs[Boolean]("residual")
-    val (nlist, m, ksub, dim) = (meta.getAs[Long]("nlist").toInt,
+    val (metaNlist, m, ksub, dim) = (meta.getAs[Long]("nlist").toInt,
       meta.getAs[Long]("m").toInt, meta.getAs[Long]("ksub").toInt,
       meta.getAs[Long]("dim").toInt)
+    val nlist = nlistOverride.getOrElse(metaNlist)
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     if (vecs.isEmpty) return // nothing to train on; keep serving as-is
     val prev = Lsm.committedVersions(fs, path)
@@ -308,6 +320,16 @@ object Pq {
     val next = s"$path/v$nextN"
     writeIvfPqTables(vecs, next, nlist, m, ksub, dim, residual)
     fs.create(new Path(s"$next/_committed")).close() // THE commit point
+    if (nlist != metaNlist) {
+      val lastBatch = if (meta.schema.fieldNames.contains("last_batch"))
+        meta.getAs[Long]("last_batch") else -1L
+      Seq((residual, nlist.toLong, m.toLong, ksub.toLong, dim.toLong,
+          lastBatch))
+        .toDF("residual", "nlist", "m", "ksub", "dim", "last_batch")
+        .write.mode("overwrite")
+        .parquet(Lsm.stagedPath(path, "meta", lastBatch))
+      Lsm.commitSwap(fs, path, "meta", lastBatch)
+    }
     Lsm.retireSupersededVersions(fs, path,
       Seq("centroids", "codebooks", "codes", "vnorms"), graceOne = true)
   }
@@ -403,11 +425,17 @@ object Pq {
     val root = ivfPqRoot(spark, path)
     if (fs.exists(new Path(s"$path/meta"))) {
       val meta = spark.read.parquet(s"$path/meta").collect()(0)
+      // the ENCODE family (m/ksub/dim/residual) pins code shape and must
+      // match at every call; nlist is deliberately NOT pinned — it is the
+      // coarse quantizer's size, which [[ivfPqRetrain]] may resize under
+      // the adaptive √n rule while the caller still passes its configured
+      // cold-start value (assignment reads the stored centroid table, so
+      // a resized quantizer needs nothing from this parameter)
       require(meta.getAs[Boolean]("residual") == residual &&
-        meta.getAs[Long]("nlist") == nlist && meta.getAs[Long]("m") == m &&
+        meta.getAs[Long]("m") == m &&
         meta.getAs[Long]("ksub") == ksub && meta.getAs[Long]("dim") == dim,
-        s"IVF-PQ tree at $path was built with different params " +
-          s"(${meta.mkString(",")}); the encode family must match at every call")
+        s"IVF-PQ tree at $path was built with a different encode family " +
+          s"(${meta.mkString(",")}); m/ksub/dim/residual must match at every call")
     }
     if (!fs.exists(new Path(s"$root/centroids"))) {
       Similarity.ivfCentroids(train, nlist, dim).write.mode("overwrite")

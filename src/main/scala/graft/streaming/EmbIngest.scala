@@ -72,7 +72,8 @@ object EmbIngest {
       dedupThreshold: Option[Double] = None, nprobe: Int = 2,
       compactEvery: Int = 0, retrainEvery: Int = 0,
       pqIndexPath: Option[String] = None, pqM: Int = 8, pqKsub: Int = 16,
-      pqResidual: Boolean = true): DocIngest.BatchResult = {
+      pqResidual: Boolean = true,
+      maxNlist: Int = 4096): DocIngest.BatchResult = {
     val fs = Lsm.fs(spark, indexPath)
     // retrain-aware entry recovery (a raw recoverSwap("centroids") here
     // would sweep a crashed post-marker retrain's staged twin as debris),
@@ -218,13 +219,27 @@ object EmbIngest {
       // (both trees hold the same vec_id set here: both folds committed
       // above, PQ first) under the same MVCC version-dir protocol, so
       // ADC recall no longer decays unrepaired on a drifting corpus.
+      // nlist tracks the served corpus at each retrain (√n rule, floored
+      // at the configured value, capped at maxNlist): a frozen nlist on a
+      // growing corpus densifies every cell linearly, growing every
+      // cell-local gate/probe candidate set with corpus/nlist — adaptive
+      // sizing keeps occupancy ~√n through unbounded growth. Counted on
+      // the pre-retrain root (same vec_id set the retrain re-assigns).
       if (retrainEvery > 0 && batchId > 0 && batchId % retrainEvery == 0) {
-        Similarity.ivfRetrain(spark, indexPath, nlist, dim)
+        val nServed = spark.read
+          .parquet(s"${Similarity.ivfRoot(spark, indexPath)}/vectors")
+          .count()
+        val nl = Similarity.adaptiveNlist(nServed, nlist, maxNlist)
+        if (nl != nlist)
+          System.err.println(s"[embingest] batch $batchId: retrain nlist " +
+            s"$nlist -> $nl (served=$nServed)")
+        Similarity.ivfRetrain(spark, indexPath, nl, dim)
         pqIndexPath.foreach { p =>
           val served = spark.read
             .parquet(s"${Similarity.ivfRoot(spark, indexPath)}/vectors")
             .select(col("vec_id"), col("embedding"))
-          graft.operators.Pq.ivfPqRetrain(spark, p, served)
+          graft.operators.Pq.ivfPqRetrain(spark, p, served,
+            nlistOverride = Some(nl))
         }
       }
       val r = DocIngest.BatchResult(nAdmitted,
@@ -245,7 +260,7 @@ object EmbIngest {
       dedupThreshold: Option[Double] = None, nprobe: Int = 2,
       compactEvery: Int = 0, retrainEvery: Int = 0,
       pqIndexPath: Option[String] = None, pqM: Int = 8, pqKsub: Int = 16,
-      pqResidual: Boolean = true,
+      pqResidual: Boolean = true, maxNlist: Int = 4096,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     spark.readStream.schema(embSchema).json(inputDir)
       .writeStream
@@ -256,7 +271,7 @@ object EmbIngest {
           dim = dim, dedupThreshold = dedupThreshold, nprobe = nprobe,
           compactEvery = compactEvery, retrainEvery = retrainEvery,
           pqIndexPath = pqIndexPath, pqM = pqM, pqKsub = pqKsub,
-          pqResidual = pqResidual)
+          pqResidual = pqResidual, maxNlist = maxNlist)
         ()
       }
       .start()

@@ -54,7 +54,12 @@ object EmbSoak {
   def main(args: Array[String]): Unit = {
     val nBatches = args.lift(0).map(_.toInt).getOrElse(60)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(1000)
-    val (nlist, compactEvery, retrainEvery, checkpointEvery) = (256, 10, 30, 20)
+    // nlist floor/cap (r14: the retrain slot resizes under the adaptive
+    // √n rule — a floor below √corpus demonstrates the growth path, the
+    // default 256 reproduces the r13 fixed-size run when √n stays under it)
+    val nlist = args.lift(2).map(_.toInt).getOrElse(256)
+    val maxNlist = args.lift(3).map(_.toInt).getOrElse(4096)
+    val (compactEvery, retrainEvery, checkpointEvery) = (10, 30, 20)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(new graft.functions.expressions.GraftExtensions)
@@ -101,7 +106,7 @@ object EmbSoak {
       val r = EmbIngest.commitEmbBatch(spark, idx, batch, b.toLong,
         nlist = nlist, dim = dim, dedupThreshold = Some(0.999), nprobe = 4,
         compactEvery = compactEvery, retrainEvery = retrainEvery,
-        pqIndexPath = Some(pq), pqM = 8, pqKsub = 16)
+        pqIndexPath = Some(pq), pqM = 8, pqKsub = 16, maxNlist = maxNlist)
       val wall = (System.nanoTime() - t0) / 1e9
       if (isRetrain) retrainWalls += wall else walls += wall
       totalAdmitted += r.admitted

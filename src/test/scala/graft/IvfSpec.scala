@@ -642,6 +642,56 @@ class IvfSpec extends SparkSpec {
       "the twin's fold lands in its committed version")
   }
 
+  test("adaptive nlist: retrain on a grown corpus picks a larger quantizer on BOTH trees; served results correct") {
+    import graft.operators.Pq
+    import graft.streaming.EmbIngest
+    // the √n rule itself: floored at the configured value, capped
+    assert(Similarity.adaptiveNlist(0L, 4, 64) == 4, "empty: floor")
+    assert(Similarity.adaptiveNlist(9L, 4, 64) == 4, "sqrt below floor: floor")
+    assert(Similarity.adaptiveNlist(49L, 2, 64) == 7, "sqrt(49) = 7")
+    assert(Similarity.adaptiveNlist(1000000L, 4, 64) == 64, "capped")
+    val root = java.nio.file.Files.createTempDirectory("emb-anl").toString
+    val (idx, pq) = (s"$root/idx", s"$root/pq")
+    // cold tree trains at the configured floor (nlist = 2 on 16 vectors);
+    // by the batch-2 retrain the corpus has grown 3x and the slot must
+    // resize to sqrt(48) ≈ 7 cells — on the serving tree AND the PQ twin
+    for ((drop, i) <- Seq(
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 === 1),
+        emb.filter(col("vec_id") % 3 === 2)).zipWithIndex)
+      EmbIngest.commitEmbBatch(spark, idx, drop, i.toLong, nlist = 2,
+        dim = 16, retrainEvery = 2, pqIndexPath = Some(pq), pqM = 4,
+        pqKsub = 8, maxNlist = 64)
+    val expected = Similarity.adaptiveNlist(48L, 2, 64)
+    assert(expected == 7)
+    val servedCents = spark.read
+      .parquet(s"${Similarity.ivfRoot(spark, idx)}/centroids").count()
+    assert(servedCents == expected,
+      s"serving tree must retrain at sqrt(n), got $servedCents")
+    assert(spark.read.parquet(s"${Pq.ivfPqRoot(spark, pq)}/centroids")
+      .count() == expected, "PQ twin must resize with the serving tree")
+    assert(spark.read.parquet(s"$pq/meta").collect()(0)
+      .getAs[Long]("nlist") == expected.toLong,
+      "twin meta records the live nlist")
+    // served results stay correct through the resize: each query's
+    // nearest OTHER vector (self-matches are excluded by contract) comes
+    // from its own planted cluster, and the next fold (configured floor
+    // nlist, resized tree) still gates and lands
+    val q = emb.filter(col("vec_id") < 4)
+    val top1 = Similarity.ivfTopKIndexed(spark, idx, q, 1, nprobe = expected)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 4L).forall(i => top1(i) % 4 == i % 4),
+      s"post-resize top-1 must come from the query's planted cluster: $top1")
+    val r3 = EmbIngest.commitEmbBatch(spark, idx,
+      (100L until 104L).map(i => (i, Array.tabulate(16)(d =>
+        (dirs((i % 4).toInt)(d) + 0.02 * i).toFloat))).toDF("vec_id", "embedding")
+        .union(q), 3L, nlist = 2, dim = 16, retrainEvery = 2,
+      pqIndexPath = Some(pq), pqM = 4, pqKsub = 8, maxNlist = 64)
+    assert(r3.admitted == 4 && r3.droppedRedelivered == 4,
+      s"fold against the resized tree must gate and land, got $r3")
+  }
+
   test("EmbIngest daemon: cold batch trains, warm drops fold, retry no-ops") {
     import java.nio.file.{Files, Path => JPath}
     val in = Files.createTempDirectory("emb-in").toString
@@ -669,7 +719,11 @@ class IvfSpec extends SparkSpec {
       retrainEvery = 1,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .awaitTermination()
-    val centsAfter = spark.read.parquet(s"$idx/centroids")
+    // the retrain published a version root (and may have resized nlist to
+    // sqrt(48) = 7 under the adaptive rule): the RETRAINED centroids live
+    // at the resolved root, not the legacy tree top
+    val centsAfter = spark.read
+      .parquet(s"${Similarity.ivfRoot(spark, idx)}/centroids")
     val after2 = treeAssign(idx)
     assert(after2 == Similarity.assignToCentroids(emb, centsAfter)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
