@@ -48,9 +48,16 @@ object MediaIngest {
     * `corpusDir/batch-<id>`, fold admitted hashes into `indexPath`.
     * The meta marker commits last, so the index fold is the idempotence
     * point; the corpus write is overwrite-idempotent per batch dir. */
+  /** `phaseWalls` (operational telemetry, None in production): the
+    * [[DocIngest.commitDocBatch]] contract — each phase is forced at its
+    * boundary (a count() on the already-cached frame) and its wall
+    * seconds accumulate under a stable key, so a soak can attribute
+    * per-batch wall to decode vs gate vs write vs fold by measurement. */
   def commitMediaBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       corpusDir: String, indexPath: String, maxDist: Int = 6,
-      nBuckets: Int = 8, compactEvery: Int = 0): DocIngest.BatchResult = {
+      nBuckets: Int = 8, compactEvery: Int = 0,
+      phaseWalls: Option[scala.collection.mutable.Map[String, Double]] = None)
+      : DocIngest.BatchResult = {
     val fs = Lsm.fs(spark, indexPath)
     Lsm.recoverSwap(fs, indexPath, "meta")
     // shared entry: committed no-op, or sweep this batch's own partial
@@ -80,11 +87,22 @@ object MediaIngest {
         cached += df.persist()
       df
     }
+    def phase[T](name: String)(f: => T): T = phaseWalls match {
+      case Some(m) =>
+        val t0 = System.nanoTime()
+        val r = f
+        m(name) = m.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+        r
+      case None => f
+    }
+    def settle(df: DataFrame): Unit =
+      if (phaseWalls.isDefined) { df.count(); () }
     try {
       // one row per doc_id by the entry collapse above, so the hash frame
       // needs no further per-id aggregation
       val hashes = cache(Multimodal.imageHashes(spark, b).toDF()
         .select("doc_id", "ahash"))
+      phase("decode_hash")(settle(hashes))
       // DATA-file probe, not dir existence: a crashed first fold's sweep
       // leaves empty tb= dirs behind, and a bare-dir read would throw on
       // every retry, wedging the daemon
@@ -96,53 +114,64 @@ object MediaIngest {
       // verify against the bucketed id sidecar (partition-pruned to the
       // positives' hash buckets) instead of the full served-id scan —
       // legacy trees fall back to the scan and adopt the sidecar at fold
-      val redelivered = cache(if (!indexExists) emptyIds
-        else graft.util.BloomSidecar.read(spark, indexPath) match {
-          case Some(bits) =>
-            val positives = hashes
-              .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
+      val redelivered = phase("gate_redelivery") {
+        val df = cache(if (!indexExists) emptyIds
+          else graft.util.BloomSidecar.read(spark, indexPath) match {
+            case Some(bits) =>
+              val positives = hashes
+                .filter(graft.util.BloomSidecar.probe(bits, col("doc_id")))
+                .select("doc_id")
+              if (positives.isEmpty) emptyIds
+              else if (graft.util.IdTree.exists(spark, indexPath))
+                graft.util.IdTree.verify(spark, indexPath, positives, "doc_id")
+              else positives.join(storedIds, Seq("doc_id"), "left_semi")
+            case None => hashes.join(storedIds, Seq("doc_id"), "left_semi")
               .select("doc_id")
-            if (positives.isEmpty) emptyIds
-            else if (graft.util.IdTree.exists(spark, indexPath))
-              graft.util.IdTree.verify(spark, indexPath, positives, "doc_id")
-            else positives.join(storedIds, Seq("doc_id"), "left_semi")
-          case None => hashes.join(storedIds, Seq("doc_id"), "left_semi")
-            .select("doc_id")
-        })
-      val withinDrops = cache(Multimodal.imageNearDupPairs(hashes, maxDist)
-        .select(col("b_id").as("doc_id")).distinct())
-      val indexDrops = cache(if (indexExists)
-        Multimodal.imageNearDupAgainstIndex(spark, indexPath, hashes, maxDist)
-          .select(col("a_id").as("doc_id")).distinct()
-      else withinDrops.limit(0))
+          })
+        settle(df); df
+      }
+      val (withinDrops, indexDrops) = phase("gate_neardup") {
+        val w = cache(Multimodal.imageNearDupPairs(hashes, maxDist)
+          .select(col("b_id").as("doc_id")).distinct())
+        val i = cache(if (indexExists)
+          Multimodal.imageNearDupAgainstIndex(spark, indexPath, hashes, maxDist)
+            .select(col("a_id").as("doc_id")).distinct()
+        else w.limit(0))
+        settle(w); settle(i)
+        (w, i)
+      }
       val admittedIds = cache(hashes.select("doc_id").join(
         withinDrops.union(indexDrops).union(redelivered).distinct(),
         Seq("doc_id"), "left_anti"))
+      phase("admit")(settle(admittedIds))
       // payloads of admitted ids, written where they already live — the
       // join is id-against-id; the binary column never shuffles
-      b.join(admittedIds, Seq("doc_id"), "left_semi")
-        .write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
+      phase("corpus_write")(b.join(admittedIds, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId"))
       val admittedHashes = hashes.join(admittedIds, Seq("doc_id"), "left_semi")
       // sidecar folds BEFORE the index fold (BloomSidecar ordering
       // contract); the id sidecar folds under the same pre-commit rule
-      graft.util.BloomSidecar.fold(spark, indexPath, admittedIds, "doc_id",
-        batchId, storedIds = if (indexExists) storedIds else emptyIds)
-      graft.util.IdTree.fold(spark, indexPath, admittedIds, "doc_id",
-        batchId, storedIds = if (indexExists) storedIds else emptyIds)
-      Multimodal.hashIndexInsert(spark, indexPath, admittedHashes, batchId,
-        maxDist, nBuckets)
-      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-        Multimodal.hashIndexCompact(spark, indexPath)
-        graft.util.IdTree.compact(spark, indexPath, batchId)
-        // sidecar saturation repair at the same cadence (the EmbIngest
-        // pattern): fresh ≥2x headroom from the compacted id sidecar
-        // (single column) when present, else the tree's served-id scan
-        graft.util.BloomSidecar.rebuild(spark, indexPath,
-          if (graft.util.IdTree.exists(spark, indexPath))
-            graft.util.IdTree.readAll(spark, indexPath, "doc_id")
-          else Multimodal.servedHashes(spark, indexPath).select("doc_id"),
-          "doc_id", batchId)
+      phase("sidecar_fold") {
+        graft.util.BloomSidecar.fold(spark, indexPath, admittedIds, "doc_id",
+          batchId, storedIds = if (indexExists) storedIds else emptyIds)
+        graft.util.IdTree.fold(spark, indexPath, admittedIds, "doc_id",
+          batchId, storedIds = if (indexExists) storedIds else emptyIds)
       }
+      phase("fold_chunks")(Multimodal.hashIndexInsert(spark, indexPath,
+        admittedHashes, batchId, maxDist, nBuckets))
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        phase("maintenance") {
+          Multimodal.hashIndexCompact(spark, indexPath)
+          graft.util.IdTree.compact(spark, indexPath, batchId)
+          // sidecar saturation repair at the same cadence (the EmbIngest
+          // pattern): fresh ≥2x headroom from the compacted id sidecar
+          // (single column) when present, else the tree's served-id scan
+          graft.util.BloomSidecar.rebuild(spark, indexPath,
+            if (graft.util.IdTree.exists(spark, indexPath))
+              graft.util.IdTree.readAll(spark, indexPath, "doc_id")
+            else Multimodal.servedHashes(spark, indexPath).select("doc_id"),
+            "doc_id", batchId)
+        }
       val r = DocIngest.BatchResult(admittedIds.count(), withinDrops.count(),
         indexDrops.count(), redelivered.count())
       System.err.println(s"[mediaingest] batch $batchId: admitted=${r.admitted} " +

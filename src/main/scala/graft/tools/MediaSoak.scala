@@ -27,8 +27,8 @@ object MediaSoak {
 
   /** A near-dup payload: re-encode the same seed at the same size, then
     * flip one low bit in the pixel area so the aHash moves by ≤1 bit. */
-  private def nearDup(seed: Long, saltId: Long): Array[Byte] = {
-    val b = Multimodal.encodeBmp(24, 16, seed)
+  private def nearDup(w: Int, h: Int, seed: Long, saltId: Long): Array[Byte] = {
+    val b = Multimodal.encodeBmp(w, h, seed)
     val out = b.clone()
     out(out.length - 1 - (saltId % 7).toInt) =
       (out(out.length - 1 - (saltId % 7).toInt) ^ 0x01).toByte
@@ -38,6 +38,12 @@ object MediaSoak {
   def main(args: Array[String]): Unit = {
     val nBatches = args.lift(0).map(_.toInt).getOrElse(100)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(40)
+    // payload shape (r13 verdict ask #7): the 100x40 small-BMP run proved
+    // the protocol; `[w] [h]` size the decode stage and the
+    // 16-byte-hash-rows claim where a deployment sits (512 512 500-doc
+    // batches ≈ 390 MB/batch of pixels through decode -> 8-byte hashes)
+    val imgW = args.lift(2).map(_.toInt).getOrElse(24)
+    val imgH = args.lift(3).map(_.toInt).getOrElse(16)
     val compactEvery = 10
     val checkpointEvery = 25
     val spark = SparkSession.builder()
@@ -53,18 +59,22 @@ object MediaSoak {
     val root = java.nio.file.Files.createTempDirectory("graft_mediasoak").toString
     val (corpus, index) = (s"$root/corpus", s"$root/index")
 
+    // per-batch id block: 1000 preserves the r13 run's ids at perBatch=40;
+    // larger batches (500-doc realistic shape) get a wider block so batch
+    // id ranges can never collide
+    val idBlock = math.max(1000L, perBatch * 2L)
     def mkBatch(b: Int): DataFrame = {
       val r = new scala.util.Random(b * 6700417L + 23)
       val rows = (0 until perBatch).map { j =>
         val roll = r.nextInt(100)
-        val id = b * 1000L + j
+        val id = b * idBlock + j
         if (b > 0 && roll < 10) {
-          val pid = (b - 1) * 1000L + r.nextInt(perBatch)
-          (pid, Multimodal.encodeBmp(24, 16, pid))
+          val pid = (b - 1) * idBlock + r.nextInt(perBatch)
+          (pid, Multimodal.encodeBmp(imgW, imgH, pid))
         } else if (b > 0 && roll < 20) {
-          val src = r.nextInt(b) * 1000L + r.nextInt(perBatch)
-          (id, nearDup(src, id))
-        } else (id, Multimodal.encodeBmp(24, 16, id))
+          val src = r.nextInt(b) * idBlock + r.nextInt(perBatch)
+          (id, nearDup(imgW, imgH, src, id))
+        } else (id, Multimodal.encodeBmp(imgW, imgH, id))
       }
       rows.toDF("doc_id", "payload")
     }
@@ -82,19 +92,25 @@ object MediaSoak {
     }
 
     val walls = scala.collection.mutable.ArrayBuffer[Double]()
+    val phaseHistory = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     var totalAdmitted = 0L
     for (b <- 0 until nBatches) {
       val batch = mkBatch(b)
+      val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
       val t0 = System.nanoTime()
       val r = MediaIngest.commitMediaBatch(spark, batch, b.toLong, corpus,
-        index, maxDist = 6, nBuckets = 8, compactEvery = compactEvery)
+        index, maxDist = 6, nBuckets = 8, compactEvery = compactEvery,
+        phaseWalls = Some(phases))
       val wall = (System.nanoTime() - t0) / 1e9
       walls += wall
+      phaseHistory += phases.toMap
       totalAdmitted += r.admitted
       if (b % 10 == 0 || b == nBatches - 1) {
         val fill = graft.util.BloomSidecar.stats(spark, index)
           .map(s => f"${s.fill}%.4f").getOrElse("null")
-        println(f"""MEDIASOAK {"batch":$b,"wall":$wall%.2f,"admitted":${r.admitted},"dropped_neardup":${r.droppedWithinBatch + r.droppedVsIndex},"dropped_redelivered":${r.droppedRedelivered},"total_admitted":$totalAdmitted,"chunks_max_frag":$maxFrag,"bloom_fill":$fill}""")
+        val phaseJson = phases.map { case (k, v) =>
+          "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+        println(f"""MEDIASOAK {"batch":$b,"wall":$wall%.2f,"admitted":${r.admitted},"dropped_neardup":${r.droppedWithinBatch + r.droppedVsIndex},"dropped_redelivered":${r.droppedRedelivered},"total_admitted":$totalAdmitted,"chunks_max_frag":$maxFrag,"bloom_fill":$fill,"phases":$phaseJson}""")
       }
       if (b > 0 && b % checkpointEvery == 0) {
         // served hash table == a cold decode+hash pass over the admitted
@@ -115,7 +131,20 @@ object MediaSoak {
     def pct(p: Double) = sorted((p * (sorted.size - 1)).toInt)
     val q1 = walls.take(nBatches / 4)
     val q4 = walls.takeRight(nBatches / 4)
-    println(f"""MEDIASOAK_SUMMARY {"batches":$nBatches,"per_batch":$perBatch,"total_admitted":$totalAdmitted,"wall_p50":${pct(0.5)}%.2f,"wall_p90":${pct(0.9)}%.2f,"wall_max":${sorted.last}%.2f,"first_quarter_mean":${q1.sum / q1.size}%.2f,"last_quarter_mean":${q4.sum / q4.size}%.2f}""")
+    val payloadBytes = imgW * imgH * 3 + 54 // 24-bit BMP + header
+    println(f"""MEDIASOAK_SUMMARY {"batches":$nBatches,"per_batch":$perBatch,"img_w":$imgW,"img_h":$imgH,"payload_bytes":$payloadBytes,"total_admitted":$totalAdmitted,"wall_p50":${pct(0.5)}%.2f,"wall_p90":${pct(0.9)}%.2f,"wall_max":${sorted.last}%.2f,"first_quarter_mean":${q1.sum / q1.size}%.2f,"last_quarter_mean":${q4.sum / q4.size}%.2f}""")
+    // per-phase quarter means (the SoakProbe decomposition): at a
+    // realistic payload the decode phase should dominate and everything
+    // downstream of the 8-byte hashes should be payload-size-independent
+    val phaseKeys = phaseHistory.flatMap(_.keys).distinct.sorted
+    def pmean(qs: Seq[Map[String, Double]], k: String): Double =
+      qs.map(_.getOrElse(k, 0.0)).sum / qs.size
+    val pq1 = phaseHistory.take(nBatches / 4).toSeq
+    val pq4 = phaseHistory.takeRight(nBatches / 4).toSeq
+    val perPhase = phaseKeys.map { k =>
+      "\"" + k + f"""\":{"q1_mean":${pmean(pq1, k)}%.2f,"q4_mean":${pmean(pq4, k)}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""MEDIASOAK_PHASES $perPhase""")
     spark.stop()
   }
 }

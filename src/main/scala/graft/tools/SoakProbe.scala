@@ -36,9 +36,24 @@ object SoakProbe {
 
   private val evalPhrase = "contaminated benchmark answer key sequence"
 
-  private def docText(id: Long): String = {
+  /** Realistic text shape (the EmbSoak realism playbook applied to the
+    * text gate): a 10,000-type vocabulary with Zipf(s=1) frequencies —
+    * rank k sampled by the continuous inverse CDF k = V^u (P(k) ∝ 1/k ⇒
+    * CDF ≈ ln k / ln V). The r13 soak's 34-word vocabulary saturated the
+    * LSH band space (every 3-gram shingle drawn from 34³ possibilities ⇒
+    * band buckets collide across unrelated docs and gate_text grows with
+    * the corpus); whether that ×2.3 curve is a fixture artifact or daemon
+    * behavior is exactly what running BOTH vocabularies measures. */
+  private val vocabSize = 10000
+
+  private def zipfWord(r: scala.util.Random): String =
+    "w" + math.max(1, math.min(vocabSize,
+      math.pow(vocabSize.toDouble, r.nextDouble()).toInt))
+
+  private def docText(id: Long, zipf: Boolean): String = {
     val r = new scala.util.Random(id * 2654435761L)
-    (0 until 30).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    if (zipf) (0 until 30).map(_ => zipfWord(r)).mkString(" ")
+    else (0 until 30).map(_ => words(r.nextInt(words.length))).mkString(" ")
   }
 
   private def embedding(text: String): Array[Float] = {
@@ -52,7 +67,8 @@ object SoakProbe {
 
   /** One deterministic micro-batch: ids partitioned by batch number so
     * novelty/re-delivery/near-dup classes never collide by accident. */
-  private def mkBatch(spark: SparkSession, b: Int, n: Int): DataFrame = {
+  private def mkBatch(spark: SparkSession, b: Int, n: Int,
+      zipf: Boolean): DataFrame = {
     import spark.implicits._
     val r = new scala.util.Random(b * 7919L + 17)
     val rows = (0 until n).map { j =>
@@ -61,13 +77,13 @@ object SoakProbe {
       val (docId, text) =
         if (b > 0 && roll < 10) { // exact re-delivery of a prior-batch doc
           val pid = (b - 1) * 1000L + r.nextInt(n)
-          (pid, docText(pid))
+          (pid, docText(pid, zipf))
         } else if (b > 0 && roll < 20) { // near-dup: one word edited
-          val src = docText(r.nextInt(b) * 1000L + r.nextInt(n))
+          val src = docText(r.nextInt(b) * 1000L + r.nextInt(n), zipf)
           val toks = src.split(" "); toks(toks.length - 1) = "edited"
           (id, toks.mkString(" "))
-        } else if (roll < 25) (id, docText(id) + " " + evalPhrase)
-        else (id, docText(id))
+        } else if (roll < 25) (id, docText(id, zipf) + " " + evalPhrase)
+        else (id, docText(id, zipf))
       (docId, text, "en", s"src${docId % 3}", text.length.toLong,
         embedding(text))
     }
@@ -91,6 +107,11 @@ object SoakProbe {
   def main(args: Array[String]): Unit = {
     val nBatches = args.lift(0).map(_.toInt).getOrElse(200)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(40)
+    // "zipf" (default; 10k-type Zipf vocabulary) or "toy" (the pre-r14
+    // 34-word fixture, kept so the band-saturation attribution can be
+    // measured against the same harness)
+    val vocab = args.lift(2).getOrElse("zipf")
+    val zipf = vocab != "toy"
     val compactEvery = 10
     val retrainEvery = 50
     val checkpointEvery = 50
@@ -119,7 +140,7 @@ object SoakProbe {
     val phaseHistory = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     var totalAdmitted = 0L
     for (b <- 0 until nBatches) {
-      val batch = mkBatch(spark, b, perBatch)
+      val batch = mkBatch(spark, b, perBatch, zipf)
       val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
       val t0 = System.nanoTime()
       val r = DocIngest.commitDocBatch(spark, batch, b.toLong, corpus, index,
@@ -181,7 +202,7 @@ object SoakProbe {
     def pct(p: Double) = sorted((p * (sorted.size - 1)).toInt)
     val firstQ = walls.take(nBatches / 4).sum / (nBatches / 4)
     val lastQ = walls.takeRight(nBatches / 4).sum / (nBatches / 4)
-    println(f"""SOAK_SUMMARY {"batches":$nBatches,"per_batch":$perBatch,"total_admitted":$totalAdmitted,"wall_p50":${pct(0.5)}%.2f,"wall_p90":${pct(0.9)}%.2f,"wall_max":${sorted.last}%.2f,"first_quarter_mean":$firstQ%.2f,"last_quarter_mean":$lastQ%.2f}""")
+    println(f"""SOAK_SUMMARY {"batches":$nBatches,"per_batch":$perBatch,"vocab":"$vocab","total_admitted":$totalAdmitted,"wall_p50":${pct(0.5)}%.2f,"wall_p90":${pct(0.9)}%.2f,"wall_max":${sorted.last}%.2f,"first_quarter_mean":$firstQ%.2f,"last_quarter_mean":$lastQ%.2f}""")
     // per-phase quarter means: WHICH curve grows is now a measurement.
     // retrain/maintenance are excluded from per-batch means' denominators
     // only in the sense that batches without the phase contribute 0 —
@@ -195,6 +216,34 @@ object SoakProbe {
       "\"" + k + f"""\":{"q1_mean":${mean(q1.toSeq, k)}%.2f,"q4_mean":${mean(q4.toSeq, k)}%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""SOAK_PHASES $perPhase""")
+    // Per-band collision telemetry over the final LSH tree: the gate's
+    // candidate volume is driven by multi-doc band buckets (each bucket of
+    // size s contributes ~s candidates per future probe that hashes into
+    // it), so the honest saturation measure is the share of stored rows
+    // sitting in multi-doc buckets + the worst bucket. On a 34-word
+    // vocabulary these saturate (few distinct shingles ⇒ few distinct
+    // band hashes); a 10k-type Zipf vocabulary is the realistic baseline.
+    val bandRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$index/bands")
+    val perBand = bandRows.groupBy("band", "bucket")
+      .agg(countDistinct("doc_id").as("sz"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum("sz").as("n_rows"),
+        sum(when(col("sz") > 1, col("sz")).otherwise(0L)).as("multi_rows"),
+        max("sz").as("max_bucket"))
+      .withColumn("collision_rate",
+        round(col("multi_rows") / col("n_rows"), 4))
+      .orderBy("band")
+      .collect()
+    val bandsJson = perBand.map { r =>
+      s"""{"band":${r.getInt(0)},"n_buckets":${r.getLong(1)},""" +
+        s""""n_rows":${r.getLong(2)},"multi_rows":${r.getLong(3)},""" +
+        s""""max_bucket":${r.getLong(4)},"collision_rate":${r.getDouble(5)}}"""
+    }.mkString("[", ",", "]")
+    val worst = perBand.map(_.getDouble(5)).max
+    val maxBucket = perBand.map(_.getLong(4)).max
+    println(s"""SOAK_BANDS {"vocab":"$vocab","worst_band_collision_rate":$worst,"max_bucket":$maxBucket,"bands":$bandsJson}""")
     spark.stop()
   }
 }
