@@ -445,6 +445,121 @@ object Dedup {
     writeIndexTables(docs, n, numHashes, bands, gramHashes, bandBucket,
       sub => s"$path/$sub/$batchTag")
 
+  private val lshSubTables = Seq("bands", "grams", "sizes")
+  private def segCommitMarker(path: String, sub: String) =
+    new org.apache.hadoop.fs.Path(s"$path/${sub}_seg_commit")
+  private def segStaged(path: String, sub: String, upto: Long) =
+    new org.apache.hadoop.fs.Path(s"$path/${sub}_seg_staged_$upto")
+
+  /** Finish (or roll back) a crashed [[consolidateLshSegments]] for one
+    * sub-table. The marker file — written AFTER the staged segment is
+    * complete, holding "<segName>\n<dir>\n<dir>..." — is the commit
+    * point: marker present means the segment is complete, so roll
+    * FORWARD (rename it in if not yet, delete the listed source dirs,
+    * drop the marker); a staged twin without a marker is a possibly-
+    * partial write and is deleted. Idempotent; marker removed last. */
+  private def recoverSegConsolidation(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, sub: String): Unit = {
+    val marker = segCommitMarker(path, sub)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val content = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      val lines = content.split("\n").filter(_.nonEmpty)
+      val segName = lines.head
+      val seg = new org.apache.hadoop.fs.Path(s"$path/$sub/$segName")
+      val staged = new org.apache.hadoop.fs.Path(
+        s"$path/${sub}_seg_staged_${segName.stripPrefix("seg-")}")
+      if (!fs.exists(seg) && fs.exists(staged)) fs.rename(staged, seg)
+      lines.tail.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub/$d"), true))
+      fs.delete(marker, false)
+    }
+    // any surviving staged twin or tmp marker predates the commit:
+    // possibly partial — sweep both
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.getPath.getName.startsWith(s"${sub}_seg_staged_") ||
+          s.getPath.getName == s"${sub}_seg_commit_tmp")
+        .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** Merge an LSH index's per-batch sub-directories into one segment per
+    * sub-table — the file-count bound the r14 Zipf soak showed the text
+    * gate needs: [[appendToLshIndex]] adds a `batch-<id>` directory per
+    * micro-batch under bands/grams/sizes, and the probe's recursive
+    * listing of those trees grows linearly in BATCH COUNT forever (the
+    * measured gate_text curve survived a zero-band-collision realistic
+    * vocabulary — it was directory accumulation, not candidates; at a
+    * 30 s cadence that is ~2,880 new directories per day per table).
+    * Every `batch-<id>` with id ≤ `uptoBatchId`, plus any earlier
+    * `seg-<k>` from a previous consolidation, rewrites into one
+    * `seg-<uptoBatchId>` directory, content-identical (small source
+    * files coalesce through the scan's partition packing). Readers are
+    * unchanged: they already list recursively and a segment is just
+    * another directory.
+    *
+    * Call from the single-writer maintenance slot with `uptoBatchId` =
+    * a COMMITTED batch id (the owning daemon passes `batchId - 1` at
+    * entry — stream serialization commits it): the current batch's own
+    * directory is never merged, so a replay's overwrite semantics and
+    * the gate's own-batch-dir exclusion are untouched.
+    *
+    * Crash/retry: per sub-table, the staged segment is written OUTSIDE
+    * the table directory (readers must never see it), then a marker
+    * file commits it (segment name + source dirs), then rename in,
+    * delete sources, drop the marker. Entry recovery
+    * ([[recoverSegConsolidation]], run at the start of every call —
+    * and a crashed cadence batch replays into the same call) rolls a
+    * marked consolidation forward and sweeps an unmarked staged twin,
+    * so readers never see a source dir and its segment copy at once. */
+  def consolidateLshSegments(spark: SparkSession, path: String,
+      uptoBatchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val batchPat = "^batch-(\\d+)$".r
+    val segPat = "^seg-(\\d+)$".r
+    for (sub <- lshSubTables) {
+      recoverSegConsolidation(fs, path, sub)
+      val subDir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(subDir)) {
+        val sources = fs.listStatus(subDir).filter(_.isDirectory)
+          .map(_.getPath).filter { p =>
+            p.getName match {
+              case batchPat(id) => id.toLong <= uptoBatchId
+              case segPat(id) => id.toLong < uptoBatchId
+              case _ => false
+            }
+          }
+        val target = new org.apache.hadoop.fs.Path(
+          s"$path/$sub/seg-$uptoBatchId")
+        // >1 source: a single directory gains nothing from a rewrite,
+        // and an existing seg-<upto> proves this consolidation already
+        // committed (marker protocol) — no-op on the cadence replay
+        if (sources.length > 1 && !fs.exists(target)) {
+          val staged = segStaged(path, sub, uptoBatchId)
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(sources.map(_.toString).toSeq: _*)
+            .write.mode("overwrite").parquet(staged.toString)
+          // marker content must appear atomically — a torn marker would
+          // roll the segment forward without deleting its sources
+          // (duplicate rows): write to a tmp name, rename in (recovery
+          // ignores and sweeps tmp markers)
+          val tmpMarker = new org.apache.hadoop.fs.Path(
+            s"$path/${sub}_seg_commit_tmp")
+          val out = fs.create(tmpMarker, true)
+          out.write((s"seg-$uptoBatchId\n" +
+            sources.map(_.getName).mkString("\n")).getBytes("UTF-8"))
+          out.close()
+          fs.rename(tmpMarker, segCommitMarker(path, sub)) // THE commit point
+          fs.rename(staged, target)
+          sources.foreach(s => fs.delete(s, true))
+          fs.delete(segCommitMarker(path, sub), false)
+        }
+      }
+    }
+  }
+
   /** 64-bit SimHash over the token multiset: bit b of the signature is the
     * sign of sum over tokens of +-1 according to bit b of xxhash64(token).
     * Scalar Column variant (API/tests). */

@@ -146,8 +146,20 @@ object DocIngest {
       // attempt (admitted = ∅, corpus batch dir overwritten empty).
       graft.util.IdTree.enterBatch(spark, indexPath, batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-        phase("maintenance")(
-          graft.util.IdTree.compact(spark, indexPath, batchId - 1))
+        phase("maintenance") {
+          graft.util.IdTree.compact(spark, indexPath, batchId - 1)
+          // LSH directory-count bound (the r14 Zipf-soak curve): merge
+          // committed per-batch subdirs of bands/grams/sizes into one
+          // segment, so the gate's recursive listings stop growing one
+          // directory per batch forever. Entry-time like the IdTree
+          // compaction and for the same reason: batchId - 1 is committed
+          // by stream serialization, and this batch's own dir (a crashed
+          // attempt's overwrite target) is never merged. A crashed
+          // cadence batch replays into the same call, whose entry
+          // recovery finishes the interrupted consolidation BEFORE the
+          // gate probes the tree.
+          Dedup.consolidateLshSegments(spark, indexPath, batchId - 1)
+        }
       val withinPairs = cache(Dedup
         .minhashLshPairs(b, n, numHashes, bands, threshold, gramHashes, bandBucket)
         .select(col("a_id"), col("b_id")))

@@ -141,6 +141,89 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // 1 (new) collides with 0/2/8 (indexed)
   }
 
+  test("consolidateLshSegments: per-batch dirs merge into one segment, probes identical, repeat consolidation folds the segment") {
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("lsh-seg").toString
+    for (b <- 0 to 5)
+      Dedup.appendToLshIndex(docs.filter(col("doc_id") % 6 === b), path,
+        s"batch-$b")
+    val probe = Seq((100L, texts(1)), (101L, "novel words only here now " +
+      "nothing shared with anything stored at all ok")).toDF("doc_id", "text")
+    def pairs() = Dedup.minhashLshAgainstIndex(spark, path, probe, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def dirs(sub: String) = {
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new Path(s"$path/$sub")).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+    }
+    def rows(sub: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$path/$sub").count()
+    val (before, rowsBefore) = (pairs(), lshSubsRows(path))
+    Dedup.consolidateLshSegments(spark, path, 4L)
+    assert(dirs("bands") == Set("seg-4", "batch-5"),
+      s"committed dirs merge, the current batch's stays: ${dirs("bands")}")
+    assert(dirs("grams") == Set("seg-4", "batch-5"))
+    assert(dirs("sizes") == Set("seg-4", "batch-5"))
+    assert(pairs() == before && lshSubsRows(path) == rowsBefore,
+      "consolidation must be content-identical")
+    // a later consolidation folds the earlier segment in with new batches
+    for (b <- 6 to 7)
+      Dedup.appendToLshIndex(docs.filter(col("doc_id") % 8 === b), path,
+        s"batch-$b")
+    Dedup.consolidateLshSegments(spark, path, 7L)
+    assert(dirs("bands") == Set("seg-7"), s"got ${dirs("bands")}")
+    assert(pairs() == before, "planted pairs unchanged through re-merge")
+    // replay of the cadence batch: seg exists, nothing to merge — no-op
+    Dedup.consolidateLshSegments(spark, path, 7L)
+    assert(dirs("bands") == Set("seg-7") && rows("bands") > 0)
+  }
+
+  private def lshSubsRows(path: String): Seq[Long] =
+    Seq("bands", "grams", "sizes").map(sub => spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$path/$sub").count())
+
+  test("consolidateLshSegments crash windows: torn staging sweeps, a committed marker rolls forward, duplicates never visible") {
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("lsh-segc").toString
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    for (b <- 0 to 3)
+      Dedup.appendToLshIndex(docs.filter(col("doc_id") % 4 === b), path,
+        s"batch-$b")
+    val rowsBefore = lshSubsRows(path)
+    // crash BEFORE the marker: a staged twin alone is possibly partial —
+    // the retry must sweep it and keep the sources authoritative
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/bands").limit(3)
+      .write.parquet(s"$path/bands_seg_staged_3")
+    Dedup.consolidateLshSegments(spark, path, 3L)
+    assert(!fs.exists(new Path(s"$path/bands_seg_staged_3")) ||
+      fs.exists(new Path(s"$path/bands/seg-3")))
+    assert(lshSubsRows(path) == rowsBefore,
+      s"rows must survive consolidation exactly: $rowsBefore -> ${lshSubsRows(path)}")
+    // crash AFTER the marker commit but BEFORE the source deletes: the
+    // segment AND its sources coexist on disk — recovery (the next
+    // call's entry) must delete the sources, never double-read
+    val seg = new Path(s"$path/bands/seg-3")
+    assert(fs.exists(seg))
+    // manufacture: copy seg back out as a "source" dir + a marker listing it
+    org.apache.hadoop.fs.FileUtil.copy(fs, seg, fs,
+      new Path(s"$path/bands/batch-0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val dupRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/bands").count()
+    assert(dupRows > rowsBefore.head, "fixture: duplicates ARE on disk")
+    val out = fs.create(new Path(s"$path/bands_seg_commit"), true)
+    out.write("seg-3\nbatch-0".getBytes("UTF-8")); out.close()
+    Dedup.consolidateLshSegments(spark, path, 3L) // entry recovery
+    assert(!fs.exists(new Path(s"$path/bands/batch-0")) &&
+      !fs.exists(new Path(s"$path/bands_seg_commit")),
+      "recovery must finish the deletes and drop the marker")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/bands").count() == rowsBefore.head,
+      "exactly-once rows after roll-forward")
+  }
+
   test("simhash chunk-join finds exactly the hamming<=3 pairs of its signatures") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -410,4 +410,41 @@ class DocIngestSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(0L, 3L, 5L, 7L, 9L, 30L), "one sidecar row per admitted id")
   }
+
+  test("maintenance slot consolidates the LSH tree's per-batch dirs; gates and replay unchanged") {
+    val corpus = Files.createTempDirectory("doc-seg-c").toString
+    val index = Files.createTempDirectory("doc-seg-i").toString
+    val texts = Seq(tA, tB, tC, tD, tE)
+    for (b <- 0 to 4)
+      DocIngest.commitDocBatch(spark, docsDf(b.toLong -> texts(b)), b.toLong,
+        corpus, index, compactEvery = 2)
+    val fs = new org.apache.hadoop.fs.Path(index)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirs(sub: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$index/$sub"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    // the batch-4 cadence slot merged batches 0..3 (and the batch-2
+    // slot's seg-1) into seg-3; batch-4's own dir rides until the next slot
+    assert(dirs("bands") == Set("seg-3", "batch-4"), s"got ${dirs("bands")}")
+    assert(dirs("grams") == Set("seg-3", "batch-4"))
+    assert(dirs("sizes") == Set("seg-3", "batch-4"))
+    // the gates still see the WHOLE consolidated corpus: an exact copy of
+    // a seg-merged doc near-dups, a re-delivered seg-merged id drops
+    val r5 = DocIngest.commitDocBatch(spark,
+      docsDf(0L -> tA, 50L -> tB, 51L -> ("wholly novel words appearing " +
+        "nowhere else in any stored document at all")),
+      5L, corpus, index, compactEvery = 2)
+    assert(r5.droppedRedelivered == 1, s"seg-merged id must still drop: $r5")
+    assert(r5.droppedVsIndex == 1, s"seg-merged text must still near-dup: $r5")
+    assert(r5.admitted == 1, s"r5=$r5")
+    // replay of the cadence batch reconverges to its original admission
+    // (entry recovery + no-op consolidation + own-attempt exclusion +
+    // own-dir overwrite): batch-4's own dir was never merged, so the
+    // own-batch exclusion still works and doc 4 re-admits identically
+    val r4b = DocIngest.commitDocBatch(spark, docsDf(4L -> texts(4)), 4L,
+      corpus, index, compactEvery = 2)
+    assert(r4b.admitted == 1 && r4b.droppedRedelivered == 0,
+      s"cadence-batch replay must reconverge: $r4b")
+    assert(corpusIds(corpus) == Set(0L, 1L, 2L, 3L, 4L, 51L))
+  }
 }
