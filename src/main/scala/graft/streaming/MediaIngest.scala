@@ -182,7 +182,18 @@ object MediaIngest {
     } finally cached.foreach(_.unpersist())
   }
 
-  /** Read the admitted media corpus back (all batch directories). */
+  /** Read the admitted media corpus back (all batch directories).
+    *
+    * Large-payload caveat (measured by the r14 512×512 MediaSoak): the
+    * vectorized parquet reader sizes its column batches in ROWS
+    * (`spark.sql.parquet.columnarReaderBatchSize`, default 4096), so a
+    * corpus of ~1 MB binary payloads asks each task for multi-GB
+    * contiguous buffers and OOMs. A session that re-reads payload
+    * columns at realistic media shape must set that conf to roughly
+    * targetBatchBytes / payloadBytes (e.g. 64 for ~1 MB payloads) — the
+    * daemon itself never re-reads stored payloads on the batch path
+    * (hashes are computed from the in-flight batch; the corpus is
+    * write-only there), so only rebuild/audit readers need it. */
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(corpusDir)
 

@@ -46,10 +46,17 @@ object MediaSoak {
     val imgH = args.lift(3).map(_.toInt).getOrElse(16)
     val compactEvery = 10
     val checkpointEvery = 25
+    // vectorized-reader batch sized to the payload (the r14 finding: the
+    // default 4096 ROWS × ~786 KB payloads asks every task for multi-GB
+    // contiguous buffers and OOMs the checkpoint's rebuild read —
+    // MediaIngest.readCorpus scaladoc): target ~64 MB column batches
+    val payloadB = imgW * imgH * 3 + 54
+    val readerBatch = math.max(16, (64 << 20) / payloadB)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(new graft.functions.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.parquet.columnarReaderBatchSize", readerBatch.toString)
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
