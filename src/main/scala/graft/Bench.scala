@@ -44,9 +44,14 @@ object Bench {
     *   1. UNIFORM load: the stable-set median inflation — median of
     *      now/prev over queries clean in both rounds with a ≥0.2 s
     *      baseline (sub-0.2 s timings are scheduler jitter, not signal) —
-    *      exceeds 1.2 (r10's signature: 151 stable queries all +11%).
-    *      Below that, the gate divides current timings by the median
-    *      before applying the 1.5× threshold.
+    *      exceeds 1.08 (r10's signature: 151 stable queries all +11%;
+    *      tightened from 1.2 after the r14 board shipped a 1.139 median
+    *      over UNTOUCHED queries as "clean" — an engine change that
+    *      uniformly slows the whole stable set ≥8% is implausible,
+    *      ambient load is the only mechanism that moves every query at
+    *      once, and a real regression resurfaces per-query in the next
+    *      clean window). Below that, the gate divides current timings by
+    *      the median before applying the 1.5× threshold.
     *   2. SPIKY load: more than 5% of the timed board carries a per-query
     *      contamination stamp (>3× spread within one query's runs). r11's
     *      signature: median 0.92×, 19/205 queries stamped, tail ~6× — the
@@ -119,7 +124,7 @@ object Bench {
     // twins (timed in the window but absent from `current`) must not
     // inflate the ratio.
     val stampedOnBoard = contaminatedNow.intersect(current.map(_._1).toSet)
-    val windowContaminated = inflation > 1.2 ||
+    val windowContaminated = inflation > 1.08 ||
       (current.size >= 20 && stampedOnBoard.size > 0.05 * current.size)
     // one flag rule, applied twice: raw (this window's own numbers) and
     // refuted (min with the same-commit same-round history)
@@ -163,7 +168,11 @@ object Bench {
     val root = Paths.get(dir)
     def files(p: Path): Seq[Path] =
       if (!Files.exists(p)) Seq.empty
-      else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      else {
+        val walk = Files.walk(p) // close: each walk holds an open dir handle
+        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+        finally walk.close()
+      }
     val inputs = (files(root.resolve("src/main")) ++
       Seq(root.resolve("build.sbt")).filter(Files.exists(_)))
       .sortBy(p => root.relativize(p).toString)
@@ -171,10 +180,19 @@ object Bench {
     inputs.foreach { p =>
       md.update(root.relativize(p).toString.getBytes("UTF-8"))
       md.update(0.toByte)
-      md.update(Files.readAllBytes(p))
+      // a per-file read failure (e.g. a file deleted mid-walk) folds a
+      // sentinel instead of aborting the whole digest — the tree is
+      // still content-distinguished by every other file's bytes
+      md.update(try Files.readAllBytes(p)
+        catch { case _: Throwable => "<unreadable>".getBytes("UTF-8") })
     }
     md.digest().take(4).map(b => f"$b%02x").mkString
-  } catch { case _: Throwable => "unknown" }
+  } catch { case _: Throwable =>
+    // digest machinery itself failed: stamp a UNIQUE dirty marker, never
+    // a shared constant — two differently-dirty trees at the same HEAD
+    // must not cross-refute each other's regression flags
+    f"dirty-${System.nanoTime()}%x".take(12)
+  }
 
   /** The history stamp same-round refutation keys on: `<head12>+<digest8>`.
     * Rows refute each other only when the FULL stamp matches — same
@@ -300,8 +318,40 @@ object Bench {
         None // a failed run must not produce a timing
       }
     }
+    // Locale.ROOT: the default-locale %.3f renders a decimal COMMA on
+    // comma-decimal JVMs, which would corrupt the JSON artifact
+    def f3(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    // ---- incremental emission (r14 lesson: rc=124 vaporized the whole
+    // artifact). Each completed query appends one line to the partial
+    // file AND prints a driver-parseable cumulative total line, so a
+    // timeout/kill still leaves (a) a per-query parseable prefix on disk
+    // and (b) a final stdout JSON line covering every completed query —
+    // never "parsed": null again.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val partialPath = java.nio.file.Paths.get(
+      outPath.stripSuffix(".json") + "_partial.jsonl")
+    java.nio.file.Files.write(partialPath, Array.emptyByteArray)
+    def appendPartial(line: String): Unit =
+      java.nio.file.Files.write(partialPath,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    var doneSum = 0.0
+    var doneN = 0
+    def emitDone(name: String, ts: Seq[Double]): Unit = {
+      if (ts.isEmpty) appendPartial(s"""{"q":"$name","failed":true}""")
+      else {
+        doneSum += ts.min; doneN += 1
+        appendPartial(s"""{"q":"$name","min":${f3(ts.min)},"runs":${
+          ts.map(f3).mkString("[", ",", "]")}}""")
+      }
+      println(s"""{"metric":"total","partial":true,"value":${f3(doneSum)},"unit":"sec","queries_n":$doneN,"last":"$name","detail":"${partialPath}","sf":"$sfDir"}""")
+    }
     val firstPass = selected.map { case (name, fn) =>
-      (name, fn, (0 until runsFor(name)).flatMap(_ => timeOne(name, fn)))
+      val ts = (0 until runsFor(name)).flatMap(_ => timeOne(name, fn))
+      emitDone(name, ts)
+      (name, fn, ts)
     }
     // Ambient-load guard: the min of N back-to-back runs still lies when the
     // whole window was contaminated, so re-time the slowest queries once
@@ -315,6 +365,9 @@ object Bench {
       val tailScheduled = ts.nonEmpty && slowest(name)
       val tail = if (tailScheduled) Seq(timeOne(name, fn)) else Seq.empty
       val expected = runsFor(name) + tail.size
+      if (tailScheduled) // forensics: the tail run joins the partial trail
+        appendPartial(s"""{"q":"$name","tail_runs":${
+          tail.flatten.map(f3).mkString("[", ",", "]")}}""")
       (name, ts ++ tail.flatten, expected)
     }
     // A query only counts when EVERY scheduled run (tail included)
@@ -326,13 +379,14 @@ object Bench {
     // The native-family twins run LAST so they can never contaminate the
     // contract numbers; failures are reported but don't fail the bench.
     val extraResults = extraSelected.map { case (name, fn) =>
-      name -> (0 until benchRuns).flatMap(_ => timeOne(name, fn))
+      val ts = (0 until benchRuns).flatMap(_ => timeOne(name, fn))
+      appendPartial(if (ts.isEmpty)
+        s"""{"q":"$name","bench_only":true,"failed":true}"""
+      else s"""{"q":"$name","bench_only":true,"min":${f3(ts.min)},"runs":${
+        ts.map(f3).mkString("[", ",", "]")}}""")
+      name -> ts
     }
     val extraOk = extraResults.collect { case (k, ts) if ts.nonEmpty => k -> ts.min }
-    // Locale.ROOT: the default-locale %.3f renders a decimal COMMA on
-    // comma-decimal JVMs, which would corrupt the JSON artifact
-    def f3(t: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val extraJson = extraOk.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -462,7 +516,6 @@ object Bench {
     // only the stdout tail needed the compact form.
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"bench_only":$extraJson,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(

@@ -533,13 +533,22 @@ object Dedup {
           }
         val target = new org.apache.hadoop.fs.Path(
           s"$path/$sub/seg-$uptoBatchId")
+        // Read only sources that actually hold DATA files: a
+        // zero-admission batch still writes its (empty) batch dir, and a
+        // window where every source is empty would fail schema inference
+        // and re-throw on every cadence replay — the daemon-wedge class
+        // hasBucketData exists for. Empty committed sources still DELETE
+        // (they are content-free by construction), so the directory
+        // bound holds even through zero-admission stretches.
+        val dataSources = sources.filter(p =>
+          graft.util.Lsm.hasBucketData(fs, p))
         // >1 source: a single directory gains nothing from a rewrite,
         // and an existing seg-<upto> proves this consolidation already
         // committed (marker protocol) — no-op on the cadence replay
-        if (sources.length > 1 && !fs.exists(target)) {
+        if (sources.length > 1 && dataSources.nonEmpty && !fs.exists(target)) {
           val staged = segStaged(path, sub, uptoBatchId)
           spark.read.option("recursiveFileLookup", "true")
-            .parquet(sources.map(_.toString).toSeq: _*)
+            .parquet(dataSources.map(_.toString).toSeq: _*)
             .write.mode("overwrite").parquet(staged.toString)
           // marker content must appear atomically — a torn marker would
           // roll the segment forward without deleting its sources
@@ -555,6 +564,12 @@ object Dedup {
           fs.rename(staged, target)
           sources.foreach(s => fs.delete(s, true))
           fs.delete(segCommitMarker(path, sub), false)
+        } else if (sources.length > 1 && dataSources.isEmpty) {
+          // every source is a zero-admission empty: nothing to stage, but
+          // the directory bound must still hold through idle stretches —
+          // delete them outright (committed + content-free; a crash
+          // mid-delete leaves empties the next call re-deletes)
+          sources.foreach(s => fs.delete(s, true))
         }
       }
     }

@@ -182,20 +182,46 @@ object MediaIngest {
     } finally cached.foreach(_.unpersist())
   }
 
-  /** Read the admitted media corpus back (all batch directories).
-    *
-    * Large-payload caveat (measured by the r14 512×512 MediaSoak): the
-    * vectorized parquet reader sizes its column batches in ROWS
+  /** Read the admitted media corpus back (all batch directories),
+    * deriving the vectorized reader's row-batch size from the corpus's
+    * OWN payload stats — the r14 512×512 MediaSoak finding, enforced at
+    * the read site instead of documented in prose: the vectorized
+    * parquet reader sizes its column batches in ROWS
     * (`spark.sql.parquet.columnarReaderBatchSize`, default 4096), so a
-    * corpus of ~1 MB binary payloads asks each task for multi-GB
-    * contiguous buffers and OOMs. A session that re-reads payload
-    * columns at realistic media shape must set that conf to roughly
-    * targetBatchBytes / payloadBytes (e.g. 64 for ~1 MB payloads) — the
-    * daemon itself never re-reads stored payloads on the batch path
-    * (hashes are computed from the in-flight batch; the corpus is
-    * write-only there), so only rebuild/audit readers need it. */
-  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    * corpus of ~1 MB binary payloads would ask each task for multi-GB
+    * contiguous buffers and OOM. Average row bytes come from the data
+    * files' sizes (one recursive listing — metadata only, payloads
+    * untouched) over the footer-count of rows; the conf is set to
+    * ~32 MB of payload per column batch, clamped to [16, 4096] (small
+    * payloads keep the stock batch size). Session-level conf by Spark's
+    * design — it is read at scan execution — so a mixed session reading
+    * this corpus and small-row tables pays at most smaller (never
+    * unsafe) batches on the latter. The daemon itself never re-reads
+    * stored payloads on the batch path (hashes are computed from the
+    * in-flight batch; the corpus is write-only there), so only
+    * rebuild/audit readers come through here. */
+  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame = {
+    val fs = Lsm.fs(spark, corpusDir)
+    def dataBytes(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map { s =>
+        if (s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith(".")) 0L
+        else if (s.isDirectory) dataBytes(s.getPath)
+        else s.getLen
+      }.sum
+    val bytes = dataBytes(new Path(corpusDir))
+    val rows =
+      spark.read.option("recursiveFileLookup", "true").parquet(corpusDir)
+        .count() // column-pruned: footer row counts, payloads never buffered
+    if (rows > 0 && bytes > 0) {
+      val avg = math.max(1L, bytes / rows)
+      val batch = math.max(16L, math.min(4096L, (32L << 20) / avg))
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+        batch.toString)
+    }
     spark.read.option("recursiveFileLookup", "true").parquet(corpusDir)
+  }
 
   /** Start the streaming ingest: JSONL drops -> decode -> hash gate ->
     * per-batch corpus + index fold. */

@@ -73,8 +73,12 @@ object GateLadder {
   private def probeBatch(spark: SparkSession, treeDocs: Long, b: Long,
       perBatch: Int): DataFrame = {
     import spark.implicits._
+    // per-batch id block sized by perBatch (the MediaSoak rule): a fixed
+    // 1000-wide block would collide novel ids across probe batches once
+    // perBatch > 1000 and misclassify them as re-deliveries
+    val idBlock = math.max(1000L, perBatch * 2L)
     val rows = (0 until perBatch).map { j =>
-      val id = 1000000000L + b * 1000L + j
+      val id = 1000000000L + b * idBlock + j
       if (j < perBatch * 15 / 100) {
         val pid = (j.toLong * treeDocs) / perBatch // spread over the tree
         docRow(pid, docText(pid)) // exact re-delivery
@@ -88,6 +92,10 @@ object GateLadder {
   def main(args: Array[String]): Unit = {
     val baseDocs = args.lift(0).map(_.toLong).getOrElse(5000L)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(40)
+    // decades per run (r14 verdict ask #6: one more decade pins
+    // gate_vector's ~0.5 exponent at a rung where the √n quantizer
+    // actually resizes — 5k→50k→500k spans nlist 70→223→707)
+    val nRungs = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(new graft.functions.expressions.GraftExtensions)
@@ -101,7 +109,8 @@ object GateLadder {
     val gateKeys = Seq("gate_text", "gate_vector", "gate_redelivery",
       "gate_contam")
     val rungWalls = scala.collection.mutable.LinkedHashMap[Long, Map[String, Double]]()
-    for (treeDocs <- Seq(baseDocs, baseDocs * 10)) {
+    val rungs = (0 until nRungs).map(d => baseDocs * math.pow(10, d).toLong)
+    for (treeDocs <- rungs) {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_gladder_$treeDocs").toString
       val (corpusDir, index, emb, eval) =
@@ -144,16 +153,18 @@ object GateLadder {
         "\"" + k + f"""\":${mins.getOrElse(k, -1.0)}%.3f""").mkString(",")
       println(f"""GATE_LADDER {"tree_docs":$treeDocs,"nlist":$nlist,"per_batch":$perBatch,"build_wall":$buildWall%.1f,"adopt_wall":$adoptWall%.1f,$gateJson}""")
     }
-    // per-gate exponent over the decade: log10(t_10x / t_1x)
-    val (lo, hi) = (rungWalls(baseDocs), rungWalls(baseDocs * 10))
-    val exps = gateKeys.map { k =>
-      val e = (lo.get(k), hi.get(k)) match {
-        case (Some(a), Some(b)) if a > 0 => math.log10(b / a)
-        case _ => Double.NaN
-      }
-      "\"" + k + f"""\":$e%.2f"""
-    }.mkString(",")
-    println(s"""GATE_EXPONENTS {"base_docs":$baseDocs,$exps}""")
+    // per-gate exponent over each adjacent decade: log10(t_10x / t_1x)
+    for (Seq(loDocs, hiDocs) <- rungs.sliding(2)) {
+      val (lo, hi) = (rungWalls(loDocs), rungWalls(hiDocs))
+      val exps = gateKeys.map { k =>
+        val e = (lo.get(k), hi.get(k)) match {
+          case (Some(a), Some(b)) if a > 0 => math.log10(b / a)
+          case _ => Double.NaN
+        }
+        "\"" + k + f"""\":$e%.2f"""
+      }.mkString(",")
+      println(s"""GATE_EXPONENTS {"decade":"$loDocs->$hiDocs",$exps}""")
+    }
     spark.stop()
   }
 }

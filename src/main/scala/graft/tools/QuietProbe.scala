@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   * (default q68_dup_windows,q69_pagerank — the r8→r9 disputed pair).
   * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_PROBE_RUNS as usual. */
 object QuietProbe {
+
+  /** Adaptive stop rule (the r14 lesson — a fixed min-of-3 in a fresh
+    * JVM minted q198 at 7.6 s when warmup-aware runs reach 2.4 s): run
+    * at least `minRuns`, then keep running while the LAST run sits more
+    * than 10% above the running min (a still-improving number is
+    * JIT-dominated, not the number), hard-capped at `maxRuns`. */
+  private[graft] def needsAnotherRun(times: Seq[Double], minRuns: Int,
+      maxRuns: Int): Boolean =
+    times.size < minRuns ||
+      (times.size < maxRuns && times.last > times.min * 1.1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES",
@@ -38,14 +49,22 @@ object QuietProbe {
       val fn = graft.SparkEntry.queries(name)
       try {
         force(fn(spark, "/root/testdata/sf0.001")) // warm JIT + plan cache
-        val times = (1 to runs).map { r =>
+        // adaptive rerun count — see [[needsAnotherRun]]
+        val maxRuns = math.max(runs,
+          sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX_RUNS", "10").toInt)
+        val times = scala.collection.mutable.ArrayBuffer[Double]()
+        var r = 0
+        do {
+          r += 1
           val g0 = gcMs; val t0 = System.nanoTime()
           force(fn(spark, sfDir))
           val wall = (System.nanoTime() - t0) / 1e9
           println(f"PROBE $name r$r: $wall%.2f s wall, ${gcMs - g0} ms gc")
-          wall
-        }
-        println(f"PROBE $name MIN: ${times.min}%.2f s of $runs runs")
+          times += wall
+        } while (needsAnotherRun(times.toSeq, runs, maxRuns))
+        println(f"PROBE $name MIN: ${times.min}%.2f s of $r runs " +
+          f"(spread ${times.max / times.min}%.2fx${
+            if (times.last > times.min * 1.1) ", UNSTABLE at cap" else ""})")
         Some(name -> times.min)
       } catch { case e: Throwable =>
         System.err.println(s"PROBE $name FAILED: ${e.getMessage}")

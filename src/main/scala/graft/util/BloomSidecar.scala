@@ -122,7 +122,7 @@ object BloomSidecar {
       if (!fs.exists(new org.apache.hadoop.fs.Path(treePath))) Seq.empty
       else fs.listStatus(new org.apache.hadoop.fs.Path(treePath))
         .map(_.getPath).filter(_.getName.startsWith(prefix)).toSeq
-    val resolved: Option[String] =
+    def resolved: Option[String] =
       if (fs.exists(new org.apache.hadoop.fs.Path(dir(treePath))))
         Some(dir(treePath))
       else {
@@ -131,11 +131,23 @@ object BloomSidecar {
         if (staged.nonEmpty && old.nonEmpty) Some(staged.head.toString)
         else old.headOption.map(_.toString)
       }
-    resolved.map { p =>
+    def readStats(p: String): Stats = {
       val row = spark.read.parquet(p).collect()(0)
       val n = if (row.schema.fieldNames.contains("n_items"))
         row.getAs[Long]("n_items") else -1L
       Stats(row.getAs[Long]("expected_items"), n, row.getAs[Double]("fpp"))
+    }
+    // TOCTOU: a concurrent writer's commitSwap can rename the resolved
+    // dir away between the exists() probe and the parquet read. One
+    // re-resolve retries against the post-swap layout; a second miss
+    // (another swap mid-retry, or a cold tree) reads as absent rather
+    // than throwing from a monitor-safe telemetry path.
+    resolved.flatMap { p =>
+      try Some(readStats(p))
+      catch { case _: Throwable =>
+        resolved.flatMap(p2 =>
+          try Some(readStats(p2)) catch { case _: Throwable => None })
+      }
     }
   }
 

@@ -111,6 +111,53 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(got.isEmpty) // load-normalized, every ratio is exactly 1.0
   }
 
+  test("r14 signature: a ~14% UNIFORM shift over unchanged queries stamps the window") {
+    // The committed r14 board carried a 1.139 median ratio over queries
+    // whose code did not change (q10 x1.48, q116 x1.50, q58 x1.65 — none
+    // touched since r12) and shipped as "clean" under the old 1.2
+    // threshold. An engine diff cannot uniformly slow an untouched
+    // stable set 14%; only ambient load moves every query at once.
+    val (prev, now) = board(20, 1.139)
+    val lines = Seq(hist("r13", Seq.empty, prev: _*))
+    val (inflation, contaminated, got, _) =
+      Bench.findRegressions(lines, sf, now, Set.empty)
+    assert(math.abs(inflation - 1.139) < 1e-9)
+    assert(contaminated, "median 1.139 > 1.08 must stamp the window")
+    assert(got.isEmpty)
+  }
+
+  test("a sub-8% uniform shift is still a clean window (rescaled, unstamped)") {
+    val (prev, now) = board(20, 1.05)
+    val lines = Seq(hist("r13", Seq.empty, prev: _*))
+    val (inflation, contaminated, got, _) =
+      Bench.findRegressions(lines, sf, now, Set.empty)
+    assert(math.abs(inflation - 1.05) < 1e-9)
+    assert(!contaminated, "ordinary jitter must not stamp the window")
+    assert(got.isEmpty)
+  }
+
+  test("QuietProbe adaptive stop: a still-improving min keeps running; fixed-3 would have lied") {
+    // The judge's own r14 q198 evidence: runs 5.16, 2.85, 3.25, 2.72,
+    // 2.78, 2.41 — min-of-3 reads 2.85 (and the r14 builder's 3-run
+    // probe minted 7.61); the rule must keep running while the last run
+    // sits >10% above the running min.
+    val seq = Seq(5.16, 2.85, 3.25, 2.72, 2.78, 2.41)
+    def runsTaken(minRuns: Int, maxRuns: Int): Int = {
+      var taken = 0
+      while (taken < seq.size &&
+          (taken == 0 ||
+            tools.QuietProbe.needsAnotherRun(seq.take(taken), minRuns, maxRuns)))
+        taken += 1
+      taken
+    }
+    assert(runsTaken(3, 10) > 3, "run 3 (3.25) is >10% above min 2.85 — continue")
+    // cap: an unstable sequence must stop at maxRuns, not loop forever
+    val unstable = Seq.fill(20)(Seq(1.0, 2.0)).flatten
+    assert(!tools.QuietProbe.needsAnotherRun(unstable.take(10), 3, 10))
+    // stability: a flat tail stops at the minimum run count
+    assert(!tools.QuietProbe.needsAnotherRun(Seq(1.0, 1.02, 1.01), 3, 10))
+  }
+
   test("SPIKY load: >5% per-query contamination stamps the window and suppresses all flags") {
     // r11's shipped-artifact signature: median ~1.0 (the uniform gate is
     // blind), but a tail of queries ran 5-6x under transient load. Some of
@@ -162,13 +209,22 @@ class BenchRegressionSpec extends AnyFunSuite {
   }
 
   test("a real per-query regression survives the load normalization") {
-    // Window at 1.2x ambient, but q_bad is 6x: 6/1.2 = 5x >> 1.5x.
-    val (prev, now) = board(10, 1.2)
+    // Window at 1.05x ambient (below the 1.08 stamp), q_bad at 6x:
+    // 6/1.05 >> 1.5x — a clean-enough window still ships the flag.
+    val (prev, now) = board(10, 1.05)
     val lines = Seq(hist("r9", Seq.empty, prev :+ ("q_bad" -> 1.0): _*))
-    val (inflation, _, got, _) = Bench.findRegressions(lines, sf,
+    val (inflation, contaminated, got, _) = Bench.findRegressions(lines, sf,
       now :+ ("q_bad" -> 6.0), Set.empty)
-    assert(inflation > 1.0 && inflation < 1.5)
+    assert(inflation > 1.0 && inflation < 1.08 && !contaminated)
     assert(got.map(_._1) === Seq("q_bad"))
+    // at 1.2x ambient the window itself is untrustworthy (the r14-tight
+    // stamp): the same regression defers to needs-re-time, never dropped
+    val (prev2, now2) = board(10, 1.2)
+    val lines2 = Seq(hist("r9", Seq.empty, prev2 :+ ("q_bad" -> 1.0): _*))
+    val (_, contaminated2, got2, retime2) = Bench.findRegressions(lines2, sf,
+      now2 :+ ("q_bad" -> 6.0), Set.empty)
+    assert(contaminated2 && got2.isEmpty)
+    assert(retime2.map(_._1) === Seq("q_bad"))
   }
 
   test("sub-0.2s baselines are excluded from the inflation median") {

@@ -183,6 +183,33 @@ class DedupSpec extends SparkSpec {
     Seq("bands", "grams", "sizes").map(sub => spark.read
       .option("recursiveFileLookup", "true").parquet(s"$path/$sub").count())
 
+  test("consolidateLshSegments: zero-admission (empty) batch dirs never wedge the slot and still consolidate away") {
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("lsh-segz").toString
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    def dirs(sub: String) =
+      fs.listStatus(new Path(s"$path/$sub")).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+    // an ALL-empty window (an idle cadence stretch): every committed
+    // batch dir exists but holds no data files — the old read-all-sources
+    // path failed schema inference here and re-threw on every replay
+    for (sub <- Seq("bands", "grams", "sizes"); b <- 0 to 2)
+      fs.mkdirs(new Path(s"$path/$sub/batch-$b"))
+    Dedup.consolidateLshSegments(spark, path, 2L) // must not throw
+    assert(dirs("bands").isEmpty,
+      s"empty committed dirs delete outright (the directory bound holds " +
+        s"through idle stretches): ${dirs("bands")}")
+    // a MIXED window: one data-bearing batch among empties merges into a
+    // segment; the empties delete with it
+    Dedup.appendToLshIndex(docs.filter(col("doc_id") < 4), path, "batch-3")
+    for (sub <- Seq("bands", "grams", "sizes"); b <- 4 to 5)
+      fs.mkdirs(new Path(s"$path/$sub/batch-$b"))
+    val rowsBefore = lshSubsRows(path)
+    Dedup.consolidateLshSegments(spark, path, 5L)
+    assert(dirs("bands") == Set("seg-5"), s"got ${dirs("bands")}")
+    assert(lshSubsRows(path) == rowsBefore, "content-identical merge")
+  }
+
   test("consolidateLshSegments crash windows: torn staging sweeps, a committed marker rolls forward, duplicates never visible") {
     import org.apache.hadoop.fs.Path
     val path = java.nio.file.Files.createTempDirectory("lsh-segc").toString

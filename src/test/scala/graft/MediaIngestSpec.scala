@@ -76,6 +76,37 @@ class MediaIngestSpec extends SparkSpec {
     assert(servedN == 3L && rebuiltN == 3L)
   }
 
+  test("readCorpus derives the vectorized reader batch size from the corpus's own payload stats") {
+    val corpus = java.nio.file.Files.createTempDirectory("med-big-c").toString
+    // ~256 KiB random (incompressible) payloads: the stock 4096-row
+    // column batch would ask each task for ~1 GiB contiguous buffers —
+    // the r14 512×512 MediaSoak OOM shape. The contract now lives at the
+    // read site: batch ≈ 32 MiB / avg-row-bytes.
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 8L).map { i =>
+      val b = new Array[Byte](256 * 1024); rnd.nextBytes(b); i -> b
+    }
+    batchDf(rows).repartition(2).write.parquet(s"$corpus/batch-0")
+    val before = spark.conf
+      .getOption("spark.sql.parquet.columnarReaderBatchSize")
+    try {
+      val df = MediaIngest.readCorpus(spark, corpus)
+      val derived = spark.conf
+        .get("spark.sql.parquet.columnarReaderBatchSize").toLong
+      // 32 MiB / ~256 KiB ≈ 128 rows (parquet framing shifts it slightly)
+      assert(derived >= 16 && derived <= 256,
+        s"derived batch size must track payload bytes, got $derived")
+      // the read itself stays correct under the derived conf
+      assert(df.count() == 8 &&
+        df.select(max(length(col("payload")))).head.getInt(0) == 256 * 1024)
+    } finally before match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+    }
+  }
+
   test("crashed partial move is swept before the gate probes") {
     val tmp = java.nio.file.Files.createTempDirectory("media-crash").toString
     val corpus = s"$tmp/corpus"; val idx = s"$tmp/idx"
