@@ -337,14 +337,33 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    // Hypervisor-steal telemetry (r15: a 4.5% at-rest steal day burst-
+    // stamped 11 queries at 3-4x — the artifact must carry the evidence
+    // that adjudicates its own contamination stamps): cumulative
+    // (steal, total) jiffies from /proc/stat, so any interval's steal
+    // share is a subtraction. -1 when the proc interface is absent.
+    def cpuJiffies(): (Long, Long) = try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val vals = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+        finally f.close()
+      (vals(7), vals.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+    def stealPct(a: (Long, Long), b: (Long, Long)): Double =
+      if (a._1 < 0 || b._1 < 0 || b._2 <= a._2) -1.0
+      else 100.0 * (b._1 - a._1) / (b._2 - a._2)
+    val windowJiffies0 = cpuJiffies()
     var doneSum = 0.0
     var doneN = 0
+    var lastJiffies = cpuJiffies()
     def emitDone(name: String, ts: Seq[Double]): Unit = {
+      val nowJ = cpuJiffies()
+      val steal = stealPct(lastJiffies, nowJ)
+      lastJiffies = nowJ
       if (ts.isEmpty) appendPartial(s"""{"q":"$name","failed":true}""")
       else {
         doneSum += ts.min; doneN += 1
-        appendPartial(s"""{"q":"$name","min":${f3(ts.min)},"runs":${
-          ts.map(f3).mkString("[", ",", "]")}}""")
+        appendPartial(s"""{"q":"$name","min":${f3(ts.min)},"steal_pct":${
+          f3(steal)},"runs":${ts.map(f3).mkString("[", ",", "]")}}""")
       }
       println(s"""{"metric":"total","partial":true,"value":${f3(doneSum)},"unit":"sec","queries_n":$doneN,"last":"$name","detail":"${partialPath}","sf":"$sfDir"}""")
     }
@@ -505,8 +524,9 @@ object Bench {
       s"failed ${failed.size}, flaky ${flaky.size}, " +
       f"window_inflation $windowInflation%.3f, " +
       s"contaminated $windowContaminated"
+    val windowSteal = stealPct(windowJiffies0, cpuJiffies())
     val detail =
-      s"""{"metric":"detail","round_summary":"$roundSummary","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"regressions":$regJson,"needs_retime":$retimeJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"commit":"$commit","sf":"$sfDir"}"""
+      s"""{"metric":"detail","round_summary":"$roundSummary","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"window_steal_pct":${f3(windowSteal)},"regressions":$regJson,"needs_retime":$retimeJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"commit":"$commit","sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"needs_retime_n":${needsRetime.size},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"round_best_total":${f3(roundBestTotal)},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
     println(detail)
