@@ -172,7 +172,12 @@ object SoakProbe {
       }
       if (b > 0 && b % checkpointEvery == 0) {
         // checkpoint 1: BM25 off the folded index == cold rebuild
-        val terms = Seq("spark", "vector", "raven")
+        // terms must exist in the RUN's vocabulary, or served==rebuild
+        // degenerates to empty==empty (the r15 catch: the toy terms
+        // returned served_rows 0 against the Zipf fixture — a passing
+        // checkpoint that proved nothing about the postings)
+        val terms = if (zipf) Seq("w3", "w47", "w311") // head/mid/tail ranks
+          else Seq("spark", "vector", "raven")
         val served = Retrieval.bm25TopKIndexed(spark, inv, terms, 20)
           .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).sorted.toSeq
         val rebuildDir = s"$root/rebuild_inv_$b"
