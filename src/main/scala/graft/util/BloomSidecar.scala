@@ -168,8 +168,12 @@ object BloomSidecar {
     * fold — see the class contract). Absent sidecar: bootstrap from
     * `storedIds` (the tree's full id frame — pass the empty frame on a
     * cold tree) plus the batch, so a legacy tree adopts the sidecar
-    * without false negatives. Present sidecar: merge a batch-built
-    * filter at the STORED capacity (bit-size compatibility). */
+    * without false negatives — sized like [[rebuild]], ≥2× the adopted
+    * id count over the `expectedItems` floor (the r15 GateLadder catch:
+    * a fixed bootstrap capacity adopted a 500k-doc legacy tree already
+    * SATURATED — fill 1.0 from its first batch). Present sidecar: merge
+    * a batch-built filter at the STORED capacity (bit-size
+    * compatibility). */
   def fold(spark: SparkSession, treePath: String, newIds: DataFrame,
       idCol: String, batchId: Long, storedIds: => DataFrame,
       expectedItems: Long = 500000L, fpp: Double = 0.01): Unit = {
@@ -179,9 +183,10 @@ object BloomSidecar {
       val all = storedIds.select(col(idCol)).unionByName(newIds.select(col(idCol)))
         .distinct()
       val n = all.count()
-      write(spark, treePath, build(all, idCol, expectedItems, fpp),
-        expectedItems, fpp, batchId, n, batchId)
-      logFill(treePath, batchId, expectedItems, n)
+      val cap = math.max(expectedItems, 2 * n)
+      write(spark, treePath, build(all, idCol, cap, fpp),
+        cap, fpp, batchId, n, batchId)
+      logFill(treePath, batchId, cap, n)
     } else {
       val meta = spark.read.parquet(dir(treePath)).collect()(0)
       val (cap, p) = (meta.getAs[Long]("expected_items"),

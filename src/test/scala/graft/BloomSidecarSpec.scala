@@ -93,12 +93,31 @@ class BloomSidecarSpec extends SparkSpec {
     assert(hits == 24L, "bootstrap must cover pre-sidecar stored ids")
   }
 
+  test("adopting a large legacy tree sizes the bootstrap like rebuild (never born saturated)") {
+    // the r15 GateLadder catch: a fixed bootstrap capacity adopted a
+    // 500k-doc tree at fill 1.0 from its first batch
+    val dir = java.nio.file.Files.createTempDirectory("bloom-adopt").toString + "/t"
+    val stored = (0L until 400L).toDF("id") // legacy tree bigger than the floor
+    BloomSidecar.fold(spark, dir, (400L until 410L).toDF("id"), "id", 0L,
+      stored, expectedItems = 100L)
+    val s = BloomSidecar.stats(spark, dir).get
+    assert(s.capacity == 820L && s.inserted == 410L,
+      s"bootstrap must size to 2x the adopted ids over the floor, got $s")
+    assert(s.fill == 0.5)
+    val bits = BloomSidecar.read(spark, dir).get
+    assert((0L until 410L).toDF("id")
+      .filter(BloomSidecar.probe(bits, col("id"))).count() == 410L,
+      "adoption still covers every stored id")
+  }
+
   test("saturation telemetry: the inserted counter tracks folds, reads unknown on a legacy row, and rebuild resets it with headroom") {
     val dir = java.nio.file.Files.createTempDirectory("bloom-sat").toString + "/t"
     val empty = Seq.empty[Long].toDF("id")
-    BloomSidecar.fold(spark, dir, (0L until 60L).toDF("id"), "id", 0L, empty,
+    // bootstrap UNDER the floor (2x10 < 100) so the fixed capacity the
+    // saturation arc needs survives the adoption-sizing rule
+    BloomSidecar.fold(spark, dir, (0L until 10L).toDF("id"), "id", 0L, empty,
       expectedItems = 100L)
-    BloomSidecar.fold(spark, dir, (60L until 90L).toDF("id"), "id", 1L, empty)
+    BloomSidecar.fold(spark, dir, (10L until 90L).toDF("id"), "id", 1L, empty)
     val s1 = BloomSidecar.stats(spark, dir).get
     assert(s1.capacity == 100L && s1.inserted == 90L,
       s"counter must track folds exactly, got $s1")
