@@ -28,6 +28,96 @@ object Bench {
     }
   }
 
+  /** Hypervisor-steal telemetry (r15: a 4.5% at-rest steal day burst-
+    * stamped 11 queries at 3-4x — the artifact must carry the evidence
+    * that adjudicates its own contamination stamps): cumulative
+    * (steal, total) jiffies from /proc/stat, so any interval's steal
+    * share is a subtraction. -1 when the proc interface is absent.
+    * Shared with QuietProbe so quiet rows carry the same telemetry. */
+  private[graft] def cpuJiffies(): (Long, Long) = try {
+    val f = scala.io.Source.fromFile("/proc/stat")
+    val line = try f.getLines().next() finally f.close()
+    parseJiffies(line)
+  } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Parse the aggregate cpu line of /proc/stat into (steal, total)
+    * jiffies. The total sums only the first EIGHT fields (user..steal):
+    * guest and guest_nice are already folded into user/nice by the
+    * kernel, so summing all ten double-counts guest time and deflates
+    * the reported steal share on VMs running guests (r15 ADVICE). */
+  private[graft] def parseJiffies(firstLine: String): (Long, Long) = {
+    val vals = firstLine.split("\\s+").drop(1).map(_.toLong)
+    (vals(7), vals.take(8).sum)
+  }
+
+  private[graft] def stealPct(a: (Long, Long), b: (Long, Long)): Double =
+    if (a._1 < 0 || b._1 < 0 || b._2 <= a._2) -1.0
+    else 100.0 * (b._1 - a._1) / (b._2 - a._2)
+
+  /** Cumulative-wall budgeter (the r15 verdict's top ask): how many runs
+    * to schedule for the next query given the elapsed bench wall. Below
+    * `frac * budgetS` the normal schedule applies; at or past it, every
+    * remaining query drops to ONE run — the board still times all 208
+    * queries (single-run numbers lean on quiet-probe rows for per-query
+    * honesty) but a ~2.5x-contended window no longer blows the driver's
+    * timeout (BENCH_r14/r15 both rc=124: full board + 2-3 runs/query +
+    * tails + twins does not fit a hot host). A non-positive budget or
+    * fraction disables the downshift. */
+  private[graft] def budgetedRuns(normal: Int, elapsedS: Double,
+      budgetS: Double, frac: Double): Int =
+    if (budgetS > 0 && frac > 0 && elapsedS >= budgetS * frac) 1 else normal
+
+  /** Queries excluded from the TIMED board by default — plan-shape
+    * duplicates of another timed query (the r15 verdict's ask #7: the
+    * cube lattice q141 already times Expand+partial-agg, the conditional
+    * aggregation q27 already times the pivot shape). They stay in
+    * SparkEntry.queries/oracleSql, so the CORRECTNESS gate still checks
+    * them every round — this trims what gets *timed*, not what gets
+    * *checked*. Override with SPARK_GRAFT_BENCH_SKIP (comma list; empty
+    * string restores full timing); SPARK_GRAFT_BENCH_ONLY bypasses the
+    * skip entirely (an explicit request wins). */
+  private[graft] val defaultTimedExclusions = Set("q200_cube", "q201_pivot")
+
+  /** Sum of per-query minimums over queries with at least one successful
+    * run, plus the count — the cumulative-total shape the partial trail
+    * emits. Factored out so the post-tail re-emission (a tail run can
+    * LOWER a min) is pinned by spec, not just exercised by timeouts. */
+  private[graft] def foldedMinSum(results: Seq[(String, Seq[Double])])
+      : (Double, Int) = {
+    val mins = results.collect { case (_, ts) if ts.nonEmpty => ts.min }
+    (mins.sum, mins.size)
+  }
+
+  /** Count of per-query contamination stamps a history row carries —
+    * used by the baseline hygiene check below. */
+  private def stampsOf(line: String): Int = {
+    val cStart = line.indexOf("\"contaminated\":[")
+    if (cStart < 0) 0
+    else "\"([A-Za-z0-9_]+)\"".r
+      .findAllMatchIn(line.substring(cStart, line.indexOf(']', cStart) + 1))
+      .size
+  }
+
+  /** Baseline hygiene: may this full-board history row serve as the
+    * regression baseline? A row that is itself a contaminated or
+    * truncated board must not — its inflated mins both mask real
+    * regressions (loose baselines) and mint false improvements. Three
+    * disqualifiers: an explicit `"truncated":true` (the row was written
+    * by a SIGTERM'd JVM racing failed queries to the exit — the r15-end
+    * run left exactly such a row), an explicit
+    * `"window_contaminated":true` (rows stamp themselves going
+    * forward), and — for rows predating those fields — a spiky
+    * signature the row carries anyway: ≥5% of a board-sized run's
+    * queries stamped contaminated (the corrupt r16-start row: 19/200).
+    * Skipped rows still contribute same-round refutation mins (a real
+    * timing refutes a flag regardless of the window it ran in). */
+  private[graft] def trustworthyBaseline(line: String): Boolean =
+    !line.contains("\"truncated\":true") &&
+      !line.contains("\"window_contaminated\":true") && {
+        val nq = queriesOf(line).size
+        nq < 20 || stampsOf(line) <= 0.05 * nq
+      }
+
   /** Round-over-round regression detection over BENCH_HISTORY.jsonl lines.
     *
     * Baseline = the LAST full-board history entry at the same SF, overlaid
@@ -89,11 +179,13 @@ object Bench {
       current: Seq[(String, Double)],
       contaminatedNow: Set[String],
       sameRoundMins: Map[String, Double] = Map.empty,
-      sameRoundLabelMins: Map[String, Double] = Map.empty)
+      sameRoundLabelMins: Map[String, Double] = Map.empty,
+      windowStealPct: Double = -1.0)
       : (Double, Boolean, Seq[(String, Double, Double)],
          Seq[(String, Double, Double)]) = {
     val sameSf = histLines.filter(_.contains("\"sf\":\"" + sfDir + "\""))
-    val baseIdx = sameSf.lastIndexWhere(!_.contains("\"quiet\":true"))
+    val baseIdx = sameSf.lastIndexWhere(l =>
+      !l.contains("\"quiet\":true") && trustworthyBaseline(l))
     if (baseIdx < 0) return (1.0, false, Seq.empty, Seq.empty)
     val prev = sameSf(baseIdx)
     var prevMins = queriesOf(prev)
@@ -124,7 +216,19 @@ object Bench {
     // twins (timed in the window but absent from `current`) must not
     // inflate the ratio.
     val stampedOnBoard = contaminatedNow.intersect(current.map(_._1).toSet)
-    val windowContaminated = inflation > 1.08 ||
+    // The 1.08 uniform stamp sits inside normal shared-VM drift (r15
+    // ADVICE): in the 1.08-1.2 band it needs CORROBORATION — measured
+    // window steal above an at-rest floor, or a spiky co-signal (≥3
+    // per-query stamps) — so a genuinely quiet host at 1.09 still ships
+    // its flags. Unknown steal (-1: no /proc, or a caller predating the
+    // telemetry) keeps the conservative stamp. Above 1.2 the shift is
+    // implausible as engine cost regardless of what the steal counter
+    // saw (the r15-end disaster: 2.6x local contention at 1-3% steal —
+    // steal measures the hypervisor, not a co-tenant process).
+    val stealCorroborated = windowStealPct < 0 || windowStealPct >= 0.5 ||
+      stampedOnBoard.size >= 3
+    val windowContaminated = inflation > 1.2 ||
+      (inflation > 1.08 && stealCorroborated) ||
       (current.size >= 20 && stampedOnBoard.size > 0.05 * current.size)
     // one flag rule, applied twice: raw (this window's own numbers) and
     // refuted (min with the same-commit same-round history)
@@ -248,6 +352,17 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // Wall budget starts at JVM entry, not first timed query: warmup and
+    // session startup spend the same driver timeout the budget protects.
+    val benchT0 = System.nanoTime()
+    def elapsedWallS: Double = (System.nanoTime() - benchT0) / 1e9
+    // Default 2400 s: the r15-end driver run burned ~2560 s of timed wall
+    // before its ~2800-3000 s timeout SIGTERM'd it; 2400 leaves headroom
+    // for startup + warmup while never downshifting on a clean host (a
+    // quiet full board is ~900-1000 s of wall).
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
+    val budgetFrac =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_FRAC", "0.5").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -276,8 +391,15 @@ object Bench {
     }
     // Optional comma-separated allowlist for local iteration on a hot query.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Timed-board exclusions (plan-shape twins) — see defaultTimedExclusions.
+    // An explicit BENCH_ONLY request always wins over the skip set.
+    val skip: Set[String] =
+      if (only.nonEmpty) Set.empty
+      else sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(defaultTimedExclusions)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
     // Native-hash-family twins: timed, but kept OUT of `queries`/`value` so
     // the headline total stays comparable round-over-round (the contract
     // queries are the portable-oracle forms).
@@ -337,24 +459,19 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    // Hypervisor-steal telemetry (r15: a 4.5% at-rest steal day burst-
-    // stamped 11 queries at 3-4x — the artifact must carry the evidence
-    // that adjudicates its own contamination stamps): cumulative
-    // (steal, total) jiffies from /proc/stat, so any interval's steal
-    // share is a subtraction. -1 when the proc interface is absent.
-    def cpuJiffies(): (Long, Long) = try {
-      val f = scala.io.Source.fromFile("/proc/stat")
-      val vals = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
-        finally f.close()
-      (vals(7), vals.sum)
-    } catch { case _: Throwable => (-1L, -1L) }
-    def stealPct(a: (Long, Long), b: (Long, Long)): Double =
-      if (a._1 < 0 || b._1 < 0 || b._2 <= a._2) -1.0
-      else 100.0 * (b._1 - a._1) / (b._2 - a._2)
     val windowJiffies0 = cpuJiffies()
     var doneSum = 0.0
     var doneN = 0
     var lastJiffies = cpuJiffies()
+    // NOTE for consumers: partial cumulative lines reuse "metric":"total"
+    // DELIBERATELY — the driver's timeout fallback parses the last JSON
+    // line in its stdout tail, and a distinct metric name would regress
+    // the r15 win (a SIGTERM'd run still parsing). Anything that greps
+    // for the total must take the last line WITHOUT "partial":true.
+    def emitCumulative(phase: String, sum: Double, n: Int, last: String): Unit =
+      println(s"""{"metric":"total","partial":true,"phase":"$phase","value":${
+        f3(sum)},"unit":"sec","queries_n":$n,"last":"$last","detail":"${
+        partialPath}","sf":"$sfDir"}""")
     def emitDone(name: String, ts: Seq[Double]): Unit = {
       val nowJ = cpuJiffies()
       val steal = stealPct(lastJiffies, nowJ)
@@ -365,29 +482,60 @@ object Bench {
         appendPartial(s"""{"q":"$name","min":${f3(ts.min)},"steal_pct":${
           f3(steal)},"runs":${ts.map(f3).mkString("[", ",", "]")}}""")
       }
-      println(s"""{"metric":"total","partial":true,"value":${f3(doneSum)},"unit":"sec","queries_n":$doneN,"last":"$name","detail":"${partialPath}","sf":"$sfDir"}""")
+      emitCumulative("first_pass", doneSum, doneN, name)
+    }
+    // ---- cumulative-wall budgeter (r16 ask #1): past frac*budget the
+    // remaining queries run ONCE each and the tail pass + bench-only twins
+    // are skipped, so a contended window still yields a full parseable
+    // board at rc=0 instead of a SIGTERM'd artifact. The downshift is an
+    // event in the partial trail — a reader can see exactly which numbers
+    // are single-run.
+    var downshifted = false
+    def noteDownshift(at: String): Unit = if (!downshifted) {
+      downshifted = true
+      appendPartial(s"""{"budget_downshift":true,"elapsed_s":${
+        f3(elapsedWallS)},"budget_s":${f3(budgetS)},"at":"$at"}""")
+      System.err.println(f"[bench] BUDGET downshift at $at: elapsed " +
+        f"$elapsedWallS%.0f s >= ${budgetFrac * budgetS}%.0f s — remaining " +
+        "queries run once, tail pass and bench-only twins skipped")
     }
     val firstPass = selected.map { case (name, fn) =>
-      val ts = (0 until runsFor(name)).flatMap(_ => timeOne(name, fn))
+      val scheduled = budgetedRuns(runsFor(name), elapsedWallS, budgetS,
+        budgetFrac)
+      if (scheduled < runsFor(name)) noteDownshift(name)
+      val ts = (0 until scheduled).flatMap(_ => timeOne(name, fn))
       emitDone(name, ts)
-      (name, fn, ts)
+      (name, fn, ts, scheduled)
     }
     // Ambient-load guard: the min of N back-to-back runs still lies when the
     // whole window was contaminated, so re-time the slowest queries once
     // more at the END of the bench — a different wall-clock slot — and fold
     // the extra run in. Per-run times are emitted so a contaminated run
     // stays visible in the artifact instead of being hidden by the min.
-    val tailN = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL", "5").toInt
+    // Budget pressure zeroes the tail: extra runs of the slowest queries
+    // are exactly the wall the downshift exists to save.
+    val tailN =
+      if (budgetedRuns(2, elapsedWallS, budgetS, budgetFrac) == 1) {
+        noteDownshift("tail_pass")
+        0
+      } else sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL", "5").toInt
     val slowest = firstPass.filter(_._3.nonEmpty).sortBy(-_._3.min).take(tailN)
       .map(_._1).toSet
-    val results = firstPass.map { case (name, fn, ts) =>
+    val results = firstPass.map { case (name, fn, ts, scheduled) =>
       val tailScheduled = ts.nonEmpty && slowest(name)
       val tail = if (tailScheduled) Seq(timeOne(name, fn)) else Seq.empty
-      val expected = runsFor(name) + tail.size
+      val expected = scheduled + tail.size
       if (tailScheduled) // forensics: the tail run joins the partial trail
         appendPartial(s"""{"q":"$name","tail_runs":${
           tail.flatten.map(f3).mkString("[", ",", "]")}}""")
       (name, ts ++ tail.flatten, expected)
+    }
+    // Re-emit the cumulative total AFTER the tail pass (r15 defect #3): a
+    // timeout landing between first-pass end and tail completion would
+    // otherwise report a total that excludes tail evidence.
+    if (tailN > 0) {
+      val (postSum, postN) = foldedMinSum(results.map(r => r._1 -> r._2))
+      emitCumulative("post_tail", postSum, postN, "tail_pass")
     }
     // A query only counts when EVERY scheduled run (tail included)
     // succeeded: an intermittent failure must not read as a trustworthy
@@ -397,13 +545,22 @@ object Bench {
     val failed = results.collect { case (k, ts, _) if ts.isEmpty => k }
     // The native-family twins run LAST so they can never contaminate the
     // contract numbers; failures are reported but don't fail the bench.
-    val extraResults = extraSelected.map { case (name, fn) =>
-      val ts = (0 until benchRuns).flatMap(_ => timeOne(name, fn))
-      appendPartial(if (ts.isEmpty)
-        s"""{"q":"$name","bench_only":true,"failed":true}"""
-      else s"""{"q":"$name","bench_only":true,"min":${f3(ts.min)},"runs":${
-        ts.map(f3).mkString("[", ",", "]")}}""")
-      name -> ts
+    // Budget pressure (checked before EACH twin, so a mid-twins crossing
+    // stops the rest) skips them outright: they are off-board telemetry,
+    // and the board's rc=0 is what the budget protects.
+    val extraResults = extraSelected.flatMap { case (name, fn) =>
+      if (budgetedRuns(2, elapsedWallS, budgetS, budgetFrac) == 1) {
+        noteDownshift(name)
+        appendPartial(s"""{"q":"$name","bench_only":true,"budget_skipped":true}""")
+        None
+      } else {
+        val ts = (0 until benchRuns).flatMap(_ => timeOne(name, fn))
+        appendPartial(if (ts.isEmpty)
+          s"""{"q":"$name","bench_only":true,"failed":true}"""
+        else s"""{"q":"$name","bench_only":true,"min":${f3(ts.min)},"runs":${
+          ts.map(f3).mkString("[", ",", "]")}}""")
+        Some(name -> ts)
+      }
     }
     val extraOk = extraResults.collect { case (k, ts) if ts.nonEmpty => k -> ts.min }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -466,12 +623,16 @@ object Bench {
           a + (k -> math.min(a.getOrElse(k, v), v))
         }
       }
+    // Window steal is measured BEFORE the gate runs so the 1.08-1.2
+    // uniform-inflation band can demand steal corroboration (r15 ADVICE:
+    // a genuinely quiet host at 1.09 must still ship its flags).
+    val windowSteal = stealPct(windowJiffies0, cpuJiffies())
     val (windowInflation, windowContaminated, regressions, needsRetime) =
       if (histLines.isEmpty || only.nonEmpty)
         (1.0, false, Seq.empty[(String, Double, Double)],
           Seq.empty[(String, Double, Double)])
       else findRegressions(histLines, sfDir, ok, contaminated.toSet,
-        sameRoundMins, roundLabelMins)
+        sameRoundMins, roundLabelMins, windowSteal)
     if (windowContaminated)
       System.err.println(f"[bench] WINDOW CONTAMINATED (median inflation " +
         f"$windowInflation%.2fx, ${contaminated.size}/${ok.size} queries " +
@@ -523,8 +684,9 @@ object Bench {
       s"regressions ${regressions.size}, needs_retime ${needsRetime.size}, " +
       s"failed ${failed.size}, flaky ${flaky.size}, " +
       f"window_inflation $windowInflation%.3f, " +
-      s"contaminated $windowContaminated"
-    val windowSteal = stealPct(windowJiffies0, cpuJiffies())
+      s"contaminated $windowContaminated" +
+      (if (downshifted) ", BUDGET-DOWNSHIFTED (single-run tail of board)"
+       else "")
     val detail =
       s"""{"metric":"detail","round_summary":"$roundSummary","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"window_steal_pct":${f3(windowSteal)},"regressions":$regJson,"needs_retime":$retimeJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"commit":"$commit","sf":"$sfDir"}"""
     val line =
@@ -550,8 +712,16 @@ object Bench {
     // BENCH_r{N}.json AFTER the round's bench, so at bench time the
     // newest artifact on disk is the previous round's).
     if (only.isEmpty) {
+      // truncated: the SparkContext died under us (timeout SIGTERM racing
+      // the remaining queries to "failed" — the r15-end corruption). The
+      // row is still written as evidence, but the marker disqualifies it
+      // as a future regression baseline (see trustworthyBaseline).
+      val truncated = spark.sparkContext.isStopped
       val hist =
-        s"""{"round":"$roundLabel","sf":"$sfDir","commit":"$commit","contaminated":${arr(contaminated)},"queries":$qs,"bench_only":$extraJson}"""
+        s"""{"round":"$roundLabel","sf":"$sfDir","commit":"$commit","window_steal_pct":${
+          f3(windowSteal)},"window_contaminated":$windowContaminated${
+          if (truncated) ",\"truncated\":true" else ""},"contaminated":${
+          arr(contaminated)},"queries":$qs,"bench_only":$extraJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

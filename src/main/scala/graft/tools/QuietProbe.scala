@@ -45,7 +45,13 @@ object QuietProbe {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
         .agg(expr("bit_xor(h)")).collect()
-    val mins = names.flatMap { name =>
+    // Per-run steal telemetry (r16 ask #2): a "quiet" claim must be
+    // MEASURED, not asserted — the two r15q rows disagreed on q198 by
+    // 1.7x with nothing in the artifact to adjudicate which slot was
+    // quieter. Each run carries its /proc/stat steal share, and the
+    // history row records the per-query MAX so a reader can rank two
+    // same-HEAD quiet rows by the conditions they were minted under.
+    val probed = names.flatMap { name =>
       val fn = graft.SparkEntry.queries(name)
       try {
         force(fn(spark, "/root/testdata/sf0.001")) // warm JIT + plan cache
@@ -53,24 +59,31 @@ object QuietProbe {
         val maxRuns = math.max(runs,
           sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX_RUNS", "10").toInt)
         val times = scala.collection.mutable.ArrayBuffer[Double]()
+        val steals = scala.collection.mutable.ArrayBuffer[Double]()
         var r = 0
         do {
           r += 1
+          val j0 = graft.Bench.cpuJiffies()
           val g0 = gcMs; val t0 = System.nanoTime()
           force(fn(spark, sfDir))
           val wall = (System.nanoTime() - t0) / 1e9
-          println(f"PROBE $name r$r: $wall%.2f s wall, ${gcMs - g0} ms gc")
+          val steal = graft.Bench.stealPct(j0, graft.Bench.cpuJiffies())
+          println(f"PROBE $name r$r: $wall%.2f s wall, ${gcMs - g0} ms gc, " +
+            f"$steal%.2f%% steal")
           times += wall
+          steals += steal
         } while (needsAnotherRun(times.toSeq, runs, maxRuns))
+        val maxSteal = if (steals.forall(_ < 0)) -1.0 else steals.filter(_ >= 0).max
         println(f"PROBE $name MIN: ${times.min}%.2f s of $r runs " +
-          f"(spread ${times.max / times.min}%.2fx${
+          f"(spread ${times.max / times.min}%.2fx, max steal $maxSteal%.2f%%${
             if (times.last > times.min * 1.1) ", UNSTABLE at cap" else ""})")
-        Some(name -> times.min)
+        Some((name, times.min, maxSteal))
       } catch { case e: Throwable =>
         System.err.println(s"PROBE $name FAILED: ${e.getMessage}")
         None // a failed probe must not mint a baseline
       }
     }
+    val mins = probed.map { case (n, m, _) => n -> m }
     // Record the quiet minimums as a "quiet":true BENCH_HISTORY row so the
     // bench regression gate overlays them onto the last full-board baseline
     // (a quiet idle-host number beats a contaminated bench min — the r10
@@ -90,8 +103,14 @@ object QuietProbe {
       }
       val qs = mins.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
+      // steal map sits AFTER the queries map: Bench.queriesOf bounds its
+      // parse at the queries map's closing brace, so sibling maps are
+      // invisible to the gate — telemetry for readers, not baselines
+      val stealJson = probed.map { case (k, _, s) =>
+        "\"" + k + "\":" + f3(s)
+      }.mkString("{", ",", "}")
       val hist =
-        s"""{"round":"$label","sf":"$sfDir","quiet":true,"commit":"${graft.Bench.codeStamp()}","contaminated":[],"queries":$qs,"bench_only":{}}"""
+        s"""{"round":"$label","sf":"$sfDir","quiet":true,"commit":"${graft.Bench.codeStamp()}","contaminated":[],"queries":$qs,"bench_only":{},"steal_max_pct":$stealJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

@@ -332,6 +332,112 @@ class BenchRegressionSpec extends AnyFunSuite {
       "same HEAD, different working-tree bytes: no refutation")
   }
 
+  test("budgeter: past frac*budget every remaining query runs once — the board stays full") {
+    // Simulate a 208-query board on a contended host: each query costs
+    // 4 s/run, normal schedule 2 runs (3 for every 10th, the noisy set),
+    // budget 900 s, frac 0.5. Without the downshift the board needs
+    // ~1700 s; with it, every query still gets >=1 run and the total
+    // stays under budget-ish — the rc=124 shape (some queries never
+    // timed) is impossible by construction.
+    var elapsed = 0.0
+    val schedule = (1 to 208).map { i =>
+      val normal = if (i % 10 == 0) 3 else 2
+      val runs = Bench.budgetedRuns(normal, elapsed, 900.0, 0.5)
+      elapsed += runs * 4.0
+      runs
+    }
+    assert(schedule.forall(_ >= 1), "every board query gets at least one run")
+    assert(schedule.take(50).forall(_ >= 2), "no downshift before the threshold")
+    assert(schedule.drop(120).forall(_ == 1), "single runs once the wall crosses")
+    // disabled budget (<=0) never downshifts
+    assert(Bench.budgetedRuns(3, 1e9, 0.0, 0.5) === 3)
+    assert(Bench.budgetedRuns(3, 1e9, 900.0, 0.0) === 3)
+  }
+
+  test("post-tail cumulative: a tail run that lowers a min folds into the re-emitted total") {
+    // q68's first-pass min was 5.0; the tail slot read 2.0 — the
+    // post-tail cumulative must report 2.0 + 1.0, not 5.0 + 1.0 (r15
+    // defect: a timeout in the tail window reported a tail-blind total).
+    val (sum, n) = Bench.foldedMinSum(Seq(
+      "q68" -> Seq(5.0, 6.0, 2.0), // 2.0 is the appended tail run
+      "q01" -> Seq(1.0, 1.5),
+      "q99" -> Seq.empty)) // failed query: no min, not counted
+    assert(math.abs(sum - 3.0) < 1e-9 && n === 2)
+  }
+
+  test("parseJiffies: guest fields excluded from the total (steal share not deflated)") {
+    // user nice system idle iowait irq softirq steal guest guest_nice —
+    // guest time is already inside user/nice; a 10-field sum would read
+    // 30/1042 instead of 30/1000.
+    val (steal, total) = Bench.parseJiffies("cpu  100 0 50 800 10 5 5 30 40 2")
+    assert(steal === 30L && total === 1000L)
+  }
+
+  test("a contaminated or truncated last board row is skipped as baseline") {
+    // The r15-end corruption: a SIGTERM'd JVM appended a hot-window row
+    // (19/200 stamped) that would otherwise become the baseline and both
+    // mask regressions (loose mins) and mint false improvements. The gate
+    // must fall back to the last TRUSTWORTHY board row.
+    val clean = hist("r15", Seq.empty, "q68" -> 2.0, "q01" -> 1.0)
+    val corruptStamps = (1 to 25).map(i => s"qc$i")
+    val corrupt = hist("r16", corruptStamps,
+      (Seq("q68" -> 8.0, "q01" -> 3.0) ++
+        corruptStamps.map(_ -> 1.0) ++
+        (1 to 20).map(i => s"qf$i" -> 1.0)): _*)
+    val (_, _, got, _) = Bench.findRegressions(Seq(clean, corrupt), sf,
+      Seq("q68" -> 5.0, "q01" -> 1.0), Set.empty)
+    assert(got === Seq(("q68", 2.0, 5.0)),
+      "the flag compares against the clean r15 row, not the corrupt r16 one")
+    // explicit markers disqualify regardless of stamps
+    val stamped = s"""{"round":"r16","sf":"$sf","window_contaminated":true,"contaminated":[],"queries":{"q68":8.0},"bench_only":{}}"""
+    val truncated = s"""{"round":"r16","sf":"$sf","window_contaminated":false,"truncated":true,"contaminated":[],"queries":{"q68":8.0},"bench_only":{}}"""
+    for (bad <- Seq(stamped, truncated)) {
+      val (_, _, got2, _) = Bench.findRegressions(Seq(clean, bad), sf,
+        Seq("q68" -> 5.0, "q01" -> 1.0), Set.empty)
+      assert(got2 === Seq(("q68", 2.0, 5.0)))
+    }
+    // a self-declared CLEAN row (the normal case going forward) is trusted
+    val goodNew = s"""{"round":"r16","sf":"$sf","window_steal_pct":0.1,"window_contaminated":false,"contaminated":[],"queries":{"q68":2.2,"q01":1.0},"bench_only":{}}"""
+    val (_, _, got3, _) = Bench.findRegressions(Seq(clean, goodNew), sf,
+      Seq("q68" -> 5.0, "q01" -> 1.0), Set.empty)
+    assert(got3 === Seq(("q68", 2.2, 5.0)))
+  }
+
+  test("1.08-1.2 uniform inflation needs corroboration: quiet measured steal ships flags") {
+    // r15 ADVICE: 1.08 sits inside normal shared-VM drift — a genuinely
+    // quiet host (measured steal ~0.1%, no spiky stamps) at 1.09 must
+    // NOT stamp the window; its flags ship load-normalized.
+    val (prev, now) = board(20, 1.09)
+    val lines = Seq(hist("r13", Seq.empty, prev :+ ("q_bad" -> 1.0): _*))
+    val (infl, contaminated, got, _) = Bench.findRegressions(lines, sf,
+      now :+ ("q_bad" -> 6.0), Set.empty, windowStealPct = 0.1)
+    assert(math.abs(infl - 1.09) < 1e-9 && !contaminated,
+      "quiet measured steal refutes the ambient-load hypothesis")
+    assert(got.map(_._1) === Seq("q_bad"), "the real regression still ships")
+    // same inflation with real steal: stamped (ambient load corroborated)
+    val (_, c2, got2, _) = Bench.findRegressions(lines, sf,
+      now :+ ("q_bad" -> 6.0), Set.empty, windowStealPct = 2.5)
+    assert(c2 && got2.isEmpty)
+    // same inflation, quiet steal, but a spiky co-signal (>=3 stamps on
+    // board queries): local contention shows in spread, not steal — stamp
+    val (_, c3, _, _) = Bench.findRegressions(lines, sf,
+      now :+ ("q_bad" -> 6.0),
+      contaminatedNow = Set(now.head._1, now(1)._1, now(2)._1),
+      windowStealPct = 0.1)
+    assert(c3)
+    // unknown steal (no /proc, legacy caller): conservative stamp holds
+    val (_, c4, _, _) = Bench.findRegressions(lines, sf,
+      now :+ ("q_bad" -> 6.0), Set.empty)
+    assert(c4)
+    // above 1.2 the stamp is unconditional (the r15-end disaster ran at
+    // 2.6x with 1-3% steal — co-tenant contention is invisible to steal)
+    val (prev5, now5) = board(20, 1.25)
+    val lines5 = Seq(hist("r13", Seq.empty, prev5: _*))
+    val (_, c5, _, _) = Bench.findRegressions(lines5, sf, now5, Set.empty,
+      windowStealPct = 0.1)
+    assert(c5)
+  }
+
   test("sameRoundMinsOf: only same-commit full-board rows of the round refute") {
     def row(round: String, commit: Option[String], quiet: Boolean,
         q: Double): String = {

@@ -107,6 +107,58 @@ class MediaIngestSpec extends SparkSpec {
     }
   }
 
+  test("commitMediaBatch persists logical payload stats; readCorpus sizes batches from them without a data listing") {
+    val tmp = java.nio.file.Files.createTempDirectory("media-stats").toString
+    val corpus = s"$tmp/corpus"; val idx = s"$tmp/idx"
+    // HIGHLY COMPRESSIBLE ~128 KiB payloads (zero-filled beyond the BMP
+    // header): on-disk bytes land far below logical bytes, the exact
+    // shape where the old on-disk derivation clamps the batch too large
+    // and re-admits the multi-GB column buffers it claims to prevent
+    // (r15 ADVICE). Two batches so the stats path aggregates sidecars.
+    def zeroPad(seed: Long): Array[Byte] = {
+      val b = new Array[Byte](128 * 1024)
+      val h = Multimodal.encodeBmp(24, 16, seed)
+      System.arraycopy(h, 0, b, 0, h.length); b
+    }
+    MediaIngest.commitMediaBatch(spark,
+      batchDf(Seq(1L -> zeroPad(1), 2L -> zeroPad(2))), 0L, corpus, idx)
+    MediaIngest.commitMediaBatch(spark,
+      batchDf(Seq(3L -> zeroPad(3))), 1L, corpus, idx)
+    // the sidecars exist and carry LOGICAL bytes (3 rows x 128 KiB)
+    val (bytes, rows, source) =
+      MediaIngest.corpusPayloadStats(spark, corpus)
+    assert(source == "stats", "a stats-bearing corpus must not fall back " +
+      "to the listing walk")
+    assert(rows == 3L && bytes == 3L * 128 * 1024,
+      s"stats must be logical payload bytes, got ($bytes, $rows)")
+    // readCorpus derives ~32MiB/128KiB = 256 rows from the LOGICAL size;
+    // the on-disk derivation would have clamped to 4096 (compressed
+    // parquet of zero-fill is a few KiB/row)
+    val before = spark.conf
+      .getOption("spark.sql.parquet.columnarReaderBatchSize")
+    try {
+      val df = MediaIngest.readCorpus(spark, corpus)
+      val derived = spark.conf
+        .get("spark.sql.parquet.columnarReaderBatchSize").toLong
+      assert(derived == 256,
+        s"batch must derive from logical bytes (expected 256, got $derived)")
+      assert(df.count() == 3)
+    } finally before match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+    }
+    // a batch dir missing its sidecar (pre-r16 corpus / crash between
+    // parquet and stats write) falls the WHOLE derivation back — a
+    // partial average could skew small
+    val fs = graft.util.Lsm.fs(spark, corpus)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpus/batch-1/${MediaIngest.payloadStatsFile}"), false)
+    val (_, rows2, source2) = MediaIngest.corpusPayloadStats(spark, corpus)
+    assert(source2 == "derived" && rows2 == 3L)
+  }
+
   test("crashed partial move is swept before the gate probes") {
     val tmp = java.nio.file.Files.createTempDirectory("media-crash").toString
     val corpus = s"$tmp/corpus"; val idx = s"$tmp/idx"
