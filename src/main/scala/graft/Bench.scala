@@ -175,12 +175,36 @@ object Bench {
     * host noise — it downgrades to needs-re-time instead of shipping as
     * a regression, so the artifact says "verify on a quiet host" rather
     * than asserting either way. */
+  /** Parse a named string-array field (`"contaminated":[...]`,
+    * `"untrusted":[...]`) out of a history line. */
+  private def namesOf(line: String, field: String): Set[String] = {
+    val start = line.indexOf("\"" + field + "\":[")
+    if (start < 0) Set.empty
+    else "\"([A-Za-z0-9_]+)\"".r
+      .findAllMatchIn(line.substring(start, line.indexOf(']', start) + 1))
+      .map(_.group(1)).toSet -- Set(field)
+  }
+
+  /** `untrustedNow`: queries whose CURRENT reading is an upper bound, not
+    * a measurement — budget-downshifted single runs (no spread evidence
+    * possible) and slots whose own /proc/stat interval recorded a steal
+    * burst. The board-#2 r16 lesson: a steal storm over the downshifted
+    * board tail minted 13 "regressions" in a window whose stable-set
+    * median was a clean 1.005 — single-run burst readings must DEFER
+    * (needs-re-time, evidence attached), never ship. Untrusted queries
+    * are excluded from the inflation median and from shipped flags, but
+    * do NOT count toward the spiky window stamp (a downshift is
+    * self-inflicted schedule pressure, not evidence of ambient load).
+    * Prior-round untrusted readings (the row's `"untrusted"` field) fold
+    * into prevContam so an upper-bound baseline can't mask a real
+    * regression — quiet rows overlay them with honest minimums. */
   private[graft] def findRegressions(histLines: Seq[String], sfDir: String,
       current: Seq[(String, Double)],
       contaminatedNow: Set[String],
       sameRoundMins: Map[String, Double] = Map.empty,
       sameRoundLabelMins: Map[String, Double] = Map.empty,
-      windowStealPct: Double = -1.0)
+      windowStealPct: Double = -1.0,
+      untrustedNow: Set[String] = Set.empty)
       : (Double, Boolean, Seq[(String, Double, Double)],
          Seq[(String, Double, Double)]) = {
     val sameSf = histLines.filter(_.contains("\"sf\":\"" + sfDir + "\""))
@@ -189,12 +213,7 @@ object Bench {
     if (baseIdx < 0) return (1.0, false, Seq.empty, Seq.empty)
     val prev = sameSf(baseIdx)
     var prevMins = queriesOf(prev)
-    val cStart = prev.indexOf("\"contaminated\":[")
-    var prevContam =
-      if (cStart < 0) Set.empty[String]
-      else "\"([A-Za-z0-9_]+)\"".r
-        .findAllMatchIn(prev.substring(cStart, prev.indexOf(']', cStart) + 1))
-        .map(_.group(1)).toSet
+    var prevContam = namesOf(prev, "contaminated") ++ namesOf(prev, "untrusted")
     for (q <- sameSf.drop(baseIdx + 1) if q.contains("\"quiet\":true");
          (k, v) <- queriesOf(q)) {
       prevMins += k -> (if (prevContam(k)) v
@@ -203,7 +222,8 @@ object Bench {
     }
     val ratios = current.collect {
       case (k, v) if prevMins.contains(k) && !contaminatedNow(k) &&
-          !prevContam(k) && prevMins(k) >= 0.2 => v / prevMins(k)
+          !untrustedNow(k) && !prevContam(k) && prevMins(k) >= 0.2 =>
+        v / prevMins(k)
     }.sorted
     // The median only reads as AMBIENT load when a stable majority exists —
     // on a handful of queries a couple of real regressions drag it and the
@@ -250,6 +270,7 @@ object Bench {
       math.min(v, sameRoundLabelMins.getOrElse(k, v))).map(_._1).toSet
     val regs = if (windowContaminated) Seq.empty
       else refuted.filter(r => labelRefuted(r._1))
+        .filterNot(r => untrustedNow(r._1))
     val surviving = regs.map(_._1).toSet
     val needsRetime = raw.filterNot(r => surviving(r._1))
     (inflation, windowContaminated, regs, needsRetime)
@@ -463,6 +484,13 @@ object Bench {
     var doneSum = 0.0
     var doneN = 0
     var lastJiffies = cpuJiffies()
+    // per-query slot steal (the interval covering that query's runs) —
+    // recorded in the partial trail AND fed to the gate: a slot that saw
+    // a steal burst above SPARK_GRAFT_STEAL_STAMP_PCT minted an upper
+    // bound, not a measurement
+    val slotSteal = scala.collection.mutable.Map[String, Double]()
+    val stealStampPct =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_STAMP_PCT", "5.0").toDouble
     // NOTE for consumers: partial cumulative lines reuse "metric":"total"
     // DELIBERATELY — the driver's timeout fallback parses the last JSON
     // line in its stdout tail, and a distinct metric name would regress
@@ -476,6 +504,7 @@ object Bench {
       val nowJ = cpuJiffies()
       val steal = stealPct(lastJiffies, nowJ)
       lastJiffies = nowJ
+      slotSteal(name) = steal
       if (ts.isEmpty) appendPartial(s"""{"q":"$name","failed":true}""")
       else {
         doneSum += ts.min; doneN += 1
@@ -627,12 +656,24 @@ object Bench {
     // uniform-inflation band can demand steal corroboration (r15 ADVICE:
     // a genuinely quiet host at 1.09 must still ship its flags).
     val windowSteal = stealPct(windowJiffies0, cpuJiffies())
+    // Untrusted readings (see findRegressions): budget-downshifted
+    // single-run queries + slots that recorded a steal burst. They defer
+    // their flags instead of shipping them, and the history row labels
+    // them so they never become baselines.
+    val downshiftedQ = firstPass.collect {
+      case (name, _, _, scheduled) if scheduled < runsFor(name) => name
+    }.toSet
+    val stealStamped = slotSteal.collect {
+      case (name, s) if s >= stealStampPct => name
+    }.toSet
+    val untrusted = (downshiftedQ ++ stealStamped)
+      .intersect(ok.map(_._1).toSet)
     val (windowInflation, windowContaminated, regressions, needsRetime) =
       if (histLines.isEmpty || only.nonEmpty)
         (1.0, false, Seq.empty[(String, Double, Double)],
           Seq.empty[(String, Double, Double)])
       else findRegressions(histLines, sfDir, ok, contaminated.toSet,
-        sameRoundMins, roundLabelMins, windowSteal)
+        sameRoundMins, roundLabelMins, windowSteal, untrusted)
     if (windowContaminated)
       System.err.println(f"[bench] WINDOW CONTAMINATED (median inflation " +
         f"$windowInflation%.2fx, ${contaminated.size}/${ok.size} queries " +
@@ -683,14 +724,15 @@ object Bench {
       f"window total ${total}%.1fs (round best ${roundBestTotal}%.1fs), " +
       s"regressions ${regressions.size}, needs_retime ${needsRetime.size}, " +
       s"failed ${failed.size}, flaky ${flaky.size}, " +
+      s"untrusted ${untrusted.size}, " +
       f"window_inflation $windowInflation%.3f, " +
       s"contaminated $windowContaminated" +
       (if (downshifted) ", BUDGET-DOWNSHIFTED (single-run tail of board)"
        else "")
     val detail =
-      s"""{"metric":"detail","round_summary":"$roundSummary","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"window_steal_pct":${f3(windowSteal)},"regressions":$regJson,"needs_retime":$retimeJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"commit":"$commit","sf":"$sfDir"}"""
+      s"""{"metric":"detail","round_summary":"$roundSummary","queries":$qs,"runs":$runsJson,"bench_only":$extraJson,"failed":${arr(failed)},"flaky":${arr(flaky)},"contaminated":${arr(contaminated)},"untrusted":${arr(untrusted.toSeq.sorted)},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"window_steal_pct":${f3(windowSteal)},"regressions":$regJson,"needs_retime":$retimeJson,"round_best_total":${f3(roundBestTotal)},"round_best_queries":$roundBestJson,"commit":"$commit","sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"needs_retime_n":${needsRetime.size},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"round_best_total":${f3(roundBestTotal)},"detail":"bench_out_detail.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${ok.size},"failed_n":${failed.size},"flaky_n":${flaky.size},"regressions_n":${regressions.size},"needs_retime_n":${needsRetime.size},"window_inflation":${f3(windowInflation)},"window_contaminated":$windowContaminated,"round_best_total":${f3(roundBestTotal)},"detail":"${outPath.stripSuffix(".json") + "_detail.json"}","sf":"$sfDir"}"""
     println(detail)
     println(line)
     // The file artifact has no size constraint, so it keeps the full
@@ -721,7 +763,7 @@ object Bench {
         s"""{"round":"$roundLabel","sf":"$sfDir","commit":"$commit","window_steal_pct":${
           f3(windowSteal)},"window_contaminated":$windowContaminated${
           if (truncated) ",\"truncated\":true" else ""},"contaminated":${
-          arr(contaminated)},"queries":$qs,"bench_only":$extraJson}"""
+          arr(contaminated)},"untrusted":${arr(untrusted.toSeq.sorted)},"queries":$qs,"bench_only":$extraJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

@@ -438,6 +438,44 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(c5)
   }
 
+  test("untrusted readings (downshifted single-run / steal-stamped slot) defer, never ship") {
+    // The board-#2 r16 signature: stable-set median a clean 1.005, but the
+    // budget-downshifted board tail ran once each inside an 8-17% steal
+    // burst — 13 upper-bound readings shipped as regressions. An untrusted
+    // reading must land in needs-re-time with the window left unstamped
+    // (a downshift is schedule pressure, not ambient load).
+    val stable = (1 to 24).map(i => s"qs$i" -> (1.0 + i * 0.1))
+    val lines = Seq(hist("r15", Seq.empty, stable :+ ("q76" -> 0.26): _*))
+    val now = stable :+ ("q76" -> 1.76) // 6.8x, single-run under burst
+    val (infl, contaminated, got, retime) = Bench.findRegressions(lines, sf,
+      now, Set.empty, windowStealPct = 2.2, untrustedNow = Set("q76"))
+    assert(math.abs(infl - 1.0) < 1e-9 && !contaminated,
+      "untrusted queries must not stamp the window or skew the median")
+    assert(got.isEmpty, "an upper-bound reading must not ship as a regression")
+    assert(retime.map(_._1) === Seq("q76"), "it defers with the evidence")
+    // the same reading from a TRUSTED slot still ships
+    val (_, _, got2, _) = Bench.findRegressions(lines, sf, now, Set.empty,
+      windowStealPct = 2.2)
+    assert(got2.map(_._1) === Seq("q76"))
+  }
+
+  test("a prior row's untrusted reading cannot serve as that query's baseline") {
+    // Board #2's history row carries q76 at 1.76 (single-run, burst). If a
+    // later window read 2.2 the ratio vs 1.76 is under 1.5x — the upper
+    // bound would MASK the regression. The untrusted field folds into
+    // prevContam: no flag against it (and a quiet overlay restores honest
+    // flagging).
+    val prevRow = s"""{"round":"r16","sf":"$sf","window_contaminated":false,"contaminated":[],"untrusted":["q76"],"queries":{"q76":1.76,"q01":1.0},"bench_only":{}}"""
+    val (_, _, got, _) = Bench.findRegressions(Seq(prevRow), sf,
+      Seq("q76" -> 2.2, "q01" -> 1.0), Set.empty)
+    assert(got.isEmpty, "no flag against an upper-bound baseline")
+    // quiet overlay replaces the untrusted baseline; the regression flags
+    val lines = Seq(prevRow, quiet("r16q", "q76" -> 0.26))
+    val (_, _, got2, _) = Bench.findRegressions(lines, sf,
+      Seq("q76" -> 2.2, "q01" -> 1.0), Set.empty)
+    assert(got2 === Seq(("q76", 0.26, 2.2)))
+  }
+
   test("sameRoundMinsOf: only same-commit full-board rows of the round refute") {
     def row(round: String, commit: Option[String], quiet: Boolean,
         q: Double): String = {
