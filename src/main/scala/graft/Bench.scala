@@ -382,8 +382,16 @@ object Bench {
     // for startup + warmup while never downshifting on a clean host (a
     // quiet full board is ~900-1000 s of wall).
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
+    // Fraction 0.7, not 0.5: a CLEAN full board costs ~1,450-1,600 s of
+    // total wall (sbt+JVM ~40 s, warmup ~500 s, timed passes ~900 s), so
+    // a 1,200 s threshold downshifted the tail of every board — boards
+    // #1-#3 of r16 all ran their lexicographic tail single-run even in
+    // calm windows, wasting the spread evidence there. At 1,680 s a clean
+    // board finishes whole (no downshift, tails + twins run), while a
+    // ~2.5x-contended board crosses it with ~30% of the board left and
+    // still lands near ~2,100 s — inside the budget.
     val budgetFrac =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_FRAC", "0.5").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_FRAC", "0.7").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
