@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.BarrierOps
 
 /** Graph centrality over an edge list — the quality-propagation primitive a
   * training-data pipeline uses to rank entities (hosts by link graph,
@@ -131,7 +132,7 @@ object Graph {
     // table — the at-rest "edge table bucketed by src" shape, made real.
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).sortWithinPartitions("src")
-      .checkpoint(eager = true)
+      .barrier()
     // the node table carries the per-node teleport flag: 1 for every node
     // in the global walk, seed-membership for the personalized one
     val degPlain = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -142,8 +143,8 @@ object Graph {
           Seq("node"), "left")
         .withColumn("tele", coalesce(col("tele"), lit(0L)))
     }
-    val r0 = withUniformRu(deg.checkpoint(eager = true), seeded = seeds.isDefined)
-    RankState(e, r0.checkpoint(eager = true), dPct, seeded = seeds.isDefined)
+    val r0 = withUniformRu(deg.barrier(), seeded = seeds.isDefined)
+    RankState(e, r0.barrier(), dPct, seeded = seeds.isDefined)
   }
 
   /** Advance `rounds` power-iteration rounds from the state's CURRENT rank
@@ -174,7 +175,7 @@ object Graph {
         (lit(baseU) * col("tele") +
           expr(s"(${st.dPct} * coalesce(sc, 0L)) div 100")).as("ru"))
     }
-    st.copy(ranks = out.checkpoint(eager = true))
+    st.copy(ranks = out.barrier())
   }
 
   /** Fold a batch of edge INSERTS into the state and advance `rounds` from
@@ -198,7 +199,7 @@ object Graph {
       .join(st.edges, Seq("src", "dst"), "left_anti")
     val merged = st.edges.union(delta)
       .repartition(col("src")).sortWithinPartitions("src")
-      .checkpoint(eager = true)
+      .barrier()
     val dDelta = delta.groupBy(col("src").as("node")).agg(count(lit(1)).as("d2"))
     val newTele = if (st.seeded) 0L else 1L
     val grown = st.ranks.join(dDelta, Seq("node"), "full_outer")
@@ -209,7 +210,7 @@ object Graph {
     // new nodes (null ru) get the uniform share over the GROWN teleport set
     val warm = withUniformRu(grown, st.seeded, keepExisting = true)
     rankRounds(st.copy(edges = merged,
-      ranks = warm.checkpoint(eager = true)), rounds)
+      ranks = warm.barrier()), rounds)
   }
 
   /** (node, deg, rank) with rank as a double — one deterministic
@@ -264,9 +265,9 @@ object Graph {
     graft.util.Checkpoints.ensureDir(spark)
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).sortWithinPartitions("src")
-      .checkpoint(eager = true)
+      .barrier()
     var frontier = sources.select(col("node").cast("long").as("node")).distinct()
-      .withColumn("dist", lit(0L)).checkpoint(eager = true)
+      .withColumn("dist", lit(0L)).barrier()
     var settled = frontier
     var k = 0L
     var frontierN = frontier.count()
@@ -276,8 +277,8 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(k))
-        .checkpoint(eager = true)
-      settled = settled.union(next).checkpoint(eager = true)
+        .barrier()
+      settled = settled.union(next).barrier()
       frontier = next
       frontierN = next.count()
     }
@@ -318,10 +319,10 @@ object Graph {
     graft.util.Checkpoints.ensureDir(spark)
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).sortWithinPartitions("src")
-      .checkpoint(eager = true)
+      .barrier()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .checkpoint(eager = true)
+      .barrier()
     var scores = nodes.select(col("node"), lit(1L).as("hub"), lit(0L).as("auth"))
     for (_ <- 1 to iters) {
       val aSums = e.join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
@@ -332,7 +333,7 @@ object Graph {
         .groupBy(col("src").as("node")).agg(sum("auth").as("sh"))
       scores = nodes.join(hSums, Seq("node"), "left").join(withA, Seq("node"))
         .select(col("node"), coalesce(col("sh"), lit(0L)).as("hub"), col("auth"))
-        .checkpoint(eager = true)
+        .barrier()
     }
     scores
   }
@@ -379,10 +380,10 @@ object Graph {
     graft.util.Checkpoints.ensureDir(spark)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).sortWithinPartitions("src")
-      .checkpoint(eager = true)
+      .barrier()
     val labels0 = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    LabelState(e, labels0.checkpoint(eager = true))
+    LabelState(e, labels0.barrier())
   }
 
   /** Advance `rounds` synchronous vote rounds from the CURRENT labels
@@ -401,7 +402,7 @@ object Graph {
       labels.join(winners, Seq("node"), "left")
         .select(col("node"), coalesce(col("__next"), col("label")).as("label"))
     }
-    if (rounds == 0) st else st.copy(labels = out.checkpoint(eager = true))
+    if (rounds == 0) st else st.copy(labels = out.barrier())
   }
 
   /** Fold a batch of edge INSERTS into the state and advance `rounds`
@@ -423,11 +424,11 @@ object Graph {
       .join(st.edges, Seq("src", "dst"), "left_anti")
     val merged = st.edges.union(delta)
       .repartition(col("src")).sortWithinPartitions("src")
-      .checkpoint(eager = true)
+      .barrier()
     val warm = merged.select(col("src").as("node")).distinct()
       .join(st.labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-    lpRounds(LabelState(merged, warm.checkpoint(eager = true)), rounds)
+    lpRounds(LabelState(merged, warm.barrier()), rounds)
   }
 
   /** Fold one streaming batch of edges into AT-REST label-propagation
@@ -492,9 +493,9 @@ object Graph {
         // labels as the stored iterate — then the standard warm fold
         val e = spark.read.parquet(prevDirs: _*)
           .repartition(col("src")).sortWithinPartitions("src")
-          .checkpoint(eager = true)
+          .barrier()
         val labels = spark.read.parquet(s"$path/state/labels")
-          .checkpoint(eager = true)
+          .barrier()
         lpInsert(LabelState(e, labels), sym, rounds)
       }
     import spark.implicits._
@@ -594,7 +595,7 @@ object Graph {
     var e = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .checkpoint(eager = true)
+      .barrier()
     def degrees = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -603,7 +604,7 @@ object Graph {
       e = e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .checkpoint(eager = true)
+        .barrier()
     }
     degrees
   }
@@ -654,12 +655,12 @@ object Graph {
     graft.util.Checkpoints.ensureDir(spark)
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    var remaining = e0.filter(col("src") =!= col("dst")).checkpoint(eager = true)
+    var remaining = e0.filter(col("src") =!= col("dst")).barrier()
     // Node universe is fixed up front: a self-loop-only or trimmed-away
     // node must still be labeled.
     var nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
-      .checkpoint(eager = true)
+      .barrier()
     def sig(df: DataFrame, cols: String*): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(expr(s"bit_xor(xxhash64(${cols.mkString(",")}))"), lit(0L)))
@@ -683,56 +684,75 @@ object Graph {
       val deg = nodes.join(outD, Seq("node"), "left").join(inD, Seq("node"), "left")
       val trimmed = deg.filter(col("od").isNull || col("id").isNull)
         .select(col("node"), col("node").as("scc_id"))
-      done = done.union(trimmed).checkpoint(eager = true)
+      done = done.union(trimmed).barrier()
       nodes = deg.filter(col("od").isNotNull && col("id").isNotNull)
-        .select("node").checkpoint(eager = true)
+        .select("node").barrier()
       nNodes = nodes.count()
       if (nNodes > 0) {
         remaining = remaining
           .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .checkpoint(eager = true)
-        // LABEL to fixpoint: lbl = (node, f, b).
+          .barrier()
+        // LABEL to fixpoint: lbl = (node, f, b). One round = ONE gather
+        // join + ONE min-aggregate: the forward direction (F(src) gathers
+        // F over out-neighbors, i.e. against edge direction) and the
+        // backward one (B(dst) gathers B over in-neighbors) ride the same
+        // exchange as a 2|E|-row tagged union instead of two separate
+        // |E|-row join+agg pipelines — same bytes shuffled, half the
+        // stages (r16: the per-round stage count, not the data volume,
+        // dominated this loop's wall).
+        // materialized hash-partitioned by the gather key (the rankInit
+        // layout): every label round's join then moves only the NODE-sized
+        // label table, never the 2|E| gather rows
+        val gatherEdges = remaining
+          .select(col("dst").as("k"), col("src").as("out"), lit(true).as("fw"))
+          .union(remaining
+            .select(col("src").as("k"), col("dst").as("out"), lit(false).as("fw")))
+          .repartition(col("k")).barrier()
         var lbl = nodes.select(col("node"), col("node").as("f"), col("node").as("b"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        var s = sig(lbl, "node", "f", "b")
+          .barrier()
         var stable = false
         var rounds = 0
         while (!stable && rounds < maxLabelRounds) {
           rounds += 1
-          val cur = spark.createDataFrame(lbl.rdd, lbl.schema)
-          val fIn = remaining
-            .join(cur.select(col("node").as("dst"), col("f").as("fd")), Seq("dst"))
-            .groupBy(col("src").as("node")).agg(min("fd").as("fm"))
-          val bIn = remaining
-            .join(cur.select(col("node").as("src"), col("b").as("bs")), Seq("src"))
-            .groupBy(col("dst").as("node")).agg(min("bs").as("bm"))
-          val next = cur.join(fIn, Seq("node"), "left").join(bIn, Seq("node"), "left")
+          val gathered = gatherEdges
+            .join(lbl.select(col("node").as("k"),
+              col("f").as("fk"), col("b").as("bk")), Seq("k"))
+            .groupBy(col("out").as("node"))
+            .agg(min(when(col("fw"), col("fk"))).as("fm"),
+              min(when(!col("fw"), col("bk"))).as("bm"))
+          val next = lbl.join(gathered, Seq("node"), "left")
             .select(col("node"),
               least(col("f"), coalesce(col("fm"), col("f"))).as("f"),
-              least(col("b"), coalesce(col("bm"), col("b"))).as("b"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val ns = sig(next, "node", "f", "b")
-          stable = ns == s && next.except(spark.createDataFrame(lbl.rdd, lbl.schema)).isEmpty
-          lbl.unpersist()
-          lbl = next
-          s = ns
+              least(col("b"), coalesce(col("bm"), col("b"))).as("b"),
+              (col("fm") < col("f") || col("bm") < col("b")).as("chg"))
+          // EXACT fixpoint detection inside the materialization job: min-label
+          // flooding only ever LOWERS f/b, so "no row changed this round" ⟺
+          // fixpoint — observed as a metric of the same job that materializes
+          // the round (replacing the r15 shape's separate signature job +
+          // end-of-loop except() confirmation; exact, so neither is needed).
+          val obs = org.apache.spark.sql.Observation()
+          lbl = next.observe(obs,
+              sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+            .drop("chg")
+            .barrier()
+          stable = obs.get("changed").asInstanceOf[Long] == 0L
         }
         if (!stable) throw new IllegalStateException(
           s"stronglyConnectedComponents: label fixpoint not reached in $maxLabelRounds rounds")
         // PEEL: F == B identifies the SCC of each remaining subgraph min.
         val peeled = lbl.filter(col("f") === col("b"))
           .select(col("node"), col("f").as("scc_id"))
-        done = done.union(peeled).checkpoint(eager = true)
+        done = done.union(peeled).barrier()
         nodes = lbl.filter(col("f") =!= col("b")).select("node")
-          .checkpoint(eager = true)
+          .barrier()
         lbl.unpersist()
         nNodes = nodes.count()
         if (nNodes > 0) {
           remaining = remaining
             .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
             .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
-            .checkpoint(eager = true)
+            .barrier()
         }
       }
     }
