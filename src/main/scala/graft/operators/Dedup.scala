@@ -759,7 +759,7 @@ object Dedup {
     var sig = signature(cached) // materializes canon + the first edge set
     nodes.count()               // off the canon cache, before dropping it
     canon.unpersist()
-    var edges = spark.createDataFrame(cached.rdd, cached.schema)
+    var edges = org.apache.spark.sql.graftbridge.DatasetBridge.internalBarrier(cached)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIters) {
@@ -791,7 +791,7 @@ object Dedup {
       cached.unpersist()
       cached = nextCached
       sig = nextSig
-      edges = spark.createDataFrame(cached.rdd, cached.schema)
+      edges = org.apache.spark.sql.graftbridge.DatasetBridge.internalBarrier(cached)
       rounds += 1
     }
     if (!converged) {
